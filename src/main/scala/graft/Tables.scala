@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, functions => F}
+
+/** Loaders for the driver's deterministic test tables
+  * (`/root/testdata/sf*`, see TESTDATA.md) plus shared
+  * oracle-parity helpers.
+  *
+  * Oracle-parity conventions (driver hash-compares our parquet output
+  * against DuckDB running the same SQL):
+  *  - Monetary / value aggregates are computed over DECIMAL casts:
+  *    decimal addition is exact and order-independent, so Spark's
+  *    partial/final aggregation tree and DuckDB's single-threaded sum
+  *    produce identical results (a double sum would differ in the last
+  *    bits depending on summation order).
+  *  - Averages are expressed as CAST(decimal_sum AS DOUBLE) / count:
+  *    one IEEE double division of identical inputs is bit-identical in
+  *    both engines, while built-in avg() is not (DuckDB's avg is a
+  *    double accumulator; Spark's decimal avg has its own scale rules).
+  *  - Result columns are aliased identically in the Spark code and the
+  *    oracle SQL (the driver sorts columns by name before hashing).
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
+    * rejects by default. Read nanos as a long, keep it as the exact
+    * ordering key (`ts_ns`, matches DuckDB's ns ordering bit-for-bit)
+    * and derive a microsecond `ts` timestamp for calendar functions. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts_ns", F.col("ts"))
+      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Exact 2-dp decimal view of a double column (order-independent sums). */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Narrow 2-dp decimal for multiplication chains (keeps the product
+    * precision within both engines' 38-digit budget). */
+  def dec12(c: Column): Column = c.cast(DecimalType(12, 2))
+  def dec4(c: Column): Column  = c.cast(DecimalType(4, 2))
+
+  /** Deterministic cross-engine average: exact decimal sum, one double
+    * division. Bit-identical in Spark and DuckDB. */
+  def avgExact(c: Column): Column =
+    F.sum(dec2(c)).cast("double") / F.count(F.lit(1))
+}

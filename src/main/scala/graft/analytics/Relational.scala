@@ -1,0 +1,330 @@
+package graft.analytics
+
+import graft.Tables
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational engine surface: grouped/rollup aggregation, the four join
+  * shapes, window functions, sorts/top-k/limits and set operations over
+  * the driver's TPC-H-ish tables.
+  *
+  * The reference pipeline itself has no joins/group-bys (SURVEY.md §2.3,
+  * §2.4 — its dataflow is a single-table validate/split,
+  * /root/reference/Glue/Glue_job.py:31-93), so these are the engine
+  * capabilities a user would need to analyze its curated/rejected output
+  * at scale. Each query is paired with DuckDB oracle SQL in
+  * `Relational.oracle`.
+  *
+  * Scale notes (100 TB thinking):
+  *  - `join_broadcast` broadcasts the dimension tables explicitly; the
+  *    fact table never shuffles.
+  *  - `join_inner`/`join_left` shuffle both sides on the join key once;
+  *    aggregations are partial (map-side) + final — no extra exchange.
+  *  - `sort_topk` relies on Spark's TakeOrderedAndProject (per-partition
+  *    top-k then merge on the driver) — no global sort at any scale.
+  *  - All money sums go through DECIMAL (exact, order-independent) so
+  *    results are stable under any partitioning/AQE re-plan.
+  */
+object Relational {
+
+  private val one2 = lit(1).cast(DecimalType(4, 2))
+
+  /** TPC-H Q1-flavor pricing summary: filter + groupBy + decimal sums. */
+  def q1Agg(s: SparkSession, d: String): DataFrame = {
+    val disc   = one2 - dec4(col("l_discount"))
+    val charge = one2 + dec4(col("l_tax"))
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec12(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec12(col("l_extendedprice")) * disc).cast("double").as("sum_disc_price"),
+        sum(dec12(col("l_extendedprice")) * disc * charge).cast("double").as("sum_charge"),
+        (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("cnt"))
+  }
+
+  /** Equi inner join lineitem⋈orders + revenue rollup per priority. */
+  def joinInner(s: SparkSession, d: String): DataFrame = {
+    val li  = lineitem(s, d)
+    val ord = orders(s, d)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"), "inner")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(dec12(col("l_extendedprice")) * (one2 - dec4(col("l_discount"))))
+          .cast("double").as("revenue"))
+  }
+
+  /** Star join with explicitly broadcast dimensions (fact never moves
+    * except for the final small aggregation shuffle). */
+  def joinBroadcast(s: SparkSession, d: String): DataFrame = {
+    val ord = orders(s, d)
+    val cst = customer(s, d)
+    val nat = nation(s, d)
+    val reg = region(s, d)
+    ord
+      .join(broadcast(cst), ord("o_custkey") === cst("c_custkey"))
+      .join(broadcast(nat), cst("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(dec12(col("o_totalprice"))).cast("double").as("total"))
+  }
+
+  /** Left outer join preserving order-less customers. */
+  def joinLeft(s: SparkSession, d: String): DataFrame = {
+    val cst = customer(s, d)
+    val ord = orders(s, d)
+    cst.join(ord, cst("c_custkey") === ord("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(dec12(col("o_totalprice"))).cast("double"), lit(0.0))
+          .as("total_spent"))
+  }
+
+  /** Left-semi: orders having at least one 49+-quantity line. */
+  def joinSemi(s: SparkSession, d: String): DataFrame = {
+    val ord = orders(s, d)
+    val big = lineitem(s, d).filter(col("l_quantity") >= 49).select(col("l_orderkey"))
+    ord.join(big, ord("o_orderkey") === big("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Left-anti: customers that never placed an order. */
+  def joinAnti(s: SparkSession, d: String): DataFrame = {
+    val cst = customer(s, d)
+    val ord = orders(s, d).select(col("o_custkey"))
+    cst.join(ord, cst("c_custkey") === ord("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** Grouped aggregation suite over events (count/distinct/sum/min/max/avg). */
+  def aggGroup(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        (sum(dec2(col("value"))).cast("double") / count(lit(1))).as("avg_value"))
+
+  /** Exact distinct counting (HLL sketch variant kept separate — not
+    * oracle-comparable by construction). */
+  def aggDistinct(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(dec2(col("value"))).as("n_values"))
+
+  /** Full-table count (the reference's most common action,
+    * Glue_job.py:95,124,127,131-135 — here as one job, not eight). */
+  def aggCount(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(count(lit(1)).as("n"))
+
+  /** Rollup: per (returnflag, linestatus), per returnflag, grand total. */
+  def aggRollup(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+
+  /** Latest event per user — row_number window, desc order. */
+  def winLatest(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+    events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+  }
+
+  /** Per-user value delta vs previous event — lag window. */
+  def winLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    events(s, d)
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .select(
+        col("event_id"), col("user_id"), col("value"), col("prev_value"),
+        (col("value") - col("prev_value")).as("delta"))
+  }
+
+  /** Running per-user total — frame-bounded window sum over decimals. */
+  def winSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(
+        col("event_id"), col("user_id"),
+        sum(dec2(col("value"))).over(w).cast("double").as("running_value"))
+  }
+
+  /** Top-100 orders by price — TakeOrderedAndProject, no global sort. */
+  def sortTopk(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .limit(100)
+
+  /** Deterministic limit (ordered by key — an unordered limit is not
+    * oracle-comparable). */
+  def limitN(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .orderBy(col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      .limit(50)
+
+  /** unionByName with differing column order (matches by name, like the
+    * reference's rejected-union, Glue_job.py:116). */
+  def setUnionByName(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+      .select(col("c_nationkey").cast("int").as("nationkey"), lit("customer").as("src"))
+      .distinct()
+    val p = supplier(s, d)
+      .select(lit("supplier").as("src"), col("s_nationkey").cast("int").as("nationkey"))
+      .distinct()
+    c.unionByName(p)
+  }
+
+  def setIntersect(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_nationkey").cast("int").as("nationkey"))
+      .intersect(supplier(s, d).select(col("s_nationkey").cast("int").as("nationkey")))
+
+  def setExcept(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_nationkey").cast("int").as("nationkey"))
+      .except(supplier(s, d).select(col("s_nationkey").cast("int").as("nationkey")))
+
+  /** Per-month order stats — date_trunc + grouped decimal sum. */
+  def tsTrunc(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("order_month"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(dec12(col("o_totalprice"))).cast("double").as("total"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"            -> q1Agg _,
+    "join_inner"        -> joinInner _,
+    "join_broadcast"    -> joinBroadcast _,
+    "join_left"         -> joinLeft _,
+    "join_semi"         -> joinSemi _,
+    "join_anti"         -> joinAnti _,
+    "agg_group"         -> aggGroup _,
+    "agg_distinct"      -> aggDistinct _,
+    "agg_count"         -> aggCount _,
+    "agg_rollup"        -> aggRollup _,
+    "win_latest"        -> winLatest _,
+    "win_lag"           -> winLag _,
+    "win_sum"           -> winSum _,
+    "sort_topk"         -> sortTopk _,
+    "limit_n"           -> limitN _,
+    "set_union_by_name" -> setUnionByName _,
+    "set_intersect"     -> setIntersect _,
+    "set_except"        -> setExcept _,
+    "ts_trunc"          -> tsTrunc _,
+  )
+
+  private val sumQty  = "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+  private val discExp = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+          $sumQty AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+          CAST(sum($discExp) AS DOUBLE) AS sum_disc_price,
+          CAST(sum($discExp * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+          $sumQty / count(*) AS avg_qty,
+          count(*) AS cnt
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""",
+    "join_inner" ->
+      s"""SELECT o_orderpriority, count(*) AS cnt, CAST(sum($discExp) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority""",
+    "join_broadcast" ->
+      """SELECT n_name, count(*) AS cnt,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY n_name""",
+    "join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+          coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 0.0) AS total_spent
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey""",
+    "join_semi" ->
+      """SELECT o_orderstatus, count(*) AS cnt FROM orders
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+        GROUP BY o_orderstatus""",
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "agg_group" ->
+      """SELECT event_type, count(*) AS cnt, count(DISTINCT user_id) AS n_users,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+          min(value) AS min_value, max(value) AS max_value,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+        FROM events GROUP BY event_type""",
+    "agg_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+          count(DISTINCT CAST(value AS DECIMAL(18,2))) AS n_values
+        FROM events GROUP BY event_type""",
+    "agg_count" -> "SELECT count(*) AS n FROM lineitem",
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "win_latest" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+          SELECT user_id, event_id, event_type, value,
+            row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1""",
+    "win_lag" ->
+      """SELECT event_id, user_id, value, prev_value, value - prev_value AS delta FROM (
+          SELECT event_id, user_id, value,
+            lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+          FROM events)""",
+    "win_sum" ->
+      """SELECT event_id, user_id,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        FROM events""",
+    "sort_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "limit_n" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        ORDER BY o_orderkey LIMIT 50""",
+    "set_union_by_name" ->
+      """SELECT nationkey, src FROM (
+          SELECT DISTINCT CAST(c_nationkey AS INT) AS nationkey, 'customer' AS src FROM customer
+          UNION ALL
+          SELECT DISTINCT CAST(s_nationkey AS INT) AS nationkey, 'supplier' AS src FROM supplier)""",
+    "set_intersect" ->
+      """SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+        INTERSECT SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier""",
+    "set_except" ->
+      """SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+        EXCEPT SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier""",
+    "ts_trunc" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month, count(*) AS cnt,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY date_trunc('month', o_orderdate)""",
+  )
+}
