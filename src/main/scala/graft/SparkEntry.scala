@@ -17,10 +17,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    analytics.Relational.queries
+    analytics.Relational.queries ++
+      analytics.EventsPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    analytics.Relational.oracle
+    analytics.Relational.oracle ++
+      analytics.EventsPipeline.oracle
 }

@@ -1,0 +1,304 @@
+package graft.analytics
+
+import graft.Tables._
+import graft.expect.{Expectation, Expectations}
+import graft.lineage.Lineage
+import graft.rules._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+/** The reference's validate→split→gate→lineage dataflow exercised over
+  * the driver's `events` table (its `props` JSON string playing the
+  * nested-payload role), so the pipeline core is oracle-checkable
+  * against DuckDB — plus the projection/predicate/JSON/scalar-function
+  * operator queries from SURVEY.md §2.2/§2.7.
+  *
+  * Rules here mirror the reference's four kinds (not-null, between,
+  * in-set, nested-field) over events columns; reasons vocabulary follows
+  * the reference's `<field>_out_of_range` / `missing_<field>` naming
+  * (/root/reference/Glue/Glue_job.py:71-80).
+  */
+object EventsPipeline {
+
+  private val kSchema = StructType(Seq(StructField("k", IntegerType)))
+
+  /** events + parsed JSON payload field `k` (nested access F2/P3). */
+  def withK(s: SparkSession, d: String): DataFrame =
+    events(s, d).withColumn("k",
+      from_json(col("props"), kSchema).getField("k"))
+
+  val rules: Seq[ValidationRule] = Seq(
+    NotNull("user_id", "missing_user_id"),
+    Between("value", 0, 450, "value_out_of_range"),
+    InSet("event_type", Seq("click", "view", "purchase", "signup"),
+      "invalid_event_type"),
+    Between("k", 0, 89, "k_out_of_range"))
+
+  val suite: Seq[Expectation] = Seq(
+    Expectations.notNull("user_id"),
+    Expectations.between("value", 0, 450),
+    Expectations.inSet("event_type", Seq("click", "view", "purchase", "signup")),
+    Expectations.between("k", 0, 89))
+
+  def validated(s: SparkSession, d: String): DataFrame =
+    Validator.validate(withK(s, d), rules)
+
+  /** Curated side of the split (P6 + flag stamping). */
+  def splitValid(s: SparkSession, d: String): DataFrame =
+    validated(s, d)
+      .filter(col("is_valid") === true)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("k"))
+      .withColumn("data_quality_flag", lit("VALID"))
+
+  /** Rejected side with compacted reasons (array → csv string so the
+    * hash compare is representation-stable across engines). */
+  def splitInvalid(s: SparkSession, d: String): DataFrame =
+    validated(s, d)
+      .filter(col("is_valid") === false)
+      .select(col("event_id"), col("event_type"), col("value"), col("k"),
+        array_join(col("rejection_reasons"), ",").as("rejection_reasons"))
+
+  /** Rejects per reason-combination (the ops report the reference keeps
+    * in its rejected layer). */
+  def reasonsArray(s: SparkSession, d: String): DataFrame =
+    splitInvalid(s, d)
+      .groupBy(col("rejection_reasons"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Single-pass expectation suite + verdict (A2-A5). */
+  def expectSuite(s: SparkSession, d: String): DataFrame =
+    Expectations.report(withK(s, d), suite)
+
+  /** Single-pass layer counts (S7 + the conservation invariant). */
+  def lineageCounts(s: SparkSession, d: String): DataFrame =
+    Lineage.layerCounts(validated(s, d))
+
+  /** NaN→null normalization (P8/P12/F13): taint one enum value with NaN,
+    * clean it back to null, aggregate the survivors. */
+  def cleanNanNull(s: SparkSession, d: String): DataFrame = {
+    val tainted = when(col("event_type") === "error",
+      lit("NaN").cast("double")).otherwise(col("value"))
+    Validator.cleanNanNull(
+        events(s, d).withColumn("tainted", tainted), Seq("tainted"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        count(col("tainted")).as("n_clean"),
+        sum(dec2(col("tainted"))).cast("double").as("sum_clean"))
+  }
+
+  def predNull(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(expr("nullif(event_type, 'error') IS NULL"))
+      .select(col("event_id"), col("user_id"))
+
+  def predBetween(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(col("value").between(100, 200))
+      .select(col("event_id"), col("value"))
+
+  def predIsin(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+
+  def predConj(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(col("value").between(50, 400)
+        && col("event_type") =!= "error"
+        && col("user_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"), col("value"))
+
+  /** from_json into a struct + nested-field filter (F2/P3). */
+  def jsonParseStruct(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("parsed", from_json(col("props"), kSchema))
+      .filter(col("parsed.k") >= 50)
+      .select(col("event_id"), col("parsed.k").as("k"))
+
+  /** `select(parsed.*)` nested-star expansion (P2). */
+  def projectNestedStar(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("parsed", from_json(col("props"), kSchema))
+      .select(col("event_id"), col("parsed.*"))
+
+  /** Nested-field arithmetic (P3/P4). */
+  def nestedAccess(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("parsed", from_json(col("props"), kSchema))
+      .filter(col("event_type") === "view")
+      .select(col("event_id"), (col("parsed.k") * col("parsed.k")).as("k_sq"))
+
+  /** from_json of a JSON array + explode (F1/F3). */
+  def jsonParseArray(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("arr_str", concat(lit("["),
+        (col("event_id") % 10).cast("string"), lit(","),
+        (col("user_id") % 7).cast("string"), lit("]")))
+      .select(explode(from_json(col("arr_str"),
+        org.apache.spark.sql.types.ArrayType(IntegerType))).as("val"))
+      .groupBy(col("val"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Generator surface: explode(split) token counts over documents (F3). */
+  def genExplode(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** format/lpad/concat string surface (F12). */
+  def strFormat(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(concat(lit("USER_"),
+        lpad((col("user_id") % 100).cast("string"), 3, "0")).as("user_tag"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** from_utc_timestamp zone shift (F6) — the reference's Asia/Kolkata
+    * stamp (Glue_job.py:81), made deterministic over event time. */
+  def tsTzShift(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      col("event_id"),
+      from_utc_timestamp(col("ts"), "Asia/Kolkata").cast("date").as("ist_date"),
+      hour(from_utc_timestamp(col("ts"), "Asia/Kolkata")).as("ist_hour"))
+
+  /** Snowpipe-style cast/extract projection (S8/F10). */
+  def warehouseLoad(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      col("event_id").cast("string").as("event_id_str"),
+      col("value").cast("decimal(10,2)").cast("double").as("value_num"),
+      col("ts").cast("date").as("event_date"),
+      upper(col("event_type")).as("event_type_uc"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_valid"         -> splitValid _,
+    "split_invalid"       -> splitInvalid _,
+    "reasons_array"       -> reasonsArray _,
+    "expect_suite"        -> expectSuite _,
+    "lineage"             -> lineageCounts _,
+    "clean_nan_null"      -> cleanNanNull _,
+    "pred_null"           -> predNull _,
+    "pred_between"        -> predBetween _,
+    "pred_isin"           -> predIsin _,
+    "pred_conj"           -> predConj _,
+    "json_parse_struct"   -> jsonParseStruct _,
+    "project_nested_star" -> projectNestedStar _,
+    "nested_access"       -> nestedAccess _,
+    "json_parse_array"    -> jsonParseArray _,
+    "gen_explode"         -> genExplode _,
+    "str_format"          -> strFormat _,
+    "ts_tz_shift"         -> tsTzShift _,
+    "warehouse_load"      -> warehouseLoad _,
+  )
+
+  /** Shared validation CTE for the oracle side — the same four rules as
+    * `rules`, spelled in DuckDB SQL. */
+  private val vCte =
+    """WITH v AS (
+        SELECT *, json_extract(props, '$.k')::INT AS k,
+          (user_id IS NOT NULL) AS r1,
+          (value BETWEEN 0 AND 450) AS r2,
+          (event_type IN ('click','view','purchase','signup')) AS r3,
+          (json_extract(props, '$.k')::INT BETWEEN 0 AND 89) AS r4
+        FROM events)"""
+
+  private val reasonsExpr =
+    """array_to_string(list_filter([
+        CASE WHEN NOT r1 THEN 'missing_user_id' END,
+        CASE WHEN NOT r2 THEN 'value_out_of_range' END,
+        CASE WHEN NOT r3 THEN 'invalid_event_type' END,
+        CASE WHEN NOT r4 THEN 'k_out_of_range' END],
+        x -> x IS NOT NULL), ',')"""
+
+  val oracle: Map[String, String] = Map(
+    "split_valid" ->
+      s"""$vCte
+        SELECT event_id, user_id, event_type, value, k,
+          'VALID' AS data_quality_flag
+        FROM v WHERE r1 AND r2 AND r3 AND r4""",
+    "split_invalid" ->
+      s"""$vCte
+        SELECT event_id, event_type, value, k,
+          $reasonsExpr AS rejection_reasons
+        FROM v WHERE NOT (r1 AND r2 AND r3 AND r4)""",
+    "reasons_array" ->
+      s"""$vCte
+        SELECT $reasonsExpr AS rejection_reasons, count(*) AS cnt
+        FROM v WHERE NOT (r1 AND r2 AND r3 AND r4)
+        GROUP BY 1""",
+    "expect_suite" ->
+      """SELECT *,
+          CASE WHEN viol_user_id_not_null + viol_value_between
+                 + viol_event_type_in_set + viol_k_between = 0
+            THEN 'PASSED' ELSE 'FAILED' END AS verdict
+        FROM (SELECT
+          sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS viol_user_id_not_null,
+          sum(CASE WHEN NOT (value BETWEEN 0 AND 450) THEN 1 ELSE 0 END) AS viol_value_between,
+          sum(CASE WHEN NOT (event_type IN ('click','view','purchase','signup')) THEN 1 ELSE 0 END) AS viol_event_type_in_set,
+          sum(CASE WHEN NOT (json_extract(props,'$.k')::INT BETWEEN 0 AND 89) THEN 1 ELSE 0 END) AS viol_k_between
+        FROM events)""",
+    "lineage" ->
+      s"""$vCte, f AS (SELECT (r1 AND r2 AND r3 AND r4) AS ok FROM v)
+        SELECT 'raw' AS layer, count(*) AS record_count FROM f
+        UNION ALL SELECT 'curated', count(*) FROM f WHERE ok
+        UNION ALL SELECT 'rejected', count(*) FROM f WHERE NOT ok""",
+    "clean_nan_null" ->
+      """SELECT event_type, count(*) AS cnt, count(cleaned) AS n_clean,
+          CAST(sum(CAST(cleaned AS DECIMAL(18,2))) AS DOUBLE) AS sum_clean
+        FROM (SELECT event_type,
+          CASE WHEN isnan(t) OR t IS NULL THEN NULL ELSE t END AS cleaned
+          FROM (SELECT event_type,
+            CASE WHEN event_type = 'error' THEN 'NaN'::DOUBLE ELSE value END AS t
+            FROM events))
+        GROUP BY event_type""",
+    "pred_null" ->
+      """SELECT event_id, user_id FROM events
+        WHERE nullif(event_type, 'error') IS NULL""",
+    "pred_between" ->
+      "SELECT event_id, value FROM events WHERE value BETWEEN 100 AND 200",
+    "pred_isin" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+        WHERE event_type IN ('click', 'purchase') GROUP BY event_type""",
+    "pred_conj" ->
+      """SELECT event_id, user_id, value FROM events
+        WHERE value BETWEEN 50 AND 400 AND event_type <> 'error'
+          AND user_id % 2 = 0""",
+    "json_parse_struct" ->
+      """SELECT event_id, json_extract(props, '$.k')::INT AS k FROM events
+        WHERE json_extract(props, '$.k')::INT >= 50""",
+    "project_nested_star" ->
+      "SELECT event_id, json_extract(props, '$.k')::INT AS k FROM events",
+    "nested_access" ->
+      """SELECT event_id,
+          json_extract(props,'$.k')::INT * json_extract(props,'$.k')::INT AS k_sq
+        FROM events WHERE event_type = 'view'""",
+    "json_parse_array" ->
+      """SELECT val, count(*) AS cnt FROM (
+          SELECT unnest(CAST(('[' || CAST(event_id % 10 AS VARCHAR) || ','
+            || CAST(user_id % 7 AS VARCHAR) || ']')::JSON AS INT[])) AS val
+          FROM events)
+        GROUP BY val""",
+    "gen_explode" ->
+      """SELECT token, count(*) AS cnt FROM (
+          SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token""",
+    "str_format" ->
+      """SELECT 'USER_' || lpad(CAST(user_id % 100 AS VARCHAR), 3, '0') AS user_tag,
+          count(*) AS cnt
+        FROM events GROUP BY 1""",
+    "ts_tz_shift" ->
+      """SELECT event_id,
+          CAST(ts + INTERVAL 330 MINUTE AS DATE) AS ist_date,
+          hour(ts + INTERVAL 330 MINUTE) AS ist_hour
+        FROM events""",
+    "warehouse_load" ->
+      """SELECT CAST(event_id AS VARCHAR) AS event_id_str,
+          CAST(CAST(value AS DECIMAL(10,2)) AS DOUBLE) AS value_num,
+          CAST(ts AS DATE) AS event_date,
+          upper(event_type) AS event_type_uc
+        FROM events""",
+  )
+}

@@ -1,0 +1,110 @@
+package graft
+
+import graft.datagen.TelemetryGen
+import graft.expect.Expectations
+import graft.ingest.RawJsonReader
+import graft.pipeline.LogisticsPipeline
+import graft.schemas.Schemas
+import graft.warehouse.WarehouseLoad
+import org.apache.spark.sql.functions._
+
+/** End-to-end telemetry pipeline over a generated raw fixture — the
+  * reference-faithful path (raw JSON array files → double parse →
+  * validate → split → GE gate → layered writes) that the DuckDB oracle
+  * cannot cover. Asserts the reference's own invariants: row-count
+  * conservation (Glue_job.py:131-135), reasons vocabulary
+  * (Glue_job.py:71-80), curated validity, and the all-or-nothing GE
+  * outcome (Glue_job.py:113-117). */
+class PipelineSpec extends SparkSpec {
+
+  private val n       = 2000L
+  private val rawDir  = new java.io.File("target/fixtures/raw").getAbsolutePath
+  private val outDir  = new java.io.File("target/fixtures/out").getAbsolutePath
+
+  private lazy val fixture: Unit = TelemetryGen.writeRaw(spark, rawDir, n)
+
+  private lazy val result = {
+    fixture
+    LogisticsPipeline.run(spark, rawDir, outDir)
+  }
+
+  private val reasonsVocab = Set(
+    "missing_truck_id", "fuel_level_out_of_range", "temperature_out_of_range",
+    "invalid_delivery_status", "missing_lat", "missing_lon", "ge_failed")
+
+  test("raw fixture parses to exactly n records") {
+    fixture
+    val parsed = RawJsonReader.read(spark, rawDir, Schemas.telemetry)
+    assert(parsed.count() === n)
+  }
+
+  test("conservation: curated + rejected = raw") {
+    assert(result.curated.count() + result.rejected.count() === n)
+  }
+
+  test("anomaly injection rejects a nontrivial share, most records pass") {
+    val rej = result.rejected.count().toDouble / n
+    assert(rej > 0.05 && rej < 0.25, s"reject rate $rej")
+  }
+
+  test("every rejected record carries known reasons") {
+    val bad = result.rejected
+      .select(explode(col("rejection_reasons")).as("r"))
+      .filter(!col("r").isin(reasonsVocab.toSeq.map(lit): _*))
+    assert(bad.count() === 0)
+    assert(result.rejected.filter(size(col("rejection_reasons")) === 0).count() === 0)
+  }
+
+  test("curated records satisfy every rule; GE gate passes on them") {
+    assert(result.geStatus === "PASSED")
+    val viol = result.curated.filter(
+      col("truck_id").isNull ||
+        !col("fuel_level").between(0, 100) ||
+        !col("temperature").between(-10, 60) ||
+        !col("delivery_status").isin("in_transit", "delivered", "delayed") ||
+        col("location.lat").isNull || col("location.lon").isNull)
+    assert(viol.count() === 0)
+    assert(result.curated.select("ge_validation_status").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("PASSED"))
+  }
+
+  test("lineage records conservation with reference layer names") {
+    val m = result.lineage.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("raw") === n)
+    assert(m("validated_total") === n)
+    assert(m("curated") + m("rejected") === n)
+  }
+
+  test("curated layer written and round-trips through the warehouse projection") {
+    result // force the run (writes happen in run())
+    val wh = WarehouseLoad.curated(spark, s"$outDir/curated")
+    assert(wh.count() === result.curated.count())
+    assert(wh.columns.contains("lat") && wh.columns.contains("data_quality_flag"))
+  }
+
+  test("GE FAILED path: all-or-nothing REJECTED_GE outcome") {
+    import spark.implicits._
+    val cur = Seq(("T1", 120.0), ("T2", 50.0))
+      .toDF("truck_id", "fuel_level")
+      .withColumn("data_quality_flag", lit("VALID"))
+      .withColumn("ge_validation_status", lit("PENDING"))
+    val rej = cur.limit(0)
+      .withColumn("rejection_reasons", array(lit("x")))
+      .filter(lit(false))
+    val verdict = Expectations.verdict(cur,
+      Seq(Expectations.between("fuel_level", 0, 100)))
+    assert(verdict === "FAILED")
+    val (c2, r2) = Expectations.applyVerdict(cur, rej, verdict)
+    assert(c2.count() === 0)
+    assert(r2.count() === 2)
+    assert(r2.select(explode(col("rejection_reasons"))).collect()
+      .forall(_.getString(0) == "ge_failed"))
+  }
+
+  test("generator is deterministic across invocations") {
+    val a = TelemetryGen.recordJson(spark, 100).collect().map(_.getString(1))
+    val b = TelemetryGen.recordJson(spark, 100).collect().map(_.getString(1))
+    assert(a.sameElements(b))
+  }
+}
