@@ -11,18 +11,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The pipeline's defining computation: validate → reject
+    * with machine-readable reasons (SURVEY.md §7.2 step 1). */
   def entry(spark: SparkSession): DataFrame =
-    analytics.Relational.joinBroadcast(spark, "/root/testdata/sf0.001")
+    analytics.EventsPipeline.splitInvalid(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     analytics.Relational.queries ++
-      analytics.EventsPipeline.queries
+      analytics.EventsPipeline.queries ++
+      analytics.TextAnalysis.queries ++
+      analytics.Dedup.queries ++
+      analytics.Similarity.queries ++
+      analytics.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     analytics.Relational.oracle ++
-      analytics.EventsPipeline.oracle
+      analytics.EventsPipeline.oracle ++
+      analytics.TextAnalysis.oracle ++
+      analytics.Dedup.oracle ++
+      analytics.Similarity.oracle ++
+      analytics.Multimodal.oracle
 }

@@ -1,0 +1,211 @@
+package graft.analytics
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for LLM training-data curation over
+  * `documents` / `embeddings` (north-star EXT surface): exact
+  * (hash-groupBy), n-gram Jaccard, MinHash+LSH banding, SimHash, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design:
+  *  - Exact dedup = one shuffle on a 32-byte fingerprint, not the full
+  *    text (group keys stay small at 100 TB).
+  *  - Candidate generation (shingle join / band join) shuffles only
+  *    (doc_id, shingle-or-bucket) pairs; the quadratic step runs per
+  *    bucket, never globally. Super-frequent shingles should be
+  *    df-capped at extreme scale (standard LSH trick) — not needed at
+  *    test SF with 5-gram shingles.
+  *  - All hashing is md5 (engine-portable, deterministic); signatures
+  *    are computed with higher-order functions inside codegen.
+  */
+object Dedup {
+
+  private val toks = split(col("text"), " ")
+
+  /** Distinct 5-gram token shingles, one row per (doc_id, shingle). */
+  private def shingles(s: SparkSession, d: String, n: Int = 5): DataFrame =
+    documents(s, d)
+      .filter(size(toks) >= n)
+      .select(col("doc_id"), explode(
+        expr(s"transform(sequence(0, size(split(text, ' ')) - $n), " +
+          s"i -> concat_ws(' ', slice(split(text, ' '), i + 1, $n)))"))
+        .as("shingle"))
+      .distinct()
+
+  /** Exact duplicate groups by content fingerprint. */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("dup_cnt"))
+      .filter(col("dup_cnt") > 1)
+
+  /** Ground-truth exact-duplicate pairs (LSH soundness baseline). */
+  def fingerprintPairs(s: SparkSession, d: String): DataFrame = {
+    val fp = documents(s, d).select(col("doc_id"), md5(col("text")).as("fp"))
+    val a  = fp.select(col("doc_id").as("doc_a"), col("fp"))
+    val b  = fp.select(col("doc_id").as("doc_b"), col("fp"))
+    a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact n-gram Jaccard over shingle sets: candidate pairs from the
+    * shingle join, similarity = |A∩B| / (|A|+|B|−|A∩B|), threshold 0.6. */
+  def dedupNgram(s: SparkSession, d: String): DataFrame = {
+    val sh    = shingles(s, d)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a     = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b     = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures (8 seed-salted md5 mins) banded 2-per-band into
+    * 4 LSH buckets; output = candidate pairs sharing any band bucket. */
+  def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val sigs = shingles(s, d)
+      .select(col("doc_id"), col("shingle"),
+        explode(sequence(lit(0), lit(7))).as("i"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(md5(concat(col("i").cast("string"), lit("|"), col("shingle"))))
+        .as("sig"))
+    val bands = sigs
+      .groupBy(col("doc_id"), floor(col("i") / 2).cast("int").as("band"))
+      .agg(md5(concat(min(col("sig")), lit("|"), max(col("sig")))).as("bucket"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** 16-bit SimHash fingerprint: bit b = sign of the token-count-weighted
+    * sum of md5 hex-digit-b high bits (+1/−1 per token). Emitted as a
+    * bitstring so the value is engine-portable. */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val hashes = transform(toks, t => md5(t))
+    val bits = (1 to 16).map { b =>
+      val contrib = transform(hashes, h =>
+        when(substring(h, b, 1)
+          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
+      when(aggregate(contrib, lit(0), (acc, x) => acc + x) >= 0, "1").otherwise("0")
+    }
+    documents(s, d).select(col("doc_id"), concat(bits: _*).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance ≤ `maxDist`, candidates
+    * from 4-bit band buckets (any shared band → compare). Library
+    * surface + spec-tested; approximate by construction. */
+  def simhashPairs(s: SparkSession, d: String, maxDist: Int = 2): DataFrame = {
+    val fp = dedupSimhash(s, d)
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bucket", concat(col("band"),
+        lit(":"), substring(col("simhash"), col("band") * 4 + 1, lit(4))))
+    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("bucket"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"), col("bucket"))
+    val hamming = (1 to 16).map(i =>
+      when(substring(col("sh_a"), i, 1) =!= substring(col("sh_b"), i, 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    a.join(b, Seq("bucket")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Embedding near-dup: pairs with cosine ≥ 0.4 (test-corpus max is
+    * ~0.51; production near-dup would use ~0.95). Ids + similarity;
+    * double math is order-identical in both engines. */
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        aggregate(zip_with(col("v_a"), col("v_b"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) / (col("n_a") * col("n_b")))
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"     -> dedupExact _,
+    "dedup_ngram"     -> dedupNgram _,
+    "dedup_minhash"   -> dedupMinhash _,
+    "dedup_simhash"   -> dedupSimhash _,
+    "dedup_embedding" -> dedupEmbedding _,
+  )
+
+  private val shCte =
+    """WITH sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+          SELECT doc_id, unnest(list_transform(
+            generate_series(1, len(string_split(text, ' ')) - 4),
+            i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS shingle
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= 5))"""
+
+  /** DuckDB spelling of the 16-bit simhash (generated per bit). */
+  private val simhashSql: String = {
+    val highs = "('8','9','a','b','c','d','e','f')"
+    val bitExprs = (1 to 16).map { b =>
+      s"""CASE WHEN list_sum(list_transform(string_split(text, ' '),
+          t -> CASE WHEN substr(md5(t), $b, 1) IN $highs THEN 1 ELSE -1 END)) >= 0
+          THEN '1' ELSE '0' END"""
+    }
+    s"SELECT doc_id, ${bitExprs.mkString(" || ")} AS simhash FROM documents"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS canonical_id, count(*) AS dup_cnt
+        FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
+    "dedup_ngram" ->
+      s"""$shCte,
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+          CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.6""",
+    "dedup_minhash" ->
+      s"""$shCte,
+        sigs AS (
+          SELECT doc_id, s.i,
+            min(md5(CAST(s.i AS VARCHAR) || '|' || shingle)) AS sig
+          FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) s
+          GROUP BY doc_id, s.i),
+        bands AS (
+          SELECT doc_id, CAST(i // 2 AS INT) AS band,
+            md5(min(sig) || '|' || max(sig)) AS bucket
+          FROM sigs GROUP BY doc_id, i // 2)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
+    "dedup_simhash" -> simhashSql,
+    "dedup_embedding" ->
+      """WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""",
+  )
+}

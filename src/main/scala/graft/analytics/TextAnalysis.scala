@@ -1,0 +1,139 @@
+package graft.analytics
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for an LLM training-data pipeline over the
+  * `documents` table (north-star EXT surface, BASELINE.json): token
+  * counting, quality scoring, language ID, fingerprinting.
+  *
+  * All pure narrow projections built from codegen'd built-ins and
+  * higher-order functions — no UDFs, no shuffle, linear scale-out; at
+  * 100 TB these run at parquet-scan speed with full column pruning.
+  */
+object TextAnalysis {
+
+  private val toks = split(col("text"), " ")
+
+  /** Whitespace token + distinct-token counts per document. */
+  def textTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"))
+
+  /** Quality heuristics: stopword ratio, mean token length, and a
+    * rule-based keep/drop verdict (the shape of a Gopher/C4-style
+    * quality filter; thresholds are illustrative).
+    * Ratios are single double divisions of exact ints — cross-engine
+    * deterministic (see Tables). */
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    val nTok  = size(toks)
+    val nStop = size(filter(toks, t => t === "a" || t === "the"))
+    val chars = length(regexp_replace(col("text"), " ", ""))
+    documents(s, d).select(
+      col("doc_id"),
+      col("n_chars"),
+      nTok.as("n_tokens"),
+      (nStop.cast("double") / nTok.cast("double")).as("stop_ratio"),
+      (chars.cast("double") / nTok.cast("double")).as("avg_token_len"),
+      (nTok.between(20, 400) &&
+        (nStop.cast("double") / nTok.cast("double")) < lit(0.3)).as("quality_ok"))
+  }
+
+  /** Regex (BPE-ish) tokenizer stats: word-like tokens vs punctuation
+    * marks — the pre-tokenization split a byte-pair encoder sees. */
+  def textTokenRegex(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+"), lit(0)))
+        .as("n_word_tokens"),
+      size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0)))
+        .as("n_punct"))
+
+  /** Marker-token language scoring: per-language stopword-hit ratio,
+    * argmax with deterministic tie-break (higher score wins, then
+    * alphabetical language code; all-zero → "und"). The n-gram-profile
+    * method degenerates to marker tokens on this single-vocabulary
+    * synthetic corpus, but the operator shape (score columns + argmax)
+    * is the real algorithm. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    def ratio(markers: Seq[String]): Column = {
+      val hits = size(filter(toks, t => markers.map(m => t === m).reduce(_ || _)))
+      hits.cast("double") / size(toks).cast("double")
+    }
+    val sEn = ratio(Seq("the", "a", "of"))
+    val sDe = ratio(Seq("der", "die", "das", "und"))
+    val sFr = ratio(Seq("le", "la", "et"))
+    val sEs = ratio(Seq("el", "los", "y"))
+    val best = greatest(sEn, sDe, sFr, sEs)
+    documents(s, d).select(
+      col("doc_id"),
+      sEn.as("score_en"), sDe.as("score_de"),
+      sFr.as("score_fr"), sEs.as("score_es"),
+      when(best === 0, "und")
+        .when(sDe === best, "de")   // alphabetical priority on ties
+        .when(sEn === best, "en")
+        .when(sEs === best, "es")
+        .otherwise("fr").as("pred_lang"))
+  }
+
+  /** Content fingerprint: md5 of case-normalized text (the grouping key
+    * for exact dedup; md5 is identical across engines). */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      md5(lower(col("text"))).as("fp"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens"      -> textTokens _,
+    "text_quality"     -> textQuality _,
+    "text_token_regex" -> textTokenRegex _,
+    "lang_id"          -> langId _,
+    "text_fingerprint" -> fingerprint _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+          len(list_distinct(string_split(text, ' '))) AS n_distinct
+        FROM documents""",
+    "text_quality" ->
+      """SELECT doc_id, n_chars,
+          len(string_split(text, ' ')) AS n_tokens,
+          CAST(len(list_filter(string_split(text, ' '), t -> t = 'a' OR t = 'the')) AS DOUBLE)
+            / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+          CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len,
+          (len(string_split(text, ' ')) BETWEEN 20 AND 400)
+            AND (CAST(len(list_filter(string_split(text, ' '), t -> t = 'a' OR t = 'the')) AS DOUBLE)
+              / CAST(len(string_split(text, ' ')) AS DOUBLE) < 0.3) AS quality_ok
+        FROM documents""",
+    "text_token_regex" ->
+      """SELECT doc_id,
+          len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+')) AS n_word_tokens,
+          len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
+        FROM documents""",
+    "lang_id" ->
+      """WITH s AS (SELECT doc_id,
+          CAST(len(list_filter(string_split(text,' '), t -> t='the' OR t='a' OR t='of')) AS DOUBLE)
+            / CAST(len(string_split(text,' ')) AS DOUBLE) AS score_en,
+          CAST(len(list_filter(string_split(text,' '), t -> t='der' OR t='die' OR t='das' OR t='und')) AS DOUBLE)
+            / CAST(len(string_split(text,' ')) AS DOUBLE) AS score_de,
+          CAST(len(list_filter(string_split(text,' '), t -> t='le' OR t='la' OR t='et')) AS DOUBLE)
+            / CAST(len(string_split(text,' ')) AS DOUBLE) AS score_fr,
+          CAST(len(list_filter(string_split(text,' '), t -> t='el' OR t='los' OR t='y')) AS DOUBLE)
+            / CAST(len(string_split(text,' ')) AS DOUBLE) AS score_es
+        FROM documents)
+        SELECT doc_id, score_en, score_de, score_fr, score_es,
+          CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+               WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+               WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+               WHEN score_es = greatest(score_en, score_de, score_fr, score_es) THEN 'es'
+               ELSE 'fr' END AS pred_lang
+        FROM s""",
+    "text_fingerprint" ->
+      "SELECT doc_id, md5(lower(text)) AS fp FROM documents",
+  )
+}

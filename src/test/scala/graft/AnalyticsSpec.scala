@@ -1,0 +1,58 @@
+package graft
+
+import graft.analytics.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Semantics of the approximate EXT operators that have no SQL oracle:
+  * ANN recall vs the exact baseline, simhash near-dup behavior on real
+  * duplicates, and the multimodal decode plumbing. */
+class AnalyticsSpec extends SparkSpec {
+
+  test("IVF ANN returns k candidates per query with decent recall vs exact") {
+    val exact = Similarity.simKnn(spark, sfDir)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.simAnnIvf(spark, sfDir)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // IVF probes 4/16 cells; on unclustered random data expected recall
+    // ≈ nprobe/nlist = 0.25. Assert it beats half that and is not exact.
+    assert(recall > 0.125, s"recall $recall")
+    assert(approx.size <= exact.size)
+  }
+
+  test("simhash: identical docs share fingerprints; pairs found at hamming 0") {
+    // sf0.1 documents contain exact duplicate texts
+    val d = "/root/testdata/sf0.1"
+    val dups = Dedup.dedupExact(spark, d).agg(sum(col("dup_cnt"))).first().getLong(0)
+    assert(dups > 0, "expected exact dups at sf0.1")
+    val pairs = Dedup.simhashPairs(spark, d, maxDist = 0)
+    assert(pairs.count() >= 1)
+    assert(pairs.filter(col("hamming") =!= 0).count() === 0)
+  }
+
+  test("minhash candidates cover all exact-duplicate pairs (LSH soundness on dups)") {
+    val d = "/root/testdata/sf0.1"
+    val fps = Dedup.fingerprintPairs(spark, d)
+    val cands = Dedup.dedupMinhash(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = fps.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty)
+    assert(exactPairs.subsetOf(cands),
+      s"missing ${(exactPairs -- cands).take(3)}")
+  }
+
+  test("multimodal feature extraction: deterministic, batch-shaped, 8-dim") {
+    val f = Multimodal.extractFeatures(spark, sfDir)
+    assert(f.count() === 500)
+    val row = f.filter(col("asset_id") === 0).first()
+    assert(row.getAs[Seq[Float]]("features").size === 8)
+    // sha matches the SQL-side sha2 (same bytes → same digest)
+    val sqlSha = Multimodal.multimodalStub(spark, sfDir)
+      .filter(col("doc_id") === 0).select("content_sha").first().getString(0)
+    assert(row.getAs[String]("sha256") === sqlSha)
+    // binary column prunes away when only metadata is selected
+    val plan = Multimodal.assets(spark, sfDir).select("asset_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("content") || plan.contains("ReadSchema: struct<doc_id"))
+  }
+}
