@@ -1,0 +1,110 @@
+package graft.streaming
+
+import graft.pipeline.LogisticsPipeline
+import graft.schemas.Schemas
+import graft.ingest.RawJsonReader
+import graft.split.Splitter
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming surface.
+  *
+  * The reference's ingestion plane is an externally orchestrated
+  * micro-batch loop: Kafka poll (≤500 msgs / ≤60 s) → one S3 JSON file →
+  * Airflow DAG detects the new file → Glue batch job reprocesses the
+  * whole raw prefix (/root/reference/Kafka/Consumer/consumer_etl.py:
+  * 43-67, airflow/dags/kafka_to_glue_dag.py:37-82). All of that
+  * collapses into ONE always-on (or AvailableNow) streaming query: the
+  * file source tracks processed files, checkpointing replaces XCom, and
+  * `Trigger.AvailableNow` reproduces the bounded-drain semantics.
+  *
+  * Delivery upgrade (documented divergence): the reference is
+  * at-least-once with a curated-overwrite-world per run; streaming mode
+  * appends each micro-batch exactly once per checkpoint, so curated no
+  * longer resets and rejected no longer accumulates cross-run
+  * duplicates (SURVEY.md §2.8 T3).
+  */
+object StreamingPipeline {
+
+  /** Kafka source parity (S2): topic → `value: String` lines. Not
+    * exercised in tests (no broker / connector jars in this image);
+    * the file source below is the drop-in substitute. */
+  def kafkaSource(spark: SparkSession, bootstrap: String, topic: String,
+      maxPerTrigger: Long = 500): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("maxOffsetsPerTrigger", maxPerTrigger)
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value")
+
+  /** File-source equivalent of the consumer's raw layer: each line is
+    * one batch's JSON array (consumer_etl.py:63-67). */
+  def rawFileSource(spark: SparkSession, rawPath: String): DataFrame =
+    spark.readStream.text(rawPath)
+
+  /** The streaming pipeline: same pure core (parse → clean → validate →
+    * split) inside foreachBatch, curated/rejected appended per batch. */
+  def run(spark: SparkSession, rawPath: String, outRoot: String,
+      checkpoint: String): StreamingQuery =
+    rawFileSource(spark, rawPath)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val parsed    = RawJsonReader.parse(batch, Schemas.telemetry)
+        val validated = LogisticsPipeline.validateStage(parsed)
+        val curated   = Splitter.curated(validated)
+        val rejected  = Splitter.rejected(validated, LogisticsPipeline.coreCols)
+        curated.write.mode("append").parquet(s"$outRoot/curated")
+        rejected.write.mode("append").parquet(s"$outRoot/rejected")
+        ()
+      }
+      .start()
+
+  /** Event-time windowed aggregation with a watermark (T6 EXT surface):
+    * per (1-hour window, event_type) counts/sums, 10-minute lateness. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  final case class Reading(truck_id: String, seq: Long, fuel_level: Double)
+  final case class Refuel(truck_id: String, seq: Long, jump: Double)
+  final case class FuelState(lastSeq: Long, lastFuel: Double)
+
+  /** Stateful per-key processing (T6 EXT): detect refuels (fuel jumps
+    * > `threshold` between consecutive readings per truck) with
+    * flatMapGroupsWithState — the custom-state surface the reference's
+    * per-truck telemetry would need. Works identically over a batch
+    * Dataset (tests) and a stream. */
+  def refuelDetector(readings: Dataset[Reading], threshold: Double = 10.0)
+      : Dataset[Refuel] = {
+    import readings.sparkSession.implicits._
+    readings
+      .groupByKey(_.truck_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (truck: String, rows: Iterator[Reading], state: GroupState[FuelState]) =>
+          // state persists across micro-batches; within one batch we fold
+          // readings in sequence order
+          val sorted = rows.toSeq.sortBy(_.seq)
+          val init   = state.getOption
+          val (events, last) = sorted.foldLeft(
+            (Vector.empty[Refuel], init)) { case ((acc, prev), r) =>
+            val jump = prev.map(p => r.fuel_level - p.lastFuel).getOrElse(0.0)
+            val acc2 = if (prev.nonEmpty && jump > threshold)
+              acc :+ Refuel(truck, r.seq, jump) else acc
+            (acc2, Some(FuelState(r.seq, r.fuel_level)))
+          }
+          last.foreach(state.update)
+          events.iterator
+      }
+  }
+}

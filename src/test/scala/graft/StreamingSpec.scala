@@ -1,0 +1,71 @@
+package graft
+
+import graft.analytics.EventsPipeline
+import graft.datagen.TelemetryGen
+import graft.streaming.StreamingPipeline
+import graft.streaming.StreamingPipeline.{Reading, Refuel}
+import org.apache.spark.sql.functions._
+
+/** Streaming surface: incremental file-source processing with
+  * checkpointing (new files only), watermark/window agg parity with the
+  * batch plan, and stateful per-key detection. */
+class StreamingSpec extends SparkSpec {
+
+  private val base  = new java.io.File("target/fixtures/stream").getAbsolutePath
+  private val rawA  = s"$base/raw"
+  private val out   = s"$base/out"
+  private val chk   = s"$base/chk"
+
+  test("AvailableNow query processes each raw file exactly once across restarts") {
+    import org.apache.commons.io.FileUtils
+    FileUtils.deleteQuietly(new java.io.File(base))
+    // batch 1: 600 records (seed 1)
+    TelemetryGen.rawJsonLines(spark, 600, seed = 1).coalesce(1)
+      .write.mode("overwrite").text(s"$rawA/b1")
+    val q1 = StreamingPipeline.run(spark, s"$rawA/*/", out, chk)
+    q1.awaitTermination()
+    val n1c = spark.read.parquet(s"$out/curated").count()
+    val n1r = spark.read.parquet(s"$out/rejected").count()
+    assert(n1c + n1r === 600)
+
+    // batch 2: 400 more records (seed 2); restart from the checkpoint —
+    // only the new file may be processed
+    TelemetryGen.rawJsonLines(spark, 400, seed = 2).coalesce(1)
+      .write.mode("overwrite").text(s"$rawA/b2")
+    val q2 = StreamingPipeline.run(spark, s"$rawA/*/", out, chk)
+    q2.awaitTermination()
+    val n2c = spark.read.parquet(s"$out/curated").count()
+    val n2r = spark.read.parquet(s"$out/rejected").count()
+    assert(n2c + n2r === 1000, s"got ${n2c + n2r} (duplicated or dropped batch)")
+
+    // third run with no new data: nothing changes
+    val q3 = StreamingPipeline.run(spark, s"$rawA/*/", out, chk)
+    q3.awaitTermination()
+    assert(spark.read.parquet(s"$out/curated").count() === n2c)
+  }
+
+  test("windowed counts with watermark match the plain batch aggregation") {
+    val ev = graft.Tables.events(spark, sfDir)
+    val streamed = StreamingPipeline.windowedCounts(ev)
+      .orderBy("window_start", "event_type").collect()
+    val batch = ev
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.sameElements(batch))
+  }
+
+  test("stateful refuel detector finds fuel jumps per truck in seq order") {
+    import spark.implicits._
+    val readings = Seq(
+      Reading("T1", 1, 80), Reading("T1", 2, 60), Reading("T1", 3, 95), // +35 refuel
+      Reading("T2", 1, 50), Reading("T2", 2, 55),                       // +5 no
+      Reading("T3", 1, 20), Reading("T3", 2, 90), Reading("T3", 3, 85)  // +70 refuel
+    ).toDS()
+    val got = StreamingPipeline.refuelDetector(readings).collect().toSet
+    assert(got === Set(Refuel("T1", 3, 35.0), Refuel("T3", 2, 70.0)))
+  }
+}
