@@ -10,6 +10,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // local-mode fix: Tungsten page size scales with heap; with a big
+      // driver heap 32 tasks each zero multi-MB pages per operator and
+      // page allocation dominates small-SF runs (113s -> 15s observed)
+      .config("spark.buffer.pageSize", "4m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -24,14 +24,17 @@ object Dedup {
 
   private val toks = split(col("text"), " ")
 
-  /** Distinct 5-gram token shingles, one row per (doc_id, shingle). */
+  /** Distinct 5-gram token shingles, one row per (doc_id, shingle).
+    * The documents parquet is a single tiny file (one input split), so
+    * CPU-heavy shingling/hashing is spread across all cores first;
+    * shingling itself is the native ShingleArray expression (the HOF
+    * spelling costs ~30 µs/shingle interpreted). */
   private def shingles(s: SparkSession, d: String, n: Int = 5): DataFrame =
     documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .filter(size(toks) >= n)
-      .select(col("doc_id"), explode(
-        expr(s"transform(sequence(0, size(split(text, ' ')) - $n), " +
-          s"i -> concat_ws(' ', slice(split(text, ' '), i + 1, $n)))"))
-        .as("shingle"))
+      .select(col("doc_id"),
+        explode(graft.functions.text.shingles(toks, n)).as("shingle"))
       .distinct()
 
   /** Exact duplicate groups by content fingerprint. */
@@ -53,7 +56,9 @@ object Dedup {
   /** Exact n-gram Jaccard over shingle sets: candidate pairs from the
     * shingle join, similarity = |A∩B| / (|A|+|B|−|A∩B|), threshold 0.6. */
   def dedupNgram(s: SparkSession, d: String): DataFrame = {
-    val sh    = shingles(s, d)
+    // the shingle table feeds three consumers (both self-join sides +
+    // set sizes); persist it once instead of re-deriving per branch
+    val sh    = shingles(s, d).persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a     = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b     = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -77,9 +82,12 @@ object Dedup {
       .groupBy(col("doc_id"), col("i"))
       .agg(min(md5(concat(col("i").cast("string"), lit("|"), col("shingle"))))
         .as("sig"))
+    // signature table is tiny (4 rows per doc) but expensive to derive;
+    // persist so the self-join doesn't recompute the whole minhash twice
     val bands = sigs
       .groupBy(col("doc_id"), floor(col("i") / 2).cast("int").as("band"))
       .agg(md5(concat(min(col("sig")), lit("|"), max(col("sig")))).as("bucket"))
+      .persist()
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket")).filter(col("doc_a") < col("doc_b"))
@@ -90,14 +98,18 @@ object Dedup {
     * sum of md5 hex-digit-b high bits (+1/−1 per token). Emitted as a
     * bitstring so the value is engine-portable. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val hashes = transform(toks, t => md5(t))
+    // md5 once per token; the 16 bit-columns then only substring into it
+    // (recomputing the digest per bit would 16× the dominant cost)
     val bits = (1 to 16).map { b =>
-      val contrib = transform(hashes, h =>
+      val contrib = transform(col("hashes"), h =>
         when(substring(h, b, 1)
           .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
       when(aggregate(contrib, lit(0), (acc, x) => acc + x) >= 0, "1").otherwise("0")
     }
-    documents(s, d).select(col("doc_id"), concat(bits: _*).as("simhash"))
+    documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("hashes", transform(toks, t => md5(t)))
+      .select(col("doc_id"), concat(bits: _*).as("simhash"))
   }
 
   /** Near-dup pairs by SimHash hamming distance ≤ `maxDist`, candidates
@@ -123,17 +135,23 @@ object Dedup {
 
   /** Embedding near-dup: pairs with cosine ≥ 0.4 (test-corpus max is
     * ~0.51; production near-dup would use ~0.95). Ids + similarity;
-    * double math is order-identical in both engines. */
+    * double math is order-identical in both engines.
+    *
+    * The O(N²·dim) scoring runs as a broadcast nested-loop join with a
+    * native codegen dot product (graft.functions.vec) and the stream
+    * side repartitioned across every core — the HOF formulation
+    * allocates per pair and the raw parquet gives only 1-2 input
+    * splits, which would serialize the quadratic loop. */
   def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d).select(col("vec_id"),
-      transform(col("embedding"), _.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    val parts = s.sparkContext.defaultParallelism
+    val e = embeddings(s, d).repartition(parts)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", graft.functions.vec.l2norm(col("v")))
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("v_a"), col("nrm").as("n_a"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("v_b"), col("nrm").as("n_b"))
-    a.join(b, col("vec_a") < col("vec_b"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .withColumn("cos",
-        aggregate(zip_with(col("v_a"), col("v_b"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x) / (col("n_a") * col("n_b")))
+        graft.functions.vec.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cos") >= 0.4)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.Tables._
+import graft.functions.vec
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -18,14 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def dot(a: Column, b: Column): Column = vec.dot(a, b)
 
-  /** Corpus with double-cast vectors + L2 norms (computed once). */
-  private def corpus(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d).select(col("vec_id"),
-      transform(col("embedding"), _.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+  /** Corpus with double-cast vectors + L2 norms (computed once), spread
+    * across all cores — the embeddings parquet is a handful of row
+    * groups, which would otherwise serialize the whole O(N·Q) scan into
+    * one or two tasks. */
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    val parts = s.sparkContext.defaultParallelism
+    embeddings(s, d).repartition(parts)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", vec.l2norm(col("v")))
+  }
 
   /** Exact brute-force cosine top-10 neighbors for query vectors
     * (vec_id < 50). Output is rank-only (ids + rank): float-tie-proof

@@ -1,0 +1,20 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionColumnNode}
+
+/** Column ↔ catalyst Expression bridge for custom native expressions.
+  *
+  * Spark 4 split `Column` from catalyst (`Column` wraps a `ColumnNode`;
+  * the classic converter is `private[sql]`), so extension libraries
+  * need one in-package hop to plug a hand-written `Expression` into the
+  * public Column API — the same pattern Spark's own `classic` module
+  * uses internally (columnNodeSupport.scala).
+  */
+object Bridge {
+  def expr(c: Column): Expression =
+    ColumnNodeToExpressionConverter(c.node)
+  def column(e: Expression): Column =
+    Column(ExpressionColumnNode(e))
+}
