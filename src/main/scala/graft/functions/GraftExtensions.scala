@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL-surface registration for the native expressions, so
+  * `spark.sql("SELECT vec_dot(a, b) ...")` works alongside the Column
+  * API — the standard extension plumbing
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`), plus
+  * `registerAll` for injecting into an already-running session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(e: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other =>
+      throw new IllegalArgumentException(
+        s"$fn expects a literal int, got $other")
+  }
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("vec_dot",
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    ("vec_l2norm",
+      new ExpressionInfo(classOf[L2Norm].getName, "vec_l2norm"),
+      (es: Seq[Expression]) => L2Norm(es(0))),
+    ("shingles",
+      new ExpressionInfo(classOf[ShingleArray].getName, "shingles"),
+      (es: Seq[Expression]) => ShingleArray(es(0), intArg(es(1), "shingles"))),
+  )
+
+  /** Register into a live session's function registry (temp functions). */
+  def registerAll(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
