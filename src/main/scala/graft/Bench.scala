@@ -15,6 +15,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up the JVM/codegen/shuffle machinery once so the first timed
+    // query doesn't absorb ~4s of session start-up cost
+    spark.range(1000000).selectExpr("sum(id % 7)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     // optional comma-separated filter for profiling single queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -205,6 +205,30 @@ object Relational {
     customer(s, d).select(col("c_nationkey").cast("int").as("nationkey"))
       .except(supplier(s, d).select(col("s_nationkey").cast("int").as("nationkey")))
 
+  /** Skew-resistant two-phase ("salted") aggregation: pre-aggregate on
+    * (key, salt) so one hot key spreads over 16 reducers, then merge
+    * per key. Decimal sums are associative-exact, so the result is
+    * provably identical to the direct groupBy — the oracle asserts it.
+    * This is the pattern for skewed keys at 100 TB when AQE's skew
+    * handling isn't enough (e.g. a single tenant dominating a table). */
+  def aggSalted(s: SparkSession, d: String): DataFrame = {
+    val partial = events(s, d)
+      .withColumn("salt", pmod(hash(col("event_id")), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(
+        count(lit(1)).as("c"),
+        sum(dec2(col("value"))).as("sv"),
+        min(col("value")).as("mn"),
+        max(col("value")).as("mx"))
+    partial
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("c")).as("cnt"),
+        sum(col("sv")).cast("double").as("sum_value"),
+        min(col("mn")).as("min_value"),
+        max(col("mx")).as("max_value"))
+  }
+
   /** Per-month order stats — date_trunc + grouped decimal sum. */
   def tsTrunc(s: SparkSession, d: String): DataFrame =
     orders(s, d)
@@ -233,6 +257,7 @@ object Relational {
     "set_intersect"     -> setIntersect _,
     "set_except"        -> setExcept _,
     "ts_trunc"          -> tsTrunc _,
+    "agg_salted"        -> aggSalted _,
   )
 
   private val sumQty  = "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
@@ -326,5 +351,11 @@ object Relational {
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month, count(*) AS cnt,
           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         FROM orders GROUP BY date_trunc('month', o_orderdate)""",
+    // the salted two-phase plan must produce exactly the direct groupBy
+    "agg_salted" ->
+      """SELECT event_type, count(*) AS cnt,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+          min(value) AS min_value, max(value) AS max_value
+        FROM events GROUP BY event_type""",
   )
 }

@@ -86,12 +86,32 @@ object TextAnalysis {
       col("doc_id"),
       md5(lower(col("text"))).as("fp"))
 
+  /** Rolling-hash fingerprints: a Karp-Rabin-style polynomial fold over
+    * tokens (order-sensitive content hash) and a winnowing-style
+    * fingerprint (min over 5-gram shingle hashes — robust to small
+    * edits, the MOSS/winnowing idea). xxhash64 has no DuckDB
+    * equivalent, so this query is rows-only checked; semantics are
+    * spec-tested (identical docs ⇒ identical fingerprints). */
+  def rollingHash(s: SparkSession, d: String): DataFrame = {
+    // Karp-Rabin over the Mersenne prime 2^31-1: acc stays < p, so
+    // acc*31 + tokenHash stays far below 2^63 (ANSI-safe, no overflow)
+    val p = lit(2147483647L)
+    documents(s, d).select(
+      col("doc_id"),
+      aggregate(toks, lit(0L),
+        (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), p), p))
+        .as("poly_hash"),
+      array_min(transform(graft.functions.text.shingles(toks, 5),
+        sh => xxhash64(sh))).as("winnow_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens"      -> textTokens _,
     "text_quality"     -> textQuality _,
     "text_token_regex" -> textTokenRegex _,
     "lang_id"          -> langId _,
     "text_fingerprint" -> fingerprint _,
+    "text_rolling_hash" -> rollingHash _,
   )
 
   val oracle: Map[String, String] = Map(

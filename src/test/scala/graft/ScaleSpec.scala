@@ -1,0 +1,58 @@
+package graft
+
+import graft.analytics.TextAnalysis
+import graft.sources.Bucketing
+import org.apache.spark.sql.functions._
+
+/** Scale-strategy surfaces: bucketed co-located joins (no exchange),
+  * approx distinct accuracy, rolling-hash fingerprints. */
+class ScaleSpec extends SparkSpec {
+
+  test("co-bucketed tables join with no Exchange and no Sort") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // exploit per-bucket sort order (off by default since SPARK-28209;
+    // sound here because writeBucketed guarantees one file per bucket)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      Bucketing.prepare(spark, sfDir)
+      val j    = Bucketing.joinBucketed(spark)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), plan)
+      // "Sort [" matches a Sort node but not "SortMergeJoin ["
+      assert(!plan.contains("Sort ["), plan)
+      // and it still computes the right row count (every lineitem matches)
+      assert(j.count() === Tables.lineitem(spark, sfDir).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    }
+  }
+
+  test("approx_count_distinct lands within 5% of exact (HLL++ scale path)") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+    val r = ev.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id")).as("approx")).first()
+    val exact  = r.getLong(0).toDouble
+    val approx = r.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+
+  test("rolling-hash fingerprints: duplicates collide, distinct texts do not") {
+    val d  = "/root/testdata/sf0.1"
+    val fp = TextAnalysis.rollingHash(spark, d)
+      .join(Tables.documents(spark, d).select(col("doc_id"), md5(col("text")).as("fp")),
+        "doc_id")
+    // same text ⇒ same poly_hash and winnow_fp
+    val groups = fp.groupBy(col("fp"))
+      .agg(countDistinct(col("poly_hash")).as("np"),
+        countDistinct(col("winnow_fp")).as("nw"),
+        count(lit(1)).as("cnt"))
+    assert(groups.filter(col("np") > 1 || col("nw") > 1).count() === 0)
+    // and hashes separate distinct texts (no global collision collapse)
+    val distinctTexts  = fp.select(col("fp")).distinct().count()
+    val distinctHashes = fp.select(col("poly_hash")).distinct().count()
+    assert(distinctHashes === distinctTexts)
+  }
+}
