@@ -140,10 +140,43 @@ object Relational {
         count(lit(1)).as("cnt"),
         sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
 
+  /** Cube: all grouping-set combinations of (returnflag, linestatus). */
+  def aggCube(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+
+  /** Sessionization: 30-minute-gap sessions per user via lag + running
+    * sum of session starts — the batch spelling of session_window
+    * (T6 EXT), exact in ns-long arithmetic. At scale this is one
+    * shuffle on user_id shared by both window functions and the final
+    * aggregation (same partitioning, no extra exchange). */
+  def winSession(s: SparkSession, d: String): DataFrame = {
+    val gapNs = 30L * 60 * 1000 * 1000 * 1000
+    val w     = Window.partitionBy(col("user_id")).orderBy(col("tns"), col("event_id"))
+    val run   = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      // µs-truncated ns to match the oracle engine, which reads the
+      // nanosecond parquet at microsecond precision (truncating)
+      .withColumn("tns", expr("ts_ns div 1000 * 1000"))
+      .withColumn("prev_ns", lag(col("tns"), 1).over(w))
+      .withColumn("is_start",
+        when(col("prev_ns").isNull || col("tns") - col("prev_ns") > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("is_start")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("tns")) - min(col("tns"))).as("duration_ns"),
+        sum(dec2(col("value"))).cast("double").as("session_value"))
+  }
+
   /** Latest event per user — row_number window, desc order. */
   def winLatest(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_ns").desc, col("event_id").desc)
+      .orderBy(expr("ts_ns div 1000").desc, col("event_id").desc)
     events(s, d)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -152,7 +185,7 @@ object Relational {
 
   /** Per-user value delta vs previous event — lag window. */
   def winLag(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(expr("ts_ns div 1000"), col("event_id"))
     events(s, d)
       .withColumn("prev_value", lag(col("value"), 1).over(w))
       .select(
@@ -162,7 +195,7 @@ object Relational {
 
   /** Running per-user total — frame-bounded window sum over decimals. */
   def winSum(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(expr("ts_ns div 1000"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events(s, d)
       .select(
@@ -258,6 +291,8 @@ object Relational {
     "set_except"        -> setExcept _,
     "ts_trunc"          -> tsTrunc _,
     "agg_salted"        -> aggSalted _,
+    "agg_cube"          -> aggCube _,
+    "win_session"       -> winSession _,
   )
 
   private val sumQty  = "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
@@ -351,6 +386,31 @@ object Relational {
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month, count(*) AS cnt,
           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         FROM orders GROUP BY date_trunc('month', o_orderdate)""",
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "win_session" ->
+      """WITH x AS (
+          SELECT user_id, event_id, value, epoch_ns(ts) AS tns FROM events),
+        l AS (
+          SELECT user_id, event_id, value, tns,
+            lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS prev
+          FROM x),
+        st AS (
+          SELECT user_id, event_id, value, tns,
+            CASE WHEN prev IS NULL OR tns - prev > 1800000000000
+              THEN 1 ELSE 0 END AS is_start
+          FROM l),
+        sess AS (
+          SELECT user_id, value, tns,
+            sum(is_start) OVER (PARTITION BY user_id ORDER BY tns, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM st)
+        SELECT user_id, session_id, count(*) AS n_events,
+          max(tns) - min(tns) AS duration_ns,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        FROM sess GROUP BY user_id, session_id""",
     // the salted two-phase plan must produce exactly the direct groupBy
     "agg_salted" ->
       """SELECT event_type, count(*) AS cnt,
