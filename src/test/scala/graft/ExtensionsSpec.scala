@@ -17,6 +17,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getSeq[String](2) === Seq("a b c", "b c d"))
   }
 
+  test("optimizer rule vectorizes the HOF dot-product pattern") {
+    import org.apache.spark.sql.functions._
+    spark.experimental.extraOptimizations =
+      Seq(graft.plans.VectorizeDotProduct)
+    try {
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val hof = e.select(col("vec_id"),
+        aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x).as("d"))
+      assert(hof.queryExecution.optimizedPlan.toString.contains("dotproduct"),
+        hof.queryExecution.optimizedPlan.toString)
+      // rewrite is exact: bit-identical to the native spelling
+      val native = e.select(col("vec_id"), graft.functions.vec.dot(col("v"), col("v")).as("d"))
+      assert(hof.exceptAll(native).isEmpty && native.exceptAll(hof).isEmpty)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("shingles rejects a non-literal size") {
     GraftExtensions.registerAll(spark)
     intercept[Exception] {
