@@ -76,17 +76,25 @@ object Dedup {
   /** MinHash signatures (8 seed-salted md5 mins) banded 2-per-band into
     * 4 LSH buckets; output = candidate pairs sharing any band bucket. */
   def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+    // all 8 signatures in ONE aggregation pass over the shingle table
+    // (an exploded (doc, shingle, seed) form would 8x the shuffle rows
+    // and need a second aggregation)
+    val sigCols = (0 to 7).map(i =>
+      min(md5(concat(lit(i.toString), lit("|"), col("shingle")))).as(s"sig$i"))
     val sigs = shingles(s, d)
-      .select(col("doc_id"), col("shingle"),
-        explode(sequence(lit(0), lit(7))).as("i"))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(md5(concat(col("i").cast("string"), lit("|"), col("shingle"))))
-        .as("sig"))
+      .groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+    // band bucket = order-insensitive hash of its two sigs
+    // (least/greatest == the grouped min/max the oracle computes)
+    val bucketExprs = (0 to 3).flatMap { b =>
+      val (a, c) = (s"sig${2 * b}", s"sig${2 * b + 1}")
+      Seq(s"$b", s"md5(concat(least($a, $c), '|', greatest($a, $c)))")
+    }
     // signature table is tiny (4 rows per doc) but expensive to derive;
     // persist so the self-join doesn't recompute the whole minhash twice
     val bands = sigs
-      .groupBy(col("doc_id"), floor(col("i") / 2).cast("int").as("band"))
-      .agg(md5(concat(min(col("sig")), lit("|"), max(col("sig")))).as("bucket"))
+      .selectExpr("doc_id",
+        s"stack(4, ${bucketExprs.mkString(", ")}) AS (band, bucket)")
       .persist()
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))

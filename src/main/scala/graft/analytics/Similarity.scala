@@ -55,7 +55,8 @@ object Similarity {
     * simKnn. */
   def simAnnIvf(s: SparkSession, d: String, nlist: Int = 16,
       nprobe: Int = 4, k: Int = 10): DataFrame = {
-    val e = corpus(s, d)
+    // corpus feeds centroid selection, assignment, and the query side
+    val e = corpus(s, d).persist()
     val cents = e.orderBy(col("vec_id")).limit(nlist)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
 
