@@ -41,6 +41,11 @@ object GraftExtensions {
     ("shingles",
       new ExpressionInfo(classOf[ShingleArray].getName, "shingles"),
       (es: Seq[Expression]) => ShingleArray(es(0), intArg(es(1), "shingles"))),
+    ("freq_items_sketch",
+      new ExpressionInfo(classOf[MisraGriesSketch].getName, "freq_items_sketch"),
+      (es: Seq[Expression]) =>
+        MisraGriesSketch(es(0), intArg(es(1), "freq_items_sketch"))
+          .toAggregateExpression()),
   )
 
   /** Register into a live session's function registry (temp functions). */

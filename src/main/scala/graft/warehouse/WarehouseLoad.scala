@@ -32,6 +32,13 @@ object WarehouseLoad {
         col("data_quality_flag").cast("string"),
         col("ge_validation_status").cast("string"))
 
+  /** Date-partitioned curated layout: the warehouse-tail pattern for
+    * 100 TB — `partitionBy` turns the date predicate every downstream
+    * consumer uses into partition pruning (PartitionFilters in the
+    * scan, untouched partitions never opened). */
+  def writePartitionedByDate(df: DataFrame, dateCol: String, path: String): Unit =
+    df.write.partitionBy(dateCol).mode("overwrite").parquet(path)
+
   /** Rejected_pipe.sql projection (reasons kept as array). */
   def rejected(spark: SparkSession, path: String): DataFrame =
     spark.read.option("pathGlobFilter", "*.parquet").parquet(path)

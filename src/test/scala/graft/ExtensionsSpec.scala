@@ -15,6 +15,11 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getDouble(0) === 11.0)
     assert(r.getDouble(1) === 5.0)
     assert(r.getSeq[String](2) === Seq("a b c", "b c d"))
+    val hh = spark.sql(
+      """SELECT freq_items_sketch(t, 10) AS hh FROM (
+          SELECT explode(array('x','x','x','y','z')) AS t)""")
+      .first().getMap[String, Long](0)
+    assert(hh.get("x").contains(3L))
   }
 
   test("optimizer rule vectorizes the HOF dot-product pattern") {

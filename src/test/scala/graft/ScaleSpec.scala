@@ -39,6 +39,51 @@ class ScaleSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
   }
 
+  test("date-partitioned layout prunes partitions at the scan") {
+    import graft.warehouse.WarehouseLoad
+    val out = new java.io.File("target/fixtures/part_events").getAbsolutePath
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("event_date", col("ts").cast("date"))
+      .drop("ts", "ts_ns")
+    WarehouseLoad.writePartitionedByDate(ev, "event_date", out)
+    val oneDay = spark.read.parquet(out)
+      .filter(col("event_date") === "2024-01-03")
+    val scan = oneDay.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(event_date"), scan)
+    // pruning is real: the scan touches only the matching partition
+    val scanned = oneDay.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+            .map(_.files.size).sum
+      }.get
+    val totalParts = new java.io.File(out).listFiles()
+      .count(_.getName.startsWith("event_date="))
+    assert(scanned < totalParts, s"scanned $scanned of $totalParts partitions")
+    assert(oneDay.count() > 0)
+  }
+
+  test("Misra-Gries sketch: guaranteed heavy hitters, bounded undercount") {
+    import graft.functions.sketch
+    val toks = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val n = toks.count()
+    val k = 20
+    val got = toks.agg(sketch.freqItems(col("tok"), k).as("hh"))
+      .first().getMap[String, Long](0)
+    val exact = toks.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every token with true count > N/k must be present
+    val mustHave = exact.filter { case (_, c) => c > n / k }
+    assert(mustHave.keySet.subsetOf(got.keySet.map(_.toString)),
+      s"missing ${mustHave.keySet -- got.keySet.map(_.toString)}")
+    // reported counts undercount by at most N/k
+    got.foreach { case (tok, c) =>
+      val ex = exact(tok.toString)
+      assert(c <= ex && c >= ex - n / k, s"$tok sketch=$c exact=$ex")
+    }
+  }
+
   test("rolling-hash fingerprints: duplicates collide, distinct texts do not") {
     val d  = "/root/testdata/sf0.1"
     val fp = TextAnalysis.rollingHash(spark, d)
