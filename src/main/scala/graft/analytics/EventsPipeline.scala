@@ -165,6 +165,20 @@ object EventsPipeline {
       from_utc_timestamp(col("ts"), "Asia/Kolkata").cast("date").as("ist_date"),
       hour(from_utc_timestamp(col("ts"), "Asia/Kolkata")).as("ist_hour"))
 
+  /** The streaming windowed aggregation (StreamingPipeline
+    * .windowedCounts) run over the batch table — tumbling 1-hour
+    * windows; oracle = date_trunc. Makes the stream aggregation logic
+    * itself oracle-checked (StreamingSpec separately proves the
+    * streaming and batch plans agree). */
+  def winHourly(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamingPipeline.windowedCounts(events(s, d))
+
+  /** DISTINCT projection (dropDuplicates surface, deterministic form). */
+  def projDistinct(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"), (col("user_id") % 7).as("cohort"))
+      .distinct()
+
   /** Snowpipe-style cast/extract projection (S8/F10). */
   def warehouseLoad(s: SparkSession, d: String): DataFrame =
     events(s, d).select(
@@ -192,6 +206,8 @@ object EventsPipeline {
     "str_format"          -> strFormat _,
     "ts_tz_shift"         -> tsTzShift _,
     "warehouse_load"      -> warehouseLoad _,
+    "win_hourly"          -> winHourly _,
+    "proj_distinct"       -> projDistinct _,
   )
 
   /** Shared validation CTE for the oracle side — the same four rules as
@@ -294,6 +310,13 @@ object EventsPipeline {
           CAST(ts + INTERVAL 330 MINUTE AS DATE) AS ist_date,
           hour(ts + INTERVAL 330 MINUTE) AS ist_hour
         FROM events""",
+    "win_hourly" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+          event_type, count(*) AS cnt,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2""",
+    "proj_distinct" ->
+      """SELECT DISTINCT event_type, user_id % 7 AS cohort FROM events""",
     "warehouse_load" ->
       """SELECT CAST(event_id AS VARCHAR) AS event_id_str,
           CAST(CAST(value AS DECIMAL(10,2)) AS DOUBLE) AS value_num,
