@@ -140,6 +140,15 @@ object Relational {
         count(lit(1)).as("cnt"),
         sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
 
+  /** Pivot: events per (cohort, event_type) as a wide table — fixed
+    * value list so schema and oracle columns are static. */
+  def aggPivot(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy((col("user_id") % 7).as("cohort"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
   /** Cube: all grouping-set combinations of (returnflag, linestatus). */
   def aggCube(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
@@ -292,6 +301,7 @@ object Relational {
     "ts_trunc"          -> tsTrunc _,
     "agg_salted"        -> aggSalted _,
     "agg_cube"          -> aggCube _,
+    "agg_pivot"         -> aggPivot _,
     "win_session"       -> winSession _,
   )
 
@@ -386,6 +396,14 @@ object Relational {
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month, count(*) AS cnt,
           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         FROM orders GROUP BY date_trunc('month', o_orderdate)""",
+    "agg_pivot" ->
+      """SELECT user_id % 7 AS cohort,
+          sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+          sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+          sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+          sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+          sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+        FROM events GROUP BY user_id % 7""",
     "agg_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -105,6 +105,15 @@ object TextAnalysis {
         sh => xxhash64(sh))).as("winnow_fp"))
   }
 
+  /** Bigram frequency table (n-gram language-model counts) via the
+    * native shingle expression. */
+  def bigrams(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(explode(graft.functions.text.shingles(toks, 2)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens"      -> textTokens _,
     "text_quality"     -> textQuality _,
@@ -112,6 +121,7 @@ object TextAnalysis {
     "lang_id"          -> langId _,
     "text_fingerprint" -> fingerprint _,
     "text_rolling_hash" -> rollingHash _,
+    "text_bigrams"     -> bigrams _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -155,5 +165,12 @@ object TextAnalysis {
         FROM s""",
     "text_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp FROM documents",
+    "text_bigrams" ->
+      """SELECT bigram, count(*) AS cnt FROM (
+          SELECT unnest(list_transform(
+            generate_series(1, len(string_split(text, ' ')) - 1),
+            i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))) AS bigram
+          FROM documents)
+        GROUP BY bigram""",
   )
 }
