@@ -39,6 +39,37 @@ class ScaleSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    val setConfs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val old = setConfs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    setConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 95% of left rows share key 0 — one reducer partition would get
+      // nearly the whole join input without AQE's skew split
+      val left = spark.range(200000).select(
+        when(col("id") % 20 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+      val right = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("v"))
+      // plain join output (an aggregation on the join key would make
+      // AQE skip the skew split to preserve the required partitioning)
+      val j = left.join(right, "k").select(col("payload"))
+      // collect() executes THIS QueryExecution, so the adaptive plan we
+      // inspect below is the final one (count() would build its own)
+      assert(j.collect().nonEmpty)
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), finalPlan)
+    } finally {
+      old.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("date-partitioned layout prunes partitions at the scan") {
     import graft.warehouse.WarehouseLoad
     val out = new java.io.File("target/fixtures/part_events").getAbsolutePath
