@@ -23,18 +23,20 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val qs0 = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    def pass(tag: String): Map[String, Double] = qs0.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench:$tag] $name%-22s $dt%8.2f s")
-      name -> dt
-    }.toMap
+    def pass(tag: String, qs: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)]): Map[String, Double] =
+      qs.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench:$tag] $name%-22s $dt%8.2f s")
+        name -> dt
+      }.toMap
     // two passes, min per query: this VM sees hypervisor CPU-steal
-    // spikes that can stall an arbitrary query for tens of seconds;
-    // the min of two runs is the reproducible number
-    val p1 = pass("1")
-    val p2 = pass("2")
+    // spikes that can stall arbitrary queries for tens of seconds.
+    // Pass 2 runs in REVERSE order so one stall window cannot cover
+    // both runs of the same query; the min is the reproducible number.
+    val p1 = pass("1", qs0)
+    val p2 = pass("2", qs0.reverse)
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
