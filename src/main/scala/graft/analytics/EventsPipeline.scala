@@ -179,6 +179,23 @@ object EventsPipeline {
       .select(col("event_type"), (col("user_id") % 7).as("cohort"))
       .distinct()
 
+  /** CSV sink + source round-trip: write a projection as CSV, read it
+    * back with an explicit schema, aggregate — proves the text-format
+    * path preserves values (doubles round-trip via shortest-repr). */
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = "/root/repo/target/csv_roundtrip"
+    events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").option("header", "true").csv(out)
+    s.read
+      .schema("event_id LONG, event_type STRING, value DOUBLE")
+      .option("header", "true").csv(out)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+  }
+
   /** Snowpipe-style cast/extract projection (S8/F10). */
   def warehouseLoad(s: SparkSession, d: String): DataFrame =
     events(s, d).select(
@@ -208,6 +225,7 @@ object EventsPipeline {
     "warehouse_load"      -> warehouseLoad _,
     "win_hourly"          -> winHourly _,
     "proj_distinct"       -> projDistinct _,
+    "csv_roundtrip"       -> csvRoundtrip _,
   )
 
   /** Shared validation CTE for the oracle side — the same four rules as
@@ -317,6 +335,11 @@ object EventsPipeline {
         FROM events GROUP BY 1, 2""",
     "proj_distinct" ->
       """SELECT DISTINCT event_type, user_id % 7 AS cohort FROM events""",
+    // round-trip is lossless, so the oracle aggregates the source table
+    "csv_roundtrip" ->
+      """SELECT event_type, count(*) AS cnt,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type""",
     "warehouse_load" ->
       """SELECT CAST(event_id AS VARCHAR) AS event_id_str,
           CAST(CAST(value AS DECIMAL(10,2)) AS DOUBLE) AS value_num,
