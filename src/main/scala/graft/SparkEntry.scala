@@ -24,7 +24,8 @@ object SparkEntry {
       analytics.TextAnalysis.queries ++
       analytics.Dedup.queries ++
       analytics.Similarity.queries ++
-      analytics.Multimodal.queries
+      analytics.Multimodal.queries ++
+      analytics.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
       analytics.TextAnalysis.oracle ++
       analytics.Dedup.oracle ++
       analytics.Similarity.oracle ++
-      analytics.Multimodal.oracle
+      analytics.Multimodal.oracle ++
+      analytics.StreamingQueries.oracle
 }

@@ -29,13 +29,16 @@ object Dedup {
     * CPU-heavy shingling/hashing is spread across all cores first;
     * shingling itself is the native ShingleArray expression (the HOF
     * spelling costs ~30 µs/shingle interpreted). */
-  private def shingles(s: SparkSession, d: String, n: Int = 5): DataFrame =
-    documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+  private def shinglesOf(docs: DataFrame, n: Int = 5): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .filter(size(toks) >= n)
       .select(col("doc_id"),
         explode(graft.functions.text.shingles(toks, n)).as("shingle"))
       .distinct()
+
+  private def shingles(s: SparkSession, d: String, n: Int = 5): DataFrame =
+    shinglesOf(documents(s, d), n)
 
   /** Exact duplicate groups by content fingerprint. */
   def dedupExact(s: SparkSession, d: String): DataFrame =
@@ -53,18 +56,40 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
   }
 
-  /** Exact n-gram Jaccard over shingle sets: candidate pairs from the
-    * shingle join, similarity = |A∩B| / (|A|+|B|−|A∩B|), threshold 0.6. */
-  def dedupNgram(s: SparkSession, d: String): DataFrame = {
-    // the shingle table feeds three consumers (both self-join sides +
-    // set sizes); persist it once instead of re-deriving per branch
-    val sh    = shingles(s, d).persist()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val a     = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b     = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+  /** Candidate pairs + shared-shingle counts from the shingle self-join,
+    * with hot shingles (document frequency > dfCap) excluded from
+    * CANDIDATE GENERATION — the standard LSH/all-pairs guard: one
+    * boilerplate shingle (license header, nav bar) appearing in f docs
+    * contributes f² join rows; at 100 TB a single hot shingle makes the
+    * join quadratic. The hot list is tiny by construction (few shingles
+    * exceed any sane cap), so it broadcast-anti-joins for free. */
+  private[analytics] def ngramCandidates(sh: DataFrame, dfCap: Int): DataFrame = {
+    val hot = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
+      .select(col("shingle"))
+    val kept = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val a    = kept.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b    = kept.select(col("doc_id").as("doc_b"), col("shingle"))
+    a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    inter
+  }
+
+  /** Exact n-gram Jaccard over shingle sets: candidate pairs from the
+    * df-capped shingle join, similarity = |A∩B| / (|A|+|B|−|A∩B|),
+    * threshold 0.6. The default cap (64) is far above the test corpus's
+    * max df (4 at sf0.1) so the result is byte-identical to the uncapped
+    * join; set sizes are always computed over the FULL shingle sets, so
+    * the cap only prunes candidate generation, never the similarity. */
+  def dedupNgram(s: SparkSession, d: String): DataFrame =
+    dedupNgramOf(documents(s, d))
+
+  def dedupNgramOf(docs: DataFrame, dfCap: Int = 64): DataFrame = {
+    // the shingle table feeds four consumers (df count, both self-join
+    // sides, set sizes); persist it once instead of re-deriving per branch
+    val sh    = shinglesOf(docs).persist()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    ngramCandidates(sh, dfCap)
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
       .withColumn("jaccard", col("inter").cast("double")
@@ -72,6 +97,10 @@ object Dedup {
       .filter(col("jaccard") >= 0.6)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** Spec hook: candidate-pair count for a corpus at a given df cap. */
+  private[graft] def ngramCandidateCount(docs: DataFrame, dfCap: Int): Long =
+    ngramCandidates(shinglesOf(docs), dfCap).count()
 
   /** MinHash signatures (8 seed-salted md5 mins) banded 2-per-band into
     * 4 LSH buckets; output = candidate pairs sharing any band bucket. */
@@ -141,26 +170,69 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** Embedding near-dup: pairs with cosine ≥ 0.4 (test-corpus max is
-    * ~0.51; production near-dup would use ~0.95). Ids + similarity;
-    * double math is order-identical in both engines.
+  /** Deterministic Rademacher (±1) hyperplanes for sign-bit LSH, seeded
+    * so every run/engine sees the same planes. */
+  private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Embedding near-dup via random-hyperplane LSH: sign-bit signatures
+    * (native codegen dot product against fixed seeded hyperplanes),
+    * banded into buckets; candidate pairs come from an EQUI-JOIN on
+    * (band, bucket) — never a corpus broadcast, never an O(N²)
+    * nested-loop. Candidates are exact-reranked by cosine and filtered
+    * at `threshold`.
     *
-    * The O(N²·dim) scoring runs as a broadcast nested-loop join with a
-    * native codegen dot product (graft.functions.vec) and the stream
-    * side repartitioned across every core — the HOF formulation
-    * allocates per pair and the raw parquet gives only 1-2 input
-    * splits, which would serialize the quadratic loop. */
-  def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
-    val parts = s.sparkContext.defaultParallelism
-    val e = embeddings(s, d).repartition(parts)
+    * Recall: a pair at cosine c agrees per bit with p = 1 − acos(c)/π;
+    * miss probability is (1 − p^bandBits)^nBands. The defaults
+    * (2-bit bands × 24) give ≈4e-6 at the test threshold 0.4 — the
+    * declared query reproduces the exhaustive oracle's pairs exactly at
+    * test SF. Production near-dup (threshold ≥0.95, p ≈ 0.9) would use
+    * wider bands (e.g. 16 bits × 32) where bucketing prunes ~10⁴× —
+    * at a 0.4 threshold no LSH can prune much (p(0.4)=0.64 vs
+    * p(random)=0.5), but the plan SHAPE is the one that scales: shuffle
+    * on small (band, bucket) keys, rerank only bucket-mates via
+    * equi-joins on vec_id. */
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame =
+    dedupEmbeddingOf(embeddings(s, d))
+
+  def dedupEmbeddingOf(emb: DataFrame, threshold: Double = 0.4,
+      bandBits: Int = 2, nBands: Int = 24, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val parts = emb.sparkSession.sparkContext.defaultParallelism
+    val e = emb.repartition(parts)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("nrm", graft.functions.vec.l2norm(col("v")))
-    val a = e.select(col("vec_id").as("vec_a"), col("v").as("v_a"), col("nrm").as("n_a"))
-    val b = e.select(col("vec_id").as("vec_b"), col("v").as("v_b"), col("nrm").as("n_b"))
-    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .persist()
+    val planes = typedlit(hyperplanes(bandBits * nBands, dim, seed))
+    // 1 bit per plane: sign of v·plane (norms don't change the sign)
+    val sig = transform(planes, p =>
+      when(graft.functions.vec.dot(col("v"), p) >= 0, lit("1")).otherwise(lit("0")))
+    // one row per (vec, band); bucket = the band's bit substring
+    val banded = e
+      .withColumn("sig", sig)
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"),
+        col("sig"))
+      .withColumn("bucket",
+        concat_ws("", slice(col("sig"), col("band") * bandBits + 1, lit(bandBits))))
+      .select(col("vec_id"), col("band"), col("bucket"))
+      .persist()
+    val ca = banded.select(col("vec_id").as("vec_a"), col("band"), col("bucket"))
+    val cb = banded.select(col("vec_id").as("vec_b"), col("band"), col("bucket"))
+    val cand = ca.join(cb, Seq("band", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+    // exact rerank: equi-joins on vec_id (planner broadcasts the small
+    // vector table at test SF; shuffles on vec_id at 100 TB — both fine)
+    val va = e.select(col("vec_id").as("vec_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val vb = e.select(col("vec_id").as("vec_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+    cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
       .withColumn("cos",
         graft.functions.vec.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
-      .filter(col("cos") >= 0.4)
+      .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 

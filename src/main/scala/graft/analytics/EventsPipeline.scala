@@ -71,6 +71,26 @@ object EventsPipeline {
   def expectSuite(s: SparkSession, d: String): DataFrame =
     Expectations.report(withK(s, d), suite)
 
+  /** The reference's SAMPLE-mode gate (Glue_job.py:102 validates only a
+    * 500-row `limit(500)` sample): same suite over a deterministic
+    * (event_id-ordered) 500-row sample. Pins the semantic-divergence
+    * boundary SURVEY §7.4 documents — sample verdicts can differ from
+    * full-scan verdicts on adversarial data (spec-demonstrated). */
+  def expectSuiteSample(s: SparkSession, d: String): DataFrame =
+    Expectations.report(withK(s, d).orderBy(col("event_id")).limit(500), suite)
+
+  /** Misra-Gries heavy hitters through the SQL registration path
+    * (§2.9 UDAF tier). With k=16 > the 5 distinct event types the
+    * sketch never decrements, so counts are EXACT and the full groupBy
+    * is a valid oracle; ScaleSpec separately asserts the approximate
+    * guarantees when k < distinct. */
+  def freqItems(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftExtensions.registerAll(s)
+    events(s, d).createOrReplaceTempView("graft_events_freq")
+    s.sql("""SELECT explode(freq_items_sketch(event_type, 16)) AS (item, cnt)
+             FROM graft_events_freq""")
+  }
+
   /** Single-pass layer counts (S7 + the conservation invariant). */
   def lineageCounts(s: SparkSession, d: String): DataFrame =
     Lineage.layerCounts(validated(s, d))
@@ -181,9 +201,12 @@ object EventsPipeline {
 
   /** CSV sink + source round-trip: write a projection as CSV, read it
     * back with an explicit schema, aggregate — proves the text-format
-    * path preserves values (doubles round-trip via shortest-repr). */
+    * path preserves values (doubles round-trip via shortest-repr).
+    * The output dir is per-invocation (Verify and both Bench passes run
+    * this concurrently-adjacent; a fixed path races). */
   def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val out = "/root/repo/target/csv_roundtrip"
+    val out = java.nio.file.Files
+      .createTempDirectory("csv_roundtrip").resolve("out").toString
     events(s, d)
       .select(col("event_id"), col("event_type"), col("value"))
       .write.mode("overwrite").option("header", "true").csv(out)
@@ -226,6 +249,8 @@ object EventsPipeline {
     "win_hourly"          -> winHourly _,
     "proj_distinct"       -> projDistinct _,
     "csv_roundtrip"       -> csvRoundtrip _,
+    "expect_suite_sample" -> expectSuiteSample _,
+    "freq_items"          -> freqItems _,
   )
 
   /** Shared validation CTE for the oracle side — the same four rules as
@@ -263,17 +288,34 @@ object EventsPipeline {
         SELECT $reasonsExpr AS rejection_reasons, count(*) AS cnt
         FROM v WHERE NOT (r1 AND r2 AND r3 AND r4)
         GROUP BY 1""",
+    // BIGINT casts: DuckDB's integer sum() is HUGEINT, which the
+    // driver's hasher represents differently from Spark's BIGINT
     "expect_suite" ->
       """SELECT *,
           CASE WHEN viol_user_id_not_null + viol_value_between
                  + viol_event_type_in_set + viol_k_between = 0
             THEN 'PASSED' ELSE 'FAILED' END AS verdict
         FROM (SELECT
-          sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS viol_user_id_not_null,
-          sum(CASE WHEN NOT (value BETWEEN 0 AND 450) THEN 1 ELSE 0 END) AS viol_value_between,
-          sum(CASE WHEN NOT (event_type IN ('click','view','purchase','signup')) THEN 1 ELSE 0 END) AS viol_event_type_in_set,
-          sum(CASE WHEN NOT (json_extract(props,'$.k')::INT BETWEEN 0 AND 89) THEN 1 ELSE 0 END) AS viol_k_between
+          CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS viol_user_id_not_null,
+          CAST(sum(CASE WHEN NOT (value BETWEEN 0 AND 450) THEN 1 ELSE 0 END) AS BIGINT) AS viol_value_between,
+          CAST(sum(CASE WHEN NOT (event_type IN ('click','view','purchase','signup')) THEN 1 ELSE 0 END) AS BIGINT) AS viol_event_type_in_set,
+          CAST(sum(CASE WHEN NOT (json_extract(props,'$.k')::INT BETWEEN 0 AND 89) THEN 1 ELSE 0 END) AS BIGINT) AS viol_k_between
         FROM events)""",
+    "expect_suite_sample" ->
+      """SELECT *,
+          CASE WHEN viol_user_id_not_null + viol_value_between
+                 + viol_event_type_in_set + viol_k_between = 0
+            THEN 'PASSED' ELSE 'FAILED' END AS verdict
+        FROM (SELECT
+          CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS viol_user_id_not_null,
+          CAST(sum(CASE WHEN NOT (value BETWEEN 0 AND 450) THEN 1 ELSE 0 END) AS BIGINT) AS viol_value_between,
+          CAST(sum(CASE WHEN NOT (event_type IN ('click','view','purchase','signup')) THEN 1 ELSE 0 END) AS BIGINT) AS viol_event_type_in_set,
+          CAST(sum(CASE WHEN NOT (json_extract(props,'$.k')::INT BETWEEN 0 AND 89) THEN 1 ELSE 0 END) AS BIGINT) AS viol_k_between
+        FROM (SELECT * FROM events ORDER BY event_id LIMIT 500))""",
+    // sketch counts are exact when k > distinct items (no decrements)
+    "freq_items" ->
+      """SELECT event_type AS item, count(*) AS cnt FROM events
+        WHERE event_type IS NOT NULL GROUP BY event_type""",
     "lineage" ->
       s"""$vCte, f AS (SELECT (r1 AND r2 AND r3 AND r4) AS ok FROM v)
         SELECT 'raw' AS layer, count(*) AS record_count FROM f

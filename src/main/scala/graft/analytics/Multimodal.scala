@@ -55,6 +55,19 @@ object Multimodal {
     assets(s, d).as[Asset].mapPartitions(decodeBatch).toDF()
   }
 
+  /** Driver-checkable face of `extractFeatures`: the float feature
+    * vector is emitted as a csv of its source digest bytes
+    * (round(f·255) inverts the stub's b/255 scaling exactly — float
+    * error ≪ 0.5), so every column is a sortable scalar and the whole
+    * row is DuckDB-expressible. The typed Dataset path itself stays the
+    * library surface (spec-tested). */
+  def featuresScalar(s: SparkSession, d: String): DataFrame =
+    extractFeatures(s, d).select(
+      col("asset_id"), col("n_bytes"), col("sha256"), col("n_frames"),
+      concat_ws(",",
+        transform(col("features"), f => round(f * 255).cast("int").cast("string")))
+        .as("features_b"))
+
   /** Oracle-checkable projection of the decode metadata (sha/byte-len/
     * frame-sample count are engine-portable functions of the bytes). */
   def multimodalStub(s: SparkSession, d: String): DataFrame =
@@ -66,8 +79,13 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_stub"     -> multimodalStub _,
-    "multimodal_features" -> extractFeatures _,
+    "multimodal_features" -> featuresScalar _,
   )
+
+  /** hex-pair → byte value, DuckDB spelling (strpos is 1-based). */
+  private val byteExpr =
+    """(strpos('0123456789abcdef', substr(sha, 2*i + 1, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(sha, 2*i + 2, 1)) - 1)"""
 
   val oracle: Map[String, String] = Map(
     "multimodal_stub" ->
@@ -75,7 +93,14 @@ object Multimodal {
           sha256(text) AS content_sha,
           CAST(octet_length(encode(text)) // 256 AS INT) + 1 AS n_frames
         FROM documents""",
-    // multimodal_features carries a float array + stub features — not
-    // SQL-expressible; rows-only check, semantics spec-tested.
+    // stub features are the first 8 sha256 digest bytes / 255 — the
+    // oracle recomputes the bytes from the hex digest
+    "multimodal_features" ->
+      s"""SELECT doc_id AS asset_id, octet_length(encode(text)) AS n_bytes,
+          sha AS sha256,
+          CAST(octet_length(encode(text)) // 256 AS INT) + 1 AS n_frames,
+          array_to_string(list_transform(generate_series(0, 7),
+            i -> CAST($byteExpr AS VARCHAR)), ',') AS features_b
+        FROM (SELECT *, sha256(text) AS sha FROM documents)""",
   )
 }

@@ -396,13 +396,15 @@ object Relational {
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month, count(*) AS cnt,
           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         FROM orders GROUP BY date_trunc('month', o_orderdate)""",
+    // integer sum() must be cast: DuckDB yields HUGEINT (int128) which
+    // the driver's hasher represents differently from Spark's BIGINT
     "agg_pivot" ->
       """SELECT user_id % 7 AS cohort,
-          sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-          sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-          sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-          sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-          sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+          CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+          CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+          CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+          CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
         FROM events GROUP BY user_id % 7""",
     "agg_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
@@ -422,8 +424,10 @@ object Relational {
           FROM l),
         sess AS (
           SELECT user_id, value, tns,
-            sum(is_start) OVER (PARTITION BY user_id ORDER BY tns, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            -- BIGINT cast: DuckDB's integer sum() is HUGEINT, which the
+            -- driver's hasher represents differently from Spark's BIGINT
+            CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY tns, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
           FROM st)
         SELECT user_id, session_id, count(*) AS n_events,
           max(tns) - min(tns) AS duration_ns,

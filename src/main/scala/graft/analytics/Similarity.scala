@@ -48,40 +48,83 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("nid"), col("rn"))
   }
 
-  /** IVF-style ANN: coarse-quantize the corpus to `nlist` centroid
-    * cells (deterministic centroids: the first `nlist` vectors), probe
-    * the `nprobe` nearest cells per query, exact-rerank inside them.
-    * Approximate ⇒ no SQL oracle; recall is spec-tested against
-    * simKnn. */
+  /** Unit-normalized centroids as a literal array-of-arrays column, so
+    * cell assignment is a per-row argmax expression — NO join, NO
+    * shuffle, NO window over a corpus×centroid product. Centroids are
+    * index metadata (nlist·dim doubles), exactly what belongs on the
+    * driver/broadcast side at any scale. */
+  private def centroidsLit(cents: Array[Array[Double]]): Column =
+    typedlit(cents.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      c.map(x => if (n == 0) 0.0 else x / n).toSeq
+    }.toSeq)
+
+  /** argmax cell: with unit centroids, nearest-by-cosine = argmax of
+    * v·c (the |v| factor is common). struct(sim, idx) array_max orders
+    * by sim first — a pure codegen expression per row. */
+  private def cellOf(cl: Column, v: Column): Column =
+    array_max(transform(cl, (c, i) =>
+      struct(dot(v, c).as("sim"), i.as("cell")))).getField("cell")
+
+  /** `iters` rounds of Lloyd refinement over the corpus: assign via the
+    * literal-argmax expression, recompute per-cell means (posexplode →
+    * one aggregation), collect nlist·dim cell means to the driver.
+    * Collecting centroids is index METADATA, not data — the same
+    * driver-side loop every k-means implementation (incl. Spark MLlib)
+    * runs. Cells that lose all members keep their previous centroid. */
+  private def lloyd(e: DataFrame, init: Array[Array[Double]],
+      iters: Int): Array[Array[Double]] = {
+    var cents = init
+    for (_ <- 1 to iters) {
+      val cl = centroidsLit(cents)
+      val means = e
+        .select(cellOf(cl, col("v")).as("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) = r.getAs[Double]("m")
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** IVF-style ANN: k-means-refined coarse quantizer (`nlist` cells,
+    * seeded from the first `nlist` vectors + `lloydIters` Lloyd rounds),
+    * probe the `nprobe` nearest cells per query, exact-rerank inside
+    * them. Cell assignment is a shuffle-free argmax expression against
+    * the literal centroids; the only joins are the small probe-list
+    * equi-join on `cell` and the final per-query top-k. Approximate ⇒
+    * no SQL oracle; recall@10 vs simKnn is spec-asserted ≥ 0.9. */
   def simAnnIvf(s: SparkSession, d: String, nlist: Int = 16,
-      nprobe: Int = 4, k: Int = 10): DataFrame = {
-    // corpus feeds centroid selection, assignment, and the query side
+      nprobe: Int = 4, k: Int = 10, lloydIters: Int = 2): DataFrame = {
+    // corpus feeds centroid training, assignment, and the query side
     val e = corpus(s, d).persist()
-    val cents = e.orderBy(col("vec_id")).limit(nlist)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val init = e.orderBy(col("vec_id")).limit(nlist)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val cl = centroidsLit(lloyd(e, init, lloydIters))
 
-    // assign every corpus vector to its nearest centroid (broadcast join)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cent_id"))
-    val assigned = e.join(broadcast(cents), lit(true))
-      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
+    // shuffle-free assignment: argmax expression per corpus row
+    val assigned = e.select(col("vec_id"), col("v"), col("nrm"),
+      cellOf(cl, col("v")).as("cell"))
 
-    // probe lists: nprobe nearest cells per query vector
-    val q = e.filter(col("vec_id") < 50)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    val wProbe = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cent_id"))
-    val probes = q.join(broadcast(cents), lit(true))
-      .withColumn("csim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    // probe lists: nprobe nearest cells per query vector (query side is
+    // small by construction — the nlist-row explode + window is trivial)
+    val probes = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        posexplode(transform(cl, c => dot(col("v"), c)))
+          .as(Seq("cell", "csim")))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell"))
+    val probed = probes
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= nprobe)
-      .select(col("qid"), col("qv"), col("qn"), col("cent_id").as("cell"))
+      .select(col("qid"), col("qv"), col("qn"), col("cell"))
 
     // exact rerank inside probed cells only
     val wRank = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(broadcast(probes), Seq("cell"))
+    assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("qid") =!= col("vec_id"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .withColumn("rn", row_number().over(wRank))

@@ -1,0 +1,112 @@
+package graft.analytics
+
+import graft.streaming.StreamingPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Declared queries whose results are produced by an ACTUAL
+  * StreamingQuery — file source over the events parquet, AvailableNow
+  * trigger, memory sink — then hash-checked against the DuckDB oracle
+  * like any batch query. This closes the gap between "the streaming
+  * logic is batch-oracled" (win_hourly) and "the streaming execution
+  * path itself produces oracle-correct results" (T1/T6, SURVEY.md
+  * §2.8).
+  *
+  * Scale notes: both aggregations keep state keyed by (window, type) /
+  * (user, session) — bounded by key cardinality, not input size; with a
+  * watermark in a live deployment, state is evicted as event time
+  * advances. AvailableNow + memory sink is the test harness spelling;
+  * a production run would write each epoch to a transactional sink.
+  */
+object StreamingQueries {
+
+  /** Streamed clone of Tables.events: same nanos-as-long read + derived
+    * µs timestamp, but through the file STREAM source. */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    // the source path must be a DIRECTORY; the glob filter narrows the
+    // listing to the events table inside the shared sf dir
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts_ns", col("ts"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming aggregation to completion via a uniquely-named
+    * memory sink and return its final table. */
+  private def runToMemory(s: SparkSession, df: DataFrame,
+      mode: OutputMode): DataFrame = {
+    val name = "graft_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** The windowed-counts aggregation (StreamingPipeline.windowedCounts)
+    * executed by a real StreamingQuery; oracle = the same date_trunc
+    * aggregation that checks win_hourly. */
+  def streamHourly(s: SparkSession, d: String): DataFrame =
+    runToMemory(s,
+      StreamingPipeline.windowedCounts(eventsStream(s, d)),
+      OutputMode.Complete())
+
+  /** session_window (native streaming sessionization) parity with the
+    * batch lag/running-sum spelling in Relational.winSession: 30-minute
+    * gap sessions per user, executed by a real StreamingQuery. Output
+    * uses the session START (µs) as the session key — the
+    * representation both engines agree on. */
+  def streamSession(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        col("n_events"), col("session_value"))
+    runToMemory(s, agg, OutputMode.Complete())
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_hourly"  -> streamHourly _,
+    "stream_session" -> streamSession _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_hourly" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+          event_type, count(*) AS cnt,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2""",
+    // same sessionization CTE as win_session, but keyed by the session
+    // start time (µs) like session_window's output
+    "stream_session" ->
+      """WITH x AS (
+          SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS tus FROM events),
+        l AS (
+          SELECT user_id, event_id, value, tus,
+            lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+          FROM x),
+        st AS (
+          SELECT user_id, event_id, value, tus,
+            CASE WHEN prev IS NULL OR tus - prev > 1800000000
+              THEN 1 ELSE 0 END AS is_start
+          FROM l),
+        sess AS (
+          SELECT user_id, value, tus,
+            CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY tus, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+          FROM st)
+        SELECT user_id, min(tus) AS start_us, count(*) AS n_events,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        FROM sess GROUP BY user_id, sid""",
+  )
+}

@@ -61,18 +61,22 @@ case class DotProduct(left: Expression, right: Expression)
     val getA = if (isFloatArr(left)) "getFloat" else "getDouble"
     val getB = if (isFloatArr(right)) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
+      val i   = ctx.freshName("i")
+      val n   = ctx.freshName("n")
+      // freshName: a fixed local would collide (Janino compile failure →
+      // silent interpreted fallback) when two of these expressions land
+      // in one codegen scope
+      val acc = ctx.freshName("acc")
       s"""
         final int $n = $a.numElements();
         if ($n != $b.numElements()) {
           throw new IllegalArgumentException("dot: length mismatch");
         }
-        double acc = 0.0;
+        double $acc = 0.0;
         for (int $i = 0; $i < $n; $i++) {
-          acc += ((double) $a.$getA($i)) * ((double) $b.$getB($i));
+          $acc += ((double) $a.$getA($i)) * ((double) $b.$getB($i));
         }
-        ${ev.value} = acc;
+        ${ev.value} = $acc;
       """
     })
   }
@@ -108,15 +112,18 @@ case class L2Norm(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val get = if (isFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, a => {
-      val i = ctx.freshName("i")
-      val x = ctx.freshName("x")
+      val i   = ctx.freshName("i")
+      val x   = ctx.freshName("x")
+      // freshName: see DotProduct — a fixed `acc` local collides when two
+      // such expressions share a codegen scope
+      val acc = ctx.freshName("acc")
       s"""
-        double acc = 0.0;
+        double $acc = 0.0;
         for (int $i = 0; $i < $a.numElements(); $i++) {
           final double $x = (double) $a.$get($i);
-          acc += $x * $x;
+          $acc += $x * $x;
         }
-        ${ev.value} = java.lang.Math.sqrt(acc);
+        ${ev.value} = java.lang.Math.sqrt($acc);
       """
     })
   }

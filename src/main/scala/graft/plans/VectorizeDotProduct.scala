@@ -24,9 +24,12 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   */
 object VectorizeDotProduct extends Rule[LogicalPlan] {
 
+  /** Only rewrite null-free arrays: for arrays CONTAINING null elements
+    * the HOF form returns NULL while DotProduct would read null slots as
+    * 0.0 — the rewrite must be provably semantics-preserving. */
   private def isDoubleArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(DoubleType, _) => true
-    case _                        => false
+    case ArrayType(DoubleType, containsNull) => !containsNull
+    case _                                   => false
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =

@@ -46,20 +46,30 @@ object StreamingPipeline {
     spark.readStream.text(rawPath)
 
   /** The streaming pipeline: same pure core (parse → clean → validate →
-    * split) inside foreachBatch, curated/rejected appended per batch. */
+    * split) inside foreachBatch. Writes are IDEMPOTENT on replay: each
+    * micro-batch lands in its own `batch_id=<id>` partition with dynamic
+    * partition overwrite, so a crash between the writes and the
+    * checkpoint commit replays the batch into the same partition instead
+    * of duplicating rows — effectively-exactly-once end to end. */
   def run(spark: SparkSession, rawPath: String, outRoot: String,
       checkpoint: String): StreamingQuery =
     rawFileSource(spark, rawPath)
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val parsed    = RawJsonReader.parse(batch, Schemas.telemetry)
         val validated = LogisticsPipeline.validateStage(parsed)
         val curated   = Splitter.curated(validated)
         val rejected  = Splitter.rejected(validated, LogisticsPipeline.coreCols)
-        curated.write.mode("append").parquet(s"$outRoot/curated")
-        rejected.write.mode("append").parquet(s"$outRoot/rejected")
+        def write(df: DataFrame, layer: String): Unit = df
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(s"$outRoot/$layer")
+        write(curated, "curated")
+        write(rejected, "rejected")
         ()
       }
       .start()

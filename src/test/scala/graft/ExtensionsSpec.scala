@@ -27,8 +27,11 @@ class ExtensionsSpec extends SparkSpec {
     spark.experimental.extraOptimizations =
       Seq(graft.plans.VectorizeDotProduct)
     try {
+      // coalesce in the lambda → containsNull=false → provably no null
+      // elements → the rewrite is semantics-preserving and fires
       val e = Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .select(col("vec_id"),
+          transform(col("embedding"), x => coalesce(x.cast("double"), lit(0.0))).as("v"))
       val hof = e.select(col("vec_id"),
         aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
           lit(0.0), (acc, x) => acc + x).as("d"))
@@ -37,6 +40,27 @@ class ExtensionsSpec extends SparkSpec {
       // rewrite is exact: bit-identical to the native spelling
       val native = e.select(col("vec_id"), graft.functions.vec.dot(col("v"), col("v")).as("d"))
       assert(hof.exceptAll(native).isEmpty && native.exceptAll(hof).isEmpty)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
+  test("optimizer rule leaves nullable-element arrays alone") {
+    import org.apache.spark.sql.functions._
+    spark.experimental.extraOptimizations =
+      Seq(graft.plans.VectorizeDotProduct)
+    try {
+      // array elements MAY be null → HOF returns NULL for a null slot,
+      // DotProduct would read 0.0 — the rewrite must not fire
+      val df = spark.sql(
+        "SELECT array(1.0d, if(id % 2 = 0, 2.0d, cast(null AS DOUBLE))) AS v FROM range(4)")
+      val hof = df.select(
+        aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x).as("d"))
+      assert(!hof.queryExecution.optimizedPlan.toString.contains("dotproduct"),
+        hof.queryExecution.optimizedPlan.toString)
+      // null element → whole aggregate NULL (the semantics the guard keeps)
+      assert(hof.collect().count(_.isNullAt(0)) === 2)
     } finally {
       spark.experimental.extraOptimizations = Nil
     }
