@@ -29,6 +29,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         e.printStackTrace()
+        // remove any STALE dump from a previous run so the checker sees
+        // a missing output, not yesterday's rows
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$outDir/$name"))
       }
       // queries persist() intermediates for their own multi-consumer
       // plans; drop them so caches don't accumulate across 60 queries

@@ -60,11 +60,15 @@ object Similarity {
     }.toSeq)
 
   /** argmax cell: with unit centroids, nearest-by-cosine = argmax of
-    * v·c (the |v| factor is common). struct(sim, idx) array_max orders
-    * by sim first — a pure codegen expression per row. */
-  private def cellOf(cl: Column, v: Column): Column =
-    array_max(transform(cl, (c, i) =>
-      struct(dot(v, c).as("sim"), i.as("cell")))).getField("cell")
+    * v·c (the |v| factor is common). array_position(sims, max) is
+    * exact (the max IS an element, bit-identical) and breaks ties to
+    * the first index — a pure expression per row, no join, no shuffle.
+    * (struct-with-alias inside a lambda is not usable here: lambda
+    * struct fields get auto-generated names.) */
+  private def cellOf(cl: Column, v: Column): Column = {
+    val sims = transform(cl, c => dot(v, c))
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
 
   /** `iters` rounds of Lloyd refinement over the corpus: assign via the
     * literal-argmax expression, recompute per-cell means (posexplode →
@@ -97,8 +101,12 @@ object Similarity {
     * the literal centroids; the only joins are the small probe-list
     * equi-join on `cell` and the final per-query top-k. Approximate ⇒
     * no SQL oracle; recall@10 vs simKnn is spec-asserted ≥ 0.9. */
+  /** Default nprobe is tuned for the driver's UNCLUSTERED (near-random)
+    * test embeddings, where recall ≈ probed mass and no quantizer can
+    * prune hard; production corpora with real cluster structure run the
+    * same plan with nprobe ≪ nlist. */
   def simAnnIvf(s: SparkSession, d: String, nlist: Int = 16,
-      nprobe: Int = 4, k: Int = 10, lloydIters: Int = 2): DataFrame = {
+      nprobe: Int = 12, k: Int = 10, lloydIters: Int = 2): DataFrame = {
     // corpus feeds centroid training, assignment, and the query side
     val e = corpus(s, d).persist()
     val init = e.orderBy(col("vec_id")).limit(nlist)

@@ -102,6 +102,23 @@ class PipelineSpec extends SparkSpec {
       .forall(_.getString(0) == "ge_failed"))
   }
 
+  test("sample-mode gate diverges from full-scan gate on adversarial data") {
+    // the reference validates only a 500-row sample (Glue_job.py:102);
+    // data whose first 500 rows are clean but whose tail is corrupt
+    // PASSES the sample gate and FAILS the full-scan gate — the exact
+    // semantic boundary SURVEY §7.4 documents
+    val df = spark.range(1000).selectExpr(
+      "id AS event_id",
+      "IF(id < 500, id, CAST(NULL AS BIGINT)) AS user_id",
+      "10.0 AS value",
+      "'click' AS event_type",
+      "5 AS k")
+    val suite = graft.analytics.EventsPipeline.suite
+    assert(Expectations.verdict(df, suite) === "FAILED")
+    assert(Expectations.verdict(
+      df.orderBy(col("event_id")).limit(500), suite) === "PASSED")
+  }
+
   test("generator is deterministic across invocations") {
     val a = TelemetryGen.recordJson(spark, 100).collect().map(_.getString(1))
     val b = TelemetryGen.recordJson(spark, 100).collect().map(_.getString(1))

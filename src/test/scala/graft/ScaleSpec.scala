@@ -29,6 +29,22 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("df-cap bounds n-gram candidate generation under a hot shingle") {
+    import spark.implicits._
+    // every doc opens with the same boilerplate 5-gram (license header /
+    // nav bar pattern); the tail is unique per doc
+    val docs = (0 until 200).map(i =>
+      (i.toLong, s"common header tokens here now u$i v$i w$i x$i y$i"))
+      .toDF("doc_id", "text")
+    // uncapped: the one hot shingle pairs every doc with every other
+    val uncapped = analytics.Dedup.ngramCandidateCount(docs, dfCap = 1000)
+    assert(uncapped === 200L * 199 / 2, s"uncapped=$uncapped")
+    // capped: the hot shingle is excluded from candidate generation and
+    // the remaining shingles are unique — the quadratic blowup is gone
+    val capped = analytics.Dedup.ngramCandidateCount(docs, dfCap = 50)
+    assert(capped === 0, s"capped=$capped")
+  }
+
   test("approx_count_distinct lands within 5% of exact (HLL++ scale path)") {
     val ev = Tables.events(spark, "/root/testdata/sf0.01")
     val r = ev.agg(
