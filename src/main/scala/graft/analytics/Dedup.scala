@@ -197,14 +197,16 @@ object Dedup {
   def dedupEmbedding(s: SparkSession, d: String): DataFrame =
     dedupEmbeddingOf(embeddings(s, d))
 
-  def dedupEmbeddingOf(emb: DataFrame, threshold: Double = 0.4,
-      bandBits: Int = 2, nBands: Int = 24, dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
-    val parts = emb.sparkSession.sparkContext.defaultParallelism
-    val e = emb.repartition(parts)
+  /** Normalized (vec_id, v, nrm) view of an embeddings table. */
+  private def vectors(emb: DataFrame): DataFrame =
+    emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("nrm", graft.functions.vec.l2norm(col("v")))
-      .persist()
+
+  /** LSH candidate pairs: sign-bit signatures banded into buckets,
+    * pairs = equi-join on (band, bucket). Exposed for the pruning spec. */
+  private[graft] def embeddingCandidates(e: DataFrame, bandBits: Int,
+      nBands: Int, dim: Int, seed: Long): DataFrame = {
     val planes = typedlit(hyperplanes(bandBits * nBands, dim, seed))
     // 1 bit per plane: sign of v·plane (norms don't change the sign)
     val sig = transform(planes, p =>
@@ -221,10 +223,17 @@ object Dedup {
       .persist()
     val ca = banded.select(col("vec_id").as("vec_a"), col("band"), col("bucket"))
     val cb = banded.select(col("vec_id").as("vec_b"), col("band"), col("bucket"))
-    val cand = ca.join(cb, Seq("band", "bucket"))
+    ca.join(cb, Seq("band", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"))
       .distinct()
+  }
+
+  def dedupEmbeddingOf(emb: DataFrame, threshold: Double = 0.4,
+      bandBits: Int = 2, nBands: Int = 24, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val e = vectors(emb).persist()
+    val cand = embeddingCandidates(e, bandBits, nBands, dim, seed)
     // exact rerank: equi-joins on vec_id (planner broadcasts the small
     // vector table at test SF; shuffles on vec_id at 100 TB — both fine)
     val va = e.select(col("vec_id").as("vec_a"), col("v").as("v_a"), col("nrm").as("n_a"))
@@ -235,6 +244,11 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
+
+  /** Spec hook: LSH candidate-pair count for a corpus at given banding. */
+  private[graft] def embeddingCandidateCount(emb: DataFrame, bandBits: Int,
+      nBands: Int, dim: Int): Long =
+    embeddingCandidates(vectors(emb), bandBits, nBands, dim, 42L).count()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"     -> dedupExact _,

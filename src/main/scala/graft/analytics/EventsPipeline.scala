@@ -219,6 +219,41 @@ object EventsPipeline {
         sum(dec2(col("value"))).cast("double").as("sum_value"))
   }
 
+  /** JSON sink + source round-trip — the reference's raw-layer format
+    * (consumer writes JSON batches to S3, consumer_etl.py:63-67) driven
+    * through Spark's json writer/reader with an explicit read schema.
+    * Doubles survive via shortest-repr; the oracle aggregates the
+    * source table (round-trip is lossless). */
+  def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("json_roundtrip").resolve("out").toString
+    events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").json(out)
+    s.read
+      .schema("event_id LONG, event_type STRING, value DOUBLE")
+      .json(out)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+  }
+
+  /** ORC sink + source round-trip — the second columnar format Spark
+    * ships besides parquet; same lossless-round-trip oracle shape. */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("orc_roundtrip").resolve("out").toString
+    events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+  }
+
   /** Snowpipe-style cast/extract projection (S8/F10). */
   def warehouseLoad(s: SparkSession, d: String): DataFrame =
     events(s, d).select(
@@ -251,6 +286,8 @@ object EventsPipeline {
     "csv_roundtrip"       -> csvRoundtrip _,
     "expect_suite_sample" -> expectSuiteSample _,
     "freq_items"          -> freqItems _,
+    "json_roundtrip"      -> jsonRoundtrip _,
+    "orc_roundtrip"       -> orcRoundtrip _,
   )
 
   /** Shared validation CTE for the oracle side — the same four rules as
@@ -377,8 +414,16 @@ object EventsPipeline {
         FROM events GROUP BY 1, 2""",
     "proj_distinct" ->
       """SELECT DISTINCT event_type, user_id % 7 AS cohort FROM events""",
-    // round-trip is lossless, so the oracle aggregates the source table
+    // round-trips are lossless, so the oracles aggregate the source table
     "csv_roundtrip" ->
+      """SELECT event_type, count(*) AS cnt,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type""",
+    "json_roundtrip" ->
+      """SELECT event_type, count(*) AS cnt,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type""",
+    "orc_roundtrip" ->
       """SELECT event_type, count(*) AS cnt,
           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY event_type""",

@@ -45,6 +45,37 @@ class ScaleSpec extends SparkSpec {
     assert(capped === 0, s"capped=$capped")
   }
 
+  test("embedding LSH at production banding prunes candidates on clustered data") {
+    import spark.implicits._
+    // 40 clusters x 8 members: cluster centers are random unit-ish
+    // vectors, members are tiny perturbations (cos >= ~0.99 within a
+    // cluster, ~0 across) — the near-dup structure production corpora
+    // have and the driver's random test embeddings lack
+    val rnd  = new scala.util.Random(7)
+    val dim  = 32
+    val centers = Array.fill(40)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = for {
+      c <- centers.indices
+      m <- 0 until 8
+    } yield (c.toLong * 8 + m,
+      centers(c).map(x => (x + 0.02 * rnd.nextGaussian()).toFloat).toSeq)
+    val emb = rows.toDF("vec_id", "embedding")
+    val n = rows.size
+    // production banding: 8-bit bands; within-cluster pairs (p ~ 0.97
+    // per bit) collide with near-certainty, cross-cluster pairs
+    // (p ~ 0.5) collide at ~8/256 per band
+    val cand = analytics.Dedup.embeddingCandidateCount(emb, bandBits = 8,
+      nBands = 8, dim = dim)
+    val allPairs = n.toLong * (n - 1) / 2
+    val clusterPairs = 40L * (8 * 7 / 2)
+    assert(cand < allPairs / 5, s"cand=$cand of $allPairs — no pruning")
+    // and recall on the actual near-dups stays perfect: every
+    // within-cluster pair survives into the reranked output
+    val found = analytics.Dedup.dedupEmbeddingOf(emb, threshold = 0.95,
+      bandBits = 8, nBands = 8, dim = dim).count()
+    assert(found === clusterPairs, s"found=$found expected=$clusterPairs")
+  }
+
   test("approx_count_distinct lands within 5% of exact (HLL++ scale path)") {
     val ev = Tables.events(spark, "/root/testdata/sf0.01")
     val r = ev.agg(
