@@ -254,6 +254,34 @@ object EventsPipeline {
         sum(dec2(col("value"))).cast("double").as("sum_value"))
   }
 
+  /** As-of join (attribution): for each purchase, the same user's most
+    * recent click at-or-before it. Implemented with the union+window
+    * trick — every click and purchase lands on ONE per-user timeline and
+    * the last-seen click is carried forward with last(ignoreNulls) —
+    * one shuffle on user_id, no range-condition nested loop, no per-row
+    * subquery. This is the scale-correct spelling of the as-of joins
+    * native engines ship (kdb aj, DuckDB ASOF JOIN): at 100 TB it costs
+    * exactly what the sessionization window costs. Clicks order before
+    * purchases at the same instant, so a same-microsecond click counts. */
+  def joinAsof(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("is_p"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("tus", expr("ts_ns div 1000"))
+      .withColumn("is_p", (col("event_type") === "purchase").cast("int"))
+      .withColumn("click_id", when(col("event_type") === "click", col("event_id")))
+      .withColumn("click_tus", when(col("event_type") === "click", col("tus")))
+      .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("last_click_tus", last(col("click_tus"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("last_click_id").as("click_id"),
+        (col("tus") - col("last_click_tus")).as("lag_us"))
+  }
+
   /** Snowpipe-style cast/extract projection (S8/F10). */
   def warehouseLoad(s: SparkSession, d: String): DataFrame =
     events(s, d).select(
@@ -288,6 +316,7 @@ object EventsPipeline {
     "freq_items"          -> freqItems _,
     "json_roundtrip"      -> jsonRoundtrip _,
     "orc_roundtrip"       -> orcRoundtrip _,
+    "join_asof"           -> joinAsof _,
   )
 
   /** Shared validation CTE for the oracle side — the same four rules as
@@ -427,6 +456,23 @@ object EventsPipeline {
       """SELECT event_type, count(*) AS cnt,
           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY event_type""",
+    "join_asof" ->
+      """WITH e AS (
+          SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tus,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+          FROM events WHERE event_type IN ('click', 'purchase'))
+        SELECT event_id AS purchase_id, user_id, click_id,
+          tus - click_tus AS lag_us
+        FROM (
+          SELECT *,
+            last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+              OVER w AS click_id,
+            last_value(CASE WHEN event_type = 'click' THEN tus END IGNORE NULLS)
+              OVER w AS click_tus
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY tus, is_p, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        WHERE event_type = 'purchase'""",
     "warehouse_load" ->
       """SELECT CAST(event_id AS VARCHAR) AS event_id_str,
           CAST(CAST(value AS DECIMAL(10,2)) AS DOUBLE) AS value_num,

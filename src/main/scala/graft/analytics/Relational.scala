@@ -149,6 +149,18 @@ object Relational {
       .agg(count(lit(1)))
       .na.fill(0L)
 
+  /** Explicit GROUPING SETS (the general form rollup/cube sugar over):
+    * per-returnflag, per-linestatus, and grand-total rows in one pass —
+    * Catalyst expands to a single Expand + hash aggregate, one shuffle. */
+  def aggGroupingSets(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+
   /** Cube: all grouping-set combinations of (returnflag, linestatus). */
   def aggCube(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
@@ -303,6 +315,7 @@ object Relational {
     "agg_cube"          -> aggCube _,
     "agg_pivot"         -> aggPivot _,
     "win_session"       -> winSession _,
+    "agg_grouping_sets" -> aggGroupingSets _,
   )
 
   private val sumQty  = "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
@@ -410,6 +423,11 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
     "win_session" ->
       """WITH x AS (
           SELECT user_id, event_id, value, epoch_ns(ts) AS tns FROM events),
