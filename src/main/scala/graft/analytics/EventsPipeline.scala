@@ -282,6 +282,34 @@ object EventsPipeline {
         (col("tus") - col("last_click_tus")).as("lag_us"))
   }
 
+  /** Banded (binned) range self-join: ordered same-user event pairs at
+    * most 60 s apart. A raw range predicate would plan as a nested-loop
+    * join — quadratic per user. Binning each event into its 60-s bucket
+    * and having the LEFT side probe its own and the NEXT bucket turns
+    * the range join into an EQUI-join on (user_id, bucket) + a residual
+    * filter: any pair within the band shares or straddles a bucket
+    * boundary, so the two probes cover exactly the candidates. This is
+    * the standard interval-join shape at 100 TB — shuffle on small
+    * (user, bucket) keys, candidates bounded per bucket. */
+  def joinRange(s: SparkSession, d: String): DataFrame = {
+    val bandUs = 60L * 1000 * 1000
+    val ev = events(s, d)
+      .withColumn("tus", expr("ts_ns div 1000"))
+      .withColumn("bkt", expr(s"tus div $bandUs"))
+      .select(col("event_id"), col("user_id"), col("tus"), col("bkt"))
+    val a = ev
+      .withColumn("bucket", explode(array(col("bkt"), col("bkt") + 1)))
+      .select(col("event_id").as("id_a"), col("user_id"), col("tus").as("ta"), col("bucket"))
+    val b = ev
+      .select(col("event_id").as("id_b"), col("user_id"), col("tus").as("tb"),
+        col("bkt").as("bucket"))
+    val gap = col("tb") - col("ta")
+    a.join(b, Seq("user_id", "bucket"))
+      .filter(gap.between(0, bandUs) &&
+        (col("ta") < col("tb") || (col("ta") === col("tb") && col("id_a") < col("id_b"))))
+      .select(col("id_a"), col("id_b"), gap.as("gap_us"))
+  }
+
   /** Snowpipe-style cast/extract projection (S8/F10). */
   def warehouseLoad(s: SparkSession, d: String): DataFrame =
     events(s, d).select(
@@ -317,6 +345,7 @@ object EventsPipeline {
     "json_roundtrip"      -> jsonRoundtrip _,
     "orc_roundtrip"       -> orcRoundtrip _,
     "join_asof"           -> joinAsof _,
+    "join_range"          -> joinRange _,
   )
 
   /** Shared validation CTE for the oracle side — the same four rules as
@@ -473,6 +502,13 @@ object EventsPipeline {
           WINDOW w AS (PARTITION BY user_id ORDER BY tus, is_p, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         WHERE event_type = 'purchase'""",
+    "join_range" ->
+      """WITH e AS (
+          SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus FROM events)
+        SELECT a.event_id AS id_a, b.event_id AS id_b, b.tus - a.tus AS gap_us
+        FROM e a JOIN e b ON a.user_id = b.user_id
+          AND b.tus - a.tus BETWEEN 0 AND 60000000
+          AND (a.tus < b.tus OR (a.tus = b.tus AND a.event_id < b.event_id))""",
     "warehouse_load" ->
       """SELECT CAST(event_id AS VARCHAR) AS event_id_str,
           CAST(CAST(value AS DECIMAL(10,2)) AS DOUBLE) AS value_num,

@@ -283,6 +283,20 @@ object Relational {
         max(col("mx")).as("max_value"))
   }
 
+  /** Exact linear-interpolation percentiles per group. Both engines
+    * define p-quantile as lower + frac·(upper−lower) over the sorted
+    * values, computed in double — verified bit-identical (including
+    * last-ulp cases) on the test tables. At 100 TB the exact form
+    * requires a per-group sort; `approx_percentile` (GK sketch, one
+    * pass, mergeable) is the scale path and is spec-compared. */
+  def aggQuantile(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"))
+
   /** Per-month order stats — date_trunc + grouped decimal sum. */
   def tsTrunc(s: SparkSession, d: String): DataFrame =
     orders(s, d)
@@ -316,6 +330,7 @@ object Relational {
     "agg_pivot"         -> aggPivot _,
     "win_session"       -> winSession _,
     "agg_grouping_sets" -> aggGroupingSets _,
+    "agg_quantile"      -> aggQuantile _,
   )
 
   private val sumQty  = "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
@@ -428,6 +443,12 @@ object Relational {
           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+    "agg_quantile" ->
+      """SELECT event_type,
+          quantile_cont(value, 0.25) AS p25,
+          quantile_cont(value, 0.5) AS p50,
+          quantile_cont(value, 0.9) AS p90
+        FROM events GROUP BY event_type""",
     "win_session" ->
       """WITH x AS (
           SELECT user_id, event_id, value, epoch_ns(ts) AS tns FROM events),

@@ -86,6 +86,17 @@ class ScaleSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
   }
 
+  test("approx_percentile tracks the exact percentile (GK sketch scale path)") {
+    // exact percentile needs a per-group sort; the GK sketch is the
+    // one-pass mergeable scale path — assert it lands within 2%
+    val r = Tables.events(spark, "/root/testdata/sf0.01").agg(
+      expr("percentile(value, 0.5)").as("exact"),
+      expr("approx_percentile(value, 0.5, 1000)").as("approx")).first()
+    val exact  = r.getDouble(0)
+    val approx = r.getDouble(1)
+    assert(math.abs(approx - exact) / exact < 0.02, s"exact=$exact approx=$approx")
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     val setConfs = Map(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
