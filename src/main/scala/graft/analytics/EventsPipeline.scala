@@ -310,6 +310,31 @@ object EventsPipeline {
       .select(col("id_a"), col("id_b"), gap.as("gap_us"))
   }
 
+  /** String-function breadth: regexp extraction, initcap, reverse,
+    * edit distance — all codegen built-ins, DuckDB-expressible. */
+  def strFuncs(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      col("event_id"),
+      regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).as("k_str"),
+      initcap(col("event_type")).as("etype_cap"),
+      reverse(col("event_type")).as("etype_rev"),
+      levenshtein(col("event_type"), lit("click")).as("lev"),
+      substring(col("event_type"), 1, 3).as("etype3"))
+
+  /** Array-function breadth over document tokens: distinct, sort,
+    * membership, size — emitted as scalars (joined string) so the
+    * driver hash-compare stays representation-stable. */
+  def arrayFuncs(s: SparkSession, d: String): DataFrame = {
+    val tokens = split(col("text"), " ")
+    documents(s, d).select(
+      col("doc_id"),
+      size(tokens).as("n_tokens"),
+      size(array_distinct(tokens)).as("n_distinct"),
+      array_contains(tokens, "the").as("has_the"),
+      concat_ws(" ", slice(sort_array(array_distinct(tokens)), 1, 5))
+        .as("first5_sorted"))
+  }
+
   /** Snowpipe-style cast/extract projection (S8/F10). */
   def warehouseLoad(s: SparkSession, d: String): DataFrame =
     events(s, d).select(
@@ -346,6 +371,8 @@ object EventsPipeline {
     "orc_roundtrip"       -> orcRoundtrip _,
     "join_asof"           -> joinAsof _,
     "join_range"          -> joinRange _,
+    "str_funcs"           -> strFuncs _,
+    "array_funcs"         -> arrayFuncs _,
   )
 
   /** Shared validation CTE for the oracle side — the same four rules as
@@ -502,6 +529,22 @@ object EventsPipeline {
           WINDOW w AS (PARTITION BY user_id ORDER BY tus, is_p, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         WHERE event_type = 'purchase'""",
+    "str_funcs" ->
+      """SELECT event_id,
+          coalesce(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS k_str,
+          upper(substr(event_type, 1, 1)) || substr(event_type, 2) AS etype_cap,
+          reverse(event_type) AS etype_rev,
+          levenshtein(event_type, 'click') AS lev,
+          substr(event_type, 1, 3) AS etype3
+        FROM events""",
+    "array_funcs" ->
+      """SELECT doc_id,
+          len(string_split(text, ' ')) AS n_tokens,
+          len(list_distinct(string_split(text, ' '))) AS n_distinct,
+          list_contains(string_split(text, ' '), 'the') AS has_the,
+          array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], ' ')
+            AS first5_sorted
+        FROM documents""",
     "join_range" ->
       """WITH e AS (
           SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus FROM events)

@@ -297,6 +297,53 @@ object Relational {
         expr("percentile(value, 0.5)").as("p50"),
         expr("percentile(value, 0.9)").as("p90"))
 
+  /** The full rank-function family over one window: rank, dense_rank,
+    * ntile, percent_rank, cume_dist. The order key (µs ts, event_id) is
+    * unique, so every rank is deterministic; percent_rank/cume_dist are
+    * single integer divisions — bit-identical across engines. */
+  def winRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(expr("ts_ns div 1000"), col("event_id"))
+    events(s, d).select(
+      col("event_id"), col("event_type"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      ntile(4).over(w).as("quartile"),
+      percent_rank().over(w).as("prank"),
+      cume_dist().over(w).as("cdist"))
+  }
+
+  /** arg-extrema aggregates: the event carrying each group's largest /
+    * smallest value. Ties on value break deterministically on the
+    * unique event_id via an exact composite integer key
+    * (value·100 is integral — 2-dp data — and event_id < 10¹¹), since
+    * DuckDB's arg_max does not take composite ordering keys. */
+  def aggArgExtrema(s: SparkSession, d: String): DataFrame = {
+    val key = (dec2(col("value")) * 100).cast("long") * lit(100000000000L) +
+      col("event_id")
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        max_by(col("event_id"), key).as("max_value_event"),
+        min_by(col("event_id"), key).as("min_value_event"),
+        max(col("value")).as("max_value"),
+        min(col("value")).as("min_value"))
+  }
+
+  /** Scalar subquery in the predicate: orders above 1.8× the mean
+    * price. The comparison is spelled price·count·10 > 18·sum in
+    * DECIMAL so both engines evaluate exact integer/decimal arithmetic
+    * — no float threshold to wobble on partial-sum order. */
+  def subqueryScalar(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("graft_orders_sq")
+    s.sql("""
+      SELECT o_orderkey, o_totalprice FROM graft_orders_sq
+      WHERE CAST(o_totalprice AS DECIMAL(12,2))
+              * (SELECT count(*) FROM graft_orders_sq) * 10
+            > 18 * (SELECT sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                    FROM graft_orders_sq)""")
+  }
+
   /** Per-month order stats — date_trunc + grouped decimal sum. */
   def tsTrunc(s: SparkSession, d: String): DataFrame =
     orders(s, d)
@@ -331,6 +378,9 @@ object Relational {
     "win_session"       -> winSession _,
     "agg_grouping_sets" -> aggGroupingSets _,
     "agg_quantile"      -> aggQuantile _,
+    "win_rank"          -> winRank _,
+    "agg_arg_extrema"   -> aggArgExtrema _,
+    "subquery_scalar"   -> subqueryScalar _,
   )
 
   private val sumQty  = "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
@@ -449,6 +499,29 @@ object Relational {
           quantile_cont(value, 0.5) AS p50,
           quantile_cont(value, 0.9) AS p90
         FROM events GROUP BY event_type""",
+    "win_rank" ->
+      """SELECT event_id, event_type,
+          rank() OVER w AS rnk,
+          dense_rank() OVER w AS drnk,
+          ntile(4) OVER w AS quartile,
+          percent_rank() OVER w AS prank,
+          cume_dist() OVER w AS cdist
+        FROM events
+        WINDOW w AS (PARTITION BY event_type
+          ORDER BY epoch_ns(ts) // 1000, event_id)""",
+    "agg_arg_extrema" ->
+      """SELECT event_type,
+          arg_max(event_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+            * 100000000000 + event_id) AS max_value_event,
+          arg_min(event_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+            * 100000000000 + event_id) AS min_value_event,
+          max(value) AS max_value, min(value) AS min_value
+        FROM events GROUP BY event_type""",
+    "subquery_scalar" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        WHERE CAST(o_totalprice AS DECIMAL(12,2))
+                * (SELECT count(*) FROM orders) * 10
+              > 18 * (SELECT sum(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders)""",
     "win_session" ->
       """WITH x AS (
           SELECT user_id, event_id, value, epoch_ns(ts) AS tns FROM events),
