@@ -75,9 +75,42 @@ object StreamingQueries {
     runToMemory(s, agg, OutputMode.Complete())
   }
 
+  /** Cross-micro-batch stateful merging: the events table is re-written
+    * as 4 parquet files into a per-invocation temp dir and streamed with
+    * maxFilesPerTrigger=1, so the session aggregation runs over FOUR
+    * micro-batches whose per-user sessions must merge in the state
+    * store — the part of streaming sessionization a single-batch run
+    * never exercises. Input is quartered (user_id % 4 = 0) to keep the
+    * 4-epoch run cheap; the oracle applies the same filter. */
+  def streamSessionMultiBatch(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("stream_src").resolve("events").toString
+    s.read.parquet(s"$d/events.parquet")
+      .filter(col("user_id") % 4 === 0)
+      .repartition(4)
+      .write.mode("overwrite").parquet(tmp)
+    val schema = s.read.parquet(tmp).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(tmp)
+      .withColumn("ts_ns", col("ts"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = src
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        col("n_events"), col("session_value"))
+    runToMemory(s, agg, OutputMode.Complete())
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hourly"  -> streamHourly _,
     "stream_session" -> streamSession _,
+    "stream_session_multibatch" -> streamSessionMultiBatch _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -91,6 +124,27 @@ object StreamingQueries {
     "stream_session" ->
       """WITH x AS (
           SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS tus FROM events),
+        l AS (
+          SELECT user_id, event_id, value, tus,
+            lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+          FROM x),
+        st AS (
+          SELECT user_id, event_id, value, tus,
+            CASE WHEN prev IS NULL OR tus - prev > 1800000000
+              THEN 1 ELSE 0 END AS is_start
+          FROM l),
+        sess AS (
+          SELECT user_id, value, tus,
+            CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY tus, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+          FROM st)
+        SELECT user_id, min(tus) AS start_us, count(*) AS n_events,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        FROM sess GROUP BY user_id, sid""",
+    "stream_session_multibatch" ->
+      """WITH x AS (
+          SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS tus FROM events
+          WHERE user_id % 4 = 0),
         l AS (
           SELECT user_id, event_id, value, tus,
             lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev

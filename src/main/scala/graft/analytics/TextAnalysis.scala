@@ -114,7 +114,28 @@ object TextAnalysis {
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Most-salient term per document, TF-IDF-style but ranked on the
+    * raw integers (tf desc, corpus df asc, token asc): ln() is not
+    * bit-identical across engines, the integer ordering is. Three
+    * shuffles — (doc,token) tf, token df, per-doc top-1 window — all on
+    * small keys; the document text itself never shuffles. */
+  def topTerm(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(toks).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tok.distinct().groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("token"))
+    tf.join(df, Seq("token"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("token").as("top_term"), col("tf"), col("df"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_top_term"    -> topTerm _,
     "text_tokens"      -> textTokens _,
     "text_quality"     -> textQuality _,
     "text_token_regex" -> textTokenRegex _,
@@ -165,6 +186,18 @@ object TextAnalysis {
         FROM s""",
     "text_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp FROM documents",
+    "text_top_term" ->
+      """WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        df AS (SELECT token, count(*) AS df FROM
+          (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token)
+        SELECT doc_id, token AS top_term, tf, df FROM (
+          SELECT tf.doc_id, tf.token, tf.tf, df.df,
+            row_number() OVER (PARTITION BY tf.doc_id
+              ORDER BY tf.tf DESC, df.df ASC, tf.token) AS rn
+          FROM tf JOIN df USING (token))
+        WHERE rn = 1""",
     "text_bigrams" ->
       """SELECT bigram, count(*) AS cnt FROM (
           SELECT unnest(list_transform(
