@@ -140,9 +140,24 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("nid"), col("rn"))
   }
 
+  /** Radius (range) search — the threshold sibling of top-k: every
+    * corpus neighbor with cosine ≥ `radius` of each query vector. Same
+    * broadcast-query / linear-corpus-scan shape as simKnn; the double
+    * cosine is cross-engine exact (same left-to-right dot product). */
+  def simRange(s: SparkSession, d: String, radius: Double = 0.3): DataFrame = {
+    val e = corpus(s, d)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    e.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .filter(col("cos") >= radius)
+      .select(col("qid"), col("vec_id").as("nid"), col("cos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn" -> simKnn _,
     "sim_ann_ivf" -> ((s: SparkSession, d: String) => simAnnIvf(s, d)),
+    "sim_range" -> ((s: SparkSession, d: String) => simRange(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -162,5 +177,14 @@ object Similarity {
         WHERE rn <= 10""",
     // sim_ann_ivf: approximate by design — no oracle (rows-only check);
     // recall vs sim_knn is asserted in AnalyticsSpec.
+    "sim_range" ->
+      """WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+        SELECT q.vec_id AS qid, c.vec_id AS nid,
+          list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+        FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+        WHERE list_dot_product(q.v, c.v) / (q.nrm * c.nrm) >= 0.3""",
   )
 }

@@ -89,9 +89,11 @@ object TextAnalysis {
   /** Rolling-hash fingerprints: a Karp-Rabin-style polynomial fold over
     * tokens (order-sensitive content hash) and a winnowing-style
     * fingerprint (min over 5-gram shingle hashes — robust to small
-    * edits, the MOSS/winnowing idea). xxhash64 has no DuckDB
-    * equivalent, so this query is rows-only checked; semantics are
-    * spec-tested (identical docs ⇒ identical fingerprints). */
+    * edits, the MOSS/winnowing idea). xxhash64 (the fast production
+    * hash) has no DuckDB equivalent, so this variant is spec-tested
+    * (identical docs ⇒ identical fingerprints); the DECLARED query is
+    * `rollingHashPortable` below, same folds over an md5-derived token
+    * hash both engines compute. */
   def rollingHash(s: SparkSession, d: String): DataFrame = {
     // Karp-Rabin over the Mersenne prime 2^31-1: acc stays < p, so
     // acc*31 + tokenHash stays far below 2^63 (ANSI-safe, no overflow)
@@ -103,6 +105,23 @@ object TextAnalysis {
         .as("poly_hash"),
       array_min(transform(graft.functions.text.shingles(toks, 5),
         sh => xxhash64(sh))).as("winnow_fp"))
+  }
+
+  /** Oracle-checkable rolling hash: token hash = low 15 hex digits of
+    * md5 (fits BIGINT exactly in both engines), same Karp-Rabin fold
+    * and winnowing min as `rollingHash`. */
+  def rollingHashPortable(s: SparkSession, d: String): DataFrame = {
+    val p = lit(2147483647L)
+    def th(t: Column): Column =
+      conv(substring(md5(t), 18, 15), 16, 10).cast("long")
+    documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        aggregate(toks, lit(0L), (acc, t) => pmod(acc * 31L + pmod(th(t), p), p))
+          .as("poly_hash"),
+        array_min(transform(graft.functions.text.shingles(toks, 5),
+          sh => th(sh))).as("winnow_fp"))
   }
 
   /** Bigram frequency table (n-gram language-model counts) via the
@@ -141,7 +160,7 @@ object TextAnalysis {
     "text_token_regex" -> textTokenRegex _,
     "lang_id"          -> langId _,
     "text_fingerprint" -> fingerprint _,
-    "text_rolling_hash" -> rollingHash _,
+    "text_rolling_hash" -> rollingHashPortable _,
     "text_bigrams"     -> bigrams _,
   )
 
@@ -186,6 +205,24 @@ object TextAnalysis {
         FROM s""",
     "text_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp FROM documents",
+    // token hash = ('0x' || low 15 md5 hex digits)::BIGINT; polynomial
+    // fold seeded with 0 via list_reduce over [0] ++ hashes
+    "text_rolling_hash" ->
+      """WITH t AS (
+          SELECT doc_id,
+            list_transform(string_split(text, ' '),
+              tk -> ('0x' || substr(md5(tk), 18, 15))::BIGINT) AS hs,
+            list_transform(
+              generate_series(1, len(string_split(text, ' ')) - 4),
+              i -> ('0x' || substr(md5(
+                array_to_string(string_split(text, ' ')[i:i+4], ' ')), 18, 15))::BIGINT)
+              AS shs
+          FROM documents)
+        SELECT doc_id,
+          list_reduce(list_concat([CAST(0 AS BIGINT)], hs),
+            (acc, h) -> (acc * 31 + h % 2147483647) % 2147483647) AS poly_hash,
+          list_min(shs) AS winnow_fp
+        FROM t""",
     "text_top_term" ->
       """WITH tok AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
