@@ -73,7 +73,11 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"steal_pct_pass1":${f"$steal1%.2f"},"steal_pct_pass2":${f"$steal2%.2f"},"sf":"$sfDir"}""")
+    // Locale.ROOT: the f-interpolator uses the default locale, which can
+    // emit a ',' decimal separator and corrupt the JSON
+    def pct(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"steal_pct_pass1":${pct(steal1)},"steal_pct_pass2":${pct(steal2)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -58,4 +58,16 @@ object Tables {
     * division. Bit-identical in Spark and DuckDB. */
   def avgExact(c: Column): Column =
     F.sum(dec2(c)).cast("double") / F.count(F.lit(1))
+
+  /** Per-invocation temp output dir for queries that materialize
+    * intermediate files (round-trips, stream sources): unique per call
+    * so concurrent harness runs can't collide, and removed at JVM exit
+    * so repeated runs can't fill the disk. */
+  def tempOutDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+    dir.resolve("out").toString
+  }
 }

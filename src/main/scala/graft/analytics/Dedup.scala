@@ -56,40 +56,51 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
   }
 
-  /** Candidate pairs + shared-shingle counts from the shingle self-join,
-    * with hot shingles (document frequency > dfCap) excluded from
-    * CANDIDATE GENERATION — the standard LSH/all-pairs guard: one
-    * boilerplate shingle (license header, nav bar) appearing in f docs
-    * contributes f² join rows; at 100 TB a single hot shingle makes the
-    * join quadratic. The hot list is tiny by construction (few shingles
+  /** Shingle universe with hot shingles (document frequency > dfCap)
+    * excluded — the standard LSH/all-pairs guard: one boilerplate
+    * shingle (license header, nav bar) appearing in f docs contributes
+    * f² join rows; at 100 TB a single hot shingle makes the self-join
+    * quadratic. The hot list is tiny by construction (few shingles
     * exceed any sane cap), so it broadcast-anti-joins for free. */
-  private[analytics] def ngramCandidates(sh: DataFrame, dfCap: Int): DataFrame = {
+  private def cappedShingles(sh: DataFrame, dfCap: Int): DataFrame = {
     val hot = sh.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap)
       .select(col("shingle"))
-    val kept = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
-    val a    = kept.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b    = kept.select(col("doc_id").as("doc_b"), col("shingle"))
+    sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+  }
+
+  /** Candidate pairs + shared-shingle counts from the (already-capped)
+    * shingle self-join. */
+  private def shinglePairs(kept: DataFrame): DataFrame = {
+    val a = kept.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = kept.select(col("doc_id").as("doc_b"), col("shingle"))
     a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
   }
 
+  private[analytics] def ngramCandidates(sh: DataFrame, dfCap: Int): DataFrame =
+    shinglePairs(cappedShingles(sh, dfCap))
+
   /** Exact n-gram Jaccard over shingle sets: candidate pairs from the
     * df-capped shingle join, similarity = |A∩B| / (|A|+|B|−|A∩B|),
-    * threshold 0.6. The default cap (64) is far above the test corpus's
-    * max df (4 at sf0.1) so the result is byte-identical to the uncapped
-    * join; set sizes are always computed over the FULL shingle sets, so
-    * the cap only prunes candidate generation, never the similarity. */
+    * threshold 0.6. The df cap defines the shingle UNIVERSE: shingles
+    * with document frequency > dfCap (boilerplate — license headers,
+    * nav bars) are excluded from BOTH the intersection and the set
+    * sizes, so the Jaccard stays internally consistent ("similarity
+    * over non-boilerplate content") rather than silently deflating when
+    * only the numerator is capped. The default cap (64) is far above
+    * the test corpus's max df (4 at sf0.1), so the result is
+    * byte-identical to the uncapped join. */
   def dedupNgram(s: SparkSession, d: String): DataFrame =
     dedupNgramOf(documents(s, d))
 
   def dedupNgramOf(docs: DataFrame, dfCap: Int = 64): DataFrame = {
-    // the shingle table feeds four consumers (df count, both self-join
-    // sides, set sizes); persist it once instead of re-deriving per branch
-    val sh    = shinglesOf(docs).persist()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    ngramCandidates(sh, dfCap)
+    // the capped shingle universe feeds three consumers (both self-join
+    // sides + set sizes); persist it once instead of re-deriving per branch
+    val kept  = cappedShingles(shinglesOf(docs), dfCap).persist()
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    shinglePairs(kept)
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
       .withColumn("jaccard", col("inter").cast("double")

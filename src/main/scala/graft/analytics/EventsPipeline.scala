@@ -199,60 +199,37 @@ object EventsPipeline {
       .select(col("event_type"), (col("user_id") % 7).as("cohort"))
       .distinct()
 
-  /** CSV sink + source round-trip: write a projection as CSV, read it
-    * back with an explicit schema, aggregate — proves the text-format
-    * path preserves values (doubles round-trip via shortest-repr).
-    * The output dir is per-invocation (Verify and both Bench passes run
-    * this concurrently-adjacent; a fixed path races). */
-  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("csv_roundtrip").resolve("out").toString
+  /** Sink + source round-trip for one format: write a projection, read
+    * it back (explicit schema for the text formats — CSV headers / JSON
+    * lines carry no types), aggregate — proves the format path preserves
+    * values (doubles round-trip via shortest-repr). Output dirs are
+    * per-invocation and JVM-exit-cleaned (Tables.tempOutDir): Verify and
+    * both Bench passes run these concurrently-adjacent, and a fixed path
+    * would race while an uncleaned one would leak. */
+  private def roundtrip(s: SparkSession, d: String, format: String): DataFrame = {
+    val out = graft.Tables.tempOutDir(s"${format}_roundtrip")
     events(s, d)
       .select(col("event_id"), col("event_type"), col("value"))
-      .write.mode("overwrite").option("header", "true").csv(out)
-    s.read
-      .schema("event_id LONG, event_type STRING, value DOUBLE")
-      .option("header", "true").csv(out)
-      .groupBy(col("event_type"))
+      .write.mode("overwrite").option("header", "true").format(format).save(out)
+    val back =
+      if (format == "orc") s.read.orc(out)
+      else s.read
+        .schema("event_id LONG, event_type STRING, value DOUBLE")
+        .option("header", "true").format(format).load(out)
+    back.groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("cnt"),
         sum(dec2(col("value"))).cast("double").as("sum_value"))
   }
 
-  /** JSON sink + source round-trip — the reference's raw-layer format
-    * (consumer writes JSON batches to S3, consumer_etl.py:63-67) driven
-    * through Spark's json writer/reader with an explicit read schema.
-    * Doubles survive via shortest-repr; the oracle aggregates the
-    * source table (round-trip is lossless). */
-  def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("json_roundtrip").resolve("out").toString
-    events(s, d)
-      .select(col("event_id"), col("event_type"), col("value"))
-      .write.mode("overwrite").json(out)
-    s.read
-      .schema("event_id LONG, event_type STRING, value DOUBLE")
-      .json(out)
-      .groupBy(col("event_type"))
-      .agg(
-        count(lit(1)).as("cnt"),
-        sum(dec2(col("value"))).cast("double").as("sum_value"))
-  }
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = roundtrip(s, d, "csv")
 
-  /** ORC sink + source round-trip — the second columnar format Spark
-    * ships besides parquet; same lossless-round-trip oracle shape. */
-  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("orc_roundtrip").resolve("out").toString
-    events(s, d)
-      .select(col("event_id"), col("event_type"), col("value"))
-      .write.mode("overwrite").orc(out)
-    s.read.orc(out)
-      .groupBy(col("event_type"))
-      .agg(
-        count(lit(1)).as("cnt"),
-        sum(dec2(col("value"))).cast("double").as("sum_value"))
-  }
+  /** JSON round-trip — the reference's raw-layer format (consumer
+    * writes JSON batches to S3, consumer_etl.py:63-67). */
+  def jsonRoundtrip(s: SparkSession, d: String): DataFrame = roundtrip(s, d, "json")
+
+  /** ORC round-trip — the second columnar format Spark ships. */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = roundtrip(s, d, "orc")
 
   /** As-of join (attribution): for each purchase, the same user's most
     * recent click at-or-before it. Implemented with the union+window
@@ -386,6 +363,11 @@ object EventsPipeline {
           (json_extract(props, '$.k')::INT BETWEEN 0 AND 89) AS r4
         FROM events)"""
 
+  private val roundtripOracle =
+    """SELECT event_type, count(*) AS cnt,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY event_type"""
+
   private val reasonsExpr =
     """array_to_string(list_filter([
         CASE WHEN NOT r1 THEN 'missing_user_id' END,
@@ -500,18 +482,9 @@ object EventsPipeline {
     "proj_distinct" ->
       """SELECT DISTINCT event_type, user_id % 7 AS cohort FROM events""",
     // round-trips are lossless, so the oracles aggregate the source table
-    "csv_roundtrip" ->
-      """SELECT event_type, count(*) AS cnt,
-          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        FROM events GROUP BY event_type""",
-    "json_roundtrip" ->
-      """SELECT event_type, count(*) AS cnt,
-          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        FROM events GROUP BY event_type""",
-    "orc_roundtrip" ->
-      """SELECT event_type, count(*) AS cnt,
-          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        FROM events GROUP BY event_type""",
+    "csv_roundtrip"  -> roundtripOracle,
+    "json_roundtrip" -> roundtripOracle,
+    "orc_roundtrip"  -> roundtripOracle,
     "join_asof" ->
       """WITH e AS (
           SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tus,

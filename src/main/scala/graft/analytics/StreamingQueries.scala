@@ -36,7 +36,10 @@ object StreamingQueries {
   }
 
   /** Run a streaming aggregation to completion via a uniquely-named
-    * memory sink and return its final table. */
+    * memory sink, COPY the final result out, and drop the sink's temp
+    * view — otherwise every invocation retains its full result set in
+    * driver memory for the session lifetime (Bench runs each streaming
+    * query twice per pass). */
   private def runToMemory(s: SparkSession, df: DataFrame,
       mode: OutputMode): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
@@ -47,8 +50,22 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(name)
+    val sink   = s.table(name)
+    val copied = s.createDataFrame(sink.collectAsList(), sink.schema)
+    s.catalog.dropTempView(name)
+    copied
   }
+
+  /** The 30-minute-gap session aggregation both session queries share. */
+  private def sessionAgg(src: DataFrame): DataFrame =
+    src
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        col("n_events"), col("session_value"))
 
   /** The windowed-counts aggregation (StreamingPipeline.windowedCounts)
     * executed by a real StreamingQuery; oracle = the same date_trunc
@@ -63,17 +80,8 @@ object StreamingQueries {
     * gap sessions per user, executed by a real StreamingQuery. Output
     * uses the session START (µs) as the session key — the
     * representation both engines agree on. */
-  def streamSession(s: SparkSession, d: String): DataFrame = {
-    val agg = eventsStream(s, d)
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
-      .select(col("user_id"),
-        unix_micros(col("session_window.start")).as("start_us"),
-        col("n_events"), col("session_value"))
-    runToMemory(s, agg, OutputMode.Complete())
-  }
+  def streamSession(s: SparkSession, d: String): DataFrame =
+    runToMemory(s, sessionAgg(eventsStream(s, d)), OutputMode.Complete())
 
   /** Cross-micro-batch stateful merging: the events table is re-written
     * as 4 parquet files into a per-invocation temp dir and streamed with
@@ -84,8 +92,7 @@ object StreamingQueries {
     * 4-epoch run cheap; the oracle applies the same filter. */
   def streamSessionMultiBatch(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tmp = java.nio.file.Files
-      .createTempDirectory("stream_src").resolve("events").toString
+    val tmp = graft.Tables.tempOutDir("stream_src")
     s.read.parquet(s"$d/events.parquet")
       .filter(col("user_id") % 4 === 0)
       .repartition(4)
@@ -96,15 +103,7 @@ object StreamingQueries {
       .parquet(tmp)
       .withColumn("ts_ns", col("ts"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val agg = src
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
-      .select(col("user_id"),
-        unix_micros(col("session_window.start")).as("start_us"),
-        col("n_events"), col("session_value"))
-    runToMemory(s, agg, OutputMode.Complete())
+    runToMemory(s, sessionAgg(src), OutputMode.Complete())
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -120,47 +119,32 @@ object StreamingQueries {
           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2""",
     // same sessionization CTE as win_session, but keyed by the session
-    // start time (µs) like session_window's output
-    "stream_session" ->
-      """WITH x AS (
-          SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS tus FROM events),
-        l AS (
-          SELECT user_id, event_id, value, tus,
-            lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
-          FROM x),
-        st AS (
-          SELECT user_id, event_id, value, tus,
-            CASE WHEN prev IS NULL OR tus - prev > 1800000000
-              THEN 1 ELSE 0 END AS is_start
-          FROM l),
-        sess AS (
-          SELECT user_id, value, tus,
-            CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY tus, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
-          FROM st)
-        SELECT user_id, min(tus) AS start_us, count(*) AS n_events,
-          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
-        FROM sess GROUP BY user_id, sid""",
-    "stream_session_multibatch" ->
-      """WITH x AS (
-          SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS tus FROM events
-          WHERE user_id % 4 = 0),
-        l AS (
-          SELECT user_id, event_id, value, tus,
-            lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
-          FROM x),
-        st AS (
-          SELECT user_id, event_id, value, tus,
-            CASE WHEN prev IS NULL OR tus - prev > 1800000000
-              THEN 1 ELSE 0 END AS is_start
-          FROM l),
-        sess AS (
-          SELECT user_id, value, tus,
-            CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY tus, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
-          FROM st)
-        SELECT user_id, min(tus) AS start_us, count(*) AS n_events,
-          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
-        FROM sess GROUP BY user_id, sid""",
+    // start time (µs) like session_window's output; the multibatch
+    // variant only adds the input filter
+    "stream_session"            -> sessionOracle(""),
+    "stream_session_multibatch" -> sessionOracle(" WHERE user_id % 4 = 0"),
   )
+
+  /** Batch (lag + running-sum) spelling of the 30-minute sessionization
+    * over an optionally-filtered events table. */
+  private def sessionOracle(where: String): String =
+    s"""WITH x AS (
+        SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS tus FROM events$where),
+      l AS (
+        SELECT user_id, event_id, value, tus,
+          lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+        FROM x),
+      st AS (
+        SELECT user_id, event_id, value, tus,
+          CASE WHEN prev IS NULL OR tus - prev > 1800000000
+            THEN 1 ELSE 0 END AS is_start
+        FROM l),
+      sess AS (
+        SELECT user_id, value, tus,
+          CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY tus, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        FROM st)
+      SELECT user_id, min(tus) AS start_us, count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      FROM sess GROUP BY user_id, sid"""
 }
