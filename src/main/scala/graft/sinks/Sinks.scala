@@ -1,6 +1,7 @@
 package graft.sinks
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
 import scala.util.Try
 
 /** Layered-lake sinks (/root/reference/Glue/Glue_job.py:124-128,142).
@@ -31,4 +32,38 @@ object Sinks {
   def writeAppend(df: DataFrame, path: String): Unit =
     if (!df.isEmpty)
       df.write.format(fmt).option("mergeSchema", "true").mode("append").save(path)
+
+  /** Keyed MERGE (upsert) into a partitioned parquet table — the
+    * Delta-MERGE equivalent this image's jar set can't run natively.
+    * updates rows replace existing rows with the same key; new keys
+    * append.
+    *
+    * Scale contract: only the partitions PRESENT IN THE UPDATE are
+    * rewritten (dynamic partition overwrite) — existing rows of touched
+    * partitions are kept via a left-anti join on the key, untouched
+    * partitions' files are not even read. At 100 TB the cost is
+    * O(touched partitions), not O(table). The merged plan is
+    * localCheckpoint'ed before the write because Spark refuses to
+    * overwrite a path it is still lazily reading from. */
+  def upsert(spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String], partitionCol: String): Unit = {
+    val exists = Try(spark.read.parquet(path).schema).isSuccess
+    val merged =
+      if (!exists) updates
+      else {
+        val touched = updates.select(partitionCol).distinct()
+        val kept = spark.read.parquet(path)
+          // only touched partitions participate (partition pruning does
+          // the skipping; broadcast keeps the probe small)
+          .join(broadcast(touched), Seq(partitionCol), "left_semi")
+          .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+        kept.unionByName(updates.select(kept.columns.map(col): _*))
+      }
+    merged
+      .localCheckpoint(true) // sever lineage: the write overwrites its own input
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(path)
+  }
 }

@@ -119,6 +119,31 @@ class PipelineSpec extends SparkSpec {
       df.orderBy(col("event_id")).limit(500), suite) === "PASSED")
   }
 
+  test("keyed upsert rewrites only touched partitions (parquet MERGE equivalent)") {
+    import spark.implicits._
+    import graft.sinks.Sinks
+    val path = new java.io.File("target/fixtures/upsert").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    Seq(("a", 1, 1), ("b", 2, 1), ("c", 3, 2), ("d", 4, 2))
+      .toDF("k", "v", "p")
+      .write.partitionBy("p").parquet(path)
+    def mtimes(part: Int): Map[String, Long] =
+      new java.io.File(s"$path/p=$part").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).toMap
+    val p2Before = mtimes(2)
+    // update key b, insert key e — both land in partition 1
+    Sinks.upsert(spark, path,
+      Seq(("b", 20, 1), ("e", 50, 1)).toDF("k", "v", "p"),
+      keyCols = Seq("k"), partitionCol = "p")
+    val after = spark.read.parquet(path)
+    assert(after.count() === 5)
+    assert(after.filter($"k" === "b").select("v").first().getInt(0) === 20)
+    assert(after.filter($"k" === "c").select("v").first().getInt(0) === 3)
+    // the untouched partition's files were not rewritten
+    assert(mtimes(2) === p2Before, "partition p=2 was rewritten")
+  }
+
   test("generator is deterministic across invocations") {
     val a = TelemetryGen.recordJson(spark, 100).collect().map(_.getString(1))
     val b = TelemetryGen.recordJson(spark, 100).collect().map(_.getString(1))
