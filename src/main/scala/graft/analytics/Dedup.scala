@@ -161,8 +161,11 @@ object Dedup {
   }
 
   /** Near-dup pairs by SimHash hamming distance ≤ `maxDist`, candidates
-    * from 4-bit band buckets (any shared band → compare). Library
-    * surface + spec-tested; approximate by construction. */
+    * from 4-bit band buckets (any shared band → compare); the distance
+    * is the native codegen HammingDistance expression (one primitive
+    * byte loop vs 16 substring compares). Approximate by construction
+    * (banding can miss pairs), but deterministic — the declared query
+    * carries a DuckDB oracle of the identical banding + distance. */
   def simhashPairs(s: SparkSession, d: String, maxDist: Int = 2): DataFrame = {
     val fp = dedupSimhash(s, d)
     val banded = fp.select(col("doc_id"), col("simhash"),
@@ -171,12 +174,9 @@ object Dedup {
         lit(":"), substring(col("simhash"), col("band") * 4 + 1, lit(4))))
     val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("bucket"))
     val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"), col("bucket"))
-    val hamming = (1 to 16).map(i =>
-      when(substring(col("sh_a"), i, 1) =!= substring(col("sh_b"), i, 1), 1)
-        .otherwise(0)).reduce(_ + _)
     a.join(b, Seq("bucket")).filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
-      .withColumn("hamming", hamming)
+      .withColumn("hamming", graft.functions.hamming(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
@@ -266,6 +266,7 @@ object Dedup {
     "dedup_ngram"     -> dedupNgram _,
     "dedup_minhash"   -> dedupMinhash _,
     "dedup_simhash"   -> dedupSimhash _,
+    "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "dedup_embedding" -> dedupEmbedding _,
   )
 
@@ -321,6 +322,25 @@ object Dedup {
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
     "dedup_simhash" -> simhashSql,
+    // identical banding (4-bit buckets) + hamming over the same 16-bit
+    // fingerprints the dedup_simhash oracle computes
+    "dedup_simhash_pairs" ->
+      s"""WITH fp AS ($simhashSql),
+        banded AS (
+          SELECT doc_id, simhash, b.band,
+            CAST(b.band AS VARCHAR) || ':' || substr(simhash, b.band * 4 + 1, 4) AS bucket
+          FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            a.simhash AS sh_a, b.simhash AS sh_b
+          FROM banded a JOIN banded b
+            ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, hamming FROM (
+          SELECT doc_a, doc_b,
+            CAST(len(list_filter(generate_series(1, 16),
+              i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1))) AS INT) AS hamming
+          FROM cand)
+        WHERE hamming <= 2""",
     "dedup_embedding" ->
       """WITH e AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -41,6 +41,9 @@ object GraftExtensions {
     ("shingles",
       new ExpressionInfo(classOf[ShingleArray].getName, "shingles"),
       (es: Seq[Expression]) => ShingleArray(es(0), intArg(es(1), "shingles"))),
+    ("hamming",
+      new ExpressionInfo(classOf[HammingDistance].getName, "hamming"),
+      (es: Seq[Expression]) => HammingDistance(es(0), es(1))),
     ("freq_items_sketch",
       new ExpressionInfo(classOf[MisraGriesSketch].getName, "freq_items_sketch"),
       (es: Seq[Expression]) =>

@@ -11,10 +11,16 @@ class ExtensionsSpec extends SparkSpec {
       """SELECT
           vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
           vec_l2norm(array(3.0d, 4.0d)) AS n,
-          shingles(array('a','b','c','d'), 3) AS sh""").first()
+          shingles(array('a','b','c','d'), 3) AS sh,
+          hamming('0110', '0011') AS hd""").first()
     assert(r.getDouble(0) === 11.0)
     assert(r.getDouble(1) === 5.0)
     assert(r.getSeq[String](2) === Seq("a b c", "b c d"))
+    assert(r.getInt(3) === 2)
+    // codegen path (per-row, non-literal inputs) agrees with eval
+    val hd = spark.range(16).selectExpr(
+      "hamming(lpad(bin(id), 4, '0'), '0000') AS h").collect().map(_.getInt(0))
+    assert(hd.toSeq === (0 until 16).map(Integer.bitCount))
     val hh = spark.sql(
       """SELECT freq_items_sketch(t, 10) AS hh FROM (
           SELECT explode(array('x','x','x','y','z')) AS t)""")
