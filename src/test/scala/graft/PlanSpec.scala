@@ -1,0 +1,84 @@
+package graft
+
+/** Plan-shape regression guard: the scale contract, machine-checked.
+  *
+  * Two blanket rules over every declared batch query's physical plan,
+  * plus pinned per-query shuffle budgets:
+  *
+  *  1. NO nested-loop/cartesian join anywhere — except the documented
+  *     exact-scan similarity family, whose BroadcastNestedLoopJoin
+  *     streams the corpus ONCE against a broadcast (small by
+  *     construction) query set: linear in the corpus, the whole point
+  *     of the brute-force baseline.
+  *  2. Exchange count must not exceed the audited budget. A new
+  *     Exchange in q1_agg or win_session is a scale regression the
+  *     correctness oracle cannot see — this spec makes it fail loudly.
+  *
+  * Budgets are the audited values at sf0.001 / local[4] / 4 shuffle
+  * partitions (plan shape, not data, is what's pinned). Streaming
+  * queries are excluded (they execute on construction and their state
+  * exchanges are AQE-disabled anyway).
+  */
+class PlanSpec extends SparkSpec {
+
+  // exact-scan similarity: justified broadcast NLJ (see scaladoc)
+  private val nljWhitelist = Set("sim_knn", "sim_range")
+
+  private val streaming =
+    Set("stream_hourly", "stream_session", "stream_session_multibatch")
+
+  /** Audited max Exchange-hashpartitioning count per query. */
+  private val exchangeBudget: Map[String, Int] = Map(
+    "agg_arg_extrema" -> 1, "agg_count" -> 0, "agg_cube" -> 1,
+    "agg_distinct" -> 2, "agg_group" -> 2, "agg_grouping_sets" -> 1,
+    "agg_pivot" -> 2, "agg_quantile" -> 1, "agg_rollup" -> 1,
+    "agg_salted" -> 2, "array_funcs" -> 0, "clean_nan_null" -> 1,
+    "csv_roundtrip" -> 1, "dedup_embedding" -> 1, "dedup_exact" -> 1,
+    "dedup_minhash" -> 3, "dedup_ngram" -> 15, "dedup_simhash" -> 0,
+    "dedup_simhash_pairs" -> 1, "expect_suite" -> 0,
+    "expect_suite_sample" -> 0, "freq_items" -> 0, "gen_explode" -> 1,
+    "join_anti" -> 0, "join_asof" -> 1, "join_broadcast" -> 1,
+    "join_inner" -> 1, "join_left" -> 1, "join_range" -> 0,
+    "join_semi" -> 1, "json_parse_array" -> 1, "json_parse_struct" -> 0,
+    "json_roundtrip" -> 1, "lang_id" -> 0, "limit_n" -> 0,
+    "lineage" -> 0, "multimodal_features" -> 0, "multimodal_stub" -> 0,
+    "nested_access" -> 0, "orc_roundtrip" -> 1, "pred_between" -> 0,
+    "pred_conj" -> 0, "pred_isin" -> 1, "pred_null" -> 0,
+    "proj_distinct" -> 1, "project_nested_star" -> 0, "q1_agg" -> 1,
+    "reasons_array" -> 1, "set_except" -> 1, "set_intersect" -> 1,
+    "set_union_by_name" -> 2, "sim_ann_ivf" -> 2, "sim_knn" -> 1,
+    "sim_range" -> 0, "sort_topk" -> 0, "split_invalid" -> 0,
+    "split_valid" -> 0, "str_format" -> 1, "str_funcs" -> 0,
+    "subquery_scalar" -> 0, "text_bigrams" -> 1, "text_fingerprint" -> 0,
+    "text_quality" -> 0, "text_rolling_hash" -> 0, "text_token_regex" -> 0,
+    "text_tokens" -> 0, "text_top_term" -> 4, "ts_trunc" -> 1,
+    "ts_tz_shift" -> 0, "warehouse_load" -> 0, "win_hourly" -> 1,
+    "win_lag" -> 1, "win_latest" -> 1, "win_rank" -> 1,
+    "win_session" -> 1, "win_sum" -> 1)
+
+  test("no query plans a nested-loop or cartesian join (exact-scan family excepted)") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if streaming(name) || nljWhitelist(name) => None
+      case (name, fn) =>
+        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+        spark.catalog.clearCache()
+        if (p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
+          Some(name)
+        else None
+    }
+    assert(offenders.isEmpty, s"nested-loop plans: $offenders")
+  }
+
+  test("every query stays within its audited shuffle budget") {
+    val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if streaming(name) => None
+      case (name, fn) =>
+        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+        spark.catalog.clearCache()
+        val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+        val budget = exchangeBudget.getOrElse(name, 0)
+        if (ex > budget) Some(s"$name: $ex > $budget") else None
+    }
+    assert(over.isEmpty, s"shuffle-budget regressions: $over")
+  }
+}
