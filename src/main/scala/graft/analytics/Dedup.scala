@@ -160,6 +160,25 @@ object Dedup {
       .select(col("doc_id"), concat(bits: _*).as("simhash"))
   }
 
+  /** Production-width 64-bit SimHash: two salted md5 digests per token
+    * (32 high-bits each) — at 5k+ docs the 16-bit space saturates with
+    * collisions; 64 bits keeps banded near-dup search selective. Same
+    * bitstring encoding and oracle spelling as the 16-bit variant. */
+  def dedupSimhash64(s: SparkSession, d: String): DataFrame = {
+    val highs = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val bits = (0 until 64).map { b =>
+      val (salt, pos) = (b / 32, b % 32 + 1)
+      val contrib = transform(col(s"h$salt"), h =>
+        when(substring(h, pos, 1).isin(highs: _*), 1).otherwise(-1))
+      when(aggregate(contrib, lit(0), (acc, x) => acc + x) >= 0, "1").otherwise("0")
+    }
+    documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("h0", transform(toks, t => md5(concat(lit("0|"), t))))
+      .withColumn("h1", transform(toks, t => md5(concat(lit("1|"), t))))
+      .select(col("doc_id"), concat(bits: _*).as("simhash64"))
+  }
+
   /** Near-dup pairs by SimHash hamming distance ≤ `maxDist`, candidates
     * from 4-bit band buckets (any shared band → compare); the distance
     * is the native codegen HammingDistance expression (one primitive
@@ -266,6 +285,7 @@ object Dedup {
     "dedup_ngram"     -> dedupNgram _,
     "dedup_minhash"   -> dedupMinhash _,
     "dedup_simhash"   -> dedupSimhash _,
+    "dedup_simhash64" -> dedupSimhash64 _,
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "dedup_embedding" -> dedupEmbedding _,
   )
@@ -288,6 +308,18 @@ object Dedup {
           THEN '1' ELSE '0' END"""
     }
     s"SELECT doc_id, ${bitExprs.mkString(" || ")} AS simhash FROM documents"
+  }
+
+  /** DuckDB spelling of the 64-bit simhash (two salted digests). */
+  private val simhash64Sql: String = {
+    val highs = "('8','9','a','b','c','d','e','f')"
+    val bitExprs = (0 until 64).map { b =>
+      val (salt, pos) = (b / 32, b % 32 + 1)
+      s"""CASE WHEN list_sum(list_transform(string_split(text, ' '),
+          t -> CASE WHEN substr(md5('$salt|' || t), $pos, 1) IN $highs THEN 1 ELSE -1 END)) >= 0
+          THEN '1' ELSE '0' END"""
+    }
+    s"SELECT doc_id, ${bitExprs.mkString(" || ")} AS simhash64 FROM documents"
   }
 
   val oracle: Map[String, String] = Map(
@@ -322,6 +354,7 @@ object Dedup {
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
     "dedup_simhash" -> simhashSql,
+    "dedup_simhash64" -> simhash64Sql,
     // identical banding (4-bit buckets) + hamming over the same 16-bit
     // fingerprints the dedup_simhash oracle computes
     "dedup_simhash_pairs" ->
