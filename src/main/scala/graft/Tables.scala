@@ -62,12 +62,20 @@ object Tables {
   /** Per-invocation temp output dir for queries that materialize
     * intermediate files (round-trips, stream sources): unique per call
     * so concurrent harness runs can't collide, and removed at JVM exit
-    * so repeated runs can't fill the disk. */
-  def tempOutDir(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    * so repeated runs can't fill the disk. ONE shutdown hook drains a
+    * shared queue — per-call hooks would register an unbounded set of
+    * hook threads in a long-lived session. */
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private lazy val tempDirHook: Unit = {
     sys.addShutdownHook {
-      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+      tempDirs.forEach(d => org.apache.commons.io.FileUtils.deleteQuietly(d))
     }
+    ()
+  }
+  def tempOutDir(prefix: String): String = {
+    tempDirHook
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    tempDirs.add(dir.toFile)
     dir.resolve("out").toString
   }
 }

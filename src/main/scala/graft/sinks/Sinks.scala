@@ -42,11 +42,19 @@ object Sinks {
     * rewritten (dynamic partition overwrite) — existing rows of touched
     * partitions are kept via a left-anti join on the key, untouched
     * partitions' files are not even read. At 100 TB the cost is
-    * O(touched partitions), not O(table). The merged plan is
+    * O(touched partitions), not O(table). That contract is only sound
+    * when a key cannot MOVE between partitions (an old copy in an
+    * untouched partition would survive), so the partition column must
+    * be part of the key — enforced below; a genuine cross-partition
+    * move is a delete + insert, not an upsert. The merged plan is
     * localCheckpoint'ed before the write because Spark refuses to
     * overwrite a path it is still lazily reading from. */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], partitionCol: String): Unit = {
+    require(keyCols.contains(partitionCol),
+      s"upsert: partition column '$partitionCol' must be part of the key " +
+        s"$keyCols — otherwise a key moving partitions leaves a stale copy " +
+        "in a partition this upsert never rewrites")
     val exists = Try(spark.read.parquet(path).schema).isSuccess
     val merged =
       if (!exists) updates

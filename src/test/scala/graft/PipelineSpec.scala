@@ -133,9 +133,11 @@ class PipelineSpec extends SparkSpec {
         .map(f => f.getName -> f.lastModified).toMap
     val p2Before = mtimes(2)
     // update key b, insert key e — both land in partition 1
+    // the partition column is part of the key (enforced): a key cannot
+    // move partitions, which is what makes partition-scoped rewrite sound
     Sinks.upsert(spark, path,
       Seq(("b", 20, 1), ("e", 50, 1)).toDF("k", "v", "p"),
-      keyCols = Seq("k"), partitionCol = "p")
+      keyCols = Seq("k", "p"), partitionCol = "p")
     val after = spark.read.parquet(path)
     assert(after.count() === 5)
     assert(after.filter($"k" === "b").select("v").first().getInt(0) === 20)

@@ -35,7 +35,7 @@ class PlanSpec extends SparkSpec {
     "agg_salted" -> 2, "array_funcs" -> 0, "clean_nan_null" -> 1,
     "csv_roundtrip" -> 1, "dedup_embedding" -> 1, "dedup_exact" -> 1,
     "dedup_minhash" -> 3, "dedup_ngram" -> 15, "dedup_simhash" -> 0,
-    "dedup_simhash_pairs" -> 1, "expect_suite" -> 0,
+    "dedup_simhash64" -> 0, "dedup_simhash_pairs" -> 1, "expect_suite" -> 0,
     "expect_suite_sample" -> 0, "freq_items" -> 0, "gen_explode" -> 1,
     "join_anti" -> 0, "join_asof" -> 1, "join_broadcast" -> 1,
     "join_inner" -> 1, "join_left" -> 1, "join_range" -> 0,
@@ -56,28 +56,30 @@ class PlanSpec extends SparkSpec {
     "win_lag" -> 1, "win_latest" -> 1, "win_rank" -> 1,
     "win_session" -> 1, "win_sum" -> 1)
 
-  test("no query plans a nested-loop or cartesian join (exact-scan family excepted)") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, _) if streaming(name) || nljWhitelist(name) => None
-      case (name, fn) =>
+  /** Each query's physical-plan string, built ONCE for both tests (the
+    * round-trip queries execute a file write when constructed). */
+  private lazy val plans: Seq[(String, String)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, fn) if !streaming(name) =>
         val p = fn(spark, sfDir).queryExecution.executedPlan.toString
         spark.catalog.clearCache()
-        if (p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
-          Some(name)
-        else None
+        name -> p
+    }
+
+  test("no query plans a nested-loop or cartesian join (exact-scan family excepted)") {
+    val offenders = plans.collect {
+      case (name, p) if !nljWhitelist(name) &&
+        (p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")) =>
+        name
     }
     assert(offenders.isEmpty, s"nested-loop plans: $offenders")
   }
 
   test("every query stays within its audited shuffle budget") {
-    val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, _) if streaming(name) => None
-      case (name, fn) =>
-        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
-        spark.catalog.clearCache()
-        val ex = "Exchange hashpartitioning".r.findAllIn(p).size
-        val budget = exchangeBudget.getOrElse(name, 0)
-        if (ex > budget) Some(s"$name: $ex > $budget") else None
+    val over = plans.flatMap { case (name, p) =>
+      val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+      val budget = exchangeBudget.getOrElse(name, 0)
+      if (ex > budget) Some(s"$name: $ex > $budget") else None
     }
     assert(over.isEmpty, s"shuffle-budget regressions: $over")
   }

@@ -74,21 +74,24 @@ class StreamingSpec extends SparkSpec {
     val q = graft.pipeline.LogisticsPipeline.validateStage(parsed)
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
-    // the consumer writes each poll as ONE json array string — push the
-    // same array envelope the raw layer carries
-    val recs1 = TelemetryGen.rawJsonLines(spark, 60, seed = 11).collect().map(_.getString(0))
-    mem.addData(recs1.toSeq)
-    q.processAllAvailable()
-    val n1 = spark.table(name).count()
-    assert(n1 === 60, s"batch 1 parsed $n1")
-    val recs2 = TelemetryGen.rawJsonLines(spark, 40, seed = 12).collect().map(_.getString(0))
-    mem.addData(recs2.toSeq)
-    q.processAllAvailable()
-    assert(spark.table(name).count() === 100)
-    // validation columns flow through the streaming plan
-    assert(spark.table(name).columns.contains("is_valid"))
-    q.stop()
-    spark.catalog.dropTempView(name)
+    try {
+      // the consumer writes each poll as ONE json array string — push the
+      // same array envelope the raw layer carries
+      val recs1 = TelemetryGen.rawJsonLines(spark, 60, seed = 11).collect().map(_.getString(0))
+      mem.addData(recs1.toSeq)
+      q.processAllAvailable()
+      val n1 = spark.table(name).count()
+      assert(n1 === 60, s"batch 1 parsed $n1")
+      val recs2 = TelemetryGen.rawJsonLines(spark, 40, seed = 12).collect().map(_.getString(0))
+      mem.addData(recs2.toSeq)
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 100)
+      // validation columns flow through the streaming plan
+      assert(spark.table(name).columns.contains("is_valid"))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
   }
 
   test("flatMapGroupsWithState keeps per-truck state across micro-batches") {
@@ -102,16 +105,19 @@ class StreamingSpec extends SparkSpec {
     val q = StreamingPipeline.refuelDetector(mem.toDS())
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
-    mem.addData(Reading("T1", 1, 80), Reading("T1", 2, 20))
-    q.processAllAvailable()
-    assert(spark.table(name).count() === 0, "no refuel inside batch 1")
-    mem.addData(Reading("T1", 3, 90))
-    q.processAllAvailable()
-    val got = spark.table(name).as[Refuel].collect().toSet
-    assert(got === Set(Refuel("T1", 3, 70.0)),
-      s"state lost across batch boundary: $got")
-    q.stop()
-    spark.catalog.dropTempView(name)
+    try {
+      mem.addData(Reading("T1", 1, 80), Reading("T1", 2, 20))
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 0, "no refuel inside batch 1")
+      mem.addData(Reading("T1", 3, 90))
+      q.processAllAvailable()
+      val got = spark.table(name).as[Refuel].collect().toSet
+      assert(got === Set(Refuel("T1", 3, 70.0)),
+        s"state lost across batch boundary: $got")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
   }
 
   test("stateful refuel detector finds fuel jumps per truck in seq order") {
