@@ -287,6 +287,15 @@ object EventsPipeline {
       .select(col("id_a"), col("id_b"), gap.as("gap_us"))
   }
 
+  /** Unpivot (melt) — the inverse of agg_pivot: wide (value, k) columns
+    * to long (metric, val) rows. Spark's unpivot keeps NULL measure
+    * values; the oracle's UNION ALL spelling matches that exactly. */
+  def aggUnpivot(s: SparkSession, d: String): DataFrame =
+    withK(s, d)
+      .select(col("event_id"), col("value"), col("k").cast("double").as("k"))
+      .unpivot(Array(col("event_id")), Array(col("value"), col("k")),
+        "metric", "val")
+
   /** String-function breadth: regexp extraction, initcap, reverse,
     * edit distance — all codegen built-ins, DuckDB-expressible. */
   def strFuncs(s: SparkSession, d: String): DataFrame =
@@ -350,6 +359,7 @@ object EventsPipeline {
     "join_range"          -> joinRange _,
     "str_funcs"           -> strFuncs _,
     "array_funcs"         -> arrayFuncs _,
+    "agg_unpivot"         -> aggUnpivot _,
   )
 
   /** Shared validation CTE for the oracle side — the same four rules as
@@ -502,6 +512,12 @@ object EventsPipeline {
           WINDOW w AS (PARTITION BY user_id ORDER BY tus, is_p, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         WHERE event_type = 'purchase'""",
+    "agg_unpivot" ->
+      """SELECT event_id, 'value' AS metric, value AS val FROM events
+        UNION ALL
+        SELECT event_id, 'k' AS metric,
+          CAST(json_extract(props, '$.k')::INT AS DOUBLE) AS val
+        FROM events""",
     "str_funcs" ->
       """SELECT event_id,
           coalesce(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS k_str,
