@@ -326,12 +326,18 @@ object Dedup {
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS canonical_id, count(*) AS dup_cnt
         FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
+    // the df cap (64, matching dedupNgramOf's default) is part of the
+    // oracle too: both engines define the same capped shingle universe,
+    // so equality holds even at an SF where the cap binds
     "dedup_ngram" ->
       s"""$shCte,
-        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 64),
+        capped AS (SELECT doc_id, shingle FROM sh
+                   WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
         pairs AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT doc_a, doc_b,
           CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard

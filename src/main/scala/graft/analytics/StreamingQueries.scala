@@ -49,11 +49,17 @@ object StreamingQueries {
       .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    val sink   = s.table(name)
-    val copied = s.createDataFrame(sink.collectAsList(), sink.schema)
-    s.catalog.dropTempView(name)
-    copied
+    // the finally block must run even when the query FAILS — otherwise
+    // the sink's temp view (and its retained rows) leak for the session
+    // lifetime and the stopped-query check below never happens
+    try {
+      q.awaitTermination()
+      val sink = s.table(name)
+      s.createDataFrame(sink.collectAsList(), sink.schema)
+    } finally {
+      if (q.isActive) q.stop()
+      s.catalog.dropTempView(name)
+    }
   }
 
   /** The 30-minute-gap session aggregation both session queries share. */

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** hamming(a, b): number of differing byte positions between two
@@ -16,9 +16,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Byte-wise compare is exact for the '0'/'1' (ASCII) fingerprint
   * alphabet this engine emits. */
 case class HammingDistance(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = IntegerType
+
+  // analysis-time typing: hamming(1, 2) is rejected (or implicitly cast)
+  // by the analyzer instead of a runtime ClassCastException
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(StringType, StringType)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[UTF8String].getBytes

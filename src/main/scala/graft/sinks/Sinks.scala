@@ -48,13 +48,30 @@ object Sinks {
     * be part of the key — enforced below; a genuine cross-partition
     * move is a delete + insert, not an upsert. The merged plan is
     * localCheckpoint'ed before the write because Spark refuses to
-    * overwrite a path it is still lazily reading from. */
+    * overwrite a path it is still lazily reading from.
+    *
+    * `updates` must be unique per key: a Delta-style MERGE errors on
+    * ambiguous matches, and silently keeping both copies would corrupt
+    * the table — enforced with one cheap agg over the (small) update
+    * batch before anything is written.
+    *
+    * Durability caveat: the dynamic overwrite is NOT atomic (plain
+    * parquet has no transaction log) — a crash mid-write can leave a
+    * touched partition half-rewritten. Delta/Iceberg close that window
+    * with a commit protocol; with plain parquet, re-running the same
+    * upsert repairs the partition (the operation is idempotent). */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], partitionCol: String): Unit = {
     require(keyCols.contains(partitionCol),
       s"upsert: partition column '$partitionCol' must be part of the key " +
         s"$keyCols — otherwise a key moving partitions leaves a stale copy " +
         "in a partition this upsert never rewrites")
+    val dupKeys = updates.groupBy(keyCols.map(col): _*)
+      .count().filter(col("count") > 1)
+    require(dupKeys.isEmpty,
+      s"upsert: updates contain duplicate keys $keyCols (e.g. " +
+        s"${dupKeys.limit(3).collect().mkString(", ")}) — a MERGE with " +
+        "ambiguous matches is an error, not a double-insert")
     val exists = Try(spark.read.parquet(path).schema).isSuccess
     val merged =
       if (!exists) updates

@@ -17,4 +17,10 @@ object Bridge {
     ColumnNodeToExpressionConverter(c.node)
   def column(e: Expression): Column =
     Column(ExpressionColumnNode(e))
+
+  /** `org.apache.spark.sql.types.AbstractDataType` is `private[sql]` in
+    * Spark 4, but extension expressions need it to declare `inputTypes`
+    * (analysis-time typing via `ExpectsInputTypes`) — same in-package
+    * hop as the Column converter above. */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }
