@@ -200,6 +200,70 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** 64-bit near-dup pairs: same banding shape as `simhashPairs`, but
+    * over the production-width fingerprint with 8-bit bands (8 bands).
+    * The 16-bit variant's 4-bit bands give ≤16 buckets per band — at
+    * 5k+ docs every bucket holds hundreds of docs and the per-bucket
+    * quadratic step dominates (the r2 driver bench measured it at 70 s
+    * for sf0.1). 8-bit bands over a 64-bit fingerprint spread docs over
+    * 256+ observed buckets per band, so candidate counts stay near-
+    * linear in N — this is the pairs query whose SHAPE survives 100×. */
+  def simhash64Pairs(s: SparkSession, d: String, maxDist: Int = 3): DataFrame = {
+    val fp = dedupSimhash64(s, d)
+    val banded = fp.select(col("doc_id"), col("simhash64"),
+      explode(sequence(lit(0), lit(7))).as("band"))
+      .withColumn("bucket", concat(col("band"),
+        lit(":"), substring(col("simhash64"), col("band") * 8 + 1, lit(8))))
+    val a = banded.select(col("doc_id").as("doc_a"), col("simhash64").as("sh_a"), col("bucket"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("simhash64").as("sh_b"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
+      .withColumn("hamming", graft.functions.hamming(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Duplicate CLUSTERS from near-dup pairs: connected components by
+    * iterative min-label propagation — pairs alone don't dedup a corpus
+    * (A~B, B~C must collapse to ONE canonical doc even when A~C was
+    * never emitted). Output is (doc_id, cluster_id = min doc_id of the
+    * component) for every doc that has at least one near-dup.
+    *
+    * Scale shape: each round is one join + one min-aggregation on
+    * (doc_id) — all shuffles on the small id key, never the text; the
+    * loop converges in O(component diameter) rounds (near-dup clusters
+    * are shallow — boilerplate families, not long chains), and
+    * `localCheckpoint` severs lineage so round k's plan doesn't replay
+    * rounds 1..k-1. This is the standard "hash-to-min" formulation;
+    * GraphX/Pregel spell the same dataflow. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = dedupMinhash(s, d)
+    // undirected adjacency (both directions)
+    val adj = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    var labels = adj.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 25) {
+      // candidate label for v = min(own label, labels of v's neighbors)
+      val next = adj.join(labels, adj("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("label"))
+        .union(labels)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .filter(col("label") =!= col("old"))
+        .isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Deterministic Rademacher (±1) hyperplanes for sign-bit LSH, seeded
     * so every run/engine sees the same planes. */
   private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
@@ -287,6 +351,8 @@ object Dedup {
     "dedup_simhash"   -> dedupSimhash _,
     "dedup_simhash64" -> dedupSimhash64 _,
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
+    "dedup_simhash64_pairs" -> ((s: SparkSession, d: String) => simhash64Pairs(s, d)),
+    "dedup_clusters"  -> dedupClusters _,
     "dedup_embedding" -> dedupEmbedding _,
   )
 
@@ -298,6 +364,19 @@ object Dedup {
             i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS shingle
           FROM documents
           WHERE len(string_split(text, ' ')) >= 5))"""
+
+  /** MinHash signature + band-bucket CTEs (shared by the pairs and
+    * clusters oracles); expects the `sh` CTE in scope. */
+  private val minhashCtes =
+    """sigs AS (
+          SELECT doc_id, s.i,
+            min(md5(CAST(s.i AS VARCHAR) || '|' || shingle)) AS sig
+          FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) s
+          GROUP BY doc_id, s.i),
+        bands AS (
+          SELECT doc_id, CAST(i // 2 AS INT) AS band,
+            md5(min(sig) || '|' || max(sig)) AS bucket
+          FROM sigs GROUP BY doc_id, i // 2)"""
 
   /** DuckDB spelling of the 16-bit simhash (generated per bit). */
   private val simhashSql: String = {
@@ -346,19 +425,29 @@ object Dedup {
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.6""",
     "dedup_minhash" ->
-      s"""$shCte,
-        sigs AS (
-          SELECT doc_id, s.i,
-            min(md5(CAST(s.i AS VARCHAR) || '|' || shingle)) AS sig
-          FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) s
-          GROUP BY doc_id, s.i),
-        bands AS (
-          SELECT doc_id, CAST(i // 2 AS INT) AS band,
-            md5(min(sig) || '|' || max(sig)) AS bucket
-          FROM sigs GROUP BY doc_id, i // 2)
+      s"""$shCte, $minhashCtes
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
+    // same minhash banding, then connected components: the recursive
+    // closure computes min-reachable-id per doc — the DuckDB spelling of
+    // the Spark side's iterative min-label propagation
+    "dedup_clusters" ->
+      s"""${shCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $minhashCtes,
+        mpairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM mpairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM mpairs),
+        reach AS (
+          SELECT src AS doc_id, src AS label FROM edges
+          UNION
+          SELECT e.dst AS doc_id, r.label
+          FROM reach r JOIN edges e ON e.src = r.doc_id)
+        SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id""",
     "dedup_simhash" -> simhashSql,
     "dedup_simhash64" -> simhash64Sql,
     // identical banding (4-bit buckets) + hamming over the same 16-bit
@@ -380,6 +469,24 @@ object Dedup {
               i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1))) AS INT) AS hamming
           FROM cand)
         WHERE hamming <= 2""",
+    // 8-bit banding over the 64-bit fingerprints, hamming ≤ 3
+    "dedup_simhash64_pairs" ->
+      s"""WITH fp AS ($simhash64Sql),
+        banded AS (
+          SELECT doc_id, simhash64, b.band,
+            CAST(b.band AS VARCHAR) || ':' || substr(simhash64, b.band * 8 + 1, 8) AS bucket
+          FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band) b),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            a.simhash64 AS sh_a, b.simhash64 AS sh_b
+          FROM banded a JOIN banded b
+            ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, hamming FROM (
+          SELECT doc_a, doc_b,
+            CAST(len(list_filter(generate_series(1, 64),
+              i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1))) AS INT) AS hamming
+          FROM cand)
+        WHERE hamming <= 3""",
     "dedup_embedding" ->
       """WITH e AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
