@@ -344,6 +344,95 @@ object Relational {
                     FROM graft_orders_sq)""")
   }
 
+  /** Full outer join: per-nation customer vs supplier counts with both
+    * sides filtered so each genuinely contributes unmatched keys (a
+    * full-outer whose sides always match is just an inner join wearing
+    * a costume). The using-column join coalesces the key. */
+  def joinFull(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+      .filter(col("c_nationkey") % 3 === 0)
+      .groupBy(col("c_nationkey").cast("int").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val p = supplier(s, d)
+      .filter(col("s_nationkey") % 2 === 0)
+      .groupBy(col("s_nationkey").cast("int").as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(p, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
+  /** Deliberate cartesian product of two TINY dimensions (25×5 rows) —
+    * the one shape where a cross join is the right plan; anything
+    * larger belongs in a keyed join (PlanSpec whitelists exactly this
+    * query for the nested-loop ban). */
+  def joinCross(s: SparkSession, d: String): DataFrame =
+    nation(s, d).crossJoin(region(s, d))
+      .select(col("n_name"), col("r_name"),
+        (col("n_nationkey") * 10 + col("r_regionkey")).as("pair_key"))
+
+  /** Correlated EXISTS / NOT EXISTS predicates: customers with at least
+    * one high-value order and no failed ('F') order. Spark plans these
+    * as left-semi + left-anti joins — no per-row subquery execution. */
+  def subqueryExists(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("graft_orders_ex")
+    customer(s, d).createOrReplaceTempView("graft_customer_ex")
+    s.sql("""
+      SELECT c_custkey, c_name FROM graft_customer_ex c
+      WHERE EXISTS (SELECT 1 FROM graft_orders_ex o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+        AND NOT EXISTS (SELECT 1 FROM graft_orders_ex o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""")
+  }
+
+  /** RANGE-framed window (value-based frame, not row-based): trailing
+    * 30-minute per-user event count + exact decimal sum. The frame key
+    * is the µs timestamp long — both engines bound the frame by value
+    * comparison, and ties (same user, same µs) are in- or out-of-frame
+    * together, so the result is deterministic without a unique key. */
+  def winRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(expr("ts_ns div 1000"))
+      .rangeBetween(-1800000000L, Window.currentRow)
+    events(s, d).select(
+      col("event_id"), col("user_id"),
+      count(lit(1)).over(w).as("n_30m"),
+      sum(dec2(col("value"))).over(w).cast("double").as("sum_30m"))
+  }
+
+  /** Conditional aggregates: count_if / bool_or / bool_and / filtered
+    * decimal sum — the FILTER-clause family. */
+  def aggConditional(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("count_if(value > 300)").as("n_high"),
+        expr("bool_or(value > 480)").as("any_extreme"),
+        expr("bool_and(value >= 0)").as("all_nonneg"),
+        coalesce(sum(when(col("value") < 100, dec2(col("value"))))
+          .cast("double"), lit(0.0)).as("low_sum"))
+
+  /** Ordered string aggregation: per-nation customer-name roster. The
+    * collect_list is sorted before concatenation — collect order is
+    * partitioning-dependent, the sorted result is not. */
+  def aggStringAgg(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .groupBy(col("c_nationkey").cast("int").as("nationkey"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        concat_ws(",", array_sort(collect_list(col("c_name")))).as("names"))
+
+  /** Deterministic ~1/8 sample by content hash — the reproducible
+    * alternative to rng-based sample() (whose row set depends on
+    * partitioning and seed plumbing): every engine, run, and partition
+    * layout selects exactly the same rows. This is how a 100 TB corpus
+    * gets a stable eval slice. */
+  def sampleDet(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1).isin("0", "1"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
   /** Per-month order stats — date_trunc + grouped decimal sum. */
   def tsTrunc(s: SparkSession, d: String): DataFrame =
     orders(s, d)
@@ -381,6 +470,13 @@ object Relational {
     "win_rank"          -> winRank _,
     "agg_arg_extrema"   -> aggArgExtrema _,
     "subquery_scalar"   -> subqueryScalar _,
+    "join_full"         -> joinFull _,
+    "join_cross"        -> joinCross _,
+    "subquery_exists"   -> subqueryExists _,
+    "win_range_frame"   -> winRangeFrame _,
+    "agg_conditional"   -> aggConditional _,
+    "agg_string_agg"    -> aggStringAgg _,
+    "sample_det"        -> sampleDet _,
   )
 
   private val sumQty  = "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
@@ -422,6 +518,45 @@ object Relational {
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "join_full" ->
+      """SELECT coalesce(c.nationkey, p.nationkey) AS nationkey,
+          coalesce(c.n_cust, 0) AS n_cust, coalesce(p.n_supp, 0) AS n_supp
+        FROM (SELECT CAST(c_nationkey AS INT) AS nationkey, count(*) AS n_cust
+              FROM customer WHERE c_nationkey % 3 = 0 GROUP BY 1) c
+        FULL JOIN (SELECT CAST(s_nationkey AS INT) AS nationkey, count(*) AS n_supp
+              FROM supplier WHERE s_nationkey % 2 = 0 GROUP BY 1) p
+          ON c.nationkey = p.nationkey""",
+    "join_cross" ->
+      """SELECT n_name, r_name, n_nationkey * 10 + r_regionkey AS pair_key
+        FROM nation CROSS JOIN region""",
+    "subquery_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""",
+    "win_range_frame" ->
+      """SELECT event_id, user_id,
+          count(*) OVER w AS n_30m,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_30m
+        FROM (SELECT event_id, user_id, value, epoch_ns(ts) // 1000 AS tus FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY tus
+          RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)""",
+    "agg_conditional" ->
+      """SELECT event_type,
+          CAST(count(*) FILTER (WHERE value > 300) AS BIGINT) AS n_high,
+          bool_or(value > 480) AS any_extreme,
+          bool_and(value >= 0) AS all_nonneg,
+          coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE value < 100)
+            AS DOUBLE), 0.0) AS low_sum
+        FROM events GROUP BY event_type""",
+    "agg_string_agg" ->
+      """SELECT CAST(c_nationkey AS INT) AS nationkey, count(*) AS n_cust,
+          string_agg(c_name, ',' ORDER BY c_name) AS names
+        FROM customer GROUP BY 1""",
+    "sample_det" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')""",
     "agg_group" ->
       """SELECT event_type, count(*) AS cnt, count(DISTINCT user_id) AS n_users,
           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
