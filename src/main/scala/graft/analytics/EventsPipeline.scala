@@ -321,6 +321,59 @@ object EventsPipeline {
         .as("first5_sorted"))
   }
 
+  /** Calendar-function breadth over orders: date offset arithmetic,
+    * month boundaries, extraction, day diffs. Extractions are cast to
+    * long on the Spark side (DuckDB's year()/datediff are BIGINT; the
+    * driver hasher distinguishes integer widths). */
+  def dateFuncs(s: SparkSession, d: String): DataFrame = {
+    val od = col("o_orderdate").cast("date")
+    orders(s, d).select(
+      col("o_orderkey"),
+      od.as("od"),
+      date_add(od, (col("o_orderkey") % 30).cast("int")).as("ship_by"),
+      last_day(od).as("month_end"),
+      datediff(lit("1998-12-31").cast("date"), od).cast("long").as("age_days"),
+      year(od).cast("long").as("yr"),
+      quarter(od).cast("long").as("qtr"),
+      month(od).cast("long").as("mo"))
+  }
+
+  /** posexplode — the ordinal-preserving generator: (doc, position,
+    * token) triples. Position is what explode loses and every
+    * sequence-aware consumer (n-gram windows, span labeling) needs. */
+  def explodePos(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("token"))
+
+  /** Time-series resample + gap-fill: per-type hourly grid over each
+    * type's active span, missing hours as zero counts, and the last
+    * seen hourly sum carried forward (last_value IGNORE NULLS). The
+    * grid is generated per-type from its own min/max hour (sequence +
+    * explode) — no cross join, no driver-side loop; at 100 TB the grid
+    * is dwarfed by the data and the single (type) shuffle already
+    * exists for the aggregation. */
+  def tsGapfill(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600L * 1000 * 1000
+    val hourly = events(s, d)
+      .withColumn("hour_us", expr(s"(ts_ns div 1000) - (ts_ns div 1000) % $hourUs"))
+      .groupBy(col("event_type"), col("hour_us"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+    val grid = hourly
+      .groupBy(col("event_type"))
+      .agg(min(col("hour_us")).as("mn"), max(col("hour_us")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"), lit(hourUs))).as("hour_us"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hour_us"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(hourly, Seq("event_type", "hour_us"), "left")
+      .select(col("event_type"), col("hour_us"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        last(col("sum_value"), ignoreNulls = true).over(w).as("sum_filled"))
+  }
+
   /** Snowpipe-style cast/extract projection (S8/F10). */
   def warehouseLoad(s: SparkSession, d: String): DataFrame =
     events(s, d).select(
@@ -360,6 +413,9 @@ object EventsPipeline {
     "str_funcs"           -> strFuncs _,
     "array_funcs"         -> arrayFuncs _,
     "agg_unpivot"         -> aggUnpivot _,
+    "date_funcs"          -> dateFuncs _,
+    "explode_pos"         -> explodePos _,
+    "ts_gapfill"          -> tsGapfill _,
   )
 
   /** Shared validation CTE for the oracle side — the same four rules as
@@ -387,6 +443,42 @@ object EventsPipeline {
         x -> x IS NOT NULL), ',')"""
 
   val oracle: Map[String, String] = Map(
+    "date_funcs" ->
+      """SELECT o_orderkey,
+          CAST(o_orderdate AS DATE) AS od,
+          CAST(o_orderdate AS DATE) + CAST(o_orderkey % 30 AS INT) AS ship_by,
+          last_day(CAST(o_orderdate AS DATE)) AS month_end,
+          date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS age_days,
+          year(o_orderdate) AS yr,
+          quarter(o_orderdate) AS qtr,
+          month(o_orderdate) AS mo
+        FROM orders""",
+    "explode_pos" ->
+      """SELECT doc_id, CAST(p.pos AS INT) AS pos, p.tok AS token FROM (
+          SELECT doc_id, unnest(list_transform(string_split(text, ' '),
+            (t, i) -> struct_pack(pos := i - 1, tok := t))) AS p
+          FROM documents)""",
+    "ts_gapfill" ->
+      """WITH h AS (
+          SELECT event_type,
+            (epoch_ns(ts) // 1000) - (epoch_ns(ts) // 1000) % 3600000000 AS hour_us,
+            count(*) AS cnt,
+            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          FROM events GROUP BY 1, 2),
+        span AS (
+          SELECT event_type, min(hour_us) AS mn, max(hour_us) AS mx
+          FROM h GROUP BY event_type),
+        grid AS (
+          SELECT event_type,
+            unnest(generate_series(mn, mx, 3600000000)) AS hour_us
+          FROM span)
+        SELECT g.event_type, g.hour_us,
+          coalesce(h.cnt, 0) AS cnt,
+          last_value(h.sum_value IGNORE NULLS) OVER (
+            PARTITION BY g.event_type ORDER BY g.hour_us
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_filled
+        FROM grid g LEFT JOIN h
+          ON g.event_type = h.event_type AND g.hour_us = h.hour_us""",
     "split_valid" ->
       s"""$vCte
         SELECT event_id, user_id, event_type, value, k,
