@@ -25,7 +25,8 @@ object SparkEntry {
       analytics.Dedup.queries ++
       analytics.Similarity.queries ++
       analytics.Multimodal.queries ++
-      analytics.StreamingQueries.queries
+      analytics.StreamingQueries.queries ++
+      analytics.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       analytics.Dedup.oracle ++
       analytics.Similarity.oracle ++
       analytics.Multimodal.oracle ++
-      analytics.StreamingQueries.oracle
+      analytics.StreamingQueries.oracle ++
+      analytics.Curation.oracle
 }

@@ -1,0 +1,94 @@
+package graft.analytics
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-set selection — the query an LLM-data user
+  * actually runs over a crawled corpus, composed from this engine's
+  * own operator family (north-star EXT surface):
+  *
+  *   1. quality gate    — Gopher/C4-style heuristics (textQuality)
+  *   2. language gate   — marker-token language ID == 'en' (langId)
+  *   3. exact dedup     — keep each content fingerprint's min doc_id
+  *   4. near dedup      — keep only each MinHash-LSH connected
+  *                        component's canonical (min) doc, so A~B~C
+  *                        chains collapse to one survivor (dedupClusters)
+  *
+  * Scale shape: gates 1-2 are scan-speed projections; gate 3 is one
+  * shuffle on a 32-byte fingerprint; gate 4 reuses the LSH + label
+  * propagation machinery. The final assembly is two left-semi joins and
+  * one left-anti join on doc_id — at 100 TB the document text never
+  * shuffles at all (only ids and fingerprints move).
+  */
+object Curation {
+
+  private val toks = split(col("text"), " ")
+
+  def trainingSelect(s: SparkSession, d: String): DataFrame = {
+    val docs  = documents(s, d)
+    val nTok  = size(toks)
+    val nStop = size(filter(toks, t => t === "a" || t === "the"))
+    val qualityOk =
+      nTok.between(20, 400) &&
+        (nStop.cast("double") / nTok.cast("double")) < lit(0.3)
+    val english = TextAnalysis.langId(s, d)
+      .filter(col("pred_lang") === "en").select(col("doc_id"))
+    val exactCanon = docs
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val nearDupLosers = Dedup.dedupClusters(s, d)
+      .filter(col("cluster_id") =!= col("doc_id")).select(col("doc_id"))
+    docs
+      .filter(qualityOk)
+      .join(english, Seq("doc_id"), "left_semi")
+      .join(exactCanon, Seq("doc_id"), "left_semi")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), nTok.as("n_tokens"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "training_select" -> trainingSelect _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    // same four gates: quality predicate inline, language CTE nested
+    // (standard SQL allows WITH inside a derived table), exact-canonical
+    // group-min, and the recursive-CTE connected components from
+    // Dedup.oracle("dedup_clusters")
+    "training_select" ->
+      s"""${Dedup.shCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, ${Dedup.minhashCtes},
+        mpairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM mpairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM mpairs),
+        reach AS (
+          SELECT src AS doc_id, src AS label FROM edges
+          UNION
+          SELECT e.dst AS doc_id, r.label
+          FROM reach r JOIN edges e ON e.src = r.doc_id),
+        losers AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id)
+          WHERE cluster_id <> doc_id),
+        en AS (
+          SELECT doc_id FROM (${TextAnalysis.oracle("lang_id")})
+          WHERE pred_lang = 'en'),
+        canon AS (
+          SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+        WHERE len(string_split(text, ' ')) BETWEEN 20 AND 400
+          AND CAST(len(list_filter(string_split(text, ' '),
+                t -> t = 'a' OR t = 'the')) AS DOUBLE)
+              / CAST(len(string_split(text, ' ')) AS DOUBLE) < 0.3
+          AND doc_id IN (SELECT doc_id FROM en)
+          AND doc_id IN (SELECT doc_id FROM canon)
+          AND doc_id NOT IN (SELECT doc_id FROM losers)""",
+  )
+}

@@ -356,7 +356,7 @@ object Dedup {
     "dedup_embedding" -> dedupEmbedding _,
   )
 
-  private val shCte =
+  private[analytics] val shCte =
     """WITH sh AS (
         SELECT DISTINCT doc_id, shingle FROM (
           SELECT doc_id, unnest(list_transform(
@@ -367,7 +367,7 @@ object Dedup {
 
   /** MinHash signature + band-bucket CTEs (shared by the pairs and
     * clusters oracles); expects the `sh` CTE in scope. */
-  private val minhashCtes =
+  private[analytics] val minhashCtes =
     """sigs AS (
           SELECT doc_id, s.i,
             min(md5(CAST(s.i AS VARCHAR) || '|' || shingle)) AS sig

@@ -112,10 +112,26 @@ object StreamingQueries {
     runToMemory(s, sessionAgg(src), OutputMode.Complete())
   }
 
+  /** APPEND-mode watermark semantics, executed end-to-end: the same
+    * hourly aggregation as stream_hourly, but each window is emitted
+    * exactly once — when the 10-minute watermark passes its end — and
+    * the trailing windows the watermark never clears are withheld.
+    * AvailableNow runs the data batch, advances the watermark to
+    * max(event time) − 10 min, and the closing no-data batch flushes
+    * every closed window; the oracle applies the identical cutoff in
+    * SQL. This is the production streaming contract (emit-once to an
+    * append-only sink); Complete mode re-emitting the world each epoch
+    * is the test-harness spelling. */
+  def streamAppend(s: SparkSession, d: String): DataFrame =
+    runToMemory(s,
+      StreamingPipeline.windowedCounts(eventsStream(s, d)),
+      OutputMode.Append())
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hourly"  -> streamHourly _,
     "stream_session" -> streamSession _,
     "stream_session_multibatch" -> streamSessionMultiBatch _,
+    "stream_append"  -> streamAppend _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -129,6 +145,17 @@ object StreamingQueries {
     // variant only adds the input filter
     "stream_session"            -> sessionOracle(""),
     "stream_session_multibatch" -> sessionOracle(" WHERE user_id % 4 = 0"),
+    // append mode = Complete-mode result MINUS windows still open at the
+    // final watermark (max event time − 10 min); window end is start+1h
+    "stream_append" ->
+      """WITH m AS (SELECT max(epoch_ns(ts) // 1000) AS mx FROM events),
+        h AS (
+          SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+            event_type, count(*) AS cnt,
+            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          FROM events GROUP BY 1, 2)
+        SELECT h.* FROM h, m
+        WHERE epoch_us(h.window_start) + 3600000000 <= m.mx - 600000000""",
   )
 
   /** Batch (lag + running-sum) spelling of the 30-minute sessionization
