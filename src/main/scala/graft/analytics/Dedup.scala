@@ -236,8 +236,13 @@ object Dedup {
     * `localCheckpoint` severs lineage so round k's plan doesn't replay
     * rounds 1..k-1. This is the standard "hash-to-min" formulation;
     * GraphX/Pregel spell the same dataflow. */
-  def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = dedupMinhash(s, d)
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    clustersOf(dedupMinhash(s, d))
+
+  /** Connected components over an arbitrary (doc_a, doc_b) pair table —
+    * the reusable core of dedupClusters (spec-tested on synthetic
+    * chains/cliques independently of the LSH candidate generator). */
+  def clustersOf(pairs: DataFrame): DataFrame = {
     // undirected adjacency (both directions)
     val adj = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))

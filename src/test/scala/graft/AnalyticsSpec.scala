@@ -66,6 +66,33 @@ class AnalyticsSpec extends SparkSpec {
       s"missing ${(exactPairs -- cands).take(3)}")
   }
 
+  test("connected components collapse transitive chains and leave islands alone") {
+    import spark.implicits._
+    // chain 1-2-3 (1~2, 2~3 but never 1~3), clique 10-11-12, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clustersOf(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("64-bit simhash banding: exact dups always candidates, far fewer pairs than 16-bit") {
+    val d = "/root/testdata/sf0.1"
+    // identical texts ⇒ identical fingerprints ⇒ share all 8 bands
+    val exactPairs = Dedup.fingerprintPairs(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got64 = Dedup.simhash64Pairs(spark, d, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty && exactPairs.subsetOf(got64),
+      s"missing ${(exactPairs -- got64).take(3)}")
+    // the scale motivation: the saturated 16-bit space emits orders of
+    // magnitude more "near-dup" pairs than the 64-bit one at 5k docs
+    val n16 = Dedup.simhashPairs(spark, d, maxDist = 2).count()
+    assert(got64.size.toLong * 10 < n16,
+      s"64-bit pairs ${got64.size} not ≪ 16-bit pairs $n16")
+  }
+
   test("multimodal feature extraction: deterministic, batch-shaped, 8-dim") {
     val f = Multimodal.extractFeatures(spark, sfDir)
     assert(f.count() === 500)

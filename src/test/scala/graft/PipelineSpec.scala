@@ -144,6 +144,14 @@ class PipelineSpec extends SparkSpec {
     assert(after.filter($"k" === "c").select("v").first().getInt(0) === 3)
     // the untouched partition's files were not rewritten
     assert(mtimes(2) === p2Before, "partition p=2 was rewritten")
+    // ambiguous MERGE input (duplicate keys in updates) is an error,
+    // not a silent double-insert
+    val dup = intercept[IllegalArgumentException] {
+      Sinks.upsert(spark, path,
+        Seq(("b", 20, 1), ("b", 21, 1)).toDF("k", "v", "p"),
+        keyCols = Seq("k", "p"), partitionCol = "p")
+    }
+    assert(dup.getMessage.contains("duplicate keys"))
   }
 
   test("generator is deterministic across invocations") {

@@ -21,11 +21,14 @@ package graft
   */
 class PlanSpec extends SparkSpec {
 
-  // exact-scan similarity: justified broadcast NLJ (see scaladoc)
-  private val nljWhitelist = Set("sim_knn", "sim_range")
+  // exact-scan similarity: justified broadcast NLJ (see scaladoc);
+  // join_cross: a deliberate 25×5 cartesian of two tiny dimensions —
+  // the one shape where a cross join IS the right plan
+  private val nljWhitelist = Set("sim_knn", "sim_range", "join_cross")
 
   private val streaming =
-    Set("stream_hourly", "stream_session", "stream_session_multibatch")
+    Set("stream_hourly", "stream_session", "stream_session_multibatch",
+      "stream_append")
 
   /** Audited max Exchange-hashpartitioning count per query. */
   private val exchangeBudget: Map[String, Int] = Map(
@@ -55,7 +58,13 @@ class PlanSpec extends SparkSpec {
     "text_tokens" -> 0, "text_top_term" -> 4, "ts_trunc" -> 1,
     "ts_tz_shift" -> 0, "warehouse_load" -> 0, "win_hourly" -> 1,
     "win_lag" -> 1, "win_latest" -> 1, "win_rank" -> 1,
-    "win_session" -> 1, "win_sum" -> 1)
+    "win_session" -> 1, "win_sum" -> 1,
+    // round-3 additions (audited at the same sf0.001/local[4] baseline)
+    "agg_conditional" -> 1, "agg_string_agg" -> 1, "date_funcs" -> 0,
+    "dedup_clusters" -> 0, "dedup_simhash64_pairs" -> 1, "explode_pos" -> 0,
+    "join_cross" -> 0, "join_full" -> 2, "sample_det" -> 0,
+    "subquery_exists" -> 0, "training_select" -> 3, "ts_gapfill" -> 2,
+    "win_range_frame" -> 1)
 
   /** Each query's physical-plan string, built ONCE for both tests (the
     * round-trip queries execute a file write when constructed). */
