@@ -433,6 +433,46 @@ object Relational {
       .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1).isin("0", "1"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
 
+  /** Map-type surface: per-user event-type→count map built with
+    * map_from_entries, then probed (element_at — NULL when absent),
+    * sized, and key-listed. Output columns are scalars; the oracle
+    * computes the same facts without a map type (DuckDB's MAP extract
+    * semantics differ, the facts don't). */
+  def mapFuncs(s: SparkSession, d: String): DataFrame = {
+    val perType = events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    perType
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("event_type"), col("cnt"))))).as("m"))
+      .select(
+        col("user_id"),
+        size(col("m")).as("n_types"),
+        element_at(col("m"), "click").as("clicks"),
+        concat_ws(",", array_sort(map_keys(col("m")))).as("keys_sorted"))
+  }
+
+  /** first_value / nth_value window functions (the rank family's
+    * value-carrying cousins) over the per-user timeline. */
+  def winNth(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(expr("ts_ns div 1000"), col("event_id"))
+    events(s, d).select(
+      col("event_id"), col("user_id"),
+      first(col("value")).over(w).as("first_value"),
+      nth_value(col("value"), 3).over(w).as("third_value"))
+  }
+
+  /** Pattern predicates: LIKE prefix/suffix, NOT LIKE, and a regexp
+    * match — all pushed into the scan as string predicates. */
+  def predLike(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(col("event_type").like("c%") ||
+        (col("event_type").like("%up") && !col("event_type").like("sign%p_")))
+      .filter(col("props").rlike("\"k\":\\s*[0-9]{2}"))
+      .select(col("event_id"), col("event_type"))
+
   /** Per-month order stats — date_trunc + grouped decimal sum. */
   def tsTrunc(s: SparkSession, d: String): DataFrame =
     orders(s, d)
@@ -477,6 +517,9 @@ object Relational {
     "agg_conditional"   -> aggConditional _,
     "agg_string_agg"    -> aggStringAgg _,
     "sample_det"        -> sampleDet _,
+    "map_funcs"         -> mapFuncs _,
+    "win_nth"           -> winNth _,
+    "pred_like"         -> predLike _,
   )
 
   private val sumQty  = "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
@@ -557,6 +600,25 @@ object Relational {
     "sample_det" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')""",
+    "map_funcs" ->
+      """SELECT user_id,
+          CAST(count(DISTINCT event_type) AS INT) AS n_types,
+          CASE WHEN count(*) FILTER (WHERE event_type = 'click') > 0
+            THEN CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+            ELSE NULL END AS clicks,
+          string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS keys_sorted
+        FROM events GROUP BY user_id""",
+    "win_nth" ->
+      """SELECT event_id, user_id,
+          first_value(value) OVER w AS first_value,
+          nth_value(value, 3) OVER w AS third_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "pred_like" ->
+      """SELECT event_id, event_type FROM events
+        WHERE (event_type LIKE 'c%' OR
+               (event_type LIKE '%up' AND event_type NOT LIKE 'sign%p_'))
+          AND regexp_matches(props, '"k":\s*[0-9]{2}')""",
     "agg_group" ->
       """SELECT event_type, count(*) AS cnt, count(DISTINCT user_id) AS n_users,
           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,

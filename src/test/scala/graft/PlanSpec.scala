@@ -64,7 +64,8 @@ class PlanSpec extends SparkSpec {
     "dedup_clusters" -> 0, "dedup_simhash64_pairs" -> 1, "explode_pos" -> 0,
     "join_cross" -> 0, "join_full" -> 2, "sample_det" -> 0,
     "subquery_exists" -> 0, "training_select" -> 3, "ts_gapfill" -> 2,
-    "win_range_frame" -> 1)
+    "win_range_frame" -> 1, "map_funcs" -> 2, "win_nth" -> 1,
+    "pred_like" -> 0)
 
   /** Each query's physical-plan string, built ONCE for both tests (the
     * round-trip queries execute a file write when constructed). */
