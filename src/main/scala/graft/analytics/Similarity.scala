@@ -154,10 +154,52 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("nid"), col("cos"))
   }
 
+  /** Int8 quantization — the storage/serving form of an embedding
+    * corpus (4× smaller, SIMD-dot-friendly): symmetric max-abs scaling
+    * to [−127, 127]. Rounding is spelled floor(x·127/mx + 0.5) because
+    * both engines' floor is IEEE-deterministic while round() is not
+    * cross-engine stable; the all-zero vector maps to all-zero codes.
+    * Output is the code csv + the scale (what a dequantizer needs). */
+  def embQuantize(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      .select(
+        col("vec_id"),
+        col("mx").as("scale"),
+        concat_ws(",", transform(col("v"), x =>
+          when(col("mx") === 0, lit(0L))
+            .otherwise(floor(x / col("mx") * 127 + 0.5).cast("long"))))
+          .as("codes"))
+
+  /** Per-language class centroids: language-ID the documents, join to
+    * their embeddings on id, and aggregate element-wise means. Floats
+    * are fixed-point-scaled (floor(x·10⁶) — exact integers) before the
+    * sum so the aggregation is order-independent and cross-engine
+    * exact; the mean is recovered with one double division. This is
+    * the fused modality join + vector aggregation a curation pipeline
+    * runs (class prototypes, cluster seeds). Shuffles: one for the
+    * id join, one for the (lang, dim) agg — the 64-dim explode rides
+    * the same scan. */
+  def embCentroid(s: SparkSession, d: String): DataFrame = {
+    val lang = TextAnalysis.langId(s, d).select(col("doc_id"), col("pred_lang"))
+    embeddings(s, d)
+      .join(lang, col("vec_id") === col("doc_id"))
+      .select(col("pred_lang"), posexplode(col("embedding")))
+      .select(col("pred_lang"), col("pos").as("dim"),
+        floor(col("col").cast("double") * 1e6).cast("long").as("q"))
+      .groupBy(col("pred_lang"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("q")).cast("double") / count(lit(1)) / 1e6).as("mean_q"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn" -> simKnn _,
     "sim_ann_ivf" -> ((s: SparkSession, d: String) => simAnnIvf(s, d)),
     "sim_range" -> ((s: SparkSession, d: String) => simRange(s, d)),
+    "emb_quantize" -> embQuantize _,
+    "emb_centroid" -> embCentroid _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -186,5 +228,29 @@ object Similarity {
           list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
         FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id
         WHERE list_dot_product(q.v, c.v) / (q.nrm * c.nrm) >= 0.3""",
+    "emb_quantize" ->
+      """WITH e AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+            list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+          FROM embeddings)
+        SELECT vec_id, mx AS scale,
+          array_to_string(list_transform(v, x ->
+            CASE WHEN mx = 0 THEN 0
+                 ELSE CAST(floor(x / mx * 127 + 0.5) AS BIGINT) END), ',') AS codes
+        FROM e""",
+    "emb_centroid" ->
+      s"""WITH lang AS (
+          SELECT doc_id, pred_lang FROM (${TextAnalysis.oracle("lang_id")})),
+        q AS (
+          SELECT l.pred_lang, CAST(p.dim AS INT) AS dim, p.q FROM (
+            SELECT e.vec_id, unnest(list_transform(e.embedding,
+              (x, i) -> struct_pack(dim := i - 1,
+                q := CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))) AS p
+            FROM embeddings e) e2
+          JOIN lang l ON e2.vec_id = l.doc_id)
+        SELECT pred_lang, dim, count(*) AS n,
+          CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS mean_q
+        FROM q GROUP BY pred_lang, dim""",
   )
 }

@@ -127,11 +127,41 @@ object StreamingQueries {
       StreamingPipeline.windowedCounts(eventsStream(s, d)),
       OutputMode.Append())
 
+  /** Streaming deduplication — the at-least-once → exactly-once
+    * upgrade: the source is written TWICE (two identical files, i.e. a
+    * full replay, the failure mode of every at-least-once bus) and
+    * streamed one file per micro-batch; dropDuplicatesWithinWatermark
+    * on event_id suppresses every replayed row — batch 2's copies are
+    * either matched in the dedup state or dropped as older than the
+    * advanced watermark. State is bounded by the watermark horizon
+    * (keys older than max event time − delay are evicted), which is
+    * what makes this runnable forever at 100 TB/day, unlike plain
+    * dropDuplicates whose state only grows. */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tmp = graft.Tables.tempOutDir("stream_dup_src")
+    val ev = s.read.parquet(s"$d/events.parquet")
+    ev.coalesce(1).write.mode("overwrite").parquet(tmp)
+    ev.coalesce(1).write.mode("append").parquet(tmp)
+    val schema = s.read.parquet(tmp).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(tmp)
+      .withColumn("ts_ns", col("ts"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val deduped = src
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("event_type"), col("value"))
+    runToMemory(s, deduped, OutputMode.Append())
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hourly"  -> streamHourly _,
     "stream_session" -> streamSession _,
     "stream_session_multibatch" -> streamSessionMultiBatch _,
     "stream_append"  -> streamAppend _,
+    "stream_dedup"   -> streamDedup _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -156,6 +186,9 @@ object StreamingQueries {
           FROM events GROUP BY 1, 2)
         SELECT h.* FROM h, m
         WHERE epoch_us(h.window_start) + 3600000000 <= m.mx - 600000000""",
+    // a full replay deduped on the unique event_id = the table itself
+    "stream_dedup" ->
+      "SELECT event_id, event_type, value FROM events",
   )
 
   /** Batch (lag + running-sum) spelling of the 30-minute sessionization

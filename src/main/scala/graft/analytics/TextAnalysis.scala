@@ -153,6 +153,16 @@ object TextAnalysis {
       .select(col("doc_id"), col("token").as("top_term"), col("tf"), col("df"))
   }
 
+  /** Token-count histogram (25-token buckets) — the corpus-shape
+    * overview every curation run starts with. Integer bucket
+    * arithmetic (n − n % 25), cross-engine exact. */
+  def textHistogram(s: SparkSession, d: String): DataFrame = {
+    val n = size(toks)
+    documents(s, d)
+      .groupBy((n - pmod(n, lit(25))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_top_term"    -> topTerm _,
     "text_tokens"      -> textTokens _,
@@ -162,6 +172,7 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprint _,
     "text_rolling_hash" -> rollingHashPortable _,
     "text_bigrams"     -> bigrams _,
+    "text_histogram"   -> textHistogram _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -242,5 +253,10 @@ object TextAnalysis {
             i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))) AS bigram
           FROM documents)
         GROUP BY bigram""",
+    "text_histogram" ->
+      """SELECT CAST(len(string_split(text, ' '))
+            - len(string_split(text, ' ')) % 25 AS BIGINT) AS bucket,
+          count(*) AS n_docs
+        FROM documents GROUP BY 1""",
   )
 }

@@ -28,7 +28,7 @@ class PlanSpec extends SparkSpec {
 
   private val streaming =
     Set("stream_hourly", "stream_session", "stream_session_multibatch",
-      "stream_append")
+      "stream_append", "stream_dedup")
 
   /** Audited max Exchange-hashpartitioning count per query. */
   private val exchangeBudget: Map[String, Int] = Map(
@@ -65,7 +65,8 @@ class PlanSpec extends SparkSpec {
     "join_cross" -> 0, "join_full" -> 2, "sample_det" -> 0,
     "subquery_exists" -> 0, "training_select" -> 3, "ts_gapfill" -> 2,
     "win_range_frame" -> 1, "map_funcs" -> 2, "win_nth" -> 1,
-    "pred_like" -> 0)
+    "pred_like" -> 0, "emb_quantize" -> 0, "emb_centroid" -> 2,
+    "text_histogram" -> 1)
 
   /** Each query's physical-plan string, built ONCE for both tests (the
     * round-trip queries execute a file write when constructed). */
