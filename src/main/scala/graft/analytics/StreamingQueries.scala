@@ -43,12 +43,21 @@ object StreamingQueries {
   private def runToMemory(s: SparkSession, df: DataFrame,
       mode: OutputMode): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // state-store parallelism is pinned per-checkpoint at query start:
+    // at test SF, 32 shuffle partitions mean 32 state-store tasks per
+    // stateful operator PER MICRO-BATCH (task overhead dominates the
+    // multi-batch queries). 8 is right-sized here; a production job
+    // sizes this to state volume, not to the batch engine's default.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
     // the finally block must run even when the query FAILS — otherwise
     // the sink's temp view (and its retained rows) leak for the session
     // lifetime and the stopped-query check below never happens
