@@ -186,38 +186,52 @@ object Dedup {
     * (banding can miss pairs), but deterministic — the declared query
     * carries a DuckDB oracle of the identical banding + distance. */
   def simhashPairs(s: SparkSession, d: String, maxDist: Int = 2): DataFrame = {
-    val fp = dedupSimhash(s, d)
+    val fp = dedupSimhash(s, d).persist()
     val banded = fp.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bucket", concat(col("band"),
         lit(":"), substring(col("simhash"), col("band") * 4 + 1, lit(4))))
-    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("bucket"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"), col("bucket"))
-    a.join(b, Seq("bucket")).filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
+      .select(col("doc_id"), col("bucket"))
+    // candidate distinct moves bare id pairs; fingerprints rejoin from
+    // the tiny broadcast side (see simhash64Pairs)
+    val cand = banded.select(col("doc_id").as("doc_a"), col("bucket"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("bucket")), Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(broadcast(fp.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))), Seq("doc_a"))
+      .join(broadcast(fp.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))), Seq("doc_b"))
       .withColumn("hamming", graft.functions.hamming(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** 64-bit near-dup pairs: same banding shape as `simhashPairs`, but
-    * over the production-width fingerprint with 8-bit bands (8 bands).
-    * The 16-bit variant's 4-bit bands give ≤16 buckets per band — at
-    * 5k+ docs every bucket holds hundreds of docs and the per-bucket
-    * quadratic step dominates (the r2 driver bench measured it at 70 s
-    * for sf0.1). 8-bit bands over a 64-bit fingerprint spread docs over
-    * 256+ observed buckets per band, so candidate counts stay near-
-    * linear in N — this is the pairs query whose SHAPE survives 100×. */
+  /** 64-bit near-dup pairs: banding over the production-width
+    * fingerprint with 16-bit bands (4 bands). Band sizing is the whole
+    * game: hamming ≤ 3 with 4 bands is a pigeonhole GUARANTEE (3
+    * differing bits can dirty at most 3 of 4 bands — some band always
+    * matches exactly), and 16-bit buckets are ~256× more selective
+    * than 8-bit ones, which on a correlated corpus (synthetic docs
+    * from one vocabulary — or boilerplate-heavy web text) is the
+    * difference between near-linear candidates and a quadratic blowup.
+    * The candidate distinct carries BARE ID PAIRS only; the 64-char
+    * fingerprints rejoin from the tiny broadcast fingerprint table
+    * afterwards, so the big shuffle moves 16-byte rows, not 144-byte
+    * ones. This is the pairs query whose SHAPE survives 100×. */
   def simhash64Pairs(s: SparkSession, d: String, maxDist: Int = 3): DataFrame = {
-    val fp = dedupSimhash64(s, d)
+    val fp = dedupSimhash64(s, d).persist()
     val banded = fp.select(col("doc_id"), col("simhash64"),
-      explode(sequence(lit(0), lit(7))).as("band"))
+      explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bucket", concat(col("band"),
-        lit(":"), substring(col("simhash64"), col("band") * 8 + 1, lit(8))))
-    val a = banded.select(col("doc_id").as("doc_a"), col("simhash64").as("sh_a"), col("bucket"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("simhash64").as("sh_b"), col("bucket"))
-    a.join(b, Seq("bucket")).filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
+        lit(":"), substring(col("simhash64"), col("band") * 16 + 1, lit(16))))
+      .select(col("doc_id"), col("bucket"))
+    val cand = banded.select(col("doc_id").as("doc_a"), col("bucket"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("bucket")), Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(broadcast(fp.select(col("doc_id").as("doc_a"), col("simhash64").as("sh_a"))), Seq("doc_a"))
+      .join(broadcast(fp.select(col("doc_id").as("doc_b"), col("simhash64").as("sh_b"))), Seq("doc_b"))
       .withColumn("hamming", graft.functions.hamming(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
@@ -251,6 +265,14 @@ object Dedup {
     var labels = adj.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint(true)
+    // convergence check: labels only ever DECREASE under min-propagation,
+    // so Σlabel is strictly monotone until the fixpoint — one scalar agg
+    // per round detects it, no per-round join against the previous state
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("label"))).first()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 25) {
@@ -260,9 +282,9 @@ object Dedup {
         .union(labels)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-        .filter(col("label") =!= col("old"))
-        .isEmpty
+      val s2 = labelSum(next)
+      converged = s2 == prevSum
+      prevSum = s2
       labels = next
       rounds += 1
     }
@@ -474,13 +496,14 @@ object Dedup {
               i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1))) AS INT) AS hamming
           FROM cand)
         WHERE hamming <= 2""",
-    // 8-bit banding over the 64-bit fingerprints, hamming ≤ 3
+    // 16-bit banding over the 64-bit fingerprints, hamming ≤ 3 (4 bands
+    // > maxDist ⇒ pigeonhole-guaranteed recall)
     "dedup_simhash64_pairs" ->
       s"""WITH fp AS ($simhash64Sql),
         banded AS (
           SELECT doc_id, simhash64, b.band,
-            CAST(b.band AS VARCHAR) || ':' || substr(simhash64, b.band * 8 + 1, 8) AS bucket
-          FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band) b),
+            CAST(b.band AS VARCHAR) || ':' || substr(simhash64, b.band * 16 + 1, 16) AS bucket
+          FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
             a.simhash64 AS sh_a, b.simhash64 AS sh_b
