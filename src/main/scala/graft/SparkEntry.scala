@@ -26,7 +26,8 @@ object SparkEntry {
       analytics.Similarity.queries ++
       analytics.Multimodal.queries ++
       analytics.StreamingQueries.queries ++
-      analytics.Curation.queries
+      analytics.Curation.queries ++
+      analytics.Chunking.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +39,6 @@ object SparkEntry {
       analytics.Similarity.oracle ++
       analytics.Multimodal.oracle ++
       analytics.StreamingQueries.oracle ++
-      analytics.Curation.oracle
+      analytics.Curation.oracle ++
+      analytics.Chunking.oracle
 }

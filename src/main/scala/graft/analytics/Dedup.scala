@@ -291,6 +291,25 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Triangles in the near-dup candidate graph — the QA metric for a
+    * dedup run: a high triangle density means candidate pairs close
+    * transitively (real duplicate families), while a triangle-free pair
+    * set is mostly LSH noise. Standard oriented-triangle enumeration
+    * (v1 < v2 < v3, each edge stored once) — two equi-joins on id keys,
+    * the canonical Spark/MapReduce triangle plan; at 100 TB the joins
+    * shuffle bare id pairs only. */
+  def graphTriangles(s: SparkSession, d: String): DataFrame =
+    trianglesOf(dedupMinhash(s, d))
+
+  def trianglesOf(pairs: DataFrame): DataFrame = {
+    val p = pairs.persist()
+    val ab = p.select(col("doc_a").as("v1"), col("doc_b").as("v2"))
+    val bc = p.select(col("doc_a").as("v2"), col("doc_b").as("v3"))
+    val ac = p.select(col("doc_a").as("v1"), col("doc_b").as("v3"))
+    ab.join(bc, Seq("v2")).join(ac, Seq("v1", "v3"))
+      .select(col("v1"), col("v2"), col("v3"))
+  }
+
   /** Deterministic Rademacher (±1) hyperplanes for sign-bit LSH, seeded
     * so every run/engine sees the same planes. */
   private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
@@ -381,6 +400,7 @@ object Dedup {
     "dedup_simhash64_pairs" -> ((s: SparkSession, d: String) => simhash64Pairs(s, d)),
     "dedup_clusters"  -> dedupClusters _,
     "dedup_embedding" -> dedupEmbedding _,
+    "graph_triangles" -> graphTriangles _,
   )
 
   private[analytics] val shCte =
@@ -475,6 +495,15 @@ object Dedup {
           SELECT e.dst AS doc_id, r.label
           FROM reach r JOIN edges e ON e.src = r.doc_id)
         SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id""",
+    "graph_triangles" ->
+      s"""$shCte, $minhashCtes,
+        mpairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        SELECT a.doc_a AS v1, a.doc_b AS v2, b.doc_b AS v3
+        FROM mpairs a JOIN mpairs b ON b.doc_a = a.doc_b
+        JOIN mpairs c ON c.doc_a = a.doc_a AND c.doc_b = b.doc_b""",
     "dedup_simhash" -> simhashSql,
     "dedup_simhash64" -> simhash64Sql,
     // identical banding (4-bit buckets) + hamming over the same 16-bit

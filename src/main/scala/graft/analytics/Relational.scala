@@ -2,7 +2,7 @@ package graft.analytics
 
 import graft.Tables
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -297,6 +297,39 @@ object Relational {
         expr("percentile(value, 0.5)").as("p50"),
         expr("percentile(value, 0.9)").as("p90"))
 
+  /** Descriptive-statistics aggregates — mean, population variance, and
+    * Pearson correlation per group — spelled as EXACT integer moment
+    * sums (cents via floor(x·100+0.5), squares summed in decimal(38,0))
+    * followed by one double-arithmetic finish. The built-in
+    * `var_pop`/`corr` stream doubles whose partial sums depend on
+    * partitioning; the moment-sum form is order-independent by
+    * construction (associative integer adds) and therefore both
+    * cross-engine exact AND stable under any cluster layout — the same
+    * reformulation that makes these aggregates safe at 100 TB. */
+  def aggStats(s: SparkSession, d: String): DataFrame = {
+    val qc = floor(col("l_quantity") * 100 + 0.5).cast("long")
+    val pc = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val base = lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(qc).as("sq"),
+        sum(pc).as("sp"),
+        sum(d38(qc * qc)).as("sqq"),
+        sum(d38(pc * pc)).as("spp"),
+        sum(d38(qc * pc)).as("sqp"))
+    def dd(name: String): Column = col(name).cast("double")
+    base.select(
+      col("l_returnflag"), col("n"),
+      (dd("sq") / dd("n") / 100).as("mean_qty"),
+      ((dd("sqq") - dd("sq") * dd("sq") / dd("n")) / dd("n") / 10000)
+        .as("var_qty"),
+      ((dd("n") * dd("sqp") - dd("sq") * dd("sp"))
+        / (sqrt(dd("n") * dd("sqq") - dd("sq") * dd("sq"))
+          * sqrt(dd("n") * dd("spp") - dd("sp") * dd("sp")))).as("corr_qp"))
+  }
+
   /** The full rank-function family over one window: rank, dense_rank,
     * ntile, percent_rank, cume_dist. The order key (µs ts, event_id) is
     * unique, so every rank is deterministic; percent_rank/cume_dist are
@@ -492,6 +525,7 @@ object Relational {
     "agg_distinct"      -> aggDistinct _,
     "agg_count"         -> aggCount _,
     "agg_rollup"        -> aggRollup _,
+    "agg_stats"         -> aggStats _,
     "win_latest"        -> winLatest _,
     "win_lag"           -> winLag _,
     "win_sum"           -> winSum _,
@@ -541,6 +575,29 @@ object Relational {
       s"""SELECT o_orderpriority, count(*) AS cnt, CAST(sum($discExp) AS DOUBLE) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority""",
+    // identical exact-integer moment sums, identical double finish —
+    // see aggStats' scaladoc for why this beats var_pop/corr built-ins
+    "agg_stats" ->
+      """WITH s AS (
+          SELECT l_returnflag,
+            count(*) AS n,
+            sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS sq,
+            sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS sp,
+            sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)
+              * CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS sqq,
+            sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)
+              * CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS spp,
+            sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)
+              * CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS sqp
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+          CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 100 AS mean_qty,
+          (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+            / CAST(n AS DOUBLE) / 10000 AS var_qty,
+          (CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+            / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+               * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))) AS corr_qp
+        FROM s""",
     "join_broadcast" ->
       """SELECT n_name, count(*) AS cnt,
           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total

@@ -153,6 +153,43 @@ object TextAnalysis {
       .select(col("doc_id"), col("token").as("top_term"), col("tf"), col("df"))
   }
 
+  /** Repetition score: the fraction of a document's bigrams taken by
+    * its single most frequent bigram — the cheap detector for looping /
+    * boilerplate text (degenerate generations, templated spam) that a
+    * quality filter gates on. Two aggregations on (doc_id[, bigram])
+    * keys; the ratio is one double division of exact integers. */
+  def textRepetition(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"),
+        explode(graft.functions.text.shingles(toks, 2)).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max(col("c")).as("top_cnt"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
+        col("top_cnt"),
+        (col("top_cnt").cast("double") / col("n_bigrams").cast("double"))
+          .as("rep_ratio"))
+
+  /** Stratified (balanced) sampling: cap every language stratum at 40
+    * docs, chosen by a deterministic md5-of-id order — downsampling the
+    * over-represented languages is how a multilingual training mix is
+    * rebalanced. Same stable-hash-order idea as `sample_det`, per
+    * stratum; one shuffle on the tiny (lang) key. */
+  def sampleStratified(s: SparkSession, d: String, cap: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+  }
+
   /** Token-count histogram (25-token buckets) — the corpus-shape
     * overview every curation run starts with. Integer bucket
     * arithmetic (n − n % 25), cross-engine exact. */
@@ -173,6 +210,8 @@ object TextAnalysis {
     "text_rolling_hash" -> rollingHashPortable _,
     "text_bigrams"     -> bigrams _,
     "text_histogram"   -> textHistogram _,
+    "text_repetition"  -> textRepetition _,
+    "sample_stratified" -> ((s: SparkSession, d: String) => sampleStratified(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -258,5 +297,23 @@ object TextAnalysis {
             - len(string_split(text, ' ')) % 25 AS BIGINT) AS bucket,
           count(*) AS n_docs
         FROM documents GROUP BY 1""",
+    "text_repetition" ->
+      """WITH bg AS (
+          SELECT doc_id, unnest(list_transform(
+            generate_series(1, len(string_split(text, ' ')) - 1),
+            i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))) AS bigram
+          FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        cnts AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+          count(*) AS n_distinct_bigrams,
+          CAST(max(c) AS BIGINT) AS top_cnt,
+          CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS rep_ratio
+        FROM cnts GROUP BY doc_id""",
+    "sample_stratified" ->
+      """SELECT doc_id, lang, rn FROM (
+          SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 40""",
   )
 }

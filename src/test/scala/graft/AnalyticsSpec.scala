@@ -1,6 +1,6 @@
 package graft
 
-import graft.analytics.{Dedup, Multimodal, Similarity}
+import graft.analytics.{Chunking, Dedup, Multimodal, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the approximate EXT operators that have no SQL oracle:
@@ -106,5 +106,88 @@ class AnalyticsSpec extends SparkSpec {
     val plan = Multimodal.assets(spark, sfDir).select("asset_id")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("content") || plan.contains("ReadSchema: struct<doc_id"))
+  }
+
+  test("chunking tiles every document: stride==width partitions the tokens exactly") {
+    val docs = Tables.documents(spark, sfDir)
+    val chunks = Chunking.chunksOf(docs, width = 8, stride = 8)
+    // non-overlapping chunks cover each doc's tokens exactly once
+    val covered = chunks.groupBy(col("doc_id"))
+      .agg(sum(col("chunk_tokens")).as("cov"), count(lit(1)).as("nch"),
+        max(col("chunk_idx")).as("maxidx"))
+    val joined = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .join(covered, Seq("doc_id"))
+    assert(joined.filter(col("cov") =!= col("n")).count() === 0)
+    // chunk ordinals are contiguous from 0
+    assert(joined.filter(col("maxidx") =!= col("nch") - 1).count() === 0)
+    // no chunk exceeds the window width
+    assert(chunks.filter(col("chunk_tokens") > 8).count() === 0)
+    // overlapping chunks (stride < width) cover MORE than the tokens
+    val overlapped = Chunking.chunksOf(docs, width = 32, stride = 24)
+      .groupBy(col("doc_id")).agg(sum(col("chunk_tokens")).as("cov"))
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n")), Seq("doc_id"))
+    assert(overlapped.filter(col("cov") < col("n")).count() === 0)
+  }
+
+  test("contamination flags a planted eval copy and clears unrelated docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"), // eval
+      (30L, "alpha beta gamma delta epsilon zeta eta theta"), // exact copy
+      (31L, "one two three four five six seven eight"),       // unrelated
+      (32L, "noise alpha beta gamma delta epsilon tail tokens") // partial overlap
+    ).toDF("doc_id", "text")
+    val r = analytics.Chunking.contaminationOf(docs, evalMax = 25)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_shared"), x.getAs[Boolean]("contaminated"))).toMap
+    assert(r(30L)._2 && r(30L)._1 === 4L) // all 4 of its 5-gram shingles shared
+    assert(!r(31L)._2 && r(31L)._1 === 0L)
+    assert(r(32L)._2 && r(32L)._1 > 0L)   // the embedded eval run is caught
+  }
+
+  test("triangle enumeration finds exactly the closed pair-triples") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val tris = Dedup.trianglesOf(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tris === Set((1L, 2L, 3L)))
+  }
+
+  test("stratified sample caps every stratum deterministically") {
+    val s1 = analytics.TextAnalysis.sampleStratified(spark, sfDir, cap = 10)
+    val strata = s1.groupBy(col("lang")).agg(count(lit(1)).as("c")).collect()
+    val full = Tables.documents(spark, sfDir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    strata.foreach { r =>
+      assert(r.getLong(1) === math.min(10L, full(r.getString(0))))
+    }
+    // same rows on a re-run (hash order, not partitioning order)
+    val a = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = analytics.TextAnalysis.sampleStratified(spark, sfDir, cap = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
+  test("moment-sum statistics match the streaming built-ins to 1e-9") {
+    val got = analytics.Relational.aggStats(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("mean_qty"), r.getAs[Double]("var_qty"),
+          r.getAs[Double]("corr_qp"))).toMap
+    val ref = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(avg(col("l_quantity")).as("m"),
+        var_pop(col("l_quantity")).as("v"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    ref.foreach { case (k, (m, v, c)) =>
+      assert(math.abs(got(k)._1 - m) < 1e-9, s"mean $k")
+      assert(math.abs(got(k)._2 - v) < 1e-6, s"var $k")
+      assert(math.abs(got(k)._3 - c) < 1e-6, s"corr $k")
+    }
   }
 }

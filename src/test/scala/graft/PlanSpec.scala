@@ -66,7 +66,14 @@ class PlanSpec extends SparkSpec {
     "subquery_exists" -> 0, "training_select" -> 3, "ts_gapfill" -> 2,
     "win_range_frame" -> 1, "map_funcs" -> 2, "win_nth" -> 1,
     "pred_like" -> 0, "emb_quantize" -> 0, "emb_centroid" -> 2,
-    "text_histogram" -> 1)
+    "text_histogram" -> 1,
+    // round-3 late batch (audited at the same baseline)
+    // graph_triangles' 13 is the STATIC plan of three branches over the
+    // persisted minhash pair table (3×minhash + 4 join exchanges); at
+    // runtime the persist collapses the three branches into one
+    "text_chunk" -> 0, "dedup_chunks" -> 2, "contamination" -> 3,
+    "text_repetition" -> 2, "sample_stratified" -> 1,
+    "graph_triangles" -> 13, "agg_stats" -> 1)
 
   /** Each query's physical-plan string, built ONCE for both tests (the
     * round-trip queries execute a file write when constructed). */
