@@ -75,7 +75,14 @@ object Similarity {
     * one aggregation), collect nlist·dim cell means to the driver.
     * Collecting centroids is index METADATA, not data — the same
     * driver-side loop every k-means implementation (incl. Spark MLlib)
-    * runs. Cells that lose all members keep their previous centroid. */
+    * runs. Cells that lose all members keep their previous centroid.
+    *
+    * Means are fixed-point: floor(x·10⁶) longs summed exactly, one
+    * double division at the end — so the refined centroids are
+    * independent of partitioning/summation order AND cross-engine
+    * exact, which is what lets the full IVF pipeline carry a DuckDB
+    * oracle (a float `avg` here would make the index — and therefore
+    * the result set — depend on shuffle order). */
   private def lloyd(e: DataFrame, init: Array[Array[Double]],
       iters: Int): Array[Array[Double]] = {
     var cents = init
@@ -83,7 +90,9 @@ object Similarity {
       val cl = centroidsLit(cents)
       val means = e
         .select(cellOf(cl, col("v")).as("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(floor(col("x") * 1e6).cast("long")).cast("double")
+          / count(lit(1)) / 1e6).as("m"))
         .collect()
       val next = cents.map(_.clone())
       means.foreach { r =>
@@ -109,9 +118,13 @@ object Similarity {
       nprobe: Int = 12, k: Int = 10, lloydIters: Int = 2): DataFrame = {
     // corpus feeds centroid training, assignment, and the query side
     val e = corpus(s, d).persist()
-    val init = e.orderBy(col("vec_id")).limit(nlist)
-      .select(col("v")).collect()
-      .map(_.getSeq[Double](0).toArray)
+    // seed cell i with vector i: a pushed-down id filter (no global
+    // sort/limit), and the id IS the cell index both here and in the
+    // DuckDB oracle
+    val init = e.filter(col("vec_id") < nlist)
+      .select(col("vec_id"), col("v")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
     val cl = centroidsLit(lloyd(e, init, lloydIters))
 
     // shuffle-free assignment: argmax expression per corpus row
@@ -217,8 +230,76 @@ object Similarity {
             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
           FROM scored)
         WHERE rn <= 10""",
-    // sim_ann_ivf: approximate by design — no oracle (rows-only check);
-    // recall vs sim_knn is asserted in AnalyticsSpec.
+    // sim_ann_ivf is approximate vs the exhaustive scan, but fully
+    // DETERMINISTIC: fixed-point Lloyd means make the trained quantizer
+    // independent of summation order, so the whole pipeline — seed,
+    // 2 Lloyd rounds, probe, rerank — unrolls as DuckDB CTEs and the
+    // approximate result set itself is hash-checked. Recall vs sim_knn
+    // is additionally asserted in AnalyticsSpec.
+    "sim_ann_ivf" -> {
+      // normalized list-form centroids from (cell, dim, val) rows; the
+      // zero-norm guard mirrors centroidsLit
+      def cn(cd: String): String =
+        s"""SELECT cell, list_transform(c, x ->
+             CASE WHEN sqrt(list_dot_product(c, c)) = 0 THEN 0
+                  ELSE x / sqrt(list_dot_product(c, c)) END) AS c
+           FROM (SELECT cell, list(val ORDER BY dim) AS c FROM $cd GROUP BY cell)"""
+      // nearest-cell assignment (argmax dot, ties to the lowest cell)
+      def assign(cnT: String): String =
+        s"""SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, c.c) DESC, c.cell) AS rn
+             FROM e CROSS JOIN $cnT c) WHERE rn = 1"""
+      // fixed-point per-(cell, dim) means over an assignment
+      def means(aT: String): String =
+        s"""SELECT a.cell, d.i - 1 AS dim,
+             CAST(sum(CAST(floor(e.v[d.i] * 1000000) AS BIGINT)) AS DOUBLE)
+               / count(*) / 1000000 AS val
+           FROM e JOIN $aT a USING (vec_id), dims d
+           GROUP BY a.cell, d.i"""
+      // lost cells keep the previous round's centroid
+      def step(prevCd: String, mT: String): String =
+        s"""SELECT $prevCd.cell, $prevCd.dim, coalesce($mT.val, $prevCd.val) AS val
+           FROM $prevCd LEFT JOIN $mT
+             ON $mT.cell = $prevCd.cell AND $mT.dim = $prevCd.dim"""
+      s"""WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        cd0 AS (
+          SELECT vec_id AS cell, i - 1 AS dim, v[i] AS val
+          FROM e, dims WHERE vec_id < 16),
+        cn0 AS (${cn("cd0")}),
+        a1 AS (${assign("cn0")}),
+        m1 AS (${means("a1")}),
+        cd1 AS (${step("cd0", "m1")}),
+        cn1 AS (${cn("cd1")}),
+        a2 AS (${assign("cn1")}),
+        m2 AS (${means("a2")}),
+        cd2 AS (${step("cd1", "m2")}),
+        cn2 AS (${cn("cd2")}),
+        af AS (${assign("cn2")}),
+        probes AS (
+          SELECT qid, cell FROM (
+            SELECT q.vec_id AS qid, c.cell,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_dot_product(q.v, c.c) DESC, c.cell) AS prn
+            FROM e q CROSS JOIN cn2 c WHERE q.vec_id < 50) WHERE prn <= 12),
+        scored AS (
+          SELECT p.qid, x.vec_id AS nid,
+            list_dot_product(q.v, x.v) / (q.nrm * x.nrm) AS cos
+          FROM probes p
+          JOIN af ON af.cell = p.cell
+          JOIN n x ON x.vec_id = af.vec_id
+          JOIN n q ON q.vec_id = p.qid
+          WHERE x.vec_id <> p.qid)
+        SELECT qid, nid, rn FROM (
+          SELECT qid, nid,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+          FROM scored) WHERE rn <= 10"""
+    },
     "sim_range" ->
       """WITH e AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
