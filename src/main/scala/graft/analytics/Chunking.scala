@@ -87,10 +87,31 @@ object Chunking {
         (col("n_shared") > 0).as("contaminated"))
   }
 
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * packs — the step between chunking and batch assembly. True
+    * first-fit packing is inherently sequential; the distributed
+    * spelling packs WITHIN each shard (source) by a running token sum
+    * in deterministic doc_id order: pack = how many full budgets
+    * precede the doc. One shuffle on the shard key; each shard's
+    * window is independent, so the plan scales with shard count (a
+    * global ORDER BY window would serialize into one task at 100 TB —
+    * the per-shard partitionBy is the point). */
+  def packSequences(s: SparkSession, d: String, budget: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("doc_id"), col("source"), size(toks).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .selectExpr("doc_id", "source", "n_tokens",
+        s"(cum - n_tokens) div $budget AS pack_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_chunk"    -> textChunk _,
     "dedup_chunks"  -> dedupChunks _,
     "contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
+    "pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -120,5 +141,13 @@ object Chunking {
           count(ev.shingle) > 0 AS contaminated
         FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle
         GROUP BY tr.doc_id""",
+    "pack_sequences" ->
+      """SELECT doc_id, source, n_tokens,
+          CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id
+        FROM (
+          SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+            sum(len(string_split(text, ' '))) OVER (PARTITION BY source
+              ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+          FROM documents)""",
   )
 }

@@ -172,6 +172,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("sequence packing matches a sequential first-fit fold per shard") {
+    val got = Chunking.packSequences(spark, sfDir, budget = 512)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[String]("source"), r.getAs[Int]("n_tokens"),
+          r.getAs[Long]("pack_id")))).toMap
+    // reference: the sequential running-sum fold the window expresses
+    val bySource = got.toSeq
+      .map { case (id, (src, n, _)) => (src, id, n) }
+      .groupBy(_._1)
+    bySource.foreach { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(_._2).foreach { case (_, id, n) =>
+        assert(got(id)._3 === cum / 512, s"doc $id")
+        cum += n
+      }
+    }
+    // packs are dense: every shard uses pack ids 0..max
+    bySource.foreach { case (src, docs) =>
+      val packs = docs.map(d => got(d._2)._3).distinct.sorted
+      assert(packs === (0L to packs.max).toSeq, s"sparse packs in $src")
+    }
+  }
+
   test("moment-sum statistics match the streaming built-ins to 1e-9") {
     val got = analytics.Relational.aggStats(spark, sfDir)
       .collect().map(r => r.getString(0) ->

@@ -152,6 +152,65 @@ class ScaleSpec extends SparkSpec {
     assert(oneDay.count() > 0)
   }
 
+  test("dynamic partition pruning injects a runtime filter from the dim side") {
+    import graft.warehouse.WarehouseLoad
+    val out = new java.io.File("target/fixtures/dpp_events").getAbsolutePath
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("event_date", col("ts").cast("date"))
+      .drop("ts", "ts_ns")
+    WarehouseLoad.writePartitionedByDate(ev, "event_date", out)
+    import spark.implicits._
+    // a "dimension" that selects one day — the static scan can't know
+    // which partition survives; DPP derives it from the broadcast side
+    // at runtime (free when the dim is broadcast anyway)
+    // the dim must be a RELATION with a selective filter — a local Seq
+    // would be constant-folded (ConvertToLocalRelation) and lose the
+    // Filter node the pruning rule keys on
+    val dimPath = new java.io.File("target/fixtures/dpp_dim").getAbsolutePath
+    Seq((java.sql.Date.valueOf("2024-01-03"), 1),
+      (java.sql.Date.valueOf("2024-01-04"), 2)).toDF("event_date", "flag")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+      .filter(col("flag") === 1) // the selective dim predicate DPP keys on
+    val j = spark.read.parquet(out)
+      .join(broadcast(dim), Seq("event_date"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan)
+    assert(j.count() > 0)
+  }
+
+  test("runtime bloom filter reduces the fact side of a selective join") {
+    // the shuffle-join sibling of DPP: a bloom filter built from the
+    // selective (creation) side is pushed into the fact scan. Thresholds
+    // are sized for production scans — lower them to exercise the rule
+    // at test SF; the assertion is on the injected predicate, the
+    // mechanism is identical at 100 TB.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1B")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      val orders = Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val j = Tables.lineitem(spark, sfDir)
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"), plan)
+      assert(j.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("Misra-Gries sketch: guaranteed heavy hitters, bounded undercount") {
     import graft.functions.sketch
     val toks = Tables.documents(spark, "/root/testdata/sf0.01")
