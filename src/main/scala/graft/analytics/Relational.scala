@@ -419,6 +419,36 @@ object Relational {
                         WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""")
   }
 
+  /** Correlated scalar subqueries: orders above their own customer's
+    * average price, spelled multiplicatively (price·n > Σprice) so the
+    * comparison is EXACT decimal arithmetic — no float division to
+    * drift across engines. Catalyst decorrelates both subqueries into
+    * one aggregate + join; nothing executes per-row. */
+  def subqueryCorrelated(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("graft_orders_corr")
+    s.sql("""
+      SELECT o_orderkey, o_custkey, o_totalprice FROM graft_orders_corr o
+      WHERE CAST(o_totalprice AS DECIMAL(12,2))
+              * (SELECT count(*) FROM graft_orders_corr o2
+                 WHERE o2.o_custkey = o.o_custkey)
+            > (SELECT sum(CAST(o2.o_totalprice AS DECIMAL(12,2)))
+               FROM graft_orders_corr o2 WHERE o2.o_custkey = o.o_custkey)""")
+  }
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the NULL
+    * group survives as a real join key — a plain equi-join silently
+    * drops it, the classic dimension-lookup bug for "unknown" keys.
+    * EqualNullSafe is still an equi-join key, so the plan stays a hash
+    * join (broadcast here), not a nested loop. */
+  def joinNullSafe(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .select(col("event_id"), expr("nullif(user_id % 50, 7)").as("k"))
+    val dim = e.select(col("k").as("d_k")).distinct()
+      .filter(col("d_k").isNull || col("d_k") < 10)
+    e.join(broadcast(dim), col("k") <=> col("d_k"))
+      .groupBy(col("d_k")).agg(count(lit(1)).as("cnt"))
+  }
+
   /** RANGE-framed window (value-based frame, not row-based): trailing
     * 30-minute per-user event count + exact decimal sum. The frame key
     * is the µs timestamp long — both engines bound the frame by value
@@ -547,6 +577,8 @@ object Relational {
     "join_full"         -> joinFull _,
     "join_cross"        -> joinCross _,
     "subquery_exists"   -> subqueryExists _,
+    "subquery_correlated" -> subqueryCorrelated _,
+    "join_null_safe"    -> joinNullSafe _,
     "win_range_frame"   -> winRangeFrame _,
     "agg_conditional"   -> aggConditional _,
     "agg_string_agg"    -> aggStringAgg _,
@@ -635,6 +667,19 @@ object Relational {
                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
           AND NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""",
+    "subquery_correlated" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        WHERE CAST(o_totalprice AS DECIMAL(12,2))
+                * (SELECT count(*) FROM orders o2
+                   WHERE o2.o_custkey = o.o_custkey)
+              > (SELECT sum(CAST(o2.o_totalprice AS DECIMAL(12,2)))
+                 FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""",
+    "join_null_safe" ->
+      """WITH e AS (SELECT event_id, nullif(user_id % 50, 7) AS k FROM events),
+        dim AS (SELECT DISTINCT k AS d_k FROM e WHERE k IS NULL OR k < 10)
+        SELECT d_k, count(*) AS cnt FROM e
+        JOIN dim ON e.k IS NOT DISTINCT FROM dim.d_k
+        GROUP BY d_k""",
     "win_range_frame" ->
       """SELECT event_id, user_id,
           count(*) OVER w AS n_30m,

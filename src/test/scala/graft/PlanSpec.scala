@@ -73,7 +73,8 @@ class PlanSpec extends SparkSpec {
     // runtime the persist collapses the three branches into one
     "text_chunk" -> 0, "dedup_chunks" -> 2, "contamination" -> 3,
     "text_repetition" -> 2, "sample_stratified" -> 1,
-    "graph_triangles" -> 13, "agg_stats" -> 1, "pack_sequences" -> 1)
+    "graph_triangles" -> 13, "agg_stats" -> 1, "pack_sequences" -> 1,
+    "subquery_correlated" -> 2, "join_null_safe" -> 2)
 
   /** Each query's physical-plan string, built ONCE for both tests (the
     * round-trip queries execute a file write when constructed). */
