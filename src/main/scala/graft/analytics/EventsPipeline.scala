@@ -170,6 +170,19 @@ object EventsPipeline {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Null-preserving generator (explode_outer): documents whose filter
+    * yields an EMPTY array still emit one null-token row — with plain
+    * explode they vanish from the output entirely, the classic silent
+    * row loss when generating from sparse arrays. The per-doc counts
+    * (n_rows ≥ 1 always; n_spark = matches) pin both semantics. */
+  def explodeOuter(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        explode_outer(filter(split(col("text"), " "), t => t === "spark"))
+          .as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_rows"), count(col("tok")).as("n_spark"))
+
   /** format/lpad/concat string surface (F12). */
   def strFormat(s: SparkSession, d: String): DataFrame =
     events(s, d)
@@ -398,6 +411,7 @@ object EventsPipeline {
     "nested_access"       -> nestedAccess _,
     "json_parse_array"    -> jsonParseArray _,
     "gen_explode"         -> genExplode _,
+    "gen_explode_outer"   -> explodeOuter _,
     "str_format"          -> strFormat _,
     "ts_tz_shift"         -> tsTzShift _,
     "warehouse_load"      -> warehouseLoad _,
@@ -567,6 +581,15 @@ object EventsPipeline {
       """SELECT token, count(*) AS cnt FROM (
           SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         GROUP BY token""",
+    // unnest([NULL]) emulates explode_outer's null row for empty arrays
+    "gen_explode_outer" ->
+      """SELECT doc_id, count(*) AS n_rows, count(tok) AS n_spark FROM (
+          SELECT doc_id,
+            unnest(CASE WHEN len(l) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE l END) AS tok
+          FROM (SELECT doc_id,
+                  list_filter(string_split(text, ' '), t -> t = 'spark') AS l
+                FROM documents))
+        GROUP BY doc_id""",
     "str_format" ->
       """SELECT 'USER_' || lpad(CAST(user_id % 100 AS VARCHAR), 3, '0') AS user_tag,
           count(*) AS cnt

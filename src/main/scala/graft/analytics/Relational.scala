@@ -169,6 +169,18 @@ object Relational {
         count(lit(1)).as("cnt"),
         sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
 
+  /** grouping()/grouping_id() markers over a cube: the bitmask that
+    * tells report consumers WHICH aggregation level a row belongs to —
+    * without it, a genuinely-NULL group value is indistinguishable from
+    * a rollup subtotal. Same Expand-based plan as aggCube. */
+  def aggGroupingId(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        grouping_id().cast("long").as("gid"),
+        grouping(col("l_returnflag")).cast("long").as("g_flag"))
+
   /** Sessionization: 30-minute-gap sessions per user via lag + running
     * sum of session starts — the batch spelling of session_window
     * (T6 EXT), exact in ns-long arithmetic. At scale this is one
@@ -579,6 +591,7 @@ object Relational {
     "subquery_exists"   -> subqueryExists _,
     "subquery_correlated" -> subqueryCorrelated _,
     "join_null_safe"    -> joinNullSafe _,
+    "agg_grouping_id"   -> aggGroupingId _,
     "win_range_frame"   -> winRangeFrame _,
     "agg_conditional"   -> aggConditional _,
     "agg_string_agg"    -> aggStringAgg _,
@@ -680,6 +693,13 @@ object Relational {
         SELECT d_k, count(*) AS cnt FROM e
         JOIN dim ON e.k IS NOT DISTINCT FROM dim.d_k
         GROUP BY d_k""",
+    // DuckDB's multi-arg GROUPING bitmask uses the same first-arg-is-MSB
+    // convention as Spark's grouping_id()
+    "agg_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+          CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
     "win_range_frame" ->
       """SELECT event_id, user_id,
           count(*) OVER w AS n_30m,
