@@ -169,6 +169,18 @@ object Relational {
         count(lit(1)).as("cnt"),
         sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
 
+  /** Top-3 events by value per event_type through the CUSTOM top-k
+    * operator (graft.plans.TopK): logical node → planner strategy →
+    * two-phase bounded-heap exec. The window spelling shuffles and
+    * sorts every row; this shuffles at most k rows per key per map
+    * task. Unique (value desc, event_id) order ⇒ deterministic set. */
+  def topkPerKey(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopK.perKey(
+      events(s, d).select(col("event_type"), col("event_id"), col("value")),
+      keys = Seq(col("event_type")),
+      order = Seq(col("value").desc, col("event_id")),
+      k = 3)
+
   /** grouping()/grouping_id() markers over a cube: the bitmask that
     * tells report consumers WHICH aggregation level a row belongs to —
     * without it, a genuinely-NULL group value is indistinguishable from
@@ -592,6 +604,7 @@ object Relational {
     "subquery_correlated" -> subqueryCorrelated _,
     "join_null_safe"    -> joinNullSafe _,
     "agg_grouping_id"   -> aggGroupingId _,
+    "topk_per_key"      -> topkPerKey _,
     "win_range_frame"   -> winRangeFrame _,
     "agg_conditional"   -> aggConditional _,
     "agg_string_agg"    -> aggStringAgg _,
@@ -693,6 +706,13 @@ object Relational {
         SELECT d_k, count(*) AS cnt FROM e
         JOIN dim ON e.k IS NOT DISTINCT FROM dim.d_k
         GROUP BY d_k""",
+    "topk_per_key" ->
+      """SELECT event_type, event_id, value FROM (
+          SELECT event_type, event_id, value,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY value DESC, event_id) AS rn
+          FROM events)
+        WHERE rn <= 3""",
     // DuckDB's multi-arg GROUPING bitmask uses the same first-arg-is-MSB
     // convention as Spark's grouping_id()
     "agg_grouping_id" ->

@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
     e.injectOptimizerRule(_ => graft.plans.VectorizeDotProduct)
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
 

@@ -18,6 +18,14 @@ object Bridge {
   def column(e: Expression): Column =
     Column(ExpressionColumnNode(e))
 
+  /** Build a DataFrame from a hand-constructed LogicalPlan (custom
+    * operator nodes): `Dataset.ofRows` is `private[sql]` in Spark 4's
+    * classic module — same in-package hop. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** `org.apache.spark.sql.types.AbstractDataType` is `private[sql]` in
     * Spark 4, but extension expressions need it to declare `inputTypes`
     * (analysis-time typing via `ExpectsInputTypes`) — same in-package

@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.GraftExtensions
+import org.apache.spark.sql.functions._
 
 /** SQL surface of the native expressions. */
 class ExtensionsSpec extends SparkSpec {
@@ -77,5 +78,51 @@ class ExtensionsSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT shingles(array('a','b'), cast(rand()*2 AS INT))").collect()
     }
+  }
+
+  test("custom top-k operator: two-phase plan, one exchange, window-identical rows") {
+    import graft.plans.TopK
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val topk = TopK.perKey(ev, Seq(col("event_type")),
+      Seq(col("value").desc, col("event_id")), k = 3)
+    val plan = topk.queryExecution.executedPlan.toString
+    // partial (pre-shuffle) + final (post-shuffle) bounded heaps
+    assert("GraftTopK".r.findAllIn(plan).size === 2, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("Window"), plan)
+    // exact same result set as the window spelling
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    val expected = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+      .collect().map(_.toSeq).toSet
+    assert(topk.collect().map(_.toSeq).toSet === expected)
+  }
+
+  test("custom top-k partial phase bounds the shuffle to k rows per key per task") {
+    import graft.plans.{GraftTopKExec, TopK}
+    import spark.implicits._
+    // row-based local input: the partial node is executed UNPREPARED
+    // below (no columnar→row transition pass runs on a bare sparkPlan)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.toDF("event_type", "event_id", "value")
+      .repartition(4) // multiple map tasks
+    val topk = TopK.perKey(ev, Seq(col("event_type")),
+      Seq(col("value").desc, col("event_id")), k = 3)
+    // execute the partial phase alone and count what WOULD shuffle
+    // (sparkPlan, not executedPlan: AQE wraps the latter opaquely; the
+    // partial node needs no exchange so it runs standalone)
+    val partial = topk.queryExecution.sparkPlan.collectFirst {
+      case e: GraftTopKExec if e.partial => e
+    }.get
+    val shuffled = partial.execute().count()
+    val nKeys = ev.select(col("event_type")).distinct().count()
+    assert(shuffled <= nKeys * 3 * 4, s"partial emitted $shuffled rows")
+    // and far fewer than the full input (the point of the operator)
+    assert(shuffled < ev.count() / 10, s"partial emitted $shuffled rows")
   }
 }

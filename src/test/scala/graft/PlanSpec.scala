@@ -75,7 +75,8 @@ class PlanSpec extends SparkSpec {
     "text_repetition" -> 2, "sample_stratified" -> 1,
     "graph_triangles" -> 13, "agg_stats" -> 1, "pack_sequences" -> 1,
     "subquery_correlated" -> 2, "join_null_safe" -> 2,
-    "agg_grouping_id" -> 1, "gen_explode_outer" -> 1)
+    "agg_grouping_id" -> 1, "gen_explode_outer" -> 1,
+    "topk_per_key" -> 1)
 
   /** Each query's physical-plan string, built ONCE for both tests (the
     * round-trip queries execute a file write when constructed). */
