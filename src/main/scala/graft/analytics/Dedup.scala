@@ -113,17 +113,21 @@ object Dedup {
   private[graft] def ngramCandidateCount(docs: DataFrame, dfCap: Int): Long =
     ngramCandidates(shinglesOf(docs), dfCap).count()
 
+  /** All 8 MinHash signatures in ONE aggregation pass over the shingle
+    * table (an exploded (doc, shingle, seed) form would 8x the shuffle
+    * rows and need a second aggregation). */
+  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
+    val sigCols = (0 to 7).map(i =>
+      min(md5(concat(lit(i.toString), lit("|"), col("shingle")))).as(s"sig$i"))
+    shingles(s, d)
+      .groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+  }
+
   /** MinHash signatures (8 seed-salted md5 mins) banded 2-per-band into
     * 4 LSH buckets; output = candidate pairs sharing any band bucket. */
   def dedupMinhash(s: SparkSession, d: String): DataFrame = {
-    // all 8 signatures in ONE aggregation pass over the shingle table
-    // (an exploded (doc, shingle, seed) form would 8x the shuffle rows
-    // and need a second aggregation)
-    val sigCols = (0 to 7).map(i =>
-      min(md5(concat(lit(i.toString), lit("|"), col("shingle")))).as(s"sig$i"))
-    val sigs = shingles(s, d)
-      .groupBy(col("doc_id"))
-      .agg(sigCols.head, sigCols.tail: _*)
+    val sigs = minhashSigs(s, d)
     // band bucket = order-insensitive hash of its two sigs
     // (least/greatest == the grouped min/max the oracle computes)
     val bucketExprs = (0 to 3).flatMap { b =>
@@ -291,6 +295,34 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Sketch-accuracy measurement: MinHash-ESTIMATED Jaccard (matching
+    * signature fraction, the unbiased LSH estimator) against the EXACT
+    * shingle-set Jaccard, per candidate pair — the calibration query
+    * you run before trusting a sketch at 100 TB, where the exact join
+    * is only affordable on a sample. Estimate and truth are both
+    * deterministic, so the whole comparison is oracle-checked. */
+  def minhashJaccardEst(s: SparkSession, d: String): DataFrame = {
+    val sigs  = minhashSigs(s, d).persist()
+    val sh    = shingles(s, d).persist()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val sigArr = array((0 to 7).map(i => col(s"sig$i")): _*)
+    val inter = coalesce(col("inter0"), lit(0L))
+    val est = col("m").cast("double") / 8
+    val jac = inter.cast("double") / (col("sz_a") + col("sz_b") - inter).cast("double")
+    dedupMinhash(s, d)
+      .join(sigs.select(col("doc_id").as("doc_a"), sigArr.as("sa")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), sigArr.as("sb")), Seq("doc_b"))
+      .withColumn("m",
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b)))
+      .join(shinglePairs(sh).withColumnRenamed("inter", "inter0"),
+        Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        est.as("est_jaccard"), jac.as("jaccard"),
+        abs(est - jac).as("abs_err"))
+  }
+
   /** Triangles in the near-dup candidate graph — the QA metric for a
     * dedup run: a high triangle density means candidate pairs close
     * transitively (real duplicate families), while a triangle-free pair
@@ -401,6 +433,7 @@ object Dedup {
     "dedup_clusters"  -> dedupClusters _,
     "dedup_embedding" -> dedupEmbedding _,
     "graph_triangles" -> graphTriangles _,
+    "minhash_jaccard_est" -> minhashJaccardEst _,
   )
 
   private[analytics] val shCte =
@@ -495,6 +528,35 @@ object Dedup {
           SELECT e.dst AS doc_id, r.label
           FROM reach r JOIN edges e ON e.src = r.doc_id)
         SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id""",
+    "minhash_jaccard_est" ->
+      s"""$shCte, $minhashCtes,
+        mpairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        m AS (
+          SELECT p.doc_a, p.doc_b,
+            count(CASE WHEN sa.sig = sb.sig THEN 1 END) AS m
+          FROM mpairs p
+          JOIN sigs sa ON sa.doc_id = p.doc_a
+          JOIN sigs sb ON sb.doc_id = p.doc_b AND sb.i = sa.i
+          GROUP BY p.doc_a, p.doc_b),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT m.doc_a, m.doc_b,
+          CAST(m.m AS DOUBLE) / 8 AS est_jaccard,
+          CAST(coalesce(i.inter, 0) AS DOUBLE)
+            / CAST(sa.sz + sb.sz - coalesce(i.inter, 0) AS DOUBLE) AS jaccard,
+          abs(CAST(m.m AS DOUBLE) / 8
+            - CAST(coalesce(i.inter, 0) AS DOUBLE)
+              / CAST(sa.sz + sb.sz - coalesce(i.inter, 0) AS DOUBLE)) AS abs_err
+        FROM m
+        LEFT JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+        JOIN sizes sa ON sa.doc_id = m.doc_a
+        JOIN sizes sb ON sb.doc_id = m.doc_b""",
     "graph_triangles" ->
       s"""$shCte, $minhashCtes,
         mpairs AS (

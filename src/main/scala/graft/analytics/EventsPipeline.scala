@@ -170,6 +170,26 @@ object EventsPipeline {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Funnel analysis (signup → click → purchase): per-user first-touch
+    * times via conditional min aggregates, then one corpus-level count
+    * of users advancing through each ordered stage — the min-time
+    * funnel definition (a stage counts if its first occurrence follows
+    * the previous stage's first occurrence). Two aggregations, both on
+    * user_id-sized keys; event rows never shuffle twice. Times compare
+    * as exact µs longs. */
+  def eventsFunnel(s: SparkSession, d: String): DataFrame = {
+    val tus = expr("ts_ns div 1000")
+    val per = events(s, d).groupBy(col("user_id")).agg(
+      min(when(col("event_type") === "signup", tus)).as("t_signup"),
+      min(when(col("event_type") === "click", tus)).as("t_click"),
+      min(when(col("event_type") === "purchase", tus)).as("t_purchase"))
+    per.agg(
+      count(col("t_signup")).as("n_signup"),
+      count(when(col("t_click") > col("t_signup"), lit(1))).as("n_click_after"),
+      count(when(col("t_purchase") > col("t_click") &&
+        col("t_click") > col("t_signup"), lit(1))).as("n_full_funnel"))
+  }
+
   /** Null-preserving generator (explode_outer): documents whose filter
     * yields an EMPTY array still emit one null-token row — with plain
     * explode they vanish from the output entirely, the classic silent
@@ -412,6 +432,7 @@ object EventsPipeline {
     "json_parse_array"    -> jsonParseArray _,
     "gen_explode"         -> genExplode _,
     "gen_explode_outer"   -> explodeOuter _,
+    "events_funnel"       -> eventsFunnel _,
     "str_format"          -> strFormat _,
     "ts_tz_shift"         -> tsTzShift _,
     "warehouse_load"      -> warehouseLoad _,
@@ -581,6 +602,17 @@ object EventsPipeline {
       """SELECT token, count(*) AS cnt FROM (
           SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         GROUP BY token""",
+    "events_funnel" ->
+      """WITH per AS (
+          SELECT user_id,
+            min(CASE WHEN event_type = 'signup' THEN epoch_ns(ts) // 1000 END) AS t_signup,
+            min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) // 1000 END) AS t_click,
+            min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000 END) AS t_purchase
+          FROM events GROUP BY user_id)
+        SELECT count(t_signup) AS n_signup,
+          count(CASE WHEN t_click > t_signup THEN 1 END) AS n_click_after,
+          count(CASE WHEN t_purchase > t_click AND t_click > t_signup THEN 1 END) AS n_full_funnel
+        FROM per""",
     // unnest([NULL]) emulates explode_outer's null row for empty arrays
     "gen_explode_outer" ->
       """SELECT doc_id, count(*) AS n_rows, count(tok) AS n_spark FROM (

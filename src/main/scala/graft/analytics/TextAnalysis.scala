@@ -153,6 +153,21 @@ object TextAnalysis {
       .select(col("doc_id"), col("token").as("top_term"), col("tf"), col("df"))
   }
 
+  /** Canonicalization — the normalization stage every ingest runs
+    * before hashing/dedup: lowercase, strip non-alphanumerics, collapse
+    * whitespace runs, trim. Output is the canonical fingerprint (the
+    * key exact-dedup SHOULD group on — raw-text md5 treats "Hello!" and
+    * "hello" as distinct docs) plus the normalized length. Pure
+    * scan-speed projection. */
+  def textNormalize(s: SparkSession, d: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    documents(s, d).select(
+      col("doc_id"),
+      md5(norm).as("norm_fp"),
+      length(norm).as("n_chars_norm"))
+  }
+
   /** Repetition score: the fraction of a document's bigrams taken by
     * its single most frequent bigram — the cheap detector for looping /
     * boilerplate text (degenerate generations, templated spam) that a
@@ -211,6 +226,7 @@ object TextAnalysis {
     "text_bigrams"     -> bigrams _,
     "text_histogram"   -> textHistogram _,
     "text_repetition"  -> textRepetition _,
+    "text_normalize"   -> textNormalize _,
     "sample_stratified" -> ((s: SparkSession, d: String) => sampleStratified(s, d)),
   )
 
@@ -309,6 +325,15 @@ object TextAnalysis {
           CAST(max(c) AS BIGINT) AS top_cnt,
           CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS rep_ratio
         FROM cnts GROUP BY doc_id""",
+    // DuckDB regexp_replace is first-match-only without the 'g' flag
+    // (Spark's replaces all occurrences)
+    "text_normalize" ->
+      """SELECT doc_id,
+          md5(trim(regexp_replace(regexp_replace(lower(text),
+            '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_fp,
+          length(trim(regexp_replace(regexp_replace(lower(text),
+            '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS n_chars_norm
+        FROM documents""",
     "sample_stratified" ->
       """SELECT doc_id, lang, rn FROM (
           SELECT doc_id, lang, row_number() OVER (PARTITION BY lang

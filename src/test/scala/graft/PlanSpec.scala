@@ -76,7 +76,10 @@ class PlanSpec extends SparkSpec {
     "graph_triangles" -> 13, "agg_stats" -> 1, "pack_sequences" -> 1,
     "subquery_correlated" -> 2, "join_null_safe" -> 2,
     "agg_grouping_id" -> 1, "gen_explode_outer" -> 1,
-    "topk_per_key" -> 1)
+    "topk_per_key" -> 1,
+    // minhash_jaccard_est's 12 is the static plan of the persisted
+    // sig/shingle tables' consumers (like graph_triangles above)
+    "events_funnel" -> 1, "text_normalize" -> 0, "minhash_jaccard_est" -> 12)
 
   /** Each query's physical-plan string, built ONCE for both tests (the
     * round-trip queries execute a file write when constructed). */
