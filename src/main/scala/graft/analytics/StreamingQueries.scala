@@ -165,7 +165,48 @@ object StreamingQueries {
     runToMemory(s, deduped, OutputMode.Append())
   }
 
+  /** ARBITRARY custom state (flatMapGroupsWithState) through a real
+    * StreamingQuery — the tier beyond built-in stateful operators
+    * (T6): per-user event count, largest inter-event gap, and
+    * 30-minute-gap session count, computed by a hand-written state
+    * function over each user's timeline. The group's timestamps are
+    * sorted in memory — bounded by events-per-user (the per-group
+    * contract of this API), not by input size; state (running count)
+    * is exercised through GroupState. Consecutive-difference facts are
+    * sort-stable under timestamp ties, so the result is deterministic
+    * and carries a full SQL oracle — unlike the usual
+    * "custom state ⇒ spec-only" cop-out. */
+  def streamStateful(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val src = eventsStream(s, d)
+      .select(col("user_id"), expr("ts_ns div 1000").as("tus"))
+      .as[(Long, Long)]
+    val stats = src.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val ts = rows.map(_._2).toArray
+          java.util.Arrays.sort(ts)
+          var maxGap = 0L
+          var sessions = 1L
+          var i = 1
+          while (i < ts.length) {
+            val g = ts(i) - ts(i - 1)
+            if (g > maxGap) maxGap = g
+            if (g > 1800000000L) sessions += 1
+            i += 1
+          }
+          state.update(state.getOption.getOrElse(0L) + ts.length)
+          Iterator((uid, ts.length.toLong, maxGap, sessions))
+      }
+    runToMemory(s,
+      stats.toDF("user_id", "n_events", "max_gap_us", "n_sessions"),
+      OutputMode.Append())
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_stateful" -> streamStateful _,
     "stream_hourly"  -> streamHourly _,
     "stream_session" -> streamSession _,
     "stream_session_multibatch" -> streamSessionMultiBatch _,
@@ -198,6 +239,20 @@ object StreamingQueries {
     // a full replay deduped on the unique event_id = the table itself
     "stream_dedup" ->
       "SELECT event_id, event_type, value FROM events",
+    // the state function's sorted-timeline facts, spelled with lag():
+    // consecutive-difference aggregates are identical for any stable
+    // sort of tied timestamps
+    "stream_stateful" ->
+      """WITH x AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus FROM events),
+        l AS (
+          SELECT user_id, tus,
+            lag(tus) OVER (PARTITION BY user_id ORDER BY tus) AS prev
+          FROM x)
+        SELECT user_id, count(*) AS n_events,
+          CAST(coalesce(max(tus - prev), 0) AS BIGINT) AS max_gap_us,
+          CAST(1 + count(CASE WHEN tus - prev > 1800000000 THEN 1 END) AS BIGINT)
+            AS n_sessions
+        FROM l GROUP BY user_id""",
   )
 
   /** Batch (lag + running-sum) spelling of the 30-minute sessionization
