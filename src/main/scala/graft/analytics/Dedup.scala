@@ -417,6 +417,17 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
+  /** Duplicate clusters in EMBEDDING space: connected components over
+    * the cosine near-dup pairs — semantic dedup's final step (A≈B≈C
+    * collapses to one canonical vector even when A≈C was never
+    * scored). Pure composition of the LSH pair generator and the
+    * min-label propagation loop; renamed through the shared (doc_a,
+    * doc_b) contract. */
+  def embClusters(s: SparkSession, d: String): DataFrame =
+    clustersOf(dedupEmbedding(s, d)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+
   /** Spec hook: LSH candidate-pair count for a corpus at given banding. */
   private[graft] def embeddingCandidateCount(emb: DataFrame, bandBits: Int,
       nBands: Int, dim: Int): Long =
@@ -434,6 +445,7 @@ object Dedup {
     "dedup_embedding" -> dedupEmbedding _,
     "graph_triangles" -> graphTriangles _,
     "minhash_jaccard_est" -> minhashJaccardEst _,
+    "emb_clusters"    -> embClusters _,
   )
 
   private[analytics] val shCte =
@@ -606,6 +618,28 @@ object Dedup {
               i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1))) AS INT) AS hamming
           FROM cand)
         WHERE hamming <= 3""",
+    // embedding near-dup pairs (the dedup_embedding oracle) fed through
+    // the same recursive-closure components as dedup_clusters
+    "emb_clusters" ->
+      """WITH RECURSIVE e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        p AS (
+          SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+          FROM n a JOIN n b ON a.vec_id < b.vec_id
+          WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM p
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM p),
+        reach AS (
+          SELECT src AS doc_id, src AS label FROM edges
+          UNION
+          SELECT e2.dst AS doc_id, r.label
+          FROM reach r JOIN edges e2 ON e2.src = r.doc_id)
+        SELECT doc_id AS vec_id, min(label) AS cluster_id
+        FROM reach GROUP BY doc_id""",
     "dedup_embedding" ->
       """WITH e AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
