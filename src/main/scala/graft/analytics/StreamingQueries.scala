@@ -19,6 +19,30 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
   * advances. AvailableNow + memory sink is the test harness spelling;
   * a production run would write each epoch to a transactional sink.
   */
+/** transformWithState processor: per-key (event_type) running count +
+  * exact cent sum in a typed ValueState. State survives across
+  * micro-batches; emits the running totals once per batch per key. */
+class TypeAggProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, (String, Long), (String, Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var st: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OM, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long)]("agg",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+      timerValues: TimerValues): Iterator[(String, Long, Long)] = {
+    var (n, sum) = if (st.exists()) st.get() else (0L, 0L)
+    rows.foreach { r => n += 1; sum += r._2 }
+    st.update((n, sum))
+    Iterator.single((key, n, sum))
+  }
+}
+
 object StreamingQueries {
 
   /** Streamed clone of Tables.events: same nanos-as-long read + derived
@@ -205,8 +229,39 @@ object StreamingQueries {
       OutputMode.Append())
   }
 
+  /** Spark 4's transformWithState — the successor arbitrary-state API
+    * (typed ValueState handles, TimeMode, RocksDB-backed state store):
+    * per-event-type running count + EXACT cent sum accumulated in a
+    * ValueState and emitted once per batch. Runs on the production
+    * state backend (RocksDBStateStoreProvider — changelog-checkpointed,
+    * spill-to-disk state at 100 TB, vs the default in-memory HDFS
+    * provider); the oracle is the plain grouped aggregate. */
+  def streamTws(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val key  = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = eventsStream(s, d)
+        .select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .as[(String, Long)]
+      val out = src.groupByKey(_._1)
+        .transformWithState(new TypeAggProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+      runToMemory(s, out.toDF("event_type", "n_events", "sum_cents"),
+        OutputMode.Append())
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_stateful" -> streamStateful _,
+    "stream_tws"     -> streamTws _,
     "stream_hourly"  -> streamHourly _,
     "stream_session" -> streamSession _,
     "stream_session_multibatch" -> streamSessionMultiBatch _,
@@ -253,6 +308,10 @@ object StreamingQueries {
           CAST(1 + count(CASE WHEN tus - prev > 1800000000 THEN 1 END) AS BIGINT)
             AS n_sessions
         FROM l GROUP BY user_id""",
+    "stream_tws" ->
+      """SELECT event_type, count(*) AS n_events,
+          CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM events GROUP BY event_type""",
   )
 
   /** Batch (lag + running-sum) spelling of the 30-minute sessionization
