@@ -259,9 +259,53 @@ object StreamingQueries {
     }
   }
 
+  /** Stream–static join: the streaming side enriches against a batch
+    * dimension (here a per-user cohort table built from the same
+    * parquet). Stateless — each micro-batch joins against the static
+    * relation as-of that batch; the planner broadcasts the small dim
+    * exactly as in batch. */
+  def streamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = graft.Tables.events(s, d)
+      .select(col("user_id")).distinct()
+      .withColumn("cohort", pmod(col("user_id"), lit(8)))
+    val joined = eventsStream(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .join(dim, Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("cohort"))
+    runToMemory(s, joined, OutputMode.Append())
+  }
+
+  /** Stream–stream time-interval join: each click pairs with the SAME
+    * user's purchases in the following 30 minutes — attribution as a
+    * streaming join. Both sides carry watermarks (what bounds the join
+    * state buffer in a live run: a click older than max event time −
+    * 1 h can never match a new purchase and is evicted); the interval
+    * condition turns the state lookup into a per-user time-range scan.
+    * Exact µs timestamps make the pair set deterministic. */
+  def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val clicks = eventsStream(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      expr("""c_user = p_user AND
+              p_ts > c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"""))
+      .select(col("click_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+    runToMemory(s, joined, OutputMode.Append())
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_stateful" -> streamStateful _,
     "stream_tws"     -> streamTws _,
+    "stream_static_join" -> streamStaticJoin _,
+    "stream_stream_join" -> streamStreamJoin _,
     "stream_hourly"  -> streamHourly _,
     "stream_session" -> streamSession _,
     "stream_session_multibatch" -> streamSessionMultiBatch _,
@@ -312,6 +356,23 @@ object StreamingQueries {
       """SELECT event_type, count(*) AS n_events,
           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
         FROM events GROUP BY event_type""",
+    "stream_static_join" ->
+      """SELECT e.event_id, e.user_id, e.event_type,
+          CAST(e.user_id % 8 AS BIGINT) AS cohort
+        FROM events e
+        JOIN (SELECT DISTINCT user_id FROM events) d ON e.user_id = d.user_id""",
+    // 30-minute attribution window in exact µs arithmetic; bounds
+    // (p > c, p <= c + 30 min] mirror the streaming join condition
+    "stream_stream_join" ->
+      """WITH c AS (
+          SELECT event_id AS click_id, user_id, epoch_ns(ts) // 1000 AS c_us
+          FROM events WHERE event_type = 'click'),
+        p AS (
+          SELECT event_id AS purchase_id, user_id, epoch_ns(ts) // 1000 AS p_us
+          FROM events WHERE event_type = 'purchase')
+        SELECT c.click_id, p.purchase_id, p.p_us - c.c_us AS lag_us
+        FROM c JOIN p ON c.user_id = p.user_id
+          AND p.p_us > c.c_us AND p.p_us <= c.c_us + 1800000000""",
   )
 
   /** Batch (lag + running-sum) spelling of the 30-minute sessionization
