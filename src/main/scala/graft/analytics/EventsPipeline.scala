@@ -170,6 +170,35 @@ object EventsPipeline {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** JSON path extraction without a schema: get_json_object (JSONPath)
+    * and json_tuple (multi-field) — the quick-probe APIs used before
+    * committing to a from_json schema (which json_parse_struct shows).
+    * Both stay codegen'd string operations; no UDF, no Jackson on the
+    * driver. */
+  def jsonGet(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"), col("props"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_path"))
+      .select(col("event_id"), col("k_path"),
+        json_tuple(col("props"), "k").as("k_str"))
+      .select(col("event_id"), col("k_path"),
+        col("k_str").cast("long").as("k_tuple"))
+
+  /** The higher-order-function family over token arrays in one query:
+    * filter, exists, forall, aggregate (fold), transform, flatten —
+    * all pure codegen lambdas, scan-speed, no shuffle. */
+  def hofFuncs(s: SparkSession, d: String): DataFrame = {
+    val tk = split(col("text"), " ")
+    documents(s, d).select(
+      col("doc_id"),
+      size(filter(tk, t => length(t) > 4)).as("n_long"),
+      exists(tk, t => t === "spark").as("has_spark"),
+      forall(tk, t => length(t) > 2).as("all_gt2"),
+      aggregate(tk, lit(0), (acc, t) => acc + length(t)).as("sum_len"),
+      concat_ws("", transform(tk, t => substring(t, 1, 1))).as("initials"),
+      size(array_distinct(flatten(array(tk, tk)))).as("n_uniq"))
+  }
+
   /** Funnel analysis (signup → click → purchase): per-user first-touch
     * times via conditional min aggregates, then one corpus-level count
     * of users advancing through each ordered stage — the min-time
@@ -433,6 +462,8 @@ object EventsPipeline {
     "gen_explode"         -> genExplode _,
     "gen_explode_outer"   -> explodeOuter _,
     "events_funnel"       -> eventsFunnel _,
+    "json_get"            -> jsonGet _,
+    "hof_funcs"           -> hofFuncs _,
     "str_format"          -> strFormat _,
     "ts_tz_shift"         -> tsTzShift _,
     "warehouse_load"      -> warehouseLoad _,
@@ -602,6 +633,22 @@ object EventsPipeline {
       """SELECT token, count(*) AS cnt FROM (
           SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         GROUP BY token""",
+    "json_get" ->
+      """SELECT event_id,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_tuple
+        FROM events""",
+    // forall spelled as "no counter-example"; aggregate as list_sum
+    "hof_funcs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        SELECT doc_id,
+          len(list_filter(tk, x -> length(x) > 4)) AS n_long,
+          len(list_filter(tk, x -> x = 'spark')) > 0 AS has_spark,
+          len(list_filter(tk, x -> NOT length(x) > 2)) = 0 AS all_gt2,
+          CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) AS sum_len,
+          array_to_string(list_transform(tk, x -> substr(x, 1, 1)), '') AS initials,
+          len(list_distinct(flatten([tk, tk]))) AS n_uniq
+        FROM t""",
     "events_funnel" ->
       """WITH per AS (
           SELECT user_id,
