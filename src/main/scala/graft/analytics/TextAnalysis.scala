@@ -205,6 +205,28 @@ object TextAnalysis {
       .filter(col("rn") <= cap)
   }
 
+  /** Corpus-LM likelihood proxy: each document scored by the MEAN
+    * corpus frequency of its bigrams — the integer-exact stand-in for
+    * an n-gram LM perplexity filter (log-probabilities are not
+    * cross-engine reproducible; raw count sums are). Gibberish and
+    * OCR noise sit at the bottom of this score, templated text at the
+    * top. Two aggregations + one join, all on bigram/doc_id keys; at
+    * 100 TB the LM count table is the broadcast side once df-capped. */
+  def textLmScore(s: SparkSession, d: String): DataFrame = {
+    val bg = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"),
+        explode(graft.functions.text.shingles(toks, 2)).as("bigram"))
+    val lm = bg.groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+    bg.join(lm, Seq("bigram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("sum_freq"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_freq"),
+        (col("sum_freq").cast("double") / col("n_bigrams").cast("double"))
+          .as("mean_freq"))
+  }
+
   /** Token-count histogram (25-token buckets) — the corpus-shape
     * overview every curation run starts with. Integer bucket
     * arithmetic (n − n % 25), cross-engine exact. */
@@ -227,6 +249,7 @@ object TextAnalysis {
     "text_histogram"   -> textHistogram _,
     "text_repetition"  -> textRepetition _,
     "text_normalize"   -> textNormalize _,
+    "text_lm_score"    -> textLmScore _,
     "sample_stratified" -> ((s: SparkSession, d: String) => sampleStratified(s, d)),
   )
 
@@ -325,6 +348,18 @@ object TextAnalysis {
           CAST(max(c) AS BIGINT) AS top_cnt,
           CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS rep_ratio
         FROM cnts GROUP BY doc_id""",
+    "text_lm_score" ->
+      """WITH bg AS (
+          SELECT doc_id, unnest(list_transform(
+            generate_series(1, len(string_split(text, ' ')) - 1),
+            i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))) AS bigram
+          FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        lm AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram)
+        SELECT doc_id, count(*) AS n_bigrams,
+          CAST(sum(cnt) AS BIGINT) AS sum_freq,
+          CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_freq
+        FROM bg JOIN lm USING (bigram)
+        GROUP BY doc_id""",
     // DuckDB regexp_replace is first-match-only without the 'g' flag
     // (Spark's replaces all occurrences)
     "text_normalize" ->

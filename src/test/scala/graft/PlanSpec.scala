@@ -81,7 +81,8 @@ class PlanSpec extends SparkSpec {
     // minhash_jaccard_est's 12 is the static plan of the persisted
     // sig/shingle tables' consumers (like graph_triangles above)
     "events_funnel" -> 1, "text_normalize" -> 0, "minhash_jaccard_est" -> 12,
-    "emb_clusters" -> 0, "json_get" -> 0, "hof_funcs" -> 0)
+    "emb_clusters" -> 0, "json_get" -> 0, "hof_funcs" -> 0,
+    "text_lm_score" -> 3)
 
   /** Each query's physical-plan string, built ONCE for both tests (the
     * round-trip queries execute a file write when constructed). */
