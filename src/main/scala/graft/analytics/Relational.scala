@@ -60,6 +60,46 @@ object Relational {
           .cast("double").as("revenue"))
   }
 
+  /** TPC-H Q3 shape (shipping-priority top-k): segment-filtered
+    * customers → orders → lineitem, revenue per order, top 10. Both
+    * dimension filters push into the scans; the final top-k plans as
+    * TakeOrderedAndProject over the aggregated (small) side — no
+    * global sort. Exact decimal revenue makes DESC ordering (and the
+    * selected set) cross-engine deterministic with the orderkey
+    * tiebreaker. */
+  def q3Topk(s: SparkSession, d: String): DataFrame = {
+    val revenue = sum(dec12(col("l_extendedprice")) * (one2 - dec4(col("l_discount"))))
+    customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(revenue.cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape (local-supplier volume): the 6-way star —
+    * customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region — with
+    * the "local" twist that the supplier must sit in the customer's
+    * nation (s_nationkey = c_nationkey joins two dimension arms).
+    * Catalyst orders the joins; the tiny dims broadcast. */
+  def q5Local(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(sum(dec12(col("l_extendedprice")) * (one2 - dec4(col("l_discount"))))
+        .cast("double").as("revenue"))
+
   /** Star join with explicitly broadcast dimensions (fact never moves
     * except for the final small aggregation shuffle). */
   def joinBroadcast(s: SparkSession, d: String): DataFrame = {
@@ -570,6 +610,8 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> q1Agg _,
+    "q3_topk"           -> q3Topk _,
+    "q5_local"          -> q5Local _,
     "join_inner"        -> joinInner _,
     "join_broadcast"    -> joinBroadcast _,
     "join_left"         -> joinLeft _,
@@ -633,6 +675,28 @@ object Relational {
       s"""SELECT o_orderpriority, count(*) AS cnt, CAST(sum($discExp) AS DOUBLE) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority""",
+    "q3_topk" ->
+      s"""SELECT l_orderkey, o_orderdate, CAST(sum($discExp) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q5_local" ->
+      s"""SELECT n_name, CAST(sum($discExp) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name""",
     // identical exact-integer moment sums, identical double finish —
     // see aggStats' scaladoc for why this beats var_pop/corr built-ins
     "agg_stats" ->

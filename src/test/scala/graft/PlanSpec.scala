@@ -82,7 +82,9 @@ class PlanSpec extends SparkSpec {
     // sig/shingle tables' consumers (like graph_triangles above)
     "events_funnel" -> 1, "text_normalize" -> 0, "minhash_jaccard_est" -> 12,
     "emb_clusters" -> 0, "json_get" -> 0, "hof_funcs" -> 0,
-    "text_lm_score" -> 3)
+    // q3/q5: all joins broadcast at audit SF; the one exchange is the
+    // final group-by aggregation shuffle
+    "text_lm_score" -> 3, "q3_topk" -> 1, "q5_local" -> 1)
 
   /** Each query's physical-plan string, built ONCE for both tests (the
     * round-trip queries execute a file write when constructed). */
