@@ -227,6 +227,98 @@ object TextAnalysis {
           .as("mean_freq"))
   }
 
+  /** Top-5 salient terms per document, scored tf·idf with the LOG-FREE
+    * odds idf — idf = (N − df + 0.5)/(df + 0.5), the inside of BM25's
+    * ln() — because ln is not bit-identical across engines while this
+    * rational form is: every input is an exact integer-derived double
+    * and each IEEE op is correctly rounded, so the score (and therefore
+    * the rank order) is reproducible anywhere. Per-term ranking under a
+    * monotone idf transform is the same algorithm, differently scaled.
+    *
+    * Scale: the doc text never shuffles — only (doc_id, token) pairs
+    * do. Three hash shuffles (tf, df, per-doc top-k window) on small
+    * keys; N rides along as a broadcast 1-row aggregate, never a
+    * driver-side action. The df table is vocabulary-sized (≪ corpus)
+    * and joins on its own key. */
+  def textTfidf(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(toks).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tok.distinct().groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n  = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val score = col("tf").cast("double") *
+      ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(df, Seq("token")).crossJoin(broadcast(n))
+      .withColumn("score", score)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("rn"), col("token"), col("tf"), col("df"),
+        col("score"))
+  }
+
+  /** BM25 keyword retrieval: score every document against a fixed
+    * query-term set. Same log-free odds idf as `textTfidf`; the tf
+    * saturation term is the standard k1/b form (k1=1.2, b=0.75).
+    * Per-term contributions are fixed-point-quantized (floor·10⁹ →
+    * exact long sum → one double division) so the per-doc Σ is
+    * independent of evaluation order AND cross-engine exact — the same
+    * trick that oracle-proofs agg_stats and the IVF k-means.
+    *
+    * Scale: the token explode filters to query terms IMMEDIATELY (the
+    * filter rides the scan; post-filter volume ∝ matches, not corpus),
+    * the df/stats sides are broadcast (query-sized and 1 row), and the
+    * only shuffles are the two (doc_id…) aggregations. */
+  def textBm25(s: SparkSession, d: String,
+      terms: Seq[String] = Seq("spark", "window", "merge")): DataFrame = {
+    val docs = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), size(toks).as("dl"), col("text"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(toks).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val tfd = col("tf").cast("double")
+    // 2.2 spelled as ONE literal (k1+1): both engines parse the same
+    // nearest-double; computing 1.2+1.0 at runtime could round once more
+    val denom = tfd + lit(1.2) * (lit(1.0) - lit(0.75) +
+      lit(0.75) * col("dl").cast("double") / col("avgdl"))
+    val contrib = idf * (tfd * lit(2.2)) / denom
+    tf.join(broadcast(df), Seq("token")).crossJoin(broadcast(stats))
+      .select(col("doc_id"), floor(contrib * lit(1e9)).cast("long").as("c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        (sum(col("c")).cast("double") / lit(1e9)).as("bm25"))
+  }
+
+  /** Tokenizer-vocabulary build: the top-`topK` tokens by corpus
+    * frequency with contiguous ids in (count desc, token) order — the
+    * id-assignment step of training a word-level tokenizer. The global
+    * row_number window looks like a scale smell but only ever sees the
+    * topK rows that survive the TakeOrderedAndProject (vocabulary =
+    * index metadata, like IVF centroids); the corpus-sized work is one
+    * hash aggregation. */
+  def vocabBuild(s: SparkSession, d: String, topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(explode(toks).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(topK)
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token"))) - 1)
+      .select(col("token_id"), col("token"), col("cnt"))
+  }
+
   /** Token-count histogram (25-token buckets) — the corpus-shape
     * overview every curation run starts with. Integer bucket
     * arithmetic (n − n % 25), cross-engine exact. */
@@ -250,6 +342,9 @@ object TextAnalysis {
     "text_repetition"  -> textRepetition _,
     "text_normalize"   -> textNormalize _,
     "text_lm_score"    -> textLmScore _,
+    "text_tfidf"       -> ((s: SparkSession, d: String) => textTfidf(s, d)),
+    "text_bm25"        -> ((s: SparkSession, d: String) => textBm25(s, d)),
+    "vocab_topk"       -> ((s: SparkSession, d: String) => vocabBuild(s, d)),
     "sample_stratified" -> ((s: SparkSession, d: String) => sampleStratified(s, d)),
   )
 
@@ -360,6 +455,55 @@ object TextAnalysis {
           CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_freq
         FROM bg JOIN lm USING (bigram)
         GROUP BY doc_id""",
+    // same parenthesization as the Spark expression tree: each IEEE op
+    // rounds identically, so score (and rank) match bit-for-bit
+    "text_tfidf" ->
+      """WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        df AS (SELECT token, count(*) AS df FROM
+          (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, rn, token, tf, df, score FROM (
+          SELECT tf.doc_id, tf.token, tf.tf, df.df,
+            CAST(tf.tf AS DOUBLE) * ((n.n_docs - df.df + 0.5) / (df.df + 0.5)) AS score,
+            row_number() OVER (PARTITION BY tf.doc_id
+              ORDER BY CAST(tf.tf AS DOUBLE) * ((n.n_docs - df.df + 0.5) / (df.df + 0.5)) DESC,
+                tf.token) AS rn
+          FROM tf JOIN df USING (token) CROSS JOIN n)
+        WHERE rn <= 5""",
+    "text_bm25" ->
+      """WITH docs AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        stats AS (SELECT count(*) AS n_docs,
+          CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM docs),
+        tf AS (
+          SELECT doc_id, dl, token, count(*) AS tf FROM (
+            SELECT doc_id, len(string_split(text, ' ')) AS dl,
+              unnest(string_split(text, ' ')) AS token
+            FROM documents)
+          WHERE token IN ('spark', 'window', 'merge')
+          GROUP BY doc_id, dl, token),
+        df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        c AS (
+          SELECT tf.doc_id,
+            CAST(floor(((s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (CAST(tf.tf AS DOUBLE) * 2.2)
+              / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+                + 0.75 * CAST(tf.dl AS DOUBLE) / s.avgdl))
+              * 1000000000.0) AS BIGINT) AS c
+          FROM tf JOIN df USING (token) CROSS JOIN stats s)
+        SELECT doc_id, count(*) AS n_terms,
+          CAST(sum(c) AS DOUBLE) / 1000000000.0 AS bm25
+        FROM c GROUP BY doc_id""",
+    "vocab_topk" ->
+      """WITH c AS (
+          SELECT token, count(*) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+          GROUP BY token ORDER BY cnt DESC, token LIMIT 100)
+        SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS INT)
+            AS token_id, token, cnt
+        FROM c""",
     // DuckDB regexp_replace is first-match-only without the 'g' flag
     // (Spark's replaces all occurrences)
     "text_normalize" ->

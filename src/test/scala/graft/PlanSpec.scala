@@ -23,8 +23,11 @@ class PlanSpec extends SparkSpec {
 
   // exact-scan similarity: justified broadcast NLJ (see scaladoc);
   // join_cross: a deliberate 25×5 cartesian of two tiny dimensions —
-  // the one shape where a cross join IS the right plan
-  private val nljWhitelist = Set("sim_knn", "sim_range", "join_cross")
+  // the one shape where a cross join IS the right plan;
+  // text_tfidf/text_bm25: crossJoin(broadcast(1-row corpus stats)) —
+  // a scalar broadcast, the same plan a scalar subquery produces
+  private val nljWhitelist =
+    Set("sim_knn", "sim_range", "join_cross", "text_tfidf", "text_bm25")
 
   private val streaming =
     Set("stream_hourly", "stream_session", "stream_session_multibatch",
@@ -84,7 +87,11 @@ class PlanSpec extends SparkSpec {
     "emb_clusters" -> 0, "json_get" -> 0, "hof_funcs" -> 0,
     // q3/q5: all joins broadcast at audit SF; the one exchange is the
     // final group-by aggregation shuffle
-    "text_lm_score" -> 3, "q3_topk" -> 1, "q5_local" -> 1)
+    "text_lm_score" -> 3, "q3_topk" -> 1, "q5_local" -> 1,
+    // tfidf/bm25 count the df branch's recompute of the tf agg (static
+    // plan, like graph_triangles); vocab's 1 is the token count agg —
+    // the global row_number window sees only the topK survivors
+    "text_tfidf" -> 4, "text_bm25" -> 4, "vocab_topk" -> 1)
 
   /** Each query's physical-plan string, built ONCE for both tests (the
     * round-trip queries execute a file write when constructed). */
