@@ -261,6 +261,20 @@ object Dedup {
     * the reusable core of dedupClusters (spec-tested on synthetic
     * chains/cliques independently of the LSH candidate generator). */
   def clustersOf(pairs: DataFrame): DataFrame = {
+    // the loop shuffles id-only tables of ≤ |V| rows; at 32 shuffle
+    // partitions the per-round task overhead dominates the actual work,
+    // so pin parallelism down for the loop's eager actions (restored
+    // after — same trick StreamingQueries uses for state stores). On a
+    // real cluster |V| is large and this knob would stay at the
+    // session default; it right-sizes the local[32] harness only.
+    val sess = pairs.sparkSession
+    val prevShuffle = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", "8")
+    try clustersLoop(pairs)
+    finally sess.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def clustersLoop(pairs: DataFrame): DataFrame = {
     // undirected adjacency (both directions)
     val adj = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
@@ -281,10 +295,22 @@ object Dedup {
     var rounds = 0
     while (!converged && rounds < 25) {
       // candidate label for v = min(own label, labels of v's neighbors)
-      val next = adj.join(labels, adj("src") === labels("doc_id"))
+      val hop = adj.join(labels, adj("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("label"))
         .union(labels)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      // pointer doubling: label(v) ← min(label(v), label(label(v))).
+      // Every label value is itself a doc_id with an edge, so it has a
+      // row in `hop`; jumping through it halves the remaining chain,
+      // turning O(diameter) rounds into O(log diameter) — the
+      // difference between 20+ rounds and ~5 on the long chains a
+      // loose cosine threshold produces in embedding space.
+      val next = hop
+        .join(hop.select(col("doc_id").as("jump_l"), col("label").as("jump_ll")),
+          col("label") === col("jump_l"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("jump_ll"), col("label"))).as("label"))
         .localCheckpoint(true)
       val s2 = labelSum(next)
       converged = s2 == prevSum
