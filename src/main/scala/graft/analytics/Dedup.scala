@@ -368,6 +368,57 @@ object Dedup {
       .select(col("v1"), col("v2"), col("v3"))
   }
 
+  /** Fixed-point PageRank over the near-dup candidate graph — the
+    * centrality pass that ranks duplicate families: hub boilerplate
+    * (one doc near-duplicating many) scores high, isolated pairs stay
+    * near the base rank. Three damped iterations in pure integer
+    * µ-units — contrib = rank div degree, rank' = 0.15 + 0.85·Σcontrib
+    * — so Spark's distributed partial sums and DuckDB's
+    * single-threaded CTE chain agree bit-for-bit (no float damping to
+    * drift). Each iteration shuffles only (id, long) rows; degrees and
+    * adjacency are checkpointed once. */
+  def graphPagerank(s: SparkSession, d: String): DataFrame =
+    pagerankOf(dedupMinhash(s, d).select(col("doc_a"), col("doc_b")), 3)
+
+  def pagerankOf(pairs: DataFrame, iters: Int): DataFrame = {
+    // same local[32] right-sizing as clustersOf: the loop's tables are
+    // id-sized, 32-partition shuffles are pure task overhead
+    val sess = pairs.sparkSession
+    val prevShuffle = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val adj = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst").localCheckpoint(true)
+      val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      var rank = deg.select(col("src").as("doc_id"), lit(1000000L).as("rank"))
+      for (_ <- 1 to iters) {
+        val contrib = rank.join(deg, rank("doc_id") === deg("src"))
+          .select(col("doc_id"), expr("rank div deg").as("c"))
+        val sums = adj.join(contrib, adj("src") === contrib("doc_id"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+        rank = deg.select(col("src").as("doc_id"))
+          .join(sums, col("doc_id") === col("dst"), "left")
+          .select(col("doc_id"),
+            (lit(150000L) + expr("(85 * coalesce(cs, 0L)) div 100")).as("rank"))
+          .localCheckpoint(true)
+      }
+      rank
+    } finally sess.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** Degree histogram of the near-dup graph: how many docs have k
+    * candidate near-duplicates. The one-glance QA separating a healthy
+    * corpus (mass at degree 1-3) from a boilerplate storm (heavy
+    * tail); both aggregations shuffle bare ids/longs. */
+  def graphDegree(s: SparkSession, d: String): DataFrame = {
+    val pairs = dedupMinhash(s, d)
+    pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Deterministic Rademacher (±1) hyperplanes for sign-bit LSH, seeded
     * so every run/engine sees the same planes. */
   private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
@@ -470,6 +521,8 @@ object Dedup {
     "dedup_clusters"  -> dedupClusters _,
     "dedup_embedding" -> dedupEmbedding _,
     "graph_triangles" -> graphTriangles _,
+    "graph_pagerank"  -> graphPagerank _,
+    "graph_degree"    -> graphDegree _,
     "minhash_jaccard_est" -> minhashJaccardEst _,
     "emb_clusters"    -> embClusters _,
   )
@@ -604,6 +657,47 @@ object Dedup {
         SELECT a.doc_a AS v1, a.doc_b AS v2, b.doc_b AS v3
         FROM mpairs a JOIN mpairs b ON b.doc_a = a.doc_b
         JOIN mpairs c ON c.doc_a = a.doc_a AND c.doc_b = b.doc_b""",
+    // same integer µ-unit damped iterations as pagerankOf, unrolled:
+    // rank//deg and (85·Σ)//100 are floor divisions of nonnegative
+    // values in both engines, so every round is bit-exact
+    "graph_pagerank" -> {
+      val rounds = (1 to 3).map { k =>
+        s"""c$k AS (
+            SELECT e.dst AS id, sum(r.r // d.dg) AS cs
+            FROM edges e JOIN r${k - 1} r ON e.src = r.id
+            JOIN deg d ON e.src = d.src
+            GROUP BY e.dst),
+          r$k AS (
+            SELECT deg.src AS id,
+              CAST(150000 + (85 * COALESCE(c$k.cs, 0)) // 100 AS BIGINT) AS r
+            FROM deg LEFT JOIN c$k ON deg.src = c$k.id)"""
+      }.mkString(",\n")
+      s"""$shCte, $minhashCtes,
+        mpairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM mpairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM mpairs),
+        deg AS (SELECT src, count(*) AS dg FROM edges GROUP BY src),
+        r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
+        $rounds
+        SELECT id AS doc_id, r AS rank FROM r3"""
+    },
+    "graph_degree" ->
+      s"""$shCte, $minhashCtes,
+        mpairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        deg AS (
+          SELECT doc_id, count(*) AS degree FROM (
+            SELECT doc_a AS doc_id FROM mpairs
+            UNION ALL SELECT doc_b FROM mpairs)
+          GROUP BY doc_id)
+        SELECT degree, count(*) AS n_docs FROM deg GROUP BY degree""",
     "dedup_simhash" -> simhashSql,
     "dedup_simhash64" -> simhash64Sql,
     // identical banding (4-bit buckets) + hamming over the same 16-bit

@@ -6,7 +6,7 @@ import graft.lineage.Lineage
 import graft.rules._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{DecimalType, IntegerType, StructField, StructType}
 
 /** The reference's validate→split→gate→lineage dataflow exercised over
   * the driver's `events` table (its `props` JSON string playing the
@@ -436,6 +436,49 @@ object EventsPipeline {
         last(col("sum_value"), ignoreNulls = true).over(w).as("sum_filled"))
   }
 
+  /** Statistical outlier flags (|x − µ| > 3σ within each event type)
+    * computed ENTIRELY in exact integer arithmetic: the z-score test
+    * (x − µ)² > 9σ² is cross-multiplied by n² into
+    * (n·x − S₁)² > 9·(n·S₂ − S₁²) over cent-scaled values, so no float
+    * mean/stddev can diverge between engines or with partitioning.
+    * Shape at 100 TB: one grouped agg producing O(types) stat rows,
+    * broadcast back over a single scan — the standard two-pass
+    * anomaly screen with no window and no second shuffle. */
+  def anomalyZscore(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val vc  = (dec2(col("value")) * 100).cast(big)
+    val ev = events(s, d)
+      .filter(col("value").isNotNull && !isnan(col("value")))
+      .select(col("event_id"), col("event_type"), vc.as("vc"))
+    val stats = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).cast(big).as("n"),
+      sum(col("vc")).cast(big).as("s1"),
+      sum(col("vc") * col("vc")).cast(big).as("s2"))
+    val dev  = col("n") * col("vc") - col("s1")
+    val var9 = lit(9).cast(big) * (col("n") * col("s2") - col("s1") * col("s1"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_id"), col("event_type"),
+        col("vc").cast("long").as("value_cents"),
+        (dev * dev > var9).as("is_outlier"))
+  }
+
+  /** Cohort retention: users bucketed by first-seen day, activity
+    * counted as distinct users per (cohort day, day offset) — the
+    * canonical product-analytics rollup. All shuffles carry bare
+    * (user_id, date) rows; the distinct-day projection collapses the
+    * event stream before anything wider happens. */
+  def eventsRetention(s: SparkSession, d: String): DataFrame = {
+    val act = events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val cohort = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    act.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Snowpipe-style cast/extract projection (S8/F10). */
   def warehouseLoad(s: SparkSession, d: String): DataFrame =
     events(s, d).select(
@@ -482,6 +525,8 @@ object EventsPipeline {
     "date_funcs"          -> dateFuncs _,
     "explode_pos"         -> explodePos _,
     "ts_gapfill"          -> tsGapfill _,
+    "anomaly_zscore"      -> anomalyZscore _,
+    "events_retention"    -> eventsRetention _,
   )
 
   /** Shared validation CTE for the oracle side — the same four rules as
@@ -509,6 +554,32 @@ object EventsPipeline {
         x -> x IS NOT NULL), ',')"""
 
   val oracle: Map[String, String] = Map(
+    // HUGEINT is DuckDB's exact 128-bit lane — the same values the
+    // Spark side carries as DECIMAL(38,0); only BIGINT/BOOLEAN reach
+    // the output so the driver hash sees identical widths
+    "anomaly_zscore" ->
+      """WITH e AS (
+          SELECT event_id, event_type,
+            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS vc
+          FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        st AS (
+          SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+            sum(vc) AS s1, sum(vc * vc) AS s2
+          FROM e GROUP BY event_type)
+        SELECT e.event_id, e.event_type, CAST(e.vc AS BIGINT) AS value_cents,
+          ((st.n * e.vc - st.s1) * (st.n * e.vc - st.s1)
+            > 9 * (st.n * st.s2 - st.s1 * st.s1)) AS is_outlier
+        FROM e JOIN st USING (event_type)""",
+    "events_retention" ->
+      """WITH act AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+          FROM events WHERE user_id IS NOT NULL),
+        coh AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id)
+        SELECT c.cohort_day,
+          date_diff('day', c.cohort_day, a.day) AS day_offset,
+          count(DISTINCT a.user_id) AS n_users
+        FROM act a JOIN coh c USING (user_id)
+        GROUP BY 1, 2""",
     "date_funcs" ->
       """SELECT o_orderkey,
           CAST(o_orderdate AS DATE) AS od,

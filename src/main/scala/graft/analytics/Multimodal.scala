@@ -77,9 +77,28 @@ object Multimodal {
       sha2(col("text").cast("binary"), 256).as("content_sha"),
       (floor(octet_length(col("text")) / lit(256)) + 1).cast("int").as("n_frames"))
 
+  /** Frame-sampling plan: every 4th frame index and its byte offset
+    * per asset, derived from metadata alone — the binary column is
+    * pruned from the scan entirely (ReadSchema shows only the length
+    * source). This is the Spark shape of video frame sampling: a
+    * generator (sequence + explode) fans each asset out to O(frames)
+    * rows with no shuffle, and the downstream decoder consumes
+    * (asset_id, frame_idx) batches partition-locally. */
+  def multimodalFrames(s: SparkSession, d: String): DataFrame = {
+    val nFrames = (floor(octet_length(col("text")) / lit(256)) + 1).cast("int")
+    documents(s, d)
+      .select(col("doc_id").as("asset_id"), nFrames.as("n_frames"))
+      .select(col("asset_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(4))).as("f"))
+      .select(col("asset_id"), col("n_frames"),
+        col("f").cast("long").as("frame_idx"),
+        (col("f") * 256L).as("byte_off"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_stub"     -> multimodalStub _,
     "multimodal_features" -> featuresScalar _,
+    "multimodal_frames"   -> multimodalFrames _,
   )
 
   /** hex-pair → byte value, DuckDB spelling (strpos is 1-based). */
@@ -102,5 +121,14 @@ object Multimodal {
           array_to_string(list_transform(generate_series(0, 7),
             i -> CAST($byteExpr AS VARCHAR)), ',') AS features_b
         FROM (SELECT *, sha256(text) AS sha FROM documents)""",
+    "multimodal_frames" ->
+      """WITH a AS (
+          SELECT doc_id AS asset_id,
+            CAST(octet_length(encode(text)) // 256 AS INT) + 1 AS n_frames
+          FROM documents)
+        SELECT asset_id, n_frames,
+          CAST(u.f AS BIGINT) AS frame_idx,
+          CAST(u.f * 256 AS BIGINT) AS byte_off
+        FROM a, unnest(generate_series(0, n_frames - 1, 4)) AS u(f)""",
   )
 }

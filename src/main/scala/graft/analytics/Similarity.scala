@@ -207,7 +207,34 @@ object Similarity {
         (sum(col("q")).cast("double") / count(lit(1)) / 1e6).as("mean_q"))
   }
 
+  /** Per-dimension corpus statistics of the embedding column — the
+    * feature-scaling pass (dead-dim detection, whitening prep) before
+    * any ANN indexing. Values are fixed-pointed to µ-units
+    * (floor(x·10⁶)) so all sums are exact integers in any aggregation
+    * order; the mean is one double division and the variance numerator
+    * n·Σq² − (Σq)² is a nonnegative scale-0 decimal taken down with
+    * integral division (floor == truncate for it in both engines).
+    * One shuffle on the 64-value `dim` key; the explode rides the
+    * scan. */
+  def embDimStats(s: SparkSession, d: String): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    embeddings(s, d)
+      .select(posexplode(col("embedding")))
+      .select(col("pos").cast("long").as("dim"),
+        floor(col("col").cast("double") * 1e6).cast("long").as("q"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).as("sum_q"),
+        sum(col("q").cast(big) * col("q")).cast(big).as("s2"))
+      .select(col("dim"), col("n"), col("sum_q"),
+        (col("sum_q").cast("double") / col("n").cast("double")).as("mean_q"),
+        expr("""CAST((CAST(n AS DECIMAL(38,0)) * s2
+                 - CAST(sum_q AS DECIMAL(38,0)) * sum_q)
+                div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)""").as("var_q2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_dim_stats" -> embDimStats _,
     "sim_knn" -> simKnn _,
     "sim_ann_ivf" -> ((s: SparkSession, d: String) => simAnnIvf(s, d)),
     "sim_range" -> ((s: SparkSession, d: String) => simRange(s, d)),
@@ -216,6 +243,26 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    // HUGEINT = DuckDB's 128-bit exact lane, mirroring Spark's
+    // DECIMAL(38,0); // on the nonnegative variance numerator is the
+    // same floor division as Spark's `div`
+    "emb_dim_stats" ->
+      """WITH q AS (
+          SELECT CAST(p.dim AS BIGINT) AS dim,
+            CAST(floor(CAST(p.x AS DOUBLE) * 1000000) AS BIGINT) AS q
+          FROM (
+            SELECT unnest(list_transform(embedding,
+              (x, i) -> struct_pack(dim := i - 1, x := x))) AS p
+            FROM embeddings)),
+        a AS (
+          SELECT dim, count(*) AS n, sum(q) AS s1,
+            sum(CAST(q AS HUGEINT) * q) AS s2
+          FROM q GROUP BY dim)
+        SELECT dim, n, CAST(s1 AS BIGINT) AS sum_q,
+          CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
+          CAST((CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)
+            // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_q2
+        FROM a""",
     "sim_knn" ->
       """WITH e AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

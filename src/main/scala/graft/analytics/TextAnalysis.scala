@@ -329,7 +329,27 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Token-collision (Simpson) index per document: Σc²/n² over the
+    * token frequency vector — the log-free concentration measure
+    * (1 / effective vocabulary size). It flags repetitive/spam docs
+    * the way low-entropy filters do, but with exact integer Σc² and n
+    * (ln() is not cross-engine-safe; integer sums are) and one final
+    * double division. Shuffle key is (doc_id, token) — 16-byte rows,
+    * never the text. */
+  def textEntropy(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("c")).as("sum_sq"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_sq"),
+        (col("sum_sq").cast("double")
+          / (col("n_tokens") * col("n_tokens")).cast("double")).as("simpson"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_entropy"     -> textEntropy _,
     "text_top_term"    -> topTerm _,
     "text_tokens"      -> textTokens _,
     "text_quality"     -> textQuality _,
@@ -349,6 +369,16 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_entropy" ->
+      """WITH t AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        c AS (SELECT doc_id, token, count(*) AS c FROM t GROUP BY 1, 2)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+          CAST(sum(c * c) AS BIGINT) AS sum_sq,
+          CAST(sum(c * c) AS DOUBLE)
+            / CAST(sum(c) * sum(c) AS DOUBLE) AS simpson
+        FROM c GROUP BY doc_id""",
     "text_tokens" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
           len(list_distinct(string_split(text, ' '))) AS n_distinct

@@ -213,4 +213,108 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(got(k)._3 - c) < 1e-6, s"corr $k")
     }
   }
+
+  test("fixed-point pagerank matches the hand-computed path-graph values") {
+    import spark.implicits._
+    // path 1—2—3: degrees (1, 2, 1); three damped µ-unit iterations
+    // worked by hand (contrib = rank div deg, rank' = 150000 +
+    // (85·Σcontrib) div 100)
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = Dedup.pagerankOf(pairs, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 629187L, 2L -> 1741625L, 3L -> 629187L))
+  }
+
+  test("anomaly flags agree with the float z-score spelling") {
+    val d = "/root/testdata/sf0.01"
+    val got = analytics.EventsPipeline.anomalyZscore(spark, d)
+      .select("event_id", "is_outlier")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    val ref = Tables.events(spark, d)
+      .filter(col("value").isNotNull && !isnan(col("value")))
+      .withColumn("mu", avg(col("value")).over(w))
+      .withColumn("sd", stddev_pop(col("value")).over(w))
+      .select(col("event_id"),
+        (abs(col("value") - col("mu")) > lit(3) * col("sd")).as("ref"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got.size === ref.size)
+    val diff = got.count { case (id, f) => ref(id) != f }
+    // cent-quantization can flip values EXACTLY on the 3σ boundary;
+    // anything beyond a stray boundary case is a logic error
+    assert(diff <= 1, s"$diff flags disagree with the float spelling")
+  }
+
+  test("simpson index: bounded by [1/n, 1] and consistent with token counts") {
+    val ent = analytics.TextAnalysis.textEntropy(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(ent.nonEmpty)
+    ent.foreach { case (id, n, ss, simp) =>
+      assert(ss >= n && ss <= n * n, s"doc $id moments")
+      assert(simp >= 1.0 / n - 1e-12 && simp <= 1.0 + 1e-12, s"doc $id simpson")
+      assert(math.abs(simp - ss.toDouble / (n.toDouble * n)) < 1e-15, s"doc $id ratio")
+    }
+    val toks = analytics.TextAnalysis.textTokens(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    ent.foreach { case (id, n, _, _) => assert(toks(id) === n, s"doc $id n_tokens") }
+  }
+
+  test("retention: offset-0 row counts every cohort's full user set") {
+    val d = "/root/testdata/sf0.01"
+    val ret = analytics.EventsPipeline.eventsRetention(spark, d).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    assert(ret.keys.forall(_._2 >= 0), "negative day offset")
+    val cohorts = Tables.events(spark, d)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(min(col("ts").cast("date")).as("c"))
+      .groupBy(col("c")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    cohorts.foreach { case (day, n) =>
+      assert(ret((day, 0L)) === n, s"cohort $day offset-0")
+    }
+  }
+
+  test("frame sampling: stride-4 indices, in range, complete per asset") {
+    val rows = Multimodal.multimodalFrames(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nf, fi, off) =>
+      assert(fi % 4 === 0 && fi >= 0 && fi < nf, s"asset $id idx $fi")
+      assert(off === fi * 256, s"asset $id offset")
+    }
+    rows.groupBy(_._1).foreach { case (id, g) =>
+      val nf = g.head._2
+      assert(g.length === (nf + 3) / 4, s"asset $id sample count")
+    }
+  }
+
+  test("per-dimension stats track the float built-ins through µ-quantization") {
+    val d = "/root/testdata/sf0.01"
+    val got = Similarity.embDimStats(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3), r.getLong(4))).toMap
+    val nVec = Tables.embeddings(spark, d).count()
+    assert(got.size === 64 && got.values.forall(_._1 === nVec))
+    val ref = Tables.embeddings(spark, d)
+      .select(posexplode(col("embedding")))
+      .groupBy(col("pos").cast("long").as("dim"))
+      .agg(avg(col("col").cast("double")).as("m"),
+        var_pop(col("col").cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    ref.foreach { case (dim, (m, v)) =>
+      val (_, meanQ, varQ2) = got(dim)
+      assert(math.abs(meanQ / 1e6 - m) < 2e-6, s"dim $dim mean")
+      assert(varQ2 >= 0 && math.abs(varQ2 / 1e12 - v) < 1e-5, s"dim $dim var")
+    }
+  }
+
+  test("degree histogram mass equals twice the pair count") {
+    val d = "/root/testdata/sf0.01"
+    val pairs = Dedup.dedupMinhash(spark, d).count()
+    val hist = Dedup.graphDegree(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(hist.map { case (deg, n) => deg * n }.sum === 2 * pairs)
+    assert(hist.map(_._2).sum ===
+      Dedup.clustersOf(Dedup.dedupMinhash(spark, d)).count())
+  }
 }

@@ -91,7 +91,15 @@ class PlanSpec extends SparkSpec {
     // tfidf/bm25 count the df branch's recompute of the tf agg (static
     // plan, like graph_triangles); vocab's 1 is the token count agg —
     // the global row_number window sees only the topK survivors
-    "text_tfidf" -> 4, "text_bm25" -> 4, "vocab_topk" -> 1)
+    "text_tfidf" -> 4, "text_bm25" -> 4, "vocab_topk" -> 1,
+    // continuation batch: anomaly = one stats agg + broadcast join;
+    // retention = distinct + cohort agg + join + distinct-count rollup;
+    // pagerank/clusters return checkpointed RDDs (0 static exchanges);
+    // graph_degree recomputes the unpersisted minhash branch twice in
+    // the STATIC plan (runtime persist collapses it, like triangles)
+    "anomaly_zscore" -> 1, "events_retention" -> 4, "text_entropy" -> 2,
+    "multimodal_frames" -> 0, "emb_dim_stats" -> 1, "graph_pagerank" -> 0,
+    "graph_degree" -> 8)
 
   /** Each query's physical-plan string, built ONCE for both tests (the
     * round-trip queries execute a file write when constructed). */
