@@ -479,6 +479,68 @@ object EventsPipeline {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Sliding event-time windows (1 h window, 30 min slide): each event
+    * lands in exactly two overlapping windows — the smoothing variant
+    * of win_hourly's tumbling windows and the batch twin of a sliding
+    * streaming aggregation. Spark's `window()` expands to a 2-row
+    * generator before the one aggregation shuffle; nothing is
+    * recomputed per slide. */
+  def winSliding(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** SCD-2 interval construction: each per-user event becomes a
+    * validity row [valid_from, valid_to) closed by the next event
+    * (lead), open-ended on the latest — the standard
+    * history-table build. Timestamps stay exact µs longs; the order
+    * key (ts, event_id) is total, so the intervals are deterministic
+    * under ties in both engines. One shuffle on user_id. */
+  def scdIntervals(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("valid_from_us"), col("event_id"))
+    events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("valid_from_us"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
+
+  /** Z-order (Morton) clustering key over (user_id, value): each
+    * dimension is min/max-normalized into 16-bit rank space FIRST —
+    * without that, unequal ranges make the interleave degenerate to a
+    * single-dim sort — then the bits are interleaved. Sorting or
+    * range-partitioning by this key keeps BOTH dimensions locally
+    * bounded per file — the lakehouse data-skipping layout (Delta
+    * OPTIMIZE ZORDER, Iceberg sort orders) — where a plain sort bounds
+    * one dimension and leaves the other at full range per file
+    * (locality proved in ScaleSpec). The min/max pass is an O(1)-row
+    * scalar broadcast; everything else is exact integer bit arithmetic
+    * on the scan. */
+  def zorderValue(s: SparkSession, d: String): DataFrame = {
+    val base = events(s, d)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        (dec2(col("value")) * 100).cast("long").as("value_cents"))
+    val ext = base.agg(
+      min(col("user_id")).as("u0"), max(col("user_id")).as("u1"),
+      min(col("value_cents")).as("v0"), max(col("value_cents")).as("v1"))
+    val a = expr("((user_id - u0) * 65535) div greatest(u1 - u0, 1L)")
+    val b = expr("((value_cents - v0) * 65535) div greatest(v1 - v0, 1L)")
+    val z = (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc.bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+    base.crossJoin(broadcast(ext))
+      .select(col("event_id"), col("user_id"), col("value_cents"),
+        z.as("zval"))
+  }
+
   /** Snowpipe-style cast/extract projection (S8/F10). */
   def warehouseLoad(s: SparkSession, d: String): DataFrame =
     events(s, d).select(
@@ -527,6 +589,9 @@ object EventsPipeline {
     "ts_gapfill"          -> tsGapfill _,
     "anomaly_zscore"      -> anomalyZscore _,
     "events_retention"    -> eventsRetention _,
+    "win_sliding"         -> winSliding _,
+    "scd_intervals"       -> scdIntervals _,
+    "zorder_value"        -> zorderValue _,
   )
 
   /** Shared validation CTE for the oracle side — the same four rules as
@@ -570,6 +635,53 @@ object EventsPipeline {
           ((st.n * e.vc - st.s1) * (st.n * e.vc - st.s1)
             > 9 * (st.n * st.s2 - st.s1 * st.s1)) AS is_outlier
         FROM e JOIN st USING (event_type)""",
+    // 30-min time_bucket is epoch-aligned like Spark's window(); every
+    // event expands to its two covering 1h/30min-slide window starts
+    "win_sliding" ->
+      """WITH b AS (
+          SELECT event_type, value,
+            time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS t30
+          FROM events),
+        w AS (
+          SELECT event_type, value,
+            unnest([t30, t30 - INTERVAL '30 minutes']) AS window_start
+          FROM b)
+        SELECT window_start, event_type, count(*) AS cnt,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM w GROUP BY 1, 2""",
+    "scd_intervals" ->
+      """SELECT user_id, event_id, event_type,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us,
+          lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+            PARTITION BY user_id
+            ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS valid_to_us,
+          lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+            PARTITION BY user_id
+            ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) IS NULL AS is_current
+        FROM events WHERE user_id IS NOT NULL""",
+    // same 16-bit min/max rank-space normalization then bit interleave;
+    // all quantities nonnegative, so // matches Spark's div exactly
+    "zorder_value" -> {
+      val terms = (0 until 16).flatMap(i => Seq(
+        s"(((a16 >> $i) & 1) << ${2 * i})",
+        s"(((b16 >> $i) & 1) << ${2 * i + 1})"))
+      s"""WITH e AS (
+          SELECT event_id, user_id,
+            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+          FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        x AS (
+          SELECT min(user_id) AS u0, max(user_id) AS u1,
+            min(vc) AS v0, max(vc) AS v1
+          FROM e),
+        s AS (
+          SELECT e.*,
+            ((user_id - u0) * 65535) // greatest(u1 - u0, 1) AS a16,
+            ((vc - v0) * 65535) // greatest(v1 - v0, 1) AS b16
+          FROM e, x)
+        SELECT event_id, user_id, vc AS value_cents,
+          (${terms.mkString(" | ")}) AS zval
+        FROM s"""
+    },
     "events_retention" ->
       """WITH act AS (
           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day

@@ -348,7 +348,31 @@ object TextAnalysis {
         (col("sum_sq").cast("double")
           / (col("n_tokens") * col("n_tokens")).cast("double")).as("simpson"))
 
+  /** Per-source curation dashboard: doc count, quality-gate passes,
+    * token mass, distinct canonical texts, and uniqueness ratio per
+    * feed — the rollup that decides which sources keep getting
+    * crawled. Exact integer counts (the same gate as textQuality, the
+    * same md5 canonical key as exact dedup) + one double division;
+    * one shuffle on the tiny source key. */
+  def sourceQuality(s: SparkSession, d: String): DataFrame = {
+    val nTok  = size(toks)
+    val nStop = size(filter(toks, t => t === "a" || t === "the"))
+    val ok = nTok.between(20, 400) &&
+      (nStop.cast("double") / nTok.cast("double")) < lit(0.3)
+    documents(s, d)
+      .select(col("source"), nTok.as("nt"), ok.as("ok"),
+        md5(lower(col("text"))).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_quality_ok"),
+        sum(col("nt").cast("long")).as("sum_tokens"),
+        countDistinct(col("fp")).as("n_unique"),
+        (countDistinct(col("fp")).cast("double")
+          / count(lit(1)).cast("double")).as("uniq_ratio"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_quality"   -> sourceQuality _,
     "text_entropy"     -> textEntropy _,
     "text_top_term"    -> topTerm _,
     "text_tokens"      -> textTokens _,
@@ -369,6 +393,23 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "source_quality" ->
+      """WITH q AS (
+          SELECT source,
+            len(string_split(text, ' ')) AS nt,
+            (len(string_split(text, ' ')) BETWEEN 20 AND 400)
+              AND (CAST(len(list_filter(string_split(text, ' '),
+                    t -> t = 'a' OR t = 'the')) AS DOUBLE)
+                / CAST(len(string_split(text, ' ')) AS DOUBLE) < 0.3) AS ok,
+            md5(lower(text)) AS fp
+          FROM documents)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+          CAST(sum(nt) AS BIGINT) AS sum_tokens,
+          count(DISTINCT fp) AS n_unique,
+          CAST(count(DISTINCT fp) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+            AS uniq_ratio
+        FROM q GROUP BY source""",
     "text_entropy" ->
       """WITH t AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS token

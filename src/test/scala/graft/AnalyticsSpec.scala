@@ -308,6 +308,37 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("sliding windows count every event exactly twice") {
+    val total = analytics.EventsPipeline.winSliding(spark, sfDir)
+      .agg(sum(col("cnt"))).first().getLong(0)
+    assert(total === 2 * Tables.events(spark, sfDir).count())
+  }
+
+  test("scd intervals: abutting validity chain, exactly one open row per user") {
+    val rows = analytics.EventsPipeline.scdIntervals(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, g) =>
+      val sorted = g.sortBy(t => (t._3, t._2))
+      assert(sorted.count(_._5) === 1, s"user $u open rows")
+      assert(sorted.last._4.isEmpty, s"user $u last interval closed")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4.contains(b._3), s"user $u gap")
+        case _ =>
+      }
+    }
+  }
+
+  test("source rollup totals agree with the per-doc quality gate") {
+    val sq = analytics.TextAnalysis.sourceQuality(spark, sfDir).collect()
+    assert(sq.map(_.getLong(1)).sum === Tables.documents(spark, sfDir).count())
+    val qok = analytics.TextAnalysis.textQuality(spark, sfDir)
+      .filter(col("quality_ok")).count()
+    assert(sq.map(_.getLong(2)).sum === qok)
+    sq.foreach(r => assert(r.getLong(4) <= r.getLong(1)))
+  }
+
   test("degree histogram mass equals twice the pair count") {
     val d = "/root/testdata/sf0.01"
     val pairs = Dedup.dedupMinhash(spark, d).count()

@@ -26,8 +26,11 @@ class PlanSpec extends SparkSpec {
   // the one shape where a cross join IS the right plan;
   // text_tfidf/text_bm25: crossJoin(broadcast(1-row corpus stats)) —
   // a scalar broadcast, the same plan a scalar subquery produces
+  // zorder_value: crossJoin(broadcast(1-row min/max extents)) — the
+  // same scalar-broadcast shape as tfidf/bm25
   private val nljWhitelist =
-    Set("sim_knn", "sim_range", "join_cross", "text_tfidf", "text_bm25")
+    Set("sim_knn", "sim_range", "join_cross", "text_tfidf", "text_bm25",
+      "zorder_value")
 
   private val streaming =
     Set("stream_hourly", "stream_session", "stream_session_multibatch",
@@ -99,7 +102,9 @@ class PlanSpec extends SparkSpec {
     // the STATIC plan (runtime persist collapses it, like triangles)
     "anomaly_zscore" -> 1, "events_retention" -> 4, "text_entropy" -> 2,
     "multimodal_frames" -> 0, "emb_dim_stats" -> 1, "graph_pagerank" -> 0,
-    "graph_degree" -> 8)
+    "graph_degree" -> 8,
+    "win_sliding" -> 1, "scd_intervals" -> 1, "zorder_value" -> 0,
+    "source_quality" -> 2)
 
   /** Each query's physical-plan string, built ONCE for both tests (the
     * round-trip queries execute a file write when constructed). */
