@@ -48,8 +48,50 @@ object Curation {
       .select(col("doc_id"), nTok.as("n_tokens"))
   }
 
+  // PII patterns: simple email and 555-prefixed phone shapes, written in
+  // the regex subset Java regex and RE2 (DuckDB) agree on
+  private val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+  private val phoneRe = "555-[0-9]{4}"
+
+  /** PII scrubbing — the redaction pass every training-data pipeline
+    * runs before text leaves curation. The synthetic corpus carries no
+    * digits, so deterministic PII is injected first (doc_id-keyed email
+    * / alt-email / phone decorations), then detected with
+    * regexp_extract_all counts and redacted with global regexp_replace;
+    * the output carries the redaction counts and the scrubbed-text
+    * fingerprint. Scale shape: pure per-row projection — scan-speed,
+    * zero shuffles, whole-stage codegen end to end. */
+  def piiScrub(s: SparkSession, d: String): DataFrame =
+    piiScrubFull(documents(s, d)).select(
+      col("doc_id"), col("n_emails"), col("n_phones"),
+      md5(col("scrubbed")).as("scrub_fp"),
+      length(col("scrubbed")).cast("long").as("scrub_len"))
+
+  /** Spec surface: the scrubbed text itself (the declared query emits
+    * only its fingerprint/length to keep the oracle compact). */
+  private[graft] def piiScrubFull(docs: DataFrame): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val injected = concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact u"), id, lit("@example.com"))).otherwise(""),
+      when(col("doc_id") % 6 === 0,
+        concat(lit(" or u"), id, lit("b@alt.org"))).otherwise(""),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(""))
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(injected, lit(emailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(injected, lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+      regexp_replace(
+        regexp_replace(injected, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+        .as("scrubbed"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "training_select" -> trainingSelect _,
+    "pii_scrub"       -> piiScrub _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -90,5 +132,33 @@ object Curation {
           AND doc_id IN (SELECT doc_id FROM en)
           AND doc_id IN (SELECT doc_id FROM canon)
           AND doc_id NOT IN (SELECT doc_id FROM losers)""",
+    // same injection, RE2 spelling; DuckDB regexp_replace needs the 'g'
+    // option to match Spark's replace-all default
+    "pii_scrub" ->
+      raw"""WITH inj AS (
+          SELECT doc_id,
+            text ||
+            CASE WHEN doc_id % 3 = 0
+              THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE '' END ||
+            CASE WHEN doc_id % 6 = 0
+              THEN ' or u' || CAST(doc_id AS VARCHAR) || 'b@alt.org'
+              ELSE '' END ||
+            CASE WHEN doc_id % 5 = 0
+              THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END AS t
+          FROM documents),
+        scrub AS (
+          SELECT doc_id, t,
+            regexp_replace(regexp_replace(t,
+              '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+              '555-[0-9]{4}', '<PHONE>', 'g') AS st
+          FROM inj)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+          md5(st) AS scrub_fp,
+          CAST(len(st) AS BIGINT) AS scrub_len
+        FROM scrub""",
   )
 }

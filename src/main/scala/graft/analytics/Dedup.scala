@@ -116,18 +116,22 @@ object Dedup {
   /** All 8 MinHash signatures in ONE aggregation pass over the shingle
     * table (an exploded (doc, shingle, seed) form would 8x the shuffle
     * rows and need a second aggregation). */
-  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
+  private def minhashSigs(s: SparkSession, d: String): DataFrame =
+    minhashSigsOf(shingles(s, d))
+
+  private def minhashSigsOf(sh: DataFrame): DataFrame = {
     val sigCols = (0 to 7).map(i =>
       min(md5(concat(lit(i.toString), lit("|"), col("shingle")))).as(s"sig$i"))
-    shingles(s, d)
-      .groupBy(col("doc_id"))
-      .agg(sigCols.head, sigCols.tail: _*)
+    sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
   /** MinHash signatures (8 seed-salted md5 mins) banded 2-per-band into
     * 4 LSH buckets; output = candidate pairs sharing any band bucket. */
-  def dedupMinhash(s: SparkSession, d: String): DataFrame = {
-    val sigs = minhashSigs(s, d)
+  def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    minhashPairsOf(shingles(s, d))
+
+  private[graft] def minhashPairsOf(sh: DataFrame): DataFrame = {
+    val sigs = minhashSigsOf(sh)
     // band bucket = order-insensitive hash of its two sigs
     // (least/greatest == the grouped min/max the oracle computes)
     val bucketExprs = (0 to 3).flatMap { b =>
@@ -349,6 +353,31 @@ object Dedup {
         abs(est - jac).as("abs_err"))
   }
 
+  /** Edit-distance rerank over the MinHash-LSH candidate pairs: exact
+    * Levenshtein on 200-char prefixes plus a length-normalized
+    * similarity. The sketch proposes, the exact metric disposes — the
+    * O(len²) DP runs only on the near-linear LSH candidate set, and the
+    * prefix cap bounds per-pair cost at a constant, so the rerank stays
+    * affordable at 100 TB where all-pairs edit distance is impossible.
+    * Only ids shuffle in the candidate join; each side's text prefix
+    * joins in once on its id key. */
+  def dedupEdit(s: SparkSession, d: String): DataFrame =
+    dedupEditOf(documents(s, d))
+
+  private[graft] def dedupEditOf(docs: DataFrame): DataFrame = {
+    val pfx = docs
+      .select(col("doc_id"), substring(col("text"), 1, 200).as("pfx"))
+    val dist = levenshtein(col("pfx_a"), col("pfx_b"))
+    minhashPairsOf(shinglesOf(docs))
+      .join(pfx.select(col("doc_id").as("doc_a"), col("pfx").as("pfx_a")), Seq("doc_a"))
+      .join(pfx.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        dist.cast("long").as("edit_dist"),
+        (lit(1.0) - dist.cast("double")
+          / greatest(length(col("pfx_a")), length(col("pfx_b"))).cast("double"))
+          .as("edit_sim"))
+  }
+
   /** Triangles in the near-dup candidate graph — the QA metric for a
     * dedup run: a high triangle density means candidate pairs close
     * transitively (real duplicate families), while a triangle-free pair
@@ -524,6 +553,7 @@ object Dedup {
     "graph_pagerank"  -> graphPagerank _,
     "graph_degree"    -> graphDegree _,
     "minhash_jaccard_est" -> minhashJaccardEst _,
+    "dedup_edit"      -> dedupEdit _,
     "emb_clusters"    -> embClusters _,
   )
 
@@ -619,6 +649,19 @@ object Dedup {
           SELECT e.dst AS doc_id, r.label
           FROM reach r JOIN edges e ON e.src = r.doc_id)
         SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id""",
+    "dedup_edit" ->
+      s"""$shCte, $minhashCtes,
+        mpairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        pfx AS (SELECT doc_id, substr(text, 1, 200) AS pfx FROM documents)
+        SELECT doc_a, doc_b,
+          CAST(levenshtein(pa.pfx, pb.pfx) AS BIGINT) AS edit_dist,
+          CAST(1 AS DOUBLE) - CAST(levenshtein(pa.pfx, pb.pfx) AS DOUBLE)
+            / CAST(greatest(len(pa.pfx), len(pb.pfx)) AS DOUBLE) AS edit_sim
+        FROM mpairs JOIN pfx pa ON pa.doc_id = doc_a
+                    JOIN pfx pb ON pb.doc_id = doc_b""",
     "minhash_jaccard_est" ->
       s"""$shCte, $minhashCtes,
         mpairs AS (

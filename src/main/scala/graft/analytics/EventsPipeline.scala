@@ -91,6 +91,55 @@ object EventsPipeline {
              FROM graft_events_freq""")
   }
 
+  /** Count-Min Sketch per-key count estimation (§2.9 UDAF tier #2):
+    * build one 4×64 sketch over the user_id stream, then estimate every
+    * key against it next to its exact count. The sketch state is O(256)
+    * longs however many users exist — at 100 TB the sketch aggregation
+    * is a scan + tiny combine while the exact branch (here only the
+    * verification harness) pays the full distinct-key shuffle. The
+    * estimate is deterministic (md5-byte buckets, element-wise-add
+    * merges), so est, exact, AND their gap are all oracle-checked; the
+    * one-row sketch joins back as a scalar broadcast. */
+  def sketchCms(s: SparkSession, d: String): DataFrame = {
+    val keys = events(s, d).filter(col("user_id").isNotNull)
+      .select(col("user_id").cast("string").as("k"))
+    val cmsRow = keys.agg(
+      graft.functions.sketch.cms(col("k"), 4, 64).as("sketch"))
+    val exact = keys.groupBy(col("k")).agg(count(lit(1)).as("exact_cnt"))
+    val ests = (0 until 4).map { dd =>
+      element_at(element_at(col("sketch"), dd + 1),
+        (conv(substring(md5(col("k")), 2 * dd + 1, 2), 16, 10).cast("int")
+          % 64) + 1)
+    }
+    exact.crossJoin(broadcast(cmsRow))
+      .select(col("k").as("user_key"), col("exact_cnt"),
+        least(ests: _*).as("cms_est"))
+  }
+
+  /** Last-touch attribution: each purchase credits the user's most
+    * recent strictly-earlier click. One window over the per-user
+    * timeline — the same single user_id shuffle win_session rides —
+    * with a strictly-before ROWS frame and the unique (µs, event_id)
+    * order key making the credit deterministic under timestamp ties.
+    * Purchases with no prior click keep a NULL credit (the
+    * unattributable bucket every attribution report needs). */
+  def eventsAttribution(s: SparkSession, d: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("last_click_id",
+        last(when(col("event_type") === "click", col("event_id")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_us"), col("last_click_id"))
+  }
+
   /** Single-pass layer counts (S7 + the conservation invariant). */
   def lineageCounts(s: SparkSession, d: String): DataFrame =
     Lineage.layerCounts(validated(s, d))
@@ -577,6 +626,8 @@ object EventsPipeline {
     "csv_roundtrip"       -> csvRoundtrip _,
     "expect_suite_sample" -> expectSuiteSample _,
     "freq_items"          -> freqItems _,
+    "sketch_cms"          -> sketchCms _,
+    "events_attribution"  -> eventsAttribution _,
     "json_roundtrip"      -> jsonRoundtrip _,
     "orc_roundtrip"       -> orcRoundtrip _,
     "join_asof"           -> joinAsof _,
@@ -771,6 +822,34 @@ object EventsPipeline {
     "freq_items" ->
       """SELECT event_type AS item, count(*) AS cnt FROM events
         WHERE event_type IS NOT NULL GROUP BY event_type""",
+    // the CMS is deterministic end-to-end, so the oracle REBUILDS the
+    // sketch in SQL: h_d(key) = md5 hex digits (2d, 2d+1) mod 64, cell =
+    // total count hashed there, est = min over the 4 rows
+    "sketch_cms" ->
+      """WITH keys AS (
+          SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS exact_cnt
+          FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        hashed AS (
+          SELECT k, exact_cnt, dd.d,
+            ((strpos('0123456789abcdef', substr(md5(k), 2*dd.d + 1, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substr(md5(k), 2*dd.d + 2, 1)) - 1) % 64 AS b
+          FROM keys CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS d) dd),
+        cells AS (SELECT d, b, sum(exact_cnt) AS cell FROM hashed GROUP BY d, b)
+        SELECT h.k AS user_key, h.exact_cnt AS exact_cnt,
+          CAST(min(c.cell) AS BIGINT) AS cms_est
+        FROM hashed h JOIN cells c ON c.d = h.d AND c.b = h.b
+        GROUP BY h.k, h.exact_cnt""",
+    "events_attribution" ->
+      """WITH t AS (
+          SELECT event_id, user_id, event_type,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+            last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+              OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_id
+          FROM events WHERE user_id IS NOT NULL)
+        SELECT event_id AS purchase_id, user_id, ts_us, last_click_id
+        FROM t WHERE event_type = 'purchase'""",
     "lineage" ->
       s"""$vCte, f AS (SELECT (r1 AND r2 AND r3 AND r4) AS ok FROM v)
         SELECT 'raw' AS layer, count(*) AS record_count FROM f

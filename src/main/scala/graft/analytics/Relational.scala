@@ -608,6 +608,61 @@ object Relational {
         count(lit(1)).as("cnt"),
         sum(dec12(col("o_totalprice"))).cast("double").as("total"))
 
+  /** The two derived order snapshots the CDC queries diff: the "old"
+    * snapshot misses keys ≡0 (mod 7) (rows inserted later), the "new"
+    * one drops keys ≡0 (mod 5) (deletes) and bumps the price of keys
+    * ≡0 (mod 3) by 1.00 (updates). Prices stay DECIMAL(12,2) so every
+    * comparison is exact. */
+  private def cdcSnapshots(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val base = orders(s, d)
+      .select(col("o_orderkey"), dec12(col("o_totalprice")).as("price"))
+    val old = base.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("k_old"), col("price").as("old_price"))
+    val neu = base.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey").as("k_new"),
+        when(col("o_orderkey") % 3 === 0, col("price") + 1)
+          .otherwise(col("price")).as("new_price"))
+    (old, neu)
+  }
+
+  /** CDC change-set construction — the MERGE-input op: classify every
+    * key as insert / update / delete via one full outer join on the
+    * key, dropping the unchanged majority before projection. Scale
+    * shape: a single co-partitioned shuffle on the key; at 100 TB the
+    * change set (typically ≪1% of keys) is what flows downstream, not
+    * the snapshots. */
+  def cdcDiff(s: SparkSession, d: String): DataFrame = {
+    val (old, neu) = cdcSnapshots(s, d)
+    old.join(neu, col("k_old") === col("k_new"), "full_outer")
+      .withColumn("op",
+        when(col("k_old").isNull, "insert")
+          .when(col("k_new").isNull, "delete")
+          .when(col("old_price") =!= col("new_price"), "update"))
+      .filter(col("op").isNotNull)
+      .select(
+        coalesce(col("k_old"), col("k_new")).as("o_orderkey"), col("op"),
+        col("old_price").cast("double").as("old_price"),
+        col("new_price").cast("double").as("new_price"))
+  }
+
+  /** CDC apply — the other half of the MERGE round-trip: replay the
+    * cdcDiff change set onto the old snapshot (anti-join deletes+updates
+    * out, union inserts+updates in). The oracle is simply the NEW
+    * snapshot — equality proves diff∘apply = identity, the invariant a
+    * MERGE sink must preserve. */
+  def cdcApply(s: SparkSession, d: String): DataFrame = {
+    val (old, neu) = cdcSnapshots(s, d)
+    val changes = cdcDiff(s, d)
+    val touched = changes.filter(col("op").isin("delete", "update"))
+      .select(col("o_orderkey"))
+    val incoming = changes.filter(col("op").isin("insert", "update"))
+      .select(col("o_orderkey"), dec12(col("new_price")).as("price"))
+    old.select(col("k_old").as("o_orderkey"), col("old_price").as("price"))
+      .join(touched, Seq("o_orderkey"), "left_anti")
+      .unionByName(incoming)
+      .select(col("o_orderkey"), col("price").cast("double").as("price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> q1Agg _,
     "q3_topk"           -> q3Topk _,
@@ -654,12 +709,40 @@ object Relational {
     "map_funcs"         -> mapFuncs _,
     "win_nth"           -> winNth _,
     "pred_like"         -> predLike _,
+    "cdc_diff"          -> cdcDiff _,
+    "cdc_apply"         -> cdcApply _,
   )
 
   private val sumQty  = "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
   private val discExp = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
 
+  private val cdcCtes =
+    """WITH old AS (
+        SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(12,2)) AS p
+        FROM orders WHERE o_orderkey % 7 <> 0),
+      new AS (
+        SELECT o_orderkey AS k,
+          CASE WHEN o_orderkey % 3 = 0
+            THEN CAST(o_totalprice AS DECIMAL(12,2)) + 1
+            ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS p
+        FROM orders WHERE o_orderkey % 5 <> 0)"""
+
   val oracle: Map[String, String] = Map(
+    "cdc_diff" ->
+      s"""$cdcCtes
+        SELECT coalesce(o.k, n.k) AS o_orderkey,
+          CASE WHEN o.k IS NULL THEN 'insert'
+               WHEN n.k IS NULL THEN 'delete'
+               ELSE 'update' END AS op,
+          CAST(o.p AS DOUBLE) AS old_price,
+          CAST(n.p AS DOUBLE) AS new_price
+        FROM old o FULL OUTER JOIN new n ON o.k = n.k
+        WHERE o.k IS NULL OR n.k IS NULL OR o.p <> n.p""",
+    // apply(diff(old, new), old) must equal new — the oracle IS the new
+    // snapshot, proving the MERGE round-trip is the identity
+    "cdc_apply" ->
+      s"""$cdcCtes
+        SELECT k AS o_orderkey, CAST(p AS DOUBLE) AS price FROM new""",
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
           $sumQty AS sum_qty,

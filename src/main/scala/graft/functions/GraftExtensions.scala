@@ -50,6 +50,11 @@ object GraftExtensions {
       (es: Seq[Expression]) =>
         MisraGriesSketch(es(0), intArg(es(1), "freq_items_sketch"))
           .toAggregateExpression()),
+    ("cms_sketch",
+      new ExpressionInfo(classOf[CountMinSketch].getName, "cms_sketch"),
+      (es: Seq[Expression]) =>
+        CountMinSketch(es(0), intArg(es(1), "cms_sketch"),
+          intArg(es(2), "cms_sketch")).toAggregateExpression()),
   )
 
   /** Register into a live session's function registry (temp functions). */

@@ -339,6 +339,89 @@ class AnalyticsSpec extends SparkSpec {
     sq.foreach(r => assert(r.getLong(4) <= r.getLong(1)))
   }
 
+  test("edit-distance rerank: planted duplicate scores 0/1.0, near-dup scores its edit count") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (0L, base), (1L, base),                       // exact dup: dist 0, sim 1
+      (2L, base.replace("today", "tonite")),        // near dup: bounded dist
+      (3L, "completely different words about spark shuffles and parquet files here")
+    ).toDF("doc_id", "text")
+    val out = analytics.Dedup.dedupEditOf(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.contains((0L, 1L)))
+    assert(out((0L, 1L)) === ((0L, 1.0)))
+    // the 5-char suffix swap costs at most 5 edits (today -> tonite = 4)
+    out.get((0L, 2L)).foreach { case (dist, sim) =>
+      assert(dist > 0 && dist <= 5); assert(sim > 0.9 && sim < 1.0)
+    }
+    // LSH candidates never pair the unrelated doc
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("pii scrub: counts follow the injection schedule and no pattern survives") {
+    val full = analytics.Curation.piiScrubFull(Tables.documents(spark, sfDir))
+      .collect()
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      val id = r.getLong(0)
+      val expEmails = (if (id % 3 == 0) 1 else 0) + (if (id % 6 == 0) 1 else 0)
+      assert(r.getLong(1) === expEmails, s"doc $id emails")
+      assert(r.getLong(2) === (if (id % 5 == 0) 1L else 0L), s"doc $id phones")
+      val scrubbed = r.getString(3)
+      assert(!scrubbed.matches(".*[a-z0-9]+@[a-z]+\\.[a-z]+.*"), s"doc $id email survived")
+      assert(!scrubbed.matches(".*555-[0-9]{4}.*"), s"doc $id phone survived")
+      if (id % 3 == 0) assert(scrubbed.contains("<EMAIL>"))
+      if (id % 5 == 0) assert(scrubbed.contains("<PHONE>"))
+    }
+  }
+
+  test("cdc: diff classifies by construction and apply(diff) reproduces the new snapshot") {
+    val diff = analytics.Relational.cdcDiff(spark, sfDir).collect()
+    diff.foreach { r =>
+      val (k, op) = (r.getLong(0), r.getString(1))
+      op match {
+        case "insert" => assert(k % 7 == 0 && k % 5 != 0); assert(r.isNullAt(2))
+        case "delete" => assert(k % 5 == 0 && k % 7 != 0); assert(r.isNullAt(3))
+        case "update" =>
+          assert(k % 3 == 0 && k % 5 != 0 && k % 7 != 0)
+          assert(math.abs(r.getDouble(3) - r.getDouble(2) - 1.0) < 1e-9)
+      }
+    }
+    // unchanged keys are absent: present-in-both and not a mod-3 update
+    assert(diff.forall(r => !(r.getLong(0) % 3 != 0 && r.getLong(0) % 5 != 0
+      && r.getLong(0) % 7 != 0)))
+    // round-trip: applying the change set to old yields exactly new
+    val applied = analytics.Relational.cdcApply(spark, sfDir)
+    val neu = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 3 === 0,
+          Tables.dec12(col("o_totalprice")) + 1)
+          .otherwise(Tables.dec12(col("o_totalprice")))
+          .cast("double").as("price"))
+    assert(applied.exceptAll(neu).isEmpty && neu.exceptAll(applied).isEmpty)
+  }
+
+  test("attribution credits the latest strictly-earlier click, null when none") {
+    val ev = Tables.events(spark, sfDir).filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val expected = ev.groupBy(_._2).flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(t => (t._4, t._1))
+      sorted.zipWithIndex.collect { case ((id, _, "purchase", _), i) =>
+        id -> sorted.take(i).reverseIterator.find(_._3 == "click").map(_._1)
+      }.toSeq
+    }.toMap
+    val got = analytics.EventsPipeline.eventsAttribution(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got === expected)
+    // both buckets occur on the test corpus: credited and unattributable
+    assert(got.values.exists(_.isDefined) && got.values.exists(_.isEmpty))
+  }
+
   test("degree histogram mass equals twice the pair count") {
     val d = "/root/testdata/sf0.01"
     val pairs = Dedup.dedupMinhash(spark, d).count()

@@ -28,9 +28,11 @@ class PlanSpec extends SparkSpec {
   // a scalar broadcast, the same plan a scalar subquery produces
   // zorder_value: crossJoin(broadcast(1-row min/max extents)) — the
   // same scalar-broadcast shape as tfidf/bm25
+  // sketch_cms: crossJoin(broadcast(1-row CMS)) — the same scalar
+  // broadcast shape as tfidf/bm25/zorder
   private val nljWhitelist =
     Set("sim_knn", "sim_range", "join_cross", "text_tfidf", "text_bm25",
-      "zorder_value")
+      "zorder_value", "sketch_cms")
 
   private val streaming =
     Set("stream_hourly", "stream_session", "stream_session_multibatch",
@@ -104,7 +106,16 @@ class PlanSpec extends SparkSpec {
     "multimodal_frames" -> 0, "emb_dim_stats" -> 1, "graph_pagerank" -> 0,
     "graph_degree" -> 8,
     "win_sliding" -> 1, "scd_intervals" -> 1, "zorder_value" -> 0,
-    "source_quality" -> 2)
+    "source_quality" -> 2,
+    // round-4 additions: pii_scrub is a pure projection; dedup_edit =
+    // the minhash candidate plan (3) — both prefix rejoins broadcast at
+    // audit SF; cdc_diff = one co-partitioned full-outer join (2);
+    // cdc_apply replays the diff's exchanges + the anti-join sides
+    "pii_scrub" -> 0, "dedup_edit" -> 3, "cdc_diff" -> 2,
+    // sketch_cms: the exact-count groupBy (the sketch agg itself is a
+    // scan + scalar combine); events_attribution: the one user_id
+    // window shuffle
+    "cdc_apply" -> 6, "sketch_cms" -> 1, "events_attribution" -> 1)
 
   /** Each query's physical-plan string, built ONCE for both tests (the
     * round-trip queries execute a file write when constructed). */

@@ -232,6 +232,34 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("count-min sketch: upper bound always, exact when uncollided, mass conserved") {
+    import graft.functions.sketch
+    val keys = Tables.events(spark, "/root/testdata/sf0.01")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id").cast("string").as("k"))
+    val n = keys.count()
+    val grid = keys.agg(sketch.cms(col("k"), 4, 64).as("s"))
+      .first().getSeq[scala.collection.Seq[Long]](0)
+    // mass conservation: every depth row holds every update exactly once
+    grid.foreach(row => assert(row.sum === n))
+    // estimates: never under, over only via bucket collisions
+    val exact = keys.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def bucket(d: Int, k: String): Int = {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.getBytes("UTF-8"))
+      (digest(d) & 0xff) % 64
+    }
+    exact.foreach { case (k, ex) =>
+      val est = (0 until 4).map(d => grid(d)(bucket(d, k))).min
+      assert(est >= ex, s"$k est=$est exact=$ex")
+      // if some depth row gives this key a private bucket, est is exact
+      val private_ = (0 until 4).exists(d =>
+        exact.keys.count(k2 => bucket(d, k2) == bucket(d, k)) == 1)
+      if (private_) assert(est === ex, s"$k uncollided but est=$est exact=$ex")
+    }
+  }
+
   test("rolling-hash fingerprints: duplicates collide, distinct texts do not") {
     val d  = "/root/testdata/sf0.1"
     val fp = TextAnalysis.rollingHash(spark, d)
