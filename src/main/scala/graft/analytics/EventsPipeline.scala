@@ -233,6 +233,79 @@ object EventsPipeline {
       .select(col("event_id"), col("k_path"),
         col("k_str").cast("long").as("k_tuple"))
 
+  /** arrays_zip + inline: row-expansion of an array of NAMED structs
+    * into columns — the typed cousin of explode (which yields one
+    * anonymous column). Stays a codegen generator; no shuffle. */
+  def genInline(s: SparkSession, d: String): DataFrame = {
+    val tk = split(col("text"), " ")
+    documents(s, d).select(
+      col("doc_id"),
+      inline(transform(tk, t =>
+        struct(t.as("tok"), length(t).cast("long").as("tok_len")))))
+  }
+
+  /** Partitioned sink + partition-pruned source, round-tripped: write
+    * events partitioned by event date (the lakehouse layout), read
+    * back with a 3-day predicate, aggregate. The scan must list only
+    * the 3 matching partition directories — the property that turns a
+    * 100 TB table into a 3-day read (PartitionCount pinned in spec).
+    * Output goes to a per-invocation temp dir so concurrent
+    * Verify/Bench runs can't race. */
+  def partPrune(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_part_prune_").toString
+    val ev = events(s, d).withColumn("event_date",
+      to_date(timestamp_micros(expr("ts_ns div 1000"))))
+    graft.warehouse.WarehouseLoad.writePartitionedByDate(ev, "event_date", tmp)
+    s.read.parquet(tmp)
+      .filter(col("event_date").between("2024-01-10", "2024-01-12"))
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+  }
+
+  /** Spark 4 VARIANT ingestion: parse_json once into the binary
+    * semi-structured type, then typed variant_get extractions — the
+    * open-schema path that replaces string re-parsing per probe (the
+    * VARIANT is parsed once, probed many times; get_json_object
+    * re-parses the string per call). Typed hit, string coercion, and a
+    * missing-path null all come back scan-speed. */
+  def jsonVariant(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"), parse_json(col("props")).as("v"))
+      .select(col("event_id"),
+        variant_get(col("v"), "$.k", "long").as("k_long"),
+        variant_get(col("v"), "$.k", "string").as("k_str"),
+        variant_get(col("v"), "$.missing", "long").as("k_missing"))
+
+  /** Join-strategy hint: force a shuffled hash join where the
+    * optimizer would pick sort-merge — the right call when one side is
+    * modest and sorting both would dominate (build once, probe
+    * streaming; no sort). Result is hint-invariant; the plan shape is
+    * what the spec pins. */
+  def joinShuffleHash(s: SparkSession, d: String): DataFrame = {
+    val perUser = events(s, d).filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    events(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"))
+      .join(perUser.hint("SHUFFLE_HASH"), Seq("user_id"))
+      .groupBy(col("n_events").as("user_activity"))
+      .agg(count(lit(1)).as("n_purchases"))
+  }
+
+  /** Exact median as a window function (whole-partition frame): each
+    * event sees its type's median value. Exact percentiles need the
+    * full sorted partition — the one window family where the frame is
+    * irreducibly the whole group — so the plan is the same single
+    * event_type shuffle a grouped median pays, with the value joined
+    * back for free by the window. */
+  def winMedian(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    events(s, d).select(
+      col("event_id"), col("event_type"),
+      median(col("value")).over(w).as("type_median"))
+  }
+
   /** The higher-order-function family over token arrays in one query:
     * filter, exists, forall, aggregate (fold), transform, flatten —
     * all pure codegen lambdas, scan-speed, no shuffle. */
@@ -617,6 +690,11 @@ object EventsPipeline {
     "gen_explode_outer"   -> explodeOuter _,
     "events_funnel"       -> eventsFunnel _,
     "json_get"            -> jsonGet _,
+    "json_variant"        -> jsonVariant _,
+    "join_shuffle_hash"   -> joinShuffleHash _,
+    "win_median"          -> winMedian _,
+    "gen_inline"          -> genInline _,
+    "part_prune"          -> partPrune _,
     "hof_funcs"           -> hofFuncs _,
     "str_format"          -> strFormat _,
     "ts_tz_shift"         -> tsTzShift _,
@@ -911,6 +989,34 @@ object EventsPipeline {
           array_to_string(list_transform(tk, x -> substr(x, 1, 1)), '') AS initials,
           len(list_distinct(flatten([tk, tk]))) AS n_uniq
         FROM t""",
+    "gen_inline" ->
+      """SELECT doc_id, tok, CAST(length(tok) AS BIGINT) AS tok_len
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)""",
+    "part_prune" ->
+      """SELECT CAST(ts AS DATE) AS event_date, count(*) AS cnt,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+        GROUP BY 1""",
+    "json_variant" ->
+      """SELECT event_id,
+          CAST(json_extract(props, '$.k') AS BIGINT) AS k_long,
+          json_extract_string(props, '$.k') AS k_str,
+          CAST(json_extract(props, '$.missing') AS BIGINT) AS k_missing
+        FROM events""",
+    "join_shuffle_hash" ->
+      """WITH per_user AS (
+          SELECT user_id, count(*) AS n_events FROM events
+          WHERE user_id IS NOT NULL GROUP BY user_id)
+        SELECT p.n_events AS user_activity, count(*) AS n_purchases
+        FROM events e JOIN per_user p ON e.user_id = p.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY p.n_events""",
+    "win_median" ->
+      """SELECT event_id, event_type,
+          median(value) OVER (PARTITION BY event_type) AS type_median
+        FROM events""",
     "events_funnel" ->
       """WITH per AS (
           SELECT user_id,

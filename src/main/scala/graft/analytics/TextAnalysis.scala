@@ -79,6 +79,32 @@ object TextAnalysis {
         .otherwise("fr").as("pred_lang"))
   }
 
+  /** Language-ID confidence: the margin between the best and
+    * second-best marker-hit counts — the gate real pipelines use to
+    * route "confidently X" vs "ambiguous, keep or re-check" docs.
+    * Everything stays in integer hit counts (no ratio division), so
+    * the margin is exact; prediction + tie rule match langId. */
+  def langIdMargin(s: SparkSession, d: String): DataFrame = {
+    def hits(markers: Seq[String]): Column =
+      size(filter(toks, t => markers.map(m => t === m).reduce(_ || _)))
+    val hEn = hits(Seq("the", "a", "of"))
+    val hDe = hits(Seq("der", "die", "das", "und"))
+    val hFr = hits(Seq("le", "la", "et"))
+    val hEs = hits(Seq("el", "los", "y"))
+    val sorted = array_sort(array(hEn, hDe, hFr, hEs))
+    val best = greatest(hEn, hDe, hFr, hEs)
+    documents(s, d).select(
+      col("doc_id"),
+      when(best === 0, "und")
+        .when(hDe === best, "de")   // alphabetical priority on ties
+        .when(hEn === best, "en")
+        .when(hEs === best, "es")
+        .otherwise("fr").as("pred_lang"),
+      (element_at(sorted, 4) - element_at(sorted, 3)).cast("long")
+        .as("margin_hits"),
+      size(toks).cast("long").as("n_tokens"))
+  }
+
   /** Content fingerprint: md5 of case-normalized text (the grouping key
     * for exact dedup; md5 is identical across engines). */
   def fingerprint(s: SparkSession, d: String): DataFrame =
@@ -379,6 +405,7 @@ object TextAnalysis {
     "text_quality"     -> textQuality _,
     "text_token_regex" -> textTokenRegex _,
     "lang_id"          -> langId _,
+    "lang_id_margin"   -> langIdMargin _,
     "text_fingerprint" -> fingerprint _,
     "text_rolling_hash" -> rollingHashPortable _,
     "text_bigrams"     -> bigrams _,
@@ -440,6 +467,24 @@ object TextAnalysis {
           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+')) AS n_word_tokens,
           len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
         FROM documents""",
+    "lang_id_margin" ->
+      """WITH h AS (SELECT doc_id,
+          len(list_filter(string_split(text,' '), t -> t='the' OR t='a' OR t='of')) AS h_en,
+          len(list_filter(string_split(text,' '), t -> t='der' OR t='die' OR t='das' OR t='und')) AS h_de,
+          len(list_filter(string_split(text,' '), t -> t='le' OR t='la' OR t='et')) AS h_fr,
+          len(list_filter(string_split(text,' '), t -> t='el' OR t='los' OR t='y')) AS h_es,
+          len(string_split(text,' ')) AS n
+        FROM documents)
+        SELECT doc_id,
+          CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+               WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+               WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+               WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+               ELSE 'fr' END AS pred_lang,
+          CAST(list_sort([h_en, h_de, h_fr, h_es])[4]
+             - list_sort([h_en, h_de, h_fr, h_es])[3] AS BIGINT) AS margin_hits,
+          CAST(n AS BIGINT) AS n_tokens
+        FROM h""",
     "lang_id" ->
       """WITH s AS (SELECT doc_id,
           CAST(len(list_filter(string_split(text,' '), t -> t='the' OR t='a' OR t='of')) AS DOUBLE)

@@ -422,6 +422,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.values.exists(_.isDefined) && got.values.exists(_.isEmpty))
   }
 
+  test("windowed median equals the sorted-middle of each type partition") {
+    val vals = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val expect = vals.groupBy(_._1).map { case (t, g) =>
+      val s = g.map(_._2).sorted
+      t -> (if (s.length % 2 == 1) s(s.length / 2)
+            else (s(s.length / 2 - 1) + s(s.length / 2)) / 2)
+    }
+    val got = analytics.EventsPipeline.winMedian(spark, sfDir)
+      .select(col("event_type"), col("type_median")).distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === expect)
+  }
+
+  test("variant extraction: typed hit everywhere, missing path is null") {
+    val rows = analytics.EventsPipeline.jsonVariant(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.isNullAt(1) && r.getLong(1) >= 0 && r.getLong(1) <= 99)
+      assert(r.getString(2) === r.getLong(1).toString)
+      assert(r.isNullAt(3))
+    }
+  }
+
   test("degree histogram mass equals twice the pair count") {
     val d = "/root/testdata/sf0.01"
     val pairs = Dedup.dedupMinhash(spark, d).count()

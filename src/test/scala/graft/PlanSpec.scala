@@ -115,7 +115,24 @@ class PlanSpec extends SparkSpec {
     // sketch_cms: the exact-count groupBy (the sketch agg itself is a
     // scan + scalar combine); events_attribution: the one user_id
     // window shuffle
-    "cdc_apply" -> 6, "sketch_cms" -> 1, "events_attribution" -> 1)
+    "cdc_apply" -> 6, "sketch_cms" -> 1, "events_attribution" -> 1,
+    // join_shuffle_hash: per-user agg + the hinted hash join's two
+    // sides; win_median: the one event_type window shuffle
+    "json_variant" -> 0, "join_shuffle_hash" -> 3, "win_median" -> 1,
+    "lang_id_margin" -> 0, "gen_inline" -> 0, "part_prune" -> 1)
+
+  test("part_prune pushes the date predicate to partition filters, not row filters") {
+    val p = plans.toMap.apply("part_prune")
+    assert(p.contains("PartitionFilters: [isnotnull(event_date"), p)
+    assert(p.contains("(event_date") && p.contains(">= 2024-01-10"), p)
+    // the predicate prunes directories; nothing is left to filter per row
+    assert(p.contains("DataFilters: []"), p)
+  }
+
+  test("join_shuffle_hash honors the SHUFFLE_HASH hint") {
+    val p = plans.toMap.apply("join_shuffle_hash")
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
 
   /** Each query's physical-plan string, built ONCE for both tests (the
     * round-trip queries execute a file write when constructed). */
