@@ -663,6 +663,158 @@ object Relational {
       .select(col("o_orderkey"), col("price").cast("double").as("price"))
   }
 
+  /** Distribution windows — ntile / percent_rank / cume_dist per user.
+    * All three share one (partition, order) spec, so Spark plans a
+    * single exchange on user_id + one sort for the whole row. The
+    * rank-based doubles are exact divisions of identical integers in
+    * both engines, hence bit-stable. */
+  def winNtile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(expr("ts_ns div 1000"), col("event_id"))
+    events(s, d).select(
+      col("event_id"), col("user_id"),
+      ntile(4).over(w).as("quartile"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"))
+  }
+
+  /** Next-event lookahead with a default — lead(value, 1, -1.0). */
+  def winLead(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(expr("ts_ns div 1000"), col("event_id"))
+    events(s, d).select(
+      col("event_id"), col("user_id"), col("value"),
+      lead(col("value"), 1, -1.0).over(w).as("next_value"),
+      lead(col("event_type"), 2).over(w).as("type_after_next"))
+  }
+
+  /** Running COUNT(DISTINCT) over a window — not directly expressible
+    * in either engine, spelled as the standard two-window trick: mark
+    * each row that is the first occurrence of its event_type within the
+    * user (order by type first, so "first" needs only a lag), then take
+    * a running sum of the marks in event order. Both windows partition
+    * by user_id only ⇒ ONE exchange, two sorts — the naive spelling
+    * (row_number partitioned by (user, type)) would shuffle twice. */
+  def winDistinct(s: SparkSession, d: String): DataFrame = {
+    val byType = Window.partitionBy(col("user_id"))
+      .orderBy(col("event_type"), expr("ts_ns div 1000"), col("event_id"))
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(expr("ts_ns div 1000"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("is_first",
+        when(lag(col("event_type"), 1).over(byType).isNull ||
+          lag(col("event_type"), 1).over(byType) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .select(col("event_id"), col("user_id"),
+        sum(col("is_first")).over(byTime).as("distinct_types_so_far"))
+  }
+
+  /** Share-of-total window — value / per-user total. The denominator is
+    * an exact decimal window sum (order-independent), finished by one
+    * double division, so the ratio is bit-stable under any partial-agg
+    * order. Unordered frame ⇒ no sort needed beyond the exchange. */
+  def winRatio(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events(s, d).select(
+      col("event_id"), col("user_id"), col("value"),
+      (col("value") / sum(dec2(col("value"))).over(w).cast("double")).as("share"))
+  }
+
+  /** Modal event_type per user (most frequent, ties → lexicographically
+    * smallest). mode() builtins break ties engine-specifically, so both
+    * sides spell the argmax explicitly: count per (user, type), then
+    * row_number ordered (cnt DESC, type ASC). The window input is one
+    * row per (user, type) — trivially small after the aggregation. */
+  def aggMode(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("cnt").desc, col("event_type"))
+    events(s, d)
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("modal_type"), col("cnt"))
+  }
+
+  /** Bitwise aggregates — bit_and / bit_or / bit_xor over the key set
+    * per priority class (e.g. xor-folding IDs for set-difference
+    * checksums at 100 TB: xor is associative+commutative, so the
+    * partial-agg tree is exact by construction). */
+  def aggBitwise(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("bit_and(o_orderkey)").as("key_and"),
+        expr("bit_or(o_orderkey)").as("key_or"),
+        expr("bit_xor(o_orderkey)").as("key_xor"),
+        count(lit(1)).as("cnt"))
+
+  /** TPC-H Q6 shape — the pure scan-side query: selective filters +
+    * ungrouped decimal sum, no shuffle at all beyond the final single-
+    * row reduce. At 100 TB this is the query that proves pushdown: the
+    * parquet scan must show PushedFilters on shipdate/discount/quantity
+    * and a 3-column ReadSchema. */
+  def q6Filter(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.04) &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(dec12(col("l_extendedprice")) * dec4(col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("cnt"))
+
+  /** TPC-H Q18 shape (large-volume orders): HAVING on a grouped sum,
+    * then enrich the tiny survivor set. The HAVING filter runs on the
+    * aggregated side BEFORE the joins, so orders/customer join a
+    * ~0.5%-selectivity set — at 100 TB the big table is aggregated
+    * once and everything after is small. */
+  def q18Having(s: SparkSession, d: String): DataFrame = {
+    val big = lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec2(col("l_quantity"))).as("sum_qty"))
+      .filter(col("sum_qty") > 150)
+    big.join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("sum_qty").cast("double").as("sum_qty"))
+  }
+
+  /** Skew-safe salted JOIN (the join twin of agg_salted): the fact side
+    * gets a deterministic salt in [0,8), the dimension is exploded ×8,
+    * and the join key becomes (key, salt) — a hot user_id now lands on
+    * 8 reducers instead of one. Equality with the plain-join oracle
+    * proves salting is semantics-preserving. At 100 TB you'd salt only
+    * the keys AQE flags as skewed; ×8 on a broadcast-size dim is free. */
+  def joinSalted(s: SparkSession, d: String): DataFrame = {
+    val salts = 8
+    val fact = events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(salts)).cast("int"))
+    val dim = customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("salt", explode(lit((0 until salts).toArray)))
+    fact.join(dim,
+        fact("user_id") === dim("c_custkey") && fact("salt") === dim("salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+  }
+
+  /** Sessionization via the native session_window API — same 30-min gap
+    * semantics as the manual is_start/running-sum spelling in
+    * `win_session`, but planned as a single aggregate (Spark merges
+    * overlapping [ts, ts+gap) intervals per key internally; one shuffle
+    * on user_id, no window sort). The oracle reuses the manual-island
+    * spelling, so equality pins the two spellings to each other. */
+  def winSessionNative(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast("double").as("session_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        col("n_events"), col("session_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> q1Agg _,
     "q3_topk"           -> q3Topk _,
@@ -711,6 +863,16 @@ object Relational {
     "pred_like"         -> predLike _,
     "cdc_diff"          -> cdcDiff _,
     "cdc_apply"         -> cdcApply _,
+    "win_ntile"         -> winNtile _,
+    "win_lead"          -> winLead _,
+    "win_distinct"      -> winDistinct _,
+    "win_ratio"         -> winRatio _,
+    "agg_mode"          -> aggMode _,
+    "agg_bitwise"       -> aggBitwise _,
+    "q6_filter"         -> q6Filter _,
+    "q18_having"        -> q18Having _,
+    "join_salted"       -> joinSalted _,
+    "win_session_native" -> winSessionNative _,
   )
 
   private val sumQty  = "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
@@ -1037,5 +1199,104 @@ object Relational {
           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
           min(value) AS min_value, max(value) AS max_value
         FROM events GROUP BY event_type""",
+    "win_ntile" ->
+      """SELECT event_id, user_id,
+          ntile(4) OVER w AS quartile,
+          percent_rank() OVER w AS pr,
+          cume_dist() OVER w AS cd
+        FROM (SELECT event_id, user_id, epoch_ns(ts) AS tns FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)""",
+    "win_lead" ->
+      """SELECT event_id, user_id, value,
+          lead(value, 1, -1.0) OVER w AS next_value,
+          lead(event_type, 2) OVER w AS type_after_next
+        FROM (SELECT event_id, user_id, value, event_type, epoch_ns(ts) AS tns
+              FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)""",
+    "win_distinct" ->
+      """WITH x AS (
+          SELECT event_id, user_id, event_type, epoch_ns(ts) AS tns FROM events),
+        m AS (
+          SELECT event_id, user_id, tns,
+            CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                ORDER BY event_type, tns, event_id) IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS is_first
+          FROM x)
+        SELECT event_id, user_id,
+          CAST(sum(is_first) OVER (PARTITION BY user_id ORDER BY tns, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS distinct_types_so_far
+        FROM m""",
+    "win_ratio" ->
+      """SELECT event_id, user_id, value,
+          value / CAST(sum(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id) AS DOUBLE) AS share
+        FROM events""",
+    "agg_mode" ->
+      """WITH c AS (
+          SELECT user_id, event_type, count(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        r AS (
+          SELECT user_id, event_type, cnt,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY cnt DESC, event_type) AS rn
+          FROM c)
+        SELECT user_id, event_type AS modal_type, cnt FROM r WHERE rn = 1""",
+    "agg_bitwise" ->
+      """SELECT o_orderpriority,
+          bit_and(o_orderkey) AS key_and,
+          bit_or(o_orderkey) AS key_or,
+          bit_xor(o_orderkey) AS key_xor,
+          count(*) AS cnt
+        FROM orders GROUP BY o_orderpriority""",
+    "q6_filter" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+            * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+          count(*) AS cnt
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.04
+          AND l_quantity < 24""",
+    "q18_having" ->
+      """WITH big AS (
+          SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+          FROM lineitem GROUP BY 1
+          HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+          CAST(sum_qty AS DOUBLE) AS sum_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey""",
+    // the salted join must produce exactly the plain equi-join
+    "join_salted" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment""",
+    // native session_window: a new session starts when the gap is
+    // >= 30 min (the window [ts, ts+gap) of the next event no longer
+    // overlaps) — one boundary tighter than win_session's `> gap`
+    "win_session_native" ->
+      """WITH x AS (
+          SELECT user_id, event_id, value, epoch_ns(ts) AS tns FROM events),
+        l AS (
+          SELECT user_id, event_id, value, tns,
+            lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS prev
+          FROM x),
+        st AS (
+          SELECT user_id, event_id, value, tns,
+            CASE WHEN prev IS NULL OR tns - prev >= 1800000000000
+              THEN 1 ELSE 0 END AS is_start
+          FROM l),
+        sess AS (
+          SELECT user_id, value, tns,
+            CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY tns, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+          FROM st)
+        SELECT user_id, CAST(min(tns) // 1000 AS BIGINT) AS start_us,
+          count(*) AS n_events,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        FROM sess GROUP BY user_id, sid""",
   )
 }

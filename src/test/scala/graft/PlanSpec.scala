@@ -119,7 +119,21 @@ class PlanSpec extends SparkSpec {
     // join_shuffle_hash: per-user agg + the hinted hash join's two
     // sides; win_median: the one event_type window shuffle
     "json_variant" -> 0, "join_shuffle_hash" -> 3, "win_median" -> 1,
-    "lang_id_margin" -> 0, "gen_inline" -> 0, "part_prune" -> 1)
+    "lang_id_margin" -> 0, "gen_inline" -> 0, "part_prune" -> 1,
+    // window-family completion: all share one user_id exchange;
+    // win_distinct's two windows both partition by user_id only — the
+    // spelling exists to keep it at ONE exchange (two sorts)
+    "win_ntile" -> 1, "win_lead" -> 1, "win_distinct" -> 1,
+    "win_ratio" -> 1, "win_session_native" -> 1,
+    // agg_mode: (user,type) count exchange + user window exchange
+    "agg_mode" -> 2, "agg_bitwise" -> 1,
+    // q6: pure scan + single-row reduce — zero hash exchanges
+    "q6_filter" -> 0,
+    // q18: the lineitem HAVING agg; orders/customer broadcast at audit SF
+    "q18_having" -> 1,
+    // join_salted: dim explodes broadcast-side; fact never shuffles for
+    // the join — the exchanges are the final segment rollup
+    "join_salted" -> 2)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
