@@ -815,6 +815,25 @@ object Relational {
         unix_micros(col("session_window.start")).as("start_us"),
         col("n_events"), col("session_value"))
 
+  /** The custom DataSource V2 connector end-to-end (graft.sources
+    * .SeqSource): the id-range predicates push into the source and
+    * prune GENERATION (never produced, not produced-then-filtered),
+    * the bucket predicate stays residual, and column pruning reaches
+    * the reader. Hash-checked against a DuckDB re-computation of the
+    * same multiplicative-hash stream — the connector is correctness-
+    * gated like any operator, not just smoke-tested. */
+  def sourceDsv2(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.SeqSource")
+      .option("rows", 100000).option("parts", 8).load()
+      .filter(col("id") >= lit(12345L) && col("id") < lit(98765L) &&
+        col("bucket") % 3 === 1)
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("mval")).as("sum_mval"),
+        min(col("uval")).as("min_uval"),
+        max(col("uval")).as("max_uval"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> q1Agg _,
     "q3_topk"           -> q3Topk _,
@@ -873,6 +892,7 @@ object Relational {
     "q18_having"        -> q18Having _,
     "join_salted"       -> joinSalted _,
     "win_session_native" -> winSessionNative _,
+    "source_dsv2"       -> sourceDsv2 _,
   )
 
   private val sumQty  = "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
@@ -1298,5 +1318,19 @@ object Relational {
           count(*) AS n_events,
           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         FROM sess GROUP BY user_id, sid""",
+    // re-computes the connector's multiplicative-hash stream: mval is
+    // exact BIGINT arithmetic, uval an exact power-of-two division
+    "source_dsv2" ->
+      """WITH g AS (SELECT range AS id FROM range(0, 100000)),
+        x AS (
+          SELECT id, CAST(id % 97 AS INT) AS bucket,
+            (id * 2654435761) % 4294967296 AS mval,
+            CAST((id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 AS uval
+          FROM g)
+        SELECT bucket, count(*) AS cnt, CAST(sum(mval) AS BIGINT) AS sum_mval,
+          min(uval) AS min_uval, max(uval) AS max_uval
+        FROM x
+        WHERE id >= 12345 AND id < 98765 AND bucket % 3 = 1
+        GROUP BY bucket""",
   )
 }

@@ -133,7 +133,9 @@ class PlanSpec extends SparkSpec {
     "q18_having" -> 1,
     // join_salted: dim explodes broadcast-side; fact never shuffles for
     // the join — the exchanges are the final segment rollup
-    "join_salted" -> 2)
+    "join_salted" -> 2,
+    // DSv2 connector: the one exchange is the bucket rollup
+    "source_dsv2" -> 1)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
