@@ -397,8 +397,43 @@ object TextAnalysis {
           / count(lit(1)).cast("double")).as("uniq_ratio"))
   }
 
+  /** Out-of-vocabulary rate per document against the corpus top-100
+    * vocab — the coverage check run before committing to a tokenizer
+    * vocabulary. The vocab is top-K small by construction ⇒ broadcast
+    * (the corpus-side token stream never shuffles for the join); the
+    * per-doc rollup shuffles (doc_id, token) ids only, never text.
+    * Exact integer counts + one double division. */
+  def textOov(s: SparkSession, d: String): DataFrame = {
+    val vocab = vocabBuild(s, d).select(col("token")).withColumn("in_vocab", lit(1))
+    documents(s, d)
+      .select(col("doc_id"), explode(toks).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** Type-token ratio (lexical diversity) per document — distinct
+    * tokens / total tokens. The repetition gate curation stacks next
+    * to entropy; exact integers, one double division. Shuffle carries
+    * (doc_id, token) pairs, partial-aggregated map-side. */
+  def textTtr(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("token")).as("n_types"))
+      .withColumn("ttr",
+        col("n_types").cast("double") / col("n_tokens").cast("double"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_quality"   -> sourceQuality _,
+    "text_oov"         -> textOov _,
+    "text_ttr"         -> textTtr _,
     "text_entropy"     -> textEntropy _,
     "text_top_term"    -> topTerm _,
     "text_tokens"      -> textTokens _,
@@ -420,6 +455,30 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_oov" ->
+      """WITH v AS (
+          SELECT token FROM (
+            SELECT token, count(*) AS cnt FROM (
+              SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+            GROUP BY token ORDER BY cnt DESC, token LIMIT 100)),
+        t AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+        SELECT doc_id, count(*) AS n_tokens,
+          CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_oov,
+          CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS oov_rate
+        FROM t LEFT JOIN v ON t.token = v.token
+        GROUP BY doc_id""",
+    "text_ttr" ->
+      """SELECT doc_id, count(*) AS n_tokens,
+          count(DISTINCT token) AS n_types,
+          CAST(count(DISTINCT token) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+            AS ttr
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY doc_id""",
     "source_quality" ->
       """WITH q AS (
           SELECT source,

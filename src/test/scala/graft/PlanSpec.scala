@@ -135,7 +135,11 @@ class PlanSpec extends SparkSpec {
     // the join — the exchanges are the final segment rollup
     "join_salted" -> 2,
     // DSv2 connector: the one exchange is the bucket rollup
-    "source_dsv2" -> 1)
+    "source_dsv2" -> 1,
+    // text_oov: vocab build (token agg + top-k) + per-doc rollup; the
+    // vocab join itself broadcasts. text_ttr: countDistinct expands to
+    // a two-level agg over (doc, token)
+    "text_oov" -> 4, "text_ttr" -> 2)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
