@@ -43,6 +43,44 @@ class SourcesSpec extends SparkSpec {
     assert(tiny.count() === 3L)
   }
 
+  // ---- MemTable: the write-side connector's commit protocol ----
+
+  private def memWrite(name: String, df: org.apache.spark.sql.DataFrame,
+      mode: String): Unit =
+    df.write.format("graft.sources.MemTable").option("name", name)
+      .mode(mode).save()
+
+  private def memRead(name: String) =
+    spark.read.format("graft.sources.MemTable").option("name", name).load()
+
+  test("mem table append/overwrite round-trip through the commit protocol") {
+    graft.sources.MemTable.drop("t_rt")
+    memWrite("t_rt", spark.range(0, 10, 1, 3).toDF("id"), "append")
+    assert(memRead("t_rt").count() === 10L)
+    memWrite("t_rt", spark.range(0, 5, 1, 2).toDF("id"), "append")
+    assert(memRead("t_rt").count() === 15L)
+    // overwrite truncates inside the same atomic commit
+    memWrite("t_rt", spark.range(0, 3, 1, 2).toDF("id"), "overwrite")
+    assert(memRead("t_rt").collect().map(_.getLong(0)).sorted === Array(0L, 1L, 2L))
+  }
+
+  test("a failed write aborts: no partial partition becomes visible") {
+    graft.sources.MemTable.drop("t_abort")
+    memWrite("t_abort", spark.range(0, 7, 1, 2).toDF("id"), "append")
+    val bad = spark.range(0, 100, 1, 4).selectExpr(
+      "id", "IF(id = 99, raise_error('boom'), 1) AS x")
+    intercept[Exception] { memWrite("t_abort", bad, "append") }
+    // partitions 0-2 wrote fine but their rows must NOT be installed
+    assert(graft.sources.MemTable.committedRows("t_abort") === 7L)
+    assert(memRead("t_abort").count() === 7L)
+  }
+
+  test("mem table preserves writer partitioning on read") {
+    graft.sources.MemTable.drop("t_parts")
+    memWrite("t_parts", spark.range(0, 100, 1, 5).toDF("id"), "append")
+    assert(memRead("t_parts").rdd.getNumPartitions === 5)
+  }
+
   test("generated values match the documented multiplicative hash") {
     val r = seq(10, 1).filter(col("id") === lit(7L)).collect().head
     val mval = (7L * 2654435761L) % (1L << 32)
