@@ -301,7 +301,24 @@ object StreamingQueries {
     runToMemory(s, joined, OutputMode.Append())
   }
 
+  /** The custom DSv2 connector's STREAMING face (graft.sources
+    * .SeqSource as a MicroBatchStream): 50k deterministic rows admitted
+    * 16384 per micro-batch (4 batches under AvailableNow — admission
+    * control + the pinned target offset, not a single drain), rolled up
+    * per bucket in Complete mode, and hash-checked against a DuckDB
+    * re-computation of the full range. StreamingSpec separately pins
+    * that >1 micro-batch actually ran. */
+  def streamDsv2(s: SparkSession, d: String): DataFrame =
+    runToMemory(s,
+      s.readStream.format("graft.sources.SeqSource")
+        .option("rows", 50000).option("parts", 4)
+        .option("batchRows", 16384).load()
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"), sum(col("mval")).as("sum_mval")),
+      OutputMode.Complete())
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_dsv2"    -> streamDsv2 _,
     "stream_stateful" -> streamStateful _,
     "stream_tws"     -> streamTws _,
     "stream_static_join" -> streamStaticJoin _,
@@ -314,6 +331,11 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_dsv2" ->
+      """SELECT CAST(id % 97 AS INT) AS bucket, count(*) AS cnt,
+          CAST(sum((id * 2654435761) % 4294967296) AS BIGINT) AS sum_mval
+        FROM range(0, 50000) t(id)
+        GROUP BY 1""",
     "stream_hourly" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
           event_type, count(*) AS cnt,

@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -49,7 +50,8 @@ class SeqSource extends TableProvider {
       properties: util.Map[String, String]): Table = {
     val rows  = Option(properties.get("rows")).map(_.toLong).getOrElse(1L << 20)
     val parts = Option(properties.get("parts")).map(_.toInt).getOrElse(8)
-    new SeqTable(rows, parts)
+    val batch = Option(properties.get("batchRows")).map(_.toLong).getOrElse(rows)
+    new SeqTable(rows, parts, batch)
   }
 }
 
@@ -64,17 +66,17 @@ object SeqSource {
     StructField("uval", DoubleType, nullable = false)))
 }
 
-private[sources] class SeqTable(rows: Long, parts: Int)
+private[sources] class SeqTable(rows: Long, parts: Int, batchRows: Long)
     extends Table with SupportsRead {
   override def name(): String = s"graft_seq($rows)"
   override def schema(): StructType = SeqSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeqScanBuilder(rows, parts)
+    new SeqScanBuilder(rows, parts, batchRows)
 }
 
-private[sources] class SeqScanBuilder(rows: Long, parts: Int)
+private[sources] class SeqScanBuilder(rows: Long, parts: Int, batchRows: Long)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -113,11 +115,11 @@ private[sources] class SeqScanBuilder(rows: Long, parts: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SeqScan(lo, hi, parts, required)
+  override def build(): Scan = new SeqScan(lo, hi, parts, required, batchRows)
 }
 
 private[sources] class SeqScan(lo: Long, hi: Long, parts: Int,
-    schema: StructType) extends Scan with Batch {
+    schema: StructType, batchRows: Long) extends Scan with Batch {
   override def readSchema(): StructType = schema
 
   /** Pushdown state surfaces in `explain` — PlanSpec pins it. */
@@ -125,6 +127,9 @@ private[sources] class SeqScan(lo: Long, hi: Long, parts: Int,
     s"GraftSeq range=[$lo,$hi) cols=${schema.fieldNames.mkString(",")}"
 
   override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SeqMicroBatchStream(lo, hi, parts, schema, batchRows)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val n = math.max(0L, hi - lo)
@@ -140,6 +145,71 @@ private[sources] class SeqScan(lo: Long, hi: Long, parts: Int,
 }
 
 private[sources] case class SeqPartition(lo: Long, hi: Long) extends InputPartition
+
+private[sources] final case class SeqOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+/** The streaming face of the connector: the same deterministic range,
+  * admitted in bounded micro-batches. Implements the two interfaces a
+  * production rate-limited source needs:
+  *
+  *  - `SupportsAdmissionControl`: each batch's end offset is
+  *    min(target, start + batchRows) — backpressure as the SOURCE's
+  *    contract (the reference caps its poll loop the same way,
+  *    /root/reference/Kafka/Consumer/consumer_etl.py:30-53).
+  *  - `SupportsTriggerAvailableNow`: pins the target offset at query
+  *    start, so AvailableNow drains exactly the rows that existed then,
+  *    across as many micro-batches as the admission limit implies, and
+  *    terminates.
+  *
+  * Offsets are plain row counts — restart-safe by construction (the
+  * generator is pure, so replaying [start, end) is idempotent). */
+private[sources] class SeqMicroBatchStream(lo: Long, hi: Long, parts: Int,
+    schema: StructType, batchRows: Long) extends MicroBatchStream
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  private var target: Long = hi
+
+  override def prepareForTriggerAvailableNow(): Unit = target = hi
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchRows)
+
+  override def initialOffset(): Offset = SeqOffset(lo)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val start = startOffset.asInstanceOf[SeqOffset].n
+    val cap = limit match {
+      case m: ReadMaxRows => math.min(target, start + m.maxRows())
+      case _              => target
+    }
+    SeqOffset(math.max(start, cap))
+  }
+
+  override def reportLatestOffset(): Offset = SeqOffset(target)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SeqOffset].n
+    val e = end.asInstanceOf[SeqOffset].n
+    val n = math.max(0L, e - s)
+    val chunk = math.max(1L, (n + parts - 1) / parts)
+    (0 until parts).iterator
+      .map(i => SeqPartition(s + i * chunk, math.min(e, s + (i + 1) * chunk)))
+      .filter(p => p.lo < p.hi)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqReaderFactory(schema.fieldNames)
+
+  override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 /** Ships only the pruned column list to executors; each reader computes
   * just those fields per row. */

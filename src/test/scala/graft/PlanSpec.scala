@@ -37,7 +37,7 @@ class PlanSpec extends SparkSpec {
   private val streaming =
     Set("stream_hourly", "stream_session", "stream_session_multibatch",
       "stream_append", "stream_dedup", "stream_stateful", "stream_tws",
-      "stream_static_join", "stream_stream_join")
+      "stream_static_join", "stream_stream_join", "stream_dsv2")
 
   /** Audited max Exchange-hashpartitioning count per query. */
   private val exchangeBudget: Map[String, Int] = Map(

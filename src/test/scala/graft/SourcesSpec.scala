@@ -81,6 +81,28 @@ class SourcesSpec extends SparkSpec {
     assert(memRead("t_parts").rdd.getNumPartitions === 5)
   }
 
+  test("streaming face drains via admission control: multiple bounded micro-batches") {
+    val name = "seq_stream_spec"
+    val q = spark.readStream.format("graft.sources.SeqSource")
+      .option("rows", 50000).option("parts", 4).option("batchRows", 16384).load()
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      val progress = q.recentProgress
+      // ceil(50000 / 16384) = 4 data batches (a trailing empty batch may follow)
+      assert(progress.count(_.numInputRows > 0) === 4, progress.map(_.numInputRows).mkString(","))
+      assert(progress.map(_.numInputRows).sum === 50000L)
+      assert(spark.table(name).agg(sum(col("cnt"))).first().getLong(0) === 50000L)
+    } finally {
+      if (q.isActive) q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
   test("generated values match the documented multiplicative hash") {
     val r = seq(10, 1).filter(col("id") === lit(7L)).collect().head
     val mval = (7L * 2654435761L) % (1L << 32)
