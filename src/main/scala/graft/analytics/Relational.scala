@@ -815,6 +815,70 @@ object Relational {
         unix_micros(col("session_window.start")).as("start_us"),
         col("n_events"), col("session_value"))
 
+  /** The ONE SQL text both engines run verbatim — the SQL front-end
+    * parity query. Spark executes it through `spark.sql` over a temp
+    * view (same parser → analyzer → Catalyst path a SQL-first user
+    * hits); the oracle map carries the IDENTICAL string for DuckDB, so
+    * this query pins the dialect-shared subset (CTEs, grouped decimal
+    * aggregation, ranking window, top-k) end-to-end. */
+  private val sqlTextShared =
+    """WITH per_user AS (
+        SELECT user_id, event_type, count(*) AS cnt,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM events GROUP BY user_id, event_type),
+      ranked AS (
+        SELECT user_id, event_type, cnt, total,
+          row_number() OVER (ORDER BY total DESC, user_id, event_type) AS rn
+        FROM per_user)
+      SELECT user_id, event_type, cnt, total, rn FROM ranked WHERE rn <= 50"""
+
+  def sqlText(s: SparkSession, d: String): DataFrame = {
+    events(s, d).createOrReplaceTempView("events")
+    s.sql(sqlTextShared)
+  }
+
+  /** Multiset intersection — INTERSECT ALL keeps min(m, n) copies of
+    * each duplicated row, which bag-semantics dedup pipelines need
+    * where set-semantics intersect() silently collapses counts. */
+  def setIntersectAll(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(col("o_custkey").as("custkey"))
+      .intersectAll(customer(s, d)
+        .filter(col("c_acctbal") > 0).select(col("c_custkey").as("custkey")))
+
+  /** Multiset difference — EXCEPT ALL subtracts per-copy (a key with
+    * 5 orders and one positive-balance row keeps 4 copies). */
+  def setExceptAll(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(col("o_custkey").as("custkey"))
+      .exceptAll(customer(s, d)
+        .filter(col("c_acctbal") > 0).select(col("c_custkey").as("custkey")))
+
+  /** OLS regression (price ~ quantity per return flag) from EXACT
+    * decimal moment sums — the distributed spelling of least squares:
+    * one map-side-combined pass accumulates (n, Σx, Σy, Σxy, Σx²)
+    * exactly, the closed form finishes in doubles on identical inputs
+    * (same trick as agg_stats; built-in regr_slope is a streaming
+    * double accumulator whose result depends on partition order). */
+  def aggOls(s: SparkSession, d: String): DataFrame = {
+    val x  = dec2(col("l_quantity"))
+    val y  = dec12(col("l_extendedprice"))
+    def dd(c: Column): Column = c.cast("double")
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        ((col("n") * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))) /
+          (col("n") * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))))
+          .as("slope"),
+        ((dd(col("sy")) - ((col("n") * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))) /
+          (col("n") * dd(col("sxx")) - dd(col("sx")) * dd(col("sx")))) * dd(col("sx")))
+          / col("n")).as("intercept"))
+  }
+
   /** The custom DataSource V2 connector end-to-end (graft.sources
     * .SeqSource): the id-range predicates push into the source and
     * prune GENERATION (never produced, not produced-then-filtered),
@@ -893,6 +957,10 @@ object Relational {
     "join_salted"       -> joinSalted _,
     "win_session_native" -> winSessionNative _,
     "source_dsv2"       -> sourceDsv2 _,
+    "sql_text"          -> sqlText _,
+    "set_intersect_all" -> setIntersectAll _,
+    "set_except_all"    -> setExceptAll _,
+    "agg_ols"           -> aggOls _,
   )
 
   private val sumQty  = "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
@@ -1332,5 +1400,34 @@ object Relational {
         FROM x
         WHERE id >= 12345 AND id < 98765 AND bucket % 3 = 1
         GROUP BY bucket""",
+    // the SAME string spark.sql executes — SQL front-end parity
+    "sql_text" -> sqlTextShared,
+    "set_intersect_all" ->
+      """SELECT o_custkey AS custkey FROM orders
+        INTERSECT ALL
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0""",
+    "set_except_all" ->
+      """SELECT o_custkey AS custkey FROM orders
+        EXCEPT ALL
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0""",
+    "agg_ols" ->
+      """WITH m AS (
+          SELECT l_returnflag, count(*) AS n,
+            sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+            sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+            sum(CAST(l_quantity AS DECIMAL(18,2))
+              * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
+            sum(CAST(l_quantity AS DECIMAL(18,2))
+              * CAST(l_quantity AS DECIMAL(18,2))) AS sxx
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+          (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            AS slope,
+          (CAST(sy AS DOUBLE)
+            - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+               (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+              * CAST(sx AS DOUBLE)) / n AS intercept
+        FROM m""",
   )
 }

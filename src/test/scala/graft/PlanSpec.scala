@@ -139,7 +139,12 @@ class PlanSpec extends SparkSpec {
     // text_oov: vocab build (token agg + top-k) + per-doc rollup; the
     // vocab join itself broadcasts. text_ttr: countDistinct expands to
     // a two-level agg over (doc, token)
-    "text_oov" -> 4, "text_ttr" -> 2)
+    "text_oov" -> 4, "text_ttr" -> 2,
+    // sql_text: grouped agg + the global ranking window (top-50);
+    // *_all: INTERSECT/EXCEPT ALL plan as co-partitioned joins; agg_ols
+    // is one moment-sum shuffle
+    "sql_text" -> 2, "set_intersect_all" -> 2, "set_except_all" -> 2,
+    "agg_ols" -> 1)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
