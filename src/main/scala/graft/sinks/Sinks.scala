@@ -91,4 +91,30 @@ object Sinks {
       .partitionBy(partitionCol)
       .parquet(path)
   }
+
+  /** Small-file compaction — the lakehouse OPTIMIZE primitive. A
+    * streaming/CDC ingest path (one file per micro-batch, see
+    * StreamingPipeline's batch_id partitions) accretes thousands of
+    * small files per partition; at 100 TB the scan-side cost is
+    * dominated by file-open overhead and footer reads long before
+    * bytes matter. Rewrites the directory into `targetFiles` files of
+    * roughly equal size via a round-robin repartition (no shuffle key
+    * needed — compaction preserves content, not order).
+    *
+    * Same durability caveat as `upsert`: plain parquet has no commit
+    * log, so the overwrite window is non-atomic; re-running repairs.
+    * Returns (filesBefore, filesAfter) for ops telemetry. */
+  def compact(spark: SparkSession, path: String, targetFiles: Int): (Int, Int) = {
+    def parquetFiles(p: String): Int = {
+      val d = new java.io.File(p)
+      Option(d.listFiles()).map(_.count(f =>
+        f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))).getOrElse(0)
+    }
+    val before = parquetFiles(path)
+    spark.read.parquet(path)
+      .repartition(targetFiles)
+      .localCheckpoint(true) // sever lineage: the write overwrites its own input
+      .write.mode("overwrite").parquet(path)
+    (before, parquetFiles(path))
+  }
 }

@@ -277,6 +277,41 @@ class ScaleSpec extends SparkSpec {
     assert(distinctHashes === distinctTexts)
   }
 
+  test("small-file compaction: content identical, file count collapses to target") {
+    val dir = Tables.tempOutDir("compact_spec")
+    val src = Tables.orders(spark, sfDir)
+    src.repartition(32).write.parquet(dir) // the CDC-ingest pathology
+    val checksumBefore = spark.read.parquet(dir)
+      .agg(sum(col("o_orderkey")), count(lit(1))).first()
+    val (before, after) = graft.sinks.Sinks.compact(spark, dir, 4)
+    assert(before === 32 && after === 4, s"$before -> $after")
+    val checksumAfter = spark.read.parquet(dir)
+      .agg(sum(col("o_orderkey")), count(lit(1))).first()
+    assert(checksumAfter === checksumBefore)
+  }
+
+  test("range-partitioned sorted write: files carry disjoint, ordered key ranges") {
+    val dir = Tables.tempOutDir("range_write_spec")
+    Tables.orders(spark, sfDir)
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(files.length === 4, files.length)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("o_orderkey")), max(col("o_orderkey"))).first()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    // disjoint consecutive ranges ⇒ a key-range predicate prunes to ONE
+    // file — the global-sort layout a 100 TB ordered export needs
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, ranges.mkString(","))
+      case _ => ()
+    }
+  }
+
   test("z-order layout bounds BOTH dimensions per file; a linear sort does not") {
     // the data-skipping claim behind zorder_value: split the table into
     // 16 "files" by z-key order and every file's (user, value) bounding
