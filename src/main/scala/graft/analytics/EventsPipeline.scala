@@ -79,6 +79,31 @@ object EventsPipeline {
   def expectSuiteSample(s: SparkSession, d: String): DataFrame =
     Expectations.report(withK(s, d).orderBy(col("event_id")).limit(500), suite)
 
+  /** Referential-integrity expectations — the GE-style check the
+    * reference's suite lacks but any warehouse gate needs before a
+    * COPY INTO: per FK relationship, count orphan children (keys with
+    * no parent). Each check is one left join against the DISTINCT
+    * parent key set + a conditional sum — at 100 TB that is a
+    * co-partitioned shuffle on the key (or a broadcast when the parent
+    * key set is dimension-sized), never a collect. */
+  def expectFk(s: SparkSession, d: String): DataFrame = {
+    def check(rel: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame =
+      child.select(col(key).as("k"))
+        .join(parent.select(col(pkey).as("pk")).distinct(),
+          col("k") === col("pk"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(rel).as("relation"), col("n_rows"), col("n_orphans"),
+          when(col("n_orphans") === 0, "PASSED").otherwise("FAILED").as("verdict"))
+    check("lineitem.l_orderkey->orders", lineitem(s, d), "l_orderkey",
+        orders(s, d), "o_orderkey")
+      .unionByName(check("orders.o_custkey->customer", orders(s, d), "o_custkey",
+        customer(s, d), "c_custkey"))
+      .unionByName(check("customer.c_nationkey->nation", customer(s, d),
+        "c_nationkey", nation(s, d), "n_nationkey"))
+  }
+
   /** Misra-Gries heavy hitters through the SQL registration path
     * (§2.9 UDAF tier). With k=16 > the 5 distinct event types the
     * sketch never decrements, so counts are EXACT and the full groupBy
@@ -676,6 +701,7 @@ object EventsPipeline {
     "split_invalid"       -> splitInvalid _,
     "reasons_array"       -> reasonsArray _,
     "expect_suite"        -> expectSuite _,
+    "expect_fk"           -> expectFk _,
     "lineage"             -> lineageCounts _,
     "clean_nan_null"      -> cleanNanNull _,
     "pred_null"           -> predNull _,
@@ -896,6 +922,30 @@ object EventsPipeline {
           CAST(sum(CASE WHEN NOT (event_type IN ('click','view','purchase','signup')) THEN 1 ELSE 0 END) AS BIGINT) AS viol_event_type_in_set,
           CAST(sum(CASE WHEN NOT (json_extract(props,'$.k')::INT BETWEEN 0 AND 89) THEN 1 ELSE 0 END) AS BIGINT) AS viol_k_between
         FROM (SELECT * FROM events ORDER BY event_id LIMIT 500))""",
+    "expect_fk" ->
+      """SELECT 'lineitem.l_orderkey->orders' AS relation, count(*) AS n_rows,
+          CAST(sum(CASE WHEN o.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+          CASE WHEN sum(CASE WHEN o.pk IS NULL THEN 1 ELSE 0 END) = 0
+            THEN 'PASSED' ELSE 'FAILED' END AS verdict
+        FROM lineitem l
+        LEFT JOIN (SELECT DISTINCT o_orderkey AS pk FROM orders) o
+          ON l.l_orderkey = o.pk
+        UNION ALL
+        SELECT 'orders.o_custkey->customer', count(*),
+          CAST(sum(CASE WHEN c.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          CASE WHEN sum(CASE WHEN c.pk IS NULL THEN 1 ELSE 0 END) = 0
+            THEN 'PASSED' ELSE 'FAILED' END
+        FROM orders d
+        LEFT JOIN (SELECT DISTINCT c_custkey AS pk FROM customer) c
+          ON d.o_custkey = c.pk
+        UNION ALL
+        SELECT 'customer.c_nationkey->nation', count(*),
+          CAST(sum(CASE WHEN n.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          CASE WHEN sum(CASE WHEN n.pk IS NULL THEN 1 ELSE 0 END) = 0
+            THEN 'PASSED' ELSE 'FAILED' END
+        FROM customer cu
+        LEFT JOIN (SELECT DISTINCT n_nationkey AS pk FROM nation) n
+          ON cu.c_nationkey = n.pk""",
     // sketch counts are exact when k > distinct items (no decrements)
     "freq_items" ->
       """SELECT event_type AS item, count(*) AS cnt FROM events

@@ -144,7 +144,10 @@ class PlanSpec extends SparkSpec {
     // *_all: INTERSECT/EXCEPT ALL plan as co-partitioned joins; agg_ols
     // is one moment-sum shuffle
     "sql_text" -> 2, "set_intersect_all" -> 2, "set_except_all" -> 2,
-    "agg_ols" -> 1)
+    "agg_ols" -> 1,
+    // expect_fk: three FK checks, each a distinct (1) + join shuffle
+    // pair at audit SF where the parent set exceeds broadcast
+    "expect_fk" -> 6)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
