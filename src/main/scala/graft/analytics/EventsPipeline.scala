@@ -104,6 +104,37 @@ object EventsPipeline {
         "c_nationkey", nation(s, d), "n_nationkey"))
   }
 
+  /** Primary-key uniqueness expectations — expect_fk's companion gate:
+    * per declared key, how many key values occur more than once. One
+    * partial-aggregated groupBy per table; the second-level rollup sees
+    * only one row per key. */
+  def expectUnique(s: SparkSession, d: String): DataFrame = {
+    def check(rel: String, df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+          sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_keys"))
+        .select(lit(rel).as("relation"), col("n_rows"), col("n_keys"),
+          col("n_dup_keys"),
+          when(col("n_dup_keys") === 0, "PASSED").otherwise("FAILED").as("verdict"))
+    check("orders.o_orderkey", orders(s, d), "o_orderkey")
+      .unionByName(check("customer.c_custkey", customer(s, d), "c_custkey"))
+      .unionByName(check("events.event_id", events(s, d), "event_id"))
+      .unionByName(check("documents.doc_id", documents(s, d), "doc_id"))
+  }
+
+  /** ANSI-safe error-capturing functions — try_cast / try_divide /
+    * try_add return NULL instead of raising, the contract a 100 TB
+    * ingest needs (one malformed row must not kill a 6-hour job; the
+    * NULLs then flow into the expectation gates above). The oracle
+    * spells the same semantics with TRY_CAST / NULLIF / CASE. */
+  def tryFuncs(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      col("event_id"),
+      expr("try_cast(event_type AS INT)").as("bad_int"),
+      expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k_int"),
+      expr("try_divide(value, event_id % 3)").as("div3"),
+      expr("try_add(9223372036854775807, event_id)").as("ovf"))
+
   /** Misra-Gries heavy hitters through the SQL registration path
     * (§2.9 UDAF tier). With k=16 > the 5 distinct event types the
     * sketch never decrements, so counts are EXACT and the full groupBy
@@ -702,6 +733,8 @@ object EventsPipeline {
     "reasons_array"       -> reasonsArray _,
     "expect_suite"        -> expectSuite _,
     "expect_fk"           -> expectFk _,
+    "expect_unique"       -> expectUnique _,
+    "try_funcs"           -> tryFuncs _,
     "lineage"             -> lineageCounts _,
     "clean_nan_null"      -> cleanNanNull _,
     "pred_null"           -> predNull _,
@@ -946,6 +979,38 @@ object EventsPipeline {
         FROM customer cu
         LEFT JOIN (SELECT DISTINCT n_nationkey AS pk FROM nation) n
           ON cu.c_nationkey = n.pk""",
+    "expect_unique" ->
+      """SELECT 'orders.o_orderkey' AS relation, CAST(sum(cnt) AS BIGINT) AS n_rows,
+          count(*) AS n_keys,
+          CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+          CASE WHEN sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) = 0
+            THEN 'PASSED' ELSE 'FAILED' END AS verdict
+        FROM (SELECT o_orderkey, count(*) AS cnt FROM orders GROUP BY 1)
+        UNION ALL
+        SELECT 'customer.c_custkey', CAST(sum(cnt) AS BIGINT), count(*),
+          CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT),
+          CASE WHEN sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) = 0
+            THEN 'PASSED' ELSE 'FAILED' END
+        FROM (SELECT c_custkey, count(*) AS cnt FROM customer GROUP BY 1)
+        UNION ALL
+        SELECT 'events.event_id', CAST(sum(cnt) AS BIGINT), count(*),
+          CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT),
+          CASE WHEN sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) = 0
+            THEN 'PASSED' ELSE 'FAILED' END
+        FROM (SELECT event_id, count(*) AS cnt FROM events GROUP BY 1)
+        UNION ALL
+        SELECT 'documents.doc_id', CAST(sum(cnt) AS BIGINT), count(*),
+          CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT),
+          CASE WHEN sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) = 0
+            THEN 'PASSED' ELSE 'FAILED' END
+        FROM (SELECT doc_id, count(*) AS cnt FROM documents GROUP BY 1)""",
+    "try_funcs" ->
+      """SELECT event_id,
+          TRY_CAST(event_type AS INT) AS bad_int,
+          TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+          value / CAST(NULLIF(event_id % 3, 0) AS DOUBLE) AS div3,
+          CASE WHEN event_id = 0 THEN 9223372036854775807 END AS ovf
+        FROM events""",
     // sketch counts are exact when k > distinct items (no decrements)
     "freq_items" ->
       """SELECT event_type AS item, count(*) AS cnt FROM events

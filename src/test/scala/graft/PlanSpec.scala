@@ -147,7 +147,9 @@ class PlanSpec extends SparkSpec {
     "agg_ols" -> 1,
     // expect_fk: three FK checks, each a distinct (1) + join shuffle
     // pair at audit SF where the parent set exceeds broadcast
-    "expect_fk" -> 6)
+    "expect_fk" -> 6,
+    // expect_unique: one groupBy per declared key (4 tables)
+    "expect_unique" -> 4, "try_funcs" -> 0)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
