@@ -544,6 +544,40 @@ object Dedup {
       nBands: Int, dim: Int): Long =
     embeddingCandidates(vectors(emb), bandBits, nBands, dim, 42L).count()
 
+  /** Bounded BFS (3 hops) from the highest-degree doc over the near-dup
+    * graph — the frontier-expansion pattern (impact radius of a bad
+    * document through its duplicate neighborhood). Each hop is one join
+    * frontier⋈edges + an anti-join against the visited set — id-only
+    * tables; the edge table is materialized once. Bounded hops keep
+    * both engines' spellings finite (the oracle unrolls 3 joins;
+    * unbounded BFS in a recursive CTE would not terminate on cycles). */
+  def graphBfs(s: SparkSession, d: String): DataFrame = {
+    // the simhash near-dup graph (hamming ≤ 2) — dense enough (17k
+    // edges at sf0.01) that 3 hops exercise real frontier growth
+    val p0 = simhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    val edges = p0.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p0.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    // source = max degree, ties → smallest id (the doc whose duplicate
+    // neighborhood matters most); one tiny agg over id-only edges
+    val src = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("src")).first().getLong(0)
+    var visited = s.range(1).select(lit(src).as("doc_id"), lit(0).as("dist"))
+    var frontier = visited.select(col("doc_id"))
+    for (hop <- 1 to 3) {
+      val next = edges.join(frontier, edges("src") === frontier("doc_id"))
+        .select(col("dst").as("doc_id")).distinct()
+        .join(visited.select(col("doc_id").as("seen")),
+          col("doc_id") === col("seen"), "left_anti")
+        .select(col("doc_id"), lit(hop).as("dist"))
+        .localCheckpoint(true)
+      visited = visited.unionByName(next).localCheckpoint(true)
+      frontier = next.select(col("doc_id"))
+    }
+    visited
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"     -> dedupExact _,
     "dedup_ngram"     -> dedupNgram _,
@@ -560,6 +594,7 @@ object Dedup {
     "minhash_jaccard_est" -> minhashJaccardEst _,
     "dedup_edit"      -> dedupEdit _,
     "emb_clusters"    -> embClusters _,
+    "graph_bfs"       -> graphBfs _,
   )
 
   private[analytics] val shCte =
@@ -786,6 +821,49 @@ object Dedup {
               i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1))) AS INT) AS hamming
           FROM cand)
         WHERE hamming <= 3""",
+    // 3-hop BFS unrolled (bounded hops keep the oracle finite on cycles)
+    "graph_bfs" ->
+      s"""WITH fp AS ($simhashSql),
+        banded AS (
+          SELECT doc_id, simhash, b.band,
+            CAST(b.band AS VARCHAR) || ':' || substr(simhash, b.band * 4 + 1, 4) AS bucket
+          FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b),
+        mpairs AS (
+          SELECT doc_a, doc_b FROM (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              a.simhash AS sh_a, b.simhash AS sh_b
+            FROM banded a JOIN banded b
+              ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+          WHERE len(list_filter(generate_series(1, 16),
+            i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1))) <= 2),
+        sym AS (
+          SELECT doc_a AS src, doc_b AS dst FROM mpairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM mpairs),
+        d0 AS (
+          SELECT (SELECT src FROM (
+              SELECT src, count(*) AS deg FROM sym GROUP BY src)
+            ORDER BY deg DESC, src LIMIT 1) AS doc_id,
+            CAST(0 AS INT) AS dist),
+        f1 AS (SELECT DISTINCT dst AS doc_id
+               FROM sym JOIN d0 ON sym.src = d0.doc_id),
+        d1 AS (SELECT doc_id, CAST(1 AS INT) AS dist FROM f1
+               WHERE doc_id NOT IN (SELECT doc_id FROM d0)),
+        f2 AS (SELECT DISTINCT dst AS doc_id
+               FROM sym JOIN d1 ON sym.src = d1.doc_id),
+        d2 AS (SELECT doc_id, CAST(2 AS INT) AS dist FROM f2
+               WHERE doc_id NOT IN (SELECT doc_id FROM d0
+                 UNION ALL SELECT doc_id FROM d1)),
+        f3 AS (SELECT DISTINCT dst AS doc_id
+               FROM sym JOIN d2 ON sym.src = d2.doc_id),
+        d3 AS (SELECT doc_id, CAST(3 AS INT) AS dist FROM f3
+               WHERE doc_id NOT IN (SELECT doc_id FROM d0
+                 UNION ALL SELECT doc_id FROM d1
+                 UNION ALL SELECT doc_id FROM d2))
+        SELECT doc_id, dist FROM d0
+        UNION ALL SELECT doc_id, dist FROM d1
+        UNION ALL SELECT doc_id, dist FROM d2
+        UNION ALL SELECT doc_id, dist FROM d3""",
     // embedding near-dup pairs (the dedup_embedding oracle) fed through
     // the same recursive-closure components as dedup_clusters
     "emb_clusters" ->

@@ -19,6 +19,9 @@ import org.apache.spark.sql.types.{DecimalType, IntegerType, StructField, Struct
   * the reference's `<field>_out_of_range` / `missing_<field>` naming
   * (/root/reference/Glue/Glue_job.py:71-80).
   */
+/** Typed row for the Dataset[T] tier (`typed_agg`). */
+final case class EventRow(event_id: Long, user_id: Long, value: Double)
+
 object EventsPipeline {
 
   private val kSchema = StructType(Seq(StructField("k", IntegerType)))
@@ -120,6 +123,32 @@ object EventsPipeline {
       .unionByName(check("customer.c_custkey", customer(s, d), "c_custkey"))
       .unionByName(check("events.event_id", events(s, d), "event_id"))
       .unionByName(check("documents.doc_id", documents(s, d), "doc_id"))
+  }
+
+  /** The typed Dataset[T] tier as an oracle-checked query: case-class
+    * Encoder round-trip + groupByKey/mapGroups with an imperative
+    * per-group fold (exact integer cents, so the fold is
+    * order-independent). NOT the recommended spelling for aggregation —
+    * `agg_group` is (declarative, partial-agg, codegen); this query
+    * exists to pin the typed API's semantics where per-group logic
+    * genuinely needs arbitrary Scala (the same tier Multimodal uses).
+    * Scale shape: groupByKey shuffles (key, needed cols) once; the fold
+    * streams each group without materializing it. */
+  def typedAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .mapGroups { (uid, it) =>
+        var n = 0L
+        var cents = 0L
+        it.foreach { e => n += 1; cents += math.round(e.value * 100) }
+        (uid, n, cents)
+      }
+      .toDF("user_id", "n", "cents")
+      .select(col("user_id"), col("n"),
+        (col("cents").cast("double") / 100).as("total"))
   }
 
   /** ANSI-safe error-capturing functions — try_cast / try_divide /
@@ -735,6 +764,7 @@ object EventsPipeline {
     "expect_fk"           -> expectFk _,
     "expect_unique"       -> expectUnique _,
     "try_funcs"           -> tryFuncs _,
+    "typed_agg"           -> typedAgg _,
     "lineage"             -> lineageCounts _,
     "clean_nan_null"      -> cleanNanNull _,
     "pred_null"           -> predNull _,
@@ -1004,6 +1034,13 @@ object EventsPipeline {
           CASE WHEN sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) = 0
             THEN 'PASSED' ELSE 'FAILED' END
         FROM (SELECT doc_id, count(*) AS cnt FROM documents GROUP BY 1)""",
+    // cents = round(value*100): both engines round the identical double
+    // half-away-from-zero (positive domain), so the fold is exact
+    "typed_agg" ->
+      """SELECT user_id, count(*) AS n,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+            AS total
+        FROM events GROUP BY user_id""",
     "try_funcs" ->
       """SELECT event_id,
           TRY_CAST(event_type AS INT) AS bad_int,

@@ -149,7 +149,12 @@ class PlanSpec extends SparkSpec {
     // pair at audit SF where the parent set exceeds broadcast
     "expect_fk" -> 6,
     // expect_unique: one groupBy per declared key (4 tables)
-    "expect_unique" -> 4, "try_funcs" -> 0)
+    "expect_unique" -> 4, "try_funcs" -> 0,
+    // typed_agg: the one groupByKey exchange
+    "typed_agg" -> 1,
+    // graph_bfs returns a union of localCheckpoint'ed hop results
+    // (0 static exchanges — the loop's work happened eagerly)
+    "graph_bfs" -> 0)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
