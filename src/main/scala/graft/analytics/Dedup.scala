@@ -552,6 +552,16 @@ object Dedup {
     * both engines' spellings finite (the oracle unrolls 3 joins;
     * unbounded BFS in a recursive CTE would not terminate on cycles). */
   def graphBfs(s: SparkSession, d: String): DataFrame = {
+    // same local-harness right-sizing as clustersOf: the hop loop's
+    // id-only tables are tiny, so 32 shuffle partitions = pure task
+    // overhead per eager action
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try graphBfsLoop(s, d)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def graphBfsLoop(s: SparkSession, d: String): DataFrame = {
     // the simhash near-dup graph (hamming ≤ 2) — dense enough (17k
     // edges at sf0.01) that 3 hops exercise real frontier growth
     val p0 = simhashPairs(s, d).select(col("doc_a"), col("doc_b"))
