@@ -430,10 +430,36 @@ object TextAnalysis {
       .withColumn("ttr",
         col("n_types").cast("double") / col("n_tokens").cast("double"))
 
+  /** Data-mixture weights — the sampling plan every training run
+    * computes before reading a corpus: given a uniform target token
+    * share per language, the per-language keep probability is
+    * min(1, target/actual). Two integer-exact aggregations + one 1-row
+    * broadcast of the corpus total (the scalar-subquery shape tfidf/
+    * bm25 use); all ratios are single double divisions of exact
+    * integers, so the plan is bit-stable under any partitioning. At
+    * 100 TB the output is |languages| rows — the actual sampling then
+    * happens scan-side with a deterministic hash against keep_prob
+    * (see sample_det / sample_stratified). */
+  def mixtureWeights(s: SparkSession, d: String): DataFrame = {
+    val perLang = documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks).cast("long")).as("lang_tokens"))
+    val totals = perLang.agg(
+      sum(col("lang_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_langs"))
+    perLang.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_docs"), col("lang_tokens"),
+        (col("total_tokens").cast("double") / col("n_langs")).as("target_tokens"),
+        least(lit(1.0), (col("total_tokens").cast("double") / col("n_langs"))
+          / col("lang_tokens").cast("double")).as("keep_prob"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_quality"   -> sourceQuality _,
     "text_oov"         -> textOov _,
     "text_ttr"         -> textTtr _,
+    "mixture_weights"  -> mixtureWeights _,
     "text_entropy"     -> textEntropy _,
     "text_top_term"    -> topTerm _,
     "text_tokens"      -> textTokens _,
@@ -455,6 +481,20 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "mixture_weights" ->
+      """WITH per_lang AS (
+          SELECT lang, count(*) AS n_docs,
+            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
+          FROM documents GROUP BY lang),
+        t AS (
+          SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens,
+            count(*) AS n_langs
+          FROM per_lang)
+        SELECT lang, n_docs, lang_tokens,
+          CAST(total_tokens AS DOUBLE) / n_langs AS target_tokens,
+          least(1.0, (CAST(total_tokens AS DOUBLE) / n_langs)
+            / CAST(lang_tokens AS DOUBLE)) AS keep_prob
+        FROM per_lang, t""",
     "text_oov" ->
       """WITH v AS (
           SELECT token FROM (

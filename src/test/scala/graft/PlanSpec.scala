@@ -30,9 +30,11 @@ class PlanSpec extends SparkSpec {
   // same scalar-broadcast shape as tfidf/bm25
   // sketch_cms: crossJoin(broadcast(1-row CMS)) — the same scalar
   // broadcast shape as tfidf/bm25/zorder
+  // mixture_weights: crossJoin(broadcast(1-row corpus totals)) — the
+  // same scalar-broadcast shape as tfidf/bm25/zorder/cms
   private val nljWhitelist =
     Set("sim_knn", "sim_range", "join_cross", "text_tfidf", "text_bm25",
-      "zorder_value", "sketch_cms")
+      "zorder_value", "sketch_cms", "mixture_weights")
 
   private val streaming =
     Set("stream_hourly", "stream_session", "stream_session_multibatch",
@@ -154,7 +156,10 @@ class PlanSpec extends SparkSpec {
     "typed_agg" -> 1,
     // graph_bfs returns a union of localCheckpoint'ed hop results
     // (0 static exchanges — the loop's work happened eagerly)
-    "graph_bfs" -> 0)
+    "graph_bfs" -> 0,
+    // mixture_weights: per-lang agg + its recompute under the totals
+    // branch (static plan; tiny either way)
+    "mixture_weights" -> 4)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")

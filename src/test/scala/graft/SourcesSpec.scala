@@ -103,6 +103,28 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("property: random range pushdowns match a local recomputation") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 20) {
+      val rows  = 1 + rnd.nextInt(5000)
+      val parts = 1 + rnd.nextInt(6)
+      val a = rnd.nextInt(rows + 100) - 50
+      val b = a + rnd.nextInt(rows + 50)
+      val df = seq(rows, parts)
+        .filter(col("id") >= lit(a.toLong) && col("id") < lit(b.toLong))
+      val got = df.agg(count(lit(1)), sum(col("mval"))).first()
+      val lo = math.max(0, a); val hi = math.min(rows, b)
+      val ids = lo until hi
+      val expectN = math.max(0, hi - lo).toLong
+      val expectSum =
+        if (ids.isEmpty) null
+        else Long.box(ids.map(i => (i.toLong * 2654435761L) % (1L << 32)).sum)
+      assert(got.getLong(0) === expectN, s"rows=$rows parts=$parts [$a,$b)")
+      assert((if (got.isNullAt(1)) null else Long.box(got.getLong(1))) === expectSum,
+        s"rows=$rows parts=$parts [$a,$b)")
+    }
+  }
+
   test("generated values match the documented multiplicative hash") {
     val r = seq(10, 1).filter(col("id") === lit(7L)).collect().head
     val mval = (7L * 2654435761L) % (1L << 32)
