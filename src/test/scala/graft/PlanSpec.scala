@@ -169,6 +169,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("DataFilters: []"), p)
   }
 
+  test("q6_filter pushes its predicates and column pruning into the parquet scan") {
+    val p = plans.toMap.apply("q6_filter")
+    // the explain string truncates the filter list at ~100 chars, so
+    // pin the prefix: all three columns' IsNotNulls + the first range
+    // bound made it into PushedFilters (DataFilters shows the same set)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "IsNotNull(l_discount), IsNotNull(l_quantity), GreaterThanOrEqual(l_shipda"), p)
+    // a 4-column query must not read the other 7 lineitem columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_tax"),
+      readSchema)
+    assert(readSchema.contains("l_discount"), readSchema)
+  }
+
   test("join_shuffle_hash honors the SHUFFLE_HASH hint") {
     val p = plans.toMap.apply("join_shuffle_hash")
     assert(p.contains("ShuffledHashJoin"), p)
