@@ -879,6 +879,23 @@ object Relational {
           / col("n")).as("intercept"))
   }
 
+  /** Explicit NULL ordering in windows — a real cross-engine trap:
+    * Spark's ascending default is NULLS FIRST, DuckDB's is NULLS LAST,
+    * so any nullable sort key silently reorders between engines unless
+    * the direction is spelled out. Both sides here say it explicitly
+    * (asc_nulls_last / desc_nulls_first ↔ NULLS LAST / NULLS FIRST). */
+  def winNullOrder(s: SparkSession, d: String): DataFrame = {
+    val nullable = nullif(col("event_type"), lit("click"))
+    val wLast = Window.partitionBy(col("user_id"))
+      .orderBy(nullable.asc_nulls_last, col("event_id"))
+    val wFirst = Window.partitionBy(col("user_id"))
+      .orderBy(nullable.desc_nulls_first, col("event_id"))
+    events(s, d).select(
+      col("event_id"), col("user_id"),
+      row_number().over(wLast).as("rn_nulls_last"),
+      row_number().over(wFirst).as("rn_nulls_first"))
+  }
+
   /** The custom DataSource V2 connector end-to-end (graft.sources
     * .SeqSource): the id-range predicates push into the source and
     * prune GENERATION (never produced, not produced-then-filtered),
@@ -961,6 +978,7 @@ object Relational {
     "set_intersect_all" -> setIntersectAll _,
     "set_except_all"    -> setExceptAll _,
     "agg_ols"           -> aggOls _,
+    "win_null_order"    -> winNullOrder _,
   )
 
   private val sumQty  = "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
@@ -1402,6 +1420,15 @@ object Relational {
         GROUP BY bucket""",
     // the SAME string spark.sql executes — SQL front-end parity
     "sql_text" -> sqlTextShared,
+    "win_null_order" ->
+      """SELECT event_id, user_id,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY nullif(event_type, 'click') ASC NULLS LAST, event_id)
+            AS rn_nulls_last,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY nullif(event_type, 'click') DESC NULLS FIRST, event_id)
+            AS rn_nulls_first
+        FROM events""",
     "set_intersect_all" ->
       """SELECT o_custkey AS custkey FROM orders
         INTERSECT ALL

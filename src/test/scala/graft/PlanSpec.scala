@@ -159,7 +159,10 @@ class PlanSpec extends SparkSpec {
     "graph_bfs" -> 0,
     // mixture_weights: per-lang agg + its recompute under the totals
     // branch (static plan; tiny either way)
-    "mixture_weights" -> 4)
+    "mixture_weights" -> 4,
+    // two window specs over the same user_id partition: one exchange,
+    // two sorts
+    "win_null_order" -> 1)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
