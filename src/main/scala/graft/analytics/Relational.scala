@@ -821,16 +821,22 @@ object Relational {
     * hits); the oracle map carries the IDENTICAL string for DuckDB, so
     * this query pins the dialect-shared subset (CTEs, grouped decimal
     * aggregation, ranking window, top-k) end-to-end. */
+  // top-50 via ORDER BY + LIMIT *before* the ranking window: Spark
+  // plans TakeOrderedAndProject (per-partition heaps, no global sort)
+  // and the unpartitioned row_number sees only 50 rows — the naive
+  // `WHERE rn <= 50` spelling funnels the whole aggregate through ONE
+  // window partition at scale
   private val sqlTextShared =
     """WITH per_user AS (
         SELECT user_id, event_type, count(*) AS cnt,
           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM events GROUP BY user_id, event_type),
-      ranked AS (
-        SELECT user_id, event_type, cnt, total,
-          row_number() OVER (ORDER BY total DESC, user_id, event_type) AS rn
-        FROM per_user)
-      SELECT user_id, event_type, cnt, total, rn FROM ranked WHERE rn <= 50"""
+      top50 AS (
+        SELECT user_id, event_type, cnt, total FROM per_user
+        ORDER BY total DESC, user_id, event_type LIMIT 50)
+      SELECT user_id, event_type, cnt, total,
+        row_number() OVER (ORDER BY total DESC, user_id, event_type) AS rn
+      FROM top50"""
 
   def sqlText(s: SparkSession, d: String): DataFrame = {
     events(s, d).createOrReplaceTempView("events")
