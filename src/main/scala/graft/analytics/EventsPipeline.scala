@@ -151,6 +151,22 @@ object EventsPipeline {
         (col("cents").cast("double") / 100).as("total"))
   }
 
+  /** The typed Aggregator[IN, BUF, OUT] UDAF surface (the third custom-
+    * aggregate tier after the two TypedImperativeAggregates): exact
+    * cents fold through `KeyValueGroupedDataset.agg(toColumn)` — unlike
+    * typed_agg's mapGroups this one IS planned as a real aggregate
+    * (partial + final, map-side combine), just with typed encoders. */
+  def typedAggregator(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.functions.CentsSum.toColumn.name("total"))
+      .toDF("event_type", "total")
+  }
+
   /** ANSI-safe error-capturing functions — try_cast / try_divide /
     * try_add return NULL instead of raising, the contract a 100 TB
     * ingest needs (one malformed row must not kill a 6-hour job; the
@@ -765,6 +781,7 @@ object EventsPipeline {
     "expect_unique"       -> expectUnique _,
     "try_funcs"           -> tryFuncs _,
     "typed_agg"           -> typedAgg _,
+    "typed_aggregator"    -> typedAggregator _,
     "lineage"             -> lineageCounts _,
     "clean_nan_null"      -> cleanNanNull _,
     "pred_null"           -> predNull _,
@@ -1034,6 +1051,11 @@ object EventsPipeline {
           CASE WHEN sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) = 0
             THEN 'PASSED' ELSE 'FAILED' END
         FROM (SELECT doc_id, count(*) AS cnt FROM documents GROUP BY 1)""",
+    "typed_aggregator" ->
+      """SELECT event_type,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+            AS total
+        FROM events GROUP BY event_type""",
     // cents = round(value*100): both engines round the identical double
     // half-away-from-zero (positive domain), so the fold is exact
     "typed_agg" ->

@@ -843,6 +843,32 @@ object Relational {
     s.sql(sqlTextShared)
   }
 
+  /** Correlated LATERAL join (top-2 customers per nation) — ONE shared
+    * SQL text for both engines, like sql_text. Spark decorrelates the
+    * per-row ORDER BY/LIMIT subquery into a ranked window join (no
+    * per-nation re-execution); the spelling a user would write when
+    * topk_per_key-style logic must live in SQL. */
+  private val lateralShared =
+    """SELECT n.n_name, t.c_custkey, t.c_acctbal
+      FROM nation n,
+      LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t"""
+
+  def joinLateral(s: SparkSession, d: String): DataFrame = {
+    nation(s, d).createOrReplaceTempView("nation")
+    customer(s, d).createOrReplaceTempView("customer")
+    s.sql(lateralShared)
+  }
+
+  /** UNION with set semantics (the dedup twin of set_union_by_name's
+    * UNION ALL): overlapping key sets collapse to one copy. */
+  def setUnionDistinct(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_nationkey").cast("int").as("nationkey"))
+      .union(supplier(s, d).select(col("s_nationkey").cast("int").as("nationkey")))
+      .distinct()
+
   /** Multiset intersection — INTERSECT ALL keeps min(m, n) copies of
     * each duplicated row, which bag-semantics dedup pipelines need
     * where set-semantics intersect() silently collapses counts. */
@@ -985,6 +1011,8 @@ object Relational {
     "set_except_all"    -> setExceptAll _,
     "agg_ols"           -> aggOls _,
     "win_null_order"    -> winNullOrder _,
+    "join_lateral"      -> joinLateral _,
+    "set_union_distinct" -> setUnionDistinct _,
   )
 
   private val sumQty  = "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
@@ -1426,6 +1454,11 @@ object Relational {
         GROUP BY bucket""",
     // the SAME string spark.sql executes — SQL front-end parity
     "sql_text" -> sqlTextShared,
+    "join_lateral" -> lateralShared,
+    "set_union_distinct" ->
+      """SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+        UNION
+        SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier""",
     "win_null_order" ->
       """SELECT event_id, user_id,
           row_number() OVER (PARTITION BY user_id

@@ -162,7 +162,11 @@ class PlanSpec extends SparkSpec {
     "mixture_weights" -> 4,
     // two window specs over the same user_id partition: one exchange,
     // two sorts
-    "win_null_order" -> 1)
+    "win_null_order" -> 1,
+    // join_lateral decorrelates to rank-window + join; the typed
+    // Aggregator plans partial+final around one exchange
+    "join_lateral" -> 2, "set_union_distinct" -> 1,
+    "typed_aggregator" -> 1)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
