@@ -544,6 +544,26 @@ object EventsPipeline {
         (col("tus") - col("last_click_tus")).as("lag_us"))
   }
 
+  /** The SAME attribution as-of join through the custom whole-operator
+    * tier (plans.AsofJoin: logical node + strategy + single-pass
+    * per-partition merge exec) instead of the union+window spelling —
+    * both sides co-partitioned on user_id, each sorted once, right rows
+    * streamed exactly once with O(1) state. Shares joinAsof's oracle,
+    * so the two spellings are pinned equal to each other AND to DuckDB. */
+  def joinAsofNative(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).withColumn("tus", expr("ts_ns div 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("tus"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("tus").as("click_tus"))
+    graft.plans.AsofJoin.join(purchases, clicks,
+        Seq(col("user_id")), Seq(col("c_user")),
+        col("tus"), col("click_tus"), Seq(col("click_id")))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        (col("tus") - col("click_tus")).as("lag_us"))
+  }
+
   /** Banded (binned) range self-join: ordered same-user event pairs at
     * most 60 s apart. A raw range predicate would plan as a nested-loop
     * join — quadratic per user. Binning each event into its 60-s bucket
@@ -815,6 +835,7 @@ object EventsPipeline {
     "json_roundtrip"      -> jsonRoundtrip _,
     "orc_roundtrip"       -> orcRoundtrip _,
     "join_asof"           -> joinAsof _,
+    "join_asof_native"    -> joinAsofNative _,
     "join_range"          -> joinRange _,
     "str_funcs"           -> strFuncs _,
     "array_funcs"         -> arrayFuncs _,
@@ -852,6 +873,26 @@ object EventsPipeline {
         CASE WHEN NOT r3 THEN 'invalid_event_type' END,
         CASE WHEN NOT r4 THEN 'k_out_of_range' END],
         x -> x IS NOT NULL), ',')"""
+
+  /** Shared by join_asof (union+window) and join_asof_native (custom
+    * operator) — the two spellings are pinned to the same rows. */
+  private val asofOracle =
+    """WITH e AS (
+        SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tus,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        FROM events WHERE event_type IN ('click', 'purchase'))
+      SELECT event_id AS purchase_id, user_id, click_id,
+        tus - click_tus AS lag_us
+      FROM (
+        SELECT *,
+          last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+            OVER w AS click_id,
+          last_value(CASE WHEN event_type = 'click' THEN tus END IGNORE NULLS)
+            OVER w AS click_tus
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY tus, is_p, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      WHERE event_type = 'purchase'"""
 
   val oracle: Map[String, String] = Map(
     // HUGEINT is DuckDB's exact 128-bit lane — the same values the
@@ -1231,23 +1272,9 @@ object EventsPipeline {
     "csv_roundtrip"  -> roundtripOracle,
     "json_roundtrip" -> roundtripOracle,
     "orc_roundtrip"  -> roundtripOracle,
-    "join_asof" ->
-      """WITH e AS (
-          SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tus,
-            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
-          FROM events WHERE event_type IN ('click', 'purchase'))
-        SELECT event_id AS purchase_id, user_id, click_id,
-          tus - click_tus AS lag_us
-        FROM (
-          SELECT *,
-            last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
-              OVER w AS click_id,
-            last_value(CASE WHEN event_type = 'click' THEN tus END IGNORE NULLS)
-              OVER w AS click_tus
-          FROM e
-          WINDOW w AS (PARTITION BY user_id ORDER BY tus, is_p, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        WHERE event_type = 'purchase'""",
+    "join_asof" -> asofOracle,
+    // the custom-operator spelling must give exactly the same rows
+    "join_asof_native" -> asofOracle,
     "agg_unpivot" ->
       """SELECT event_id, 'value' AS metric, value AS val FROM events
         UNION ALL

@@ -166,7 +166,10 @@ class PlanSpec extends SparkSpec {
     // join_lateral decorrelates to rank-window + join; the typed
     // Aggregator plans partial+final around one exchange
     "join_lateral" -> 2, "set_union_distinct" -> 1,
-    "typed_aggregator" -> 1)
+    "typed_aggregator" -> 1,
+    // the custom as-of exec: one explicit co-partitioning exchange per
+    // side (its whole point is that nothing else shuffles)
+    "join_asof_native" -> 2)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
