@@ -911,6 +911,57 @@ object Relational {
           / col("n")).as("intercept"))
   }
 
+  /** Pivot with MULTIPLE aggregates per cell — each (type × {cnt,sum})
+    * pair becomes a column; still one shuffle (pivot plans as a single
+    * grouped aggregation over the pivoted CASE columns). */
+  def aggPivotMulti(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "purchase"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec2(col("value"))).cast("double").as("val"))
+      // missing (user, type) combos: pivot yields NULL counts where the
+      // oracle's CASE-sum yields 0 — normalize counts, keep sums NULL
+      .na.fill(0L, Seq("click_cnt", "purchase_cnt"))
+
+  /** Scalar hash family — the content-addressing toolbox (md5 for
+    * fingerprints, sha2-256 for audit-grade digests); both engines
+    * produce identical hex. */
+  def hashFuncs(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      md5(col("text")).as("h_md5"),
+      sha2(col("text"), 256).as("h_sha256"),
+      md5(concat_ws("|", col("source"), col("lang"))).as("h_composite"))
+
+  /** Bitwise scalar operators over the id domain (shard masks, flag
+    * packing) — exact integer semantics in both engines. */
+  def bitScalar(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      col("event_id"),
+      shiftleft(col("event_id"), 2).as("shl2"),
+      shiftright(col("event_id"), 1).as("shr1"),
+      col("event_id").bitwiseAND(lit(255L)).as("band"),
+      col("event_id").bitwiseOR(lit(4096L)).as("bor"),
+      col("event_id").bitwiseXOR(col("user_id")).as("bxor"))
+
+  /** Exact-math scalar family: abs/sign/floor/ceil/mod stay in integer
+    * or exactly-representable double domains, and IEEE 754 requires
+    * sqrt to be correctly rounded — so every column is bit-identical
+    * cross-engine (ln/exp/pow are libm-dependent and deliberately
+    * absent; see text_lm_score for the integer workaround). */
+  def mathFuncs(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      col("event_id"),
+      abs(col("value") - 10.0).as("abs_shift"),
+      signum(col("value") - 10.0).as("sgn"),
+      floor(col("value")).as("flr"),
+      ceil(col("value")).as("cl"),
+      (col("event_id") % 7).as("mod7"),
+      sqrt(col("event_id").cast("double")).as("rt"),
+      greatest(col("value"), col("user_id").cast("double")).as("gr"),
+      least(col("value"), col("user_id").cast("double")).as("ls"))
+
   /** Explicit NULL ordering in windows — a real cross-engine trap:
     * Spark's ascending default is NULLS FIRST, DuckDB's is NULLS LAST,
     * so any nullable sort key silently reorders between engines unless
@@ -1013,6 +1064,10 @@ object Relational {
     "win_null_order"    -> winNullOrder _,
     "join_lateral"      -> joinLateral _,
     "set_union_distinct" -> setUnionDistinct _,
+    "agg_pivot_multi"   -> aggPivotMulti _,
+    "hash_funcs"        -> hashFuncs _,
+    "bit_scalar"        -> bitScalar _,
+    "math_funcs"        -> mathFuncs _,
   )
 
   private val sumQty  = "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
@@ -1455,6 +1510,40 @@ object Relational {
     // the SAME string spark.sql executes — SQL front-end parity
     "sql_text" -> sqlTextShared,
     "join_lateral" -> lateralShared,
+    "agg_pivot_multi" ->
+      """SELECT user_id,
+          CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+            AS click_cnt,
+          CAST(sum(CASE WHEN event_type = 'click'
+            THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click_val,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+            AS purchase_cnt,
+          CAST(sum(CASE WHEN event_type = 'purchase'
+            THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_val
+        FROM events GROUP BY user_id""",
+    "hash_funcs" ->
+      """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256,
+          md5(source || '|' || lang) AS h_composite
+        FROM documents""",
+    "bit_scalar" ->
+      """SELECT event_id,
+          event_id << 2 AS shl2,
+          event_id >> 1 AS shr1,
+          event_id & 255 AS band,
+          event_id | 4096 AS bor,
+          xor(event_id, user_id) AS bxor
+        FROM events""",
+    "math_funcs" ->
+      """SELECT event_id,
+          abs(value - 10.0) AS abs_shift,
+          CAST(sign(value - 10.0) AS DOUBLE) AS sgn,
+          CAST(floor(value) AS BIGINT) AS flr,
+          CAST(ceil(value) AS BIGINT) AS cl,
+          event_id % 7 AS mod7,
+          sqrt(CAST(event_id AS DOUBLE)) AS rt,
+          greatest(value, CAST(user_id AS DOUBLE)) AS gr,
+          least(value, CAST(user_id AS DOUBLE)) AS ls
+        FROM events""",
     "set_union_distinct" ->
       """SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
         UNION

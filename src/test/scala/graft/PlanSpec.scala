@@ -169,7 +169,11 @@ class PlanSpec extends SparkSpec {
     "typed_aggregator" -> 1,
     // the custom as-of exec: one explicit co-partitioning exchange per
     // side (its whole point is that nothing else shuffles)
-    "join_asof_native" -> 2)
+    "join_asof_native" -> 2,
+    // scalar families are pure projections; the multi-agg pivot is
+    // still one grouped aggregation
+    "agg_pivot_multi" -> 2, "hash_funcs" -> 0, "bit_scalar" -> 0,
+    "math_funcs" -> 0)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
