@@ -588,8 +588,34 @@ object Dedup {
     visited
   }
 
+  /** Incremental dedup — the daily-ingest shape: a NEW batch
+    * (doc_id >= 400) deduplicated against the EXISTING corpus
+    * (doc_id < 400), exact first (anti-join on the canonical md5 — at
+    * 100 TB the corpus side is a 16-byte-key fingerprint index, never
+    * the text), then near-dup (MinHash band buckets shared with any
+    * corpus doc). Batch-internal duplicates survive here by design —
+    * they are the FULL-corpus dedup passes' job; this op answers "is
+    * it already in the lake". */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val corpusFp = docs.filter(col("doc_id") < 400)
+      .select(md5(lower(col("text"))).as("fp")).distinct()
+    val exactSurvivors = docs.filter(col("doc_id") >= 400)
+      .withColumn("fp", md5(lower(col("text"))))
+      .join(corpusFp, Seq("fp"), "left_anti")
+    val pairs = dedupMinhash(s, d)
+    val near = pairs.filter(col("doc_a") < 400 && col("doc_b") >= 400)
+      .select(col("doc_b").as("dup_id"))
+      .union(pairs.filter(col("doc_b") < 400 && col("doc_a") >= 400)
+        .select(col("doc_a").as("dup_id")))
+      .distinct()
+    exactSurvivors.join(near, col("doc_id") === col("dup_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"     -> dedupExact _,
+    "dedup_incremental" -> dedupIncremental _,
     "dedup_ngram"     -> dedupNgram _,
     "dedup_minhash"   -> dedupMinhash _,
     "dedup_simhash"   -> dedupSimhash _,
@@ -831,6 +857,25 @@ object Dedup {
               i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1))) AS INT) AS hamming
           FROM cand)
         WHERE hamming <= 3""",
+    "dedup_incremental" ->
+      s"""$shCte, $minhashCtes,
+        mpairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        corpus_fp AS (
+          SELECT DISTINCT md5(lower(text)) AS fp FROM documents
+          WHERE doc_id < 400),
+        batch AS (
+          SELECT doc_id, lang, source, md5(lower(text)) AS fp
+          FROM documents WHERE doc_id >= 400),
+        near AS (
+          SELECT doc_b AS dup_id FROM mpairs WHERE doc_a < 400 AND doc_b >= 400
+          UNION
+          SELECT doc_a FROM mpairs WHERE doc_b < 400 AND doc_a >= 400)
+        SELECT doc_id, lang, source FROM batch
+        WHERE fp NOT IN (SELECT fp FROM corpus_fp)
+          AND doc_id NOT IN (SELECT dup_id FROM near)""",
     // 3-hop BFS unrolled (bounded hops keep the oracle finite on cycles)
     "graph_bfs" ->
       s"""WITH fp AS ($simhashSql),

@@ -173,7 +173,10 @@ class PlanSpec extends SparkSpec {
     // scalar families are pure projections; the multi-agg pivot is
     // still one grouped aggregation
     "agg_pivot_multi" -> 2, "hash_funcs" -> 0, "bit_scalar" -> 0,
-    "math_funcs" -> 0)
+    "math_funcs" -> 0,
+    // incremental dedup: the minhash candidate plan (3) + corpus-fp
+    // distinct + the two anti-join sides at audit SF
+    "dedup_incremental" -> 9)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
