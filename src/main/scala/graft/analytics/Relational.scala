@@ -962,6 +962,25 @@ object Relational {
       greatest(col("value"), col("user_id").cast("double")).as("gr"),
       least(col("value"), col("user_id").cast("double")).as("ls"))
 
+  /** Rolling 7-day distinct users per day. COUNT(DISTINCT) does not
+    * decompose over sliding windows, so the scale-correct spelling is
+    * contribution-explode: each (day, user) row fans out to the 7
+    * window-end days it belongs to, then ONE grouped distinct-count —
+    * an equi semi-join against observed days replaces the range join a
+    * naive spelling would plan as a nested loop. Fan-out is ×7 on
+    * already-distinct id pairs, not on events. */
+  def eventsRollingDau(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .select(to_date(col("ts")).as("uday"), col("user_id")).distinct()
+    val days = daily.select(col("uday").as("day")).distinct()
+    daily
+      .withColumn("day",
+        explode(sequence(col("uday"), date_add(col("uday"), 6))))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau7"))
+  }
+
   /** Explicit NULL ordering in windows — a real cross-engine trap:
     * Spark's ascending default is NULLS FIRST, DuckDB's is NULLS LAST,
     * so any nullable sort key silently reorders between engines unless
@@ -1065,6 +1084,7 @@ object Relational {
     "join_lateral"      -> joinLateral _,
     "set_union_distinct" -> setUnionDistinct _,
     "agg_pivot_multi"   -> aggPivotMulti _,
+    "events_rolling_dau" -> eventsRollingDau _,
     "hash_funcs"        -> hashFuncs _,
     "bit_scalar"        -> bitScalar _,
     "math_funcs"        -> mathFuncs _,
@@ -1521,6 +1541,18 @@ object Relational {
           CAST(sum(CASE WHEN event_type = 'purchase'
             THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_val
         FROM events GROUP BY user_id""",
+    "events_rolling_dau" ->
+      """WITH daily AS (
+          SELECT DISTINCT CAST(ts AS DATE) AS uday, user_id FROM events),
+        days AS (SELECT DISTINCT uday AS day FROM daily),
+        contrib AS (
+          SELECT CAST(unnest(generate_series(CAST(uday AS TIMESTAMP),
+              CAST(uday AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY))
+            AS DATE) AS day, user_id
+          FROM daily)
+        SELECT c.day, count(DISTINCT user_id) AS dau7
+        FROM contrib c JOIN days d ON c.day = d.day
+        GROUP BY c.day""",
     "hash_funcs" ->
       """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256,
           md5(source || '|' || lang) AS h_composite

@@ -455,8 +455,24 @@ object TextAnalysis {
           / col("lang_tokens").cast("double")).as("keep_prob"))
   }
 
+  /** Top-3 tokens per source through the CUSTOM top-k operator
+    * (plans.TopK — map-side bounded heaps, k rows per key per task
+    * before the exchange) composed with the token-count aggregation:
+    * the operator tier doing real curation work, not a demo. Stopword
+    * tokens are gated out first so the ranking says something. */
+  def sourceTopTerms(s: SparkSession, d: String): DataFrame = {
+    val counts = documents(s, d)
+      .select(col("source"), explode(toks).as("token"))
+      .filter(!col("token").isin("a", "the"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.plans.TopK.perKey(counts,
+      Seq(col("source")), Seq(col("cnt").desc, col("token")), 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_quality"   -> sourceQuality _,
+    "source_top_terms" -> sourceTopTerms _,
     "text_oov"         -> textOov _,
     "text_ttr"         -> textTtr _,
     "mixture_weights"  -> mixtureWeights _,
@@ -481,6 +497,19 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "source_top_terms" ->
+      """WITH c AS (
+          SELECT source, token, count(*) AS cnt FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+          WHERE token NOT IN ('a', 'the')
+          GROUP BY source, token)
+        SELECT source, token, cnt FROM (
+          SELECT source, token, cnt,
+            row_number() OVER (PARTITION BY source
+              ORDER BY cnt DESC, token) AS rn
+          FROM c)
+        WHERE rn <= 3""",
     "mixture_weights" ->
       """WITH per_lang AS (
           SELECT lang, count(*) AS n_docs,

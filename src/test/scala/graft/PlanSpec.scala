@@ -176,7 +176,11 @@ class PlanSpec extends SparkSpec {
     "math_funcs" -> 0,
     // incremental dedup: the minhash candidate plan (3) + corpus-fp
     // distinct + the two anti-join sides at audit SF
-    "dedup_incremental" -> 9)
+    "dedup_incremental" -> 9,
+    // source_top_terms: (source, token) count agg + the custom TopK's
+    // single final exchange; rolling_dau: distinct + semi + 2-phase
+    // distinct-count
+    "source_top_terms" -> 2, "events_rolling_dau" -> 5)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
