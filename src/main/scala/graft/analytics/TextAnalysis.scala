@@ -470,9 +470,31 @@ object TextAnalysis {
       Seq(col("source")), Seq(col("cnt").desc, col("token")), 3)
   }
 
+  /** mixture_weights APPLIED — the deterministic weighted sample: a doc
+    * survives iff its md5-uniform (first 6 hex chars, compared as a
+    * fixed-width string against the hex-encoded threshold
+    * floor(keep_prob·16^6)) falls under its language's keep
+    * probability. Same rows on every engine/run/partitioning — the
+    * scan-side sampling step the mixture plan exists for; weights
+    * broadcast, documents never shuffle. keep_prob = 1 compares
+    * against 'g' (sorts after every hex digit) so full-keep languages
+    * are immune to the 7-char threshold edge. */
+  def sampleWeighted(s: SparkSession, d: String): DataFrame = {
+    val weights = mixtureWeights(s, d).select(col("lang"), col("keep_prob"))
+    documents(s, d)
+      .join(broadcast(weights), Seq("lang"))
+      .withColumn("thresh",
+        when(col("keep_prob") >= 1.0, lit("g"))
+          .otherwise(format_string("%06x",
+            floor(col("keep_prob") * lit(16777216.0)).cast("int"))))
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 6) < col("thresh"))
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_quality"   -> sourceQuality _,
     "source_top_terms" -> sourceTopTerms _,
+    "sample_weighted"  -> sampleWeighted _,
     "text_oov"         -> textOov _,
     "text_ttr"         -> textTtr _,
     "mixture_weights"  -> mixtureWeights _,
@@ -497,6 +519,26 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "sample_weighted" ->
+      """WITH per_lang AS (
+          SELECT lang, count(*) AS n_docs,
+            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
+          FROM documents GROUP BY lang),
+        t AS (
+          SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens,
+            count(*) AS n_langs
+          FROM per_lang),
+        w AS (
+          SELECT lang,
+            least(1.0, (CAST(total_tokens AS DOUBLE) / n_langs)
+              / CAST(lang_tokens AS DOUBLE)) AS keep_prob
+          FROM per_lang, t)
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN w ON d.lang = w.lang
+        WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) <
+          CASE WHEN keep_prob >= 1.0 THEN 'g'
+            ELSE printf('%06x', CAST(floor(keep_prob * 16777216.0) AS INT))
+          END""",
     "source_top_terms" ->
       """WITH c AS (
           SELECT source, token, count(*) AS cnt FROM (
