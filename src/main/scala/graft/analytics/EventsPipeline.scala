@@ -167,6 +167,35 @@ object EventsPipeline {
       .toDF("event_type", "total")
   }
 
+  /** Distribution-drift expectation: event-type shares in the first vs
+    * second half of the time range, with the absolute share delta per
+    * type — the schema-free drift gate (PSI-style, but exact: integer
+    * counts + single double divisions; ln() is not cross-engine-safe).
+    * Two grouped counts + a tiny join; at 100 TB both halves aggregate
+    * in one pass each, nothing wide shuffles. */
+  def expectDrift(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).withColumn("tus", expr("ts_ns div 1000"))
+    val mid = ev.agg((min(col("tus")) + (max(col("tus")) - min(col("tus"))) / 2)
+      .as("mid"))
+    val tagged = ev.crossJoin(broadcast(mid))
+      .withColumn("half", when(col("tus") < col("mid"), "h1").otherwise("h2"))
+    val shares = tagged
+      .groupBy(col("event_type"), col("half"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type"))
+      .pivot("half", Seq("h1", "h2"))
+      .agg(first(col("cnt")))
+      .na.fill(0L, Seq("h1", "h2"))
+    val totals = shares.agg(sum(col("h1")).as("t1"), sum(col("h2")).as("t2"))
+    shares.crossJoin(broadcast(totals))
+      .select(col("event_type"),
+        col("h1"), col("h2"),
+        (col("h1").cast("double") / col("t1").cast("double")).as("share1"),
+        (col("h2").cast("double") / col("t2").cast("double")).as("share2"),
+        abs(col("h1").cast("double") / col("t1").cast("double")
+          - col("h2").cast("double") / col("t2").cast("double")).as("drift"))
+  }
+
   /** ANSI-safe error-capturing functions — try_cast / try_divide /
     * try_add return NULL instead of raising, the contract a 100 TB
     * ingest needs (one malformed row must not kill a 6-hour job; the
@@ -799,6 +828,7 @@ object EventsPipeline {
     "expect_suite"        -> expectSuite _,
     "expect_fk"           -> expectFk _,
     "expect_unique"       -> expectUnique _,
+    "expect_drift"        -> expectDrift _,
     "try_funcs"           -> tryFuncs _,
     "typed_agg"           -> typedAgg _,
     "typed_aggregator"    -> typedAggregator _,
@@ -1104,6 +1134,27 @@ object EventsPipeline {
           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
             AS total
         FROM events GROUP BY user_id""",
+    "expect_drift" ->
+      """WITH e AS (
+          SELECT event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+        m AS (SELECT min(tus) + (max(tus) - min(tus)) / 2 AS mid FROM e),
+        tagged AS (
+          SELECT event_type,
+            CASE WHEN tus < mid THEN 'h1' ELSE 'h2' END AS half
+          FROM e, m),
+        shares AS (
+          SELECT event_type,
+            CAST(sum(CASE WHEN half = 'h1' THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+            CAST(sum(CASE WHEN half = 'h2' THEN 1 ELSE 0 END) AS BIGINT) AS h2
+          FROM tagged GROUP BY event_type),
+        t AS (SELECT CAST(sum(h1) AS BIGINT) AS t1,
+            CAST(sum(h2) AS BIGINT) AS t2 FROM shares)
+        SELECT event_type, h1, h2,
+          CAST(h1 AS DOUBLE) / CAST(t1 AS DOUBLE) AS share1,
+          CAST(h2 AS DOUBLE) / CAST(t2 AS DOUBLE) AS share2,
+          abs(CAST(h1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+            - CAST(h2 AS DOUBLE) / CAST(t2 AS DOUBLE)) AS drift
+        FROM shares, t""",
     "try_funcs" ->
       """SELECT event_id,
           TRY_CAST(event_type AS INT) AS bad_int,

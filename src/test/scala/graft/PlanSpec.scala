@@ -34,7 +34,8 @@ class PlanSpec extends SparkSpec {
   // same scalar-broadcast shape as tfidf/bm25/zorder/cms
   private val nljWhitelist =
     Set("sim_knn", "sim_range", "join_cross", "text_tfidf", "text_bm25",
-      "zorder_value", "sketch_cms", "mixture_weights", "sample_weighted")
+      "zorder_value", "sketch_cms", "mixture_weights", "sample_weighted",
+      "expect_drift")
 
   private val streaming =
     Set("stream_hourly", "stream_session", "stream_session_multibatch",
@@ -183,7 +184,10 @@ class PlanSpec extends SparkSpec {
     "source_top_terms" -> 2, "events_rolling_dau" -> 5,
     // sample_weighted recomputes the per-lang/totals aggs in its
     // static plan (scalar-broadcast shape, like mixture_weights)
-    "sample_weighted" -> 4)
+    "sample_weighted" -> 4,
+    // expect_drift: halves pivot agg + its recompute under the totals
+    // branch (scalar-broadcast shape ×2)
+    "expect_drift" -> 6)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
