@@ -160,6 +160,24 @@ object StreamingQueries {
       StreamingPipeline.windowedCounts(eventsStream(s, d)),
       OutputMode.Append())
 
+  /** Session windows under APPEND mode — the emit-once contract for
+    * sessions: a session is emitted only when the watermark passes its
+    * end (last event + 30-min gap), i.e. once no late event could
+    * still extend or merge it. Sessions whose close isn't final at the
+    * last watermark (max event time − 10 min) are withheld — the
+    * streaming-correctness edge Complete mode never exercises. The
+    * oracle sessionizes in SQL and applies the identical cutoff. */
+  def streamSessionAppend(s: SparkSession, d: String): DataFrame =
+    runToMemory(s,
+      eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          col("n_events")),
+      OutputMode.Append())
+
   /** Streaming deduplication — the at-least-once → exactly-once
     * upgrade: the source is written TWICE (two identical files, i.e. a
     * full replay, the failure mode of every at-least-once bus) and
@@ -327,6 +345,7 @@ object StreamingQueries {
     "stream_session" -> streamSession _,
     "stream_session_multibatch" -> streamSessionMultiBatch _,
     "stream_append"  -> streamAppend _,
+    "stream_session_append" -> streamSessionAppend _,
     "stream_dedup"   -> streamDedup _,
   )
 
@@ -336,6 +355,34 @@ object StreamingQueries {
           CAST(sum((id * 2654435761) % 4294967296) AS BIGINT) AS sum_mval
         FROM range(0, 50000) t(id)
         GROUP BY 1""",
+    // manual sessionization (gap >= 30 min starts a new session, the
+    // native session_window boundary) + the append-mode cutoff: emit
+    // iff session end (last event + gap) <= final watermark
+    "stream_session_append" ->
+      """WITH x AS (
+          SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus FROM events),
+        l AS (
+          SELECT user_id, event_id, tus,
+            lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+          FROM x),
+        st AS (
+          SELECT user_id, event_id, tus,
+            CASE WHEN prev IS NULL OR tus - prev >= 1800000000
+              THEN 1 ELSE 0 END AS is_start
+          FROM l),
+        sess AS (
+          SELECT user_id, tus,
+            CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY tus, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+          FROM st),
+        agg AS (
+          SELECT user_id, CAST(min(tus) AS BIGINT) AS start_us,
+            max(tus) AS end_tus, count(*) AS n_events
+          FROM sess GROUP BY user_id, sid),
+        wm AS (SELECT max(tus) - 600000000 AS cutoff FROM x)
+        SELECT user_id, start_us, n_events
+        FROM agg, wm
+        WHERE end_tus + 1800000000 <= cutoff""",
     "stream_hourly" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
           event_type, count(*) AS cnt,
