@@ -962,6 +962,25 @@ object Relational {
       greatest(col("value"), col("user_id").cast("double")).as("gr"),
       least(col("value"), col("user_id").cast("double")).as("ls"))
 
+  /** TPC-H Q14 shape (promo revenue share): a conditional aggregate
+    * OVER a join — the numerator filters inside the sum, so one join +
+    * one reduce answers a ratio that naively takes two passes. The
+    * part side carries only (partkey, type); exact decimal sums, one
+    * double division. */
+  def q14Promo(s: SparkSession, d: String): DataFrame = {
+    val rev = dec12(col("l_extendedprice")) * (one2 - dec4(col("l_discount")))
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .join(part(s, d).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev)).cast("double").as("promo_rev"),
+        sum(rev).cast("double").as("total_rev"))
+      .select(col("promo_rev"), col("total_rev"),
+        (lit(100.0) * col("promo_rev") / col("total_rev")).as("promo_share_pct"))
+  }
+
   /** Rolling 7-day distinct users per day. COUNT(DISTINCT) does not
     * decompose over sliding windows, so the scale-correct spelling is
     * contribution-explode: each (day, user) row fans out to the 7
@@ -1085,6 +1104,7 @@ object Relational {
     "set_union_distinct" -> setUnionDistinct _,
     "agg_pivot_multi"   -> aggPivotMulti _,
     "events_rolling_dau" -> eventsRollingDau _,
+    "q14_promo"         -> q14Promo _,
     "hash_funcs"        -> hashFuncs _,
     "bit_scalar"        -> bitScalar _,
     "math_funcs"        -> mathFuncs _,
@@ -1541,6 +1561,22 @@ object Relational {
           CAST(sum(CASE WHEN event_type = 'purchase'
             THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_val
         FROM events GROUP BY user_id""",
+    "q14_promo" ->
+      """WITH j AS (
+          SELECT p_type,
+            CAST(l_extendedprice AS DECIMAL(12,2))
+              * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+              AS rev
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+            AND l_shipdate < TIMESTAMP '1997-10-01')
+        SELECT
+          CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev END) AS DOUBLE)
+            AS promo_rev,
+          CAST(sum(rev) AS DOUBLE) AS total_rev,
+          100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev END) AS DOUBLE)
+            / CAST(sum(rev) AS DOUBLE) AS promo_share_pct
+        FROM j""",
     "events_rolling_dau" ->
       """WITH daily AS (
           SELECT DISTINCT CAST(ts AS DATE) AS uday, user_id FROM events),

@@ -188,7 +188,10 @@ class PlanSpec extends SparkSpec {
     "sample_weighted" -> 4,
     // expect_drift: halves pivot agg + its recompute under the totals
     // branch (scalar-broadcast shape ×2)
-    "expect_drift" -> 6)
+    "expect_drift" -> 6,
+    // q14: part broadcasts at audit SF; zero hash exchanges beyond the
+    // single-row reduce
+    "q14_promo" -> 0)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
