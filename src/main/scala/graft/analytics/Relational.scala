@@ -962,6 +962,17 @@ object Relational {
       greatest(col("value"), col("user_id").cast("double")).as("gr"),
       least(col("value"), col("user_id").cast("double")).as("ls"))
 
+  /** Bounce rate per user — single-event sessions / total sessions,
+    * composed over the winSession sessionization (same one-shuffle
+    * plan; the rollup rides the existing user_id partitioning). */
+  def eventsBounce(s: SparkSession, d: String): DataFrame =
+    winSession(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"))
+      .withColumn("bounce_rate",
+        col("n_bounce").cast("double") / col("n_sessions").cast("double"))
+
   /** TPC-H Q14 shape (promo revenue share): a conditional aggregate
     * OVER a join — the numerator filters inside the sum, so one join +
     * one reduce answers a ratio that naively takes two passes. The
@@ -1105,6 +1116,7 @@ object Relational {
     "agg_pivot_multi"   -> aggPivotMulti _,
     "events_rolling_dau" -> eventsRollingDau _,
     "q14_promo"         -> q14Promo _,
+    "events_bounce"     -> eventsBounce _,
     "hash_funcs"        -> hashFuncs _,
     "bit_scalar"        -> bitScalar _,
     "math_funcs"        -> mathFuncs _,
@@ -1561,6 +1573,32 @@ object Relational {
           CAST(sum(CASE WHEN event_type = 'purchase'
             THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_val
         FROM events GROUP BY user_id""",
+    "events_bounce" ->
+      """WITH x AS (
+          SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events),
+        l AS (
+          SELECT user_id, event_id, tns,
+            lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS prev
+          FROM x),
+        st AS (
+          SELECT user_id, event_id, tns,
+            CASE WHEN prev IS NULL OR tns - prev > 1800000000000
+              THEN 1 ELSE 0 END AS is_start
+          FROM l),
+        sess AS (
+          SELECT user_id,
+            CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY tns, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+          FROM st),
+        agg AS (
+          SELECT user_id, sid, count(*) AS n_events
+          FROM sess GROUP BY user_id, sid)
+        SELECT user_id, count(*) AS n_sessions,
+          CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_bounce,
+          CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS bounce_rate
+        FROM agg GROUP BY user_id""",
     "q14_promo" ->
       """WITH j AS (
           SELECT p_type,

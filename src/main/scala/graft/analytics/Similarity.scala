@@ -233,7 +233,19 @@ object Similarity {
                 div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)""").as("var_q2"))
   }
 
+  /** Norm histogram over the corpus — the embedding-space sanity check
+    * run before any similarity work (collapsed or exploded norms flag a
+    * broken encoder). Norms come from the native codegen `L2Norm`
+    * expression; buckets are floor(nrm·10) — sqrt is IEEE
+    * correctly-rounded and floor is exact, so buckets are
+    * cross-engine-identical. Scan + one tiny groupBy. */
+  def embNormHist(s: SparkSession, d: String): DataFrame =
+    corpus(s, d)
+      .groupBy(floor(col("nrm") * 10).as("bucket"))
+      .agg(count(lit(1)).as("n_vecs"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_norm_hist" -> embNormHist _,
     "emb_dim_stats" -> embDimStats _,
     "sim_knn" -> simKnn _,
     "sim_ann_ivf" -> ((s: SparkSession, d: String) => simAnnIvf(s, d)),
@@ -243,6 +255,13 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "emb_norm_hist" ->
+      """SELECT CAST(floor(sqrt(list_dot_product(v, v)) * 10) AS BIGINT)
+            AS bucket,
+          count(*) AS n_vecs
+        FROM (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings)
+        GROUP BY 1""",
     // HUGEINT = DuckDB's 128-bit exact lane, mirroring Spark's
     // DECIMAL(38,0); // on the nonnegative variance numerator is the
     // same floor division as Spark's `div`

@@ -191,7 +191,10 @@ class PlanSpec extends SparkSpec {
     "expect_drift" -> 6,
     // q14: part broadcasts at audit SF; zero hash exchanges beyond the
     // single-row reduce
-    "q14_promo" -> 0)
+    "q14_promo" -> 0,
+    // bounce composes on winSession's one user_id exchange; norm hist
+    // adds its bucket rollup to the corpus repartition
+    "events_bounce" -> 1, "emb_norm_hist" -> 2)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
