@@ -167,6 +167,26 @@ object Relational {
         countDistinct(col("user_id")).as("n_users"),
         countDistinct(dec2(col("value"))).as("n_values"))
 
+  /** HLL++ sketch distinct-count next to the exact answer — the
+    * approximate tier of A7. At 100 TB `approx_count_distinct` is the
+    * only viable per-key cardinality (fixed 2^p registers per group vs
+    * an unbounded distinct-set shuffle; merges are per-register max —
+    * commutative, so partial aggregation combines in any order and the
+    * estimate is DETERMINISTIC for a given dataset). The oracle cannot
+    * reproduce Spark's HLL registers, so the declared output is the
+    * exact count plus the sketch's relative-error verdict: DuckDB
+    * asserts `within_tol` is uniformly TRUE — a real accuracy gate
+    * (rsd 2%, gate 5% = 2.5σ), hash-checked like everything else. */
+  def aggHll(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("est"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("est") - col("exact_users")).cast("double")
+          / col("exact_users") <= 0.05).as("within_tol"))
+
   /** Full-table count (the reference's most common action,
     * Glue_job.py:95,124,127,131-135 — here as one job, not eight). */
   def aggCount(s: SparkSession, d: String): DataFrame =
@@ -360,6 +380,46 @@ object Relational {
         expr("percentile(value, 0.25)").as("p25"),
         expr("percentile(value, 0.5)").as("p50"),
         expr("percentile(value, 0.9)").as("p90"))
+
+  /** Sketch quantiles next to their accuracy proof — the approximate
+    * tier of the percentile family. At 100 TB `approx_percentile`
+    * (KLL-style, bounded memory, mergeable partials) replaces the exact
+    * percentile's full per-group sort. As with `agg_hll`, the oracle
+    * can't reproduce the sketch, so the declared output is the exact
+    * count plus per-quantile RANK-ERROR verdicts computed against the
+    * data itself: the fraction of rows ≤ the sketch's q-quantile must
+    * sit within q ± 0.05. DuckDB asserts all verdicts are uniformly
+    * TRUE — a genuine accuracy gate, hash-checked. */
+  def aggApproxQuantile(s: SparkSession, d: String): DataFrame = {
+    val sk = events(s, d)
+      .groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, array(0.25D, 0.5D, 0.9D), 1000)")
+        .as("ap"))
+    def ok(q: Double, i: Int): Column =
+      (abs(avg(when(col("value") <= col("ap")(i), 1).otherwise(0)) - q)
+        <= 0.05).as(s"ok${(q * 100).toInt}")
+    events(s, d)
+      .join(broadcast(sk), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), ok(0.25, 0), ok(0.5, 1), ok(0.9, 2))
+  }
+
+  /** Key-skew diagnostics — the pre-shuffle health check a 100 TB
+    * pipeline runs before choosing a join strategy (salting / AQE skew
+    * thresholds): per-key group sizes reduced to max, p99, mean, and
+    * the max/mean skew ratio. Two tiny aggregations; sizes are exact
+    * integers so the interpolated p99 and the ratio are cross-engine
+    * deterministic. */
+  def skewStats(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("sz"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        max(col("sz")).as("max_sz"),
+        expr("percentile(sz, 0.99)").as("p99_sz"),
+        (sum(col("sz")).cast("double") / count(lit(1))).as("mean_sz"))
+      .withColumn("skew_ratio",
+        col("max_sz").cast("double") / col("mean_sz"))
 
   /** Descriptive-statistics aggregates — mean, population variance, and
     * Pearson correlation per group — spelled as EXACT integer moment
@@ -1047,7 +1107,27 @@ object Relational {
         min(col("uval")).as("min_uval"),
         max(col("uval")).as("max_uval"))
 
+  /** Name-resolved SQL through the `TableCatalog` plugin
+    * (`sources.GraftCatalog`): register the catalog lazily on the
+    * session conf, point its `dir` at this dataset, and run plain SQL
+    * against `graft.data.*` identifiers. The resolved scans are the
+    * same pushdown-capable parquet tables every path-based query uses —
+    * catalog resolution costs one analysis-time lookup, nothing at
+    * runtime. The aggregate follows house determinism rules (decimal
+    * sum + one double cast). */
+  def catalogSql(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.dir", d)
+    s.sql("""SELECT c.c_mktsegment, count(*) AS n_orders,
+          CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM graft.data.orders o
+        JOIN graft.data.customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY c.c_mktsegment""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "catalog_sql"       -> catalogSql _,
     "q1_agg"            -> q1Agg _,
     "q3_topk"           -> q3Topk _,
     "q5_local"          -> q5Local _,
@@ -1058,6 +1138,9 @@ object Relational {
     "join_anti"         -> joinAnti _,
     "agg_group"         -> aggGroup _,
     "agg_distinct"      -> aggDistinct _,
+    "agg_hll"           -> aggHll _,
+    "agg_approx_quantile" -> aggApproxQuantile _,
+    "skew_stats"        -> skewStats _,
     "agg_count"         -> aggCount _,
     "agg_rollup"        -> aggRollup _,
     "agg_stats"         -> aggStats _,
@@ -1328,6 +1411,12 @@ object Relational {
           count(DISTINCT CAST(value AS DECIMAL(18,2))) AS n_values
         FROM events GROUP BY event_type""",
     "agg_count" -> "SELECT count(*) AS n FROM lineitem",
+    // the sketch itself is Spark-side; the oracle pins the exact count
+    // and asserts the declared tolerance verdict is uniformly TRUE
+    "agg_hll" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+          TRUE AS within_tol
+        FROM events GROUP BY event_type""",
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
@@ -1388,6 +1477,20 @@ object Relational {
           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+    // sketch-quantile rank-error gate: the oracle pins the exact count
+    // and asserts the declared verdicts are uniformly TRUE
+    "agg_approx_quantile" ->
+      """SELECT event_type, count(*) AS n,
+          TRUE AS ok25, TRUE AS ok50, TRUE AS ok90
+        FROM events GROUP BY event_type""",
+    "skew_stats" ->
+      """WITH g AS (SELECT user_id, count(*) AS sz FROM events GROUP BY user_id)
+        SELECT count(*) AS n_keys, CAST(max(sz) AS BIGINT) AS max_sz,
+          quantile_cont(sz, 0.99) AS p99_sz,
+          CAST(sum(sz) AS DOUBLE) / count(*) AS mean_sz,
+          CAST(max(sz) AS DOUBLE) / (CAST(sum(sz) AS DOUBLE) / count(*))
+            AS skew_ratio
+        FROM g""",
     "agg_quantile" ->
       """SELECT event_type,
           quantile_cont(value, 0.25) AS p25,
@@ -1559,6 +1662,15 @@ object Relational {
         FROM x
         WHERE id >= 12345 AND id < 98765 AND bucket % 3 = 1
         GROUP BY bucket""",
+    // catalog-resolved tables are the same parquet scans — the oracle
+    // is the identical query with bare table names
+    "catalog_sql" ->
+      """SELECT c.c_mktsegment, count(*) AS n_orders,
+          CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY c.c_mktsegment""",
     // the SAME string spark.sql executes — SQL front-end parity
     "sql_text" -> sqlTextShared,
     "join_lateral" -> lateralShared,

@@ -153,6 +153,60 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("nid"), col("rn"))
   }
 
+  /** LSH-bucketed ANN — the second approximate scale path next to IVF:
+    * random-hyperplane (SimHash) sign bits bucket the corpus, and only
+    * bucket-mates are reranked. 16 hyperplanes (vectors 50..65 of the
+    * corpus itself — deterministic "random" directions, the same
+    * data-derived-seed trick the IVF quantizer uses) → a 16-bit
+    * signature, banded 4×4: a candidate is any corpus vector sharing at
+    * least one 4-bit band with the query.
+    *
+    * Scale shape vs brute force: signatures are 16 dot products per row
+    * computed scan-side (no shuffle — the hyperplanes are literals);
+    * the band join is an equi-join on (band, bval) with the query side
+    * broadcast; candidates are deduped as bare id pairs (16 B rows)
+    * BEFORE vectors rejoin — the corpus text/vector columns never ride
+    * the candidate shuffle. O(N·candidates) work replaces O(N·Q), and
+    * every join is hash, not NLJ. Sign-LSH theory (Charikar'02): bits
+    * agree with prob 1−θ/π, so similar pairs collide in some band far
+    * more often than random ones — recall vs `sim_knn` is
+    * spec-asserted; the result set itself is deterministic and carries
+    * a full DuckDB oracle (the same pipeline as CTEs). */
+  def simAnnLsh(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val e = corpus(s, d).persist()
+    // hyperplanes = corpus vectors 50..65, collected as index metadata
+    // (16·64 doubles) — same driver-side footprint as IVF centroids
+    val planes: Array[Seq[Double]] = e
+      .filter(col("vec_id") >= 50 && col("vec_id") < 66)
+      .select(col("vec_id"), col("v")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1))
+    // 4 bands × 4 sign bits, evaluated as pure per-row expressions
+    val bvals = array((0 until 4).map { b =>
+      (0 until 4).map { j =>
+        when(dot(col("v"), typedlit(planes(4 * b + j))) >= 0, lit(1 << j))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+    val sig = e.select(col("vec_id"), posexplode(bvals).as(Seq("band", "bval")))
+    val qsig = sig.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("band"), col("bval"))
+    // bare-id candidate pairs: dedup BEFORE any vector rejoins
+    val cand = sig.join(broadcast(qsig), Seq("band", "bval"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"))
+      .distinct()
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    cand
+      .join(e.withColumnRenamed("vec_id", "nid"), Seq("nid"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("rn"))
+  }
+
   /** Radius (range) search — the threshold sibling of top-k: every
     * corpus neighbor with cosine ≥ `radius` of each query vector. Same
     * broadcast-query / linear-corpus-scan shape as simKnn; the double
@@ -165,6 +219,167 @@ object Similarity {
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .filter(col("cos") >= radius)
       .select(col("qid"), col("vec_id").as("nid"), col("cos"))
+  }
+
+  /** Product quantization (PQ) — the codebook compression every
+    * billion-scale ANN index serves from (IVF-PQ): split each 64-dim
+    * vector into 8 contiguous 8-dim subvectors and quantize each
+    * against its own 16-codeword codebook → 8 nibble codes (4 bytes)
+    * per vector, a 64× reduction over float32.
+    *
+    * Codebooks are trained like the IVF quantizer: seeded from the
+    * first 16 vectors' subvectors + one Lloyd round with FIXED-POINT
+    * means (floor(x·10⁶) longs, exact in any aggregation order), so
+    * the trained codebooks — and therefore every code — are
+    * deterministic and the whole pipeline carries a DuckDB oracle.
+    * Subvector distances are spelled x·x − 2·x·y + y·y from three
+    * left-to-right dot products (bit-identical in both engines); the
+    * reported distortion is per-subspace fixed-point (floor(d·10⁶))
+    * summed as exact longs.
+    *
+    * Scale shape: codebooks are 8·16·8 doubles of driver/broadcast
+    * index metadata; assignment is a pure per-row argmin expression
+    * against the literal codebooks (scan-side, NO join, NO shuffle —
+    * the same shape that made IVF assignment shuffle-free); the only
+    * exchange is the per-vector code rollup. */
+  /** ‖x−c‖² from three deterministic dot products — the identical
+    * left-to-right spelling DuckDB's `list_dot_product` runs, so the
+    * double is bit-stable cross-engine. */
+  private def l2sq(x: Column, c: Column): Column =
+    dot(x, x) - lit(2) * dot(x, c) + dot(c, c)
+
+  /** The per-subspector rows (vec_id, sub, sv) every PQ stage reads. */
+  private def pqSubs(e: DataFrame, m: Int, subDim: Int): DataFrame =
+    e.select(col("vec_id"),
+      posexplode(array((0 until m).map(sub =>
+        slice(col("v"), sub * subDim + 1, subDim)): _*)).as(Seq("sub", "sv")))
+
+  /** argmin code for the exploded (sub, sv) frame against literal
+    * codebooks (ties → lowest code), as a pure per-row expression. */
+  private def pqCodeOf(books: Array[Array[Seq[Double]]]): Column = {
+    val bl = typedlit(books.map(_.toSeq).toSeq)
+    val dists = transform(element_at(bl, col("sub") + 1), c => l2sq(col("sv"), c))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Train PQ codebooks: seeds = subvectors of vectors 0..k-1, then
+    * `rounds` Lloyd iterations with exact fixed-point means (floor(x·10⁶)
+    * longs — order-independent, cross-engine exact). Codewords that
+    * lose all members keep their previous value. Books are index
+    * metadata: m·k·subDim doubles on the driver, same as IVF centroids. */
+  private def trainPq(subs: DataFrame, m: Int, subDim: Int, k: Int,
+      rounds: Int): Array[Array[Seq[Double]]] = {
+    val init = Array.ofDim[Seq[Double]](m, k)
+    subs.filter(col("vec_id") < k).collect()
+      .foreach(r => init(r.getInt(1))(r.getLong(0).toInt) = r.getSeq[Double](2))
+    var trained = init
+    for (_ <- 1 to rounds) {
+      val means = subs
+        .select(col("sub"), pqCodeOf(trained).as("code"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg((sum(floor(col("x") * 1e6).cast("long")).cast("double")
+          / count(lit(1)) / 1e6).as("mv"))
+        .collect()
+      val next = trained.map(_.map(identity))
+      means.foreach { r =>
+        val sub = r.getInt(0); val code = r.getInt(1); val pos = r.getInt(2)
+        next(sub)(code) = next(sub)(code).updated(pos, r.getDouble(3))
+      }
+      trained = next
+    }
+    trained
+  }
+
+  def embPq(s: SparkSession, d: String, m: Int = 8, subDim: Int = 8,
+      k: Int = 16, lloydRounds: Int = 1): DataFrame = {
+    val e = corpus(s, d).persist()
+    val subs = pqSubs(e, m, subDim)
+    val trained = trainPq(subs, m, subDim, k, lloydRounds)
+
+    // final assignment + per-vector rollup: codes csv + exact distortion
+    subs
+      .select(col("vec_id"), col("sub"), pqCodeOf(trained).as("code"),
+        floor(l2sq(col("sv"),
+          element_at(element_at(typedlit(trained.map(_.toSeq).toSeq),
+            col("sub") + 1), pqCodeOf(trained) + 1)) * 1e6)
+          .cast("long").as("dq"))
+      .groupBy(col("vec_id"))
+      .agg(
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("sub"), col("code")))),
+          x => x.getField("code"))).as("codes"),
+        sum(col("dq")).as("err_q"))
+  }
+
+  /** IVF-PQ with asymmetric distance computation (ADC) — the
+    * composition production ANN serves from at billion scale (FAISS
+    * IVFPQ): the coarse IVF quantizer prunes the corpus to `nprobe`
+    * cells, and inside them candidates are scored from their 4-byte PQ
+    * codes against the query's precomputed distance table — the
+    * full-precision corpus vectors are never touched at query time.
+    *
+    * Scale shape: the candidate side carries only (vec_id, cell,
+    * codes[8]) — the index's compressed form (~20 B/row vs 256 B of
+    * floats); the query side broadcasts (qid, cell, dtable) where
+    * dtable is the query's m×k table of fixed-point subspace distances
+    * (8·16 longs — computed once per query, the ADC trick). Scoring is
+    * a pure expression: Σ_sub dtable[sub][codes[sub]] — exact long
+    * adds, no floats at query time, so ranking is deterministic and
+    * the whole pipeline (coarse train + PQ train + probe + ADC) carries
+    * a full DuckDB oracle. Both quantizers are the already-oracled
+    * constructions (IVF: seed + 2 fixed-point Lloyd rounds; PQ: seed +
+    * 1 round). */
+  def simAnnIvfPq(s: SparkSession, d: String, nlist: Int = 16,
+      nprobe: Int = 8, k: Int = 10, m: Int = 8, subDim: Int = 8,
+      nk: Int = 16): DataFrame = {
+    val e = corpus(s, d).persist()
+    // coarse quantizer — identical construction to simAnnIvf
+    val init = e.filter(col("vec_id") < nlist)
+      .select(col("vec_id"), col("v")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val cl = centroidsLit(lloyd(e, init, 2))
+    // PQ codebooks — identical construction to embPq
+    val books = trainPq(pqSubs(e, m, subDim), m, subDim, nk, 1)
+    val bookLit = typedlit(books.map(_.toSeq).toSeq)
+
+    def subv(v: Column, sub: Int): Column = slice(v, sub * subDim + 1, subDim)
+    // per-row PQ codes from the full vector (no explode): argmin per sub
+    val codes = array((0 until m).map { sub =>
+      val dists = transform(element_at(bookLit, sub + 1),
+        c => l2sq(subv(col("v"), sub), c))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+    // the compressed index: id + cell + codes, nothing else
+    val indexed = e.select(col("vec_id"),
+      cellOf(cl, col("v")).as("cell"), codes.as("codes"))
+
+    // query side: probe lists + the m×k fixed-point ADC distance table
+    val dtable = array((0 until m).map { sub =>
+      transform(element_at(bookLit, sub + 1),
+        c => floor(l2sq(subv(col("v"), sub), c) * 1e6).cast("long"))
+    }: _*)
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell"))
+    val probed = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), dtable.as("dtable"),
+        posexplode(transform(cl, c => dot(col("v"), c))).as(Seq("cell", "csim")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("dtable"), col("cell"))
+
+    // ADC score: exact long sum of the m table lookups
+    val adc = (0 until m).map { sub =>
+      element_at(element_at(col("dtable"), sub + 1),
+        element_at(col("codes"), sub + 1) + 1)
+    }.reduce(_ + _)
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("vec_id"))
+    indexed.join(broadcast(probed), Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("adc", adc)
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("rn"))
   }
 
   /** Int8 quantization — the storage/serving form of an embedding
@@ -249,8 +464,11 @@ object Similarity {
     "emb_dim_stats" -> embDimStats _,
     "sim_knn" -> simKnn _,
     "sim_ann_ivf" -> ((s: SparkSession, d: String) => simAnnIvf(s, d)),
+    "sim_ann_ivfpq" -> ((s: SparkSession, d: String) => simAnnIvfPq(s, d)),
+    "sim_ann_lsh" -> ((s: SparkSession, d: String) => simAnnLsh(s, d)),
     "sim_range" -> ((s: SparkSession, d: String) => simRange(s, d)),
     "emb_quantize" -> embQuantize _,
+    "emb_pq" -> ((s: SparkSession, d: String) => embPq(s, d)),
     "emb_centroid" -> embCentroid _,
   )
 
@@ -366,6 +584,147 @@ object Similarity {
             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
           FROM scored) WHERE rn <= 10"""
     },
+    // IVF-PQ/ADC composed as CTEs: the coarse pipeline is sim_ann_ivf's
+    // verbatim (seed + 2 fixed-point Lloyd rounds), the codebook
+    // pipeline emb_pq's verbatim (seed + 1 round); ADC sums the same
+    // fixed-point (floor(d·10⁶)) subspace distances as exact BIGINTs
+    "sim_ann_ivfpq" -> {
+      // coarse-quantizer builders (sim_ann_ivf's, dims64-based)
+      def cn(cd: String): String =
+        s"""SELECT cell, list_transform(c, x ->
+             CASE WHEN sqrt(list_dot_product(c, c)) = 0 THEN 0
+                  ELSE x / sqrt(list_dot_product(c, c)) END) AS c
+           FROM (SELECT cell, list(val ORDER BY dim) AS c FROM $cd GROUP BY cell)"""
+      def cassign(cnT: String): String =
+        s"""SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, c.c) DESC, c.cell) AS rn
+             FROM e CROSS JOIN $cnT c) WHERE rn = 1"""
+      def cmeans(aT: String): String =
+        s"""SELECT a.cell, d.i - 1 AS dim,
+             CAST(sum(CAST(floor(e.v[d.i] * 1000000) AS BIGINT)) AS DOUBLE)
+               / count(*) / 1000000 AS val
+           FROM e JOIN $aT a USING (vec_id), dims64 d
+           GROUP BY a.cell, d.i"""
+      def cstep(prevCd: String, mT: String): String =
+        s"""SELECT $prevCd.cell, $prevCd.dim, coalesce($mT.val, $prevCd.val) AS val
+           FROM $prevCd LEFT JOIN $mT
+             ON $mT.cell = $prevCd.cell AND $mT.dim = $prevCd.dim"""
+      // PQ distance spelling (emb_pq's verbatim)
+      def pdist(svT: String, cvT: String): String =
+        s"list_dot_product($svT, $svT) - 2 * list_dot_product($svT, $cvT) " +
+          s"+ list_dot_product($cvT, $cvT)"
+      s"""WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        dims64 AS (SELECT unnest(generate_series(1, 64)) AS i),
+        ms AS (SELECT unnest(generate_series(0, 7)) AS sub),
+        dims8 AS (SELECT unnest(generate_series(1, 8)) AS i),
+        cd0 AS (
+          SELECT vec_id AS cell, i - 1 AS dim, v[i] AS val
+          FROM e, dims64 WHERE vec_id < 16),
+        cn0 AS (${cn("cd0")}),
+        ca1 AS (${cassign("cn0")}),
+        cm1 AS (${cmeans("ca1")}),
+        cd1 AS (${cstep("cd0", "cm1")}),
+        cn1 AS (${cn("cd1")}),
+        ca2 AS (${cassign("cn1")}),
+        cm2 AS (${cmeans("ca2")}),
+        cd2 AS (${cstep("cd1", "cm2")}),
+        cn2 AS (${cn("cd2")}),
+        afc AS (${cassign("cn2")}),
+        subs AS (
+          SELECT e.vec_id, ms.sub,
+            list_slice(e.v, ms.sub * 8 + 1, ms.sub * 8 + 8) AS sv
+          FROM e CROSS JOIN ms),
+        cb0 AS (
+          SELECT sub, CAST(vec_id AS INT) AS code, sv AS cv
+          FROM subs WHERE vec_id < 16),
+        pa1 AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT s.vec_id, s.sub, c.code,
+              row_number() OVER (PARTITION BY s.vec_id, s.sub
+                ORDER BY ${pdist("s.sv", "c.cv")} ASC, c.code) AS rn
+            FROM subs s JOIN cb0 c ON c.sub = s.sub) WHERE rn = 1),
+        pm1 AS (
+          SELECT a.sub, a.code, d.i - 1 AS pos,
+            CAST(sum(CAST(floor(s.sv[d.i] * 1000000) AS BIGINT)) AS DOUBLE)
+              / count(*) / 1000000 AS mv
+          FROM subs s
+          JOIN pa1 a ON a.vec_id = s.vec_id AND a.sub = s.sub, dims8 d
+          GROUP BY a.sub, a.code, d.i),
+        cb0e AS (
+          SELECT sub, code, d.i - 1 AS pos, cv[d.i] AS val FROM cb0, dims8 d),
+        cb1e AS (
+          SELECT cb0e.sub, cb0e.code, cb0e.pos,
+            coalesce(pm1.mv, cb0e.val) AS val
+          FROM cb0e LEFT JOIN pm1
+            ON pm1.sub = cb0e.sub AND pm1.code = cb0e.code
+              AND pm1.pos = cb0e.pos),
+        cb1 AS (
+          SELECT sub, code, list(val ORDER BY pos) AS cv
+          FROM cb1e GROUP BY sub, code),
+        afp AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT s.vec_id, s.sub, c.code,
+              row_number() OVER (PARTITION BY s.vec_id, s.sub
+                ORDER BY ${pdist("s.sv", "c.cv")} ASC, c.code) AS rn
+            FROM subs s JOIN cb1 c ON c.sub = s.sub) WHERE rn = 1),
+        probes AS (
+          SELECT qid, cell FROM (
+            SELECT q.vec_id AS qid, c.cell,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_dot_product(q.v, c.c) DESC, c.cell) AS prn
+            FROM e q CROSS JOIN cn2 c WHERE q.vec_id < 50) WHERE prn <= 8),
+        adc AS (
+          SELECT p.qid, a.vec_id AS nid,
+            CAST(sum(CAST(floor((${pdist("qs.sv", "cb1.cv")}) * 1000000)
+              AS BIGINT)) AS BIGINT) AS adcv
+          FROM probes p
+          JOIN afc a ON a.cell = p.cell
+          JOIN afp c ON c.vec_id = a.vec_id
+          JOIN subs qs ON qs.vec_id = p.qid AND qs.sub = c.sub
+          JOIN cb1 ON cb1.sub = c.sub AND cb1.code = c.code
+          WHERE a.vec_id <> p.qid
+          GROUP BY p.qid, a.vec_id)
+        SELECT qid, nid, rn FROM (
+          SELECT qid, nid,
+            row_number() OVER (PARTITION BY qid ORDER BY adcv ASC, nid) AS rn
+          FROM adc) WHERE rn <= 10"""
+    },
+    // the same sign-bit/banding pipeline as CTEs: bit weights are exact
+    // small integers (CASE, not power()) and the sign comparison is of
+    // the identical left-to-right double dot product both engines run
+    "sim_ann_lsh" ->
+      """WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        h AS (SELECT vec_id - 50 AS j, v FROM e
+              WHERE vec_id >= 50 AND vec_id < 66),
+        sig AS (
+          SELECT e.vec_id, CAST(h.j // 4 AS INT) AS band,
+            CAST(sum(CASE WHEN list_dot_product(e.v, h.v) >= 0
+              THEN (CASE h.j % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                    WHEN 2 THEN 4 ELSE 8 END)
+              ELSE 0 END) AS INT) AS bval
+          FROM e CROSS JOIN h GROUP BY e.vec_id, band),
+        q AS (SELECT vec_id AS qid, band, bval FROM sig WHERE vec_id < 50),
+        cand AS (
+          SELECT DISTINCT q.qid, s.vec_id AS nid
+          FROM q JOIN sig s USING (band, bval)
+          WHERE s.vec_id <> q.qid),
+        scored AS (
+          SELECT c.qid, c.nid,
+            list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm) AS cos
+          FROM cand c
+          JOIN n qn ON qn.vec_id = c.qid
+          JOIN n cn ON cn.vec_id = c.nid)
+        SELECT qid, nid, rn FROM (
+          SELECT qid, nid,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+          FROM scored) WHERE rn <= 10""",
     "sim_range" ->
       """WITH e AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -386,6 +745,59 @@ object Similarity {
             CASE WHEN mx = 0 THEN 0
                  ELSE CAST(floor(x / mx * 127 + 0.5) AS BIGINT) END), ',') AS codes
         FROM e""",
+    // the PQ pipeline as CTEs: seed books → argmin assign → fixed-point
+    // Lloyd means (lost codes keep their seed) → re-assign → rollup.
+    // Distances use the identical x·x − 2x·y + y·y double spelling; the
+    // distortion sum is exact BIGINT (CAST away DuckDB's HUGEINT).
+    "emb_pq" -> {
+      val distS = "list_dot_product(s.sv, s.sv) " +
+        "- 2 * list_dot_product(s.sv, c.cv) + list_dot_product(c.cv, c.cv)"
+      s"""WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        ms AS (SELECT unnest(generate_series(0, 7)) AS sub),
+        dims AS (SELECT unnest(generate_series(1, 8)) AS i),
+        subs AS (
+          SELECT e.vec_id, ms.sub,
+            list_slice(e.v, ms.sub * 8 + 1, ms.sub * 8 + 8) AS sv
+          FROM e CROSS JOIN ms),
+        cb0 AS (
+          SELECT sub, CAST(vec_id AS INT) AS code, sv AS cv
+          FROM subs WHERE vec_id < 16),
+        a1 AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT s.vec_id, s.sub, c.code,
+              row_number() OVER (PARTITION BY s.vec_id, s.sub
+                ORDER BY $distS ASC, c.code) AS rn
+            FROM subs s JOIN cb0 c ON c.sub = s.sub) WHERE rn = 1),
+        m1 AS (
+          SELECT a.sub, a.code, d.i - 1 AS pos,
+            CAST(sum(CAST(floor(s.sv[d.i] * 1000000) AS BIGINT)) AS DOUBLE)
+              / count(*) / 1000000 AS mv
+          FROM subs s
+          JOIN a1 a ON a.vec_id = s.vec_id AND a.sub = s.sub, dims d
+          GROUP BY a.sub, a.code, d.i),
+        cb0e AS (
+          SELECT sub, code, d.i - 1 AS pos, cv[d.i] AS val FROM cb0, dims d),
+        cb1e AS (
+          SELECT cb0e.sub, cb0e.code, cb0e.pos,
+            coalesce(m1.mv, cb0e.val) AS val
+          FROM cb0e LEFT JOIN m1
+            ON m1.sub = cb0e.sub AND m1.code = cb0e.code AND m1.pos = cb0e.pos),
+        cb1 AS (
+          SELECT sub, code, list(val ORDER BY pos) AS cv
+          FROM cb1e GROUP BY sub, code),
+        af AS (
+          SELECT vec_id, sub, code, dist FROM (
+            SELECT s.vec_id, s.sub, c.code, $distS AS dist,
+              row_number() OVER (PARTITION BY s.vec_id, s.sub
+                ORDER BY $distS ASC, c.code) AS rn
+            FROM subs s JOIN cb1 c ON c.sub = s.sub) WHERE rn = 1)
+        SELECT vec_id,
+          string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub) AS codes,
+          CAST(sum(CAST(floor(dist * 1000000) AS BIGINT)) AS BIGINT) AS err_q
+        FROM af GROUP BY vec_id"""
+    },
     "emb_centroid" ->
       s"""WITH lang AS (
           SELECT doc_id, pred_lang FROM (${TextAnalysis.oracle("lang_id")})),

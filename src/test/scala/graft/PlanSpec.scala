@@ -194,7 +194,28 @@ class PlanSpec extends SparkSpec {
     "q14_promo" -> 0,
     // bounce composes on winSession's one user_id exchange; norm hist
     // adds its bucket rollup to the corpus repartition
-    "events_bounce" -> 1, "emb_norm_hist" -> 2)
+    "events_bounce" -> 1, "emb_norm_hist" -> 2,
+    // catalog-resolved scan: customer broadcasts at audit SF; the one
+    // exchange is the segment rollup
+    "catalog_sql" -> 1,
+    // mixed exact-distinct + HLL sketch agg expands to a two-level plan
+    "agg_hll" -> 2,
+    // LSH ANN: candidate-pair distinct + the nid vector rejoin's two
+    // sides + the per-query rank window (query side broadcasts)
+    "sim_ann_lsh" -> 4,
+    // PQ: assignment is a scan-side argmin expression; the one
+    // exchange is the per-vector code rollup
+    "emb_pq" -> 1,
+    // sketch branch's event_type agg + the verdict rollup (the sketch
+    // side rejoins broadcast)
+    "agg_approx_quantile" -> 3,
+    // one user_id group-size shuffle; the stats finish is a single-row
+    // reduce
+    "skew_stats" -> 1,
+    // IVF-PQ: assignment/codes/ADC are scan-side expressions; the two
+    // exchanges are the probe-list window (50·nlist rows, trivial) and
+    // the per-query rank window
+    "sim_ann_ivfpq" -> 2)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")

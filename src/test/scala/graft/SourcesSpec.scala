@@ -132,4 +132,61 @@ class SourcesSpec extends SparkSpec {
     assert(r.getAs[Int]("bucket") === 7)
     assert(r.getAs[Double]("uval") === mval.toDouble / (1L << 32))
   }
+
+  private def withCatalog[A](f: => A): A = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.dir", sfDir)
+    f
+  }
+
+  test("catalog resolves tables by name and the scan keeps full pushdown") {
+    withCatalog {
+      val df = spark.sql(
+        "SELECT o_orderkey FROM graft.data.orders WHERE o_orderstatus = 'F'")
+      val plan = df.queryExecution.executedPlan.toString
+      // catalog-resolved parquet scan pushes the predicate like any
+      // path-resolved one
+      assert(plan.contains("PushedFilters: [IsNotNull(o_orderstatus), " +
+        "EqualTo(o_orderstatus,F)"), plan)
+      val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(!readSchema.contains("o_totalprice"), readSchema)
+      assert(df.count() ===
+        spark.read.parquet(s"$sfDir/orders.parquet")
+          .filter(col("o_orderstatus") === "F").count())
+    }
+  }
+
+  test("catalog lists the dataset's tables and SHOW TABLES sees them") {
+    withCatalog {
+      val names = spark.sql("SHOW TABLES IN graft.data")
+        .select("tableName").collect().map(_.getString(0)).toSet
+      assert(Set("lineitem", "orders", "customer", "events", "documents")
+        .subsetOf(names), names)
+    }
+  }
+
+  test("catalog dir is re-read from the session conf per lookup") {
+    withCatalog {
+      val n1 = spark.sql("SELECT count(*) AS n FROM graft.data.region")
+        .first().getLong(0)
+      spark.conf.set("spark.sql.catalog.graft.dir", "/root/testdata/sf0.01")
+      try {
+        val n2 = spark.table("graft.data.documents").count()
+        assert(n2 > 0 && n1 > 0)
+        assert(n2 === spark.read.parquet("/root/testdata/sf0.01/documents.parquet").count())
+      } finally spark.conf.set("spark.sql.catalog.graft.dir", sfDir)
+    }
+  }
+
+  test("catalog is read-only: DDL fails, missing tables raise analysis errors") {
+    withCatalog {
+      intercept[Exception] {
+        spark.sql("DROP TABLE graft.data.orders")
+      }
+      intercept[Exception] {
+        spark.sql("SELECT * FROM graft.data.no_such_table").collect()
+      }
+    }
+  }
 }
