@@ -89,12 +89,55 @@ object Curation {
         .as("scrubbed"))
   }
 
+  /** Corpus-health report — the per-source dashboard a curation run
+    * opens with: volume, exact-dup rate (distinct content fingerprints
+    * vs docs), mean length, and the dominant declared language
+    * (explicit argmax — count desc, lang asc — because built-in mode()
+    * tie-breaks engine-specifically). Two aggregations on `source` +
+    * one tiny join; fingerprints are 32-byte md5, the text itself never
+    * shuffles. */
+  def curationReport(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = documents(s, d).select(col("source"), col("lang"),
+      col("n_chars"), md5(col("text")).as("fp"))
+    val stats = base.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("fp")).as("n_unique"),
+      (lit(1.0) - countDistinct(col("fp")).cast("double")
+        / count(lit(1))).as("dup_rate"),
+      (sum(col("n_chars")).cast("double") / count(lit(1))).as("mean_chars"))
+    val w = Window.partitionBy(col("source")).orderBy(col("cnt").desc, col("lang"))
+    val top = base.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    stats.join(top, Seq("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "training_select" -> trainingSelect _,
     "pii_scrub"       -> piiScrub _,
+    "curation_report" -> curationReport _,
   )
 
   val oracle: Map[String, String] = Map(
+    "curation_report" ->
+      """WITH base AS (
+          SELECT source, lang, n_chars, md5(text) AS fp FROM documents),
+        stats AS (
+          SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_unique,
+            CAST(1 AS DOUBLE) - CAST(count(DISTINCT fp) AS DOUBLE) / count(*)
+              AS dup_rate,
+            CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars
+          FROM base GROUP BY source),
+        top AS (
+          SELECT source, lang AS top_lang FROM (
+            SELECT source, lang, row_number() OVER (PARTITION BY source
+              ORDER BY count(*) DESC, lang) AS rn
+            FROM base GROUP BY source, lang) WHERE rn = 1)
+        SELECT s.source, s.n_docs, s.n_unique, s.dup_rate, s.mean_chars,
+          t.top_lang
+        FROM stats s JOIN top t USING (source)""",
     // same four gates: quality predicate inline, language CTE nested
     // (standard SQL allows WITH inside a derived table), exact-canonical
     // group-min, and the recursive-CTE connected components from

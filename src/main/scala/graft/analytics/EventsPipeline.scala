@@ -573,6 +573,32 @@ object EventsPipeline {
         (col("tus") - col("last_click_tus")).as("lag_us"))
   }
 
+  /** Forward as-of join (conversion latency): for each click, the same
+    * user's FIRST purchase at-or-after it — the mirror of `joinAsof`,
+    * same union+one-window spelling run in DESCENDING time order so the
+    * carried last-seen purchase is the next one in forward time.
+    * Purchases sort before clicks at the same microsecond (is_p desc),
+    * so a same-instant conversion counts. One user_id shuffle, no range
+    * nested loop. */
+  def joinAsofFwd(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus").desc, col("is_p").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("tus", expr("ts_ns div 1000"))
+      .withColumn("is_p", (col("event_type") === "purchase").cast("int"))
+      .withColumn("p_id", when(col("event_type") === "purchase", col("event_id")))
+      .withColumn("p_tus", when(col("event_type") === "purchase", col("tus")))
+      .withColumn("next_p_id", last(col("p_id"), ignoreNulls = true).over(w))
+      .withColumn("next_p_tus", last(col("p_tus"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("next_p_id").as("purchase_id"),
+        (col("next_p_tus") - col("tus")).as("gap_us"))
+  }
+
   /** The SAME attribution as-of join through the custom whole-operator
     * tier (plans.AsofJoin: logical node + strategy + single-pass
     * per-partition merge exec) instead of the union+window spelling —
@@ -865,6 +891,7 @@ object EventsPipeline {
     "json_roundtrip"      -> jsonRoundtrip _,
     "orc_roundtrip"       -> orcRoundtrip _,
     "join_asof"           -> joinAsof _,
+    "join_asof_fwd"       -> joinAsofFwd _,
     "join_asof_native"    -> joinAsofNative _,
     "join_range"          -> joinRange _,
     "str_funcs"           -> strFuncs _,
@@ -1324,6 +1351,25 @@ object EventsPipeline {
     "json_roundtrip" -> roundtripOracle,
     "orc_roundtrip"  -> roundtripOracle,
     "join_asof" -> asofOracle,
+    // the forward mirror: identical window machinery, descending order
+    "join_asof_fwd" ->
+      """WITH e AS (
+          SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tus,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+          FROM events WHERE event_type IN ('click', 'purchase'))
+        SELECT event_id AS click_id, user_id, purchase_id,
+          p_tus - tus AS gap_us
+        FROM (
+          SELECT *,
+            last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+              IGNORE NULLS) OVER w AS purchase_id,
+            last_value(CASE WHEN event_type = 'purchase' THEN tus END
+              IGNORE NULLS) OVER w AS p_tus
+          FROM e
+          WINDOW w AS (PARTITION BY user_id
+            ORDER BY tus DESC, is_p DESC, event_id DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        WHERE event_type = 'click'""",
     // the custom-operator spelling must give exactly the same rows
     "join_asof_native" -> asofOracle,
     "agg_unpivot" ->

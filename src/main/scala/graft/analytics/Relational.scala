@@ -1126,8 +1126,25 @@ object Relational {
         GROUP BY c.c_mktsegment""")
   }
 
+  /** Catalog-resolved V2 scalar function — the function tier of the
+    * connector family: `graft.data.vec_dot` binds at analysis time and
+    * executes through Catalyst's Invoke codegen path (magic-method
+    * dispatch, no UDF serialization). Its fold order matches the native
+    * `DotProduct` expression and DuckDB's `list_dot_product`, so raw
+    * double outputs stay oracle-able. */
+  def catalogFunction(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.dir", d)
+    s.sql("""SELECT vec_id,
+          graft.data.vec_dot(
+            transform(embedding, x -> CAST(x AS DOUBLE)),
+            transform(embedding, x -> CAST(x AS DOUBLE))) AS sq
+        FROM graft.data.embeddings""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "catalog_sql"       -> catalogSql _,
+    "catalog_function"  -> catalogFunction _,
     "q1_agg"            -> q1Agg _,
     "q3_topk"           -> q3Topk _,
     "q5_local"          -> q5Local _,
@@ -1671,6 +1688,12 @@ object Relational {
         JOIN customer c ON o.o_custkey = c.c_custkey
         WHERE o.o_orderstatus = 'F'
         GROUP BY c.c_mktsegment""",
+    // the catalog function's fold = list_dot_product's fold
+    "catalog_function" ->
+      """SELECT vec_id,
+          list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+            list_transform(embedding, x -> CAST(x AS DOUBLE))) AS sq
+        FROM embeddings""",
     // the SAME string spark.sql executes — SQL front-end parity
     "sql_text" -> sqlTextShared,
     "join_lateral" -> lateralShared,

@@ -3,8 +3,11 @@ package graft.sources
 import java.util
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -37,7 +40,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Read-only by design: mutations (CREATE/ALTER/DROP) throw — writes go
   * through the write connector (`Sinks`/`MemTable`), not name mutation.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catName: String = "graft"
   private var defaultDir: Option[String] = None
@@ -111,6 +115,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (namespace.sameElements(NS)) util.Collections.emptyMap()
     else throw new NoSuchNamespaceException(namespace)
 
+  // FunctionCatalog — catalog-resolved scalar functions, the V2
+  // function tier: bound once at analysis time, then codegen'd through
+  // Catalyst's Invoke path like a built-in (no UDF serialization, no
+  // Row boxing per call beyond the ArrayData handles)
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    if (!namespace.sameElements(NS)) throw new NoSuchNamespaceException(namespace)
+    GraftCatalog.functions.keys.toArray.sorted.map(Identifier.of(NS, _))
+  }
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.namespace.sameElements(NS))
+      GraftCatalog.functions.getOrElse(ident.name,
+        throw new NoSuchFunctionException(ident))
+    else throw new NoSuchFunctionException(ident)
+
+  override def functionExists(ident: Identifier): Boolean =
+    ident.namespace.sameElements(NS) && GraftCatalog.functions.contains(ident.name)
+
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit =
     throw new UnsupportedOperationException(s"$catName is read-only")
@@ -121,4 +143,65 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
     throw new UnsupportedOperationException(s"$catName is read-only")
+}
+
+object GraftCatalog {
+
+  /** The catalog's function registry. `vec_dot` mirrors the native
+    * codegen `DotProduct` expression's left-to-right fold, so its
+    * doubles are bit-identical to both that expression and DuckDB's
+    * `list_dot_product` — catalog-function results stay oracle-able. */
+  private[sources] val functions: Map[String, UnboundFunction] =
+    Map("vec_dot" -> VecDotUnbound)
+}
+
+private[sources] object VecDotUnbound extends UnboundFunction {
+  override def name(): String = "vec_dot"
+  override def description(): String =
+    "vec_dot(array<double>, array<double>) -> double: dot product"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    val ok = inputType.fields.length == 2 && inputType.fields.forall(
+      _.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, _) => true
+        case _ => false
+      })
+    if (!ok) throw new UnsupportedOperationException(
+      s"vec_dot expects (array<double>, array<double>), got $inputType")
+    VecDotBound
+  }
+}
+
+private[sources] object VecDotBound extends ScalarFunction[java.lang.Double] {
+  override def name(): String = "vec_dot"
+  override def canonicalName(): String = "graft.vec_dot"
+  override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+    Array(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+  override def resultType(): org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.DoubleType
+  override def isResultNullable: Boolean = true
+
+  override def produceResult(input: InternalRow): java.lang.Double = {
+    if (input.isNullAt(0) || input.isNullAt(1)) return null
+    val a = input.getArray(0); val b = input.getArray(1)
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  /** The V2 "magic method": resolved reflectively by name and invoked
+    * directly from generated code (no InternalRow packing). Same fold
+    * as produceResult. */
+  def invoke(a: ArrayData, b: ArrayData): java.lang.Double = {
+    if (a == null || b == null) return null
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
 }

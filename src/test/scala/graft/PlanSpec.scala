@@ -215,7 +215,14 @@ class PlanSpec extends SparkSpec {
     // IVF-PQ: assignment/codes/ADC are scan-side expressions; the two
     // exchanges are the probe-list window (50·nlist rows, trivial) and
     // the per-query rank window
-    "sim_ann_ivfpq" -> 2)
+    "sim_ann_ivfpq" -> 2,
+    // forward as-of: the one user_id timeline shuffle, like join_asof
+    "join_asof_fwd" -> 1,
+    // health report: distinct-fp expand agg + per-(source,lang) count +
+    // its argmax window + the tiny source join
+    "curation_report" -> 5,
+    // catalog function: pure scan-side projection
+    "catalog_function" -> 0)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")

@@ -179,6 +179,23 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("catalog functions: bound at analysis time, bad arg types rejected") {
+    withCatalog {
+      val v = spark.sql(
+        "SELECT graft.data.vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .first().getDouble(0)
+      assert(v === 11.0)
+      // SHOW FUNCTIONS resolves through the catalog
+      val fns = spark.sql("SHOW FUNCTIONS IN graft.data")
+        .collect().map(_.getString(0)).toSet
+      assert(fns.exists(_.endsWith("vec_dot")), fns)
+      // bind() rejects non-array args during ANALYSIS, not at runtime
+      intercept[Exception] {
+        spark.sql("SELECT graft.data.vec_dot(1, 2)").queryExecution.analyzed
+      }
+    }
+  }
+
   test("catalog is read-only: DDL fails, missing tables raise analysis errors") {
     withCatalog {
       intercept[Exception] {

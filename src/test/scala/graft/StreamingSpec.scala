@@ -94,6 +94,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch upsert sink: streaming micro-batches MERGE into a keyed table") {
+    // the streaming-MERGE composition: each micro-batch lands through
+    // Sinks.upsert (keyed, partition-pruned dynamic overwrite), so the
+    // table holds exactly the LATEST value per key — the sink every
+    // CDC-to-warehouse stream needs. foreachBatch is the documented
+    // Spark surface for it; batch ids arrive in order per the
+    // checkpoint contract.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val path = graft.Tables.tempOutDir("upsert_sink")
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = mem.toDF().toDF("k", "part", "v")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.sinks.Sinks.upsert(spark, path, batch,
+          Seq("k", "part"), "part")
+      }
+      .outputMode("update")
+      .option("checkpointLocation", graft.Tables.tempOutDir("upsert_chk"))
+      .start()
+    try {
+      mem.addData((1L, "p0", 1.0), (2L, "p1", 1.0))
+      q.processAllAvailable()
+      assert(spark.read.parquet(path).count() === 2)
+      // batch 2: update key 2, insert key 3 — key 1's partition is
+      // untouched and survives the dynamic overwrite
+      mem.addData((2L, "p1", 9.0), (3L, "p0", 5.0))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(path)
+        .select("k", "v").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(rows === Map(1L -> 1.0, 2L -> 9.0, 3L -> 5.0), rows)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps per-truck state across micro-batches") {
     // batch 1 ends T1 at fuel 20; batch 2 opens T1 at fuel 90 — the +70
     // jump is only detectable if state survives the batch boundary
