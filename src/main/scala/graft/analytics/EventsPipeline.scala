@@ -573,6 +573,25 @@ object EventsPipeline {
         (col("tus") - col("last_click_tus")).as("lag_us"))
   }
 
+  /** Event-transition matrix (first-order Markov counts): for each
+    * consecutive same-user event pair, count (from_type → to_type) and
+    * its row-normalized transition probability — the sequence-model
+    * feature table a behavioral pipeline exports. One user_id window
+    * shuffle for the lead(), one tiny (from,to) aggregation; the
+    * probability is an exact division of two BIGINTs. */
+  def eventsMarkov(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(expr("ts_ns div 1000"), col("event_id"))
+    val wFrom = Window.partitionBy(col("from_type"))
+    events(s, d)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") / sum(col("n")).over(wFrom))
+  }
+
   /** Forward as-of join (conversion latency): for each click, the same
     * user's FIRST purchase at-or-after it — the mirror of `joinAsof`,
     * same union+one-window spelling run in DESCENDING time order so the
@@ -892,6 +911,7 @@ object EventsPipeline {
     "orc_roundtrip"       -> orcRoundtrip _,
     "join_asof"           -> joinAsof _,
     "join_asof_fwd"       -> joinAsofFwd _,
+    "events_markov"       -> eventsMarkov _,
     "join_asof_native"    -> joinAsofNative _,
     "join_range"          -> joinRange _,
     "str_funcs"           -> strFuncs _,
@@ -1351,6 +1371,23 @@ object EventsPipeline {
     "json_roundtrip" -> roundtripOracle,
     "orc_roundtrip"  -> roundtripOracle,
     "join_asof" -> asofOracle,
+    "events_markov" ->
+      """WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns
+          FROM events),
+        pairs AS (
+          SELECT event_type AS from_type,
+            lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY tns, event_id) AS to_type
+          FROM e),
+        cnt AS (
+          SELECT from_type, to_type, count(*) AS n
+          FROM pairs WHERE to_type IS NOT NULL
+          GROUP BY from_type, to_type)
+        SELECT from_type, to_type, n,
+          CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type)
+            AS DOUBLE) AS p
+        FROM cnt""",
     // the forward mirror: identical window machinery, descending order
     "join_asof_fwd" ->
       """WITH e AS (

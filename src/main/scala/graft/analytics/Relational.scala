@@ -381,6 +381,32 @@ object Relational {
         expr("percentile(value, 0.5)").as("p50"),
         expr("percentile(value, 0.9)").as("p90"))
 
+  /** RFM segmentation — the classic customer-value rollup: per
+    * customer, days since last order (vs the corpus max date), order
+    * count, and exact-decimal monetary total, bucketed by fixed
+    * thresholds. The corpus max date is a 1-row broadcast scalar (the
+    * same shape as a scalar subquery); segments are CASE expressions,
+    * not global ntile windows — a global rank would funnel every
+    * customer through one partition at 100 TB. */
+  def ordersRfm(s: SparkSession, d: String): DataFrame = {
+    val mx = orders(s, d)
+      .agg(max(col("o_orderdate").cast("date")).as("maxd"))
+    orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(col("o_orderdate").cast("date")).as("last_d"),
+        count(lit(1)).as("f"),
+        sum(dec12(col("o_totalprice"))).cast("double").as("m"))
+      .crossJoin(broadcast(mx))
+      .select(
+        col("o_custkey"),
+        datediff(col("maxd"), col("last_d")).as("r_days"),
+        col("f"), col("m"),
+        when(datediff(col("maxd"), col("last_d")) <= 90, "active")
+          .when(datediff(col("maxd"), col("last_d")) <= 365, "warm")
+          .otherwise("cold").as("segment"))
+  }
+
   /** Sketch quantiles next to their accuracy proof — the approximate
     * tier of the percentile family. At 100 TB `approx_percentile`
     * (KLL-style, bounded memory, mergeable partials) replaces the exact
@@ -1158,6 +1184,7 @@ object Relational {
     "agg_hll"           -> aggHll _,
     "agg_approx_quantile" -> aggApproxQuantile _,
     "skew_stats"        -> skewStats _,
+    "orders_rfm"        -> ordersRfm _,
     "agg_count"         -> aggCount _,
     "agg_rollup"        -> aggRollup _,
     "agg_stats"         -> aggStats _,
@@ -1500,6 +1527,18 @@ object Relational {
       """SELECT event_type, count(*) AS n,
           TRUE AS ok25, TRUE AS ok50, TRUE AS ok90
         FROM events GROUP BY event_type""",
+    "orders_rfm" ->
+      """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+        per AS (
+          SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
+            count(*) AS f,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS m
+          FROM orders GROUP BY o_custkey)
+        SELECT o_custkey, date_diff('day', last_d, maxd) AS r_days, f, m,
+          CASE WHEN date_diff('day', last_d, maxd) <= 90 THEN 'active'
+               WHEN date_diff('day', last_d, maxd) <= 365 THEN 'warm'
+               ELSE 'cold' END AS segment
+        FROM per, mx""",
     "skew_stats" ->
       """WITH g AS (SELECT user_id, count(*) AS sz FROM events GROUP BY user_id)
         SELECT count(*) AS n_keys, CAST(max(sz) AS BIGINT) AS max_sz,

@@ -83,6 +83,24 @@ class PipelineSpec extends SparkSpec {
     assert(wh.columns.contains("lat") && wh.columns.contains("data_quality_flag"))
   }
 
+  test("observe() rides the job: pipeline metrics without a second pass") {
+    // the ops surface for production counters: the reference re-counts
+    // its frames 8 times (Glue_job.py:95,124,127,131-135 — each count a
+    // full re-parse); observe() attaches AccumulatorV2-backed metrics
+    // to the SAME job, so the counters are free
+    import org.apache.spark.sql.Observation
+    import graft.analytics.EventsPipeline
+    val obs = Observation("split_metrics")
+    val observed = EventsPipeline.splitValid(spark, sfDir)
+      .observe(obs,
+        count(lit(1)).as("rows"),
+        sum(when(col("value").isNull, 1).otherwise(0)).as("null_values"))
+    val n = observed.count()
+    val m = obs.get
+    assert(m("rows") === n)
+    assert(m("null_values").asInstanceOf[Long] >= 0L)
+  }
+
   test("GE FAILED path: all-or-nothing REJECTED_GE outcome") {
     import spark.implicits._
     val cur = Seq(("T1", 120.0), ("T2", 50.0))

@@ -32,10 +32,12 @@ class PlanSpec extends SparkSpec {
   // broadcast shape as tfidf/bm25/zorder
   // mixture_weights: crossJoin(broadcast(1-row corpus totals)) — the
   // same scalar-broadcast shape as tfidf/bm25/zorder/cms
+  // orders_rfm: crossJoin(broadcast(1-row max date)) — the scalar
+  // broadcast shape again
   private val nljWhitelist =
     Set("sim_knn", "sim_range", "join_cross", "text_tfidf", "text_bm25",
       "zorder_value", "sketch_cms", "mixture_weights", "sample_weighted",
-      "expect_drift")
+      "expect_drift", "orders_rfm")
 
   private val streaming =
     Set("stream_hourly", "stream_session", "stream_session_multibatch",
@@ -222,7 +224,13 @@ class PlanSpec extends SparkSpec {
     // its argmax window + the tiny source join
     "curation_report" -> 5,
     // catalog function: pure scan-side projection
-    "catalog_function" -> 0)
+    "catalog_function" -> 0,
+    // markov: one user_id lead window + the tiny (from,to) agg + its
+    // from_type normalization window
+    "events_markov" -> 3,
+    // rfm: per-customer agg + the max-date branch's recompute (scalar
+    // broadcast shape)
+    "orders_rfm" -> 2)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
