@@ -82,6 +82,28 @@ object EventsPipeline {
   def expectSuiteSample(s: SparkSession, d: String): DataFrame =
     Expectations.report(withK(s, d).orderBy(col("event_id")).limit(500), suite)
 
+  /** Schema-contract expectation — the drift gate a pipeline runs
+    * before touching a dataset: every expected (column, type) is
+    * checked against the ACTUAL parquet-derived schema. Pure driver
+    * metadata (zero data read, zero tasks beyond the 1-row stack
+    * projection); a renamed or retyped upstream column flips its
+    * verdict row and the oracle hash catches it. */
+  def expectSchema(s: SparkSession, d: String): DataFrame = {
+    val expected = Seq(
+      "event_id" -> "LongType", "ts" -> "TimestampType",
+      "ts_ns" -> "LongType", "user_id" -> "LongType",
+      "event_type" -> "StringType", "value" -> "DoubleType",
+      "props" -> "StringType")
+    val actual = events(s, d).schema
+      .map(f => f.name -> f.dataType.toString).toMap
+    val cells = expected.flatMap { case (n, t) =>
+      Seq(s"'$n'", if (actual.contains(n)) "true" else "false",
+        if (actual.get(n).contains(t)) "true" else "false")
+    }.mkString(", ")
+    s.range(1).selectExpr(
+      s"stack(${expected.size}, $cells) AS (col_name, present, type_ok)")
+  }
+
   /** Referential-integrity expectations — the GE-style check the
     * reference's suite lacks but any warehouse gate needs before a
     * COPY INTO: per FK relationship, count orphan children (keys with
@@ -872,6 +894,7 @@ object EventsPipeline {
     "reasons_array"       -> reasonsArray _,
     "expect_suite"        -> expectSuite _,
     "expect_fk"           -> expectFk _,
+    "expect_schema"       -> expectSchema _,
     "expect_unique"       -> expectUnique _,
     "expect_drift"        -> expectDrift _,
     "try_funcs"           -> tryFuncs _,
@@ -1120,6 +1143,12 @@ object EventsPipeline {
           CAST(sum(CASE WHEN NOT (event_type IN ('click','view','purchase','signup')) THEN 1 ELSE 0 END) AS BIGINT) AS viol_event_type_in_set,
           CAST(sum(CASE WHEN NOT (json_extract(props,'$.k')::INT BETWEEN 0 AND 89) THEN 1 ELSE 0 END) AS BIGINT) AS viol_k_between
         FROM (SELECT * FROM events ORDER BY event_id LIMIT 500))""",
+    "expect_schema" ->
+      """SELECT * FROM (VALUES
+          ('event_id', TRUE, TRUE), ('ts', TRUE, TRUE),
+          ('ts_ns', TRUE, TRUE), ('user_id', TRUE, TRUE),
+          ('event_type', TRUE, TRUE), ('value', TRUE, TRUE),
+          ('props', TRUE, TRUE)) AS t(col_name, present, type_ok)""",
     "expect_fk" ->
       """SELECT 'lineitem.l_orderkey->orders' AS relation, count(*) AS n_rows,
           CAST(sum(CASE WHEN o.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,

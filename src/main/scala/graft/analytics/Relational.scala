@@ -80,6 +80,25 @@ object Relational {
       .limit(10)
   }
 
+  /** TPC-H Q10 shape (returned-item reporting): customers ranked by
+    * revenue lost to returns in a quarter — fact filtered on
+    * returnflag, the customer/nation dims broadcast, one grouped
+    * decimal agg, TakeOrdered top-20. */
+  def q10Returns(s: SparkSession, d: String): DataFrame = {
+    val revenue = sum(dec12(col("l_extendedprice")) * (one2 - dec4(col("l_discount"))))
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_returnflag") === "R")
+      .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(revenue.cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** TPC-H Q5 shape (local-supplier volume): the 6-way star —
     * customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region — with
     * the "local" twist that the supplier must sit in the customer's
@@ -1173,6 +1192,7 @@ object Relational {
     "catalog_function"  -> catalogFunction _,
     "q1_agg"            -> q1Agg _,
     "q3_topk"           -> q3Topk _,
+    "q10_returns"       -> q10Returns _,
     "q5_local"          -> q5Local _,
     "join_inner"        -> joinInner _,
     "join_broadcast"    -> joinBroadcast _,
@@ -1304,6 +1324,17 @@ object Relational {
           AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
         GROUP BY l_orderkey, o_orderdate
         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q10_returns" ->
+      s"""SELECT c_custkey, c_name, n_name, CAST(sum($discExp) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "q5_local" ->
       s"""SELECT n_name, CAST(sum($discExp) AS DOUBLE) AS revenue
         FROM customer

@@ -230,7 +230,12 @@ class PlanSpec extends SparkSpec {
     "events_markov" -> 3,
     // rfm: per-customer agg + the max-date branch's recompute (scalar
     // broadcast shape)
-    "orders_rfm" -> 2)
+    "orders_rfm" -> 2,
+    // schema gate: a 1-row driver-side stack projection
+    "expect_schema" -> 0,
+    // q10: dims broadcast at audit SF; the one exchange is the grouped
+    // agg (TakeOrdered needs no global sort exchange)
+    "q10_returns" -> 1)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
