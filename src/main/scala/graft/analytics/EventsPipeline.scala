@@ -595,6 +595,29 @@ object EventsPipeline {
         (col("tus") - col("last_click_tus")).as("lag_us"))
   }
 
+  /** Strict-sequence pattern detection (the MATCH_RECOGNIZE shape
+    * without the SQL frontend): find every click whose user's NEXT two
+    * events are view then purchase, all within 30 minutes of the
+    * click — browse-to-buy micro-sessions. Two lead() windows over ONE
+    * (partition, order) spec = one shuffle + one sort; the pattern
+    * predicate is a pure row expression after that. At 100 TB this is
+    * the plan a native MATCH_RECOGNIZE compiles to anyway. */
+  def eventsPattern(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(expr("ts_ns div 1000"), col("event_id"))
+    events(s, d)
+      .withColumn("tus", expr("ts_ns div 1000"))
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .withColumn("tus2", lead(col("tus"), 2).over(w))
+      .filter(col("event_type") === "click" && col("t1") === "view" &&
+        col("t2") === "purchase" &&
+        col("tus2") - col("tus") <= 48L * 3600 * 1000000)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        (col("tus2") - col("tus")).as("span_us"))
+  }
+
   /** Event-transition matrix (first-order Markov counts): for each
     * consecutive same-user event pair, count (from_type → to_type) and
     * its row-normalized transition probability — the sequence-model
@@ -935,6 +958,7 @@ object EventsPipeline {
     "join_asof"           -> joinAsof _,
     "join_asof_fwd"       -> joinAsofFwd _,
     "events_markov"       -> eventsMarkov _,
+    "events_pattern"      -> eventsPattern _,
     "join_asof_native"    -> joinAsofNative _,
     "join_range"          -> joinRange _,
     "str_funcs"           -> strFuncs _,
@@ -1400,6 +1424,21 @@ object EventsPipeline {
     "json_roundtrip" -> roundtripOracle,
     "orc_roundtrip"  -> roundtripOracle,
     "join_asof" -> asofOracle,
+    "events_pattern" ->
+      """WITH e AS (
+          SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tus
+          FROM events),
+        led AS (
+          SELECT event_id, user_id, event_type, tus,
+            lead(event_type, 1) OVER w AS t1,
+            lead(event_type, 2) OVER w AS t2,
+            lead(tus, 2) OVER w AS tus2
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+        SELECT event_id AS click_id, user_id, tus2 - tus AS span_us
+        FROM led
+        WHERE event_type = 'click' AND t1 = 'view' AND t2 = 'purchase'
+          AND tus2 - tus <= 172800000000""",
     "events_markov" ->
       """WITH e AS (
           SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns

@@ -491,7 +491,49 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** Per-source distribution drift — exact L1 distance between each
+    * source's token distribution and the whole corpus's (the
+    * data-mixing health signal: a source whose unigram distribution
+    * walks away from the corpus is re-weighted or quarantined).
+    *
+    * Shares are quantized to exact integers q = (n·10⁹) div total
+    * (HUGEINT/DECIMAL(38,0) product, integer floor division — no
+    * floats anywhere), so the L1 sum is order-independent and
+    * cross-engine exact. Absent tokens need no source×vocab grid:
+    *   L1(s) = Σ_{t∈s} |q_s(t) − q_g(t)| + (Q_g − Σ_{t∈s} q_g(t))
+    * where Q_g = Σ_t q_g(t) is ONE broadcast scalar — the missing-mass
+    * term folds into algebra instead of an outer join. Two shuffles
+    * (source-token agg, token join with the global counts). */
+  def sourceDivergence(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val bySrc = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+      .withColumn("q_s",
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * 1000000000) div tot AS BIGINT)"))
+    val glob = toks.groupBy(col("tok")).agg(count(lit(1)).as("gn"))
+    val gtotal = glob.agg(sum(col("gn")).as("gtot"))
+    val gq = glob.crossJoin(broadcast(gtotal))
+      .withColumn("q_g",
+        expr("CAST((CAST(gn AS DECIMAL(38,0)) * 1000000000) div gtot AS BIGINT)"))
+      .select(col("tok"), col("q_g"))
+    val qgTotal = gq.agg(sum(col("q_g")).as("qg_total"))
+    bySrc.join(gq, Seq("tok"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("tot")).as("n_toks"),
+        sum(abs(col("q_s") - col("q_g"))).as("present_l1"),
+        sum(col("q_g")).as("covered_qg"))
+      .crossJoin(broadcast(qgTotal))
+      .select(col("source"), col("n_toks"),
+        (col("present_l1") + (col("qg_total") - col("covered_qg")))
+          .as("l1_q"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_divergence" -> sourceDivergence _,
     "source_quality"   -> sourceQuality _,
     "source_top_terms" -> sourceTopTerms _,
     "sample_weighted"  -> sampleWeighted _,
@@ -519,6 +561,35 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    // same algebra: per-token quantized shares, missing mass as the
+    // scalar Q_g − Σcovered; all integer arithmetic (HUGEINT // )
+    "source_divergence" ->
+      """WITH toks AS (
+          SELECT source, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        by_src AS (
+          SELECT source, tok, count(*) AS n FROM toks GROUP BY source, tok),
+        with_tot AS (
+          SELECT source, tok, n,
+            sum(n) OVER (PARTITION BY source) AS tot
+          FROM by_src),
+        qs AS (
+          SELECT source, tok,
+            CAST((CAST(n AS HUGEINT) * 1000000000) // tot AS BIGINT) AS q_s,
+            CAST(tot AS BIGINT) AS tot
+          FROM with_tot),
+        gcnt AS (SELECT tok, count(*) AS gn FROM toks GROUP BY tok),
+        gq AS (
+          SELECT tok,
+            CAST((CAST(gn AS HUGEINT) * 1000000000)
+              // (SELECT sum(gn) FROM gcnt) AS BIGINT) AS q_g
+          FROM gcnt),
+        qg_total AS (SELECT CAST(sum(q_g) AS BIGINT) AS qg FROM gq)
+        SELECT qs.source, max(qs.tot) AS n_toks,
+          CAST(sum(abs(qs.q_s - gq.q_g))
+            + (max(qg_total.qg) - sum(gq.q_g)) AS BIGINT) AS l1_q
+        FROM qs JOIN gq USING (tok), qg_total
+        GROUP BY qs.source""",
     "sample_weighted" ->
       """WITH per_lang AS (
           SELECT lang, count(*) AS n_docs,

@@ -37,7 +37,7 @@ class PlanSpec extends SparkSpec {
   private val nljWhitelist =
     Set("sim_knn", "sim_range", "join_cross", "text_tfidf", "text_bm25",
       "zorder_value", "sketch_cms", "mixture_weights", "sample_weighted",
-      "expect_drift", "orders_rfm")
+      "expect_drift", "orders_rfm", "source_divergence")
 
   private val streaming =
     Set("stream_hourly", "stream_session", "stream_session_multibatch",
@@ -235,7 +235,13 @@ class PlanSpec extends SparkSpec {
     "expect_schema" -> 0,
     // q10: dims broadcast at audit SF; the one exchange is the grouped
     // agg (TakeOrdered needs no global sort exchange)
-    "q10_returns" -> 1)
+    "q10_returns" -> 1,
+    // pattern: both leads share the one user_id window
+    "events_pattern" -> 1,
+    // divergence: (source,tok) agg + source-total window + global tok
+    // agg (+ its recompute under the Q_g scalar branch) + the tok
+    // join's two sides + final source rollup (scalars broadcast)
+    "source_divergence" -> 7)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
