@@ -713,6 +713,25 @@ object Relational {
         count(lit(1)).as("cnt"),
         sum(dec12(col("o_totalprice"))).cast("double").as("total"))
 
+  /** Month-over-month revenue change — the period-over-period report.
+    * The lag window is GLOBAL but runs over the ~24 already-aggregated
+    * month rows, not the fact table (aggregate first, window the
+    * aggregate): the single-partition window every naive MoM query
+    * plans over raw rows is exactly what this spelling avoids at
+    * 100 TB. The ratio is one double division of exact decimal-sum
+    * casts. */
+  def tsMom(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("order_month"))
+    orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("order_month"))
+      .agg(sum(dec12(col("o_totalprice"))).cast("double").as("total"))
+      .withColumn("prev", lag(col("total"), 1).over(w))
+      .withColumn("mom_ratio",
+        when(col("prev").isNotNull, (col("total") - col("prev")) / col("prev")))
+  }
+
   /** The two derived order snapshots the CDC queries diff: the "old"
     * snapshot misses keys ≡0 (mod 7) (rows inserted later), the "new"
     * one drops keys ≡0 (mod 5) (deletes) and bumps the price of keys
@@ -1205,6 +1224,7 @@ object Relational {
     "agg_approx_quantile" -> aggApproxQuantile _,
     "skew_stats"        -> skewStats _,
     "orders_rfm"        -> ordersRfm _,
+    "ts_mom"            -> tsMom _,
     "agg_count"         -> aggCount _,
     "agg_rollup"        -> aggRollup _,
     "agg_stats"         -> aggStats _,
@@ -1558,6 +1578,17 @@ object Relational {
       """SELECT event_type, count(*) AS n,
           TRUE AS ok25, TRUE AS ok50, TRUE AS ok90
         FROM events GROUP BY event_type""",
+    "ts_mom" ->
+      """WITH m AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+          FROM orders GROUP BY 1)
+        SELECT order_month, total,
+          lag(total) OVER (ORDER BY order_month) AS prev,
+          CASE WHEN lag(total) OVER (ORDER BY order_month) IS NOT NULL
+            THEN (total - lag(total) OVER (ORDER BY order_month))
+              / lag(total) OVER (ORDER BY order_month) END AS mom_ratio
+        FROM m""",
     "orders_rfm" ->
       """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
         per AS (

@@ -51,6 +51,32 @@ class AnalyticsSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("LSH ANN shuffle volume is candidate-scale, not corpus-x-query scale") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val acc = new java.util.concurrent.atomic.AtomicLong
+    val l = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          acc.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      Similarity.simAnnLsh(spark, "/root/testdata/sf0.01").count()
+      // listener events drain asynchronously — wait until stable
+      var last = -1L; var stable = 0
+      while (stable < 3) {
+        Thread.sleep(300)
+        val v = acc.get
+        if (v == last) stable += 1 else { stable = 0; last = v }
+      }
+      // 50 queries × 500 corpus = 25k exhaustively-scored pairs; the
+      // 4×4 banding admits ~27%, and ALL shuffle traffic (signature
+      // dedup + bare-id candidate distinct + vector rejoin) must stay
+      // under half the cross product (measured ~6.7k records)
+      assert(acc.get > 0 && acc.get < 12500, s"shuffled ${acc.get} records")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("PQ: Lloyd round reduces total distortion; every vector gets m codes") {
     val d = "/root/testdata/sf0.01"
     def totalErr(rounds: Int): Long =

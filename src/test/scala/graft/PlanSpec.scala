@@ -241,7 +241,10 @@ class PlanSpec extends SparkSpec {
     // divergence: (source,tok) agg + source-total window + global tok
     // agg (+ its recompute under the Q_g scalar branch) + the tok
     // join's two sides + final source rollup (scalars broadcast)
-    "source_divergence" -> 7)
+    "source_divergence" -> 7,
+    // MoM: the monthly agg; the lag window runs over ~24 aggregated
+    // rows in a single (non-hash) partition by design
+    "ts_mom" -> 1)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
