@@ -43,6 +43,58 @@ class TypeAggProcessor
   }
 }
 
+/** transformWithState processor WITH EVENT-TIME TIMERS: per-user
+  * sessionization where closed sessions emit inline (gap detected
+  * within the sorted batch buffer) and each user's OPEN session is
+  * closed by a timer when the watermark passes its gap horizon — the
+  * state-v2 pattern for "emit when the key goes quiet", which no
+  * aggregation spelling expresses. State is one (start, end, n) triple
+  * per user; exactly one timer per key is live at a time (the previous
+  * one is deleted before re-registering). */
+class SessionTimerProcessor(gapUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var st: ValueState[(Long, Long, Long)] = _
+
+  override def init(outputMode: OM, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long, Long)]("sess",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+      TTLConfig.NONE)
+
+  private def timerMsFor(endUs: Long): Long = (endUs + gapUs) / 1000
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    val tss = rows.map(_._2).toArray.sorted
+    var out = List.empty[(Long, Long, Long, Long)]
+    var (start, end, n) =
+      if (st.exists()) st.get() else (tss.head, tss.head, 0L)
+    if (st.exists()) getHandle.deleteTimer(timerMsFor(end))
+    tss.foreach { t =>
+      if (n > 0 && t - end > gapUs) {
+        out ::= (key, start, end, n)
+        start = t; end = t; n = 1L
+      } else { end = t; n += 1 }
+    }
+    st.update((start, end, n))
+    getHandle.registerTimer(timerMsFor(end))
+    out.reverseIterator
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
+    if (!st.exists()) Iterator.empty
+    else {
+      val (start, end, n) = st.get()
+      st.clear()
+      Iterator.single((key, start, end, n))
+    }
+  }
+}
+
 object StreamingQueries {
 
   /** Streamed clone of Tables.events: same nanos-as-long read + derived
@@ -277,6 +329,40 @@ object StreamingQueries {
     }
   }
 
+  /** transformWithState with EVENT-TIME TIMERS — the "emit when the
+    * key goes quiet" pattern: per-user sessions close either inline
+    * (next event arrives past the gap) or via a registered timer when
+    * the watermark passes end+gap. The final no-data batch advances
+    * the watermark to max(event time) − 10 min and fires exactly the
+    * timers at or below it; each user's trailing open session inside
+    * the horizon is withheld — the oracle applies the identical
+    * cutoff. Runs on RocksDB (transformWithState's required state
+    * backend). */
+  def streamTimers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val gapUs = 30L * 60 * 1000000
+    val key  = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = eventsStream(s, d)
+        .filter(col("user_id").isNotNull)
+        .withWatermark("ts", "10 minutes")
+        .select(col("user_id"), expr("ts_ns div 1000").as("tus"))
+        .as[(Long, Long)]
+      val out = src.groupByKey(_._1)
+        .transformWithState(new SessionTimerProcessor(gapUs),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+      runToMemory(s, out.toDF("user_id", "start_us", "end_us", "n_events"),
+        OutputMode.Append())
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   /** Stream–static join: the streaming side enriches against a batch
     * dimension (here a per-user cohort table built from the same
     * parquet). Stateless — each micro-batch joins against the static
@@ -339,6 +425,7 @@ object StreamingQueries {
     "stream_dsv2"    -> streamDsv2 _,
     "stream_stateful" -> streamStateful _,
     "stream_tws"     -> streamTws _,
+    "stream_timers"  -> streamTimers _,
     "stream_static_join" -> streamStaticJoin _,
     "stream_stream_join" -> streamStreamJoin _,
     "stream_hourly"  -> streamHourly _,
@@ -421,6 +508,35 @@ object StreamingQueries {
           CAST(1 + count(CASE WHEN tus - prev > 1800000000 THEN 1 END) AS BIGINT)
             AS n_sessions
         FROM l GROUP BY user_id""",
+    // sessions (gap > 30 min) whose timer horizon (end+gap, in ms) the
+    // final watermark (max event ms - 10 min) has passed; the boundary
+    // comparison is pinned empirically like stream_append's
+    "stream_timers" ->
+      """WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tus
+          FROM events WHERE user_id IS NOT NULL),
+        l AS (
+          SELECT user_id, tus,
+            lag(tus) OVER (PARTITION BY user_id ORDER BY tus) AS prev
+          FROM e),
+        st AS (
+          SELECT user_id, tus,
+            CASE WHEN prev IS NULL OR tus - prev > 1800000000
+              THEN 1 ELSE 0 END AS is_start
+          FROM l),
+        sess AS (
+          SELECT user_id, tus,
+            sum(is_start) OVER (PARTITION BY user_id ORDER BY tus
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM st),
+        agg AS (
+          SELECT user_id, min(tus) AS start_us, max(tus) AS end_us,
+            count(*) AS n_events
+          FROM sess GROUP BY user_id, sid),
+        wm AS (SELECT max(tus) // 1000 - 600000 AS wm_ms FROM e)
+        SELECT user_id, start_us, end_us, CAST(n_events AS BIGINT) AS n_events
+        FROM agg, wm
+        WHERE (end_us + 1800000000) // 1000 < wm_ms""",
     "stream_tws" ->
       """SELECT event_type, count(*) AS n_events,
           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents

@@ -129,6 +129,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time timers fire across batches: a quiet key's session closes " +
+      "when OTHER keys advance the watermark") {
+    // the distinctive timer behavior no aggregation expresses: user 1
+    // stops sending; later batches from user 2 advance the watermark
+    // past user 1's gap horizon and the TIMER emits user 1's session —
+    // with zero user-1 rows in those batches
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val prevProv = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, Long)] // (user_id, tus)
+    val src = mem.toDF().toDF("user_id", "tus")
+      .withColumn("ts", timestamp_micros(col("tus")))
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("tus"))
+      .as[(Long, Long)]
+    val out = src.groupByKey(_._1)
+      .transformWithState(
+        new graft.analytics.SessionTimerProcessor(30L * 60 * 1000000),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF("user_id", "start_us", "end_us", "n_events")
+    val name = "timer_sink"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", graft.Tables.tempOutDir("timer_chk"))
+      .start()
+    try {
+      val h = 3600L * 1000000
+      mem.addData((1L, 0L), (1L, h / 12)) // user 1: 00:00 and 00:05
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 0) // watermark still behind
+      mem.addData((2L, 6 * h))            // user 2 advances event time
+      q.processAllAvailable()
+      mem.addData((2L, 6 * h + 1))        // next batch sees the new watermark
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .filter(col("user_id") === 1).collect()
+      assert(rows.length === 1, spark.table(name).collect().mkString(","))
+      assert(rows.head.getLong(1) === 0L && rows.head.getLong(2) === h / 12 &&
+        rows.head.getLong(3) === 2L)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+      prevProv match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState keeps per-truck state across micro-batches") {
     // batch 1 ends T1 at fuel 20; batch 2 opens T1 at fuel 90 — the +70
     // jump is only detectable if state survives the batch boundary
