@@ -95,6 +95,41 @@ class SessionTimerProcessor(gapUs: Long)
   }
 }
 
+/** transformWithState processor over a MAP state primitive: per-user
+  * map of event_type → (count, exact cent sum). One map state per key
+  * replaces type-count distinct ValueStates; emission is one row per
+  * (user, type) per batch the pair was touched in — the per-key
+  * sub-keyed rollup (feature-store per-entity counters) that a flat
+  * keyed aggregation can't keep in one state row. */
+class UserTypeMapProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String, Long), (Long, String, Long, Long)] {
+  import org.apache.spark.sql.streaming.{MapState, OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var st: MapState[String, (Long, Long)] = _
+
+  override def init(outputMode: OM, timeMode: TimeMode): Unit =
+    st = getHandle.getMapState[String, (Long, Long)]("per_type",
+      Encoders.STRING,
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, String, Long)],
+      timerValues: TimerValues): Iterator[(Long, String, Long, Long)] = {
+    val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+    rows.foreach { case (_, tpe, cents) =>
+      val (n, sum) =
+        if (st.containsKey(tpe)) st.getValue(tpe) else (0L, 0L)
+      st.updateValue(tpe, (n + 1, sum + cents))
+      touched += tpe
+    }
+    touched.iterator.map { tpe =>
+      val (n, sum) = st.getValue(tpe)
+      (key, tpe, n, sum)
+    }
+  }
+}
+
 object StreamingQueries {
 
   /** Streamed clone of Tables.events: same nanos-as-long read + derived
@@ -363,6 +398,36 @@ object StreamingQueries {
     }
   }
 
+  /** transformWithState over a MapState — per-user map of event_type →
+    * (count, exact cent sum), emitted once per touched pair per batch.
+    * With AvailableNow's single data batch the emission IS the final
+    * rollup, so the oracle is the plain (user, type) grouped aggregate;
+    * the spec exercises the cross-batch accumulation path. */
+  def streamMapState(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val key  = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = eventsStream(s, d)
+        .filter(col("user_id").isNotNull && col("value").isNotNull &&
+          !isnan(col("value")))
+        .select(col("user_id"), col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .as[(Long, String, Long)]
+      val out = src.groupByKey(_._1)
+        .transformWithState(new UserTypeMapProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+      runToMemory(s, out.toDF("user_id", "event_type", "n_events", "sum_cents"),
+        OutputMode.Append())
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   /** Stream–static join: the streaming side enriches against a batch
     * dimension (here a per-user cohort table built from the same
     * parquet). Stateless — each micro-batch joins against the static
@@ -426,6 +491,7 @@ object StreamingQueries {
     "stream_stateful" -> streamStateful _,
     "stream_tws"     -> streamTws _,
     "stream_timers"  -> streamTimers _,
+    "stream_mapstate" -> streamMapState _,
     "stream_static_join" -> streamStaticJoin _,
     "stream_stream_join" -> streamStreamJoin _,
     "stream_hourly"  -> streamHourly _,
@@ -508,6 +574,14 @@ object StreamingQueries {
           CAST(1 + count(CASE WHEN tus - prev > 1800000000 THEN 1 END) AS BIGINT)
             AS n_sessions
         FROM l GROUP BY user_id""",
+    "stream_mapstate" ->
+      """SELECT user_id, event_type,
+          count(*) AS n_events,
+          CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+            AS sum_cents
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+        GROUP BY user_id, event_type""",
     // sessions (gap > 30 min) whose timer horizon (end+gap, in ms) the
     // final watermark (max event ms - 10 min) has passed; the boundary
     // comparison is pinned empirically like stream_append's

@@ -182,6 +182,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("MapState accumulates per-subkey across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val prevProv = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, String, Long)]
+    val out = mem.toDS().groupByKey(_._1)
+      .transformWithState(new graft.analytics.UserTypeMapProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF("user_id", "event_type", "n_events", "sum_cents")
+    val name = "mapstate_sink"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", graft.Tables.tempOutDir("mapstate_chk"))
+      .start()
+    try {
+      mem.addData((1L, "click", 100L), (1L, "view", 50L))
+      q.processAllAvailable()
+      mem.addData((1L, "click", 25L)) // second batch extends the click entry
+      q.processAllAvailable()
+      // append sink keeps all emissions; the LAST click row carries the
+      // cross-batch running totals from the map entry
+      val clicks = spark.table(name)
+        .filter(col("user_id") === 1 && col("event_type") === "click")
+        .orderBy(col("n_events")).collect()
+      assert(clicks.map(r => (r.getLong(2), r.getLong(3))).toSeq ===
+        Seq((1L, 100L), (2L, 125L)))
+      // the untouched view entry did NOT re-emit in batch 2
+      assert(spark.table(name).filter(col("event_type") === "view").count() === 1)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+      prevProv match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState keeps per-truck state across micro-batches") {
     // batch 1 ends T1 at fuel 20; batch 2 opens T1 at fuel 90 — the +70
     // jump is only detectable if state survives the batch boundary
