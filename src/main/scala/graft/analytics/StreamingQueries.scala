@@ -95,6 +95,36 @@ class SessionTimerProcessor(gapUs: Long)
   }
 }
 
+/** TypeAggProcessor variant that accepts INITIAL STATE — the
+  * batch-bootstrap pattern: a backfill job computes per-key totals
+  * once, the streaming job seeds its state from them and continues
+  * incrementally. handleInitialState runs once per seeded key before
+  * any input batch. */
+class TypeAggInitProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+      String, (String, Long), (String, Long, Long), (Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var st: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OM, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long)]("agg",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+  override def handleInitialState(key: String, initial: (Long, Long),
+      timerValues: TimerValues): Unit =
+    st.update(initial)
+
+  override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+      timerValues: TimerValues): Iterator[(String, Long, Long)] = {
+    var (n, sum) = if (st.exists()) st.get() else (0L, 0L)
+    rows.foreach { r => n += 1; sum += r._2 }
+    st.update((n, sum))
+    Iterator.single((key, n, sum))
+  }
+}
+
 /** transformWithState processor over a MAP state primitive: per-user
   * map of event_type → (count, exact cent sum). One map state per key
   * replaces type-count distinct ValueStates; emission is one row per
@@ -127,6 +157,34 @@ class UserTypeMapProcessor
       val (n, sum) = st.getValue(tpe)
       (key, tpe, n, sum)
     }
+  }
+}
+
+/** transformWithState processor over a LIST state primitive: per-user
+  * bounded recent-history buffer (last `maxN` cent values in event-time
+  * order) — the online-feature buffer (recent purchases, recent
+  * prompts) every serving pipeline keeps. The buffer is merged with
+  * each batch's sorted rows and re-trimmed, so state is O(maxN) per
+  * key forever. */
+class RecentListProcessor(maxN: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long), (Long, String)] {
+  import org.apache.spark.sql.streaming.{ListState, OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var st: ListState[(Long, Long)] = _
+
+  override def init(outputMode: OM, timeMode: TimeMode): Unit =
+    st = getHandle.getListState[(Long, Long)]("recent",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, String)] = {
+    val prev = if (st.exists()) st.get().toArray else Array.empty[(Long, Long)]
+    val merged = (prev ++ rows.map(r => (r._2, r._3))).sorted
+    val trimmed = merged.takeRight(maxN)
+    st.put(trimmed)
+    Iterator.single((key, trimmed.map(_._2).mkString(",")))
   }
 }
 
@@ -428,6 +486,73 @@ object StreamingQueries {
     }
   }
 
+  /** transformWithState with INITIAL STATE — backfill + streaming
+    * continuation: the per-type totals of the EVEN-id half are computed
+    * by a plain batch aggregation and seeded into the processor's
+    * state; the stream then delivers only the ODD-id half. The final
+    * emission must equal the full-table aggregate — the invariant that
+    * makes a batch-bootstrap migration safe (no double counting, no
+    * gap). Oracle = the whole-table grouped aggregate. */
+  def streamInitState(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val key  = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val initState = graft.Tables.events(s, d)
+        .filter(col("event_id") % 2 === 0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+        .as[(String, Long, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+      val src = eventsStream(s, d)
+        .filter(col("event_id") % 2 === 1)
+        .select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .as[(String, Long)]
+      val out = src.groupByKey(_._1)
+        .transformWithState(new TypeAggInitProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append(), initState)
+      runToMemory(s, out.toDF("event_type", "n_events", "sum_cents"),
+        OutputMode.Append())
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
+  /** transformWithState over a ListState — each user's last-5 cent
+    * values in event-time order (the bounded online-feature buffer).
+    * With the single AvailableNow batch the emission IS the final
+    * buffer, so the oracle is a per-user top-5-by-time rollup. */
+  def streamListState(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val key  = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = eventsStream(s, d)
+        .filter(col("user_id").isNotNull && col("value").isNotNull &&
+          !isnan(col("value")))
+        .select(col("user_id"), expr("ts_ns div 1000").as("tus"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .as[(Long, Long, Long)]
+      val out = src.groupByKey(_._1)
+        .transformWithState(new RecentListProcessor(5),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+      runToMemory(s, out.toDF("user_id", "recent"), OutputMode.Append())
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   /** Stream–static join: the streaming side enriches against a batch
     * dimension (here a per-user cohort table built from the same
     * parquet). Stateless — each micro-batch joins against the static
@@ -492,6 +617,8 @@ object StreamingQueries {
     "stream_tws"     -> streamTws _,
     "stream_timers"  -> streamTimers _,
     "stream_mapstate" -> streamMapState _,
+    "stream_init_state" -> streamInitState _,
+    "stream_list_state" -> streamListState _,
     "stream_static_join" -> streamStaticJoin _,
     "stream_stream_join" -> streamStreamJoin _,
     "stream_hourly"  -> streamHourly _,
@@ -574,6 +701,28 @@ object StreamingQueries {
           CAST(1 + count(CASE WHEN tus - prev > 1800000000 THEN 1 END) AS BIGINT)
             AS n_sessions
         FROM l GROUP BY user_id""",
+    // last-5 by (time, cents): asc takeRight(5) == desc-rank take 5
+    "stream_list_state" ->
+      """WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tus,
+            CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events
+          WHERE user_id IS NOT NULL AND value IS NOT NULL
+            AND NOT isnan(value)),
+        r AS (
+          SELECT user_id, tus, cents,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY tus DESC, cents DESC) AS rn
+          FROM e)
+        SELECT user_id,
+          string_agg(CAST(cents AS VARCHAR), ',' ORDER BY tus, cents) AS recent
+        FROM r WHERE rn <= 5 GROUP BY user_id""",
+    // backfill(even ids) + stream(odd ids) must equal the full table
+    "stream_init_state" ->
+      """SELECT event_type, count(*) AS n_events,
+          CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+            AS sum_cents
+        FROM events GROUP BY event_type""",
     "stream_mapstate" ->
       """SELECT user_id, event_type,
           count(*) AS n_events,

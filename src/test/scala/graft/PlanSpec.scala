@@ -43,7 +43,8 @@ class PlanSpec extends SparkSpec {
     Set("stream_hourly", "stream_session", "stream_session_multibatch",
       "stream_append", "stream_dedup", "stream_stateful", "stream_tws",
       "stream_static_join", "stream_stream_join", "stream_dsv2",
-      "stream_session_append", "stream_timers", "stream_mapstate")
+      "stream_session_append", "stream_timers", "stream_mapstate",
+      "stream_init_state", "stream_list_state")
 
   /** Audited max Exchange-hashpartitioning count per query. */
   private val exchangeBudget: Map[String, Int] = Map(

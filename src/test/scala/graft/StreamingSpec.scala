@@ -224,6 +224,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ListState buffer trims across micro-batches (bounded state per key)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val prevProv = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, Long, Long)] // (user, tus, cents)
+    val out = mem.toDS().groupByKey(_._1)
+      .transformWithState(new graft.analytics.RecentListProcessor(3),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF("user_id", "recent")
+    val name = "liststate_sink"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", graft.Tables.tempOutDir("liststate_chk"))
+      .start()
+    try {
+      mem.addData((1L, 10L, 100L), (1L, 20L, 200L))
+      q.processAllAvailable()
+      mem.addData((1L, 30L, 300L), (1L, 5L, 50L)) // 5 is OLDER than the buffer
+      q.processAllAvailable()
+      val rows = spark.table(name).orderBy(length(col("recent")))
+        .collect().map(_.getString(1))
+      // batch 1: [100,200]; batch 2 merges {50,100,200,300} by time and
+      // trims to the LAST 3 — the old straggler 50 falls out
+      assert(rows.toSeq === Seq("100,200", "100,200,300"), rows.toSeq)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+      prevProv match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState keeps per-truck state across micro-batches") {
     // batch 1 ends T1 at fuel 20; batch 2 opens T1 at fuel 90 — the +70
     // jump is only detectable if state survives the batch boundary
