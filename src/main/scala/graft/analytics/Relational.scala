@@ -499,6 +499,65 @@ object Relational {
           * sqrt(dd("n") * dd("spp") - dd("sp") * dd("sp")))).as("corr_qp"))
   }
 
+  /** Higher central moments — skewness and excess kurtosis per group,
+    * extending `agg_stats` to the 3rd/4th order. Two exact passes: the
+    * per-group FLOORED-cent mean first (one integer division — defined
+    * identically in both engines), then exact integer deviations
+    * d = cents − mean whose 2nd/3rd/4th powers sum in DECIMAL(38,0)
+    * (|d| ≤ 10⁵ ⇒ d⁴ ≤ 10²⁰ — no overflow even at petabyte row
+    * counts, where raw-moment algebra overflows 38 digits). One double
+    * finish per statistic, spelled with sqrt (IEEE-exact) rather than
+    * pow. The built-in skewness/kurtosis stream doubles and are
+    * partitioning-dependent; this is order-independent by
+    * construction. */
+  def aggMoments(s: SparkSession, d: String): DataFrame = {
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+    val means = lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("s1"))
+      .withColumn("mean_c", expr("s1 div n"))
+    val dv = cents - col("mean_c")
+    val base = lineitem(s, d)
+      .join(broadcast(means), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(col("n")).as("n"),
+        sum(d38(dv * dv)).as("sd2"),
+        sum(d38(dv * dv) * d38(dv)).as("sd3"),
+        sum(d38(dv * dv) * d38(dv * dv)).as("sd4"))
+    def dd(name: String): Column = col(name).cast("double")
+    base.select(
+      col("l_returnflag"), col("n"),
+      ((dd("sd3") / dd("n"))
+        / ((dd("sd2") / dd("n")) * sqrt(dd("sd2") / dd("n")))).as("skewness"),
+      ((dd("sd4") / dd("n"))
+        / ((dd("sd2") / dd("n")) * (dd("sd2") / dd("n"))) - 3.0)
+        .as("ex_kurtosis"))
+  }
+
+  /** Quantile-fence outliers (the z-score family's robust sibling):
+    * per event type, Tukey fences at q1/q3 ± 1.5·IQR from exact
+    * interpolated percentiles, then a count of fence-breakers. Two
+    * passes over the scan: one tiny percentile agg (broadcast back),
+    * one conditional count. */
+  def eventsAnomalyIqr(s: SparkSession, d: String): DataFrame = {
+    val clean = events(s, d)
+      .filter(col("value").isNotNull && !isnan(col("value")))
+    val fences = clean
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.75)").as("q3"))
+      .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+      .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+    clean.join(broadcast(fences), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   /** The full rank-function family over one window: rank, dense_rank,
     * ntile, percent_rank, cume_dist. The order key (µs ts, event_id) is
     * unique, so every rank is deterministic; percent_rank/cume_dist are
@@ -1225,6 +1284,8 @@ object Relational {
     "skew_stats"        -> skewStats _,
     "orders_rfm"        -> ordersRfm _,
     "ts_mom"            -> tsMom _,
+    "agg_moments"       -> aggMoments _,
+    "events_anomaly_iqr" -> eventsAnomalyIqr _,
     "agg_count"         -> aggCount _,
     "agg_rollup"        -> aggRollup _,
     "agg_stats"         -> aggStats _,
@@ -1578,6 +1639,51 @@ object Relational {
       """SELECT event_type, count(*) AS n,
           TRUE AS ok25, TRUE AS ok50, TRUE AS ok90
         FROM events GROUP BY event_type""",
+    "agg_moments" ->
+      """WITH c AS (
+          SELECT l_returnflag,
+            CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM lineitem),
+        m AS (
+          SELECT l_returnflag, count(*) AS n, sum(cents) AS s1,
+            sum(cents) // count(*) AS mean_c
+          FROM c GROUP BY l_returnflag),
+        d AS (
+          SELECT c.l_returnflag, m.n,
+            CAST(c.cents - m.mean_c AS HUGEINT) AS dv
+          FROM c JOIN m USING (l_returnflag)),
+        a AS (
+          SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+            sum(dv * dv) AS sd2, sum(dv * dv * dv) AS sd3,
+            sum(dv * dv * dv * dv) AS sd4
+          FROM d GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+          (CAST(sd3 AS DOUBLE) / CAST(n AS DOUBLE))
+            / ((CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE))
+              * sqrt(CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE))) AS skewness,
+          (CAST(sd4 AS DOUBLE) / CAST(n AS DOUBLE))
+            / ((CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE))) - 3.0
+            AS ex_kurtosis
+        FROM a""",
+    "events_anomaly_iqr" ->
+      """WITH e AS (
+          SELECT event_type, value FROM events
+          WHERE value IS NOT NULL AND NOT isnan(value)),
+        f AS (
+          SELECT event_type,
+            quantile_cont(value, 0.25) AS q1,
+            quantile_cont(value, 0.75) AS q3
+          FROM e GROUP BY event_type),
+        g AS (
+          SELECT event_type,
+            q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi
+          FROM f)
+        SELECT e.event_type, count(*) AS n,
+          CAST(sum(CASE WHEN e.value < g.lo OR e.value > g.hi
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM e JOIN g USING (event_type)
+        GROUP BY e.event_type""",
     "ts_mom" ->
       """WITH m AS (
           SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,

@@ -245,7 +245,12 @@ class PlanSpec extends SparkSpec {
     "source_divergence" -> 7,
     // MoM: the monthly agg; the lag window runs over ~24 aggregated
     // rows in a single (non-hash) partition by design
-    "ts_mom" -> 1)
+    "ts_mom" -> 1,
+    // two-pass central moments: the mean agg + the deviation agg (the
+    // mean side rejoins broadcast)
+    "agg_moments" -> 2,
+    // IQR fences: the percentile agg + the fence-breaker count
+    "events_anomaly_iqr" -> 2)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
