@@ -206,6 +206,26 @@ object Relational {
         (abs(col("est") - col("exact_users")).cast("double")
           / col("exact_users") <= 0.05).as("within_tol"))
 
+  /** Sketch MERGEABILITY — the property that makes sketches the 100 TB
+    * cardinality answer: per-shard (here per-type) DataSketches HLL
+    * sketches built independently, `hll_union_agg`'d into ONE global
+    * sketch, estimated, and gated against the exact global distinct.
+    * This is how a 1000-executor fleet counts distincts with a
+    * constant-size reduce — partials union losslessly in any order.
+    * As with `agg_hll`, the oracle asserts the tolerance verdict. */
+  def aggHllUnion(s: SparkSession, d: String): DataFrame = {
+    val est = events(s, d)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    events(s, d)
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+      .crossJoin(broadcast(est))
+      .select(col("exact_users"),
+        (abs(col("est") - col("exact_users")).cast("double")
+          / col("exact_users") <= 0.05).as("within_tol"))
+  }
+
   /** Full-table count (the reference's most common action,
     * Glue_job.py:95,124,127,131-135 — here as one job, not eight). */
   def aggCount(s: SparkSession, d: String): DataFrame =
@@ -1280,6 +1300,7 @@ object Relational {
     "agg_group"         -> aggGroup _,
     "agg_distinct"      -> aggDistinct _,
     "agg_hll"           -> aggHll _,
+    "agg_hll_union"     -> aggHllUnion _,
     "agg_approx_quantile" -> aggApproxQuantile _,
     "skew_stats"        -> skewStats _,
     "orders_rfm"        -> ordersRfm _,
@@ -1635,6 +1656,9 @@ object Relational {
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
     // sketch-quantile rank-error gate: the oracle pins the exact count
     // and asserts the declared verdicts are uniformly TRUE
+    "agg_hll_union" ->
+      """SELECT count(DISTINCT user_id) AS exact_users, TRUE AS within_tol
+        FROM events""",
     "agg_approx_quantile" ->
       """SELECT event_type, count(*) AS n,
           TRUE AS ok25, TRUE AS ok50, TRUE AS ok90

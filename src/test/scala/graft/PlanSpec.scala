@@ -37,7 +37,7 @@ class PlanSpec extends SparkSpec {
   private val nljWhitelist =
     Set("sim_knn", "sim_range", "join_cross", "text_tfidf", "text_bm25",
       "zorder_value", "sketch_cms", "mixture_weights", "sample_weighted",
-      "expect_drift", "orders_rfm", "source_divergence")
+      "expect_drift", "orders_rfm", "source_divergence", "agg_hll_union")
 
   private val streaming =
     Set("stream_hourly", "stream_session", "stream_session_multibatch",
@@ -250,7 +250,10 @@ class PlanSpec extends SparkSpec {
     // mean side rejoins broadcast)
     "agg_moments" -> 2,
     // IQR fences: the percentile agg + the fence-breaker count
-    "events_anomaly_iqr" -> 2)
+    "events_anomaly_iqr" -> 2,
+    // per-type sketch agg + the two-level exact-distinct expand (the
+    // unioned 1-row sketch side broadcasts)
+    "agg_hll_union" -> 3)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
