@@ -95,10 +95,32 @@ object Multimodal {
         (col("f") * 256L).as("byte_off"))
   }
 
+  /** Resize stage: stride-downsample the payload bytes (every 4th byte
+    * — the nearest-neighbor-resize analog on the fake media), emitting
+    * the resized size + content hash. Like the decoder, the byte work
+    * runs partition-local in `mapPartitions` (a real resize swaps the
+    * stride loop for a codec call; batch shape and schema stay
+    * identical); no shuffle anywhere. The oracle recomputes the same
+    * stride sample character-wise and hashes it. */
+  def multimodalResize(s: SparkSession, d: String, stride: Int = 4): DataFrame = {
+    import s.implicits._
+    assets(s, d).as[Asset].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      it.map { a =>
+        val resized = Array.tabulate((a.content.length + stride - 1) / stride)(
+          i => a.content(i * stride))
+        md.reset()
+        val hex = md.digest(resized).map("%02x".format(_)).mkString
+        (a.asset_id, a.content.length, resized.length, hex)
+      }
+    }.toDF("asset_id", "n_bytes", "resized_bytes", "resized_sha")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_stub"     -> multimodalStub _,
     "multimodal_features" -> featuresScalar _,
     "multimodal_frames"   -> multimodalFrames _,
+    "multimodal_resize"   -> ((s: SparkSession, d: String) => multimodalResize(s, d)),
   )
 
   /** hex-pair → byte value, DuckDB spelling (strpos is 1-based). */
@@ -121,6 +143,20 @@ object Multimodal {
           array_to_string(list_transform(generate_series(0, 7),
             i -> CAST($byteExpr AS VARCHAR)), ',') AS features_b
         FROM (SELECT *, sha256(text) AS sha FROM documents)""",
+    // the same every-4th-byte sample, character-wise (ASCII corpus:
+    // byte == char), hashed with the same sha256
+    "multimodal_resize" ->
+      """WITH r AS (
+          SELECT doc_id AS asset_id, octet_length(encode(text)) AS n_bytes,
+            array_to_string(list_transform(list_filter(
+              list_transform(string_split(text, ''),
+                (c, i) -> struct_pack(c := c, i := i)),
+              s -> (s.i - 1) % 4 = 0), s -> s.c), '') AS resized
+          FROM documents)
+        SELECT asset_id, n_bytes,
+          CAST(octet_length(encode(resized)) AS BIGINT) AS resized_bytes,
+          sha256(resized) AS resized_sha
+        FROM r""",
     "multimodal_frames" ->
       """WITH a AS (
           SELECT doc_id AS asset_id,

@@ -253,7 +253,9 @@ class PlanSpec extends SparkSpec {
     "events_anomaly_iqr" -> 2,
     // per-type sketch agg + the two-level exact-distinct expand (the
     // unioned 1-row sketch side broadcasts)
-    "agg_hll_union" -> 3)
+    "agg_hll_union" -> 3,
+    // partition-local stride resize: no shuffle
+    "multimodal_resize" -> 0)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
