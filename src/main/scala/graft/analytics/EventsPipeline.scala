@@ -544,14 +544,21 @@ object EventsPipeline {
     * would race while an uncleaned one would leak. */
   private def roundtrip(s: SparkSession, d: String, format: String): DataFrame = {
     val out = graft.Tables.tempOutDir(s"${format}_roundtrip")
-    events(s, d)
+    val writer = events(s, d)
       .select(col("event_id"), col("event_type"), col("value"))
-      .write.mode("overwrite").option("header", "true").format(format).save(out)
-    val back =
-      if (format == "orc") s.read.orc(out)
-      else s.read
+      .write.mode("overwrite").option("header", "true")
+    (if (format == "xml") writer.option("rowTag", "event") else writer)
+      .format(format).save(out)
+    val back = format match {
+      // self-describing binary format: schema rides in the files
+      case "orc" => s.read.format(format).load(out)
+      case "xml" => s.read
+        .schema("event_id LONG, event_type STRING, value DOUBLE")
+        .option("rowTag", "event").format("xml").load(out)
+      case _ => s.read
         .schema("event_id LONG, event_type STRING, value DOUBLE")
         .option("header", "true").format(format).load(out)
+    }
     back.groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("cnt"),
@@ -566,6 +573,10 @@ object EventsPipeline {
 
   /** ORC round-trip — the second columnar format Spark ships. */
   def orcRoundtrip(s: SparkSession, d: String): DataFrame = roundtrip(s, d, "orc")
+
+  /** XML round-trip — the fourth text format (Spark 4 absorbed
+    * spark-xml into core; `rowTag` frames each record). */
+  def xmlRoundtrip(s: SparkSession, d: String): DataFrame = roundtrip(s, d, "xml")
 
   /** As-of join (attribution): for each purchase, the same user's most
     * recent click at-or-before it. Implemented with the union+window
@@ -955,6 +966,7 @@ object EventsPipeline {
     "events_attribution"  -> eventsAttribution _,
     "json_roundtrip"      -> jsonRoundtrip _,
     "orc_roundtrip"       -> orcRoundtrip _,
+    "xml_roundtrip"       -> xmlRoundtrip _,
     "join_asof"           -> joinAsof _,
     "join_asof_fwd"       -> joinAsofFwd _,
     "events_markov"       -> eventsMarkov _,
@@ -1423,6 +1435,7 @@ object EventsPipeline {
     "csv_roundtrip"  -> roundtripOracle,
     "json_roundtrip" -> roundtripOracle,
     "orc_roundtrip"  -> roundtripOracle,
+    "xml_roundtrip"  -> roundtripOracle,
     "join_asof" -> asofOracle,
     "events_pattern" ->
       """WITH e AS (

@@ -226,6 +226,53 @@ object Relational {
           / col("exact_users") <= 0.05).as("within_tol"))
   }
 
+  /** Theta-sketch SET ALGEBRA — the sketch family HLL can't provide:
+    * Theta sketches support union AND intersection AND difference, so
+    * "users who clicked ∩ users who purchased" is answerable from two
+    * per-segment sketches without re-scanning either side. At 100 TB
+    * this is the audience-overlap primitive: build one constant-size
+    * sketch per segment (mergeable, any partitioning), combine
+    * driver-free with the set operators. Exact counts come from ONE
+    * flag-aggregation pass (groupBy user → bool flags → conditional
+    * counts); the oracle recomputes those exactly and asserts the
+    * sketch's relative error stays inside the gate, like `agg_hll`. */
+  def sketchTheta(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val sk = ev.filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"))
+      .agg(theta_sketch_agg(col("user_id")).as("sk"))
+      .groupBy()
+      .pivot("event_type", Seq("click", "purchase"))
+      .agg(first(col("sk")))
+    val est = sk.select(
+      theta_sketch_estimate(theta_union(col("click"), col("purchase")))
+        .as("est_union"),
+      theta_sketch_estimate(theta_intersection(col("click"), col("purchase")))
+        .as("est_inter"),
+      theta_sketch_estimate(theta_difference(col("click"), col("purchase")))
+        .as("est_diff"))
+    val exact = ev
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("event_type") === "click").as("clicked"),
+        max(col("event_type") === "purchase").as("purchased"))
+      .agg(
+        count(lit(1)).as("exact_union"),
+        count(when(col("clicked") && col("purchased"), 1)).as("exact_inter"),
+        count(when(col("clicked") && !col("purchased"), 1)).as("exact_diff"))
+    // multiply form: no division, so an empty segment (exact = 0)
+    // demands est = 0 — which theta sketches deliver exactly below
+    // their k=4096 retention threshold — instead of dividing by zero
+    def ok(est: Column, ex: Column): Column =
+      abs(est - ex) <= ex.cast("double") * 0.05
+    exact.crossJoin(broadcast(est))
+      .select(col("exact_union"), col("exact_inter"), col("exact_diff"),
+        ok(col("est_union"), col("exact_union")).as("union_tol"),
+        ok(col("est_inter"), col("exact_inter")).as("inter_tol"),
+        ok(col("est_diff"), col("exact_diff")).as("diff_tol"))
+  }
+
   /** Full-table count (the reference's most common action,
     * Glue_job.py:95,124,127,131-135 — here as one job, not eight). */
   def aggCount(s: SparkSession, d: String): DataFrame =
@@ -1301,6 +1348,7 @@ object Relational {
     "agg_distinct"      -> aggDistinct _,
     "agg_hll"           -> aggHll _,
     "agg_hll_union"     -> aggHllUnion _,
+    "sketch_theta"      -> sketchTheta _,
     "agg_approx_quantile" -> aggApproxQuantile _,
     "skew_stats"        -> skewStats _,
     "orders_rfm"        -> ordersRfm _,
@@ -1659,6 +1707,20 @@ object Relational {
     "agg_hll_union" ->
       """SELECT count(DISTINCT user_id) AS exact_users, TRUE AS within_tol
         FROM events""",
+    // theta set algebra: exact counts recomputed from the same
+    // flag-aggregation; all three sketch error verdicts asserted TRUE
+    "sketch_theta" ->
+      """WITH f AS (
+          SELECT user_id,
+            bool_or(event_type = 'click') AS clicked,
+            bool_or(event_type = 'purchase') AS purchased
+          FROM events WHERE event_type IN ('click', 'purchase')
+          GROUP BY user_id)
+        SELECT count(*) AS exact_union,
+          count(CASE WHEN clicked AND purchased THEN 1 END) AS exact_inter,
+          count(CASE WHEN clicked AND NOT purchased THEN 1 END) AS exact_diff,
+          TRUE AS union_tol, TRUE AS inter_tol, TRUE AS diff_tol
+        FROM f""",
     "agg_approx_quantile" ->
       """SELECT event_type, count(*) AS n,
           TRUE AS ok25, TRUE AS ok50, TRUE AS ok90

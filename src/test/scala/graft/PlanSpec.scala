@@ -37,7 +37,9 @@ class PlanSpec extends SparkSpec {
   private val nljWhitelist =
     Set("sim_knn", "sim_range", "join_cross", "text_tfidf", "text_bm25",
       "zorder_value", "sketch_cms", "mixture_weights", "sample_weighted",
-      "expect_drift", "orders_rfm", "source_divergence", "agg_hll_union")
+      "expect_drift", "orders_rfm", "source_divergence", "agg_hll_union",
+      // sketch_theta: crossJoin(broadcast(1-row sketch estimates))
+      "sketch_theta")
 
   private val streaming =
     Set("stream_hourly", "stream_session", "stream_session_multibatch",
@@ -255,7 +257,12 @@ class PlanSpec extends SparkSpec {
     // unioned 1-row sketch side broadcasts)
     "agg_hll_union" -> 3,
     // partition-local stride resize: no shuffle
-    "multimodal_resize" -> 0)
+    "multimodal_resize" -> 0,
+    // theta set algebra: per-segment sketch agg + exact per-user flag
+    // agg (both global finishes are single-partition, not hash)
+    "sketch_theta" -> 2,
+    // roundtrip family shape: the post-read group-by
+    "xml_roundtrip" -> 1)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
