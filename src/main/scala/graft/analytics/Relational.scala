@@ -119,6 +119,242 @@ object Relational {
       .agg(sum(dec12(col("l_extendedprice")) * (one2 - dec4(col("l_discount"))))
         .cast("double").as("revenue"))
 
+  /** TPC-H Q2 shape (min-cost supplier): the correlated "supplier with
+    * the minimum cost for each part" — decorrelated the way every
+    * engine plans it: one grouped MIN over the offers, rejoined on
+    * (part, min) equality. No partsupp table in this schema, so the
+    * offer set is the suppliers observed shipping the part; min
+    * s_acctbal stands in for min ps_supplycost, min suppkey breaks
+    * exact-balance ties deterministically. Both passes shuffle on
+    * partkey only — the offers never move twice. */
+  def q2MinSupplier(s: SparkSession, d: String): DataFrame = {
+    val pf = part(s, d).filter(col("p_size") <= 5)
+      .select(col("p_partkey"), col("p_name"))
+    val offers = lineitem(s, d)
+      .join(pf, col("l_partkey") === col("p_partkey"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        dec12(col("s_acctbal")).as("bal"))
+    val minBal = offers.groupBy(col("p_partkey").as("mp"))
+      .agg(min(col("bal")).as("min_bal"))
+    offers.join(minBal, col("p_partkey") === col("mp") && col("bal") === col("min_bal"))
+      .groupBy(col("p_partkey"), col("p_name"))
+      .agg(min(col("s_suppkey")).as("s_suppkey"),
+        min(col("bal")).cast("double").as("s_acctbal"))
+  }
+
+  /** TPC-H Q4 shape (order-priority checking): orders with at least one
+    * line shipped after the order date. The EXISTS plans as a left-semi
+    * hash join on the orderkey equi key with the shipdate comparison as
+    * a residual — the fact side streams through once. */
+  def q4Priority(s: SparkSession, d: String): DataFrame = {
+    val ord = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+    val li = lineitem(s, d)
+    ord.join(li, ord("o_orderkey") === li("l_orderkey") &&
+        li("l_shipdate") > ord("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q7 shape (volume shipping between two nations): both nation
+    * dims pre-filter to the 2-name set (pushed to the dim scans); the
+    * cross-pair OR condition — which spans two join arms and cannot
+    * push down — stays as a residual filter. */
+  def q7Volume(s: SparkSession, d: String): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val n1 = nation(s, d).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    val n2 = nation(s, d).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("c_nationkey") === col("c_nkey"))
+      .join(n2, col("s_nationkey") === col("s_nkey"))
+      .filter(col("cust_nation") =!= col("supp_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec12(col("l_extendedprice")) * (one2 - dec4(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q8 shape (national market share): one nation's slice of a
+    * region's volume per year — the conditional-sum-over-total-sum
+    * ratio. Both sums stay exact decimal until the single double
+    * division, so the ratio is cross-engine bit-identical. */
+  def q8Share(s: SparkSession, d: String): DataFrame = {
+    val vol = dec12(col("l_extendedprice")) * (one2 - dec4(col("l_discount")))
+    val sn = nation(s, d)
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    lineitem(s, d)
+      .join(part(s, d).filter(col("p_type") === "PROMO"),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(region(s, d).filter(col("r_name") === "AMERICA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(sn, col("s_nationkey") === col("s_nkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((coalesce(sum(when(col("supp_nation") === "NATION_3", vol))
+          .cast("double"), lit(0.0))
+        / sum(vol).cast("double")).as("mkt_share"))
+  }
+
+  /** TPC-H Q9 shape (product-type profit): profit per supplier nation
+    * and order year over a part-name LIKE filter. No ps_supplycost in
+    * this schema — unit cost is modeled as 5% of retail price; the
+    * whole amount stays exact decimal through the subtraction. */
+  def q9Profit(s: SparkSession, d: String): DataFrame = {
+    val amount = dec12(col("l_extendedprice")) * (one2 - dec4(col("l_discount"))) -
+      dec12(col("p_retailprice")) * dec4(lit(0.05)) *
+        col("l_quantity").cast(DecimalType(6, 2))
+    lineitem(s, d)
+      .join(part(s, d).filter(col("p_name").like("%red%")),
+        col("l_partkey") === col("p_partkey"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"))
+  }
+
+  /** TPC-H Q13 shape (customer order distribution): left join keeps
+    * zero-order customers, count per customer, then the distribution
+    * of those counts — the two-level aggregation whose second level is
+    * tiny by construction. */
+  def q13Custdist(s: SparkSession, d: String): DataFrame = {
+    val ord = orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT")
+    customer(s, d)
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    * then the supplier(s) equal to the max — the scalar-subquery max
+    * realized as a 1-row broadcast against the (already tiny)
+    * aggregated side. Exact decimal revenue makes max-equality
+    * deterministic. */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(sum(dec12(col("l_extendedprice")) * (one2 - dec4(col("l_discount"))))
+        .as("r"))
+    val mx = rev.agg(max(col("r")).as("max_r"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("r") === col("max_r"))
+      .select(col("s_suppkey"), col("r").cast("double").as("total_revenue"))
+  }
+
+  /** TPC-H Q16 shape (supplier counts by part attrs with NOT IN): the
+    * excluded-supplier set plans as a left-anti join BEFORE the
+    * distinct count, so exclusion costs one small broadcast, not a
+    * per-row subquery. */
+  def q16SupplierCnt(s: SparkSession, d: String): DataFrame = {
+    val bad = supplier(s, d).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    lineitem(s, d)
+      .join(part(s, d).filter(col("p_type") =!= "PROMO" && col("p_size") <= 20),
+        col("l_partkey") === col("p_partkey"))
+      .join(bad, col("l_suppkey") === bad("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): lines below 20%
+    * of their part's average quantity. The correlated average
+    * decorrelates into a per-part aggregate rejoined on partkey; the
+    * threshold test is spelled multiply-through
+    * (5·qty·cnt < Σqty, all exact decimals/integers) so no engine ever
+    * divides — the comparison is bit-exact on both sides. */
+  def q17SmallQty(s: SparkSession, d: String): DataFrame = {
+    val pf = part(s, d).filter(col("p_brand") === "Brand#1").select(col("p_partkey"))
+    val li = lineitem(s, d).join(pf, col("l_partkey") === col("p_partkey"))
+    val stats = li.groupBy(col("l_partkey").as("sp"))
+      .agg(count(lit(1)).cast(DecimalType(10, 0)).as("cnt"),
+        sum(dec2(col("l_quantity"))).as("sum_qty"))
+    li.join(stats, col("l_partkey") === col("sp"))
+      .filter(col("l_quantity").cast(DecimalType(6, 2)) * lit(5) * col("cnt")
+        < col("sum_qty"))
+      .agg((sum(dec12(col("l_extendedprice"))).cast("double") / lit(7.0))
+          .as("avg_yearly"),
+        count(lit(1)).as("cnt_small"))
+  }
+
+  /** TPC-H Q19 shape (disjunctive predicate pushdown): an OR of three
+    * (brand, size-range, quantity-range) conjunctions straddling the
+    * join. Catalyst pushes the brand/size disjunction to the part scan
+    * and the quantity bounds to the lineitem scan (the common-factor
+    * extraction the classic query exists to test). */
+  def q19Disjunction(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(part(s, d), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(sum(dec12(col("l_extendedprice")) * (one2 - dec4(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("cnt"))
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the
+    * EXISTS(other supplier) + NOT EXISTS(other LATE supplier) pair over
+    * a self-join — both plan as hash semi/anti joins on orderkey with
+    * the supplier-inequality as residual. Late = shipped more than 30
+    * days after the order date (no commit/receipt dates in this
+    * schema). */
+  def q21Waiting(s: SparkSession, d: String): DataFrame = {
+    val late = lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .select(col("l_orderkey").as("lo"), col("l_suppkey").as("ls"))
+      .distinct()
+    val others = lineitem(s, d)
+      .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2")).distinct()
+    val lateOthers = late.select(col("lo").as("o3"), col("ls").as("s3"))
+    late
+      .join(others, col("lo") === col("o2") && col("ls") =!= col("s2"), "left_semi")
+      .join(lateOthers, col("lo") === col("o3") && col("ls") =!= col("s3"), "left_anti")
+      .join(supplier(s, d), col("ls") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  /** TPC-H Q22 shape (global-sales opportunity): customers above the
+    * positive-balance average with no orders — scalar-average
+    * comparison spelled multiply-through (bal·n > Σbal, exact
+    * decimals) against a 1-row broadcast, then a left-anti join
+    * against recent orders (every customer here has SOME order, so the
+    * idle window — nothing since mid-2000 — is what makes the result
+    * non-empty; the date filter pushes into the anti side's scan). */
+  def q22IdleRich(s: SparkSession, d: String): DataFrame = {
+    val cst = customer(s, d)
+    val pos = cst.filter(col("c_acctbal") > 0)
+      .agg(count(lit(1)).cast(DecimalType(10, 0)).as("cnt_pos"),
+        sum(dec12(col("c_acctbal"))).as("sum_pos"))
+    val recent = orders(s, d)
+      .filter(col("o_orderdate") >= lit("2000-06-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    cst.crossJoin(broadcast(pos))
+      .filter(dec12(col("c_acctbal")) * col("cnt_pos") > col("sum_pos"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec12(col("c_acctbal"))).cast("double").as("totacctbal"))
+  }
+
   /** Star join with explicitly broadcast dimensions (fact never moves
     * except for the final small aggregation shuffle). */
   def joinBroadcast(s: SparkSession, d: String): DataFrame = {
@@ -1339,6 +1575,18 @@ object Relational {
     "q3_topk"           -> q3Topk _,
     "q10_returns"       -> q10Returns _,
     "q5_local"          -> q5Local _,
+    "q2_min_supplier"   -> q2MinSupplier _,
+    "q4_priority"       -> q4Priority _,
+    "q7_volume"         -> q7Volume _,
+    "q8_share"          -> q8Share _,
+    "q9_profit"         -> q9Profit _,
+    "q13_custdist"      -> q13Custdist _,
+    "q15_top_supplier"  -> q15TopSupplier _,
+    "q16_supplier_cnt"  -> q16SupplierCnt _,
+    "q17_small_qty"     -> q17SmallQty _,
+    "q19_disjunction"   -> q19Disjunction _,
+    "q21_waiting"       -> q21Waiting _,
+    "q22_idle_rich"     -> q22IdleRich _,
     "join_inner"        -> joinInner _,
     "join_broadcast"    -> joinBroadcast _,
     "join_left"         -> joinLeft _,
@@ -1464,6 +1712,144 @@ object Relational {
       s"""SELECT o_orderpriority, count(*) AS cnt, CAST(sum($discExp) AS DOUBLE) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority""",
+    "q2_min_supplier" ->
+      s"""WITH offers AS (
+            SELECT p_partkey, p_name, s_suppkey,
+              CAST(s_acctbal AS DECIMAL(12,2)) AS bal
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_size <= 5
+            JOIN supplier ON l_suppkey = s_suppkey),
+          mb AS (SELECT p_partkey AS mp, min(bal) AS min_bal
+                 FROM offers GROUP BY 1)
+        SELECT p_partkey, p_name, min(s_suppkey) AS s_suppkey,
+          CAST(min(bal) AS DOUBLE) AS s_acctbal
+        FROM offers JOIN mb ON p_partkey = mp AND bal = min_bal
+        GROUP BY p_partkey, p_name""",
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY 1""",
+    "q7_volume" ->
+      s"""SELECT supp_nation, cust_nation, l_year,
+          CAST(sum(vol) AS DOUBLE) AS revenue
+        FROM (
+          SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+            year(l_shipdate) AS l_year, $discExp AS vol
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+            AND n2.n_name IN ('NATION_1', 'NATION_2')
+            AND n1.n_name <> n2.n_name)
+        GROUP BY 1, 2, 3""",
+    "q8_share" ->
+      s"""SELECT year(o_orderdate) AS o_year,
+          COALESCE(CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+            THEN $discExp END) AS DOUBLE), 0.0)
+            / CAST(sum($discExp) AS DOUBLE) AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        GROUP BY 1""",
+    "q9_profit" ->
+      s"""SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+        FROM (
+          SELECT n_name AS nation, year(o_orderdate) AS o_year,
+            $discExp - CAST(p_retailprice AS DECIMAL(12,2))
+              * CAST(0.05 AS DECIMAL(4,2))
+              * CAST(l_quantity AS DECIMAL(6,2)) AS amount
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN orders ON l_orderkey = o_orderkey)
+        GROUP BY 1, 2""",
+    "q13_custdist" ->
+      """WITH cc AS (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer
+          LEFT JOIN orders ON c_custkey = o_custkey
+            AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+        SELECT c_count, count(*) AS custdist FROM cc GROUP BY 1""",
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+          SELECT l_suppkey AS s_suppkey, sum($discExp) AS r
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01'
+          GROUP BY 1)
+        SELECT s_suppkey, CAST(r AS DOUBLE) AS total_revenue
+        FROM rev WHERE r = (SELECT max(r) FROM rev)""",
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_type <> 'PROMO' AND p_size <= 20
+          AND l_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2""",
+    "q17_small_qty" ->
+      """WITH li AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'),
+          st AS (
+            SELECT l_partkey AS sp, count(*) AS cnt,
+              sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+            FROM li GROUP BY 1)
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+            / 7.0 AS avg_yearly,
+          count(*) AS cnt_small
+        FROM li JOIN st ON l_partkey = sp
+        WHERE CAST(l_quantity AS DECIMAL(6,2)) * 5 * cnt < sum_qty""",
+    "q19_disjunction" ->
+      s"""SELECT CAST(sum($discExp) AS DOUBLE) AS revenue, count(*) AS cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)""",
+    "q21_waiting" ->
+      """WITH late AS (
+            SELECT DISTINCT l_orderkey AS lo, l_suppkey AS ls
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY),
+          allsup AS (
+            SELECT DISTINCT l_orderkey AS o2, l_suppkey AS s2 FROM lineitem)
+        SELECT s_name, count(*) AS numwait
+        FROM late JOIN supplier ON ls = s_suppkey
+        WHERE EXISTS (SELECT 1 FROM allsup WHERE o2 = lo AND s2 <> ls)
+          AND NOT EXISTS (SELECT 1 FROM late l2
+                          WHERE l2.lo = late.lo AND l2.ls <> late.ls)
+        GROUP BY 1""",
+    "q22_idle_rich" ->
+      """WITH pos AS (
+          SELECT count(*) AS cnt_pos,
+            sum(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_pos
+          FROM customer WHERE c_acctbal > 0)
+        SELECT c_nationkey, count(*) AS numcust,
+          CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        FROM customer, pos
+        WHERE CAST(c_acctbal AS DECIMAL(12,2)) * cnt_pos > sum_pos
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-06-01')
+        GROUP BY 1""",
     "q3_topk" ->
       s"""SELECT l_orderkey, o_orderdate, CAST(sum($discExp) AS DOUBLE) AS revenue
         FROM customer

@@ -39,7 +39,9 @@ class PlanSpec extends SparkSpec {
       "zorder_value", "sketch_cms", "mixture_weights", "sample_weighted",
       "expect_drift", "orders_rfm", "source_divergence", "agg_hll_union",
       // sketch_theta: crossJoin(broadcast(1-row sketch estimates))
-      "sketch_theta")
+      "sketch_theta",
+      // q22: crossJoin(broadcast(1-row positive-balance totals))
+      "q22_idle_rich")
 
   private val streaming =
     Set("stream_hourly", "stream_session", "stream_session_multibatch",
@@ -262,7 +264,17 @@ class PlanSpec extends SparkSpec {
     // agg (both global finishes are single-partition, not hash)
     "sketch_theta" -> 2,
     // roundtrip family shape: the post-read group-by
-    "xml_roundtrip" -> 1)
+    "xml_roundtrip" -> 1,
+    // TPC-H expansion (audited at the same sf0.001/local[4] baseline):
+    // q2 = offers agg + two-key rejoin + final part agg; q21 = two
+    // distincts + semi/anti self-join sides + supplier rollup; the
+    // 1-exchange rows are the final aggregation only (all dims
+    // broadcast); q19's predicate evaluates scan-side, zero shuffles
+    "q2_min_supplier" -> 4, "q4_priority" -> 1, "q7_volume" -> 1,
+    "q8_share" -> 1, "q9_profit" -> 1, "q13_custdist" -> 2,
+    "q15_top_supplier" -> 2, "q16_supplier_cnt" -> 2,
+    "q17_small_qty" -> 2, "q19_disjunction" -> 0, "q21_waiting" -> 6,
+    "q22_idle_rich" -> 1)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
