@@ -578,6 +578,39 @@ object EventsPipeline {
     * spark-xml into core; `rowTag` frames each record). */
   def xmlRoundtrip(s: SparkSession, d: String): DataFrame = roundtrip(s, d, "xml")
 
+  /** PERMISSIVE ingest with corrupt-record accounting — what a 100 TB
+    * raw-layer load actually faces: rows that don't parse. Every 7th
+    * event is deterministically mangled (non-numeric value field),
+    * written as raw CSV text, and read back under PERMISSIVE mode with
+    * `columnNameOfCorruptRecord`: the bad field comes back NULL, the
+    * raw line lands in `_corrupt_record`, and NOTHING is dropped — the
+    * per-type rollup accounts for every row as good or quarantined.
+    * The oracle recomputes the same verdicts from the clean table via
+    * the corruption rule (event_id % 7 = 0), pinning that PERMISSIVE
+    * parses exactly the rows it should and no others. */
+  def ingestBadrecords(s: SparkSession, d: String): DataFrame = {
+    val out = graft.Tables.tempOutDir("badrecords")
+    val valueStr = when(pmod(col("event_id"), lit(7)) === 0,
+      concat(lit("x"), col("value").cast("string")))
+      .otherwise(col("value").cast("string"))
+    events(s, d)
+      .select(concat_ws(",",
+        col("event_id"), col("event_type"), valueStr).as("value"))
+      .write.mode("overwrite").text(out)
+    s.read
+      .schema("event_id LONG, event_type STRING, value DOUBLE, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(out)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        count(col("_corrupt_record")).as("n_corrupt"),
+        sum(dec2(col("value"))).cast("double").as("sum_value_good"),
+        sum(when(col("_corrupt_record").isNull, col("event_id")))
+          .as("sum_id_good"))
+  }
+
   /** As-of join (attribution): for each purchase, the same user's most
     * recent click at-or-before it. Implemented with the union+window
     * trick — every click and purchase lands on ONE per-user timeline and
@@ -967,6 +1000,7 @@ object EventsPipeline {
     "json_roundtrip"      -> jsonRoundtrip _,
     "orc_roundtrip"       -> orcRoundtrip _,
     "xml_roundtrip"       -> xmlRoundtrip _,
+    "ingest_badrecords"   -> ingestBadrecords _,
     "join_asof"           -> joinAsof _,
     "join_asof_fwd"       -> joinAsofFwd _,
     "events_markov"       -> eventsMarkov _,
@@ -1436,6 +1470,16 @@ object EventsPipeline {
     "json_roundtrip" -> roundtripOracle,
     "orc_roundtrip"  -> roundtripOracle,
     "xml_roundtrip"  -> roundtripOracle,
+    // corruption rule re-applied to the clean table: event_id % 7 = 0
+    // rows are the quarantined ones, everything else must parse
+    "ingest_badrecords" ->
+      """SELECT event_type, count(*) AS cnt,
+          count(CASE WHEN event_id % 7 = 0 THEN 1 END) AS n_corrupt,
+          CAST(sum(CASE WHEN event_id % 7 <> 0
+            THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_value_good,
+          CAST(sum(CASE WHEN event_id % 7 <> 0 THEN event_id END) AS BIGINT)
+            AS sum_id_good
+        FROM events GROUP BY event_type""",
     "join_asof" -> asofOracle,
     "events_pattern" ->
       """WITH e AS (

@@ -355,6 +355,28 @@ object Relational {
         sum(dec12(col("c_acctbal"))).cast("double").as("totacctbal"))
   }
 
+  /** Schema evolution across writes — the mergeSchema read the
+    * reference's Delta sink relies on (Glue_job.py mergeSchema), proven
+    * on parquet: generation 1 writes (orderkey, totalprice), generation
+    * 2 adds o_orderpriority; `mergeSchema=true` reconciles the two
+    * footer schemas and gen-1 rows surface the new column as NULL. The
+    * rollup groups on the evolved column so the NULL group pins exactly
+    * which generation each row came from. */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val out = graft.Tables.tempOutDir("schema_evolution")
+    val ord = orders(s, d)
+    ord.filter(col("o_orderkey") < 7500)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    ord.filter(col("o_orderkey") >= 7500)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$out/gen=2")
+    s.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec12(col("o_totalprice"))).cast("double").as("total"))
+  }
+
   /** Star join with explicitly broadcast dimensions (fact never moves
     * except for the final small aggregation shuffle). */
   def joinBroadcast(s: SparkSession, d: String): DataFrame = {
@@ -1587,6 +1609,7 @@ object Relational {
     "q19_disjunction"   -> q19Disjunction _,
     "q21_waiting"       -> q21Waiting _,
     "q22_idle_rich"     -> q22IdleRich _,
+    "schema_evolution"  -> schemaEvolution _,
     "join_inner"        -> joinInner _,
     "join_broadcast"    -> joinBroadcast _,
     "join_left"         -> joinLeft _,
@@ -1712,6 +1735,13 @@ object Relational {
       s"""SELECT o_orderpriority, count(*) AS cnt, CAST(sum($discExp) AS DOUBLE) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority""",
+    // gen-1 rows (orderkey < 7500) predate the column → NULL group
+    "schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey < 7500 THEN NULL
+            ELSE o_orderpriority END AS o_orderpriority,
+          count(*) AS cnt,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY 1""",
     "q2_min_supplier" ->
       s"""WITH offers AS (
             SELECT p_partkey, p_name, s_suppkey,

@@ -532,7 +532,58 @@ object TextAnalysis {
           .as("l1_q"))
   }
 
+  /** Blocklist gate — the banned-term curation filter: occurrences of
+    * any blocklisted token per document (HOF filter over the token
+    * array, no explode, no shuffle until the per-source rollup).
+    * The list ships as a literal here; at 100 TB it is a broadcast
+    * the same expression reads — either way the scan stays linear and
+    * the only exchange is the final source aggregation. */
+  def textBlocklist(s: SparkSession, d: String): DataFrame = {
+    val banned = Seq("spark", "vector", "stream")
+    val hits = size(filter(toks, t => t.isInCollection(banned)))
+    documents(s, d)
+      .select(col("source"), hits.as("hits"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("hits") > 0, 1)).as("n_flagged"),
+        sum(col("hits")).cast("long").as("total_hits"),
+        (count(when(col("hits") > 0, 1)).cast("double") / count(lit(1)))
+          .as("flag_rate"))
+  }
+
+  /** Curriculum decile bucketing by document length — the scale-safe
+    * EXACT quantile pattern: a global ntile() would funnel every row
+    * through ONE window partition; instead (1) aggregate rows into a
+    * score histogram (shuffle on the small distinct-score domain),
+    * (2) run the cumulative window over the tiny histogram, (3) assign
+    * bucket = 1 + (rows_before·10) div N — ties share a bucket by
+    * construction — and (4) broadcast the score→bucket map back onto
+    * the scan. All integer arithmetic, so both engines agree bit-for-
+    * bit on every boundary. */
+  def curriculumBuckets(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val hist = documents(s, d)
+      .groupBy(col("n_chars").as("score"))
+      .agg(count(lit(1)).as("c"))
+    val buckets = hist
+      .withColumn("before", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("total", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .select(col("score"),
+        expr("CAST(1 + (before * 10) div total AS INT)").as("bucket"))
+    documents(s, d)
+      .join(broadcast(buckets), col("n_chars") === col("score"))
+      .select(col("doc_id"), col("n_chars"), col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_blocklist"    -> textBlocklist _,
+    "curriculum_buckets" -> curriculumBuckets _,
     "source_divergence" -> sourceDivergence _,
     "source_quality"   -> sourceQuality _,
     "source_top_terms" -> sourceTopTerms _,
@@ -561,6 +612,31 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_blocklist" ->
+      """WITH h AS (
+          SELECT source,
+            len(list_filter(string_split(text, ' '),
+              t -> t IN ('spark', 'vector', 'stream'))) AS hits
+          FROM documents)
+        SELECT source, count(*) AS n_docs,
+          count(CASE WHEN hits > 0 THEN 1 END) AS n_flagged,
+          CAST(sum(hits) AS BIGINT) AS total_hits,
+          CAST(count(CASE WHEN hits > 0 THEN 1 END) AS DOUBLE)
+            / count(*) AS flag_rate
+        FROM h GROUP BY source""",
+    // same histogram-cumulative algebra: rows_before over the distinct
+    // score domain, integer floor-division bucket boundaries
+    "curriculum_buckets" ->
+      """WITH h AS (
+          SELECT n_chars AS score, count(*) AS c FROM documents GROUP BY 1),
+        b AS (
+          SELECT score,
+            CAST(1 + (COALESCE(sum(c) OVER (ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 10)
+              // (SELECT sum(c) FROM h) AS INT) AS bucket
+          FROM h)
+        SELECT doc_id, n_chars, bucket
+        FROM documents JOIN b ON n_chars = score""",
     // same algebra: per-token quantized shares, missing mass as the
     // scalar Q_g − Σcovered; all integer arithmetic (HUGEINT // )
     "source_divergence" ->

@@ -274,7 +274,11 @@ class PlanSpec extends SparkSpec {
     "q8_share" -> 1, "q9_profit" -> 1, "q13_custdist" -> 2,
     "q15_top_supplier" -> 2, "q16_supplier_cnt" -> 2,
     "q17_small_qty" -> 2, "q19_disjunction" -> 0, "q21_waiting" -> 6,
-    "q22_idle_rich" -> 1)
+    "q22_idle_rich" -> 1,
+    // curation/ops batch: each is a scan + one rollup exchange (the
+    // curriculum window runs single-partition over the tiny histogram)
+    "text_blocklist" -> 1, "curriculum_buckets" -> 1,
+    "ingest_badrecords" -> 1, "schema_evolution" -> 1)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
