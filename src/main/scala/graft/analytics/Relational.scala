@@ -531,6 +531,42 @@ object Relational {
         ok(col("est_diff"), col("exact_diff")).as("diff_tol"))
   }
 
+  /** Bitmap-aggregate EXACT distinct count — the warehouse pattern for
+    * distinct-count rollups that must be both exact AND mergeable
+    * (HLL trades exactness, count(DISTINCT) re-expands on every
+    * re-aggregation): ids bucket into fixed 32k-bit bitmaps
+    * (`bitmap_bucket_number`/`bitmap_bit_position`), per-bucket bitmaps
+    * build in ONE pass, and any regrouping is a constant-size
+    * `bitmap_or_agg` — the 'ALL' row here re-merges the per-type
+    * bitmaps without touching a raw id again, exactly how a 100 TB
+    * cube serves exact distincts at every rollup level. */
+  def aggBitmapDistinct(s: SparkSession, d: String): DataFrame = {
+    val perBucket = events(s, d)
+      .groupBy(col("event_type"),
+        bitmap_bucket_number(col("user_id")).as("bucket"))
+      .agg(bitmap_construct_agg(bitmap_bit_position(col("user_id"))).as("bm"))
+      .persist()
+    val perType = perBucket.groupBy(col("event_type"))
+      .agg(sum(bitmap_count(col("bm"))).cast("long").as("distinct_users"))
+    val overall = perBucket
+      .groupBy(col("bucket"))
+      .agg(bitmap_or_agg(col("bm")).as("bm"))
+      .agg(sum(bitmap_count(col("bm"))).cast("long").as("distinct_users"))
+      .select(lit("ALL").as("event_type"), col("distinct_users"))
+    perType.unionByName(overall)
+  }
+
+  /** Boolean-aggregate family: every / any / count_if — the predicate
+    * rollups a quality dashboard runs per segment. */
+  def aggPredicates(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        every(col("value") >= 0).as("all_nonneg"),
+        some(col("value") > 99).as("any_large"),
+        count_if(col("value") > 50).as("n_over_50"),
+        count_if(col("user_id") % 2 === 0).as("n_even_user"))
+
   /** Full-table count (the reference's most common action,
     * Glue_job.py:95,124,127,131-135 — here as one job, not eight). */
   def aggCount(s: SparkSession, d: String): DataFrame =
@@ -1620,6 +1656,8 @@ object Relational {
     "agg_hll"           -> aggHll _,
     "agg_hll_union"     -> aggHllUnion _,
     "sketch_theta"      -> sketchTheta _,
+    "agg_bitmap_distinct" -> aggBitmapDistinct _,
+    "agg_predicates"    -> aggPredicates _,
     "agg_approx_quantile" -> aggApproxQuantile _,
     "skew_stats"        -> skewStats _,
     "orders_rfm"        -> ordersRfm _,
@@ -2123,6 +2161,21 @@ object Relational {
     "agg_hll_union" ->
       """SELECT count(DISTINCT user_id) AS exact_users, TRUE AS within_tol
         FROM events""",
+    // bitmaps are exact, so the oracle is plain count(DISTINCT) at
+    // both rollup levels
+    "agg_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS distinct_users
+        FROM events GROUP BY 1
+        UNION ALL
+        SELECT 'ALL' AS event_type, count(DISTINCT user_id) AS distinct_users
+        FROM events""",
+    "agg_predicates" ->
+      """SELECT event_type,
+          bool_and(value >= 0) AS all_nonneg,
+          bool_or(value > 99) AS any_large,
+          count_if(value > 50) AS n_over_50,
+          count_if(user_id % 2 = 0) AS n_even_user
+        FROM events GROUP BY 1""",
     // theta set algebra: exact counts recomputed from the same
     // flag-aggregation; all three sketch error verdicts asserted TRUE
     "sketch_theta" ->

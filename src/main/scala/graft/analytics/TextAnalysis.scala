@@ -581,7 +581,30 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_chars"), col("bucket"))
   }
 
+  /** URL parsing — the domain-extraction primitive every web-corpus
+    * pipeline leads with (domain blocklists, per-domain dedup and
+    * rate caps). Deterministic URLs are synthesized from document
+    * fields, then `parse_url` recovers HOST/PATH/QUERY scan-side —
+    * codegen'd, no shuffle until the per-host rollup. The oracle
+    * rebuilds the same parts from the construction rule, pinning the
+    * parser's component split. */
+  def urlParse(s: SparkSession, d: String): DataFrame = {
+    val url = concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+      col("doc_id"), lit("?lang="), col("lang"))
+    documents(s, d)
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("lang")).as("q_lang"))
+      .groupBy(col("host"), col("q_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("path")).as("n_paths"),
+        min(col("doc_id")).as("min_doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "url_parse"         -> urlParse _,
     "text_blocklist"    -> textBlocklist _,
     "curriculum_buckets" -> curriculumBuckets _,
     "source_divergence" -> sourceDivergence _,
@@ -612,6 +635,13 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    // the construction rule replayed component-wise
+    "url_parse" ->
+      """SELECT source || '.example.com' AS host, lang AS q_lang,
+          count(*) AS n_docs,
+          count(DISTINCT '/docs/' || doc_id) AS n_paths,
+          min(doc_id) AS min_doc
+        FROM documents GROUP BY 1, 2""",
     "text_blocklist" ->
       """WITH h AS (
           SELECT source,

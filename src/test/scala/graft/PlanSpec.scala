@@ -278,7 +278,11 @@ class PlanSpec extends SparkSpec {
     // curation/ops batch: each is a scan + one rollup exchange (the
     // curriculum window runs single-partition over the tiny histogram)
     "text_blocklist" -> 1, "curriculum_buckets" -> 1,
-    "ingest_badrecords" -> 1, "schema_evolution" -> 1)
+    "ingest_badrecords" -> 1, "schema_evolution" -> 1,
+    // bitmap distinct: the STATIC plan recomputes the per-bucket agg
+    // under both rollup branches (2×) — runtime persist collapses
+    // them (like graph_triangles); url_parse = host agg + distinct
+    "agg_bitmap_distinct" -> 4, "agg_predicates" -> 1, "url_parse" -> 2)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
