@@ -1387,6 +1387,65 @@ object Relational {
     s.sql(sqlTextShared)
   }
 
+  /** Recursive CTE (Spark 4 WITH RECURSIVE) — ONE SQL text both engines
+    * run verbatim: the recursion GENERATES a monthly date spine (the
+    * canonical recursive-CTE job: calendar/spine tables are derived,
+    * not stored), and the left join keeps zero-order months — which a
+    * plain GROUP BY over o_orderdate could never produce. The spine is
+    * 79 rows, so the recursion is driver-trivial while the join stays
+    * distributed. */
+  private val recursiveShared =
+    """WITH RECURSIVE months(m) AS (
+      SELECT CAST('1995-01-01' AS DATE)
+      UNION ALL
+      SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+      WHERE m < CAST('2001-07-01' AS DATE))
+    SELECT m, count(o_orderkey) AS n_orders
+    FROM months LEFT JOIN orders
+      ON CAST(date_trunc('MONTH', o_orderdate) AS DATE) = m
+    GROUP BY m"""
+
+  def sqlRecursive(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders")
+    s.sql(recursiveShared)
+  }
+
+  /** Parameterized SQL — the injection-safe front-end surface: named
+    * parameter markers bind typed values at analysis time (Spark 4
+    * `spark.sql(query, args)`), so user input never concatenates into
+    * SQL text. The oracle inlines the same constants as literals. */
+  def sqlParams(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS cnt,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders
+      WHERE o_orderdate >= CAST(:lo AS TIMESTAMP)
+        AND o_orderdate < CAST(:hi AS TIMESTAMP)
+        AND o_orderstatus = :status
+      GROUP BY o_orderpriority""",
+      Map("lo" -> "1997-01-01", "hi" -> "1998-01-01", "status" -> "F"))
+  }
+
+  /** Scalar XML codec (to_xml → from_xml round-trip): each order
+    * serializes to an XML fragment and parses back scan-side — the
+    * per-record codec path (message envelopes), distinct from the
+    * file-level xml_roundtrip. Verdicts + reparsed aggregates pin that
+    * the codec loses nothing. */
+  def xmlScalar(s: SparkSession, d: String): DataFrame = {
+    val xml = to_xml(struct(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice")))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+    orders(s, d)
+      .withColumn("xml", xml)
+      .withColumn("back", from_xml(col("xml"), schema))
+      .groupBy(col("back.o_orderstatus").as("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec12(col("back.o_totalprice"))).cast("double").as("total"),
+        every(col("back.o_orderkey") === col("o_orderkey")).as("key_intact"))
+  }
+
   /** Correlated LATERAL join (top-2 customers per nation) — ONE shared
     * SQL text for both engines, like sql_text. Spark decorrelates the
     * per-row ORDER BY/LIMIT subquery into a ranked window join (no
@@ -1713,6 +1772,9 @@ object Relational {
     "win_session_native" -> winSessionNative _,
     "source_dsv2"       -> sourceDsv2 _,
     "sql_text"          -> sqlText _,
+    "sql_recursive"     -> sqlRecursive _,
+    "sql_params"        -> sqlParams _,
+    "xml_scalar"        -> xmlScalar _,
     "set_intersect_all" -> setIntersectAll _,
     "set_except_all"    -> setExceptAll _,
     "agg_ols"           -> aggOls _,
@@ -2458,6 +2520,22 @@ object Relational {
         FROM embeddings""",
     // the SAME string spark.sql executes — SQL front-end parity
     "sql_text" -> sqlTextShared,
+    "sql_recursive" -> recursiveShared,
+    // the oracle inlines the bound parameters as literals
+    "sql_params" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND o_orderstatus = 'F'
+        GROUP BY o_orderpriority""",
+    // lossless codec ⇒ the oracle aggregates the source columns
+    "xml_scalar" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+          TRUE AS key_intact
+        FROM orders GROUP BY 1""",
     "join_lateral" -> lateralShared,
     "agg_pivot_multi" ->
       """SELECT user_id,

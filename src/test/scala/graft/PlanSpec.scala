@@ -282,7 +282,10 @@ class PlanSpec extends SparkSpec {
     // bitmap distinct: the STATIC plan recomputes the per-bucket agg
     // under both rollup branches (2×) — runtime persist collapses
     // them (like graph_triangles); url_parse = host agg + distinct
-    "agg_bitmap_distinct" -> 4, "agg_predicates" -> 1, "url_parse" -> 2)
+    "agg_bitmap_distinct" -> 4, "agg_predicates" -> 1, "url_parse" -> 2,
+    // SQL-surface batch: each is one rollup exchange (the recursive
+    // spine is 79 driver-trivial rows; the join side broadcasts)
+    "sql_recursive" -> 1, "sql_params" -> 1, "xml_scalar" -> 1)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
