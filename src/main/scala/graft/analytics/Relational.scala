@@ -355,6 +355,78 @@ object Relational {
         sum(dec12(col("c_acctbal"))).cast("double").as("totacctbal"))
   }
 
+  /** TPC-H Q11 shape (important stock): per-part value within one
+    * nation, keeping parts whose share exceeds a fixed fraction of the
+    * national total — the HAVING > scalar-subquery-fraction query. No
+    * partsupp in this schema, so value = shipped revenue by that
+    * nation's suppliers. The total is a 1-row broadcast; the fraction
+    * test is spelled multiply-through (value·1000 > total, exact
+    * decimals) so neither engine divides. Both aggregations shuffle
+    * once on partkey; the scan is shared via the grouped CTE. */
+  def q11StockValue(s: SparkSession, d: String): DataFrame = {
+    val sup = supplier(s, d)
+      .join(nation(s, d).filter(col("n_name") === "NATION_1"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val byPart = lineitem(s, d)
+      .join(sup, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec12(col("l_extendedprice")) * (one2 - dec4(col("l_discount"))))
+        .as("value"))
+    val total = byPart.agg(sum(col("value")).as("total"))
+    byPart.crossJoin(broadcast(total))
+      .filter(col("value") * lit(1000) > col("total"))
+      .select(col("l_partkey"), col("value").cast("double").as("value"))
+  }
+
+  /** TPC-H Q12 shape (shipping-delay priority split): the CASE-sum
+    * pivot counting urgent vs non-urgent lines per category. No
+    * l_shipmode in this schema, so the category is the shipping-delay
+    * band (the operational analog) — a derived group key computed
+    * scan-side. One join, one exchange on the 3-value band key. */
+  def q12LatePriority(s: SparkSession, d: String): DataFrame = {
+    val delay = datediff(col("l_shipdate"), col("o_orderdate"))
+    val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_band",
+        when(delay <= 30, "FAST").when(delay <= 90, "MEDIUM").otherwise("SLOW"))
+      .groupBy(col("delay_band"))
+      .agg(sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(urgent, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q20 shape (concentrated shippers): suppliers who shipped
+    * more than half of some blue part's lifetime quantity inside one
+    * year — the nested semi-join chain whose inner relation is itself
+    * an aggregate threshold (availqty > ½·shipped in the original);
+    * a ≥3-shipments floor keeps single-line pairs from qualifying
+    * trivially (the volume-significance role ps_availqty plays).
+    * Both per-pair aggregates shuffle on the same (supp, part) key and
+    * the threshold is multiply-through (2·q97 > qall, exact decimals);
+    * suppliers attach via one left-semi join, so the qualifying-pair
+    * table never fans out. */
+  def q20ExcessShippers(s: SparkSession, d: String): DataFrame = {
+    val blue = part(s, d).filter(col("p_name").like("blue%"))
+      .select(col("p_partkey"))
+    val li = lineitem(s, d)
+      .join(blue, col("l_partkey") === col("p_partkey"), "left_semi")
+    val pairQty = li.groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("l_quantity"))).as("q_all"),
+        sum(when(year(col("l_shipdate")) === 1997, dec2(col("l_quantity")))
+          .otherwise(dec2(lit(0)))).as("q_97"))
+    val hot = pairQty
+      .filter(col("n") >= 3 && col("q_97") * lit(2) > col("q_all"))
+      .select(col("l_suppkey"))
+    supplier(s, d)
+      .join(hot, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+  }
+
   /** Schema evolution across writes — the mergeSchema read the
     * reference's Delta sink relies on (Glue_job.py mergeSchema), proven
     * on parquet: generation 1 writes (orderkey, totalprice), generation
@@ -1702,6 +1774,9 @@ object Relational {
     "q16_supplier_cnt"  -> q16SupplierCnt _,
     "q17_small_qty"     -> q17SmallQty _,
     "q19_disjunction"   -> q19Disjunction _,
+    "q11_stock_value"   -> q11StockValue _,
+    "q12_late_priority" -> q12LatePriority _,
+    "q20_excess_shippers" -> q20ExcessShippers _,
     "q21_waiting"       -> q21Waiting _,
     "q22_idle_rich"     -> q22IdleRich _,
     "schema_evolution"  -> schemaEvolution _,
@@ -1967,6 +2042,46 @@ object Relational {
           AND NOT EXISTS (SELECT 1 FROM late l2
                           WHERE l2.lo = late.lo AND l2.ls <> late.ls)
         GROUP BY 1""",
+    "q11_stock_value" ->
+      s"""WITH byp AS (
+          SELECT l_partkey, sum($discExp) AS value
+          FROM lineitem
+          WHERE l_suppkey IN (
+            SELECT s_suppkey FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_1')
+          GROUP BY 1)
+        SELECT l_partkey, CAST(value AS DOUBLE) AS value
+        FROM byp
+        WHERE value * 1000 > (SELECT sum(value) FROM byp)""",
+    "q12_late_priority" ->
+      """SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30
+            THEN 'FAST'
+          WHEN datediff('day', o_orderdate, l_shipdate) <= 90
+            THEN 'MEDIUM' ELSE 'SLOW' END AS delay_band,
+          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1""",
+    "q20_excess_shippers" ->
+      """WITH pq AS (
+          SELECT l_suppkey, l_partkey, count(*) AS n,
+            sum(CAST(l_quantity AS DECIMAL(18,2))) AS q_all,
+            sum(CASE WHEN year(l_shipdate) = 1997
+              THEN CAST(l_quantity AS DECIMAL(18,2))
+              ELSE CAST(0 AS DECIMAL(18,2)) END) AS q_97
+          FROM lineitem
+          WHERE l_partkey IN
+            (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+          GROUP BY 1, 2)
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN
+          (SELECT l_suppkey FROM pq WHERE n >= 3 AND q_97 * 2 > q_all)""",
     "q22_idle_rich" ->
       """WITH pos AS (
           SELECT count(*) AS cnt_pos,

@@ -41,7 +41,10 @@ class PlanSpec extends SparkSpec {
       // sketch_theta: crossJoin(broadcast(1-row sketch estimates))
       "sketch_theta",
       // q22: crossJoin(broadcast(1-row positive-balance totals))
-      "q22_idle_rich")
+      "q22_idle_rich",
+      // q11: crossJoin(broadcast(1-row national total)) — the same
+      // scalar-broadcast shape, with an inequality residual
+      "q11_stock_value")
 
   private val streaming =
     Set("stream_hourly", "stream_session", "stream_session_multibatch",
@@ -285,7 +288,12 @@ class PlanSpec extends SparkSpec {
     "agg_bitmap_distinct" -> 4, "agg_predicates" -> 1, "url_parse" -> 2,
     // SQL-surface batch: each is one rollup exchange (the recursive
     // spine is 79 driver-trivial rows; the join side broadcasts)
-    "sql_recursive" -> 1, "sql_params" -> 1, "xml_scalar" -> 1)
+    "sql_recursive" -> 1, "sql_params" -> 1, "xml_scalar" -> 1,
+    // q11: byPart agg (shared by the value and total branches) = 2
+    // partkey exchanges in the static plan; q12: one band exchange;
+    // q20: two (supp,part) pair-agg exchanges feed the semi join
+    "q11_stock_value" -> 2, "q12_late_priority" -> 1,
+    "q20_excess_shippers" -> 2)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
