@@ -27,7 +27,8 @@ object SparkEntry {
       analytics.Multimodal.queries ++
       analytics.StreamingQueries.queries ++
       analytics.Curation.queries ++
-      analytics.Chunking.queries
+      analytics.Chunking.queries ++
+      analytics.Bpe.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +41,6 @@ object SparkEntry {
       analytics.Multimodal.oracle ++
       analytics.StreamingQueries.oracle ++
       analytics.Curation.oracle ++
-      analytics.Chunking.oracle
+      analytics.Chunking.oracle ++
+      analytics.Bpe.oracle
 }

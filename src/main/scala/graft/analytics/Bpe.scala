@@ -1,0 +1,216 @@
+package graft.analytics
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer training over the `documents` table — the missing
+  * piece between token counting (`text_token_regex`) and vocabulary
+  * building (`vocab_topk`) in the LLM-pipeline EXT surface: learn the
+  * first merge rules of a byte-pair encoder from corpus statistics,
+  * then price every document in tokens-under-that-tokenizer.
+  *
+  * Scale shape: BPE trains on the DISTINCT-WORD table (vocab), not the
+  * corpus — one corpus scan builds `(word, count)`, and every round
+  * after that runs on vocab-sized data (≪ corpus; the classic
+  * Sennrich'16 formulation). Pair counting is a grouped aggregation
+  * weighted by word frequency; the winning pair per round is collected
+  * as index METADATA (one row — the same driver-side step as the IVF
+  * k-means centroids), and merge application is distributed.
+  *
+  * Greedy left-to-right merge application is made order-free by a
+  * gaps-and-islands argument: two candidate sites of the same pair
+  * (a,b) conflict iff they sit at CONSECUTIVE positions (which forces
+  * a = b, a run of the same symbol); greedy keeps every other site of
+  * each maximal consecutive-candidate island, starting at the first.
+  * That turns the inherently sequential scan into two window functions
+  * partitioned by word — deterministic, engine-neutral, and proven
+  * equal to a sequential reference fold in BpeSpec. Ties in pair
+  * counts break lexicographically, so the whole training run is
+  * cross-engine reproducible and the DuckDB oracle re-derives the
+  * same merges from scratch (unrolled MATERIALIZED CTEs).
+  */
+object Bpe {
+
+  private val rounds = 5
+
+  /** (word, wcnt) vocabulary with corpus frequencies — the one
+    * corpus-wide aggregation; everything downstream is vocab-sized. */
+  private def vocab(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("wcnt"))
+
+  /** Initial symbol table: one row per (word, position, character). */
+  private def initToks(s: SparkSession, d: String): DataFrame =
+    vocab(s, d)
+      .select(col("w"), col("wcnt"),
+        explode(sequence(lit(0), length(col("w")) - 1)).as("pos"))
+      .withColumn("tok", col("w").substr(col("pos") + 1, lit(1)))
+
+  private def byW = Window.partitionBy("w").orderBy("pos")
+
+  /** Adjacent-pair frequency table for one round, weighted by word
+    * frequency, with the round winner first (count desc, then
+    * lexicographic — the deterministic tie-break). */
+  private def topPair(toks: DataFrame): DataFrame =
+    toks.withColumn("nxt", lead(col("tok"), 1).over(byW))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("tok").as("a"), col("nxt").as("b"))
+      .agg(sum(col("wcnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(1)
+
+  /** Apply one merge (a,b)→ab greedily to the symbol table. Candidate
+    * sites are filtered scan-side against the literal pair; the
+    * island-parity windows implement greedy non-overlap exactly
+    * (see object scaladoc); positions are renumbered densely so the
+    * next round sees a clean symbol table. */
+  private[graft] def applyMerge(toks: DataFrame, a: String, b: String): DataFrame = {
+    val cand = toks.withColumn("nxt", lead(col("tok"), 1).over(byW))
+      .filter(col("tok") === lit(a) && col("nxt") === lit(b))
+      .select(col("w"), col("pos"))
+    val sel = cand
+      .withColumn("g", col("pos") - row_number().over(byW))
+      .withColumn("rn", row_number().over(Window.partitionBy("w", "g").orderBy("pos")))
+      .filter(col("rn") % 2 === 1)
+      .select(col("w"), col("pos"))
+    toks
+      .join(sel.withColumn("here", lit(1)), Seq("w", "pos"), "left")
+      .join(sel.select(col("w"), (col("pos") + 1).as("pos"), lit(1).as("dropped")),
+        Seq("w", "pos"), "left")
+      .filter(col("dropped").isNull)
+      .withColumn("tok2", when(col("here") === 1, lit(a + b)).otherwise(col("tok")))
+      .withColumn("pos2", row_number().over(byW) - 1)
+      .select(col("w"), col("wcnt"), col("pos2").as("pos"), col("tok2").as("tok"))
+  }
+
+  /** Run `rounds` merge rounds. Returns the per-round symbol tables
+    * (index 0 = untrained chars) — each localCheckpoint'd, both to
+    * sever the join/window lineage between rounds (the dedup_clusters
+    * precedent) and because round r+1's plan would otherwise recompute
+    * round r three times. The collected winner rows are tokenizer
+    * metadata, not data. */
+  private def train(s: SparkSession, d: String): (Seq[DataFrame], Seq[(String, String)]) = {
+    var toks = initToks(s, d).localCheckpoint(true)
+    val tables = Seq.newBuilder[DataFrame]
+    val pairs = Seq.newBuilder[(String, String)]
+    tables += toks
+    for (_ <- 1 to rounds) {
+      val t = topPair(toks).collect()(0)
+      val (a, b) = (t.getString(0), t.getString(1))
+      toks = applyMerge(toks, a, b).localCheckpoint(true)
+      tables += toks
+      pairs += ((a, b))
+    }
+    (tables.result(), pairs.result())
+  }
+
+  /** The learned merge table — rank, pair, and the weighted pair count
+    * that won the round (the tokenizer artifact you'd ship). Each
+    * round's winner is re-derived as a one-row plan over that round's
+    * checkpointed symbol table, so the declared query is the real
+    * distributed aggregation, not a dump of driver state. */
+  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    val (tables, _) = train(s, d)
+    (1 to rounds).map { r =>
+      topPair(tables(r - 1)).select(
+        lit(r).as("merge_rank"), col("a").as("lhs"), col("b").as("rhs"), col("cnt"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Price every document under the trained tokenizer: BPE token
+    * count, untrained character-token count, and the integer-exact
+    * chars-per-token compression ratio (ppm — `div`, not float
+    * division, so the oracle hash-matches). The corpus never carries
+    * symbol tables: docs aggregate to (doc, word, count) once, then
+    * join the vocab-sized per-word token counts. */
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val (tables, _) = train(s, d)
+    val wtc = tables(rounds).groupBy(col("w")).agg(count(lit(1)).as("ntok"))
+    val dw = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    dw.join(wtc, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("ntok")).as("n_tok_bpe"),
+        sum(col("c") * length(col("w"))).as("n_tok_char"))
+      .withColumn("char_per_tok_ppm", expr("(n_tok_char * 1000000) div n_tok_bpe"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_merges" -> (bpeMerges _),
+    "bpe_encode" -> (bpeEncode _))
+
+  // ---------------------------------------------------------------
+  // DuckDB oracle: the full training unrolled as MATERIALIZED CTEs
+  // (each round reads the previous table 3×; without materialization
+  // the CTE tree re-evaluates exponentially). The winner feeds the
+  // next round through scalar subqueries — DuckDB derives the merges
+  // itself, so a hash match proves the TRAINING agrees, not just the
+  // final projection.
+  // ---------------------------------------------------------------
+
+  private val oracleBase =
+    """WITH words AS (
+        SELECT w, count(*) AS wcnt FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents) z
+        WHERE length(w) > 0 GROUP BY 1),
+      t0 AS MATERIALIZED (
+        SELECT w, wcnt, pos, substr(w, CAST(pos + 1 AS INT), 1) AS tok FROM (
+          SELECT w, wcnt, unnest(range(0, length(w))) AS pos FROM words) u)"""
+
+  private def oracleRound(r: Int): String = {
+    val p = r - 1
+    s"""p$r AS (SELECT tok AS a, nxt AS b, sum(wcnt) AS cnt FROM (
+          SELECT wcnt, tok, lead(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt
+          FROM t$p) z
+        WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      top$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+      c$r AS (SELECT w, pos FROM (
+          SELECT w, pos, tok, lead(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt
+          FROM t$p) z
+        WHERE tok = (SELECT a FROM top$r) AND nxt = (SELECT b FROM top$r)),
+      s$r AS (SELECT w, pos FROM (
+          SELECT w, pos, row_number() OVER (PARTITION BY w, g ORDER BY pos) AS rn FROM (
+            SELECT w, pos, pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS g
+            FROM c$r) y) z
+        WHERE rn % 2 = 1),
+      t$r AS MATERIALIZED (
+        SELECT w, wcnt, row_number() OVER (PARTITION BY w ORDER BY opos) - 1 AS pos, tok
+        FROM (
+          SELECT t.w, t.wcnt, t.pos AS opos,
+            CASE WHEN m.pos IS NOT NULL THEN (SELECT a || b FROM top$r)
+                 ELSE t.tok END AS tok
+          FROM t$p t
+          LEFT JOIN s$r m  ON t.w = m.w  AND t.pos = m.pos
+          LEFT JOIN s$r mp ON t.w = mp.w AND t.pos = mp.pos + 1
+          WHERE mp.pos IS NULL) z)"""
+  }
+
+  private def oracleTraining: String =
+    oracleBase + ",\n" + (1 to rounds).map(oracleRound).mkString(",\n")
+
+  val oracle: Map[String, String] = Map(
+    "bpe_merges" -> (oracleTraining + "\n" +
+      "SELECT merge_rank, lhs, rhs, cnt FROM (" +
+      (1 to rounds).map(r =>
+        s"SELECT $r AS merge_rank, a AS lhs, b AS rhs, CAST(cnt AS BIGINT) AS cnt FROM top$r")
+        .mkString(" UNION ALL ") + ") u"),
+    "bpe_encode" -> (oracleTraining + s""",
+      wtc AS (SELECT w, count(*) AS ntok FROM t$rounds GROUP BY 1),
+      dw AS (SELECT doc_id, w, count(*) AS c FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) z
+        WHERE length(w) > 0 GROUP BY 1, 2)
+      SELECT doc_id,
+        CAST(sum(c * ntok) AS BIGINT) AS n_tok_bpe,
+        CAST(sum(c * length(w)) AS BIGINT) AS n_tok_char,
+        CAST((sum(c * length(w)) * 1000000) // sum(c * ntok) AS BIGINT)
+          AS char_per_tok_ppm
+      FROM dw JOIN wtc USING (w) GROUP BY 1"""))
+}

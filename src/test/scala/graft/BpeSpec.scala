@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.Bpe
+
+/** Pins the BPE training semantics that the DuckDB oracle then
+  * re-checks at scale: greedy left-to-right merge application via the
+  * island-parity windows, and the shape/invariants of the trained
+  * artifacts on real test data. */
+class BpeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Sequential reference fold — the semantics applyMerge must match. */
+  private def greedy(toks: Seq[String], a: String, b: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def toksOf(words: Seq[String]) =
+    words.toDF("w")
+      .withColumn("wcnt", lit(1L))
+      .select(col("w"), col("wcnt"),
+        explode(sequence(lit(0), length(col("w")) - 1)).as("pos"))
+      .withColumn("tok", col("w").substr(col("pos") + 1, lit(1)))
+
+  test("applyMerge equals the sequential greedy fold, including same-symbol runs") {
+    // runs of the merged pair are the hard case: "aaaa" -> [aa, aa],
+    // "aaa" -> [aa, a], "aabaa" -> [aa, b, aa]; plus non-run words
+    val words = Seq("aaaa", "aaa", "aabaa", "abab", "ba", "xyaay")
+    val merged = Bpe.applyMerge(toksOf(words), "a", "a")
+      .orderBy("w", "pos")
+      .select("w", "tok").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    for (w <- words)
+      assert(merged(w) == greedy(w.map(_.toString), "a", "a"),
+        s"word $w: got ${merged(w)}")
+  }
+
+  test("applyMerge on a distinct-symbol pair merges every site at once") {
+    val words = Seq("abab", "aab", "cab", "bab")
+    val merged = Bpe.applyMerge(toksOf(words), "a", "b")
+      .orderBy("w", "pos")
+      .select("w", "tok").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    for (w <- words)
+      assert(merged(w) == greedy(w.map(_.toString), "a", "b"),
+        s"word $w: got ${merged(w)}")
+  }
+
+  test("bpe_merges learns 5 distinct positive-count merges on the corpus") {
+    val m = Bpe.bpeMerges(spark, sfDir).collect()
+    assert(m.length == 5)
+    assert(m.map(_.getInt(0)).toSeq == (1 to 5))
+    val pairs = m.map(r => (r.getString(1), r.getString(2)))
+    assert(pairs.distinct.length == 5)
+    assert(m.forall(_.getLong(3) > 0))
+    assert(pairs.forall { case (a, b) => a.nonEmpty && b.nonEmpty })
+  }
+
+  test("bpe_encode prices every document and never inflates token counts") {
+    val docs = graft.Tables.documents(spark, sfDir).count()
+    val e = Bpe.bpeEncode(spark, sfDir)
+    assert(e.count() == docs)
+    val bad = e.filter(col("n_tok_bpe") > col("n_tok_char") ||
+      col("char_per_tok_ppm") < 1000000L)
+    assert(bad.isEmpty)
+    // training merged something: some doc compresses strictly
+    assert(e.filter(col("n_tok_bpe") < col("n_tok_char")).count() > 0)
+  }
+}

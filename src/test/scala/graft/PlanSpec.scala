@@ -293,7 +293,12 @@ class PlanSpec extends SparkSpec {
     // partkey exchanges in the static plan; q12: one band exchange;
     // q20: two (supp,part) pair-agg exchanges feed the semi join
     "q11_stock_value" -> 2, "q12_late_priority" -> 1,
-    "q20_excess_shippers" -> 2)
+    "q20_excess_shippers" -> 2,
+    // BPE: training ran eagerly (checkpointed rounds); the declared
+    // merges plan is 5 one-row winner branches, each a vocab-sized
+    // lead-window (w) + pair agg; encode = wtc agg + (doc,word) agg +
+    // the vocab join + final per-doc rollup
+    "bpe_merges" -> 10, "bpe_encode" -> 5)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
