@@ -1335,6 +1335,37 @@ object Relational {
       (col("value") / sum(dec2(col("value"))).over(w).cast("double")).as("share"))
   }
 
+  /** Relative-standing windows — percent_rank (rank position scaled to
+    * [0,1]) and cume_dist (inclusive CDF) per user ordered by value.
+    * Null/NaN values are filtered first (Spark orders NULLS FIRST
+    * ascending, DuckDB NULLS LAST — the one cross-engine divergence
+    * this family has); event_id tie-break makes every rank distinct
+    * and both measures are single double divisions of exact integer
+    * positions, so the outputs are bit-stable. One user_id exchange
+    * shared by both window functions. */
+  def winPercentile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value"), col("event_id"))
+    events(s, d)
+      .filter(col("value").isNotNull && !isnan(col("value")))
+      .select(
+        col("event_id"), col("user_id"), col("value"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cum_dist"))
+  }
+
+  /** DataFrameNaFunctions surface — fill / replace / drop as ONE
+    * projection: na.fill on a double column replaces null AND NaN
+    * (the semantic difference from a bare coalesce), na.replace maps
+    * values pointwise, na.drop gates on key presence. All scan-side,
+    * zero exchanges; the oracle spells the identical CASE logic. */
+  def naFuncs(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .na.fill(Map("value" -> -1.0))
+      .na.replace("event_type", Map("click" -> "CLICK"))
+      .na.drop(Seq("user_id"))
+
   /** Modal event_type per user (most frequent, ties → lexicographically
     * smallest). mode() builtins break ties engine-specifically, so both
     * sides spell the argmax explicitly: count per (user, type), then
@@ -1839,6 +1870,8 @@ object Relational {
     "win_lead"          -> winLead _,
     "win_distinct"      -> winDistinct _,
     "win_ratio"         -> winRatio _,
+    "win_percentile"    -> winPercentile _,
+    "na_funcs"          -> naFuncs _,
     "agg_mode"          -> aggMode _,
     "agg_bitwise"       -> aggBitwise _,
     "q6_filter"         -> q6Filter _,
@@ -2538,6 +2571,20 @@ object Relational {
           value / CAST(sum(CAST(value AS DECIMAL(18,2)))
             OVER (PARTITION BY user_id) AS DOUBLE) AS share
         FROM events""",
+    "win_percentile" ->
+      """SELECT event_id, user_id, value,
+          percent_rank() OVER (PARTITION BY user_id
+            ORDER BY value, event_id) AS pct_rank,
+          cume_dist() OVER (PARTITION BY user_id
+            ORDER BY value, event_id) AS cum_dist
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)""",
+    "na_funcs" ->
+      """SELECT event_id, user_id,
+          CASE WHEN value IS NULL OR isnan(value) THEN -1.0
+               ELSE value END AS value,
+          CASE WHEN event_type = 'click' THEN 'CLICK'
+               ELSE event_type END AS event_type
+        FROM events WHERE user_id IS NOT NULL""",
     "agg_mode" ->
       """WITH c AS (
           SELECT user_id, event_type, count(*) AS cnt

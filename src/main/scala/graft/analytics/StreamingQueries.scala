@@ -595,6 +595,37 @@ object StreamingQueries {
     runToMemory(s, joined, OutputMode.Append())
   }
 
+  /** LEFT-OUTER stream-stream join — the append-mode semantics the
+    * inner variant above cannot show: matches emit as they arrive, but
+    * an UNMATCHED click may only emit null-extended once the watermark
+    * PROVES no purchase can still land inside its 30-minute window
+    * (emitting earlier would be wrong, never emitting would lose the
+    * row — the exact bug class outer stream joins exist to prevent).
+    * Under AvailableNow the final no-data batch advances the global
+    * watermark to min(per-side max event time) − 1 h and flushes
+    * exactly the expired unmatched clicks; younger unmatched clicks
+    * stay withheld. The oracle applies the identical cutoff, so the
+    * emit-once boundary itself is hash-checked. */
+  def streamJoinLeft(s: SparkSession, d: String): DataFrame = {
+    val clicks = eventsStream(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      expr("""c_user = p_user AND
+              p_ts > c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"""),
+      "left_outer")
+      .select(col("click_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+    runToMemory(s, joined, OutputMode.Append())
+  }
+
   /** The custom DSv2 connector's STREAMING face (graft.sources
     * .SeqSource as a MicroBatchStream): 50k deterministic rows admitted
     * 16384 per micro-batch (4 batches under AvailableNow — admission
@@ -621,6 +652,7 @@ object StreamingQueries {
     "stream_list_state" -> streamListState _,
     "stream_static_join" -> streamStaticJoin _,
     "stream_stream_join" -> streamStreamJoin _,
+    "stream_join_left" -> streamJoinLeft _,
     "stream_hourly"  -> streamHourly _,
     "stream_session" -> streamSession _,
     "stream_session_multibatch" -> streamSessionMultiBatch _,
@@ -781,6 +813,29 @@ object StreamingQueries {
         SELECT c.click_id, p.purchase_id, p.p_us - c.c_us AS lag_us
         FROM c JOIN p ON c.user_id = p.user_id
           AND p.p_us > c.c_us AND p.p_us <= c.c_us + 1800000000""",
+    // the outer variant adds null-extended clicks whose 30-minute match
+    // window closed strictly below the final global watermark
+    // (min of the two sides' max event time − 1 h) — Spark evicts left
+    // state when c_ts < valueWatermark = wm − 30 min, hence the strict <
+    "stream_join_left" ->
+      """WITH c AS (
+          SELECT event_id AS click_id, user_id, epoch_ns(ts) // 1000 AS c_us
+          FROM events WHERE event_type = 'click'),
+        p AS (
+          SELECT event_id AS purchase_id, user_id, epoch_ns(ts) // 1000 AS p_us
+          FROM events WHERE event_type = 'purchase'),
+        wm AS (SELECT least((SELECT max(c_us) FROM c),
+                            (SELECT max(p_us) FROM p)) - 3600000000 AS wus)
+        SELECT c.click_id, p.purchase_id, p.p_us - c.c_us AS lag_us
+        FROM c JOIN p ON c.user_id = p.user_id
+          AND p.p_us > c.c_us AND p.p_us <= c.c_us + 1800000000
+        UNION ALL
+        SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id,
+          CAST(NULL AS BIGINT) AS lag_us
+        FROM c, wm
+        WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+            AND p.p_us > c.c_us AND p.p_us <= c.c_us + 1800000000)
+          AND c.c_us + 1800000000 < wm.wus""",
   )
 
   /** Batch (lag + running-sum) spelling of the 30-minute sessionization

@@ -51,7 +51,7 @@ class PlanSpec extends SparkSpec {
       "stream_append", "stream_dedup", "stream_stateful", "stream_tws",
       "stream_static_join", "stream_stream_join", "stream_dsv2",
       "stream_session_append", "stream_timers", "stream_mapstate",
-      "stream_init_state", "stream_list_state")
+      "stream_init_state", "stream_list_state", "stream_join_left")
 
   /** Audited max Exchange-hashpartitioning count per query. */
   private val exchangeBudget: Map[String, Int] = Map(
@@ -298,7 +298,10 @@ class PlanSpec extends SparkSpec {
     // merges plan is 5 one-row winner branches, each a vocab-sized
     // lead-window (w) + pair agg; encode = wtc agg + (doc,word) agg +
     // the vocab join + final per-doc rollup
-    "bpe_merges" -> 10, "bpe_encode" -> 5)
+    "bpe_merges" -> 10, "bpe_encode" -> 5,
+    // win_percentile: both relative-standing windows share one user_id
+    // exchange; na_funcs is a pure scan-side projection
+    "win_percentile" -> 1, "na_funcs" -> 0)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
