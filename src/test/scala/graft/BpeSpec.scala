@@ -54,6 +54,33 @@ class BpeSpec extends SparkSpec {
         s"word $w: got ${merged(w)}")
   }
 
+  test("applyMerge equals the sequential fold for ARBITRARY words and pairs (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // tiny alphabet makes same-symbol runs and dense candidate islands
+    // likely — exactly the overlap cases the parity windows must get right
+    val genWord = for {
+      n  <- Gen.choose(1, 12)
+      cs <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    } yield cs.mkString
+    val genCase = for {
+      words <- Gen.listOfN(30, genWord).map(_.distinct)
+      a     <- Gen.oneOf("a", "b", "c")
+      b     <- Gen.oneOf("a", "b", "c")
+    } yield (words, a, b)
+    val cases = Gen.listOfN(25, genCase)
+      .apply(Gen.Parameters.default, Seed(7L)).get
+    cases.zipWithIndex.foreach { case ((words, a, b), i) =>
+      val merged = Bpe.applyMerge(toksOf(words), a, b)
+        .orderBy("w", "pos")
+        .select("w", "tok").as[(String, String)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      for (w <- words)
+        assert(merged(w) == greedy(w.map(_.toString), a, b),
+          s"case $i pair=($a,$b) word=$w: got ${merged.get(w)}")
+    }
+  }
+
   test("bpe_merges learns 5 distinct positive-count merges on the corpus") {
     val m = Bpe.bpeMerges(spark, sfDir).collect()
     assert(m.length == 5)
