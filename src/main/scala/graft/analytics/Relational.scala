@@ -1617,6 +1617,63 @@ object Relational {
           / col("n")).as("intercept"))
   }
 
+  /** Pearson correlation per group — the df.stat.corr surface, spelled
+    * scale-safe and cross-engine exact the same way as agg_ols: one
+    * map-side-combined pass accumulates (n, Σx, Σy, Σxy, Σx², Σy²) as
+    * exact decimals; the closed form finishes in doubles (IEEE sqrt is
+    * correctly rounded, so identical inputs give identical r in both
+    * engines). The built-in corr() is a streaming co-moment accumulator
+    * whose low bits depend on partition order — unusable for an oracle. */
+  def aggCorr(s: SparkSession, d: String): DataFrame = {
+    val x = dec2(col("l_quantity"))
+    val y = dec12(col("l_extendedprice"))
+    def dd(c: Column): Column = c.cast("double")
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        ((col("n") * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))) /
+          (sqrt(col("n") * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))) *
+            sqrt(col("n") * dd(col("syy")) - dd(col("sy")) * dd(col("sy")))))
+          .as("pearson_r"))
+  }
+
+  /** OHLC resampling — downsample the event stream to 15-minute bars
+    * per user: open/close are the first/last value by exact-µs event
+    * time (event_id tie-break ⇒ deterministic even under identical
+    * timestamps — min_by/max_by builtins break ties engine-specifically
+    * so both sides spell the argmin/argmax as row_number), high/low are
+    * plain extrema, n_events the bar volume. Both rank windows share
+    * one (user, bucket) exchange (two sorts); the aggregation reuses
+    * the same partitioning, so the whole bar build is a single
+    * shuffle — the plan you want when resampling a 100 TB tick table. */
+  def tsResample(s: SparkSession, d: String): DataFrame = {
+    val base = events(s, d)
+      .filter(col("value").isNotNull && !isnan(col("value")))
+      .select(col("user_id"), col("event_id"), col("value"),
+        expr("ts_ns div 1000").as("tus"))
+      .withColumn("bucket", expr("tus div 900000000"))
+    val wAsc = Window.partitionBy(col("user_id"), col("bucket"))
+      .orderBy(col("tus"), col("event_id"))
+    val wDesc = Window.partitionBy(col("user_id"), col("bucket"))
+      .orderBy(col("tus").desc, col("event_id").desc)
+    base
+      .withColumn("rna", row_number().over(wAsc))
+      .withColumn("rnd", row_number().over(wDesc))
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(
+        max(when(col("rna") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rnd") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Pivot with MULTIPLE aggregates per cell — each (type × {cnt,sum})
     * pair becomes a column; still one shuffle (pivot plans as a single
     * grouped aggregation over the pivoted CASE columns). */
@@ -1886,6 +1943,8 @@ object Relational {
     "set_intersect_all" -> setIntersectAll _,
     "set_except_all"    -> setExceptAll _,
     "agg_ols"           -> aggOls _,
+    "agg_corr"          -> aggCorr _,
+    "ts_resample"       -> tsResample _,
     "win_null_order"    -> winNullOrder _,
     "join_lateral"      -> joinLateral _,
     "set_union_distinct" -> setUnionDistinct _,
@@ -2827,5 +2886,40 @@ object Relational {
                (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
               * CAST(sx AS DOUBLE)) / n AS intercept
         FROM m""",
+    "agg_corr" ->
+      """WITH m AS (
+          SELECT l_returnflag, count(*) AS n,
+            sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+            sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+            sum(CAST(l_quantity AS DECIMAL(18,2))
+              * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
+            sum(CAST(l_quantity AS DECIMAL(18,2))
+              * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+            sum(CAST(l_extendedprice AS DECIMAL(12,2))
+              * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+          (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+            AS pearson_r
+        FROM m""",
+    "ts_resample" ->
+      """WITH x AS (
+          SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS tus
+          FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        b AS (
+          SELECT user_id, event_id, value, tus // 900000000 AS bucket,
+            row_number() OVER (PARTITION BY user_id, tus // 900000000
+              ORDER BY tus, event_id) AS rna,
+            row_number() OVER (PARTITION BY user_id, tus // 900000000
+              ORDER BY tus DESC, event_id DESC) AS rnd
+          FROM x)
+        SELECT user_id, bucket,
+          max(CASE WHEN rna = 1 THEN value END) AS open,
+          max(value) AS high, min(value) AS low,
+          max(CASE WHEN rnd = 1 THEN value END) AS close,
+          count(*) AS n_events
+        FROM b GROUP BY 1, 2""",
   )
 }

@@ -301,7 +301,11 @@ class PlanSpec extends SparkSpec {
     "bpe_merges" -> 10, "bpe_encode" -> 5,
     // win_percentile: both relative-standing windows share one user_id
     // exchange; na_funcs is a pure scan-side projection
-    "win_percentile" -> 1, "na_funcs" -> 0)
+    "win_percentile" -> 1, "na_funcs" -> 0,
+    // agg_corr: one moment-sum shuffle (the agg_ols shape + Σy²);
+    // ts_resample: both rank windows and the bar aggregation share the
+    // single (user, bucket) exchange — one shuffle for the whole bar
+    "agg_corr" -> 1, "ts_resample" -> 1)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
