@@ -99,12 +99,21 @@ object Bpe {
     val tables = Seq.newBuilder[DataFrame]
     val pairs = Seq.newBuilder[(String, String)]
     tables += toks
+    var exhausted = false
     for (_ <- 1 to rounds) {
-      val t = topPair(toks).collect()(0)
-      val (a, b) = (t.getString(0), t.getString(1))
-      toks = applyMerge(toks, a, b).localCheckpoint(true)
+      // a degenerate corpus (all words single-symbol) runs out of
+      // adjacent pairs: later rounds are no-ops and their winner rows
+      // are empty — matching the oracle, whose per-round LIMIT 1 CTEs
+      // also come back empty and merge nothing
+      val t = if (exhausted) Array.empty[org.apache.spark.sql.Row]
+              else topPair(toks).collect()
+      if (t.isEmpty) exhausted = true
+      else {
+        val (a, b) = (t(0).getString(0), t(0).getString(1))
+        toks = applyMerge(toks, a, b).localCheckpoint(true)
+        pairs += ((a, b))
+      }
       tables += toks
-      pairs += ((a, b))
     }
     (tables.result(), pairs.result())
   }

@@ -91,6 +91,15 @@ class BpeSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a.nonEmpty && b.nonEmpty })
   }
 
+  test("training degrades gracefully when the pair supply runs dry") {
+    // all-single-symbol vocab: round 1 already finds no adjacent pair;
+    // applyMerge on such a table is the identity
+    val toks = toksOf(Seq("a", "b", "c"))
+    val out = Bpe.applyMerge(toks, "a", "b")
+      .select("w", "tok").as[(String, String)].collect().toSet
+    assert(out == Set("a" -> "a", "b" -> "b", "c" -> "c"))
+  }
+
   test("bpe_encode prices every document and never inflates token counts") {
     val docs = graft.Tables.documents(spark, sfDir).count()
     val e = Bpe.bpeEncode(spark, sfDir)
