@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -152,9 +152,43 @@ object Bpe {
       .withColumn("char_per_tok_ppm", expr("(n_tok_char * 1000000) div n_tok_bpe"))
   }
 
+  /** Greedy application of the learned merges to a char-array column —
+    * the INFERENCE path: one chained left-fold (`aggregate` HOF) per
+    * merge rule, all built-in codegen'd expressions, so tokenizing a
+    * 100 TB corpus is a pure scan with no joins and no shuffles. The
+    * fold IS greedy left-to-right: merge when the accumulator's last
+    * token is `a` and the incoming symbol is `b` (a just-formed "ab"
+    * can't chain — token strings are the symbol identity). Proven
+    * equal to the island-parity training path in BpeSpec. */
+  private[graft] def segmentCol(chars: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(chars) { case (acc, (a, b)) =>
+      aggregate(acc, array().cast("array<string>"), (accArr, x) =>
+        when(size(accArr) > 0 &&
+            element_at(accArr, -1) === lit(a) && x === lit(b),
+          concat(slice(accArr, lit(1), size(accArr) - 1), array(lit(a + b))))
+          .otherwise(concat(accArr, array(x))))
+    }
+
+  /** Tokenizer APPLICATION: segment the 100 most frequent words with
+    * the scan-speed fold above. The oracle computes the same
+    * segmentation through the completely independent window-parity
+    * CTE path (the training tables), so a hash match proves the two
+    * strategies implement the same greedy semantics. */
+  def bpeSegment(s: SparkSession, d: String): DataFrame = {
+    val (_, merges) = train(s, d)
+    val chars = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    val toks = segmentCol(chars, merges)
+    vocab(s, d)
+      .orderBy(col("wcnt").desc, col("w")).limit(100)
+      .select(col("w"), col("wcnt"),
+        array_join(toks, "|").as("toks_str"), size(toks).as("n_toks"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_merges" -> (bpeMerges _),
-    "bpe_encode" -> (bpeEncode _))
+    "bpe_encode" -> (bpeEncode _),
+    "bpe_segment" -> (bpeSegment _))
 
   // ---------------------------------------------------------------
   // DuckDB oracle: the full training unrolled as MATERIALIZED CTEs
@@ -221,5 +255,12 @@ object Bpe {
         CAST(sum(c * length(w)) AS BIGINT) AS n_tok_char,
         CAST((sum(c * length(w)) * 1000000) // sum(c * ntok) AS BIGINT)
           AS char_per_tok_ppm
-      FROM dw JOIN wtc USING (w) GROUP BY 1"""))
+      FROM dw JOIN wtc USING (w) GROUP BY 1"""),
+    "bpe_segment" -> (oracleTraining + s""",
+      top AS (SELECT w, wcnt FROM words ORDER BY wcnt DESC, w LIMIT 100),
+      seg AS (SELECT w, string_agg(tok, '|' ORDER BY pos) AS toks_str,
+          count(*) AS n_toks
+        FROM t$rounds GROUP BY w)
+      SELECT top.w, top.wcnt, seg.toks_str, CAST(seg.n_toks AS INT) AS n_toks
+      FROM top JOIN seg ON top.w = seg.w"""))
 }

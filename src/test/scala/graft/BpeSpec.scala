@@ -100,6 +100,23 @@ class BpeSpec extends SparkSpec {
     assert(out == Set("a" -> "a", "b" -> "b", "c" -> "c"))
   }
 
+  test("scan-speed fold segmentation equals the island-parity training path on every word") {
+    // two independent implementations of greedy merge application:
+    // chained aggregate() folds (inference) vs the windowed training
+    // tables — must agree on the WHOLE vocab, not just the top-100
+    val seg = Bpe.bpeSegment(spark, sfDir)
+      .select("w", "toks_str").as[(String, String)].collect().toMap
+    val merges = Bpe.bpeMerges(spark, sfDir)
+      .orderBy("merge_rank")
+      .select("lhs", "rhs").as[(String, String)].collect()
+    for ((w, toksStr) <- seg) {
+      var toks: Seq[String] = w.map(_.toString)
+      for ((a, b) <- merges) toks = greedy(toks, a, b)
+      assert(toksStr == toks.mkString("|"), s"word $w")
+    }
+    assert(seg.nonEmpty)
+  }
+
   test("bpe_encode prices every document and never inflates token counts") {
     val docs = graft.Tables.documents(spark, sfDir).count()
     val e = Bpe.bpeEncode(spark, sfDir)

@@ -305,7 +305,10 @@ class PlanSpec extends SparkSpec {
     // agg_corr: one moment-sum shuffle (the agg_ols shape + Σy²);
     // ts_resample: both rank windows and the bar aggregation share the
     // single (user, bucket) exchange — one shuffle for the whole bar
-    "agg_corr" -> 1, "ts_resample" -> 1)
+    "agg_corr" -> 1, "ts_resample" -> 1,
+    // bpe_segment: the one vocab-count exchange; segmentation itself
+    // is chained codegen'd HOF folds — scan-side, join-free
+    "bpe_segment" -> 1)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
