@@ -626,6 +626,35 @@ object StreamingQueries {
     runToMemory(s, joined, OutputMode.Append())
   }
 
+  /** FULL-OUTER stream-stream join — the asymmetric-expiry case: the
+    * two sides evict on DIFFERENT bounds derived from the same time
+    * condition. A click can match purchases in (c_ts, c_ts+30m], so
+    * its state closes at wm − 30 min ON CLICK TIME (like the left
+    * join); a purchase can only be matched by clicks in
+    * [p_ts−30m, p_ts), all of which have already arrived once the
+    * watermark reaches p_ts, so its state closes at wm ON PURCHASE
+    * TIME. The oracle spells both bounds; a hash match pins the
+    * per-side eviction math, not just the join condition. */
+  def streamJoinFull(s: SparkSession, d: String): DataFrame = {
+    val clicks = eventsStream(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      expr("""c_user = p_user AND
+              p_ts > c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"""),
+      "full_outer")
+      .select(col("click_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+    runToMemory(s, joined, OutputMode.Append())
+  }
+
   /** The custom DSv2 connector's STREAMING face (graft.sources
     * .SeqSource as a MicroBatchStream): 50k deterministic rows admitted
     * 16384 per micro-batch (4 batches under AvailableNow — admission
@@ -653,6 +682,7 @@ object StreamingQueries {
     "stream_static_join" -> streamStaticJoin _,
     "stream_stream_join" -> streamStreamJoin _,
     "stream_join_left" -> streamJoinLeft _,
+    "stream_join_full" -> streamJoinFull _,
     "stream_hourly"  -> streamHourly _,
     "stream_session" -> streamSession _,
     "stream_session_multibatch" -> streamSessionMultiBatch _,
@@ -836,6 +866,35 @@ object StreamingQueries {
         WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
             AND p.p_us > c.c_us AND p.p_us <= c.c_us + 1800000000)
           AND c.c_us + 1800000000 < wm.wus""",
+    // full outer: left side expires at wm − 30 min on click time (as
+    // above); right side expires at wm on purchase time (every click
+    // that could still match it has already arrived by then)
+    "stream_join_full" ->
+      """WITH c AS (
+          SELECT event_id AS click_id, user_id, epoch_ns(ts) // 1000 AS c_us
+          FROM events WHERE event_type = 'click'),
+        p AS (
+          SELECT event_id AS purchase_id, user_id, epoch_ns(ts) // 1000 AS p_us
+          FROM events WHERE event_type = 'purchase'),
+        wm AS (SELECT least((SELECT max(c_us) FROM c),
+                            (SELECT max(p_us) FROM p)) - 3600000000 AS wus)
+        SELECT c.click_id, p.purchase_id, p.p_us - c.c_us AS lag_us
+        FROM c JOIN p ON c.user_id = p.user_id
+          AND p.p_us > c.c_us AND p.p_us <= c.c_us + 1800000000
+        UNION ALL
+        SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id,
+          CAST(NULL AS BIGINT) AS lag_us
+        FROM c, wm
+        WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+            AND p.p_us > c.c_us AND p.p_us <= c.c_us + 1800000000)
+          AND c.c_us + 1800000000 < wm.wus
+        UNION ALL
+        SELECT CAST(NULL AS BIGINT) AS click_id, p.purchase_id,
+          CAST(NULL AS BIGINT) AS lag_us
+        FROM p, wm
+        WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+            AND p.p_us > c.c_us AND p.p_us <= c.c_us + 1800000000)
+          AND p.p_us < wm.wus""",
   )
 
   /** Batch (lag + running-sum) spelling of the 30-minute sessionization
