@@ -114,10 +114,34 @@ object Curation {
     stats.join(top, Seq("source"))
   }
 
+  /** Deterministic train/val/test split — the standard 80/10/10 cohort
+    * assignment every training run starts from, spelled so the SAME
+    * doc lands in the SAME split on every engine, run, and cluster
+    * layout: the first two md5 hex chars of the doc id give 256
+    * uniform buckets, cut at 0xcc (204 ≈ 80%) and 0xe6 (230 ≈ 90%) by
+    * plain string comparison (lowercase hex compares identically
+    * everywhere). No rand(), no sample() — reshuffling the corpus
+    * cannot move a document across splits, which is what makes the
+    * split reproducible AND leak-free under incremental ingest.
+    * Output is the per-split audit: doc/token/language counts. */
+  def datasetSplit(s: SparkSession, d: String): DataFrame = {
+    val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+    documents(s, d)
+      .withColumn("split",
+        when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(org.apache.spark.sql.functions.split(col("text"), " "))
+          .cast("long")).as("n_tokens"),
+        countDistinct(col("lang")).cast("int").as("n_langs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "training_select" -> trainingSelect _,
     "pii_scrub"       -> piiScrub _,
     "curation_report" -> curationReport _,
+    "dataset_split"   -> datasetSplit _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -203,5 +227,15 @@ object Curation {
           md5(st) AS scrub_fp,
           CAST(len(st) AS BIGINT) AS scrub_len
         FROM scrub""",
+    "dataset_split" ->
+      """SELECT
+          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+            THEN 'train'
+          WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+            THEN 'val' ELSE 'test' END AS split,
+          count(*) AS n_docs,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+          CAST(count(DISTINCT lang) AS INT) AS n_langs
+        FROM documents GROUP BY 1""",
   )
 }

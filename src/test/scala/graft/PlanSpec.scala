@@ -309,7 +309,10 @@ class PlanSpec extends SparkSpec {
     "agg_corr" -> 1, "ts_resample" -> 1,
     // bpe_segment: the one vocab-count exchange; segmentation itself
     // is chained codegen'd HOF folds — scan-side, join-free
-    "bpe_segment" -> 1)
+    "bpe_segment" -> 1,
+    // dataset_split: countDistinct expands to a two-level agg over
+    // (split, lang)
+    "dataset_split" -> 2)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
