@@ -332,6 +332,32 @@ object TextAnalysis {
     * topK rows that survive the TakeOrderedAndProject (vocabulary =
     * index metadata, like IVF centroids); the corpus-sized work is one
     * hash aggregation. */
+  /** Inverted-index construction — the retrieval-side counterpart to
+    * the BM25 SCORER (`text_bm25`): token → document frequency +
+    * ordered posting list. One (doc, token) distinct collapse, one
+    * token shuffle; postings serialize as an ordered comma string (a
+    * sortable scalar the driver can hash). The df band — at least 2
+    * docs, at most 80% of the corpus — drops hapaxes and stopwords
+    * (whose postings a real index stores as skip-list blocks, not
+    * verbatim); the cap is RELATIVE (multiply-through exact integers,
+    * df·10 ≤ 8·N against a 1-row broadcast count) so the same query
+    * is meaningful at every corpus size. */
+  def textInverted(s: SparkSession, d: String, dfMin: Int = 2): DataFrame = {
+    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    documents(s, d)
+      .select(col("doc_id"), explode(toks).as("token"))
+      .distinct()
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("df"),
+        // sort NUMERICALLY first, stringify after (string order would
+        // put doc 10 before doc 9)
+        array_join(transform(array_sort(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",").as("postings"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= dfMin && col("df") * 10 <= col("n_docs") * 8)
+      .drop("n_docs")
+  }
+
   def vocabBuild(s: SparkSession, d: String, topK: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     documents(s, d)
@@ -631,6 +657,7 @@ object TextAnalysis {
     "text_tfidf"       -> ((s: SparkSession, d: String) => textTfidf(s, d)),
     "text_bm25"        -> ((s: SparkSession, d: String) => textBm25(s, d)),
     "vocab_topk"       -> ((s: SparkSession, d: String) => vocabBuild(s, d)),
+    "text_inverted"    -> ((s: SparkSession, d: String) => textInverted(s, d)),
     "sample_stratified" -> ((s: SparkSession, d: String) => sampleStratified(s, d)),
   )
 
@@ -967,6 +994,16 @@ object TextAnalysis {
         SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS INT)
             AS token_id, token, cnt
         FROM c""",
+    "text_inverted" ->
+      """WITH dt AS (
+          SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents) z)
+        SELECT token, CAST(count(*) AS BIGINT) AS df,
+          string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        FROM dt GROUP BY token
+        HAVING count(*) >= 2
+          AND count(*) * 10 <= 8 * (SELECT count(*) FROM documents)""",
     // DuckDB regexp_replace is first-match-only without the 'g' flag
     // (Spark's replaces all occurrences)
     "text_normalize" ->

@@ -44,7 +44,10 @@ class PlanSpec extends SparkSpec {
       "q22_idle_rich",
       // q11: crossJoin(broadcast(1-row national total)) — the same
       // scalar-broadcast shape, with an inequality residual
-      "q11_stock_value")
+      "q11_stock_value",
+      // text_inverted: crossJoin(broadcast(1-row corpus doc count))
+      // gating the relative df cap
+      "text_inverted")
 
   private val streaming =
     Set("stream_hourly", "stream_session", "stream_session_multibatch",
@@ -312,7 +315,9 @@ class PlanSpec extends SparkSpec {
     "bpe_segment" -> 1,
     // dataset_split: countDistinct expands to a two-level agg over
     // (split, lang)
-    "dataset_split" -> 2)
+    "dataset_split" -> 2,
+    // text_inverted: (doc, token) distinct + the token posting agg
+    "text_inverted" -> 2)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
