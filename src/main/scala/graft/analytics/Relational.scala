@@ -359,10 +359,13 @@ object Relational {
     * nation, keeping parts whose share exceeds a fixed fraction of the
     * national total — the HAVING > scalar-subquery-fraction query. No
     * partsupp in this schema, so value = shipped revenue by that
-    * nation's suppliers. The total is a 1-row broadcast; the fraction
-    * test is spelled multiply-through (value·1000 > total, exact
-    * decimals) so neither engine divides. Both aggregations shuffle
-    * once on partkey; the scan is shared via the grouped CTE. */
+    * nation's suppliers. The totals are a 1-row broadcast; the test is
+    * SELF-SCALING — keep parts above 2× the mean part value, spelled
+    * multiply-through (value·n_parts > 2·total, exact decimals) so
+    * neither engine divides. TPC-H's own fixed fraction divides by SF
+    * for the same reason: a constant share goes permanently empty as
+    * the part count grows. Both aggregations shuffle once on partkey;
+    * the scan is shared via the grouped CTE. */
   def q11StockValue(s: SparkSession, d: String): DataFrame = {
     val sup = supplier(s, d)
       .join(nation(s, d).filter(col("n_name") === "NATION_1"),
@@ -373,9 +376,9 @@ object Relational {
       .groupBy(col("l_partkey"))
       .agg(sum(dec12(col("l_extendedprice")) * (one2 - dec4(col("l_discount"))))
         .as("value"))
-    val total = byPart.agg(sum(col("value")).as("total"))
+    val total = byPart.agg(sum(col("value")).as("total"), count(lit(1)).as("n_parts"))
     byPart.crossJoin(broadcast(total))
-      .filter(col("value") * lit(1000) > col("total"))
+      .filter(col("value") * col("n_parts") > col("total") * 2)
       .select(col("l_partkey"), col("value").cast("double").as("value"))
   }
 
@@ -2145,7 +2148,8 @@ object Relational {
           GROUP BY 1)
         SELECT l_partkey, CAST(value AS DOUBLE) AS value
         FROM byp
-        WHERE value * 1000 > (SELECT sum(value) FROM byp)""",
+        WHERE value * (SELECT count(*) FROM byp)
+          > 2 * (SELECT sum(value) FROM byp)""",
     "q12_late_priority" ->
       """SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30
             THEN 'FAST'
