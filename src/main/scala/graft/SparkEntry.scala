@@ -28,7 +28,9 @@ object SparkEntry {
       analytics.StreamingQueries.queries ++
       analytics.Curation.queries ++
       analytics.Chunking.queries ++
-      analytics.Bpe.queries
+      analytics.Bpe.queries ++
+      analytics.Stats.queries ++
+      analytics.Geo.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -42,5 +44,7 @@ object SparkEntry {
       analytics.StreamingQueries.oracle ++
       analytics.Curation.oracle ++
       analytics.Chunking.oracle ++
-      analytics.Bpe.oracle
+      analytics.Bpe.oracle ++
+      analytics.Stats.oracle ++
+      analytics.Geo.oracle
 }

@@ -137,11 +137,34 @@ object Curation {
         countDistinct(col("lang")).cast("int").as("n_langs"))
   }
 
+  /** k-anonymity audit (k=5) over the event stream: how much of each
+    * event type survives quasi-identifier generalization? The QID is
+    * (event_type, hour-of-day, 50-dollar value band) — the shape of a
+    * release table after generalizing timestamps and amounts; any QID
+    * group smaller than k is suppressed. One exchange on the BOUNDED
+    * QID domain (5×24×~10 cells) carrying counts only, then a rollup
+    * to event_type — the raw stream never shuffles, which is what
+    * makes the audit runnable on every release at 100 TB. */
+  def privacyKanon(s: SparkSession, d: String): DataFrame = {
+    val k = lit(5L)
+    val groups = events(s, d)
+      .select(col("event_type"), hour(col("ts")).as("hh"),
+        expr("CAST(floor(value) AS BIGINT) div 50").as("vb"))
+      .groupBy(col("event_type"), col("hh"), col("vb"))
+      .agg(count(lit(1)).as("n"))
+    groups.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("suppressed_groups"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("suppressed_rows"),
+        sum(when(col("n") >= k, col("n")).otherwise(0L)).as("kept_rows"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "training_select" -> trainingSelect _,
     "pii_scrub"       -> piiScrub _,
     "curation_report" -> curationReport _,
     "dataset_split"   -> datasetSplit _,
+    "privacy_kanon"   -> privacyKanon _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -227,6 +250,19 @@ object Curation {
           md5(st) AS scrub_fp,
           CAST(len(st) AS BIGINT) AS scrub_len
         FROM scrub""",
+    "privacy_kanon" ->
+      """WITH groups AS (
+          SELECT event_type, hour(ts) AS hh,
+            CAST(floor(value) AS BIGINT) // 50 AS vb, count(*) AS n
+          FROM events GROUP BY 1, 2, 3)
+        SELECT event_type, count(*) AS n_groups,
+          CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+            AS suppressed_groups,
+          CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+            AS suppressed_rows,
+          CAST(sum(CASE WHEN n >= 5 THEN n ELSE 0 END) AS BIGINT)
+            AS kept_rows
+        FROM groups GROUP BY 1""",
     "dataset_split" ->
       """SELECT
           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'

@@ -1,0 +1,156 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Statistical-testing surface over the event stream and the star
+  * schema — the distribution-comparison primitives a data-quality /
+  * drift-monitoring layer runs continuously (is this week's `value`
+  * distribution the same as last week's? did the supplier mix shift?).
+  *
+  * Everything follows the repo's exact-arithmetic discipline
+  * (`Tables` scaladoc): comparisons run on integers or decimals in
+  * multiply-through form, with at most one final double division —
+  * so every query is hash-checkable against DuckDB.
+  */
+object Stats {
+
+  /** Integer EWMA (decay 1/2) of each user's event-value series, via
+    * the custom `int_ewma` AggregateWindowFunction — the linear
+    * recurrence `acc = cents + (acc >> 1)` folded inside the window
+    * exec's running frame (see `functions.IntEwma`). One exchange on
+    * `user_id`; state is one long per partition, so the operator
+    * scales exactly like `row_number`. Ordering key is the exact
+    * nanosecond long (+ event_id tiebreak). The oracle re-derives the
+    * recurrence with a recursive CTE over per-user row_numbers. */
+  def winEwma(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftExtensions.registerAll(s)
+    Tables.events(s, d)
+      .withColumn("cents", expr("CAST(floor(abs(value) * 100) AS BIGINT)"))
+      .selectExpr("event_id", "user_id", "cents",
+        // ts_ns div 1000: DuckDB reads the nano column truncated to
+        // micros, so the order key must be micros on both sides
+        "int_ewma(cents) OVER (PARTITION BY user_id ORDER BY ts_ns div 1000, event_id) AS ewma")
+  }
+
+  /** Two-sample Kolmogorov-Smirnov distance between the click and view
+    * `value` distributions, computed on the floor-dollar binned CDF —
+    * binning first is the scale move: the cumulative window then runs
+    * over the BOUNDED bin domain (~500 rows regardless of event
+    * count), not over every observation (the global-sort KS spelling
+    * funnels all N rows through one partition). Multiply-through form:
+    * D_num = max_b |n2·cum1(b) − n1·cum2(b)| stays in BIGINT, the
+    * statistic itself is one double division at the end. */
+  def statsKs(s: SparkSession, d: String): DataFrame = {
+    val binned = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .select(expr("CAST(floor(value) AS BIGINT)").as("bin"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("c1"),
+        when(col("event_type") === "view", 1L).otherwise(0L).as("c2"))
+      .groupBy(col("bin"))
+      .agg(sum(col("c1")).as("n1b"), sum(col("c2")).as("n2b"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binned.select(
+      sum(col("n1b")).over(w).as("cum1"),
+      sum(col("n2b")).over(w).as("cum2"))
+    val totals = binned.agg(
+      sum(col("n1b")).as("n1"), sum(col("n2b")).as("n2"))
+    cum.crossJoin(broadcast(totals))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(abs(col("n2") * col("cum1") - col("n1") * col("cum2"))).as("d_num"))
+      .select(col("n1"), col("n2"), col("d_num"),
+        (col("d_num").cast("double")
+          / (col("n1") * col("n2")).cast("double")).as("d_stat"))
+  }
+
+  /** Spearman rank correlation between per-supplier shipped quantity
+    * and revenue. Ranks live on the SUPPLIER domain (the bounded
+    * dimension) — lineitem only feeds the grouped decimal sums, so
+    * the two ranking windows sort ~|suppliers| rows, never the fact
+    * table. Deterministic dense ranks via (metric, suppkey)
+    * row_number tie-break; ρ = 1 − 6·Σd²/(n(n²−1)) with Σd² exact in
+    * BIGINT and one double division at the end. */
+  def aggSpearman(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(Tables.dec2(col("l_quantity"))).as("qty"),
+        sum(Tables.dec2(col("l_extendedprice"))).as("price"))
+    val ranked = per.select(
+      row_number().over(Window.orderBy(col("qty"), col("l_suppkey"))).as("rq"),
+      row_number().over(Window.orderBy(col("price"), col("l_suppkey"))).as("rp"))
+    ranked
+      .agg(count(lit(1)).as("n"),
+        sum((col("rq") - col("rp")) * (col("rq") - col("rp"))
+          .cast("long")).as("sum_d2"))
+      .select(col("n"), col("sum_d2"),
+        (lit(1.0) - (lit(6.0) * col("sum_d2").cast("double"))
+          / (col("n") * (col("n") * col("n") - lit(1L))).cast("double"))
+          .as("rho"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_ewma"     -> winEwma _,
+    "stats_ks"     -> statsKs _,
+    "agg_spearman" -> aggSpearman _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    // the recurrence re-derived sequentially: recursive CTE over
+    // per-user row_numbers; `//` (floor div) == the >> 1 shift because
+    // the accumulator never goes negative
+    "win_ewma" ->
+      """WITH RECURSIVE base AS (
+          SELECT event_id, user_id,
+            CAST(floor(abs(value) * 100) AS BIGINT) AS cents,
+            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events),
+        rec AS (
+          SELECT event_id, user_id, cents, rn, cents AS ewma
+          FROM base WHERE rn = 1
+          UNION ALL
+          SELECT b.event_id, b.user_id, b.cents, b.rn,
+            b.cents + (r.ewma // 2) AS ewma
+          FROM base b JOIN rec r
+            ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+        SELECT event_id, user_id, cents, ewma FROM rec""",
+    "stats_ks" ->
+      """WITH binned AS (
+          SELECT CAST(floor(value) AS BIGINT) AS bin,
+            count(CASE WHEN event_type = 'click' THEN 1 END) AS n1b,
+            count(CASE WHEN event_type = 'view' THEN 1 END) AS n2b
+          FROM events WHERE event_type IN ('click', 'view')
+          GROUP BY 1),
+        cum AS (
+          SELECT sum(n1b) OVER (ORDER BY bin) AS cum1,
+            sum(n2b) OVER (ORDER BY bin) AS cum2
+          FROM binned),
+        totals AS (
+          SELECT CAST(sum(n1b) AS BIGINT) AS n1,
+            CAST(sum(n2b) AS BIGINT) AS n2
+          FROM binned)
+        SELECT n1, n2,
+          CAST(max(abs(n2 * cum1 - n1 * cum2)) AS BIGINT) AS d_num,
+          CAST(max(abs(n2 * cum1 - n1 * cum2)) AS BIGINT)
+            / CAST(n1 * n2 AS DOUBLE) AS d_stat
+        FROM cum, totals GROUP BY n1, n2""",
+    "agg_spearman" ->
+      """WITH per AS (
+          SELECT l_suppkey,
+            sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+            sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS price
+          FROM lineitem GROUP BY 1),
+        ranked AS (
+          SELECT row_number() OVER (ORDER BY qty, l_suppkey) AS rq,
+            row_number() OVER (ORDER BY price, l_suppkey) AS rp
+          FROM per)
+        SELECT count(*) AS n,
+          CAST(sum((rq - rp) * (rq - rp)) AS BIGINT) AS sum_d2,
+          1.0 - (6.0 * CAST(sum((rq - rp) * (rq - rp)) AS DOUBLE))
+            / CAST(count(*) * (count(*) * count(*) - 1) AS DOUBLE) AS rho
+        FROM ranked""",
+  )
+}

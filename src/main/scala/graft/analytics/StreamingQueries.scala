@@ -300,6 +300,33 @@ object StreamingQueries {
     * SQL. This is the production streaming contract (emit-once to an
     * append-only sink); Complete mode re-emitting the world each epoch
     * is the test-harness spelling. */
+  /** Union of TWO independent file-stream sources feeding one windowed
+    * aggregation — the multi-source ingestion shape (N kafka topics /
+    * N landing dirs merging into one table). Each source tracks its own
+    * offsets in the checkpoint and the operator watermark is the MIN
+    * across sources, so one lagging source holds back state eviction
+    * for all — exactly the production behavior worth pinning. The
+    * events table is split by user parity into two temp dirs; the
+    * unioned result must equal the single-source aggregation, which is
+    * what the oracle (same SQL as stream_hourly) checks. */
+  def streamUnion(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = s.read.parquet(s"$d/events.parquet")
+    val dirs = Seq(0, 1).map { par =>
+      val tmp = graft.Tables.tempOutDir(s"stream_union_$par")
+      ev.filter(col("user_id") % 2 === par)
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    }
+    val schema = s.read.parquet(dirs.head).schema
+    def src(p: String): DataFrame = s.readStream.schema(schema).parquet(p)
+      .withColumn("ts_ns", col("ts"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    runToMemory(s,
+      StreamingPipeline.windowedCounts(src(dirs(0)).unionByName(src(dirs(1)))),
+      OutputMode.Complete())
+  }
+
   def streamAppend(s: SparkSession, d: String): DataFrame =
     runToMemory(s,
       StreamingPipeline.windowedCounts(eventsStream(s, d)),
@@ -684,6 +711,7 @@ object StreamingQueries {
     "stream_join_left" -> streamJoinLeft _,
     "stream_join_full" -> streamJoinFull _,
     "stream_hourly"  -> streamHourly _,
+    "stream_union"   -> streamUnion _,
     "stream_session" -> streamSession _,
     "stream_session_multibatch" -> streamSessionMultiBatch _,
     "stream_append"  -> streamAppend _,
@@ -726,6 +754,12 @@ object StreamingQueries {
         FROM agg, wm
         WHERE end_tus + 1800000000 <= cutoff""",
     "stream_hourly" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+          event_type, count(*) AS cnt,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2""",
+    // the two parity sources must merge into the identical result
+    "stream_union" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
           event_type, count(*) AS cnt,
           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -159,6 +159,22 @@ object TextAnalysis {
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Positional word 3-grams via the custom row-generating
+    * `NGramGenerator` (`grams` in SQL) — the Catalyst `Generator` tier
+    * (see `functions/GeneratorExpressions.scala`): rows stream out of
+    * `GenerateExec` instead of materializing a per-document gram array
+    * first, and the window ordinal comes for free. Scan-side only —
+    * the exchange is the final (gram, pos)-key rollup. */
+  def genNgrams(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftExtensions.registerAll(s)
+    documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .selectExpr("doc_id", "grams(split(text, ' '), 3)")
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"), min(col("pos")).as("min_pos"),
+        countDistinct(col("doc_id")).as("df"))
+  }
+
   /** Most-salient term per document, TF-IDF-style but ranked on the
     * raw integers (tf desc, corpus df asc, token asc): ln() is not
     * bit-identical across engines, the integer ordering is. Three
@@ -650,6 +666,7 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprint _,
     "text_rolling_hash" -> rollingHashPortable _,
     "text_bigrams"     -> bigrams _,
+    "gen_ngrams"       -> genNgrams _,
     "text_histogram"   -> textHistogram _,
     "text_repetition"  -> textRepetition _,
     "text_normalize"   -> textNormalize _,
@@ -916,6 +933,18 @@ object TextAnalysis {
             i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))) AS bigram
           FROM documents)
         GROUP BY bigram""",
+    "gen_ngrams" ->
+      """WITH g AS (
+          SELECT doc_id, unnest(list_transform(
+            generate_series(1, len(string_split(text, ' ')) - 2),
+            i -> struct_pack(pos := i - 1,
+              gram := array_to_string(string_split(text, ' ')[i:i+2], ' '))))
+            AS r
+          FROM documents)
+        SELECT r.gram AS gram, count(*) AS cnt,
+          CAST(min(r.pos) AS INT) AS min_pos,
+          count(DISTINCT doc_id) AS df
+        FROM g GROUP BY 1""",
     "text_histogram" ->
       """SELECT CAST(len(string_split(text, ' '))
             - len(string_split(text, ' ')) % 25 AS BIGINT) AS bucket,

@@ -55,6 +55,12 @@ object GraftExtensions {
       (es: Seq[Expression]) =>
         CountMinSketch(es(0), intArg(es(1), "cms_sketch"),
           intArg(es(2), "cms_sketch")).toAggregateExpression()),
+    ("grams",
+      new ExpressionInfo(classOf[NGramGenerator].getName, "grams"),
+      (es: Seq[Expression]) => NGramGenerator(es(0), intArg(es(1), "grams"))),
+    ("int_ewma",
+      new ExpressionInfo(classOf[IntEwma].getName, "int_ewma"),
+      (es: Seq[Expression]) => IntEwma(es(0))),
   )
 
   /** Register into a live session's function registry (temp functions). */

@@ -50,4 +50,47 @@ class FunctionsSpec extends SparkSpec {
       bad.select(vec.dot(col("a"), col("b"))).collect()
     }
   }
+
+  test("grams generator matches posexplode(shingles) row-for-row") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.registerAll(spark)
+    val df = Seq("a b c d e", "a b c", "a b", "x", "")
+      .toDF("text").withColumn("toks", split(col("text"), " "))
+    val native = df.selectExpr("text", "grams(toks, 3)")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val spelled = df
+      .select(col("text"),
+        posexplode(graft.functions.text.shingles(col("toks"), 3)))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(native === spelled)
+    // docs shorter than n yield nothing; a null array yields nothing
+    val nulls = Seq(Option.empty[Seq[String]]).toDF("toks")
+      .selectExpr("grams(toks, 2)")
+    assert(nulls.count() === 0)
+  }
+
+  test("grams rejects non-array input at analysis time") {
+    graft.functions.GraftExtensions.registerAll(spark)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT grams(1, 2)").queryExecution.analyzed
+    }
+  }
+
+  test("int_ewma equals the per-key sequential fold, nulls count as 0") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.registerAll(spark)
+    val rows = Seq(
+      ("u1", 1L, Some(100L)), ("u1", 2L, Some(50L)), ("u1", 3L, None),
+      ("u1", 4L, Some(8L)), ("u2", 1L, Some(7L)), ("u2", 2L, Some(9L)))
+    val got = rows.toDF("k", "t", "v")
+      .selectExpr("k", "t",
+        "int_ewma(v) OVER (PARTITION BY k ORDER BY t) AS e")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = rows.groupBy(_._1).flatMap { case (k, rs) =>
+      rs.sortBy(_._2).scanLeft((0L, 0L)) { case ((_, acc), (_, t, v)) =>
+        (t, v.getOrElse(0L) + (acc >> 1))
+      }.tail.map { case (t, acc) => (k, t) -> acc }
+    }
+    assert(got === want)
+  }
 }

@@ -47,7 +47,10 @@ class PlanSpec extends SparkSpec {
       "q11_stock_value",
       // text_inverted: crossJoin(broadcast(1-row corpus doc count))
       // gating the relative df cap
-      "text_inverted")
+      "text_inverted",
+      // stats_ks: crossJoin(broadcast(1-row sample totals)) — the
+      // scalar-broadcast shape again
+      "stats_ks")
 
   private val streaming =
     Set("stream_hourly", "stream_session", "stream_session_multibatch",
@@ -317,7 +320,18 @@ class PlanSpec extends SparkSpec {
     // (split, lang)
     "dataset_split" -> 2,
     // text_inverted: (doc, token) distinct + the token posting agg
-    "text_inverted" -> 2)
+    "text_inverted" -> 2,
+    // session-7 batch: win_ewma = the one user_id window exchange;
+    // stats_ks = bin agg + final (n1,n2) rollup (the cumulative window
+    // runs single-partition over the BOUNDED bin domain by design);
+    // agg_spearman = the supplier agg (rank windows run over ~100
+    // aggregated rows); geo_grid/gen_ngrams = countDistinct two-level
+    // expand; geo_nearest = the per-depot rollup (depot "dim" is
+    // constant-folded scan-side, no join); privacy_kanon = QID-group
+    // agg + event_type rollup
+    "win_ewma" -> 1, "stats_ks" -> 2, "agg_spearman" -> 1,
+    "geo_grid" -> 2, "geo_nearest" -> 1, "privacy_kanon" -> 2,
+    "gen_ngrams" -> 2)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
