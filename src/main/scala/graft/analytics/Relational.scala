@@ -1450,6 +1450,36 @@ object Relational {
         sum(dec2(col("value"))).cast("double").as("total_value"))
   }
 
+  /** Fuzzy join via deletion-neighborhood blocking (the FastSS
+    * pattern): probes are supplier names with one character deleted at
+    * a key-dependent position; the clean side expands each name into
+    * its |name| one-deletion variants and the match is an EQUI-join on
+    * the variant string, verified with `levenshtein <= 1` against the
+    * original. Candidate generation is O(N·L) rows — the scale-safe
+    * alternative to the O(N²) all-pairs edit-distance join (and a
+    * different blocking family than dedup_edit's MinHash candidates:
+    * deletion variants GUARANTEE recall for distance ≤ 1, sketches
+    * only make it likely). Padded zeros mean one probe legitimately
+    * matches several neighboring names — the verify step keeps them
+    * all, pairs dedup through `distinct` on bare keys. */
+  def joinFuzzy(s: SparkSession, d: String): DataFrame = {
+    val sup = supplier(s, d).select(col("s_suppkey"), col("s_name"))
+    val probes = sup.select(col("s_suppkey").as("probe_id"),
+      expr("""concat(
+          substring(s_name, 1, CAST(s_suppkey % length(s_name) AS INT)),
+          substring(s_name, CAST(s_suppkey % length(s_name) AS INT) + 2))""")
+        .as("probe"))
+    val variants = sup.select(col("s_suppkey"), col("s_name"),
+      explode(expr("""transform(sequence(1, length(s_name)),
+          i -> concat(substring(s_name, 1, i - 1), substring(s_name, i + 1)))"""))
+        .as("variant"))
+    probes.join(variants, col("probe") === col("variant"))
+      .filter(levenshtein(col("probe"), col("s_name")) <= 1)
+      .select(col("probe_id"), col("s_suppkey"),
+        levenshtein(col("probe"), col("s_name")).cast("int").as("dist"))
+      .distinct()
+  }
+
   /** Sessionization via the native session_window API — same 30-min gap
     * semantics as the manual is_start/running-sum spelling in
     * `win_session`, but planned as a single aggregate (Spark merges
@@ -1937,6 +1967,7 @@ object Relational {
     "q6_filter"         -> q6Filter _,
     "q18_having"        -> q18Having _,
     "join_salted"       -> joinSalted _,
+    "join_fuzzy"        -> joinFuzzy _,
     "win_session_native" -> winSessionNative _,
     "source_dsv2"       -> sourceDsv2 _,
     "sql_text"          -> sqlText _,
@@ -2685,6 +2716,22 @@ object Relational {
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey""",
     // the salted join must produce exactly the plain equi-join
+    "join_fuzzy" ->
+      """WITH probes AS (
+          SELECT s_suppkey AS probe_id,
+            substr(s_name, 1, s_suppkey % length(s_name))
+              || substr(s_name, (s_suppkey % length(s_name)) + 2) AS probe
+          FROM supplier),
+        variants AS (
+          SELECT s_suppkey, s_name,
+            unnest(list_transform(range(1, length(s_name) + 1),
+              i -> substr(s_name, 1, i - 1) || substr(s_name, i + 1)))
+              AS variant
+          FROM supplier)
+        SELECT DISTINCT probe_id, s_suppkey,
+          CAST(levenshtein(probe, s_name) AS INT) AS dist
+        FROM probes JOIN variants ON probe = variant
+        WHERE levenshtein(probe, s_name) <= 1""",
     "join_salted" ->
       """SELECT c_mktsegment, count(*) AS cnt,
           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

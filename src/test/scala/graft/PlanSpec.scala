@@ -58,7 +58,7 @@ class PlanSpec extends SparkSpec {
       "stream_static_join", "stream_stream_join", "stream_dsv2",
       "stream_session_append", "stream_timers", "stream_mapstate",
       "stream_init_state", "stream_list_state", "stream_join_left",
-      "stream_join_full")
+      "stream_join_full", "stream_union")
 
   /** Audited max Exchange-hashpartitioning count per query. */
   private val exchangeBudget: Map[String, Int] = Map(
@@ -329,6 +329,9 @@ class PlanSpec extends SparkSpec {
     // expand; geo_nearest = the per-depot rollup (depot "dim" is
     // constant-folded scan-side, no join); privacy_kanon = QID-group
     // agg + event_type rollup
+    // join_fuzzy: the candidate distinct (probe/variant sides broadcast
+    // at audit SF)
+    "join_fuzzy" -> 1,
     "win_ewma" -> 1, "stats_ks" -> 2, "agg_spearman" -> 1,
     "geo_grid" -> 2, "geo_nearest" -> 1, "privacy_kanon" -> 2,
     "gen_ngrams" -> 2)
