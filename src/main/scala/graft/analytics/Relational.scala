@@ -1450,6 +1450,32 @@ object Relational {
         sum(dec2(col("value"))).cast("double").as("total_value"))
   }
 
+  /** Order backlog over time — how many orders are OPEN (ordered but
+    * not fully shipped) on each calendar day. The interval-overlap
+    * count is computed as a ±1 boundary sweep: each order contributes
+    * +1 at its open date and −1 the day after its last shipment, the
+    * deltas aggregate to the BOUNDED date domain (~2.4k days at any
+    * SF), and one cumulative window over that domain yields the
+    * concurrency curve. This is the scale-safe spelling: the range-
+    * join alternative (days × open-interval containment) is O(days·N),
+    * and the window here sorts dates, never orders. */
+  def tsBacklog(s: SparkSession, d: String): DataFrame = {
+    val closes = lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("close_ts"))
+    val iv = orders(s, d)
+      .join(closes, col("o_orderkey") === col("l_orderkey"))
+      .select(to_date(col("o_orderdate")).as("open_d"),
+        date_add(to_date(col("close_ts")), 1).as("close_d"))
+    val deltas = iv.select(col("open_d").as("d"), lit(1L).as("delta"))
+      .unionAll(iv.select(col("close_d").as("d"), lit(-1L).as("delta")))
+      .groupBy(col("d")).agg(sum(col("delta")).as("delta"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    deltas.select(col("d"), sum(col("delta")).over(w).as("n_open"))
+  }
+
   /** Fuzzy join via deletion-neighborhood blocking (the FastSS
     * pattern): probes are supplier names with one character deleted at
     * a key-dependent position; the clean side expands each name into
@@ -1968,6 +1994,7 @@ object Relational {
     "q18_having"        -> q18Having _,
     "join_salted"       -> joinSalted _,
     "join_fuzzy"        -> joinFuzzy _,
+    "ts_backlog"        -> tsBacklog _,
     "win_session_native" -> winSessionNative _,
     "source_dsv2"       -> sourceDsv2 _,
     "sql_text"          -> sqlText _,
@@ -2716,6 +2743,24 @@ object Relational {
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey""",
     // the salted join must produce exactly the plain equi-join
+    "ts_backlog" ->
+      """WITH closes AS (
+          SELECT l_orderkey, max(l_shipdate) AS close_ts
+          FROM lineitem GROUP BY 1),
+        iv AS (
+          SELECT CAST(o_orderdate AS DATE) AS open_d,
+            CAST(close_ts AS DATE) + 1 AS close_d
+          FROM orders JOIN closes ON o_orderkey = l_orderkey),
+        deltas AS (
+          SELECT d, CAST(sum(delta) AS BIGINT) AS delta FROM (
+            SELECT open_d AS d, 1 AS delta FROM iv
+            UNION ALL
+            SELECT close_d AS d, -1 AS delta FROM iv)
+          GROUP BY 1)
+        SELECT d, CAST(sum(delta) OVER (ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS n_open
+        FROM deltas""",
     "join_fuzzy" ->
       """WITH probes AS (
           SELECT s_suppkey AS probe_id,

@@ -332,6 +332,10 @@ class PlanSpec extends SparkSpec {
     // join_fuzzy: the candidate distinct (probe/variant sides broadcast
     // at audit SF)
     "join_fuzzy" -> 1,
+    // ts_backlog: per-order close agg + delta-date agg (the orders
+    // side broadcasts at audit SF; the cumulative window runs over the
+    // bounded date domain, single-partition by design)
+    "ts_backlog" -> 3,
     "win_ewma" -> 1, "stats_ks" -> 2, "agg_spearman" -> 1,
     "geo_grid" -> 2, "geo_nearest" -> 1, "privacy_kanon" -> 2,
     "gen_ngrams" -> 2)
