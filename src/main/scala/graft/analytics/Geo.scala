@@ -71,9 +71,47 @@ object Geo {
         sum(col("d2")).as("sum_d2"))
   }
 
+  /** Spatial RANGE join (all events within R = 20° of any depot) via
+    * grid-cell blocking — the spatial analog of LSH candidate
+    * generation: each depot expands to the 9×9 cells covering its
+    * R-box (recall-complete: any point within R lies in a covering
+    * cell), candidates equi-join on the cell id, and an exact
+    * squared-distance predicate rescores them. The join is a
+    * broadcast hash join on a bounded key — never the O(points ×
+    * depots) distance cross product, and never a non-equi range NLJ.
+    * The oracle skips the blocking and computes the exact per-depot
+    * containment directly — equality proves blocking loses nothing. */
+  def geoJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val r2 = lit(2000L * 2000L)
+    val depots = Seq((1, 4500L, 9000L), (2, 4500L, 27000L),
+      (3, 13500L, 9000L), (4, 13500L, 27000L))
+      .toDF("depot_id", "d_lat", "d_lon")
+    val cover = depots.select(col("depot_id"), col("d_lat"), col("d_lon"),
+      explode(expr("""flatten(transform(sequence(-4, 4),
+          a -> transform(sequence(-4, 4), b -> struct(a AS da, b AS db))))"""))
+        .as("off"))
+      .select(col("depot_id"), col("d_lat"), col("d_lon"),
+        (expr("d_lat div 500") + col("off.da")).as("cell_lat"),
+        (expr("d_lon div 500") + col("off.db")).as("cell_lon"))
+    val pts = Tables.events(s, d)
+      .select(col("event_id"), latC.as("la"), lonC.as("lo"))
+      .withColumn("cell_lat", expr("la div 500"))
+      .withColumn("cell_lon", expr("lo div 500"))
+    val d2 = (col("la") - col("d_lat")) * (col("la") - col("d_lat")) +
+      (col("lo") - col("d_lon")) * (col("lo") - col("d_lon"))
+    pts.join(broadcast(cover), Seq("cell_lat", "cell_lon"))
+      .filter(d2 <= r2)
+      .groupBy(col("depot_id"))
+      .agg(count(lit(1)).as("n_within"),
+        min(d2).as("min_d2"),
+        min(col("event_id")).as("first_event"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_grid"    -> geoGrid _,
     "geo_nearest" -> geoNearest _,
+    "geo_join"    -> geoJoin _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -84,6 +122,27 @@ object Geo {
           count(DISTINCT user_id) AS n_users,
           min(event_id) AS first_event
         FROM events GROUP BY 1, 2""",
+    // blocking-free exact containment per depot — equality with the
+    // grid-blocked join proves the 9x9 cover loses no candidates
+    "geo_join" ->
+      """WITH pos AS (
+          SELECT event_id,
+            (event_id * 7919) % 18000 AS la,
+            (event_id * 104729) % 36000 AS lo
+          FROM events),
+        depots AS (
+          SELECT * FROM (VALUES (1, 4500, 9000), (2, 4500, 27000),
+            (3, 13500, 9000), (4, 13500, 27000)) t(depot_id, d_lat, d_lon)),
+        within AS (
+          SELECT depot_id, event_id,
+            (la - d_lat) * (la - d_lat) + (lo - d_lon) * (lo - d_lon) AS d2
+          FROM pos, depots
+          WHERE (la - d_lat) * (la - d_lat) + (lo - d_lon) * (lo - d_lon)
+            <= 2000 * 2000)
+        SELECT depot_id, count(*) AS n_within,
+          CAST(min(d2) AS BIGINT) AS min_d2,
+          min(event_id) AS first_event
+        FROM within GROUP BY 1""",
     "geo_nearest" ->
       """WITH pos AS (
           SELECT (event_id * 7919) % 18000 AS la,

@@ -36,6 +36,24 @@ object Stats {
         "int_ewma(cents) OVER (PARTITION BY user_id ORDER BY ts_ns div 1000, event_id) AS ewma")
   }
 
+  /** One-sided CUSUM change-point statistic per user — the sequential
+    * drift detector (Page 1954) every telemetry/quality monitor runs:
+    * `acc = max(0, acc + (cents − k))` climbs only while values run
+    * persistently above the k = $250 allowance; `alarm` fires past the
+    * h = $2000 decision interval. The clamped recurrence (non-linear:
+    * the reset defeats even prefix-sum spellings) runs in the custom
+    * `int_cusum` AggregateWindowFunction — one long of state, one
+    * user_id exchange, same scaling as row_number. All-integer ⇒ the
+    * oracle re-derives it with a recursive CTE. */
+  def anomalyCusum(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftExtensions.registerAll(s)
+    Tables.events(s, d)
+      .withColumn("cents", expr("CAST(floor(abs(value) * 100) AS BIGINT)"))
+      .selectExpr("event_id", "user_id", "cents",
+        "int_cusum(cents, 25000) OVER (PARTITION BY user_id ORDER BY ts_ns div 1000, event_id) AS cusum")
+      .withColumn("alarm", col("cusum") > lit(200000L))
+  }
+
   /** Two-sample Kolmogorov-Smirnov distance between the click and view
     * `value` distributions, computed on the floor-dollar binned CDF —
     * binning first is the scale move: the cumulative window then runs
@@ -94,6 +112,7 @@ object Stats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_ewma"     -> winEwma _,
+    "anomaly_cusum" -> anomalyCusum _,
     "stats_ks"     -> statsKs _,
     "agg_spearman" -> aggSpearman _,
   )
@@ -117,6 +136,23 @@ object Stats {
           FROM base b JOIN rec r
             ON b.user_id = r.user_id AND b.rn = r.rn + 1)
         SELECT event_id, user_id, cents, ewma FROM rec""",
+    "anomaly_cusum" ->
+      """WITH RECURSIVE base AS (
+          SELECT event_id, user_id,
+            CAST(floor(abs(value) * 100) AS BIGINT) AS cents,
+            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events),
+        rec AS (
+          SELECT event_id, user_id, cents, rn,
+            greatest(0, cents - 25000) AS cusum
+          FROM base WHERE rn = 1
+          UNION ALL
+          SELECT b.event_id, b.user_id, b.cents, b.rn,
+            greatest(0, r.cusum + b.cents - 25000) AS cusum
+          FROM base b JOIN rec r
+            ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+        SELECT event_id, user_id, cents, cusum, cusum > 200000 AS alarm
+        FROM rec""",
     "stats_ks" ->
       """WITH binned AS (
           SELECT CAST(floor(value) AS BIGINT) AS bin,

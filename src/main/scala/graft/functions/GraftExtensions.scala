@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** SQL-surface registration for the native expressions, so
   * `spark.sql("SELECT vec_dot(a, b) ...")` works alongside the Column
@@ -61,6 +61,14 @@ object GraftExtensions {
     ("int_ewma",
       new ExpressionInfo(classOf[IntEwma].getName, "int_ewma"),
       (es: Seq[Expression]) => IntEwma(es(0))),
+    ("int_cusum",
+      new ExpressionInfo(classOf[IntCusum].getName, "int_cusum"),
+      (es: Seq[Expression]) => es(1) match {
+        case Literal(v: Long, LongType) => IntCusum(es(0), v)
+        case Literal(v: Int, IntegerType) => IntCusum(es(0), v.toLong)
+        case other => throw new IllegalArgumentException(
+          s"int_cusum expects a literal drift, got $other")
+      }),
   )
 
   /** Register into a live session's function registry (temp functions). */

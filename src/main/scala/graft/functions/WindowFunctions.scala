@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Add, AggregateWindowFunction, AttributeReference, Coalesce, ExpectsInputTypes, Expression, Literal, ShiftRight}
+import org.apache.spark.sql.catalyst.expressions.{Add, AggregateWindowFunction, AttributeReference, Coalesce, ExpectsInputTypes, Expression, Greatest, Literal, ShiftRight, Subtract}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -45,5 +45,39 @@ case class IntEwma(child: Expression)
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): IntEwma =
+    copy(child = newChildren.head)
+}
+
+/** `int_cusum(cents, drift) OVER (...)`: one-sided CUSUM change
+  * detection — `acc = max(0, acc + (x − drift))` — the classic
+  * sequential change-point statistic (Page 1954): the accumulator
+  * climbs only while values run persistently above the `drift`
+  * allowance and resets through the max(0, ·) floor otherwise.
+  *
+  * Same tier and same argument as [[IntEwma]]: a clamped recurrence is
+  * inexpressible with built-in window functions (the reset makes it
+  * non-linear, so not even a prefix-sum trick covers it), but it is
+  * ONE long of declarative state inside the window exec's running
+  * frame. All-integer ⇒ bit-exact ⇒ recursive-CTE oracle. */
+case class IntCusum(child: Expression, drift: Long)
+    extends AggregateWindowFunction with ExpectsInputTypes {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(LongType)
+  override def prettyName: String = "int_cusum"
+
+  private lazy val acc = AttributeReference("acc", LongType, nullable = false)()
+
+  override def aggBufferAttributes: Seq[AttributeReference] = Seq(acc)
+  override lazy val initialValues: Seq[Expression] = Seq(Literal(0L))
+  override lazy val updateExpressions: Seq[Expression] =
+    Seq(Greatest(Seq(Literal(0L),
+      Add(acc, Subtract(Coalesce(Seq(child, Literal(0L))), Literal(drift))))))
+  override lazy val evaluateExpression: Expression = acc
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): IntCusum =
     copy(child = newChildren.head)
 }

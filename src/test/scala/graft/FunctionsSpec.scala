@@ -76,6 +76,24 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("int_cusum equals the clamped sequential fold (reset at 0)") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.registerAll(spark)
+    val rows = Seq(
+      ("u1", 1L, 10L), ("u1", 2L, 3L), ("u1", 3L, 9L), ("u1", 4L, 0L),
+      ("u1", 5L, 20L), ("u2", 1L, 4L), ("u2", 2L, 4L))
+    val got = rows.toDF("k", "t", "v")
+      .selectExpr("k", "t",
+        "int_cusum(v, 5) OVER (PARTITION BY k ORDER BY t) AS c")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = rows.groupBy(_._1).flatMap { case (k, rs) =>
+      rs.sortBy(_._2).scanLeft((0L, 0L)) { case ((_, acc), (_, t, v)) =>
+        (t, math.max(0L, acc + v - 5L))
+      }.tail.map { case (t, acc) => (k, t) -> acc }
+    }
+    assert(got === want)
+  }
+
   test("int_ewma equals the per-key sequential fold, nulls count as 0") {
     import spark.implicits._
     graft.functions.GraftExtensions.registerAll(spark)

@@ -337,6 +337,9 @@ class PlanSpec extends SparkSpec {
     // bounded date domain, single-partition by design)
     "ts_backlog" -> 3,
     "win_ewma" -> 1, "stats_ks" -> 2, "agg_spearman" -> 1,
+    // anomaly_cusum: the one user_id window exchange; geo_join: cell
+    // cover broadcasts, the exchange is the per-depot rollup
+    "anomaly_cusum" -> 1, "geo_join" -> 1,
     "geo_grid" -> 2, "geo_nearest" -> 1, "privacy_kanon" -> 2,
     "gen_ngrams" -> 2)
 
