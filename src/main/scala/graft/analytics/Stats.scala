@@ -23,9 +23,10 @@ object Stats {
     * recurrence `acc = cents + (acc >> 1)` folded inside the window
     * exec's running frame (see `functions.IntEwma`). One exchange on
     * `user_id`; state is one long per partition, so the operator
-    * scales exactly like `row_number`. Ordering key is the exact
-    * nanosecond long (+ event_id tiebreak). The oracle re-derives the
-    * recurrence with a recursive CTE over per-user row_numbers. */
+    * scales exactly like `row_number`. Ordering key is the µs
+    * truncation of the nano timestamp (+ event_id tiebreak) — the
+    * granularity DuckDB sees. The oracle re-derives the recurrence
+    * with a recursive CTE over per-user row_numbers. */
   def winEwma(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftExtensions.registerAll(s)
     Tables.events(s, d)
