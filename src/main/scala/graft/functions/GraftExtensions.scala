@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     e.injectOptimizerRule(_ => graft.plans.VectorizeDotProduct)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
   }
 }
 
