@@ -33,15 +33,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects by default. Read nanos as a long, keep it as the exact
-    * ordering key (`ts_ns`, matches DuckDB's ns ordering bit-for-bit)
-    * and derive a microsecond `ts` timestamp for calendar functions. */
+  /** `events.ts` has shipped in two physical encodings across testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark only reads as
+    * an int64 via `nanosAsLong`) and parquet `timestamp[us]` (which
+    * arrives as TIMESTAMP_NTZ). Branch on the type that actually loaded
+    * and normalize to the same two columns either way:
+    *  - `ts`    TIMESTAMP (µs precision; session tz is UTC everywhere,
+    *            so the NTZ→TZ cast is instant-preserving and agrees
+    *            with DuckDB's naive read of the same file)
+    *  - `ts_ns` BIGINT epoch nanoseconds — the exact ordering key,
+    *            bit-identical to DuckDB's `epoch_ns(ts)` in both
+    *            encodings. */
+  def withEventTime(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts_ns", F.col("ts"))
+          .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+      case _ => // TimestampType or TimestampNTZType (parquet timestamp[us])
+        df.withColumn("ts", F.col("ts").cast("timestamp"))
+          .withColumn("ts_ns", F.unix_micros(F.col("ts")) * 1000)
+    }
+
   def events(s: SparkSession, d: String): DataFrame = {
+    // harmless for timestamp[us] files; required to read the NANOS encoding
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts_ns", F.col("ts"))
-      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    withEventTime(table(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

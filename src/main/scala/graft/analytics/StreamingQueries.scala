@@ -190,18 +190,18 @@ class RecentListProcessor(maxN: Int)
 
 object StreamingQueries {
 
-  /** Streamed clone of Tables.events: same nanos-as-long read + derived
-    * µs timestamp, but through the file STREAM source. */
+  /** Streamed clone of Tables.events: same schema-adaptive `ts`/`ts_ns`
+    * normalization (nanos-long or timestamp[us] encodings), but through
+    * the file STREAM source. */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
     // the source path must be a DIRECTORY; the glob filter narrows the
     // listing to the events table inside the shared sf dir
-    s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.withEventTime(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d))
   }
 
   /** Run a streaming aggregation to completion via a uniquely-named
@@ -282,11 +282,10 @@ object StreamingQueries {
       .repartition(4)
       .write.mode("overwrite").parquet(tmp)
     val schema = s.read.parquet(tmp).schema
-    val src = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(tmp)
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = graft.Tables.withEventTime(
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp))
     runToMemory(s, sessionAgg(src), OutputMode.Complete())
   }
 
@@ -319,9 +318,8 @@ object StreamingQueries {
       tmp
     }
     val schema = s.read.parquet(dirs.head).schema
-    def src(p: String): DataFrame = s.readStream.schema(schema).parquet(p)
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src(p: String): DataFrame = graft.Tables.withEventTime(
+      s.readStream.schema(schema).parquet(p))
     runToMemory(s,
       StreamingPipeline.windowedCounts(src(dirs(0)).unionByName(src(dirs(1)))),
       OutputMode.Complete())
@@ -367,11 +365,10 @@ object StreamingQueries {
     ev.coalesce(1).write.mode("overwrite").parquet(tmp)
     ev.coalesce(1).write.mode("append").parquet(tmp)
     val schema = s.read.parquet(tmp).schema
-    val src = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(tmp)
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = graft.Tables.withEventTime(
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp))
     val deduped = src
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
