@@ -44,15 +44,28 @@ object Tables {
     *  - `ts_ns` BIGINT epoch nanoseconds — the exact ordering key,
     *            bit-identical to DuckDB's `epoch_ns(ts)` in both
     *            encodings. */
-  def withEventTime(df: DataFrame): DataFrame =
+  def withEventTime(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         df.withColumn("ts_ns", F.col("ts"))
           .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-      case _ => // TimestampType or TimestampNTZType (parquet timestamp[us])
+      case TimestampType | TimestampNTZType => // parquet timestamp[us]
+        // The NTZ→TZ cast is instant-preserving ONLY under a UTC session
+        // tz; enforce the documented precondition instead of silently
+        // shifting ts/ts_ns away from DuckDB's naive read.
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC,
+          s"withEventTime requires a UTC session timezone (got $tz)")
         df.withColumn("ts", F.col("ts").cast("timestamp"))
           .withColumn("ts_ns", F.unix_micros(F.col("ts")) * 1000)
+      case other =>
+        // fail fast at load time: a silent cast of e.g. StringType would
+        // yield nulls downstream instead of an actionable error here
+        throw new IllegalStateException(
+          s"events.ts has unexpected type $other; expected LONG (nanos) or TIMESTAMP[_NTZ]")
     }
+  }
 
   def events(s: SparkSession, d: String): DataFrame = {
     // harmless for timestamp[us] files; required to read the NANOS encoding

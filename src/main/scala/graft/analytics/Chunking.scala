@@ -84,7 +84,8 @@ object Chunking {
       .select(col("doc_id"), col("n_shingles"), col("n_shared"),
         (col("n_shared").cast("double") / col("n_shingles").cast("double"))
           .as("contam_ratio"),
-        (col("n_shared") > 0).as("contaminated"))
+        // INT verdict, not BOOLEAN (driver-hash representation hazard)
+        (col("n_shared") > 0).cast("int").as("contaminated"))
   }
 
   /** Sequence packing: assign documents to fixed-token-budget training
@@ -138,7 +139,7 @@ object Chunking {
         tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 25)
         SELECT tr.doc_id, count(*) AS n_shingles, count(ev.shingle) AS n_shared,
           CAST(count(ev.shingle) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS contam_ratio,
-          count(ev.shingle) > 0 AS contaminated
+          (count(ev.shingle) > 0)::INT AS contaminated
         FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle
         GROUP BY tr.doc_id""",
     "pack_sequences" ->

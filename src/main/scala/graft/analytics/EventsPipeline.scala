@@ -96,9 +96,11 @@ object EventsPipeline {
       "props" -> "StringType")
     val actual = events(s, d).schema
       .map(f => f.name -> f.dataType.toString).toMap
+    // INT verdicts (1/0), not BOOLEAN: booleans hash differently
+    // between Spark parquet and DuckDB in the driver's canonical form
     val cells = expected.flatMap { case (n, t) =>
-      Seq(s"'$n'", if (actual.contains(n)) "true" else "false",
-        if (actual.get(n).contains(t)) "true" else "false")
+      Seq(s"'$n'", if (actual.contains(n)) "1" else "0",
+        if (actual.get(n).contains(t)) "1" else "0")
     }.mkString(", ")
     s.range(1).selectExpr(
       s"stack(${expected.size}, $cells) AS (col_name, present, type_ok)")
@@ -466,8 +468,10 @@ object EventsPipeline {
     documents(s, d).select(
       col("doc_id"),
       size(filter(tk, t => length(t) > 4)).as("n_long"),
-      exists(tk, t => t === "spark").as("has_spark"),
-      forall(tk, t => length(t) > 2).as("all_gt2"),
+      // INT verdicts, not BOOLEAN: booleans hash differently between
+      // Spark parquet and DuckDB in the driver's canonical form
+      exists(tk, t => t === "spark").cast("int").as("has_spark"),
+      forall(tk, t => length(t) > 2).cast("int").as("all_gt2"),
       aggregate(tk, lit(0), (acc, t) => acc + length(t)).as("sum_len"),
       concat_ws("", transform(tk, t => substring(t, 1, 1))).as("initials"),
       size(array_distinct(flatten(array(tk, tk)))).as("n_uniq"))
@@ -784,7 +788,7 @@ object EventsPipeline {
       col("doc_id"),
       size(tokens).as("n_tokens"),
       size(array_distinct(tokens)).as("n_distinct"),
-      array_contains(tokens, "the").as("has_the"),
+      array_contains(tokens, "the").cast("int").as("has_the"),
       concat_ws(" ", slice(sort_array(array_distinct(tokens)), 1, 5))
         .as("first5_sorted"))
   }
@@ -865,7 +869,7 @@ object EventsPipeline {
     ev.join(broadcast(stats), Seq("event_type"))
       .select(col("event_id"), col("event_type"),
         col("vc").cast("long").as("value_cents"),
-        (dev * dev > var9).as("is_outlier"))
+        (dev * dev > var9).cast("int").as("is_outlier"))
   }
 
   /** Cohort retention: users bucketed by first-seen day, activity
@@ -914,7 +918,7 @@ object EventsPipeline {
       .select(col("user_id"), col("event_id"), col("event_type"),
         expr("ts_ns div 1000").as("valid_from_us"))
       .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
-      .withColumn("is_current", col("valid_to_us").isNull)
+      .withColumn("is_current", col("valid_to_us").isNull.cast("int"))
   }
 
   /** Z-order (Morton) clustering key over (user_id, value): each
@@ -1079,7 +1083,7 @@ object EventsPipeline {
           FROM e GROUP BY event_type)
         SELECT e.event_id, e.event_type, CAST(e.vc AS BIGINT) AS value_cents,
           ((st.n * e.vc - st.s1) * (st.n * e.vc - st.s1)
-            > 9 * (st.n * st.s2 - st.s1 * st.s1)) AS is_outlier
+            > 9 * (st.n * st.s2 - st.s1 * st.s1))::INT AS is_outlier
         FROM e JOIN st USING (event_type)""",
     // 30-min time_bucket is epoch-aligned like Spark's window(); every
     // event expands to its two covering 1h/30min-slide window starts
@@ -1101,9 +1105,9 @@ object EventsPipeline {
           lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
             PARTITION BY user_id
             ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS valid_to_us,
-          lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+          (lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
             PARTITION BY user_id
-            ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) IS NULL AS is_current
+            ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) IS NULL)::INT AS is_current
         FROM events WHERE user_id IS NOT NULL""",
     // same 16-bit min/max rank-space normalization then bit interleave;
     // all quantities nonnegative, so // matches Spark's div exactly
@@ -1215,10 +1219,10 @@ object EventsPipeline {
         FROM (SELECT * FROM events ORDER BY event_id LIMIT 500))""",
     "expect_schema" ->
       """SELECT * FROM (VALUES
-          ('event_id', TRUE, TRUE), ('ts', TRUE, TRUE),
-          ('ts_ns', TRUE, TRUE), ('user_id', TRUE, TRUE),
-          ('event_type', TRUE, TRUE), ('value', TRUE, TRUE),
-          ('props', TRUE, TRUE)) AS t(col_name, present, type_ok)""",
+          ('event_id', 1, 1), ('ts', 1, 1),
+          ('ts_ns', 1, 1), ('user_id', 1, 1),
+          ('event_type', 1, 1), ('value', 1, 1),
+          ('props', 1, 1)) AS t(col_name, present, type_ok)""",
     "expect_fk" ->
       """SELECT 'lineitem.l_orderkey->orders' AS relation, count(*) AS n_rows,
           CAST(sum(CASE WHEN o.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
@@ -1395,8 +1399,8 @@ object EventsPipeline {
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
         SELECT doc_id,
           len(list_filter(tk, x -> length(x) > 4)) AS n_long,
-          len(list_filter(tk, x -> x = 'spark')) > 0 AS has_spark,
-          len(list_filter(tk, x -> NOT length(x) > 2)) = 0 AS all_gt2,
+          (len(list_filter(tk, x -> x = 'spark')) > 0)::INT AS has_spark,
+          (len(list_filter(tk, x -> NOT length(x) > 2)) = 0)::INT AS all_gt2,
           CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) AS sum_len,
           array_to_string(list_transform(tk, x -> substr(x, 1, 1)), '') AS initials,
           len(list_distinct(flatten([tk, tk]))) AS n_uniq
@@ -1552,7 +1556,7 @@ object EventsPipeline {
       """SELECT doc_id,
           len(string_split(text, ' ')) AS n_tokens,
           len(list_distinct(string_split(text, ' '))) AS n_distinct,
-          list_contains(string_split(text, ' '), 'the') AS has_the,
+          list_contains(string_split(text, ' '), 'the')::INT AS has_the,
           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], ' ')
             AS first5_sorted
         FROM documents""",

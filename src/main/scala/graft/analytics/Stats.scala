@@ -52,7 +52,7 @@ object Stats {
       .withColumn("cents", expr("CAST(floor(abs(value) * 100) AS BIGINT)"))
       .selectExpr("event_id", "user_id", "cents",
         "int_cusum(cents, 25000) OVER (PARTITION BY user_id ORDER BY ts_ns div 1000, event_id) AS cusum")
-      .withColumn("alarm", col("cusum") > lit(200000L))
+      .withColumn("alarm", (col("cusum") > lit(200000L)).cast("int"))
   }
 
   /** Two-sample Kolmogorov-Smirnov distance between the click and view
@@ -152,7 +152,7 @@ object Stats {
             greatest(0, r.cusum + b.cents - 25000) AS cusum
           FROM base b JOIN rec r
             ON b.user_id = r.user_id AND b.rn = r.rn + 1)
-        SELECT event_id, user_id, cents, cusum, cusum > 200000 AS alarm
+        SELECT event_id, user_id, cents, cusum, (cusum > 200000)::INT AS alarm
         FROM rec""",
     "stats_ks" ->
       """WITH binned AS (

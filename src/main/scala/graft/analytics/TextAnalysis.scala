@@ -38,8 +38,10 @@ object TextAnalysis {
       nTok.as("n_tokens"),
       (nStop.cast("double") / nTok.cast("double")).as("stop_ratio"),
       (chars.cast("double") / nTok.cast("double")).as("avg_token_len"),
+      // INT verdict, not BOOLEAN (driver-hash representation hazard)
       (nTok.between(20, 400) &&
-        (nStop.cast("double") / nTok.cast("double")) < lit(0.3)).as("quality_ok"))
+        (nStop.cast("double") / nTok.cast("double")) < lit(0.3))
+        .cast("int").as("quality_ok"))
   }
 
   /** Regex (BPE-ish) tokenizer stats: word-like tokens vs punctuation
@@ -849,9 +851,9 @@ object TextAnalysis {
             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
           CAST(length(replace(text, ' ', '')) AS DOUBLE)
             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len,
-          (len(string_split(text, ' ')) BETWEEN 20 AND 400)
+          ((len(string_split(text, ' ')) BETWEEN 20 AND 400)
             AND (CAST(len(list_filter(string_split(text, ' '), t -> t = 'a' OR t = 'the')) AS DOUBLE)
-              / CAST(len(string_split(text, ' ')) AS DOUBLE) < 0.3) AS quality_ok
+              / CAST(len(string_split(text, ' ')) AS DOUBLE) < 0.3))::INT AS quality_ok
         FROM documents""",
     "text_token_regex" ->
       """SELECT doc_id,

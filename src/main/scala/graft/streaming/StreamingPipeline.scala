@@ -27,18 +27,30 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingPipeline {
 
-  /** Kafka source parity (S2): topic → `value: String` lines. Not
-    * exercised in tests (no broker / connector jars in this image);
-    * the file source below is the drop-in substitute. */
+  /** Kafka wire rows → `value: String` lines: the projection between
+    * the broker schema and the parse/validate core. Shared by the real
+    * Kafka path below and the broker-free `KafkaShapedSource` spec
+    * (StreamingSpec), so the tested transformation IS the production
+    * one. */
+  def kafkaValueLines(kafkaShaped: DataFrame): DataFrame =
+    kafkaShaped.selectExpr("CAST(value AS STRING) AS value")
+
+  /** Kafka source parity (S2): topic → `value: String` lines. The
+    * `format("kafka")` line itself can't run here (no broker /
+    * connector jars in this image), but its runtime semantics —
+    * wire schema, bounded drain via maxOffsetsPerTrigger, AvailableNow
+    * termination — are spec-tested through
+    * `graft.sources.KafkaShapedSource`, which implements the same
+    * contracts (SupportsAdmissionControl + SupportsTriggerAvailableNow)
+    * against the same 7-column schema. */
   def kafkaSource(spark: SparkSession, bootstrap: String, topic: String,
       maxPerTrigger: Long = 500): DataFrame =
-    spark.readStream.format("kafka")
+    kafkaValueLines(spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topic)
       .option("startingOffsets", "earliest")
       .option("maxOffsetsPerTrigger", maxPerTrigger)
-      .load()
-      .selectExpr("CAST(value AS STRING) AS value")
+      .load())
 
   /** File-source equivalent of the consumer's raw layer: each line is
     * one batch's JSON array (consumer_etl.py:63-67). */

@@ -213,7 +213,7 @@ class AnalyticsSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val r = analytics.Chunking.contaminationOf(docs, evalMax = 25)
       .collect().map(x => x.getAs[Long]("doc_id") ->
-        (x.getAs[Long]("n_shared"), x.getAs[Boolean]("contaminated"))).toMap
+        (x.getAs[Long]("n_shared"), x.getAs[Int]("contaminated") == 1)).toMap
     assert(r(30L)._2 && r(30L)._1 === 4L) // all 4 of its 5-gram shingles shared
     assert(!r(31L)._2 && r(31L)._1 === 0L)
     assert(r(32L)._2 && r(32L)._1 > 0L)   // the embedded eval run is caught
@@ -301,7 +301,7 @@ class AnalyticsSpec extends SparkSpec {
     val d = "/root/testdata/sf0.01"
     val got = analytics.EventsPipeline.anomalyZscore(spark, d)
       .select("event_id", "is_outlier")
-      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      .collect().map(r => r.getLong(0) -> (r.getInt(1) == 1)).toMap
     val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
     val ref = Tables.events(spark, d)
       .filter(col("value").isNotNull && !isnan(col("value")))
@@ -389,7 +389,7 @@ class AnalyticsSpec extends SparkSpec {
   test("scd intervals: abutting validity chain, exactly one open row per user") {
     val rows = analytics.EventsPipeline.scdIntervals(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
-        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5)))
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getInt(5) == 1))
     assert(rows.nonEmpty)
     rows.groupBy(_._1).foreach { case (u, g) =>
       val sorted = g.sortBy(t => (t._3, t._2))
@@ -406,7 +406,7 @@ class AnalyticsSpec extends SparkSpec {
     val sq = analytics.TextAnalysis.sourceQuality(spark, sfDir).collect()
     assert(sq.map(_.getLong(1)).sum === Tables.documents(spark, sfDir).count())
     val qok = analytics.TextAnalysis.textQuality(spark, sfDir)
-      .filter(col("quality_ok")).count()
+      .filter(col("quality_ok") === 1).count()
     assert(sq.map(_.getLong(2)).sum === qok)
     sq.foreach(r => assert(r.getLong(4) <= r.getLong(1)))
   }

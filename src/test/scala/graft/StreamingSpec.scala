@@ -94,6 +94,64 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("kafka bounded drain: maxOffsetsPerTrigger caps each micro-batch, AvailableNow drains exactly-once") {
+    // The real format("kafka") can't run here (no broker), but its
+    // runtime contracts can: KafkaShapedSource implements the same wire
+    // schema + SupportsAdmissionControl + SupportsTriggerAvailableNow.
+    // This is the reference consumer's bounded-drain loop
+    // (consumer_etl.py:43-53: poll until 500 msgs, stop at quota, next
+    // run resumes from committed offsets) as source semantics:
+    // 1200 msgs / cap 500 → batches of exactly 500, 500, 200.
+    val name = "kafka_drain_sink"
+    val q = StreamingPipeline.kafkaValueLines(
+      spark.readStream.format("graft.sources.KafkaShapedSource")
+        .option("messages", 1200).option("parts", 3)
+        .option("topic", "first-topic")
+        .option("maxOffsetsPerTrigger", 500).load())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(sizes.toSeq === Seq(500L, 500L, 200L), sizes.mkString(","))
+      // exactly-once across the drain: every generated payload arrives
+      // exactly once (the admission boundary neither drops nor repeats)
+      val got = spark.table(name).collect().map(_.getString(0)).sorted
+      val want = (0L until 1200L).map(graft.sources.KafkaShapedSource.payload).sorted
+      assert(got.length === 1200)
+      assert(got.toSeq === want)
+      // and the values parse as telemetry: the full downstream contract
+      val parsed = spark.table(name)
+        .select(from_json(col("value"), graft.schemas.Schemas.telemetry).as("r"))
+        .select("r.*")
+      assert(parsed.filter(col("truck_id").startsWith("TRUCK_")).count() === 1200)
+    } finally {
+      if (q.isActive) q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
+  test("kafka wire geometry: round-robin (partition, offset) pairs are dense and unique") {
+    // The batch face of the same source pins the broker geometry the
+    // streaming offsets are derived from: 1200 messages over 3
+    // partitions → per-partition offsets exactly 0..399, no gaps.
+    val t = spark.read.format("graft.sources.KafkaShapedSource")
+      .option("messages", 1200).option("parts", 3).load()
+    assert(t.schema === graft.sources.KafkaShapedSource.schema)
+    val perPart = t.groupBy(col("partition"))
+      .agg(count(lit(1)).as("n"), min(col("offset")).as("lo"),
+        max(col("offset")).as("hi"),
+        countDistinct(col("offset")).as("nd"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(perPart.keySet === Set(0, 1, 2))
+    perPart.values.foreach { case (n, lo, hi, nd) =>
+      assert((n, lo, hi, nd) === ((400L, 0L, 399L, 400L)))
+    }
+  }
+
   test("foreachBatch upsert sink: streaming micro-batches MERGE into a keyed table") {
     // the streaming-MERGE composition: each micro-batch lands through
     // Sinks.upsert (keyed, partition-pruned dynamic overwrite), so the

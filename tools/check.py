@@ -8,6 +8,13 @@ matching SQL from oracle_sql.json in DuckDB over the sf_dir tables, and
 compares: schema (column names), row count, and a hash over
 column-name-sorted, row-sorted stringified values (floats printed with
 repr so last-bit diffs show up — stricter than any plausible driver).
+
+Additionally FAILS any query whose compared projection (either side)
+contains a BOOLEAN column: round 4's sole driver red (`agg_predicates`)
+was values-identical but hash-red because Spark parquet and DuckDB
+render BOOLEAN differently in the driver's type-sensitive canonical
+form. Policy: verdict columns are INT (1/0) on both sides, so the check
+reproduces the driver's failure mode locally before the driver sees it.
 """
 import sys, json, glob, os
 import duckdb
@@ -48,6 +55,14 @@ def main(outdir, sfdir):
             print(f"FAIL {name}: {e}");  n_fail += 1;  continue
         if sorted(gcols) != sorted(wcols):
             print(f"FAIL {name}: cols spark={sorted(gcols)} oracle={sorted(wcols)}")
+            n_fail += 1;  continue
+        bools = []
+        for src, q2 in (("spark", f"SELECT * FROM read_parquet({files!r})"),
+                        ("oracle", sql)):
+            desc = con.execute(f"DESCRIBE {q2}").fetchall()
+            bools += [f"{src}.{c[0]}" for c in desc if c[1].upper() == "BOOLEAN"]
+        if bools:
+            print(f"FAIL {name}: boolean output columns (driver-hash hazard): {bools}")
             n_fail += 1;  continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows spark={len(got)} oracle={len(want)}")
