@@ -459,8 +459,115 @@ object Similarity {
       .groupBy(floor(col("nrm") * 10).as("bucket"))
       .agg(count(lit(1)).as("n_vecs"))
 
+  /** kNN label classification — the label-propagation step a training
+    * pipeline runs to extend a small labeled seed set over an unlabeled
+    * corpus (quality tiers, topic buckets): each query vector
+    * (vec_id < 50) takes the majority label of its 10 nearest labeled
+    * neighbors (vec_id ≥ 50) by cosine; ties break to the smaller
+    * label. Same scale shape as `sim_knn`: the query set broadcasts,
+    * the labeled corpus streams ONCE through the whitelisted
+    * broadcast-NLJ — linear, never corpus×corpus. At production scale
+    * the exact scan swaps for the IVF probe (`sim_ann_ivf`) with the
+    * same vote tail. Output is (qid, pred_label, votes) — integer-only,
+    * float-tie-proof. */
+  def knnClassify(s: SparkSession, d: String): DataFrame = {
+    val parts = s.sparkContext.defaultParallelism
+    val e = embeddings(s, d).repartition(parts)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", vec.l2norm(col("v")))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val top = e.filter(col("vec_id") >= 50)
+      .join(broadcast(q), lit(true))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= 10)
+    val votes = top.groupBy(col("qid"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    votes
+      .withColumn("vr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("votes").desc, col("label"))))
+      .filter(col("vr") === 1)
+      .select(col("qid"), col("label").as("pred_label"), col("votes"))
+  }
+
+  /** Per-(label, dim) fixed-point mean centroids of the training half
+    * (vec_id ≥ 50), collected as bounded index metadata (n_labels·dim
+    * doubles — the same driver footprint as the IVF centroids) in
+    * ascending-label order. Exact integer sums ⇒ independent of
+    * partitioning AND cross-engine identical. */
+  private def labelCentroids(e: DataFrame): Array[(Int, Array[Double])] =
+    e.filter(col("vec_id") >= 50)
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(floor(col("x") * 1e6).cast("long")).cast("double")
+        / count(lit(1)) / 1e6).as("m"))
+      .collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map { case (lbl, rows) =>
+        lbl -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }
+
+  /** Nearest-centroid confusion matrix — the label-noise / separability
+    * audit a curation pipeline runs before trusting a labeled corpus:
+    * train per-label centroids on the held-in half (vec_id ≥ 50),
+    * classify EVERY vector by argmax cosine against the (unit) centroid
+    * set, and report (label, pred_label, n). A diagonal-heavy matrix
+    * means the labels are separable in embedding space; off-diagonal
+    * mass localizes confusable label pairs. Scale shape: classification
+    * is a per-row argmax expression against literal centroids — no
+    * join, no shuffle beyond the final 2-key rollup; centroid training
+    * is one (label,dim)-keyed aggregation. Counts only — cross-engine
+    * exact. */
+  def embConfusion(s: SparkSession, d: String): DataFrame = {
+    val parts = s.sparkContext.defaultParallelism
+    val e = embeddings(s, d).repartition(parts)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val cents  = labelCentroids(e)
+    val labels = cents.map(_._1)
+    val cl     = centroidsLit(cents.map(_._2))
+    val labArr = typedlit(labels.toSeq)
+    e.select(col("label"),
+        element_at(labArr, cellOf(cl, col("v")) + 1).as("pred_label"))
+      .groupBy(col("label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Centroid-distance outlier mining — the other half of the label
+    * audit: per label, the 5 vectors FARTHEST from their own label's
+    * centroid (squared-L2, the x·x − 2x·c + c·c spelling shared with
+    * `emb_pq`) are the mislabel/contamination candidates a human (or a
+    * stronger model) reviews first. Rank-only output (label, vec_id,
+    * rnk): float-tie-proof. Scale shape: own-centroid lookup is a
+    * broadcast join on the tiny label key; top-5-per-label is the
+    * standard rank window (at 100 TB, the `topk_per_key` exec). */
+  def embOutliers(s: SparkSession, d: String): DataFrame = {
+    val parts = s.sparkContext.defaultParallelism
+    val e = embeddings(s, d).repartition(parts)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val cents = labelCentroids(e)
+    val cdf = e.sparkSession.createDataFrame(
+      cents.map { case (l, c) => (l, c.toSeq) }.toSeq)
+      .toDF("label", "c")
+    val dist = dot(col("v"), col("v")) - lit(2) * dot(col("v"), col("c")) +
+      dot(col("c"), col("c"))
+    e.join(broadcast(cdf), Seq("label"))
+      .withColumn("dist", dist)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("dist").desc, col("vec_id"))))
+      .filter(col("rnk") <= 5)
+      .select(col("label"), col("vec_id"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_norm_hist" -> embNormHist _,
+    "knn_classify" -> knnClassify _,
+    "emb_confusion" -> embConfusion _,
+    "emb_outliers" -> embOutliers _,
     "emb_dim_stats" -> embDimStats _,
     "sim_knn" -> simKnn _,
     "sim_ann_ivf" -> ((s: SparkSession, d: String) => simAnnIvf(s, d)),
@@ -798,6 +905,86 @@ object Similarity {
           CAST(sum(CAST(floor(dist * 1000000) AS BIGINT)) AS BIGINT) AS err_q
         FROM af GROUP BY vec_id"""
     },
+    // brute-force recompute: top-10 labeled neighbors per query, then
+    // the same (votes DESC, label) majority tie-break
+    "knn_classify" ->
+      """WITH e AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        n AS (SELECT vec_id, label, v,
+            sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        top AS (
+          SELECT qid, label FROM (
+            SELECT q.vec_id AS qid, c.label,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+                  c.vec_id) AS rn
+            FROM n q JOIN n c ON q.vec_id < 50 AND c.vec_id >= 50)
+          WHERE rn <= 10),
+        votes AS (SELECT qid, label, count(*) AS votes FROM top GROUP BY 1, 2)
+        SELECT qid, label AS pred_label, votes FROM (
+          SELECT qid, label, votes,
+            row_number() OVER (PARTITION BY qid
+              ORDER BY votes DESC, label) AS vr
+          FROM votes) WHERE vr = 1""",
+    // the same fixed-point centroid means (train half), unit-normalized
+    // with the shared zero guard; argmax ties to the smaller label =
+    // Spark's array_position-first semantics over ascending-label
+    // centroids
+    "emb_confusion" ->
+      """WITH qd AS (
+          SELECT label, p.dim AS dim, p.q AS q FROM (
+            SELECT e.label, unnest(list_transform(e.embedding,
+              (x, i) -> struct_pack(dim := i - 1,
+                q := CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))) AS p
+            FROM embeddings e WHERE e.vec_id >= 50) t),
+        m AS (
+          SELECT label, dim,
+            CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS mv
+          FROM qd GROUP BY label, dim),
+        craw AS (SELECT label, list(mv ORDER BY dim) AS c FROM m GROUP BY label),
+        cn AS (
+          SELECT label AS clabel, list_transform(c, x ->
+            CASE WHEN sqrt(list_dot_product(c, c)) = 0 THEN 0
+                 ELSE x / sqrt(list_dot_product(c, c)) END) AS c
+          FROM craw),
+        e AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        pred AS (
+          SELECT vec_id, label, clabel AS pred_label FROM (
+            SELECT e.vec_id, e.label, cn.clabel,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY list_dot_product(e.v, cn.c) DESC, cn.clabel) AS rn
+            FROM e CROSS JOIN cn) WHERE rn = 1)
+        SELECT label, pred_label, count(*) AS n FROM pred GROUP BY 1, 2""",
+    // UN-normalized own-label centroid + the shared x·x − 2x·c + c·c
+    // distance spelling; rank-only output
+    "emb_outliers" ->
+      """WITH qd AS (
+          SELECT label, p.dim AS dim, p.q AS q FROM (
+            SELECT e.label, unnest(list_transform(e.embedding,
+              (x, i) -> struct_pack(dim := i - 1,
+                q := CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))) AS p
+            FROM embeddings e WHERE e.vec_id >= 50) t),
+        m AS (
+          SELECT label, dim,
+            CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS mv
+          FROM qd GROUP BY label, dim),
+        c AS (SELECT label, list(mv ORDER BY dim) AS c FROM m GROUP BY label),
+        e AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings)
+        SELECT label, vec_id, rnk FROM (
+          SELECT e.label, e.vec_id,
+            row_number() OVER (PARTITION BY e.label
+              ORDER BY (list_dot_product(e.v, e.v)
+                - 2 * list_dot_product(e.v, c.c)
+                + list_dot_product(c.c, c.c)) DESC, e.vec_id) AS rnk
+          FROM e JOIN c USING (label)) WHERE rnk <= 5""",
     "emb_centroid" ->
       s"""WITH lang AS (
           SELECT doc_id, pred_lang FROM (${TextAnalysis.oracle("lang_id")})),

@@ -35,7 +35,10 @@ class PlanSpec extends SparkSpec {
   // orders_rfm: crossJoin(broadcast(1-row max date)) — the scalar
   // broadcast shape again
   private val nljWhitelist =
-    Set("sim_knn", "sim_range", "join_cross", "text_tfidf", "text_bm25",
+    // knn_classify: same exact-scan shape as sim_knn (labeled corpus
+    // streams once against the broadcast query set)
+    Set("sim_knn", "sim_range", "knn_classify",
+      "join_cross", "text_tfidf", "text_bm25",
       "zorder_value", "sketch_cms", "mixture_weights", "sample_weighted",
       "expect_drift", "orders_rfm", "source_divergence", "agg_hll_union",
       // sketch_theta: crossJoin(broadcast(1-row sketch estimates))
@@ -150,6 +153,12 @@ class PlanSpec extends SparkSpec {
     "agg_mode" -> 2, "agg_bitwise" -> 1,
     // q6: pure scan + single-row reduce — zero hash exchanges
     "q6_filter" -> 0,
+    // round-5 label-curation family: knn_classify = one qid exchange
+    // shared by the rank window and the vote rollup (broadcast NLJ adds
+    // none); emb_confusion = the (label, pred) rollup (classification
+    // is a scan-side literal argmax); emb_outliers = the per-label rank
+    // window (own-centroid lookup broadcasts)
+    "knn_classify" -> 1, "emb_confusion" -> 1, "emb_outliers" -> 1,
     // q18: the lineitem HAVING agg; orders/customer broadcast at audit SF
     "q18_having" -> 1,
     // join_salted: dim explodes broadcast-side; fact never shuffles for
