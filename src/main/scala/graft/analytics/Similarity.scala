@@ -470,12 +470,19 @@ object Similarity {
     * the exact scan swaps for the IVF probe (`sim_ann_ivf`) with the
     * same vote tail. Output is (qid, pred_label, votes) — integer-only,
     * float-tie-proof. */
-  def knnClassify(s: SparkSession, d: String): DataFrame = {
-    val parts = s.sparkContext.defaultParallelism
-    val e = embeddings(s, d).repartition(parts)
+  def knnClassify(s: SparkSession, d: String): DataFrame =
+    knnClassifyOf(embeddings(s, d))
+
+  /** Double-cast labeled corpus spread across cores (see `corpus`). */
+  private def labeled(emb: DataFrame): DataFrame = {
+    val parts = emb.sparkSession.sparkContext.defaultParallelism
+    emb.repartition(parts)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), _.cast("double")).as("v"))
-      .withColumn("nrm", vec.l2norm(col("v")))
+  }
+
+  private[graft] def knnClassifyOf(emb: DataFrame): DataFrame = {
+    val e = labeled(emb).withColumn("nrm", vec.l2norm(col("v")))
     val q = e.filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val top = e.filter(col("vec_id") >= 50)
@@ -521,11 +528,11 @@ object Similarity {
     * join, no shuffle beyond the final 2-key rollup; centroid training
     * is one (label,dim)-keyed aggregation. Counts only — cross-engine
     * exact. */
-  def embConfusion(s: SparkSession, d: String): DataFrame = {
-    val parts = s.sparkContext.defaultParallelism
-    val e = embeddings(s, d).repartition(parts)
-      .select(col("vec_id"), col("label"),
-        transform(col("embedding"), _.cast("double")).as("v"))
+  def embConfusion(s: SparkSession, d: String): DataFrame =
+    embConfusionOf(embeddings(s, d))
+
+  private[graft] def embConfusionOf(emb: DataFrame): DataFrame = {
+    val e = labeled(emb)
     val cents  = labelCentroids(e)
     val labels = cents.map(_._1)
     val cl     = centroidsLit(cents.map(_._2))
@@ -544,11 +551,11 @@ object Similarity {
     * rnk): float-tie-proof. Scale shape: own-centroid lookup is a
     * broadcast join on the tiny label key; top-5-per-label is the
     * standard rank window (at 100 TB, the `topk_per_key` exec). */
-  def embOutliers(s: SparkSession, d: String): DataFrame = {
-    val parts = s.sparkContext.defaultParallelism
-    val e = embeddings(s, d).repartition(parts)
-      .select(col("vec_id"), col("label"),
-        transform(col("embedding"), _.cast("double")).as("v"))
+  def embOutliers(s: SparkSession, d: String): DataFrame =
+    embOutliersOf(embeddings(s, d))
+
+  private[graft] def embOutliersOf(emb: DataFrame): DataFrame = {
+    val e = labeled(emb)
     val cents = labelCentroids(e)
     val cdf = e.sparkSession.createDataFrame(
       cents.map { case (l, c) => (l, c.toSeq) }.toSeq)

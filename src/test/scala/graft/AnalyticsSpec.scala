@@ -219,6 +219,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(r(32L)._2 && r(32L)._1 > 0L)   // the embedded eval run is caught
   }
 
+  test("label curation on planted clusters: knn classifies, confusion is diagonal, outliers surface the plants") {
+    // Three orthogonal clusters in 8-dim space (label l along axis l):
+    // 10 train members per label (ids 50+), one PLANTED far point per
+    // label (same direction, 5× magnitude — cosine-identical, so it
+    // votes with its cluster, but L2-farthest from the centroid), and
+    // one query per label (ids 0..2). The oracle agreement at sf0.01
+    // proves cross-engine equivalence; this proves the SEMANTICS on
+    // data where the right answer is unambiguous.
+    import spark.implicits._
+    val dim = 8
+    def vecOf(axis: Int, scale: Double, jitter: Double): Seq[Float] =
+      (0 until dim).map(i =>
+        (if (i == axis) scale else if (i == (axis + 1) % dim) jitter else 0.0)
+          .toFloat)
+    val far = Map(0 -> 80L, 1 -> 91L, 2 -> 102L) // planted outlier ids
+    val rows =
+      (for (l <- 0 until 3; i <- 0 until 10) yield
+        (50L + l * 11 + i, vecOf(l, 1.0, 0.01 * (i + 1)), l)) ++ // train
+      (0 until 3).map(l => (far(l), vecOf(l, 5.0, 0.0), l)) ++   // plants
+      (0 until 3).map(l => (l.toLong, vecOf(l, 1.0, 0.005), l))  // queries
+    val emb = rows.toDF("vec_id", "embedding", "label")
+
+    val knn = Similarity.knnClassifyOf(emb).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(knn.keySet === Set(0L, 1L, 2L))
+    (0 until 3).foreach { l =>
+      assert(knn(l.toLong) === ((l, 10L)), s"query $l: ${knn(l.toLong)}")
+    }
+
+    val conf = Similarity.embConfusionOf(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(conf.forall { case (lbl, pred, _) => lbl === pred },
+      s"off-diagonal mass: ${conf.filterNot(c => c._1 == c._2).mkString(",")}")
+    assert(conf.map(_._3).sum === rows.size.toLong)
+
+    val out = Similarity.embOutliersOf(emb)
+      .filter(col("rnk") === 1).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (0 until 3).foreach(l => assert(out(l) === far(l), s"label $l top outlier"))
+  }
+
   test("triangle enumeration finds exactly the closed pair-triples") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (5L, 6L))
