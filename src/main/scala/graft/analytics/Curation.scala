@@ -159,12 +159,37 @@ object Curation {
         sum(when(col("n") >= k, col("n")).otherwise(0L)).as("kept_rows"))
   }
 
+  /** l-diversity audit — k-anonymity's sharper sibling: a QID group can
+    * be k-large yet leak everything if all its members share one
+    * sensitive value. Over the same (event_type, hour, value-band) QID
+    * groups as `privacy_kanon`, count DISTINCT sensitive values
+    * (user-cohort = user_id % 10) per group and roll up the groups
+    * failing l < 3 — the release gate a training-data pipeline runs
+    * before publishing grouped telemetry. Same scale shape as kanon:
+    * two keyed aggregations, integer-only output (the countDistinct is
+    * the only addition — a two-phase agg, no wider shuffle). */
+  def privacyLdiversity(s: SparkSession, d: String): DataFrame = {
+    val l = lit(3L)
+    val groups = events(s, d)
+      .select(col("event_type"), hour(col("ts")).as("hh"),
+        expr("CAST(floor(value) AS BIGINT) div 50").as("vb"),
+        (col("user_id") % 10).as("sens"))
+      .groupBy(col("event_type"), col("hh"), col("vb"))
+      .agg(countDistinct(col("sens")).as("l"), count(lit(1)).as("n"))
+    groups.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_groups"),
+        min(col("l")).as("min_l"),
+        sum(when(col("l") < l, 1L).otherwise(0L)).as("weak_groups"),
+        sum(when(col("l") < l, col("n")).otherwise(0L)).as("weak_rows"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "training_select" -> trainingSelect _,
     "pii_scrub"       -> piiScrub _,
     "curation_report" -> curationReport _,
     "dataset_split"   -> datasetSplit _,
     "privacy_kanon"   -> privacyKanon _,
+    "privacy_ldiversity" -> privacyLdiversity _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -250,6 +275,20 @@ object Curation {
           md5(st) AS scrub_fp,
           CAST(len(st) AS BIGINT) AS scrub_len
         FROM scrub""",
+    // same QID grouping as kanon + a count(DISTINCT cohort) per group
+    "privacy_ldiversity" ->
+      """WITH groups AS (
+          SELECT event_type, hour(ts) AS hh,
+            CAST(floor(value) AS BIGINT) // 50 AS vb,
+            count(DISTINCT user_id % 10) AS l, count(*) AS n
+          FROM events GROUP BY 1, 2, 3)
+        SELECT event_type, count(*) AS n_groups,
+          CAST(min(l) AS BIGINT) AS min_l,
+          CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+            AS weak_groups,
+          CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
+            AS weak_rows
+        FROM groups GROUP BY 1""",
     "privacy_kanon" ->
       """WITH groups AS (
           SELECT event_type, hour(ts) AS hh,

@@ -889,6 +889,34 @@ object EventsPipeline {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Consecutive-day activity streaks per user — the classic
+    * gaps-and-islands rollup (engagement scoring, retention-risk
+    * flags): distinct active days collapse the event stream first,
+    * then `days-since-epoch − row_number` is constant exactly within a
+    * run of consecutive days, so one grouped count per (user, island)
+    * yields streak lengths. Integer-only output
+    * (n_days, max_streak, n_streaks). Scale shape: the distinct
+    * projection shrinks the stream to ≤ users×days rows before the one
+    * per-user window; shuffles carry bare (user_id, date). */
+  def eventsStreaks(s: SparkSession, d: String): DataFrame = {
+    val act = events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("day"))
+    act
+      .withColumn("grp",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long")
+          - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_days"),
+        max(col("len")).as("max_streak"),
+        count(lit(1)).as("n_streaks"))
+  }
+
   /** Sliding event-time windows (1 h window, 30 min slide): each event
     * lands in exactly two overlapping windows — the smoothing variant
     * of win_hourly's tumbling windows and the batch twin of a sliding
@@ -1019,6 +1047,7 @@ object EventsPipeline {
     "ts_gapfill"          -> tsGapfill _,
     "anomaly_zscore"      -> anomalyZscore _,
     "events_retention"    -> eventsRetention _,
+    "events_streaks"      -> eventsStreaks _,
     "win_sliding"         -> winSliding _,
     "scd_intervals"       -> scdIntervals _,
     "zorder_value"        -> zorderValue _,
@@ -1142,6 +1171,22 @@ object EventsPipeline {
           count(DISTINCT a.user_id) AS n_users
         FROM act a JOIN coh c USING (user_id)
         GROUP BY 1, 2""",
+    // gaps-and-islands: day-ordinal − row_number is the island key
+    "events_streaks" ->
+      """WITH act AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+          FROM events WHERE user_id IS NOT NULL),
+        g AS (
+          SELECT user_id, day,
+            date_diff('day', DATE '1970-01-01', day)
+              - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+          FROM act),
+        s AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+        SELECT user_id,
+          CAST(sum(len) AS BIGINT) AS n_days,
+          CAST(max(len) AS BIGINT) AS max_streak,
+          count(*) AS n_streaks
+        FROM s GROUP BY 1""",
     "date_funcs" ->
       """SELECT o_orderkey,
           CAST(o_orderdate AS DATE) AS od,

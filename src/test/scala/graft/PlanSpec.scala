@@ -159,6 +159,10 @@ class PlanSpec extends SparkSpec {
     // is a scan-side literal argmax); emb_outliers = the per-label rank
     // window (own-centroid lookup broadcasts)
     "knn_classify" -> 1, "emb_confusion" -> 1, "emb_outliers" -> 1,
+    // events_streaks: (user, day) distinct + the per-user island window
+    // (the two grouped rollups reuse the window's user_id partitioning);
+    // privacy_ldiversity: kanon's 2 QID aggs + countDistinct's expand
+    "events_streaks" -> 2, "privacy_ldiversity" -> 3,
     // q18: the lineitem HAVING agg; orders/customer broadcast at audit SF
     "q18_having" -> 1,
     // join_salted: dim explodes broadcast-side; fact never shuffles for
