@@ -219,6 +219,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(r(32L)._2 && r(32L)._1 > 0L)   // the embedded eval run is caught
   }
 
+  test("withEventTime normalizes both ts encodings and fails fast on anything else") {
+    import spark.implicits._
+    // LONG branch (parquet TIMESTAMP(NANOS) read via nanosAsLong)
+    val ns = Seq((1L, 1700000000000000000L)).toDF("event_id", "ts")
+    val a = Tables.withEventTime(ns).select("ts_ns", "ts").first()
+    assert(a.getLong(0) === 1700000000000000000L)
+    assert(a.getTimestamp(1).toInstant.getEpochSecond === 1700000000L)
+    // TIMESTAMP branch (parquet timestamp[us])
+    val tdf = Seq((1L, java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1700000000L)))).toDF("event_id", "ts")
+    val b = Tables.withEventTime(tdf).select("ts_ns").first()
+    assert(b.getLong(0) === 1700000000L * 1000000000L)
+    // anything else (e.g. a corrupted regen shipping ts as STRING) must
+    // throw at load time, not silently cast to nulls downstream
+    val bad = Seq((1L, "2023-11-14")).toDF("event_id", "ts")
+    val e = intercept[IllegalStateException](Tables.withEventTime(bad))
+    assert(e.getMessage.contains("unexpected type"))
+  }
+
   test("label curation on planted clusters: knn classifies, confusion is diagonal, outliers surface the plants") {
     // Three orthogonal clusters in 8-dim space (label l along axis l):
     // 10 train members per label (ids 50+), one PLANTED far point per
