@@ -846,6 +846,49 @@ object EventsPipeline {
         last(col("sum_value"), ignoreNulls = true).over(w).as("sum_filled"))
   }
 
+  /** Linear-interpolation gap fill — the sensor-data resample
+    * (ts_gapfill's forward-fill assumes step signals; interpolation is
+    * the right fill for continuous ones): each missing hour takes
+    * pv + (nv − pv)·(Δt/Δspan) between its previous and next observed
+    * hourly sums. The bracketing values come from two frames over ONE
+    * (event_type, hour_us) ordering — running last(IGNORE NULLS) and
+    * its mirror first() — so the whole fill costs one partition
+    * exchange, not a self-join per gap. Inputs are decimal-exact
+    * doubles and integer hour offsets; the three IEEE ops are spelled
+    * identically in the oracle, so even the interpolated floats
+    * hash-match. Grid span is per-type min..max, so every gap is
+    * bracketed (no extrapolation branch). */
+  def tsInterp(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600L * 1000 * 1000
+    val hourly = events(s, d)
+      .withColumn("hour_us",
+        expr(s"(ts_ns div 1000) - (ts_ns div 1000) % $hourUs"))
+      .groupBy(col("event_type"), col("hour_us"))
+      .agg(sum(dec2(col("value"))).cast("double").as("sum_value"))
+    val grid = hourly
+      .groupBy(col("event_type"))
+      .agg(min(col("hour_us")).as("mn"), max(col("hour_us")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"), lit(hourUs))).as("hour_us"))
+    val W = org.apache.spark.sql.expressions.Window
+    val wPrev = W.partitionBy(col("event_type")).orderBy(col("hour_us"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wNext = W.partitionBy(col("event_type")).orderBy(col("hour_us"))
+      .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val obsHour = when(col("sum_value").isNotNull, col("hour_us"))
+    grid.join(hourly, Seq("event_type", "hour_us"), "left")
+      .withColumn("pv", last(col("sum_value"), ignoreNulls = true).over(wPrev))
+      .withColumn("ph", last(obsHour, ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("sum_value"), ignoreNulls = true).over(wNext))
+      .withColumn("nh", first(obsHour, ignoreNulls = true).over(wNext))
+      .select(col("event_type"), col("hour_us"),
+        when(col("sum_value").isNotNull, col("sum_value"))
+          .otherwise(col("pv") + (col("nv") - col("pv"))
+            * ((col("hour_us") - col("ph")).cast("double")
+              / (col("nh") - col("ph")).cast("double")))
+          .as("sum_interp"))
+  }
+
   /** Statistical outlier flags (|x − µ| > 3σ within each event type)
     * computed ENTIRELY in exact integer arithmetic: the z-score test
     * (x − µ)² > 9σ² is cross-multiplied by n² into
@@ -1045,6 +1088,7 @@ object EventsPipeline {
     "date_funcs"          -> dateFuncs _,
     "explode_pos"         -> explodePos _,
     "ts_gapfill"          -> tsGapfill _,
+    "ts_interp"           -> tsInterp _,
     "anomaly_zscore"      -> anomalyZscore _,
     "events_retention"    -> eventsRetention _,
     "events_streaks"      -> eventsStreaks _,
@@ -1223,6 +1267,40 @@ object EventsPipeline {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_filled
         FROM grid g LEFT JOIN h
           ON g.event_type = h.event_type AND g.hour_us = h.hour_us""",
+    // identical grid + two IGNORE-NULLS frames; the interpolation
+    // arithmetic is spelled identically so the floats hash-match
+    "ts_interp" ->
+      """WITH h AS (
+          SELECT event_type,
+            (epoch_ns(ts) // 1000) - (epoch_ns(ts) // 1000) % 3600000000 AS hour_us,
+            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          FROM events GROUP BY 1, 2),
+        span AS (
+          SELECT event_type, min(hour_us) AS mn, max(hour_us) AS mx
+          FROM h GROUP BY event_type),
+        grid AS (
+          SELECT event_type,
+            unnest(generate_series(mn, mx, 3600000000)) AS hour_us
+          FROM span),
+        f AS (
+          SELECT g.event_type, g.hour_us, h.sum_value,
+            last_value(h.sum_value IGNORE NULLS) OVER wp AS pv,
+            last_value(CASE WHEN h.sum_value IS NOT NULL
+              THEN g.hour_us END IGNORE NULLS) OVER wp AS ph,
+            first_value(h.sum_value IGNORE NULLS) OVER wn AS nv,
+            first_value(CASE WHEN h.sum_value IS NOT NULL
+              THEN g.hour_us END IGNORE NULLS) OVER wn AS nh
+          FROM grid g LEFT JOIN h
+            ON g.event_type = h.event_type AND g.hour_us = h.hour_us
+          WINDOW wp AS (PARTITION BY g.event_type ORDER BY g.hour_us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            wn AS (PARTITION BY g.event_type ORDER BY g.hour_us
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT event_type, hour_us,
+          CASE WHEN sum_value IS NOT NULL THEN sum_value
+               ELSE pv + (nv - pv) * (CAST(hour_us - ph AS DOUBLE)
+                 / CAST(nh - ph AS DOUBLE)) END AS sum_interp
+        FROM f""",
     "split_valid" ->
       s"""$vCte
         SELECT event_id, user_id, event_type, value, k,

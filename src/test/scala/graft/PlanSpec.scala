@@ -163,6 +163,9 @@ class PlanSpec extends SparkSpec {
     // (the two grouped rollups reuse the window's user_id partitioning);
     // privacy_ldiversity: kanon's 2 QID aggs + countDistinct's expand
     "events_streaks" -> 2, "privacy_ldiversity" -> 3,
+    // ts_interp: hourly agg + one event_type exchange shared by the
+    // grid branch, the co-partitioned fill join, and both frames
+    "ts_interp" -> 2,
     // q18: the lineitem HAVING agg; orders/customer broadcast at audit SF
     "q18_having" -> 1,
     // join_salted: dim explodes broadcast-side; fact never shuffles for
