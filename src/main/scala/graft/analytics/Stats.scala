@@ -111,14 +111,57 @@ object Stats {
           .as("rho"))
   }
 
+  /** MAD robust-outlier screen — the anomaly family's breakdown-proof
+    * member (zscore's µ/σ are themselves dragged by outliers; Tukey
+    * fences resist to 25% contamination; the median absolute deviation
+    * resists to 50%): per type, flag |x − median| > 3·1.4826·MAD
+    * (1.4826 makes MAD σ-consistent under normality). Three passes,
+    * each a tiny percentile agg broadcast back over the scan — the
+    * same two-pass shape as events_anomaly_iqr plus one. Interpolated
+    * percentiles over identical doubles are cross-engine exact
+    * (events_anomaly_iqr precedent); output is integer counts. */
+  def anomalyMad(s: SparkSession, d: String): DataFrame = {
+    val clean = Tables.events(s, d)
+      .filter(col("value").isNotNull && !isnan(col("value")))
+    val med = clean.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = clean.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("med")).as("med"),
+        expr("percentile(abs(value - med), 0.5)").as("mad"))
+    clean.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("value") - col("med")) > col("mad") * 3.0 * 1.4826,
+          1L).otherwise(0L)).as("n_outliers"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_ewma"     -> winEwma _,
     "anomaly_cusum" -> anomalyCusum _,
+    "anomaly_mad"  -> anomalyMad _,
     "stats_ks"     -> statsKs _,
     "agg_spearman" -> aggSpearman _,
   )
 
   val oracle: Map[String, String] = Map(
+    // same 3-pass shape; quantile_cont == Spark's interpolated
+    // percentile on identical doubles; threshold arithmetic mirrored
+    "anomaly_mad" ->
+      """WITH e AS (
+          SELECT event_type, value FROM events
+          WHERE value IS NOT NULL AND NOT isnan(value)),
+        m AS (
+          SELECT event_type, quantile_cont(value, 0.5) AS med
+          FROM e GROUP BY 1),
+        md AS (
+          SELECT e.event_type, max(m.med) AS med,
+            quantile_cont(abs(e.value - m.med), 0.5) AS mad
+          FROM e JOIN m USING (event_type) GROUP BY 1)
+        SELECT e.event_type, count(*) AS n,
+          CAST(sum(CASE WHEN abs(e.value - md.med) > md.mad * 3.0 * 1.4826
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM e JOIN md USING (event_type) GROUP BY 1""",
     // the recurrence re-derived sequentially: recursive CTE over
     // per-user row_numbers; `//` (floor div) == the >> 1 shift because
     // the accumulator never goes negative

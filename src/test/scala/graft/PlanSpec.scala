@@ -166,6 +166,9 @@ class PlanSpec extends SparkSpec {
     // ts_interp: hourly agg + one event_type exchange shared by the
     // grid branch, the co-partitioned fill join, and both frames
     "ts_interp" -> 2,
+    // anomaly_mad: three tiny percentile/count aggs (median, MAD,
+    // fence count) — the stat sides broadcast back over the scan
+    "anomaly_mad" -> 3,
     // q18: the lineitem HAVING agg; orders/customer broadcast at audit SF
     "q18_having" -> 1,
     // join_salted: dim explodes broadcast-side; fact never shuffles for
