@@ -613,7 +613,30 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** Cross-source duplication matrix — which feeds copy each other:
+    * MinHash near-dup pairs joined back to each side's `source`,
+    * rolled up per unordered source pair. The curation decision this
+    * drives: a feed whose mass duplicates another feed gets dropped
+    * (or deduped against it) before training. Scale shape: the pair
+    * table carries bare ids; the two source lookups are co-partitioned
+    * id joins (text never moves); the rollup key is source×source —
+    * tiny. Undirected via least/greatest so (A,B) and (B,A) collapse. */
+  def dedupSourceMatrix(s: SparkSession, d: String): DataFrame = {
+    val src = documents(s, d).select(col("doc_id"), col("source"))
+    val pairs = dedupMinhash(s, d)
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_x"),
+        greatest(col("sa"), col("sb")).as("source_y"))
+      .groupBy(col("source_x"), col("source_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_source_matrix" -> dedupSourceMatrix _,
     "dedup_exact"     -> dedupExact _,
     "dedup_incremental" -> dedupIncremental _,
     "dedup_ngram"     -> dedupNgram _,
@@ -706,6 +729,21 @@ object Dedup {
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
+    // the same pair CTE joined back to each side's source
+    "dedup_source_matrix" ->
+      s"""$shCte, $minhashCtes,
+        p AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id)
+        SELECT least(da.source, db.source) AS source_x,
+          greatest(da.source, db.source) AS source_y,
+          count(*) AS n_pairs
+        FROM p
+        JOIN documents da ON p.doc_a = da.doc_id
+        JOIN documents db ON p.doc_b = db.doc_id
+        GROUP BY 1, 2""",
     // same minhash banding, then connected components: the recursive
     // closure computes min-reachable-id per doc — the DuckDB spelling of
     // the Spark side's iterative min-label propagation

@@ -169,6 +169,10 @@ class PlanSpec extends SparkSpec {
     // anomaly_mad: three tiny percentile/count aggs (median, MAD,
     // fence count) — the stat sides broadcast back over the scan
     "anomaly_mad" -> 3,
+    // dedup_source_matrix: the persisted minhash pair plan (3, as
+    // dedup_edit) + the source×source rollup; source lookups broadcast
+    // at audit SF
+    "dedup_source_matrix" -> 4,
     // q18: the lineitem HAVING agg; orders/customer broadcast at audit SF
     "q18_having" -> 1,
     // join_salted: dim explodes broadcast-side; fact never shuffles for
