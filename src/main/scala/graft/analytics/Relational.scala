@@ -1877,6 +1877,26 @@ object Relational {
         min(col("uval")).as("min_uval"),
         max(col("uval")).as("max_uval"))
 
+  /** The Kafka-twin connector's batch face hash-checked like any
+    * operator (`sources.KafkaShapedSource`): per-partition message
+    * counts, offset ranges, and summed event-time micros must equal a
+    * DuckDB re-derivation of the same round-robin geometry
+    * (partition = i % parts, offset = i / parts, ts = epoch + i
+    * seconds). Together with the StreamingSpec bounded-drain tests
+    * this makes S2's stand-in oracle-gated end to end — the payload
+    * bytes are exercised by the parse specs, the broker geometry by
+    * this query. */
+  def sourceKafkaShaped(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.KafkaShapedSource")
+      .option("messages", 1200).option("parts", 3)
+      .option("topic", "first-topic").load()
+      .groupBy(col("partition"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("offset")).as("lo"),
+        max(col("offset")).as("hi"),
+        sum(unix_micros(col("timestamp"))).as("sum_tus"))
+
   /** Name-resolved SQL through the `TableCatalog` plugin
     * (`sources.GraftCatalog`): register the catalog lazily on the
     * session conf, point its `dir` at this dataset, and run plain SQL
@@ -2005,6 +2025,7 @@ object Relational {
     "ts_backlog"        -> tsBacklog _,
     "win_session_native" -> winSessionNative _,
     "source_dsv2"       -> sourceDsv2 _,
+    "source_kafka_shaped" -> sourceKafkaShaped _,
     "sql_text"          -> sqlText _,
     "sql_recursive"     -> sqlRecursive _,
     "sql_params"        -> sqlParams _,
@@ -2828,6 +2849,14 @@ object Relational {
         FROM x
         WHERE id >= 12345 AND id < 98765 AND bucket % 3 = 1
         GROUP BY bucket""",
+    // re-derives the Kafka-twin's round-robin geometry and 1 msg/s
+    // event-time from the global message index
+    "source_kafka_shaped" ->
+      """WITH g AS (SELECT range AS i FROM range(0, 1200))
+        SELECT CAST(i % 3 AS INT) AS partition, count(*) AS n,
+          min(i // 3) AS lo, max(i // 3) AS hi,
+          CAST(sum((1700000000 + i) * 1000000) AS BIGINT) AS sum_tus
+        FROM g GROUP BY 1""",
     // catalog-resolved tables are the same parquet scans — the oracle
     // is the identical query with bare table names
     "catalog_sql" ->

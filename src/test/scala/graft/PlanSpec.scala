@@ -173,6 +173,8 @@ class PlanSpec extends SparkSpec {
     // dedup_edit) + the source×source rollup; source lookups broadcast
     // at audit SF
     "dedup_source_matrix" -> 4,
+    // source_kafka_shaped: the per-partition geometry rollup
+    "source_kafka_shaped" -> 1,
     // q18: the lineitem HAVING agg; orders/customer broadcast at audit SF
     "q18_having" -> 1,
     // join_salted: dim explodes broadcast-side; fact never shuffles for
