@@ -190,9 +190,11 @@ private[sources] class KafkaShapedReaderFactory(topic: String, parts: Int)
     val topicUtf = UTF8String.fromString(topic)
     new PartitionReader[InternalRow] {
       private var i = p.lo - 1
+      // one reusable row per reader (Spark copies each row out via its
+      // unsafe projection) — same allocation discipline as SeqSource
+      private val row = new GenericInternalRow(7)
       override def next(): Boolean = { i += 1; i < p.hi }
       override def get(): InternalRow = {
-        val row = new GenericInternalRow(7)
         row.update(0, null) // key: the producer sends unkeyed messages
         row.update(1, KafkaShapedSource.payload(i).getBytes("UTF-8"))
         row.update(2, topicUtf)
