@@ -46,17 +46,18 @@ object Tables {
     *            encodings. */
   def withEventTime(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // Both encodings are session-tz-sensitive downstream: the NTZ→TZ
+    // cast is instant-preserving only under UTC, and even the NANOS
+    // branch's timestamp_micros ts feeds hour()/to_date() extractions
+    // that DuckDB evaluates over its naive read. Fail fast for either.
+    val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    require(java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC,
+      s"withEventTime requires a UTC session timezone (got $tz)")
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts_ns", F.col("ts"))
           .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
       case TimestampType | TimestampNTZType => // parquet timestamp[us]
-        // The NTZ→TZ cast is instant-preserving ONLY under a UTC session
-        // tz; enforce the documented precondition instead of silently
-        // shifting ts/ts_ns away from DuckDB's naive read.
-        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
-        require(java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC,
-          s"withEventTime requires a UTC session timezone (got $tz)")
         df.withColumn("ts", F.col("ts").cast("timestamp"))
           .withColumn("ts_ns", F.unix_micros(F.col("ts")) * 1000)
       case other =>

@@ -56,6 +56,133 @@ object Chunking {
         count(lit(1)).as("n_occ"))
       .filter(col("n_docs") > 1)
 
+  /** Substring-level cross-document dedup — repeated ≥k-token spans at
+    * ANY alignment (the Lee et al. 2022 "Deduplicating Training Data
+    * Makes Language Models Better" shape, approximated with rolling
+    * fingerprints instead of a suffix array, which does not
+    * distribute). `dedupChunks` above is blind to a shared passage that
+    * crosses its fixed 8-token boundaries; here EVERY k-token sliding
+    * window is fingerprinted (same md5-derived 60-bit token-window hash
+    * `text_rolling_hash` pins cross-engine), so a shifted copy still
+    * collides on every window inside the span.
+    *
+    * Scale design (what survives 100 TB):
+    *  - Manber-1994 "0 mod p" sampling keeps only fingerprints with
+    *    fp % modP == 0 — the per-doc fingerprint set shrinks ~modP×
+    *    BEFORE any shuffle, and a shared span of L tokens is still
+    *    caught with prob 1-(1-1/p)^(L-k+1) (≥98% at L=40, k=8, p=8).
+    *    Winnowing (Schleimer 2003) would give a deterministic
+    *    guarantee at the cost of a per-doc window-min pass; the mod
+    *    valve is chosen because both engines spell it identically.
+    *  - Candidate pairs are generated ONLY by equi-join on fingerprint
+    *    (never all-pairs), and the join carries (doc_id, fp, pos) —
+    *    ids and longs, never text.
+    *  - A df-cap drops fingerprints shared by > dfCap documents
+    *    (licence boilerplate would otherwise emit df² pairs); same
+    *    valve policy as dedup_ngram's capped shingle universe.
+    * Output: one row per document pair with the count of shared
+    * sampled spans and the anchor positions of the smallest shared
+    * fingerprint (min_by is deterministic — fp values are distinct
+    * within a pair after the per-(doc, fp) first-occurrence dedupe). */
+  def dedupSubstring(s: SparkSession, d: String): DataFrame =
+    dedupSubstringOf(documents(s, d), k = 8, modP = 8, dfCap = 32)
+
+  private[graft] def dedupSubstringOf(docs: DataFrame, k: Int, modP: Int,
+      dfCap: Int): DataFrame = {
+    val wins = slidingFingerprints(docs, k)
+      .filter(col("fp") % modP === 0)
+      .groupBy(col("doc_id"), col("fp"))
+      .agg(min(col("pos").cast("long")).as("pos"))
+    // materialized once: feeds the df-cap audit AND both join sides
+    val sel = wins.persist()
+    val hot = sel.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > dfCap).select(col("fp"))
+    val kept = sel.join(broadcast(hot), Seq("fp"), "left_anti")
+    val a = kept.select(col("fp"), col("doc_id").as("doc_a"),
+      col("pos").as("pos_a"))
+    val b = kept.select(col("fp"), col("doc_id").as("doc_b"),
+      col("pos").as("pos_b"))
+    a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_spans"),
+        min_by(col("pos_a"), col("fp")).as("anchor_a"),
+        min_by(col("pos_b"), col("fp")).as("anchor_b"))
+  }
+
+  /** Longest shared token span per document pair — the statistic Lee
+    * et al. 2022 actually report (how much text is duplicated, not
+    * just that SOME span is shared). `dedupSubstring` above counts
+    * sampled shared fingerprints; here the full (unsampled) sliding
+    * windows are joined on fingerprint and collapsed gaps-and-islands
+    * style: shared windows on one diagonal (pos_a - pos_b constant)
+    * at consecutive pos_a form one island, and an island of r windows
+    * is a shared span of r + k - 1 tokens. Reported per pair: the
+    * longest span and the number of distinct spans ≥ minSpan.
+    *
+    * Scale notes: everything after the window explode moves (doc_id,
+    * fp, pos) longs — text never shuffles; pairs exist only via the
+    * fingerprint equi-join (df-capped, never all-pairs); the island
+    * window function partitions by (pair, diagonal), so state per
+    * window-partition is one span run, not a corpus-sized sort. At
+    * 100 TB the same plan runs over the 0-mod-p sampled fingerprints
+    * (span length then estimated as p·r + k - 1) — the exact variant
+    * here is the calibration path, cross-checked by the oracle. */
+  def dedupSpans(s: SparkSession, d: String): DataFrame =
+    dedupSpansOf(documents(s, d), k = 8, dfCap = 32, minSpan = 16)
+
+  private[graft] def slidingFingerprints(docs: DataFrame, k: Int): DataFrame = {
+    def th(t: org.apache.spark.sql.Column) =
+      conv(substring(md5(t), 18, 15), 16, 10).cast("long")
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .filter(size(toks) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(graft.functions.text.shingles(toks, k), th(_)))
+          .as(Seq("pos", "fp")))
+  }
+
+  /** Df-capped candidate (doc_a, doc_b, pos_a, pos_b) window matches —
+    * the shared core of dedupSpansOf and the scale audit below. */
+  private def windowMatches(docs: DataFrame, k: Int, dfCap: Int): DataFrame = {
+    val wins = slidingFingerprints(docs, k).persist()
+    val hot = wins.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > dfCap).select(col("fp"))
+    val kept = wins.join(broadcast(hot), Seq("fp"), "left_anti")
+    val a = kept.select(col("fp"), col("doc_id").as("doc_a"),
+      col("pos").cast("long").as("pos_a"))
+    val b = kept.select(col("fp"), col("doc_id").as("doc_b"),
+      col("pos").cast("long").as("pos_b"))
+    a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pos_a"), col("pos_b"))
+  }
+
+  private[graft] def dedupSpansOf(docs: DataFrame, k: Int, dfCap: Int,
+      minSpan: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = windowMatches(docs, k, dfCap)
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+    // within one diagonal, pos_a is unique (pos_b is determined), so
+    // the row_number order — and therefore the island id — is total
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    m.withColumn("isl", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl"))
+      .agg((count(lit(1)) + lit(k - 1).cast("long")).as("span_tokens"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("span_tokens")).as("longest_span"),
+        sum(when(col("span_tokens") >= minSpan, 1L).otherwise(0L))
+          .as("n_spans"))
+      .filter(col("longest_span") >= minSpan)
+  }
+
+  /** Candidate-volume audit hook for ScaleSpec: raw df-capped window
+    * match count (the quantity the cap must bound under boilerplate). */
+  private[graft] def spanCandidateCount(docs: DataFrame, k: Int,
+      dfCap: Int): Long =
+    windowMatches(docs, k, dfCap).count()
+
   /** Benchmark-contamination screen: for every training document
     * (doc_id ≥ `evalMax`), the count of distinct 5-gram shingles it
     * shares with the held-out eval set (doc_id < `evalMax`). The eval
@@ -111,6 +238,8 @@ object Chunking {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_chunk"    -> textChunk _,
     "dedup_chunks"  -> dedupChunks _,
+    "dedup_substring" -> dedupSubstring _,
+    "dedup_spans"   -> dedupSpans _,
     "contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
   )
@@ -129,6 +258,63 @@ object Chunking {
           FROM t, unnest(generate_series(1, len(tk), 8)) AS u(start))
         SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
         FROM ch GROUP BY chunk_hash HAVING count(DISTINCT doc_id) > 1""",
+    // sliding 8-token windows, 60-bit md5-derived fingerprints (the
+    // text_rolling_hash token-hash encoding), 0-mod-8 sampling, df>32
+    // cap, pair join on fingerprint; anchors via arg_min (fp values
+    // are distinct within a pair after the per-(doc,fp) min(pos))
+    "dedup_substring" ->
+      """WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+          WHERE len(string_split(text, ' ')) >= 8),
+        w AS (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+            ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 18, 15))::BIGINT AS fp
+          FROM t, unnest(generate_series(1, len(tk) - 7)) AS u(i)),
+        sel AS (
+          SELECT doc_id, fp, min(pos) AS pos FROM w
+          WHERE fp % 8 = 0 GROUP BY doc_id, fp),
+        hot AS (
+          SELECT fp FROM sel GROUP BY fp HAVING count(DISTINCT doc_id) > 32),
+        kept AS (
+          SELECT * FROM sel WHERE fp NOT IN (SELECT fp FROM hot))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          count(*) AS shared_spans,
+          arg_min(a.pos, a.fp) AS anchor_a,
+          arg_min(b.pos, a.fp) AS anchor_b
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2""",
+    // full sliding windows, df>32 cap, gaps-and-islands on the
+    // (pos_a - pos_b) diagonal; island of r windows = span of r+k-1
+    // tokens; report the longest and the count of spans >= 16
+    "dedup_spans" ->
+      """WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+          WHERE len(string_split(text, ' ')) >= 8),
+        w AS (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+            ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 18, 15))::BIGINT AS fp
+          FROM t, unnest(generate_series(1, len(tk) - 7)) AS u(i)),
+        hot AS (
+          SELECT fp FROM w GROUP BY fp HAVING count(DISTINCT doc_id) > 32),
+        kept AS (
+          SELECT * FROM w WHERE fp NOT IN (SELECT fp FROM hot)),
+        m AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+            a.pos - b.pos AS diag
+          FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        r AS (
+          SELECT doc_a, doc_b, diag,
+            pos_a - row_number() OVER (
+              PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS isl
+          FROM m),
+        sp AS (
+          SELECT doc_a, doc_b, count(*) + 7 AS span_tokens
+          FROM r GROUP BY doc_a, doc_b, diag, isl)
+        SELECT doc_a, doc_b, max(span_tokens) AS longest_span,
+          CAST(sum(CASE WHEN span_tokens >= 16 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_spans
+        FROM sp GROUP BY 1, 2
+        HAVING max(span_tokens) >= 16""",
     "contamination" ->
       """WITH sh AS (SELECT DISTINCT doc_id, shingle FROM (
           SELECT doc_id, unnest(list_transform(

@@ -271,11 +271,24 @@ object Dedup {
     // after — same trick StreamingQueries uses for state stores). On a
     // real cluster |V| is large and this knob would stay at the
     // session default; it right-sizes the local[32] harness only.
-    val sess = pairs.sparkSession
-    val prevShuffle = sess.conf.get("spark.sql.shuffle.partitions")
+    withLoopShufflePartitions(pairs.sparkSession)(clustersLoop(pairs))
+  }
+
+  /** Runs `body` with `spark.sql.shuffle.partitions` pinned to 8 and
+    * restores the previous value after — the local[32] right-sizing
+    * for the iterative graph loops, whose per-round eager actions
+    * shuffle id-only tables where 32 partitions are pure task
+    * overhead. CAVEAT: the conf is SESSION-GLOBAL mutable state, so
+    * this assumes no concurrent query on the same session while `body`
+    * runs (true for Verify/Bench, which execute queries serially); a
+    * concurrent planner would observe the pinned value. On a real
+    * cluster the loop tables are large and callers would skip the pin
+    * entirely — AQE coalescing makes the point moot there. */
+  private def withLoopShufflePartitions[A](sess: SparkSession)(body: => A): A = {
+    val prev = sess.conf.get("spark.sql.shuffle.partitions")
     sess.conf.set("spark.sql.shuffle.partitions", "8")
-    try clustersLoop(pairs)
-    finally sess.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try body
+    finally sess.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   private def clustersLoop(pairs: DataFrame): DataFrame = {
@@ -414,13 +427,10 @@ object Dedup {
   def graphPagerank(s: SparkSession, d: String): DataFrame =
     pagerankOf(dedupMinhash(s, d).select(col("doc_a"), col("doc_b")), 3)
 
-  def pagerankOf(pairs: DataFrame, iters: Int): DataFrame = {
+  def pagerankOf(pairs: DataFrame, iters: Int): DataFrame =
     // same local[32] right-sizing as clustersOf: the loop's tables are
     // id-sized, 32-partition shuffles are pure task overhead
-    val sess = pairs.sparkSession
-    val prevShuffle = sess.conf.get("spark.sql.shuffle.partitions")
-    sess.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    withLoopShufflePartitions(pairs.sparkSession) {
       val adj = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("src", "dst").localCheckpoint(true)
       val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -438,8 +448,7 @@ object Dedup {
           .localCheckpoint(true)
       }
       rank
-    } finally sess.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-  }
+    }
 
   /** Degree histogram of the near-dup graph: how many docs have k
     * candidate near-duplicates. The one-glance QA separating a healthy
@@ -551,15 +560,11 @@ object Dedup {
     * tables; the edge table is materialized once. Bounded hops keep
     * both engines' spellings finite (the oracle unrolls 3 joins;
     * unbounded BFS in a recursive CTE would not terminate on cycles). */
-  def graphBfs(s: SparkSession, d: String): DataFrame = {
+  def graphBfs(s: SparkSession, d: String): DataFrame =
     // same local-harness right-sizing as clustersOf: the hop loop's
     // id-only tables are tiny, so 32 shuffle partitions = pure task
     // overhead per eager action
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try graphBfsLoop(s, d)
-    finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-  }
+    withLoopShufflePartitions(s)(graphBfsLoop(s, d))
 
   private def graphBfsLoop(s: SparkSession, d: String): DataFrame = {
     // the simhash near-dup graph (hamming ≤ 2) — dense enough (17k

@@ -2533,8 +2533,8 @@ object Relational {
       """SELECT event_type,
           bool_and(value >= 0)::INT AS all_nonneg,
           bool_or(value > 99)::INT AS any_large,
-          count_if(value > 50) AS n_over_50,
-          count_if(user_id % 2 = 0) AS n_even_user
+          count_if(value > 50)::BIGINT AS n_over_50,
+          count_if(user_id % 2 = 0)::BIGINT AS n_even_user
         FROM events GROUP BY 1""",
     // theta set algebra: exact counts recomputed from the same
     // flag-aggregation; all three sketch error verdicts asserted TRUE

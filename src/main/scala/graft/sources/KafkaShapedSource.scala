@@ -45,20 +45,25 @@ class KafkaShapedSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val messages = Option(properties.get("messages")).map(_.toLong).getOrElse(1000L)
-    val parts    = Option(properties.get("parts")).map(_.toInt).getOrElse(3)
-    val topic    = Option(properties.get("topic")).getOrElse("first-topic")
-    val maxPer   = Option(properties.get("maxOffsetsPerTrigger"))
+    // The real Kafka source resolves option keys case-insensitively
+    // (.option("maxoffsetspertrigger", ...) works); match it so code
+    // ported between the two sources keeps its admission control.
+    val opts     = new CaseInsensitiveStringMap(properties)
+    val messages = Option(opts.get("messages")).map(_.toLong).getOrElse(1000L)
+    val parts    = Option(opts.get("parts")).map(_.toInt).getOrElse(3)
+    val topic    = Option(opts.get("topic")).getOrElse("first-topic")
+    val maxPer   = Option(opts.get("maxOffsetsPerTrigger"))
       .map(_.toLong).getOrElse(messages)
     new KafkaShapedTable(messages, parts, topic, maxPer)
   }
 }
 
 object KafkaShapedSource {
-  /** The Kafka source's exact read schema. */
+  /** The Kafka source's exact read schema — key AND value nullable,
+    * as in format("kafka") (a tombstone message has a null value). */
   val schema: StructType = StructType(Seq(
     StructField("key", BinaryType, nullable = true),
-    StructField("value", BinaryType, nullable = false),
+    StructField("value", BinaryType, nullable = true),
     StructField("topic", StringType, nullable = false),
     StructField("partition", IntegerType, nullable = false),
     StructField("offset", LongType, nullable = false),

@@ -219,6 +219,64 @@ class AnalyticsSpec extends SparkSpec {
     assert(r(32L)._2 && r(32L)._1 > 0L)   // the embedded eval run is caught
   }
 
+  test("dedup_substring catches a shifted planted passage that fixed-boundary chunking misses") {
+    import spark.implicits._
+    // A 40-token passage planted in two docs at DIFFERENT offsets
+    // (16 vs 13 tokens of distinct filler — offsets differ by 3, not a
+    // multiple of 8, so no fixed 8-token chunk boundary can line up).
+    val passage = (1 to 40).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, (1 to 16).map(i => s"a$i").mkString(" ") + " " + passage + " " +
+        (1 to 8).map(i => s"x$i").mkString(" ")),
+      (2L, (1 to 13).map(i => s"b$i").mkString(" ") + " " + passage + " " +
+        (1 to 5).map(i => s"y$i").mkString(" ")),
+      (3L, (1 to 60).map(i => s"z$i").mkString(" "))  // unrelated control
+    ).toDF("doc_id", "text")
+    // the contrast claim: fixed non-overlapping 8-token chunks (the
+    // dedup_chunks plan) see NO repeated chunk across these docs
+    val fixedShared = Chunking.chunksOf(docs, width = 8, stride = 8)
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > 1)
+    assert(fixedShared.count() === 0L)
+    // sliding-window fingerprints catch the pair at any alignment
+    val pairs = Chunking.dedupSubstringOf(docs, k = 8, modP = 8, dfCap = 32)
+      .collect()
+    assert(pairs.length === 1)
+    val r = pairs.head
+    assert(r.getAs[Long]("doc_a") === 1L && r.getAs[Long]("doc_b") === 2L)
+    assert(r.getAs[Long]("shared_spans") >= 1L)
+    // every shared window sits inside the passage, so the two anchor
+    // positions differ by exactly the offset delta (16 - 13 = 3)
+    assert(r.getAs[Long]("anchor_a") - r.getAs[Long]("anchor_b") === 3L)
+    assert(r.getAs[Long]("anchor_a") >= 16L &&
+      r.getAs[Long]("anchor_a") <= 16L + 32L)
+  }
+
+  test("dedup_spans reports exact shared-span lengths and counts per pair") {
+    import spark.implicits._
+    // docs 4/5 share TWO passages (20 and 18 tokens) at different,
+    // non-aligned offsets, separated by doc-unique filler
+    val p20 = (1 to 20).map(i => s"s$i").mkString(" ")
+    val q18 = (1 to 18).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (4L, p20 + " " + (1 to 10).map(i => s"c$i").mkString(" ") + " " + q18),
+      (5L, (1 to 7).map(i => s"d$i").mkString(" ") + " " + p20 + " " +
+        (1 to 9).map(i => s"e$i").mkString(" ") + " " + q18 + " " +
+        (1 to 3).map(i => s"f$i").mkString(" ")),
+      (6L, (1 to 50).map(i => s"g$i").mkString(" "))  // unrelated control
+    ).toDF("doc_id", "text")
+    val r = Chunking.dedupSpansOf(docs, k = 8, dfCap = 32, minSpan = 16)
+      .collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("doc_a") === 4L && row.getAs[Long]("doc_b") === 5L)
+    // a shared L-token passage is exactly L-k+1 consecutive shared
+    // windows on one diagonal → island length L-k+1, span L
+    assert(row.getAs[Long]("longest_span") === 20L)
+    assert(row.getAs[Long]("n_spans") === 2L)
+  }
+
   test("withEventTime normalizes both ts encodings and fails fast on anything else") {
     import spark.implicits._
     // LONG branch (parquet TIMESTAMP(NANOS) read via nanosAsLong)
@@ -252,7 +310,9 @@ class AnalyticsSpec extends SparkSpec {
       (0 until dim).map(i =>
         (if (i == axis) scale else if (i == (axis + 1) % dim) jitter else 0.0)
           .toFloat)
-    val far = Map(0 -> 80L, 1 -> 91L, 2 -> 102L) // planted outlier ids
+    // planted outlier ids — kept clear of the train id range 50..81 so
+    // every vec_id in the fixture is unique
+    val far = Map(0 -> 180L, 1 -> 191L, 2 -> 202L)
     val rows =
       (for (l <- 0 until 3; i <- 0 until 10) yield
         (50L + l * 11 + i, vecOf(l, 1.0, 0.01 * (i + 1)), l)) ++ // train

@@ -104,6 +104,17 @@ class PlanSpec extends SparkSpec {
     // graph_triangles' 13 is the STATIC plan of three branches over the
     // persisted minhash pair table (3×minhash + 4 join exchanges); at
     // runtime the persist collapses the three branches into one
+    // dedup_substring's 9 is the STATIC plan: the persisted sampled-
+    // fingerprint table (2 exchanges: explode rollup + per-(doc,fp)
+    // min) appears in the df-cap audit branch AND both self-join
+    // sides; at runtime the persist collapses them into one pass, and
+    // the remainder is the fp equi-join + the final pair rollup
+    "dedup_substring" -> 9,
+    // dedup_spans' 6: static plan repeats the persisted fingerprint
+    // table (1 exchange) in the df-cap branch + both join sides, then
+    // the island window partition + the two-level span rollup share
+    // one (doc_a, doc_b, diag) exchange and one final pair exchange
+    "dedup_spans" -> 6,
     "text_chunk" -> 0, "dedup_chunks" -> 2, "contamination" -> 3,
     "text_repetition" -> 2, "sample_stratified" -> 1,
     "graph_triangles" -> 13, "agg_stats" -> 1, "pack_sequences" -> 1,

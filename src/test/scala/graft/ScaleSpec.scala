@@ -45,6 +45,24 @@ class ScaleSpec extends SparkSpec {
     assert(capped === 0, s"capped=$capped")
   }
 
+  test("df-cap bounds sliding-window match generation under a boilerplate header") {
+    import spark.implicits._
+    // every doc opens with the same 8-token header (one shared window
+    // fingerprint per doc); the tail is unique per doc
+    val docs = (0 until 200).map(i =>
+      (i.toLong, s"eight common header tokens shared by all docs u$i v$i w$i x$i"))
+      .toDF("doc_id", "text")
+    // uncapped: the hot fingerprint matches every doc pair
+    val uncapped = analytics.Chunking.spanCandidateCount(docs, k = 8,
+      dfCap = 1000)
+    assert(uncapped === 200L * 199 / 2, s"uncapped=$uncapped")
+    // capped: the boilerplate fingerprint is dropped before the join
+    // and the remaining windows are doc-unique — no quadratic blowup
+    val capped = analytics.Chunking.spanCandidateCount(docs, k = 8,
+      dfCap = 50)
+    assert(capped === 0, s"capped=$capped")
+  }
+
   test("embedding LSH at production banding prunes candidates on clustered data") {
     import spark.implicits._
     // 40 clusters x 8 members: cluster centers are random unit-ish

@@ -10,17 +10,29 @@ column-name-sorted, row-sorted stringified values (floats printed with
 repr so last-bit diffs show up — stricter than any plausible driver).
 
 Additionally FAILS any query whose compared projection (either side)
-contains a BOOLEAN column: round 4's sole driver red (`agg_predicates`)
-was values-identical but hash-red because Spark parquet and DuckDB
-render BOOLEAN differently in the driver's type-sensitive canonical
-form. Policy: verdict columns are INT (1/0) on both sides, so the check
-reproduces the driver's failure mode locally before the driver sees it.
+contains a BOOLEAN column or a non-standard integer width: round 4's
+sole driver red (`agg_predicates`) was values-identical but hash-red
+because Spark parquet and DuckDB render BOOLEAN differently in the
+driver's type-sensitive canonical form; round 5's sole red was the SAME
+query, values-identical again, hash-red because DuckDB's count_if
+returns HUGEINT (int128) vs Spark's BIGINT. Policy: verdict columns are
+INT (1/0) on both sides, counts are BIGINT on both sides
+(`count_if(...)::BIGINT` in oracle SQL), so the check reproduces the
+driver's failure mode locally before the driver sees it.
 """
 import sys, json, glob, os
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# Physical types the driver's type-sensitive hash renders differently
+# between Spark parquet and DuckDB even when values are identical.
+# Spark has no int128 / unsigned types, and narrow ints (written by
+# Spark as INT32-annotated parquet) round-trip as INTEGER anyway — any
+# appearance of these on either side means the two sides CANNOT agree.
+HAZARD_WIDTHS = {"HUGEINT", "UHUGEINT", "TINYINT", "UTINYINT",
+                 "SMALLINT", "USMALLINT", "UINTEGER", "UBIGINT"}
 
 
 def canon(rows, cols):
@@ -56,13 +68,15 @@ def main(outdir, sfdir):
         if sorted(gcols) != sorted(wcols):
             print(f"FAIL {name}: cols spark={sorted(gcols)} oracle={sorted(wcols)}")
             n_fail += 1;  continue
-        bools = []
+        hazards = []
         for src, q2 in (("spark", f"SELECT * FROM read_parquet({files!r})"),
                         ("oracle", sql)):
             desc = con.execute(f"DESCRIBE {q2}").fetchall()
-            bools += [f"{src}.{c[0]}" for c in desc if c[1].upper() == "BOOLEAN"]
-        if bools:
-            print(f"FAIL {name}: boolean output columns (driver-hash hazard): {bools}")
+            for cname, ctype in ((c[0], c[1].upper()) for c in desc):
+                if ctype == "BOOLEAN" or ctype in HAZARD_WIDTHS:
+                    hazards.append(f"{src}.{cname}:{ctype}")
+        if hazards:
+            print(f"FAIL {name}: driver-hash hazard column types: {hazards}")
             n_fail += 1;  continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows spark={len(got)} oracle={len(want)}")
