@@ -183,6 +183,83 @@ object Chunking {
       dfCap: Int): Long =
     windowMatches(docs, k, dfCap).count()
 
+  /** Corpus-duplication health report — the per-source severity rollup
+    * a curation run gates on before training: every document bucketed
+    * by the worst shared span it participates in (`clean` = none ≥ 16
+    * tokens, `light` = 16..31, `heavy` = ≥ 32 — a full boilerplate
+    * paragraph), counted per source with the worst span observed. The
+    * pair table is `dedupSpans`; the per-doc rollup is id+long only
+    * and tiny relative to the corpus, so the left join back to the
+    * documents scan broadcasts it — the full-text side never
+    * shuffles. */
+  def dedupProfile(s: SparkSession, d: String): DataFrame = {
+    val pairs = dedupSpansOf(documents(s, d), k = 8, dfCap = 32, minSpan = 16)
+    val perDoc = pairs
+      .select(col("doc_a").as("doc_id"), col("longest_span"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"), col("longest_span")))
+      .groupBy(col("doc_id"))
+      .agg(max(col("longest_span")).as("max_span"))
+    documents(s, d).select(col("doc_id"), col("source"))
+      .join(broadcast(perDoc), Seq("doc_id"), "left")
+      .select(col("source"),
+        when(col("max_span").isNull, "clean")
+          .when(col("max_span") < 32, "light")
+          .otherwise("heavy").as("severity"),
+        coalesce(col("max_span"), lit(0L)).as("ms"))
+      .groupBy(col("source"), col("severity"))
+      .agg(count(lit(1)).as("n_docs"), max(col("ms")).as("worst_span"))
+  }
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS sampler): within every window of `w`
+    * consecutive k-token-window hashes, select the minimum (rightmost
+    * on ties). Unlike `dedupSubstring`'s 0-mod-p sampling, the
+    * guarantee is DETERMINISTIC: any shared span of ≥ w+k-1 tokens
+    * shares at least one SELECTED fingerprint, and consecutive
+    * selections within a doc are ≤ w windows apart (asserted by the
+    * guarantee spec). Selection is windowed per doc — no shuffle
+    * beyond the per-doc sort — and the rightmost-on-tie rule is
+    * spelled min(struct(fp, -pos)) so both engines agree exactly.
+    * Reported per doc: window/selection counts, the max selection gap
+    * (the guarantee bound), and selection density (expected
+    * 2/(w+1) on random hashes — the paper's Theorem 2). */
+  def textWinnow(s: SparkSession, d: String): DataFrame =
+    textWinnowOf(documents(s, d), k = 8, w = 4)
+
+  private[graft] def winnowSelect(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    val whole = Window.partitionBy(col("doc_id"))
+    slidingFingerprints(docs, k)
+      .withColumn("pos", col("pos").cast("long"))
+      .withColumn("m",
+        min(struct(col("fp"), (-col("pos")).as("np"))).over(frame))
+      .withColumn("nw", count(lit(1)).over(whole))
+      // full frames only: the last w-1 truncated frames are not
+      // winnowing windows (their selections would break the density
+      // bound without adding coverage)
+      .filter(col("pos") <= col("nw") - w)
+      .select(col("doc_id"), col("nw"), col("m.fp").as("fp"),
+        (-col("m.np")).as("sel_pos"))
+      .distinct()
+  }
+
+  private[graft] def textWinnowOf(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Window.partitionBy(col("doc_id")).orderBy(col("sel_pos"))
+    winnowSelect(docs, k, w)
+      .withColumn("gap", col("sel_pos") - lag(col("sel_pos"), 1).over(order))
+      .groupBy(col("doc_id"))
+      .agg(max(col("nw")).as("n_windows"),
+        count(lit(1)).as("n_selected"),
+        coalesce(max(col("gap")), lit(0L)).as("max_gap"))
+      .select(col("doc_id"), col("n_windows"), col("n_selected"),
+        col("max_gap"),
+        (col("n_selected").cast("double") / col("n_windows").cast("double"))
+          .as("density"))
+  }
+
   /** Benchmark-contamination screen: for every training document
     * (doc_id ≥ `evalMax`), the count of distinct 5-gram shingles it
     * shares with the held-out eval set (doc_id < `evalMax`). The eval
@@ -240,6 +317,8 @@ object Chunking {
     "dedup_chunks"  -> dedupChunks _,
     "dedup_substring" -> dedupSubstring _,
     "dedup_spans"   -> dedupSpans _,
+    "text_winnow"   -> textWinnow _,
+    "dedup_profile" -> dedupProfile _,
     "contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
   )
@@ -315,6 +394,79 @@ object Chunking {
             AS n_spans
         FROM sp GROUP BY 1, 2
         HAVING max(span_tokens) >= 16""",
+    // the dedup_spans pair table rolled to per-doc worst span, then
+    // bucketed clean/light/heavy per source
+    "dedup_profile" ->
+      """WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+          WHERE len(string_split(text, ' ')) >= 8),
+        w AS (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+            ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 18, 15))::BIGINT AS fp
+          FROM t, unnest(generate_series(1, len(tk) - 7)) AS u(i)),
+        hot AS (
+          SELECT fp FROM w GROUP BY fp HAVING count(DISTINCT doc_id) > 32),
+        kept AS (
+          SELECT * FROM w WHERE fp NOT IN (SELECT fp FROM hot)),
+        m AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+            a.pos - b.pos AS diag
+          FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        r AS (
+          SELECT doc_a, doc_b, diag,
+            pos_a - row_number() OVER (
+              PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS isl
+          FROM m),
+        sp AS (
+          SELECT doc_a, doc_b, count(*) + 7 AS span_tokens
+          FROM r GROUP BY doc_a, doc_b, diag, isl),
+        pairs AS (
+          SELECT doc_a, doc_b, max(span_tokens) AS longest_span
+          FROM sp GROUP BY 1, 2 HAVING max(span_tokens) >= 16),
+        per_doc AS (
+          SELECT doc_id, max(longest_span) AS max_span FROM (
+            SELECT doc_a AS doc_id, longest_span FROM pairs
+            UNION ALL
+            SELECT doc_b AS doc_id, longest_span FROM pairs)
+          GROUP BY 1)
+        SELECT d.source,
+          CASE WHEN p.max_span IS NULL THEN 'clean'
+               WHEN p.max_span < 32 THEN 'light'
+               ELSE 'heavy' END AS severity,
+          count(*) AS n_docs,
+          coalesce(max(p.max_span), 0) AS worst_span
+        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        GROUP BY 1, 2""",
+    // winnowing w=4 over 8-token window hashes: per window-of-4 the
+    // min hash (rightmost on ties, via min(struct(fp, -pos))),
+    // distinct selections, then per-doc coverage stats
+    "text_winnow" ->
+      """WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+          WHERE len(string_split(text, ' ')) >= 8),
+        w AS (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+            ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 18, 15))::BIGINT AS fp
+          FROM t, unnest(generate_series(1, len(tk) - 7)) AS u(i)),
+        mw AS (
+          SELECT doc_id, pos,
+            min(struct_pack(fp := fp, np := -pos)) OVER (
+              PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+            count(*) OVER (PARTITION BY doc_id) AS nw
+          FROM w),
+        sel AS (
+          SELECT DISTINCT doc_id, nw, m.fp AS fp, -m.np AS sel_pos
+          FROM mw WHERE pos <= nw - 4),
+        g AS (
+          SELECT doc_id, nw, sel_pos,
+            sel_pos - lag(sel_pos) OVER (
+              PARTITION BY doc_id ORDER BY sel_pos) AS gap
+          FROM sel)
+        SELECT doc_id, max(nw) AS n_windows, count(*) AS n_selected,
+          coalesce(max(gap), 0) AS max_gap,
+          CAST(count(*) AS DOUBLE) / CAST(max(nw) AS DOUBLE) AS density
+        FROM g GROUP BY 1""",
     "contamination" ->
       """WITH sh AS (SELECT DISTINCT doc_id, shingle FROM (
           SELECT doc_id, unnest(list_transform(

@@ -115,6 +115,15 @@ class PlanSpec extends SparkSpec {
     // the island window partition + the two-level span rollup share
     // one (doc_a, doc_b, diag) exchange and one final pair exchange
     "dedup_spans" -> 6,
+    // text_winnow: the one doc_id exchange feeds the frame-min window,
+    // the whole-doc count, the selection distinct, the gap lag, and
+    // the final per-doc rollup — all on the same partitioning
+    "text_winnow" -> 1,
+    // dedup_profile: dedup_spans' static 6 appears twice in the
+    // per-doc union's branches (the persist collapses them at
+    // runtime) + the per-doc rollup + final (source, severity) agg;
+    // the join back to documents is a broadcast (no exchange)
+    "dedup_profile" -> 14,
     "text_chunk" -> 0, "dedup_chunks" -> 2, "contamination" -> 3,
     "text_repetition" -> 2, "sample_stratified" -> 1,
     "graph_triangles" -> 13, "agg_stats" -> 1, "pack_sequences" -> 1,

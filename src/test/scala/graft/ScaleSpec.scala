@@ -63,6 +63,27 @@ class ScaleSpec extends SparkSpec {
     assert(capped === 0, s"capped=$capped")
   }
 
+  test("winnowing selection honors its coverage guarantee and density bound") {
+    val w = 4
+    val r = analytics.Chunking
+      .textWinnowOf(Tables.documents(spark, sfDir), k = 8, w = w)
+      .select(col("n_windows"), col("n_selected"), col("max_gap"))
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (nw, ns, gap) = (row.getLong(0), row.getLong(1), row.getLong(2))
+      // Schleimer 2003: every w consecutive windows contain a selected
+      // fingerprint → consecutive selections are at most w apart
+      assert(gap <= w, s"winnowing gap $gap > w=$w")
+      // at least one selection per w windows; never more than all
+      assert(ns >= (nw - w + 1) / w && ns <= nw, s"ns=$ns nw=$nw")
+    }
+    // density tracks the paper's 2/(w+1) expectation on random-ish
+    // hashes — corpus-level, loose factor-2 band
+    val dens = r.map(x => x.getLong(1).toDouble / x.getLong(0)).sum / r.length
+    assert(dens > 1.0 / (w + 1) && dens < 4.0 / (w + 1), s"density=$dens")
+  }
+
   test("embedding LSH at production banding prunes candidates on clustered data") {
     import spark.implicits._
     // 40 clusters x 8 members: cluster centers are random unit-ish
