@@ -183,6 +183,68 @@ object Chunking {
       dfCap: Int): Long =
     windowMatches(docs, k, dfCap).count()
 
+  /** Winnowed cross-doc dedup — `dedupSubstring`'s pair stage fed by
+    * the winnowing selection instead of 0-mod-p sampling. The trade:
+    * winnowing is slightly denser (2/(w+1) vs 1/p) but its recall is
+    * DETERMINISTIC — any shared span of ≥ w+k-1 tokens shares a
+    * selected fingerprint in both docs, because a full window-of-w
+    * lies inside the span and frame-min selection depends only on the
+    * frame's content (the rightmost-min tie-break resolves to the
+    * same relative offset on identical frames). The planted spec
+    * exercises exactly the minimum-guarantee span length, below the
+    * reliable reach of mod-p sampling. Same scale valves: df-cap,
+    * fingerprint equi-join, ids/longs only on the wire. */
+  def dedupWinnow(s: SparkSession, d: String): DataFrame =
+    dedupWinnowOf(documents(s, d), k = 8, w = 4, dfCap = 32)
+
+  private[graft] def dedupWinnowOf(docs: DataFrame, k: Int, w: Int,
+      dfCap: Int): DataFrame = {
+    val sel = winnowSelect(docs, k, w)
+      .groupBy(col("doc_id"), col("fp"))
+      .agg(min(col("sel_pos")).as("pos"))
+      .persist()
+    val hot = sel.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > dfCap).select(col("fp"))
+    val kept = sel.join(broadcast(hot), Seq("fp"), "left_anti")
+    val a = kept.select(col("fp"), col("doc_id").as("doc_a"),
+      col("pos").as("pos_a"))
+    val b = kept.select(col("fp"), col("doc_id").as("doc_b"),
+      col("pos").as("pos_b"))
+    a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"),
+        min_by(col("pos_a"), col("fp")).as("anchor_a"),
+        min_by(col("pos_b"), col("fp")).as("anchor_b"))
+  }
+
+  /** Intra-document span repetition — the crawl artifact where one
+    * page repeats the same paragraph dozens of times (nav boilerplate,
+    * templating bugs). `text_repetition` measures bigram-level
+    * burstiness; this measures it at k-token span granularity using
+    * the same sliding fingerprints: a window whose fingerprint occurs
+    * more than once IN THE SAME DOC is a repeated span occurrence.
+    * Per doc: repeated-window count, the worst multiplicity, and the
+    * repeated fraction — purely per-doc aggregation, so the whole
+    * query is one doc-partitioned pass with no join at all. */
+  def textSelfrep(s: SparkSession, d: String): DataFrame =
+    textSelfrepOf(documents(s, d), k = 8)
+
+  private[graft] def textSelfrepOf(docs: DataFrame, k: Int): DataFrame =
+    slidingFingerprints(docs, k)
+      .groupBy(col("doc_id"), col("fp"))
+      .agg(count(lit(1)).as("mult"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("mult")).as("n_windows"),
+        count(lit(1)).as("n_distinct_windows"),
+        sum(when(col("mult") > 1, col("mult")).otherwise(0L))
+          .as("n_repeated_occ"),
+        max(col("mult")).as("max_mult"))
+      .select(col("doc_id"), col("n_windows"), col("n_distinct_windows"),
+        col("n_repeated_occ"), col("max_mult"),
+        (col("n_repeated_occ").cast("double") /
+          col("n_windows").cast("double")).as("rep_fraction"))
+
   /** Corpus-duplication health report — the per-source severity rollup
     * a curation run gates on before training: every document bucketed
     * by the worst shared span it participates in (`clean` = none ≥ 16
@@ -319,6 +381,8 @@ object Chunking {
     "dedup_spans"   -> dedupSpans _,
     "text_winnow"   -> textWinnow _,
     "dedup_profile" -> dedupProfile _,
+    "text_selfrep"  -> textSelfrep _,
+    "dedup_winnow"  -> dedupWinnow _,
     "contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
   )
@@ -437,6 +501,59 @@ object Chunking {
           coalesce(max(p.max_span), 0) AS worst_span
         FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
         GROUP BY 1, 2""",
+    // winnow selection (as text_winnow) → per-(doc,fp) first pos →
+    // df-cap → pair equi-join on fingerprint, substring-style anchors
+    "dedup_winnow" ->
+      """WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+          WHERE len(string_split(text, ' ')) >= 8),
+        w AS (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+            ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 18, 15))::BIGINT AS fp
+          FROM t, unnest(generate_series(1, len(tk) - 7)) AS u(i)),
+        mw AS (
+          SELECT doc_id, pos,
+            min(struct_pack(fp := fp, np := -pos)) OVER (
+              PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+            count(*) OVER (PARTITION BY doc_id) AS nw
+          FROM w),
+        selw AS (
+          SELECT DISTINCT doc_id, m.fp AS fp, -m.np AS sel_pos
+          FROM mw WHERE pos <= nw - 4),
+        sel AS (
+          SELECT doc_id, fp, min(sel_pos) AS pos FROM selw GROUP BY 1, 2),
+        hot AS (
+          SELECT fp FROM sel GROUP BY fp HAVING count(DISTINCT doc_id) > 32),
+        kept AS (
+          SELECT * FROM sel WHERE fp NOT IN (SELECT fp FROM hot))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          count(*) AS shared_fps,
+          arg_min(a.pos, a.fp) AS anchor_a,
+          arg_min(b.pos, a.fp) AS anchor_b
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2""",
+    // per-(doc, fp) multiplicities → per-doc repetition stats; sums
+    // cast to BIGINT (DuckDB sum(BIGINT) widens to HUGEINT)
+    "text_selfrep" ->
+      """WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+          WHERE len(string_split(text, ' ')) >= 8),
+        w AS (
+          SELECT doc_id,
+            ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 18, 15))::BIGINT AS fp
+          FROM t, unnest(generate_series(1, len(tk) - 7)) AS u(i)),
+        m AS (
+          SELECT doc_id, fp, count(*) AS mult FROM w GROUP BY 1, 2)
+        SELECT doc_id,
+          CAST(sum(mult) AS BIGINT) AS n_windows,
+          count(*) AS n_distinct_windows,
+          CAST(sum(CASE WHEN mult > 1 THEN mult ELSE 0 END) AS BIGINT)
+            AS n_repeated_occ,
+          max(mult) AS max_mult,
+          CAST(sum(CASE WHEN mult > 1 THEN mult ELSE 0 END) AS DOUBLE)
+            / CAST(sum(mult) AS DOUBLE) AS rep_fraction
+        FROM m GROUP BY 1""",
     // winnowing w=4 over 8-token window hashes: per window-of-4 the
     // min hash (rightmost on ties, via min(struct(fp, -pos))),
     // distinct selections, then per-doc coverage stats

@@ -277,6 +277,48 @@ class AnalyticsSpec extends SparkSpec {
     assert(row.getAs[Long]("n_spans") === 2L)
   }
 
+  test("dedup_winnow's deterministic guarantee holds at the minimum span length") {
+    import spark.implicits._
+    // an 11-token passage = exactly w+k-1 (w=4, k=8) — the shortest
+    // span winnowing GUARANTEES to catch (one full window-of-4 of
+    // 8-token windows fits inside), and short enough that 0-mod-8
+    // sampling would miss it with probability (7/8)^4 ≈ 59%
+    val passage = (1 to 11).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, (1 to 9).map(i => s"a$i").mkString(" ") + " " + passage + " " +
+        (1 to 12).map(i => s"x$i").mkString(" ")),
+      (2L, (1 to 6).map(i => s"b$i").mkString(" ") + " " + passage + " " +
+        (1 to 14).map(i => s"y$i").mkString(" ")),
+      (3L, (1 to 40).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val r = Chunking.dedupWinnowOf(docs, k = 8, w = 4, dfCap = 32).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("doc_a") === 1L &&
+      r.head.getAs[Long]("doc_b") === 2L)
+    assert(r.head.getAs[Long]("shared_fps") >= 1L)
+  }
+
+  test("text_selfrep counts repeated spans inside one doc") {
+    import spark.implicits._
+    // doc 1 repeats one 8-token block three times, doc 2 is all-unique
+    val block = (1 to 8).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, block + " " + block + " " + block),
+      (2L, (1 to 24).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val r = Chunking.textSelfrepOf(docs, k = 8).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // doc 1: 24 tokens → 17 windows; the three block-aligned windows
+    // (pos 0, 8, 16) share one fingerprint (mult 3); the 14 windows
+    // crossing block boundaries are each repeated once more 8 later
+    // (the text is periodic with period 8), so ALL windows repeat
+    assert(r(1L).getAs[Long]("max_mult") === 3L)
+    assert(r(1L).getAs[Long]("n_repeated_occ") === 17L)
+    assert(r(1L).getAs[Double]("rep_fraction") === 1.0)
+    assert(r(2L).getAs[Long]("n_repeated_occ") === 0L)
+    assert(r(2L).getAs[Long]("max_mult") === 1L)
+  }
+
   test("withEventTime normalizes both ts encodings and fails fast on anything else") {
     import spark.implicits._
     // LONG branch (parquet TIMESTAMP(NANOS) read via nanosAsLong)

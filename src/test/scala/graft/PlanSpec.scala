@@ -124,6 +124,12 @@ class PlanSpec extends SparkSpec {
     // runtime) + the per-doc rollup + final (source, severity) agg;
     // the join back to documents is a broadcast (no exchange)
     "dedup_profile" -> 14,
+    // dedup_winnow: same static triple-appearance of the persisted
+    // winnow selection (doc_id window exchange + per-(doc,fp) min) as
+    // dedup_substring, + fp join sides + pair rollup
+    "dedup_winnow" -> 9,
+    // text_selfrep: per-(doc,fp) multiplicity exchange + per-doc rollup
+    "text_selfrep" -> 2,
     "text_chunk" -> 0, "dedup_chunks" -> 2, "contamination" -> 3,
     "text_repetition" -> 2, "sample_stratified" -> 1,
     "graph_triangles" -> 13, "agg_stats" -> 1, "pack_sequences" -> 1,
