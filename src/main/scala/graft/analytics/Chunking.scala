@@ -183,6 +183,57 @@ object Chunking {
       dfCap: Int): Long =
     windowMatches(docs, k, dfCap).count()
 
+  /** Substring REMOVAL — Lee et al. 2022's actual remedy: cut the
+    * duplicated span out of the later document and keep the doc (doc
+    * -level dedup throws away the unique remainder; span-level strip
+    * preserves it). Spans come from the same diagonal islands as
+    * `dedupSpans`; the keep-first policy removes covered tokens only
+    * from the pair's HIGHER doc_id. Per doc the covered positions are
+    * a sorted int array riding a doc-keyed join back onto the token
+    * stream, and the strip itself is a codegen'd indexed-lambda
+    * `filter` over the token array — no UDF, no text in any shuffle
+    * (the result is fingerprinted as md5 so the compared projection
+    * stays narrow). Reported: token count, covered count, and the
+    * stripped-text digest. */
+  def dedupStrip(s: SparkSession, d: String): DataFrame =
+    dedupStripOf(documents(s, d), k = 8, dfCap = 32, minSpan = 16)
+
+  /** Distinct (doc_id, pos) token positions covered by a ≥ minSpan
+    * shared span in which doc_id is the pair's later document. */
+  private[graft] def coveredPositions(docs: DataFrame, k: Int, dfCap: Int,
+      minSpan: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = windowMatches(docs, k, dfCap)
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    m.withColumn("isl", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl"))
+      .agg(min(col("pos_a") - col("diag")).as("start_b"),
+        (count(lit(1)) + lit(k - 1).cast("long")).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpan)
+      .select(col("doc_b").as("doc_id"),
+        explode(sequence(col("start_b"),
+          col("start_b") + col("span_tokens") - 1)).as("pos"))
+      .distinct()
+  }
+
+  private[graft] def dedupStripOf(docs: DataFrame, k: Int, dfCap: Int,
+      minSpan: Int): DataFrame = {
+    val cov = coveredPositions(docs, k, dfCap, minSpan)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("cov"),
+        count(lit(1)).as("n_covered"))
+    docs.select(col("doc_id"), toks.as("tk"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        md5(concat_ws(" ", filter(col("tk"),
+          (t, i) => !coalesce(array_contains(col("cov"), i.cast("long")),
+            lit(false))))).as("stripped_md5"))
+  }
+
   /** Winnowed cross-doc dedup — `dedupSubstring`'s pair stage fed by
     * the winnowing selection instead of 0-mod-p sampling. The trade:
     * winnowing is slightly denser (2/(w+1) vs 1/p) but its recall is
@@ -383,6 +434,7 @@ object Chunking {
     "dedup_profile" -> dedupProfile _,
     "text_selfrep"  -> textSelfrep _,
     "dedup_winnow"  -> dedupWinnow _,
+    "dedup_strip"   -> dedupStrip _,
     "contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
   )
@@ -501,6 +553,50 @@ object Chunking {
           coalesce(max(p.max_span), 0) AS worst_span
         FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
         GROUP BY 1, 2""",
+    // dedup_spans' islands -> covered positions of the later doc ->
+    // indexed list_filter strip, digested as md5 (keep-first policy)
+    "dedup_strip" ->
+      """WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+          WHERE len(string_split(text, ' ')) >= 8),
+        w AS (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+            ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 18, 15))::BIGINT AS fp
+          FROM t, unnest(generate_series(1, len(tk) - 7)) AS u(i)),
+        hot AS (
+          SELECT fp FROM w GROUP BY fp HAVING count(DISTINCT doc_id) > 32),
+        kept AS (
+          SELECT * FROM w WHERE fp NOT IN (SELECT fp FROM hot)),
+        m AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+            b.pos AS pos_b, a.pos - b.pos AS diag
+          FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        r AS (
+          SELECT doc_a, doc_b, diag, pos_b,
+            pos_a - row_number() OVER (
+              PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS isl
+          FROM m),
+        sp AS (
+          SELECT doc_b, min(pos_b) AS start_b, count(*) + 7 AS span_tokens
+          FROM r GROUP BY doc_a, doc_b, diag, isl
+          HAVING count(*) + 7 >= 16),
+        covp AS (
+          SELECT DISTINCT doc_b AS doc_id, p AS pos
+          FROM sp, unnest(generate_series(start_b, start_b + span_tokens - 1))
+            AS g(p)),
+        cova AS (
+          SELECT doc_id, count(*) AS n_covered,
+            list_sort(list(pos)) AS cov
+          FROM covp GROUP BY 1)
+        SELECT d.doc_id,
+          CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+          coalesce(c.n_covered, 0) AS n_covered,
+          md5(coalesce(array_to_string(list_transform(
+            list_filter(generate_series(1, len(string_split(d.text, ' '))),
+              i -> NOT coalesce(list_contains(c.cov, CAST(i - 1 AS BIGINT)),
+                false)),
+            i -> string_split(d.text, ' ')[i]), ' '), '')) AS stripped_md5
+        FROM documents d LEFT JOIN cova c ON d.doc_id = c.doc_id""",
     // winnow selection (as text_winnow) → per-(doc,fp) first pos →
     // df-cap → pair equi-join on fingerprint, substring-style anchors
     "dedup_winnow" ->

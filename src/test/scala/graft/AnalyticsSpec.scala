@@ -319,6 +319,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(r(2L).getAs[Long]("max_mult") === 1L)
   }
 
+  test("dedup_strip removes the shared span from the later doc only") {
+    import spark.implicits._
+    val passage = (1 to 20).map(i => s"p$i").mkString(" ")
+    val head2 = (1 to 5).map(i => s"b$i").mkString(" ")
+    val tail2 = (1 to 6).map(i => s"y$i").mkString(" ")
+    val docs = Seq(
+      (1L, (1 to 9).map(i => s"a$i").mkString(" ") + " " + passage),
+      (2L, head2 + " " + passage + " " + tail2),
+      (3L, (1 to 30).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val r = Chunking.dedupStripOf(docs, k = 8, dfCap = 32, minSpan = 16)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // doc 1 (the FIRST occurrence) keeps everything
+    assert(r(1L).getAs[Long]("n_covered") === 0L)
+    // doc 2 loses exactly the 20 passage tokens; remainder survives
+    assert(r(2L).getAs[Long]("n_covered") === 20L)
+    assert(r(2L).getAs[Long]("n_tokens") === 31L)
+    val expect2 = spark.sql(
+      s"SELECT md5('${head2} ${tail2}') AS m").head().getString(0)
+    assert(r(2L).getAs[String]("stripped_md5") === expect2)
+    // the untouched control keeps its full text
+    val expect3 = spark.sql(
+      s"SELECT md5('${(1 to 30).map(i => s"z$i").mkString(" ")}') AS m")
+      .head().getString(0)
+    assert(r(3L).getAs[String]("stripped_md5") === expect3)
+  }
+
   test("withEventTime normalizes both ts encodings and fails fast on anything else") {
     import spark.implicits._
     // LONG branch (parquet TIMESTAMP(NANOS) read via nanosAsLong)

@@ -130,6 +130,10 @@ class PlanSpec extends SparkSpec {
     "dedup_winnow" -> 9,
     // text_selfrep: per-(doc,fp) multiplicity exchange + per-doc rollup
     "text_selfrep" -> 2,
+    // dedup_strip: the persisted fingerprint pass (×2 static branches)
+    // + fp join + island window/rollup + covered-position distinct +
+    // per-doc array build + the doc-keyed join back onto the scan
+    "dedup_strip" -> 8,
     "text_chunk" -> 0, "dedup_chunks" -> 2, "contamination" -> 3,
     "text_repetition" -> 2, "sample_stratified" -> 1,
     "graph_triangles" -> 13, "agg_stats" -> 1, "pack_sequences" -> 1,
