@@ -183,6 +183,48 @@ object Curation {
         sum(when(col("l") < l, col("n")).otherwise(0L)).as("weak_rows"))
   }
 
+  /** t-closeness audit — the third rung of the release-gate ladder
+    * (k-anonymity: groups are big; l-diversity: groups are varied;
+    * t-closeness: each group's sensitive DISTRIBUTION stays close to
+    * the global one, killing skew attacks l-diversity misses). Over the
+    * same (event_type, hour, value-band) QID groups, distance is the
+    * ordered-domain Earth-Mover's Distance on the user-cohort
+    * (user_id % 10, domain 0..9): EMD = (1/(m−1))·Σᵢ|CumPᵢ − CumQᵢ|.
+    * The m−1 = 9 cumulative counts are NINE conditional sums inside the
+    * one QID aggregation (no window, no second shuffle — the fixed tiny
+    * domain makes the prefix sums free), the global distribution is a
+    * broadcast 1-row table, and the EMD numerator Σ|cumᵢ·N − Gᵢ·n| is
+    * EXACT BIGINT (≤ 9·6e11 at sf0.1). The t > 0.2 gate compares in
+    * multiply-through integers (num·5 > n·N·9 — no double-threshold
+    * edge); t itself is one double division per group. */
+  def privacyTcloseness(s: SparkSession, d: String): DataFrame =
+    privacyTclosenessOf(events(s, d))
+
+  private[graft] def privacyTclosenessOf(ev: DataFrame): DataFrame = {
+    val base = ev
+      .select(col("event_type"), hour(col("ts")).as("hh"),
+        expr("CAST(floor(value) AS BIGINT) div 50").as("vb"),
+        (col("user_id") % 10).as("sens"))
+    def cums(prefix: String) = (0 to 8).map(i =>
+      sum(when(col("sens") <= i, 1L).otherwise(0L)).as(s"$prefix$i"))
+    val groups = base.groupBy(col("event_type"), col("hh"), col("vb"))
+      .agg(count(lit(1)).as("n"), cums("c"): _*)
+    val global = base.agg(count(lit(1)).as("nn"), cums("g"): _*)
+    val emdNum = (0 to 8).map(i =>
+      abs(col(s"c$i") * col("nn") - col(s"g$i") * col("n")))
+      .reduce(_ + _)
+    groups.crossJoin(broadcast(global))
+      .withColumn("emd_num", emdNum)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_groups"),
+        max(col("emd_num").cast("double")
+          / (col("n") * col("nn") * 9L).cast("double")).as("max_t"),
+        sum(when(col("emd_num") * 5L > col("n") * col("nn") * 9L, 1L)
+          .otherwise(0L)).as("weak_groups"),
+        sum(when(col("emd_num") * 5L > col("n") * col("nn") * 9L, col("n"))
+          .otherwise(0L)).as("weak_rows"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "training_select" -> trainingSelect _,
     "pii_scrub"       -> piiScrub _,
@@ -190,9 +232,38 @@ object Curation {
     "dataset_split"   -> datasetSplit _,
     "privacy_kanon"   -> privacyKanon _,
     "privacy_ldiversity" -> privacyLdiversity _,
+    "privacy_tcloseness" -> privacyTcloseness _,
   )
 
   val oracle: Map[String, String] = Map(
+    // same nine conditional cumulative sums + broadcast global + exact
+    // integer EMD numerator and gate (see privacyTcloseness scaladoc)
+    "privacy_tcloseness" -> {
+      val gc = (0 to 8).map(i =>
+        s"sum(CASE WHEN sens <= $i THEN 1 ELSE 0 END) AS c$i").mkString(", ")
+      val gg = (0 to 8).map(i =>
+        s"sum(CASE WHEN sens <= $i THEN 1 ELSE 0 END) AS g$i").mkString(", ")
+      val num = (0 to 8).map(i => s"abs(c$i * nn - g$i * n)").mkString(" + ")
+      s"""WITH base AS (
+          SELECT event_type, hour(ts) AS hh,
+            CAST(floor(value) AS BIGINT) // 50 AS vb,
+            user_id % 10 AS sens
+          FROM events),
+        grp AS (
+          SELECT event_type, hh, vb, count(*) AS n, $gc
+          FROM base GROUP BY 1, 2, 3),
+        gdist AS (SELECT count(*) AS nn, $gg FROM base),
+        terms AS (
+          SELECT event_type, n, nn, $num AS emd_num
+          FROM grp CROSS JOIN gdist)
+        SELECT event_type, count(*) AS n_groups,
+          max(CAST(emd_num AS DOUBLE) / CAST(n * nn * 9 AS DOUBLE)) AS max_t,
+          CAST(sum(CASE WHEN emd_num * 5 > n * nn * 9 THEN 1 ELSE 0 END)
+            AS BIGINT) AS weak_groups,
+          CAST(sum(CASE WHEN emd_num * 5 > n * nn * 9 THEN n ELSE 0 END)
+            AS BIGINT) AS weak_rows
+        FROM terms GROUP BY event_type"""
+    },
     "curation_report" ->
       """WITH base AS (
           SELECT source, lang, n_chars, md5(text) AS fp FROM documents),

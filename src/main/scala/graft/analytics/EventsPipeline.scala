@@ -497,6 +497,38 @@ object EventsPipeline {
         col("t_click") > col("t_signup"), lit(1))).as("n_full_funnel"))
   }
 
+  /** Event-type co-occurrence with lift — the market-basket view of the
+    * stream ("users who click also purchase?"): distinct (user, type)
+    * incidences, a per-user self-join for ordered type pairs, and
+    * lift(a,b) = P(a∧b)/(P(a)·P(b)) in multiply-through form
+    * (n_ab·n_users exact BIGINT over n_a·n_b, one double division).
+    * Scale shape: the self-join fan-out is bounded by |types|² per user
+    * (≤25 rows/user here, NOT data-sized — the distinct step collapses
+    * each user's stream to ≤|types| rows first), and the marginals are
+    * a broadcast-sized |types| table. At 100 TB the only real shuffle
+    * is the (user_id, type) distinct. */
+  def eventsCooccur(s: SparkSession, d: String): DataFrame =
+    eventsCooccurOf(events(s, d))
+
+  private[graft] def eventsCooccurOf(ev: DataFrame): DataFrame = {
+    val incid = ev
+      .select(col("user_id"), col("event_type")).distinct().persist()
+    val nUsers = incid.select(countDistinct(col("user_id")).as("n_users"))
+    val marg = incid.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val pairs = incid.toDF("user_id", "type_a")
+      .join(incid.toDF("user_id", "type_b"), Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(marg.toDF("type_a", "n_a")), Seq("type_a"))
+      .join(broadcast(marg.toDF("type_b", "n_b")), Seq("type_b"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_users"),
+        ((col("n_ab") * col("n_users")).cast("double")
+          / (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
+
   /** Null-preserving generator (explode_outer): documents whose filter
     * yields an EMPTY array still emit one null-token row — with plain
     * explode they vanish from the output entirely, the classic silent
@@ -1055,6 +1087,7 @@ object EventsPipeline {
     "gen_explode"         -> genExplode _,
     "gen_explode_outer"   -> explodeOuter _,
     "events_funnel"       -> eventsFunnel _,
+    "events_cooccur"      -> eventsCooccur _,
     "json_get"            -> jsonGet _,
     "json_variant"        -> jsonVariant _,
     "join_shuffle_hash"   -> joinShuffleHash _,
@@ -1567,6 +1600,25 @@ object EventsPipeline {
           count(CASE WHEN t_click > t_signup THEN 1 END) AS n_click_after,
           count(CASE WHEN t_purchase > t_click AND t_click > t_signup THEN 1 END) AS n_full_funnel
         FROM per""",
+    // same incidences → ordered-pair self-join → multiply-through lift
+    "events_cooccur" ->
+      """WITH incid AS (
+          SELECT DISTINCT user_id, event_type FROM events),
+        nu AS (SELECT count(DISTINCT user_id) AS n_users FROM incid),
+        marg AS (SELECT event_type, count(*) AS n_t FROM incid GROUP BY 1),
+        pairs AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+            count(*) AS n_ab
+          FROM incid a JOIN incid b ON a.user_id = b.user_id
+            AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+        SELECT type_a, type_b, n_ab, ma.n_t AS n_a, mb.n_t AS n_b, n_users,
+          CAST(n_ab * n_users AS DOUBLE)
+            / CAST(ma.n_t * mb.n_t AS DOUBLE) AS lift
+        FROM pairs
+        JOIN marg ma ON ma.event_type = type_a
+        JOIN marg mb ON mb.event_type = type_b
+        CROSS JOIN nu""",
     // unnest([NULL]) emulates explode_outer's null row for empty arrays
     "gen_explode_outer" ->
       """SELECT doc_id, count(*) AS n_rows, count(tok) AS n_spark FROM (

@@ -136,15 +136,169 @@ object Stats {
           1L).otherwise(0L)).as("n_outliers"))
   }
 
+  /** Chi-squared independence test between `event_type` and day-of-week
+    * — the categorical drift check ("did the weekday mix of purchases
+    * shift?") next to the continuous KS test. The contingency table is
+    * BOUNDED (|types| × 7 cells), so after ONE keyed count of the
+    * stream, everything runs on a few dozen rows: marginal tables from
+    * the tiny cell table, the FULL marginal cross product re-joined to
+    * the observed counts (zero cells still owe their expected count to
+    * the statistic), expected counts in
+    * centi-units by integer floor division, and the statistic
+    * χ²·100 = Σ (100·O − E_c)² div E_c accumulated EXACTLY in BIGINT —
+    * order-free, so Spark's partial sums and DuckDB agree bit-for-bit
+    * (a per-cell double sum would hash-drift). Day-of-week is epoch-day
+    * mod 7 (pure integer arithmetic — engine dow() conventions differ).
+    * Magnitude audit: E_c ≤ 100·N, diff ≤ 100·N = 6e7 at sf0.1,
+    * diff² ≤ 3.6e15 — BIGINT-safe to sf ≈ 10⁴. */
+  def statsChi2(s: SparkSession, d: String): DataFrame =
+    statsChi2Of(Tables.events(s, d))
+
+  private[graft] def statsChi2Of(ev: DataFrame): DataFrame = {
+    val cells = ev
+      .select(col("event_type"),
+        expr("(ts_ns div 86400000000000) % 7").as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("o"))
+      .persist()
+    val rt = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+    val ct = cells.groupBy(col("dow")).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    // FULL marginal cross product, not just observed cells: a zero cell
+    // (no rows for a type×dow combo) still contributes its expected
+    // count to χ² — dropping it would bias every test toward
+    // independence exactly where dependence is strongest
+    rt.crossJoin(ct)
+      .join(cells, Seq("event_type", "dow"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("e_c", expr("(r * c * 100) div n"))
+      .withColumn("diff_c", col("o") * 100L - col("e_c"))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(when(col("e_c") > 0L,
+          expr("(diff_c * diff_c) div e_c")).otherwise(0L)).as("chi2_centi"))
+      .crossJoin(broadcast(rt.agg((count(lit(1)) - 1L).as("dr"))))
+      .crossJoin(broadcast(ct.agg((count(lit(1)) - 1L).as("dc"))))
+      .select(col("n"), col("n_cells"), (col("dr") * col("dc")).as("dof"),
+        col("chi2_centi"),
+        (col("chi2_centi").cast("double") / 100.0).as("chi2"))
+  }
+
+  /** Welch's two-sample t-test between the click and view `value`
+    * distributions — the mean-shift drift gate next to KS (shape) and
+    * χ² (categorical mix). Sufficient statistics (n, Σx, Σx²) are
+    * EXACT BIGINTs over integer cents (floor(value·100)), reduced in
+    * one conditional aggregation pass over the stream — the only
+    * shuffle carries six longs. The t statistic and Welch–Satterthwaite
+    * dof are then a fixed tree of IEEE double ops on those exact
+    * integers, spelled identically in the oracle (×/÷ only — no pow(),
+    * whose libm rounding may differ across engines), so the doubles
+    * are bit-identical. Magnitude audit: Σx² ≤ 6e5·(5.6e4)² ≈ 1.9e15
+    * at sf0.1 — BIGINT-safe to sf ≈ 100. */
+  def statsTtest(s: SparkSession, d: String): DataFrame =
+    statsTtestOf(Tables.events(s, d))
+
+  private[graft] def statsTtestOf(ev: DataFrame): DataFrame =
+    ev
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n2"),
+        sum(when(col("event_type") === "click", col("cents")).otherwise(0L)).as("s1"),
+        sum(when(col("event_type") === "view", col("cents")).otherwise(0L)).as("s2"),
+        sum(when(col("event_type") === "click", col("cents") * col("cents")).otherwise(0L)).as("q1"),
+        sum(when(col("event_type") === "view", col("cents") * col("cents")).otherwise(0L)).as("q2"))
+      .selectExpr("n1", "n2", "s1", "s2", "q1", "q2",
+        "CAST(s1 AS DOUBLE) / n1 AS mean1",
+        "CAST(s2 AS DOUBLE) / n2 AS mean2",
+        "(CAST(q1 AS DOUBLE) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / n1) / (n1 - 1) AS v1",
+        "(CAST(q2 AS DOUBLE) - (CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) / n2) / (n2 - 1) AS v2")
+      .selectExpr("n1", "n2", "s1", "s2", "q1", "q2", "mean1", "mean2",
+        "v1 / n1 + v2 / n2 AS se2", "v1", "v2")
+      .selectExpr("n1", "n2", "s1", "s2", "q1", "q2", "mean1", "mean2",
+        "(mean1 - mean2) / sqrt(se2) AS t_stat",
+        "(se2 * se2) / ((v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1)) AS dof_welch")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_ewma"     -> winEwma _,
     "anomaly_cusum" -> anomalyCusum _,
     "anomaly_mad"  -> anomalyMad _,
     "stats_ks"     -> statsKs _,
+    "stats_chi2"   -> statsChi2 _,
+    "stats_ttest"  -> statsTtest _,
     "agg_spearman" -> aggSpearman _,
   )
 
   val oracle: Map[String, String] = Map(
+    // same bounded-cell spelling: one contingency count, window-sum
+    // marginals, centi-unit integer expected counts, exact BIGINT χ²
+    // accumulation; `//` == Spark's `div` (all operands nonnegative)
+    "stats_chi2" ->
+      """WITH cells AS (
+          SELECT event_type,
+            (epoch_ns(ts) // 86400000000000) % 7 AS dow,
+            count(*) AS o
+          FROM events GROUP BY 1, 2),
+        rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+               FROM cells GROUP BY 1),
+        ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c
+               FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        -- FULL marginal cross product: zero cells still owe E to χ²
+        grid AS (
+          SELECT rt.event_type, ct.dow, rt.r, ct.c, COALESCE(cells.o, 0) AS o
+          FROM rt CROSS JOIN ct
+          LEFT JOIN cells ON cells.event_type = rt.event_type
+            AND cells.dow = ct.dow),
+        terms AS (
+          SELECT o, n, (r * c * 100) // n AS e_c,
+            o * 100 - (r * c * 100) // n AS diff_c
+          FROM grid CROSS JOIN tot),
+        stat AS (
+          SELECT n, count(*) AS n_cells,
+            CAST(sum(CASE WHEN e_c > 0 THEN (diff_c * diff_c) // e_c
+              ELSE 0 END) AS BIGINT) AS chi2_centi
+          FROM terms GROUP BY n),
+        d AS (
+          SELECT ((SELECT count(*) FROM rt) - 1)
+            * ((SELECT count(*) FROM ct) - 1) AS dof
+          FROM (SELECT 1))
+        SELECT n, n_cells, dof, chi2_centi,
+          CAST(chi2_centi AS DOUBLE) / 100.0 AS chi2
+        FROM stat, d""",
+    // identical double-op tree on identical exact integers (see scaladoc)
+    "stats_ttest" ->
+      """WITH cents AS (
+          SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type IN ('click', 'view')),
+        suff AS (
+          SELECT
+            CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+            CAST(sum(CASE WHEN event_type = 'click' THEN cents ELSE 0 END) AS BIGINT) AS s1,
+            CAST(sum(CASE WHEN event_type = 'view' THEN cents ELSE 0 END) AS BIGINT) AS s2,
+            CAST(sum(CASE WHEN event_type = 'click' THEN cents * cents ELSE 0 END) AS BIGINT) AS q1,
+            CAST(sum(CASE WHEN event_type = 'view' THEN cents * cents ELSE 0 END) AS BIGINT) AS q2
+          FROM cents),
+        moments AS (
+          SELECT n1, n2, s1, s2, q1, q2,
+            CAST(s1 AS DOUBLE) / n1 AS mean1,
+            CAST(s2 AS DOUBLE) / n2 AS mean2,
+            (CAST(q1 AS DOUBLE) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / n1) / (n1 - 1) AS v1,
+            (CAST(q2 AS DOUBLE) - (CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) / n2) / (n2 - 1) AS v2
+          FROM suff),
+        se AS (
+          SELECT n1, n2, s1, s2, q1, q2, mean1, mean2, v1, v2,
+            v1 / n1 + v2 / n2 AS se2
+          FROM moments)
+        SELECT n1, n2, s1, s2, q1, q2, mean1, mean2,
+          (mean1 - mean2) / sqrt(se2) AS t_stat,
+          (se2 * se2) / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+            + (v2 / n2) * (v2 / n2) / (n2 - 1)) AS dof_welch
+        FROM se""",
     // same 3-pass shape; quantile_cont == Spark's interpolated
     // percentile on identical doubles; threshold arithmetic mirrored
     "anomaly_mad" ->

@@ -1,0 +1,86 @@
+package graft
+
+import graft.analytics.{Curation, EventsPipeline, Stats}
+import org.apache.spark.sql.functions._
+
+/** Planted-data semantics for the statistical-test operators: the
+  * oracle gate proves engine agreement on the synthetic corpus; these
+  * specs prove the STATISTICS are right (χ² hits its closed-form value
+  * on perfect dependence, Welch t is exact on hand-computable samples,
+  * lift/EMD behave at their degenerate and extreme points). */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val day = 86400000000000L // ns
+
+  test("chi2: perfect dependence hits the closed form chi2 = N, dof 1") {
+    // type a only on day 0, type b only on day 1 — phi^2 = 1 so chi2 = N;
+    // the two ZERO cells contribute half of that (the full-grid fix)
+    val ev = (Seq.fill(100)(("a", 0L)) ++ Seq.fill(100)(("b", day)))
+      .toDF("event_type", "ts_ns")
+    val r = Stats.statsChi2Of(ev).collect().head
+    assert(r.getAs[Long]("n") === 200L)
+    assert(r.getAs[Long]("n_cells") === 4L)
+    assert(r.getAs[Long]("dof") === 1L)
+    assert(r.getAs[Long]("chi2_centi") === 20000L) // chi2 = 200 = N
+  }
+
+  test("chi2: an independent (balanced) table scores exactly zero") {
+    val ev = (for {
+      t <- Seq("a", "b"); d <- Seq(0L, day); _ <- 1 to 50
+    } yield (t, d)).toDF("event_type", "ts_ns")
+    val r = Stats.statsChi2Of(ev).collect().head
+    assert(r.getAs[Long]("chi2_centi") === 0L)
+    assert(r.getAs[Long]("n_cells") === 4L)
+  }
+
+  test("welch t: identical samples give t = 0; a shift gives the hand value") {
+    val same = Seq(("click", 1.0), ("click", 2.0), ("view", 1.0), ("view", 2.0))
+      .toDF("event_type", "value")
+    val r0 = Stats.statsTtestOf(same).collect().head
+    assert(r0.getAs[Double]("t_stat") === 0.0)
+    // click {10,11,12} vs view {1,2,3}: mean diff 900 cents, each
+    // var 10000 cents^2 -> t = 900 / sqrt(20000/3) ~= 11.02, dof -> 4
+    val shifted = (Seq(10.0, 11.0, 12.0).map(("click", _)) ++
+      Seq(1.0, 2.0, 3.0).map(("view", _))).toDF("event_type", "value")
+    val r1 = Stats.statsTtestOf(shifted).collect().head
+    assert(math.abs(r1.getAs[Double]("t_stat") - 900.0 / math.sqrt(20000.0 / 3)) < 1e-9)
+    assert(math.abs(r1.getAs[Double]("dof_welch") - 4.0) < 1e-9)
+    assert(r1.getAs[Long]("q1") === 1000L * 1000 + 1100L * 1100 + 1200L * 1200)
+  }
+
+  test("cooccur: planted incidence pins n_ab and the multiply-through lift") {
+    // users 1,2 do both a+b; 3 only a; 4 only b; 5 only c
+    val ev = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (4L, "b"), (5L, "c"), (1L, "a") /* dup event, same incid */)
+      .toDF("user_id", "event_type")
+    val rows = EventsPipeline.eventsCooccurOf(ev).collect()
+    assert(rows.length === 1) // only (a,b) co-occurs
+    val r = rows.head
+    assert(r.getAs[String]("type_a") === "a" && r.getAs[String]("type_b") === "b")
+    assert(r.getAs[Long]("n_ab") === 2L && r.getAs[Long]("n_a") === 3L &&
+      r.getAs[Long]("n_b") === 3L && r.getAs[Long]("n_users") === 5L)
+    assert(math.abs(r.getAs[Double]("lift") - 10.0 / 9.0) < 1e-12)
+  }
+
+  test("t-closeness: one-group release is exactly t = 0; a fully " +
+    "polarized split is exactly t = 0.5 on both sides") {
+    def ev(rows: Seq[(String, Long, Double)]) = rows
+      .toDF("event_type", "user_id", "value")
+      .withColumn("ts", to_timestamp(lit("2026-01-01 00:00:00")))
+    // every row in ONE QID group -> group distribution == global
+    val one = ev((0 until 40).map(i => ("a", i.toLong, 1.0)))
+    val r0 = Curation.privacyTclosenessOf(one).collect().head
+    assert(r0.getAs[Double]("max_t") === 0.0)
+    assert(r0.getAs[Long]("weak_groups") === 0L)
+    // two value-band groups, one all cohort 0, the other all cohort 9:
+    // EMD numerator = 9 n^2 against n*(2n)*9 -> t = 1/2 for each group
+    val polar = ev((0 until 20).map(i => ("a", i * 10L, 1.0)) ++
+      (0 until 20).map(i => ("a", i * 10L + 9L, 60.0)))
+    val r1 = Curation.privacyTclosenessOf(polar).collect().head
+    assert(r1.getAs[Double]("max_t") === 0.5)
+    assert(r1.getAs[Long]("n_groups") === 2L)
+    assert(r1.getAs[Long]("weak_groups") === 2L)
+    assert(r1.getAs[Long]("weak_rows") === 40L)
+  }
+}
