@@ -2,6 +2,7 @@ package graft.analytics
 
 import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for LLM training-data curation over
@@ -108,6 +109,70 @@ object Dedup {
       .filter(col("jaccard") >= 0.6)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** Directional n-gram CONTAINMENT — the asymmetric cousin of
+    * `dedup_ngram`'s Jaccard, and the statistic that actually catches
+    * quote-inclusion: a 100-token passage pasted verbatim into a
+    * 10,000-token page has Jaccard ≈ 0.01 (invisible to any sane
+    * threshold) but containment C(A→B) = |A∩B|/|A| ≈ 1. Same df-capped
+    * shingle universe and candidate join as dedup_ngram — the cap
+    * bounds the self-join, and sizes come from the SAME capped universe
+    * so both directions stay internally consistent. The keep gate is
+    * exact multiply-through (10·inter ≥ 8·min-size — no double
+    * threshold edge); the two directional ratios are one double
+    * division each. */
+  def dedupContainment(s: SparkSession, d: String): DataFrame =
+    dedupContainmentOf(documents(s, d))
+
+  def dedupContainmentOf(docs: DataFrame, dfCap: Int = 64): DataFrame = {
+    val kept  = cappedShingles(shinglesOf(docs), dfCap).persist()
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    shinglePairs(kept)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .filter(col("inter") * 10L >= least(col("sz_a"), col("sz_b")) * 8L)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("sz_a"), col("sz_b"),
+        (col("inter").cast("double") / col("sz_a").cast("double")).as("cont_ab"),
+        (col("inter").cast("double") / col("sz_b").cast("double")).as("cont_ba"))
+  }
+
+  /** Community detection by synchronous label propagation (Raghavan
+    * 2007) over the near-dup candidate graph — the NON-transitive
+    * alternative to `dedup_clusters`' connected components: CC merges
+    * two tight duplicate families bridged by one spurious LSH pair,
+    * LPA keeps them apart because each vertex adopts its neighbors'
+    * MAJORITY label, not any label it can reach. Three synchronous
+    * rounds; ties break to the smallest label (the determinism
+    * requirement — async/random LPA is irreproducible run-to-run,
+    * useless as a curation gate). Each round shuffles only (id, label)
+    * pairs: a join on the checkpointed edge list, a (dst, label) count,
+    * and a per-dst argmax window — O(E) rows per round, no vertex ever
+    * sees more than its degree. The oracle re-derives all three rounds
+    * with unrolled CTEs and the same (count DESC, label ASC) tiebreak. */
+  def graphLabelprop(s: SparkSession, d: String): DataFrame =
+    labelpropOf(dedupMinhash(s, d).select(col("doc_a"), col("doc_b")), 3)
+
+  def labelpropOf(pairs: DataFrame, rounds: Int): DataFrame =
+    withLoopShufflePartitions(pairs.sparkSession) {
+      val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst").localCheckpoint(true)
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id"))
+      for (_ <- 1 to rounds) {
+        val nbr = edges.join(labels, edges("src") === labels("doc_id"))
+          .select(col("dst"), col("label"))
+        val counts = nbr.groupBy(col("dst"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("dst"))
+          .orderBy(col("cnt").desc, col("label").asc)
+        labels = counts
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("dst").as("doc_id"), col("label"))
+          .localCheckpoint(true)
+      }
+      labels
+    }
 
   /** Spec hook: candidate-pair count for a corpus at a given df cap. */
   private[graft] def ngramCandidateCount(docs: DataFrame, dfCap: Int): Long =
@@ -645,6 +710,8 @@ object Dedup {
     "dedup_exact"     -> dedupExact _,
     "dedup_incremental" -> dedupIncremental _,
     "dedup_ngram"     -> dedupNgram _,
+    "dedup_containment" -> dedupContainment _,
+    "graph_labelprop" -> graphLabelprop _,
     "dedup_minhash"   -> dedupMinhash _,
     "dedup_simhash"   -> dedupSimhash _,
     "dedup_simhash64" -> dedupSimhash64 _,
@@ -734,6 +801,51 @@ object Dedup {
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
+    // same capped universe as dedup_ngram; exact 10*inter >= 8*min gate
+    "dedup_containment" ->
+      s"""$shCte,
+        hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 64),
+        capped AS (SELECT doc_id, shingle FROM sh
+                   WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+          CAST(inter AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS cont_ab,
+          CAST(inter AS DOUBLE) / CAST(sb.sz AS DOUBLE) AS cont_ba
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE inter * 10 >= least(sa.sz, sb.sz) * 8""",
+    // three unrolled synchronous LPA rounds, (count DESC, label ASC)
+    // argmax — the same deterministic tiebreak the Spark loop uses
+    "graph_labelprop" -> {
+      val rounds = (1 to 3).map { k =>
+        s"""cnt$k AS (
+            SELECT e.dst, l.label, count(*) AS cnt
+            FROM edges e JOIN l${k - 1} l ON e.src = l.doc_id
+            GROUP BY 1, 2),
+          l$k AS (
+            SELECT dst AS doc_id, label FROM (
+              SELECT dst, label, row_number() OVER (PARTITION BY dst
+                ORDER BY cnt DESC, label ASC) AS rn
+              FROM cnt$k) WHERE rn = 1)"""
+      }.mkString(",\n")
+      s"""$shCte, $minhashCtes,
+        mpairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM mpairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM mpairs),
+        l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges),
+        $rounds
+        SELECT doc_id, label FROM l3"""
+    },
     // the same pair CTE joined back to each side's source
     "dedup_source_matrix" ->
       s"""$shCte, $minhashCtes,

@@ -149,6 +149,39 @@ class AnalyticsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("label propagation keeps bridged communities apart where CC merges them") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {10,11,12} bridged by one spurious
+    // 3~10 edge: connected components collapse everything into one
+    // cluster; majority-label LPA holds the two families apart
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("doc_a", "doc_b")
+    assert(Dedup.clustersOf(pairs).select("cluster_id").distinct().count() === 1)
+    val lpa = Dedup.labelpropOf(pairs, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpa(1L) === lpa(2L) && lpa(2L) === lpa(3L))
+    assert(lpa(10L) === lpa(11L) && lpa(11L) === lpa(12L))
+    assert(lpa(1L) !== lpa(10L))
+  }
+
+  test("containment catches a quote-inclusion pair that Jaccard misses") {
+    import spark.implicits._
+    // a 40-token passage pasted inside a 440-token page: containment
+    // C(A->B) = 1 but Jaccard ~ 0.08 — invisible to dedup_ngram's 0.6
+    val passage = (0 until 40).map(i => s"p$i").mkString(" ")
+    val filler  = (0 until 200).map(i => s"x$i").mkString(" ")
+    val filler2 = (0 until 200).map(i => s"y$i").mkString(" ")
+    val docs = Seq((1L, passage), (2L, s"$filler $passage $filler2"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.dedupContainmentOf(docs).collect()
+    assert(cont.length === 1)
+    val r = cont.head
+    assert(r.getAs[Long]("doc_a") === 1L && r.getAs[Long]("doc_b") === 2L)
+    assert(r.getAs[Double]("cont_ab") === 1.0) // every A-shingle is in B
+    assert(r.getAs[Double]("cont_ba") < 0.1)
+    assert(Dedup.dedupNgramOf(docs).count() === 0) // Jaccard blind here
+  }
+
   test("64-bit simhash banding: exact dups always candidates, far fewer pairs than 16-bit") {
     val d = "/root/testdata/sf0.1"
     // identical texts ⇒ identical fingerprints ⇒ share all 8 bands
