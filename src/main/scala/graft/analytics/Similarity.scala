@@ -570,7 +570,82 @@ object Similarity {
       .select(col("label"), col("vec_id"), col("rnk"))
   }
 
+  /** Top principal direction of the embedding corpus by distributed
+    * EXACT-integer power iteration — the spectral health check run
+    * before any projection/whitening step (a dominant PC explaining
+    * most variance flags a collapsed encoder). Uncentered PCA (the
+    * corpus is near-zero-centered by construction; centering would put
+    * n²-scaled cross terms outside the BIGINT budget — documented
+    * trade).
+    *
+    * Scale shape: each row emits its upper-triangle outer-product cells
+    * from a codegen'd nested-transform generator (NO self-join, NO
+    * per-row shuffle — the d(d+1)/2 = 2080 cells partial-aggregate
+    * map-side), so the single shuffle carries 2080 longs per partition
+    * regardless of corpus size. The collected gram is index METADATA
+    * (16 KB — the IVF-centroid boundary), and the 5 power-iteration
+    * rounds run in exact BigInt µ-unit arithmetic: w = G·v, then
+    * v' = (w·10⁶)/max|w| with TRUNCATING division — Scala BigInt `/`
+    * and DuckDB HUGEINT `//` both truncate toward zero, so the oracle's
+    * unrolled-CTE replication is bit-exact. Sign is pinned by the fixed
+    * all-positive start vector.
+    *
+    * Magnitude audit: q ≤ 10⁶, cell sum ≤ n·10¹² (BIGINT-safe to
+    * n ≈ 9·10⁶ per aggregation partial; DECIMAL(38,0) is the escape
+    * hatch beyond), and G·v ≤ d·n·10¹⁸ lives in BigInt/HUGEINT. */
+  def embPca(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pc1Of(embeddings(s, d), iters = 5).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq
+      .toDF("i", "pc1_mu")
+  }
+
+  /** First-PC projection of every vector — exact integer dot product of
+    * the µ-quantized embedding against the collected PC (a broadcast
+    * 64-long literal folded by a codegen'd zip_with/aggregate — zero
+    * shuffle, scan speed). The scores feed spectral outlier screens and
+    * decorrelation checks downstream. */
+  def embPcaScores(s: SparkSession, d: String): DataFrame = {
+    val pc = pc1Of(embeddings(s, d), iters = 5)
+    embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT))").as("q"))
+      .withColumn("pc", typedLit(pc.toSeq))
+      .selectExpr("vec_id", "label",
+        "aggregate(zip_with(q, pc, (a, b) -> a * b), 0L, (acc, x) -> acc + x) AS pc1_score")
+  }
+
+  /** Shared power-iteration core: exact-integer gram accumulation +
+    * BigInt driver rounds (see embPca scaladoc). */
+  private[graft] def pc1Of(emb: DataFrame, iters: Int): Array[Long] = {
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val cells = emb
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(expr("transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT))").as("q"))
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, ${dim - 1}), i ->
+              transform(sequence(i, ${dim - 1}), j ->
+                named_struct('i', i, 'j', j, 'p', q[i] * q[j]))))""")).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg(sum(col("c.p")).as("g"))
+      .collect()
+    val g = Array.fill(dim, dim)(BigInt(0))
+    cells.foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1), BigInt(r.getLong(2)))
+      g(i)(j) = v; g(j)(i) = v
+    }
+    var v = Array.fill(dim)(BigInt(1000000))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim)(i => (0 until dim).map(j => g(i)(j) * v(j)).sum)
+      val m = w.map(_.abs).max
+      v = w.map(x => (x * 1000000) / m) // BigInt / truncates == DuckDB //
+    }
+    v.map(_.toLong)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_pca" -> embPca _,
+    "emb_pca_scores" -> embPcaScores _,
     "emb_norm_hist" -> embNormHist _,
     "knn_classify" -> knnClassify _,
     "emb_confusion" -> embConfusion _,
@@ -586,7 +661,42 @@ object Similarity {
     "emb_centroid" -> embCentroid _,
   )
 
+  /** Gram + unrolled power-iteration CTE chain (shared by the emb_pca
+    * and emb_pca_scores oracles): HUGEINT is the exact lane, `//`
+    * truncates exactly like the driver loop's BigInt `/`. */
+  private val pcaCtes: String = {
+    val rounds = (1 to 5).map { k =>
+      s"""w$k AS (SELECT g.i, sum(g.g * v.v) AS w
+            FROM g JOIN v${k - 1} v ON g.j = v.i GROUP BY g.i),
+         m$k AS (SELECT max(abs(w)) AS m FROM w$k),
+         v$k AS (SELECT i, (w * 1000000) // m AS v FROM w$k, m$k)"""
+    }.mkString(",\n")
+    s"""WITH e AS (
+        SELECT vec_id, CAST(p.i AS INTEGER) AS i,
+          CAST(floor(CAST(p.x AS DOUBLE) * 1000000) AS BIGINT) AS q
+        FROM (SELECT vec_id, unnest(list_transform(embedding,
+              (x, i) -> struct_pack(i := i - 1, x := x))) AS p
+              FROM embeddings)),
+      g AS (
+        SELECT a.i AS i, b.i AS j, sum(CAST(a.q AS HUGEINT) * b.q) AS g
+        FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+      v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v
+             FROM (SELECT DISTINCT i FROM e)),
+      $rounds"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "emb_pca" ->
+      s"""$pcaCtes
+        SELECT CAST(i AS BIGINT) AS i, CAST(v AS BIGINT) AS pc1_mu
+        FROM v5""",
+    "emb_pca_scores" ->
+      s"""$pcaCtes,
+        sc AS (
+          SELECT e.vec_id, sum(CAST(e.q AS HUGEINT) * v.v) AS s
+          FROM e JOIN v5 v ON e.i = v.i GROUP BY e.vec_id)
+        SELECT sc.vec_id, emb.label, CAST(sc.s AS BIGINT) AS pc1_score
+        FROM sc JOIN embeddings emb ON emb.vec_id = sc.vec_id""",
     "emb_norm_hist" ->
       """SELECT CAST(floor(sqrt(list_dot_product(v, v)) * 10) AS BIGINT)
             AS bucket,

@@ -149,6 +149,20 @@ class AnalyticsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("integer power iteration recovers a planted rank-1 principal direction") {
+    import spark.implicits._
+    // rank-1 corpus a*(0.5, 0.25, 0.125, 0): every component is an
+    // exact binary float, so the µ-quantization is exact and the first
+    // power round lands exactly on the dominant direction scaled to
+    // max-component 1e6
+    val base = Seq(0.5f, 0.25f, 0.125f, 0.0f)
+    val emb = Seq(1.0f, -1.0f, 2.0f, 0.5f).zipWithIndex
+      .map { case (a, i) => (i.toLong, base.map(_ * a)) }
+      .toDF("vec_id", "embedding")
+    val pc = Similarity.pc1Of(emb, iters = 5)
+    assert(pc.toSeq === Seq(1000000L, 500000L, 250000L, 0L))
+  }
+
   test("label propagation keeps bridged communities apart where CC merges them") {
     import spark.implicits._
     // two triangles {1,2,3} and {10,11,12} bridged by one spurious
