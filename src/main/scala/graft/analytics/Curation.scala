@@ -225,7 +225,31 @@ object Curation {
           .otherwise(0L)).as("weak_rows"))
   }
 
+  /** Class-balanced downsampling over the labeled embedding corpus —
+    * the classifier-training prerequisite (a 10:1 label skew trains a
+    * majority-class predictor): every label keeps exactly min-class
+    * rows, chosen by md5(vec_id) order so the SAME rows survive on
+    * every run/engine/partitioning (a random sample would be
+    * irreproducible; a take-first would bias toward ingest order).
+    * The min-class size is a broadcast scalar from the tiny per-label
+    * count; the keep decision is one per-label rank window — the
+    * standard salted-window shape, state bounded by rows-per-label. */
+  def sampleBalanced(s: SparkSession, d: String): DataFrame = {
+    val lab = embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        md5(col("vec_id").cast("string")).as("h"))
+    val minN = lab.groupBy(col("label")).agg(count(lit(1)).as("n_l"))
+      .agg(min(col("n_l")).as("min_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("h"), col("vec_id"))
+    lab.withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(minN))
+      .filter(col("rk") <= col("min_n"))
+      .select(col("vec_id"), col("label"), col("rk").cast("long").as("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_balanced" -> sampleBalanced _,
     "training_select" -> trainingSelect _,
     "pii_scrub"       -> piiScrub _,
     "curation_report" -> curationReport _,
@@ -236,6 +260,20 @@ object Curation {
   )
 
   val oracle: Map[String, String] = Map(
+    // identical md5 rank order and broadcast min-class scalar
+    "sample_balanced" ->
+      """WITH lab AS (
+          SELECT vec_id, label, md5(CAST(vec_id AS VARCHAR)) AS h
+          FROM embeddings),
+        mn AS (
+          SELECT min(n_l) AS min_n FROM (
+            SELECT label, count(*) AS n_l FROM lab GROUP BY label)),
+        rk AS (
+          SELECT vec_id, label,
+            row_number() OVER (PARTITION BY label ORDER BY h, vec_id) AS rk
+          FROM lab)
+        SELECT vec_id, label, CAST(rk AS BIGINT) AS rk
+        FROM rk, mn WHERE rk <= min_n""",
     // same nine conditional cumulative sums + broadcast global + exact
     // integer EMD numerator and gate (see privacyTcloseness scaladoc)
     "privacy_tcloseness" -> {

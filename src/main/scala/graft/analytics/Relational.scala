@@ -1741,6 +1741,69 @@ object Relational {
         count(lit(1)).as("n_events"))
   }
 
+  /** Seasonal decomposition of the hourly value series — the classical
+    * additive split (seasonal + trend + residual) every telemetry
+    * monitor runs before alerting (a Monday-9am spike is seasonality,
+    * not drift). Hour-of-day seasonal means and a centered 24-hour
+    * moving-average trend, all in multiply-through exact integers:
+    * the raw stream collapses to the BOUNDED hourly rollup first (one
+    * keyed shuffle; at 100 TB the rollup is hours-of-history rows, not
+    * data-sized), then both window passes run over that tiny series —
+    * the same bounded-domain argument as stats_ks's binned CDF. The
+    * residual numerator cents·n_hod − Σ_hod stays BIGINT; seasonal,
+    * trend, and residual are one double division each. */
+  /** Shared bounded hourly rollup: (bucket, cents) from an events-shaped
+    * frame — the one data-sized shuffle behind ts_seasonal and
+    * events_forecast. */
+  private[graft] def hourlyCents(ev: DataFrame): DataFrame =
+    ev.select(expr("ts_ns div 3600000000000").as("bucket"),
+        expr("CAST(floor(abs(value) * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("bucket")).agg(sum(col("cents")).as("cents"))
+
+  def tsSeasonal(s: SparkSession, d: String): DataFrame =
+    tsSeasonalOf(events(s, d))
+
+  private[graft] def tsSeasonalOf(ev: DataFrame): DataFrame = {
+    val hourly = hourlyCents(ev).withColumn("hod", col("bucket") % 24)
+    val wHod = Window.partitionBy(col("hod"))
+    val wTrend = Window.orderBy(col("bucket")).rowsBetween(-12, 11)
+    hourly
+      .withColumn("s_hod", sum(col("cents")).over(wHod))
+      .withColumn("n_hod", count(lit(1)).over(wHod))
+      .withColumn("t_sum", sum(col("cents")).over(wTrend))
+      .withColumn("t_n", count(lit(1)).over(wTrend))
+      .select(col("bucket"), col("hod"), col("cents"), col("n_hod"),
+        (col("s_hod").cast("double") / col("n_hod").cast("double")).as("seasonal"),
+        (col("t_sum").cast("double") / col("t_n").cast("double")).as("trend"),
+        ((col("cents") * col("n_hod") - col("s_hod")).cast("double")
+          / col("n_hod").cast("double")).as("resid"))
+  }
+
+  /** Seasonal-naive forecast evaluation (MASE, Hyndman & Koehler 2006)
+    * — the accuracy floor every real forecaster must beat: predict each
+    * hour by the same hour yesterday (lag 24) and score it against the
+    * one-step naive (lag 1) on the SAME evaluation rows, so the scale
+    * cancels and MASE = Σ|e₂₄| / Σ|e₁| is one double division over two
+    * exact BIGINT error sums. Lags are bucket-ARITHMETIC self-joins on
+    * the bounded hourly rollup (a row-offset lag() silently lies when
+    * an hour is missing; the +24 equi-join is gap-proof), and the
+    * rollup is tiny at any SF — the raw stream shuffles once. */
+  def eventsForecast(s: SparkSession, d: String): DataFrame =
+    eventsForecastOf(events(s, d))
+
+  private[graft] def eventsForecastOf(ev: DataFrame): DataFrame = {
+    val h = hourlyCents(ev)
+    val lag24 = h.select((col("bucket") + 24).as("bucket"), col("cents").as("fc24"))
+    val lag1  = h.select((col("bucket") + 1).as("bucket"), col("cents").as("fc1"))
+    h.join(lag24, Seq("bucket")).join(lag1, Seq("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("cents") - col("fc24"))).as("mae24_num"),
+        sum(abs(col("cents") - col("fc1"))).as("mae1_num"))
+      .select(col("n"), col("mae24_num"), col("mae1_num"),
+        (col("mae24_num").cast("double") / col("n").cast("double")).as("mae24"),
+        (col("mae24_num").cast("double") / col("mae1_num").cast("double")).as("mase"))
+  }
+
   /** Pivot with MULTIPLE aggregates per cell — each (type × {cnt,sum})
     * pair becomes a column; still one shuffle (pivot plans as a single
     * grouped aggregation over the pivoted CASE columns). */
@@ -2035,6 +2098,8 @@ object Relational {
     "agg_ols"           -> aggOls _,
     "agg_corr"          -> aggCorr _,
     "ts_resample"       -> tsResample _,
+    "ts_seasonal"       -> tsSeasonal _,
+    "events_forecast"   -> eventsForecast _,
     "win_null_order"    -> winNullOrder _,
     "join_lateral"      -> joinLateral _,
     "set_union_distinct" -> setUnionDistinct _,
@@ -3054,5 +3119,50 @@ object Relational {
           max(CASE WHEN rnd = 1 THEN value END) AS close,
           count(*) AS n_events
         FROM b GROUP BY 1, 2""",
+    // same bounded hourly rollup + two window passes; the windowed
+    // HUGEINT sums stay intermediate (exact), projections cast back
+    "ts_seasonal" ->
+      """WITH hourly AS (
+          SELECT epoch_ns(ts) // 3600000000000 AS bucket,
+            CAST(sum(CAST(floor(abs(value) * 100) AS BIGINT)) AS BIGINT)
+              AS cents
+          FROM events GROUP BY 1),
+        h2 AS (SELECT bucket, bucket % 24 AS hod, cents FROM hourly),
+        w AS (
+          SELECT bucket, hod, cents,
+            sum(cents) OVER (PARTITION BY hod) AS s_hod,
+            count(*) OVER (PARTITION BY hod) AS n_hod,
+            sum(cents) OVER (ORDER BY bucket
+              ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS t_sum,
+            count(*) OVER (ORDER BY bucket
+              ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS t_n
+          FROM h2)
+        SELECT bucket, hod, cents, CAST(n_hod AS BIGINT) AS n_hod,
+          CAST(s_hod AS DOUBLE) / CAST(n_hod AS DOUBLE) AS seasonal,
+          CAST(t_sum AS DOUBLE) / CAST(t_n AS DOUBLE) AS trend,
+          CAST(cents * n_hod - s_hod AS DOUBLE)
+            / CAST(n_hod AS DOUBLE) AS resid
+        FROM w""",
+    // same gap-proof bucket-arithmetic lags over the hourly rollup
+    "events_forecast" ->
+      """WITH h AS (
+          SELECT epoch_ns(ts) // 3600000000000 AS bucket,
+            CAST(sum(CAST(floor(abs(value) * 100) AS BIGINT)) AS BIGINT)
+              AS cents
+          FROM events GROUP BY 1),
+        j AS (
+          SELECT h.cents, f24.cents AS fc24, f1.cents AS fc1
+          FROM h
+          JOIN h f24 ON h.bucket = f24.bucket + 24
+          JOIN h f1 ON h.bucket = f1.bucket + 1),
+        agg AS (
+          SELECT count(*) AS n,
+            CAST(sum(abs(cents - fc24)) AS BIGINT) AS mae24_num,
+            CAST(sum(abs(cents - fc1)) AS BIGINT) AS mae1_num
+          FROM j)
+        SELECT n, mae24_num, mae1_num,
+          CAST(mae24_num AS DOUBLE) / CAST(n AS DOUBLE) AS mae24,
+          CAST(mae24_num AS DOUBLE) / CAST(mae1_num AS DOUBLE) AS mase
+        FROM agg""",
   )
 }

@@ -647,7 +647,27 @@ object TextAnalysis {
         min(col("doc_id")).as("min_doc"))
   }
 
+  /** Hapax-legomena profile per source — the Zipf-tail corpus-health
+    * check (natural text keeps a large once-only vocabulary; template/
+    * bot output collapses it, OCR noise explodes it): per source,
+    * vocabulary size, hapax count (corpus frequency exactly 1 within
+    * the source), and their ratio. One (source, token) aggregation —
+    * token counts partial-aggregate map-side so the shuffle carries the
+    * per-source vocabulary, then a tiny per-source rollup. Log-free by
+    * construction: two exact BIGINTs and one double division. */
+  def textHapax(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("tf") === 1L, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("vocab"), col("hapax"),
+        (col("hapax").cast("double") / col("vocab").cast("double"))
+          .as("hapax_rate"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_hapax"        -> textHapax _,
     "url_parse"         -> urlParse _,
     "text_blocklist"    -> textBlocklist _,
     "curriculum_buckets" -> curriculumBuckets _,
@@ -681,6 +701,19 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_hapax" ->
+      """WITH tf AS (
+          SELECT source, tok, count(*) AS tf FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+          GROUP BY 1, 2),
+        v AS (
+          SELECT source, count(*) AS vocab,
+            CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+          FROM tf GROUP BY 1)
+        SELECT source, vocab, hapax,
+          CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE) AS hapax_rate
+        FROM v""",
     // the construction rule replayed component-wise
     "url_parse" ->
       """SELECT source || '.example.com' AS host, lang AS q_lang,

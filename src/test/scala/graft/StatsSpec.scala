@@ -63,6 +63,34 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("lift") - 10.0 / 9.0) < 1e-12)
   }
 
+  test("seasonal decomposition: a pure 24h-periodic series has zero residual " +
+    "and the seasonal-naive forecast scores MASE = 0 on it") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // value(t) = f(hour-of-day) for 5 full days: every bucket matches
+    // its hour-of-day mean exactly and lag-24 predicts perfectly
+    val ev = (0 until 24 * 5).map { h =>
+      (h.toLong * 3600000000000L, (1.0 + (h % 24).toDouble))
+    }.toDF("ts_ns", "value")
+    val dec = analytics.Relational.tsSeasonalOf(ev)
+    assert(dec.count() === 120)
+    assert(dec.filter(col("resid") =!= lit(0.0)).count() === 0)
+    val fc = analytics.Relational.eventsForecastOf(ev).collect().head
+    assert(fc.getAs[Long]("mae24_num") === 0L)
+    assert(fc.getAs[Double]("mase") === 0.0)
+    assert(fc.getAs[Long]("mae1_num") > 0L) // naive is NOT perfect
+  }
+
+  test("balanced sample keeps exactly min-class rows per label") {
+    import org.apache.spark.sql.functions.col
+    val out = Curation.sampleBalanced(spark, "/root/testdata/sf0.01")
+    val perLabel = out.groupBy(col("label")).count().collect()
+      .map(r => r.getLong(1)).toSeq
+    val minClass = spark.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .groupBy(col("label")).count().collect().map(_.getLong(1)).min
+    assert(perLabel.nonEmpty && perLabel.forall(_ === minClass))
+  }
+
   test("t-closeness: one-group release is exactly t = 0; a fully " +
     "polarized split is exactly t = 0.5 on both sides") {
     def ev(rows: Seq[(String, Long, Double)]) = rows
