@@ -617,7 +617,11 @@ object Similarity {
 
   /** Shared power-iteration core: exact-integer gram accumulation +
     * BigInt driver rounds (see embPca scaladoc). */
-  private[graft] def pc1Of(emb: DataFrame, iters: Int): Array[Long] = {
+  private[graft] def pc1Of(emb: DataFrame, iters: Int): Array[Long] =
+    pc1WithGram(emb, iters)._1
+
+  private[graft] def pc1WithGram(
+      emb: DataFrame, iters: Int): (Array[Long], Array[Array[BigInt]]) = {
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
     val cells = emb
       .repartition(emb.sparkSession.sparkContext.defaultParallelism)
@@ -640,12 +644,39 @@ object Similarity {
       val m = w.map(_.abs).max
       v = w.map(x => (x * 1000000) / m) // BigInt / truncates == DuckDB //
     }
-    v.map(_.toLong)
+    (v.map(_.toLong), g)
+  }
+
+  /** Variance explained by the first PC — the one-number encoder-health
+    * verdict on top of emb_pca (≈ 1/d means isotropic/healthy; ≈ 1
+    * means collapsed): Rayleigh quotient vᵀGv/vᵀv over the gram trace,
+    * both reduced by EXACT integer division before the one double
+    * division (vᵀGv ≈ 10³⁰ would round differently if cast to double
+    * directly; λ̂ = vᵀGv/vᵀv ≤ d·n·10¹² stays exact in BIGINT). The
+    * distributed work is the same one-shuffle gram pass; the quotient
+    * is 64×64 metadata math, mirrored by the oracle in HUGEINT. */
+  def embPcaVar(s: SparkSession, d: String): DataFrame =
+    embPcaVarOf(s, embeddings(s, d))
+
+  private[graft] def embPcaVarOf(s: SparkSession, emb: DataFrame): DataFrame = {
+    import s.implicits._
+    val (pc, g) = pc1WithGram(emb, iters = 5)
+    val dim = pc.length
+    val v = pc.map(BigInt(_))
+    val vGv = (for { i <- 0 until dim; j <- 0 until dim }
+      yield g(i)(j) * v(i) * v(j)).sum
+    val vv = v.map(x => x * x).sum
+    val trace = (0 until dim).map(i => g(i)(i)).sum
+    val lambda1 = (vGv / vv).toLong
+    Seq((lambda1, trace.toLong,
+      lambda1.toDouble / trace.toDouble))
+      .toDF("lambda1", "trace_g", "var_explained")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_pca" -> embPca _,
     "emb_pca_scores" -> embPcaScores _,
+    "emb_pca_var" -> embPcaVar _,
     "emb_norm_hist" -> embNormHist _,
     "knn_classify" -> knnClassify _,
     "emb_confusion" -> embConfusion _,
@@ -697,6 +728,18 @@ object Similarity {
           FROM e JOIN v5 v ON e.i = v.i GROUP BY e.vec_id)
         SELECT sc.vec_id, emb.label, CAST(sc.s AS BIGINT) AS pc1_score
         FROM sc JOIN embeddings emb ON emb.vec_id = sc.vec_id""",
+    // Rayleigh quotient + trace in HUGEINT; // truncation == BigInt /
+    "emb_pca_var" ->
+      s"""$pcaCtes,
+        vgv AS (
+          SELECT sum(g.g * a.v * b.v) AS vgv
+          FROM g JOIN v5 a ON g.i = a.i JOIN v5 b ON g.j = b.i),
+        vv AS (SELECT sum(v * v) AS vv FROM v5),
+        tr AS (SELECT sum(g.g) AS tr FROM g WHERE g.i = g.j)
+        SELECT CAST(vgv // vv AS BIGINT) AS lambda1,
+          CAST(tr AS BIGINT) AS trace_g,
+          CAST(vgv // vv AS DOUBLE) / CAST(tr AS DOUBLE) AS var_explained
+        FROM vgv, vv, tr""",
     "emb_norm_hist" ->
       """SELECT CAST(floor(sqrt(list_dot_product(v, v)) * 10) AS BIGINT)
             AS bucket,

@@ -161,6 +161,10 @@ class AnalyticsSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val pc = Similarity.pc1Of(emb, iters = 5)
     assert(pc.toSeq === Seq(1000000L, 500000L, 250000L, 0L))
+    // rank-1 gram: the first PC carries (essentially) all the variance
+    val varExp = Similarity.embPcaVarOf(spark, emb).collect().head
+      .getAs[Double]("var_explained")
+    assert(varExp > 0.999, s"var_explained $varExp")
   }
 
   test("label propagation keeps bridged communities apart where CC merges them") {
