@@ -53,7 +53,14 @@ class PlanSpec extends SparkSpec {
       "text_inverted",
       // stats_ks: crossJoin(broadcast(1-row sample totals)) — the
       // scalar-broadcast shape again
-      "stats_ks")
+      "stats_ks",
+      // round-6: the same 1-row/bounded scalar-broadcast crossJoin
+      // shape — stats_chi2 (cell-domain marginal cross product + total
+      // + dof scalars), events_cooccur (n_users scalar),
+      // privacy_tcloseness (global sensitive distribution, 1 row),
+      // sample_balanced (min-class scalar)
+      "stats_chi2", "events_cooccur", "privacy_tcloseness",
+      "sample_balanced")
 
   private val streaming =
     Set("stream_hourly", "stream_session", "stream_session_multibatch",
@@ -396,7 +403,36 @@ class PlanSpec extends SparkSpec {
     // cover broadcasts, the exchange is the per-depot rollup
     "anomaly_cusum" -> 1, "geo_join" -> 1,
     "geo_grid" -> 2, "geo_nearest" -> 1, "privacy_kanon" -> 2,
-    "gen_ngrams" -> 2)
+    "gen_ngrams" -> 2,
+    // round-6 additions (audited at the same baseline). The big STATIC
+    // counts are cached-table plan-string multiplicity, same as
+    // graph_triangles/dedup_substring above: the persisted cell/incid/
+    // shingle tables repeat their upstream exchanges once per consumer
+    // branch in the plan STRING; at runtime the persist collapses them
+    // into one pass.
+    // stats_chi2: the persisted (type,dow) cell rollup feeds rt/ct/tot/
+    // dof branches (11 static, 1 runtime + tiny-table joins)
+    "stats_chi2" -> 11,
+    // events_cooccur: persisted incidences feed marginals + both
+    // self-join sides + the n_users scalar (9 static)
+    "events_cooccur" -> 9,
+    // dedup_containment: identical candidate pipeline to dedup_ngram
+    // (15 static — capped shingles in both join sides + sizes)
+    "dedup_containment" -> 15,
+    // events_forecast: hourly rollup + its two bucket-shifted join
+    // branches (3 static, 1 runtime rollup)
+    "events_forecast" -> 3,
+    // privacy_tcloseness: QID-group agg + event_type rollup (the
+    // 1-row global distribution broadcasts)
+    "privacy_tcloseness" -> 2,
+    // sample_balanced: per-label rank window + the min-class scalar agg
+    "sample_balanced" -> 2,
+    // text_hapax: (source,token) tf agg + per-source rollup
+    "text_hapax" -> 2,
+    // ts_seasonal: the one hourly rollup exchange (both window passes
+    // run on the bounded series; hod repartition rides the same
+    // exchange in the static plan)
+    "ts_seasonal" -> 1)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
