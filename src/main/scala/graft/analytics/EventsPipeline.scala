@@ -5,6 +5,7 @@ import graft.expect.{Expectation, Expectations}
 import graft.lineage.Lineage
 import graft.rules._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, IntegerType, StructField, StructType}
 
@@ -527,6 +528,30 @@ object EventsPipeline {
         col("n_b"), col("n_users"),
         ((col("n_ab") * col("n_users")).cast("double")
           / (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
+
+  /** Per-user lag/rolling feature block — the feature-engineering
+    * primitive an ML training pipeline materializes before modeling:
+    * previous value, step delta, and trailing 3-event sum/mean per
+    * user, all from ONE (user_id) exchange shared by every window
+    * column (same partitioning+ordering ⇒ one sort, one window exec).
+    * Exact integer cents; the mean is the single double division. The
+    * first event's lag/delta stay NULL (both engines agree) — imputing
+    * here would bake a silent bias into every downstream model. */
+  def eventsLagFeatures(s: SparkSession, d: String): DataFrame = {
+    val base = events(s, d)
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(floor(abs(value) * 100) AS BIGINT)").as("cents"),
+        expr("ts_ns div 1000").as("tus"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val wr = w.rowsBetween(-2, 0)
+    base.select(col("user_id"), col("event_id"), col("cents"),
+        lag(col("cents"), 1).over(w).as("lag1"),
+        (col("cents") - lag(col("cents"), 1).over(w)).as("delta"),
+        sum(col("cents")).over(wr).as("roll3_sum"),
+        count(lit(1)).over(wr).as("roll3_n"))
+      .withColumn("roll3_mean",
+        col("roll3_sum").cast("double") / col("roll3_n").cast("double"))
   }
 
   /** Null-preserving generator (explode_outer): documents whose filter
@@ -1088,6 +1113,7 @@ object EventsPipeline {
     "gen_explode_outer"   -> explodeOuter _,
     "events_funnel"       -> eventsFunnel _,
     "events_cooccur"      -> eventsCooccur _,
+    "events_lag_features" -> eventsLagFeatures _,
     "json_get"            -> jsonGet _,
     "json_variant"        -> jsonVariant _,
     "join_shuffle_hash"   -> joinShuffleHash _,
@@ -1619,6 +1645,26 @@ object EventsPipeline {
         JOIN marg ma ON ma.event_type = type_a
         JOIN marg mb ON mb.event_type = type_b
         CROSS JOIN nu""",
+    // one shared (user, time) window; HUGEINT rolling sum cast back
+    "events_lag_features" ->
+      """WITH base AS (
+          SELECT user_id, event_id,
+            CAST(floor(abs(value) * 100) AS BIGINT) AS cents,
+            epoch_ns(ts) // 1000 AS tus
+          FROM events)
+        SELECT user_id, event_id, cents,
+          lag(cents, 1) OVER w AS lag1,
+          cents - lag(cents, 1) OVER w AS delta,
+          CAST(sum(cents) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS roll3_sum,
+          count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS roll3_n,
+          CAST(sum(cents) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+              AS DOUBLE)
+            / CAST(count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+              AS DOUBLE) AS roll3_mean
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)""",
     // unnest([NULL]) emulates explode_outer's null row for empty arrays
     "gen_explode_outer" ->
       """SELECT doc_id, count(*) AS n_rows, count(tok) AS n_spark FROM (

@@ -1804,6 +1804,35 @@ object Relational {
         (col("mae24_num").cast("double") / col("mae1_num").cast("double")).as("mase"))
   }
 
+  /** Benford's-law first-digit screen over lineitem prices — the
+    * classic books-cooking / synthetic-data detector (naturally
+    * occurring multiplicative amounts put ~30.1% of first digits at 1;
+    * fabricated ones drift uniform). Digit extraction is STRING-based
+    * on the INTEGER dollar floor (substr of a BIGINT's decimal
+    * rendering — identical across engines, where double→VARCHAR
+    * formatting is not), observed rates are exact ppm integers
+    * (n·10⁶ div total), and the Benford expectations are shared ppm
+    * LITERALS (log10 at query time would hit libm rounding skew).
+    * One tiny 9-cell aggregation; the scan never shuffles rows. */
+  def aggBenford(s: SparkSession, d: String): DataFrame = {
+    val expPpm = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+    val expCase = expPpm.zipWithIndex
+      .map { case (p, i) => s"WHEN digit = ${i + 1} THEN ${p}L" }
+      .mkString("CASE ", " ", " ELSE 0L END")
+    lineitem(s, d)
+      .filter(col("l_extendedprice") >= 1.0)
+      .select(expr(
+        "CAST(substring(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("obs_ppm", expr("(n * 1000000) div total"))
+      .withColumn("exp_ppm", expr(expCase))
+      .select(col("digit"), col("n"), col("total"), col("obs_ppm"),
+        col("exp_ppm"), abs(col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
+  }
+
   /** Pivot with MULTIPLE aggregates per cell — each (type × {cnt,sum})
     * pair becomes a column; still one shuffle (pivot plans as a single
     * grouped aggregation over the pivoted CASE columns). */
@@ -2100,6 +2129,7 @@ object Relational {
     "ts_resample"       -> tsResample _,
     "ts_seasonal"       -> tsSeasonal _,
     "events_forecast"   -> eventsForecast _,
+    "agg_benford"       -> aggBenford _,
     "win_null_order"    -> winNullOrder _,
     "join_lateral"      -> joinLateral _,
     "set_union_distinct" -> setUnionDistinct _,
@@ -3164,5 +3194,25 @@ object Relational {
           CAST(mae24_num AS DOUBLE) / CAST(n AS DOUBLE) AS mae24,
           CAST(mae24_num AS DOUBLE) / CAST(mae1_num AS DOUBLE) AS mase
         FROM agg""",
+    // string-based first digit of the integer dollar floor; shared ppm
+    // literals (no query-time log10); // == div on nonnegative operands
+    "agg_benford" -> {
+      val expCase = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+        66947L, 57992L, 51153L, 45757L).zipWithIndex
+        .map { case (p, i) => s"WHEN digit = ${i + 1} THEN $p" }
+        .mkString("CASE ", " ", " ELSE 0 END")
+      s"""WITH d AS (
+          SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+            AS VARCHAR), 1, 1) AS BIGINT) AS digit
+          FROM lineitem WHERE l_extendedprice >= 1.0),
+        c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        w AS (SELECT digit, n, sum(n) OVER () AS total FROM c)
+        SELECT digit, n, CAST(total AS BIGINT) AS total,
+          CAST((n * 1000000) // total AS BIGINT) AS obs_ppm,
+          CAST($expCase AS BIGINT) AS exp_ppm,
+          abs(CAST((n * 1000000) // total AS BIGINT)
+            - CAST($expCase AS BIGINT)) AS dev_ppm
+        FROM w"""
+    },
   )
 }

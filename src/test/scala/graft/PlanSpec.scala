@@ -432,7 +432,13 @@ class PlanSpec extends SparkSpec {
     // ts_seasonal: the one hourly rollup exchange (both window passes
     // run on the bounded series; hod repartition rides the same
     // exchange in the static plan)
-    "ts_seasonal" -> 1)
+    "ts_seasonal" -> 1,
+    // agg_benford: the 9-cell digit rollup (the global-total window
+    // runs on those 9 rows)
+    "agg_benford" -> 1,
+    // events_lag_features: the one user_id exchange every window
+    // column shares
+    "events_lag_features" -> 1)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
