@@ -554,6 +554,30 @@ object EventsPipeline {
         col("roll3_sum").cast("double") / col("roll3_n").cast("double"))
   }
 
+  /** Volume-anomaly expectation — the temporal member of the quality
+    * gate family (expect_suite checks VALUES, this checks ARRIVAL: a
+    * day that ships 20% off its trailing-week average means an
+    * upstream ingest broke, whatever the rows contain). Daily counts
+    * (one keyed rollup — bounded by days-of-history at any SF), a
+    * trailing-7-day window EXCLUDING the current day (a broken day must
+    * not vote on its own baseline), and an exact multiply-through gate:
+    * |n·n₇ − Σ₇| · 5 > Σ₇ ⟺ |n − mean₇|/mean₇ > 0.2 — integers only, no
+    * float threshold edge. Days with under 3 trailing observations
+    * abstain (flag −1): alerting off a 1-2 day baseline is noise. */
+  def expectVolume(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .select(expr("ts_ns div 86400000000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("day")).rowsBetween(-7, -1)
+    daily
+      .withColumn("sum7", sum(col("n")).over(w))
+      .withColumn("n7", count(col("n")).over(w))
+      .select(col("day"), col("n"), col("sum7"), col("n7"),
+        when(col("n7") < 3, lit(-1L))
+          .when(abs(col("n") * col("n7") - col("sum7")) * 5L > col("sum7"), 1L)
+          .otherwise(0L).as("flag"))
+  }
+
   /** Null-preserving generator (explode_outer): documents whose filter
     * yields an EMPTY array still emit one null-token row — with plain
     * explode they vanish from the output entirely, the classic silent
@@ -1114,6 +1138,7 @@ object EventsPipeline {
     "events_funnel"       -> eventsFunnel _,
     "events_cooccur"      -> eventsCooccur _,
     "events_lag_features" -> eventsLagFeatures _,
+    "expect_volume"       -> expectVolume _,
     "json_get"            -> jsonGet _,
     "json_variant"        -> jsonVariant _,
     "join_shuffle_hash"   -> joinShuffleHash _,
@@ -1645,6 +1670,23 @@ object EventsPipeline {
         JOIN marg ma ON ma.event_type = type_a
         JOIN marg mb ON mb.event_type = type_b
         CROSS JOIN nu""",
+    // same trailing window excluding current day; exact integer gate
+    "expect_volume" ->
+      """WITH daily AS (
+          SELECT epoch_ns(ts) // 86400000000000 AS day, count(*) AS n
+          FROM events GROUP BY 1),
+        w AS (
+          SELECT day, n,
+            sum(n) OVER (ORDER BY day
+              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS sum7,
+            count(n) OVER (ORDER BY day
+              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n7
+          FROM daily)
+        SELECT day, n, CAST(sum7 AS BIGINT) AS sum7, n7,
+          CAST(CASE WHEN n7 < 3 THEN -1
+            WHEN abs(n * n7 - sum7) * 5 > sum7 THEN 1
+            ELSE 0 END AS BIGINT) AS flag
+        FROM w""",
     // one shared (user, time) window; HUGEINT rolling sum cast back
     "events_lag_features" ->
       """WITH base AS (

@@ -1833,6 +1833,28 @@ object Relational {
         col("exp_ppm"), abs(col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
   }
 
+  /** Cohort revenue curves — the subscription-analytics staple on the
+    * star schema: customers grouped by first-order month, revenue
+    * tracked by months-since-acquisition. Month index is pure integer
+    * arithmetic (year·12 + month — both engines' extractors agree on
+    * timestamps; a months_between() float would not), acquisition
+    * month is one custkey aggregation, and the rejoin is co-partitioned
+    * on the same key — two shuffles total at any scale, with the final
+    * (cohort, age) rollup bounded by months². Revenue is the exact
+    * decimal sum, cast to double once. */
+  def ordersCohort(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("midx"),
+      dec2(col("o_totalprice")).as("rev"))
+    val first = o.groupBy(col("o_custkey")).agg(min(col("midx")).as("cohort"))
+    o.join(first, Seq("o_custkey"))
+      .groupBy(col("cohort"), (col("midx") - col("cohort")).as("age"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        sum(col("rev")).cast("double").as("revenue"))
+  }
+
   /** Pivot with MULTIPLE aggregates per cell — each (type × {cnt,sum})
     * pair becomes a column; still one shuffle (pivot plans as a single
     * grouped aggregation over the pivoted CASE columns). */
@@ -2130,6 +2152,7 @@ object Relational {
     "ts_seasonal"       -> tsSeasonal _,
     "events_forecast"   -> eventsForecast _,
     "agg_benford"       -> aggBenford _,
+    "orders_cohort"     -> ordersCohort _,
     "win_null_order"    -> winNullOrder _,
     "join_lateral"      -> joinLateral _,
     "set_union_distinct" -> setUnionDistinct _,
@@ -3214,5 +3237,20 @@ object Relational {
             - CAST($expCase AS BIGINT)) AS dev_ppm
         FROM w"""
     },
+    // integer month index both sides; decimal revenue, one double cast
+    "orders_cohort" ->
+      """WITH o AS (
+          SELECT o_custkey,
+            year(o_orderdate) * 12 + month(o_orderdate) AS midx,
+            CAST(o_totalprice AS DECIMAL(18,2)) AS rev
+          FROM orders),
+        f AS (SELECT o_custkey, min(midx) AS cohort FROM o GROUP BY 1)
+        SELECT CAST(f.cohort AS BIGINT) AS cohort,
+          CAST(o.midx - f.cohort AS BIGINT) AS age,
+          count(*) AS n_orders,
+          count(DISTINCT o.o_custkey) AS n_customers,
+          CAST(sum(rev) AS DOUBLE) AS revenue
+        FROM o JOIN f ON o.o_custkey = f.o_custkey
+        GROUP BY 1, 2""",
   )
 }

@@ -438,7 +438,13 @@ class PlanSpec extends SparkSpec {
     "agg_benford" -> 1,
     // events_lag_features: the one user_id exchange every window
     // column shares
-    "events_lag_features" -> 1)
+    "events_lag_features" -> 1,
+    // expect_volume: the one daily-rollup exchange (the trailing
+    // window runs on the bounded day series)
+    "expect_volume" -> 1,
+    // orders_cohort: custkey first-order agg + rejoin + the
+    // countDistinct two-phase (cohort,age) rollup
+    "orders_cohort" -> 3)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
