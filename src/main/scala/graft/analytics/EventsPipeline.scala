@@ -564,8 +564,11 @@ object EventsPipeline {
     * |n·n₇ − Σ₇| · 5 > Σ₇ ⟺ |n − mean₇|/mean₇ > 0.2 — integers only, no
     * float threshold edge. Days with under 3 trailing observations
     * abstain (flag −1): alerting off a 1-2 day baseline is noise. */
-  def expectVolume(s: SparkSession, d: String): DataFrame = {
-    val daily = events(s, d)
+  def expectVolume(s: SparkSession, d: String): DataFrame =
+    expectVolumeOf(events(s, d))
+
+  private[graft] def expectVolumeOf(ev: DataFrame): DataFrame = {
+    val daily = ev
       .select(expr("ts_ns div 86400000000000").as("day"))
       .groupBy(col("day")).agg(count(lit(1)).as("n"))
     val w = Window.orderBy(col("day")).rowsBetween(-7, -1)

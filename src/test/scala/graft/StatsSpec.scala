@@ -80,6 +80,19 @@ class StatsSpec extends SparkSpec {
     assert(fc.getAs[Long]("mae1_num") > 0L) // naive is NOT perfect
   }
 
+  test("volume gate flags a crashed day, abstains in warm-up, passes steady state") {
+    import org.apache.spark.sql.functions.col
+    val day = 86400000000000L
+    // 10 steady days of 100 events, then day 10 crashes to 40 (-60%)
+    val ev = ((0 until 10).flatMap(d => Seq.fill(100)(d.toLong * day)) ++
+      Seq.fill(40)(10L * day)).toDF("ts_ns")
+    val rows = analytics.EventsPipeline.expectVolumeOf(ev).collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Long]("flag")).toMap
+    assert(rows(0L) === -1L && rows(1L) === -1L && rows(2L) === -1L) // warm-up
+    assert((3L to 9L).forall(rows(_) === 0L)) // steady
+    assert(rows(10L) === 1L) // the crash fires
+  }
+
   test("balanced sample keeps exactly min-class rows per label") {
     import org.apache.spark.sql.functions.col
     val out = Curation.sampleBalanced(spark, "/root/testdata/sf0.01")
