@@ -620,10 +620,11 @@ object Similarity {
   private[graft] def pc1Of(emb: DataFrame, iters: Int): Array[Long] =
     pc1WithGram(emb, iters)._1
 
-  private[graft] def pc1WithGram(
-      emb: DataFrame, iters: Int): (Array[Long], Array[Array[BigInt]]) = {
-    val dim = emb.select(size(col("embedding"))).first().getInt(0)
-    val cells = emb
+  /** The distributed stage of the PCA family: upper-triangle gram cells
+    * via a generator expression — NO join anywhere, one exchange
+    * carrying d(d+1)/2 partials per partition (ScaleSpec-asserted). */
+  private[graft] def gramCells(emb: DataFrame, dim: Int): DataFrame =
+    emb
       .repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .select(expr("transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT))").as("q"))
       .select(explode(expr(
@@ -632,7 +633,11 @@ object Similarity {
                 named_struct('i', i, 'j', j, 'p', q[i] * q[j]))))""")).as("c"))
       .groupBy(col("c.i").as("i"), col("c.j").as("j"))
       .agg(sum(col("c.p")).as("g"))
-      .collect()
+
+  private[graft] def pc1WithGram(
+      emb: DataFrame, iters: Int): (Array[Long], Array[Array[BigInt]]) = {
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val cells = gramCells(emb, dim).collect()
     val g = Array.fill(dim, dim)(BigInt(0))
     cells.foreach { r =>
       val (i, j, v) = (r.getInt(0), r.getInt(1), BigInt(r.getLong(2)))

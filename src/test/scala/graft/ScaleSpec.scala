@@ -115,6 +115,21 @@ class ScaleSpec extends SparkSpec {
     assert(found === clusterPairs, s"found=$found expected=$clusterPairs")
   }
 
+  test("PCA gram pass: generator + one exchange, no join, d(d+1)/2 cells") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cells = graft.analytics.Similarity.gramCells(emb, 64)
+    val plan = cells.queryExecution.executedPlan.toString
+    // outer products come from a per-row generator, never a self-join:
+    // the only wide op is the (i,j) partial aggregation
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+    assert(cells.count() === 64L * 65 / 2) // upper triangle incl. diagonal
+    // diagonal cells are sums of squares — strictly positive
+    assert(cells.filter(col("i") === col("j")).filter(col("g") <= 0).count() === 0)
+  }
+
   test("approx_count_distinct lands within 5% of exact (HLL++ scale path)") {
     val ev = Tables.events(spark, "/root/testdata/sf0.01")
     val r = ev.agg(
