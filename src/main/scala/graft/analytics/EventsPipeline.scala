@@ -727,6 +727,27 @@ object EventsPipeline {
         (col("tus") - col("last_click_tus")).as("lag_us"))
   }
 
+  /** As-of join WITH TOLERANCE (pandas merge_asof `tolerance` / kdb
+    * wj semantics): the most recent click is only a valid attribution
+    * if it happened within 30 minutes of the purchase — a stale match
+    * is worse than none (it credits a channel that had nothing to do
+    * with the sale). Same union+one-window spelling as `join_asof`
+    * (one user_id shuffle, no range nested loop); the tolerance is a
+    * pure row predicate AFTER the carry-forward, so it adds zero plan
+    * weight. Out-of-tolerance purchases keep their row with a NULL
+    * click and matched = 0 — dropping them would silently understate
+    * purchase volume downstream. */
+  def joinAsofTol(s: SparkSession, d: String): DataFrame = {
+    val tolUs = 30L * 60 * 1000000
+    joinAsof(s, d)
+      .select(col("purchase_id"), col("user_id"),
+        when(col("lag_us") <= tolUs, col("click_id")).as("click_id"),
+        when(col("lag_us") <= tolUs, col("lag_us")).as("lag_us"),
+        (col("lag_us") <= tolUs).cast("int").cast("long")
+          .as("matched"))
+      .na.fill(0L, Seq("matched"))
+  }
+
   /** Strict-sequence pattern detection (the MATCH_RECOGNIZE shape
     * without the SQL frontend): find every click whose user's NEXT two
     * events are view then purchase, all within 30 minutes of the
@@ -1076,6 +1097,28 @@ object EventsPipeline {
       .withColumn("is_current", col("valid_to_us").isNull.cast("int"))
   }
 
+  /** Point-in-time snapshot over the SCD-2 history (`FOR SYSTEM_TIME
+    * AS OF` / Delta time travel, spelled relationally): each user's
+    * state at the corpus-midpoint instant — the row whose validity
+    * interval covers T. The probe instant is a 1-row scalar broadcast
+    * (exact integer midpoint of the µs range); the interval filter is
+    * a pure row predicate on the already-built history, so the whole
+    * lookup costs one scan over the interval table — the shape that
+    * lets a warehouse serve any AS-OF query without re-sorting. At most
+    * one row per user survives by construction (intervals partition
+    * each user's timeline). */
+  def scdAsof(s: SparkSession, d: String): DataFrame = {
+    val mid = events(s, d)
+      .select(expr("ts_ns div 1000").as("tus"))
+      .agg(expr("(min(tus) + max(tus)) div 2").as("mid_us"))
+    scdIntervals(s, d)
+      .crossJoin(broadcast(mid))
+      .filter(col("valid_from_us") <= col("mid_us") &&
+        (col("valid_to_us").isNull || col("valid_to_us") > col("mid_us")))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("valid_from_us"), col("mid_us"))
+  }
+
   /** Z-order (Morton) clustering key over (user_id, value): each
     * dimension is min/max-normalized into 16-bit rank space FIRST —
     * without that, unequal ranges make the interleave degenerate to a
@@ -1164,6 +1207,7 @@ object EventsPipeline {
     "xml_roundtrip"       -> xmlRoundtrip _,
     "ingest_badrecords"   -> ingestBadrecords _,
     "join_asof"           -> joinAsof _,
+    "join_asof_tol"       -> joinAsofTol _,
     "join_asof_fwd"       -> joinAsofFwd _,
     "events_markov"       -> eventsMarkov _,
     "events_pattern"      -> eventsPattern _,
@@ -1181,6 +1225,7 @@ object EventsPipeline {
     "events_streaks"      -> eventsStreaks _,
     "win_sliding"         -> winSliding _,
     "scd_intervals"       -> scdIntervals _,
+    "scd_asof"            -> scdAsof _,
     "zorder_value"        -> zorderValue _,
   )
 
@@ -1751,6 +1796,33 @@ object EventsPipeline {
             AS sum_id_good
         FROM events GROUP BY event_type""",
     "join_asof" -> asofOracle,
+    // the same carry-forward CTE with the 30-min tolerance predicate
+    // applied after it; unmatched purchases keep a NULL-click row
+    "join_asof_tol" ->
+      s"""WITH base AS ($asofOracle)
+        SELECT purchase_id, user_id,
+          CASE WHEN lag_us <= 1800000000 THEN click_id END AS click_id,
+          CASE WHEN lag_us <= 1800000000 THEN lag_us END AS lag_us,
+          CAST(CASE WHEN lag_us <= 1800000000 THEN 1 ELSE 0 END AS BIGINT)
+            AS matched
+        FROM base""",
+    // same interval CTE as scd_intervals + a 1-row exact-midpoint probe
+    "scd_asof" ->
+      """WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS tus
+          FROM events WHERE user_id IS NOT NULL),
+        iv AS (
+          SELECT user_id, event_id, event_type, tus AS valid_from_us,
+            lead(tus, 1) OVER (PARTITION BY user_id
+              ORDER BY tus, event_id) AS valid_to_us
+          FROM e),
+        m AS (
+          SELECT (min(tus) + max(tus)) // 2 AS mid_us
+          FROM (SELECT epoch_ns(ts) // 1000 AS tus FROM events))
+        SELECT user_id, event_id, event_type, valid_from_us, mid_us
+        FROM iv, m
+        WHERE valid_from_us <= mid_us
+          AND (valid_to_us IS NULL OR valid_to_us > mid_us)""",
     "events_pattern" ->
       """WITH e AS (
           SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tus

@@ -60,7 +60,9 @@ class PlanSpec extends SparkSpec {
       // privacy_tcloseness (global sensitive distribution, 1 row),
       // sample_balanced (min-class scalar)
       "stats_chi2", "events_cooccur", "privacy_tcloseness",
-      "sample_balanced")
+      "sample_balanced",
+      // scd_asof: crossJoin(broadcast(1-row exact-midpoint probe))
+      "scd_asof")
 
   private val streaming =
     Set("stream_hourly", "stream_session", "stream_session_multibatch",
@@ -444,7 +446,12 @@ class PlanSpec extends SparkSpec {
     "expect_volume" -> 1,
     // orders_cohort: custkey first-order agg + rejoin + the
     // countDistinct two-phase (cohort,age) rollup
-    "orders_cohort" -> 3)
+    "orders_cohort" -> 3,
+    // join_asof_tol: the same single user_id carry-forward exchange
+    // as join_asof (tolerance is a row predicate after it)
+    "join_asof_tol" -> 1,
+    // scd_asof: the one user_id interval window exchange
+    "scd_asof" -> 1)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
