@@ -1574,6 +1574,43 @@ object Relational {
       ON CAST(date_trunc('MONTH', o_orderdate) AS DATE) = m
     GROUP BY m"""
 
+  /** SQL-defined scalar functions (Spark 4 `CREATE FUNCTION … RETURN
+    * expr`, SPARK-44837) — the declarative UDF tier that beats every
+    * Scala UDF: the body is INLINED into the plan at analysis time, so
+    * it codegens, pushes down, and costs exactly what the expression
+    * costs (a black-box closure does none of that). Two functions —
+    * integer cents and a price band — used through a grouped
+    * aggregation; DuckDB's oracle spells the bodies inline, proving
+    * the function layer adds nothing semantically. */
+  def sqlUdf(s: SparkSession, d: String): DataFrame = {
+    events(s, d).createOrReplaceTempView("events")
+    s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_cents(x DOUBLE) " +
+      "RETURNS BIGINT RETURN CAST(floor(abs(x) * 100) AS BIGINT)")
+    s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_band(x DOUBLE) " +
+      "RETURNS STRING RETURN CASE WHEN x < 50 THEN 'low' " +
+      "WHEN x < 200 THEN 'mid' ELSE 'high' END")
+    s.sql("""SELECT event_type, graft_band(value) AS band,
+        count(*) AS n, sum(graft_cents(value)) AS sum_cents
+      FROM events GROUP BY 1, 2""")
+  }
+
+  /** SQL-defined TABLE function (`RETURNS TABLE`) — the declarative
+    * UDTF: a derived hour spine `FROM graft_hours(24)` left-joined to
+    * the hourly rollup so EMPTY hours surface as zero rows (the
+    * gapfill shape a bare GROUP BY cannot produce). The spine is
+    * planned as a one-row-seed projection — no data motion; the rollup
+    * is the only exchange. */
+  def sqlUdtf(s: SparkSession, d: String): DataFrame = {
+    events(s, d).createOrReplaceTempView("events")
+    s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_hours(n INT) " +
+      "RETURNS TABLE (h BIGINT) " +
+      "RETURN SELECT explode(sequence(0, CAST(n AS BIGINT) - 1))")
+    s.sql("""SELECT g.h, count(e.hod) AS n_events
+      FROM graft_hours(24) g
+      LEFT JOIN (SELECT hour(ts) AS hod FROM events) e ON e.hod = g.h
+      GROUP BY g.h""")
+  }
+
   def sqlRecursive(s: SparkSession, d: String): DataFrame = {
     orders(s, d).createOrReplaceTempView("orders")
     s.sql(recursiveShared)
@@ -2142,6 +2179,8 @@ object Relational {
     "source_kafka_shaped" -> sourceKafkaShaped _,
     "sql_text"          -> sqlText _,
     "sql_recursive"     -> sqlRecursive _,
+    "sql_udf"           -> sqlUdf _,
+    "sql_udtf"          -> sqlUdtf _,
     "sql_params"        -> sqlParams _,
     "xml_scalar"        -> xmlScalar _,
     "set_intersect_all" -> setIntersectAll _,
@@ -2993,6 +3032,22 @@ object Relational {
     // the SAME string spark.sql executes — SQL front-end parity
     "sql_text" -> sqlTextShared,
     "sql_recursive" -> recursiveShared,
+    // the SQL-UDF bodies inlined — the function layer is pure sugar
+    "sql_udf" ->
+      """SELECT event_type,
+          CASE WHEN value < 50 THEN 'low'
+            WHEN value < 200 THEN 'mid' ELSE 'high' END AS band,
+          count(*) AS n,
+          CAST(sum(CAST(floor(abs(value) * 100) AS BIGINT)) AS BIGINT)
+            AS sum_cents
+        FROM events GROUP BY 1, 2""",
+    // generate_series is DuckDB's native spine; LEFT JOIN keeps empty
+    // hours exactly like the table-function spelling
+    "sql_udtf" ->
+      """SELECT g.h, count(e.hod) AS n_events
+        FROM (SELECT unnest(generate_series(0, 23)) AS h) g
+        LEFT JOIN (SELECT hour(ts) AS hod FROM events) e ON e.hod = g.h
+        GROUP BY g.h""",
     // the oracle inlines the bound parameters as literals
     "sql_params" ->
       """SELECT o_orderpriority, count(*) AS cnt,

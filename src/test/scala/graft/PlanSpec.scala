@@ -451,7 +451,12 @@ class PlanSpec extends SparkSpec {
     // as join_asof (tolerance is a row predicate after it)
     "join_asof_tol" -> 1,
     // scd_asof: the one user_id interval window exchange
-    "scd_asof" -> 1)
+    "scd_asof" -> 1,
+    // sql_udf: the one grouped-agg exchange (the SQL-defined function
+    // bodies inline into the scan projection — PlanSpec's point)
+    "sql_udf" -> 1,
+    // sql_udtf: the spine join's grouped rollup
+    "sql_udtf" -> 1)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")

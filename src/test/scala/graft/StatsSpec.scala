@@ -80,6 +80,18 @@ class StatsSpec extends SparkSpec {
     assert(fc.getAs[Long]("mae1_num") > 0L) // naive is NOT perfect
   }
 
+  test("SQL-defined UDFs inline into the plan: no ScalaUDF, codegen intact") {
+    val df = analytics.Relational.sqlUdf(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // the function bodies must be expressions in the plan, not opaque
+    // closures — ScalaUDF/BatchEvalPython would kill codegen+pushdown;
+    // the bodies themselves must be visible as plain expressions
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEval"), plan)
+    assert(plan.contains("CASE WHEN") && plan.contains("FLOOR"), plan)
+    val tf = analytics.Relational.sqlUdtf(spark, "/root/testdata/sf0.001")
+    assert(tf.count() === 24) // empty hours included by the spine join
+  }
+
   test("volume gate flags a crashed day, abstains in warm-up, passes steady state") {
     import org.apache.spark.sql.functions.col
     val day = 86400000000000L
