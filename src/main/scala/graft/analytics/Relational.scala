@@ -1611,6 +1611,25 @@ object Relational {
       GROUP BY g.h""")
   }
 
+  /** SQL pipe syntax (Spark 4 `|>`, SPARK-49555) — the linear query
+    * front end (scan |> filter |> aggregate |> project), compiled to
+    * the identical logical plan as nested SELECTs; the projection step
+    * also exercises lateral column aliases (`cents` referenced by the
+    * very next expression in the same SELECT list). The oracle runs
+    * the classical spelling — same rows, proving the surface is pure
+    * syntax. */
+  def sqlPipe(s: SparkSession, d: String): DataFrame = {
+    events(s, d).createOrReplaceTempView("events")
+    s.sql("""FROM events
+      |> WHERE value IS NOT NULL AND value >= 1.0
+      |> AGGREGATE count(*) AS n,
+           sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+           GROUP BY event_type
+      |> SELECT event_type, n, cents,
+           CAST(cents AS DOUBLE) / n AS mean_cents,
+           mean_cents / 100.0 AS mean_dollars""")
+  }
+
   def sqlRecursive(s: SparkSession, d: String): DataFrame = {
     orders(s, d).createOrReplaceTempView("orders")
     s.sql(recursiveShared)
@@ -2181,6 +2200,7 @@ object Relational {
     "sql_recursive"     -> sqlRecursive _,
     "sql_udf"           -> sqlUdf _,
     "sql_udtf"          -> sqlUdtf _,
+    "sql_pipe"          -> sqlPipe _,
     "sql_params"        -> sqlParams _,
     "xml_scalar"        -> xmlScalar _,
     "set_intersect_all" -> setIntersectAll _,
@@ -3041,6 +3061,18 @@ object Relational {
           CAST(sum(CAST(floor(abs(value) * 100) AS BIGINT)) AS BIGINT)
             AS sum_cents
         FROM events GROUP BY 1, 2""",
+    // the classical spelling of the pipe query (same rows — the pipe
+    // front end is pure syntax); mean chain mirrors the lateral alias
+    "sql_pipe" ->
+      """WITH agg AS (
+          SELECT event_type, count(*) AS n,
+            CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM events WHERE value IS NOT NULL AND value >= 1.0
+          GROUP BY event_type)
+        SELECT event_type, n, cents,
+          CAST(cents AS DOUBLE) / n AS mean_cents,
+          CAST(cents AS DOUBLE) / n / 100.0 AS mean_dollars
+        FROM agg""",
     // generate_series is DuckDB's native spine; LEFT JOIN keeps empty
     // hours exactly like the table-function spelling
     "sql_udtf" ->

@@ -456,7 +456,10 @@ class PlanSpec extends SparkSpec {
     // bodies inline into the scan projection — PlanSpec's point)
     "sql_udf" -> 1,
     // sql_udtf: the spine join's grouped rollup
-    "sql_udtf" -> 1)
+    "sql_udtf" -> 1,
+    // sql_pipe: the one grouped-agg exchange (pipe syntax compiles to
+    // the identical plan as the nested spelling)
+    "sql_pipe" -> 1)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
