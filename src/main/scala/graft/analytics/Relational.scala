@@ -1889,6 +1889,64 @@ object Relational {
         col("exp_ppm"), abs(col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
   }
 
+  /** ABC (Pareto) classification of parts by revenue — the inventory
+    * 80/15/5 cut: rank parts by revenue, classify by cumulative share.
+    * The ranking window runs over the aggregated PART dimension (the
+    * curriculum_buckets argument: a catalog is bounded at any fact
+    * scale — lineitem only feeds the grouped decimal sums), and the
+    * class gates compare EXACT decimals in multiply-through form
+    * (cum·100 ≤ total·80 — no float share edge). Output is the 3-row
+    * class rollup, revenue cast to double once. */
+  def ordersAbc(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec2(col("l_extendedprice"))).as("rev"))
+    val wCum = Window.orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy()
+    rev
+      .withColumn("cum", sum(col("rev")).over(wCum))
+      .withColumn("total", sum(col("rev")).over(wTot))
+      .withColumn("cls",
+        when(col("cum") * 100 <= col("total") * 80, "A")
+          .when(col("cum") * 100 <= col("total") * 95, "B")
+          .otherwise("C"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev")).cast("double").as("revenue"))
+  }
+
+  /** Gini coefficient of the event-value distribution — the inequality
+    * one-number (0 = uniform spend, →1 = a few whales) every
+    * consumption pipeline reports. Computed EXACTLY from the BOUNDED
+    * cents histogram (the stats_ks move: the cumulative pass runs over
+    * distinct values, never rows): with bins sorted ascending,
+    * Σᵢ i·xᵢ = Σ_bins v·(c·prevCum + c(c+1)/2) in BIGINT, and
+    * G = 2·Σᵢi·xᵢ/(n·S) − (n+1)/n as a fixed double tree on exact
+    * integers. One data-sized shuffle (the histogram). */
+  def aggGini(s: SparkSession, d: String): DataFrame =
+    aggGiniOf(events(s, d))
+
+  private[graft] def aggGiniOf(ev: DataFrame): DataFrame = {
+    val hist = ev
+      .select(expr("CAST(floor(abs(value) * 100) AS BIGINT)").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("prev", col("cum") - col("c"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("v") * col("c")).as("s"),
+        sum(col("v") * (col("c") * col("prev")
+          + expr("(c * (c + 1)) div 2"))).as("sum_ix"))
+      .selectExpr("n", "s", "sum_ix",
+        // 2·sum_ix stays an exact BIGINT; ONE double cast then two
+        // divisions — `2.0 * x` would promote to DECIMAL with
+        // engine-specific scale rules and round differently
+        "CAST(2 * sum_ix AS DOUBLE) / n / s - CAST(n + 1 AS DOUBLE) / n AS gini")
+  }
+
   /** Cohort revenue curves — the subscription-analytics staple on the
     * star schema: customers grouped by first-order month, revenue
     * tracked by months-since-acquisition. Month index is pure integer
@@ -2212,6 +2270,8 @@ object Relational {
     "events_forecast"   -> eventsForecast _,
     "agg_benford"       -> aggBenford _,
     "orders_cohort"     -> ordersCohort _,
+    "orders_abc"        -> ordersAbc _,
+    "agg_gini"          -> aggGini _,
     "win_null_order"    -> winNullOrder _,
     "join_lateral"      -> joinLateral _,
     "set_union_distinct" -> setUnionDistinct _,
@@ -3324,6 +3384,42 @@ object Relational {
             - CAST($expCase AS BIGINT)) AS dev_ppm
         FROM w"""
     },
+    // exact-decimal multiply-through class gates over the part dim
+    "orders_abc" ->
+      """WITH rev AS (
+          SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+          FROM lineitem GROUP BY 1),
+        c AS (
+          SELECT rev,
+            sum(rev) OVER (ORDER BY rev DESC, l_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            sum(rev) OVER () AS total
+          FROM rev)
+        SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+            WHEN cum * 100 <= total * 95 THEN 'B' ELSE 'C' END AS cls,
+          count(*) AS n_parts,
+          CAST(sum(rev) AS DOUBLE) AS revenue
+        FROM c GROUP BY 1""",
+    // same bounded-histogram expansion; identical double tree
+    "agg_gini" ->
+      """WITH hist AS (
+          SELECT CAST(floor(abs(value) * 100) AS BIGINT) AS v, count(*) AS c
+          FROM events GROUP BY 1),
+        k AS (
+          SELECT v, c,
+            sum(c) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM hist),
+        agg AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n,
+            CAST(sum(v * c) AS BIGINT) AS s,
+            CAST(sum(v * (c * (cum - c) + (c * (c + 1)) // 2)) AS BIGINT)
+              AS sum_ix
+          FROM k)
+        SELECT n, s, sum_ix,
+          CAST(2 * sum_ix AS DOUBLE) / n / s
+            - CAST(n + 1 AS DOUBLE) / n AS gini
+        FROM agg""",
     // integer month index both sides; decimal revenue, one double cast
     "orders_cohort" ->
       """WITH o AS (

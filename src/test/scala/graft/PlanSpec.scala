@@ -459,7 +459,13 @@ class PlanSpec extends SparkSpec {
     "sql_udtf" -> 1,
     // sql_pipe: the one grouped-agg exchange (pipe syntax compiles to
     // the identical plan as the nested spelling)
-    "sql_pipe" -> 1)
+    "sql_pipe" -> 1,
+    // orders_abc: partkey revenue agg + the 3-class rollup (both
+    // ranking windows run on the bounded part dimension)
+    "orders_abc" -> 2,
+    // agg_gini: the one cents-histogram exchange (the cumulative pass
+    // runs on the bounded distinct-value domain)
+    "agg_gini" -> 1)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")

@@ -105,6 +105,16 @@ class StatsSpec extends SparkSpec {
     assert(rows(10L) === 1L) // the crash fires
   }
 
+  test("gini: exactly 0 on a uniform distribution, (n-1)/n on one whale") {
+    val uniform = Seq.fill(50)(2.5).toDF("value")
+    val g0 = analytics.Relational.aggGiniOf(uniform).collect().head
+    assert(g0.getAs[Double]("gini") === 0.0)
+    // 49 zero-value rows + one whale: the discrete maximum (n-1)/n
+    val whale = (Seq.fill(49)(0.0) ++ Seq(100.0)).toDF("value")
+    val g1 = analytics.Relational.aggGiniOf(whale).collect().head
+    assert(math.abs(g1.getAs[Double]("gini") - 49.0 / 50.0) < 1e-12)
+  }
+
   test("balanced sample keeps exactly min-class rows per label") {
     import org.apache.spark.sql.functions.col
     val out = Curation.sampleBalanced(spark, "/root/testdata/sf0.01")
