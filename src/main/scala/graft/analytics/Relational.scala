@@ -1611,6 +1611,22 @@ object Relational {
       GROUP BY g.h""")
   }
 
+  /** DataFrame.transpose (Spark 4.0, SPARK-47081) — the metrics-report
+    * pivot: a (type × metric) aggregate flipped so metrics become rows
+    * and types become columns, the shape dashboards and diff tools
+    * want. Transpose collects the FIRST COLUMN's values to name the
+    * output columns — sound here because the header domain is the
+    * bounded event-type dimension (never data-sized); the input is
+    * pre-aggregated, so the flip itself is driver-trivial. The oracle
+    * spells the transposed table as conditional aggregates. */
+  def dfTranspose(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(abs(value) * 100) AS BIGINT)")).as("cents"))
+      .orderBy(col("event_type"))
+      .transpose()
+
   /** SQL pipe syntax (Spark 4 `|>`, SPARK-49555) — the linear query
     * front end (scan |> filter |> aggregate |> project), compiled to
     * the identical logical plan as nested SELECTs; the projection step
@@ -2259,6 +2275,7 @@ object Relational {
     "sql_udf"           -> sqlUdf _,
     "sql_udtf"          -> sqlUdtf _,
     "sql_pipe"          -> sqlPipe _,
+    "df_transpose"      -> dfTranspose _,
     "sql_params"        -> sqlParams _,
     "xml_scalar"        -> xmlScalar _,
     "set_intersect_all" -> setIntersectAll _,
@@ -3121,6 +3138,23 @@ object Relational {
           CAST(sum(CAST(floor(abs(value) * 100) AS BIGINT)) AS BIGINT)
             AS sum_cents
         FROM events GROUP BY 1, 2""",
+    // the transposed table spelled as conditional aggregates, one row
+    // per former metric column
+    "df_transpose" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      def row(metric: String) =
+        s"SELECT '$metric' AS key, " + types.map(t =>
+          s"max(CASE WHEN event_type = '$t' THEN $metric END) AS $t")
+          .mkString(", ") + " FROM agg"
+      s"""WITH agg AS (
+          SELECT event_type, count(*) AS n,
+            CAST(sum(CAST(floor(abs(value) * 100) AS BIGINT)) AS BIGINT)
+              AS cents
+          FROM events GROUP BY 1)
+        ${row("n")}
+        UNION ALL
+        ${row("cents")}"""
+    },
     // the classical spelling of the pipe query (same rows — the pipe
     // front end is pure syntax); mean chain mirrors the lateral alias
     "sql_pipe" ->
