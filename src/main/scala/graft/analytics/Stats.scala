@@ -222,7 +222,34 @@ object Stats {
         "(mean1 - mean2) / sqrt(se2) AS t_stat",
         "(se2 * se2) / ((v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1)) AS dof_welch")
 
+  /** Winsorized mean per event type — the robust location estimate
+    * between the raw mean (unbounded breakdown) and the median
+    * (discards magnitude): clamp to the [p05, p95] percentile band,
+    * then average. Two passes: a tiny per-type percentile agg
+    * broadcast back over the scan (the anomaly_mad shape), then the
+    * clamped mean through the repo's exact lane — DECIMAL cast before
+    * summing (identical doubles → identical decimals, order-free),
+    * one double division. Interpolated percentiles over identical
+    * doubles are cross-engine exact (anomaly_mad precedent). */
+  def aggWinsorize(s: SparkSession, d: String): DataFrame = {
+    val clean = Tables.events(s, d)
+      .filter(col("value").isNotNull && !isnan(col("value")))
+    val bands = clean.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.05)").as("p05"),
+        expr("percentile(value, 0.95)").as("p95"))
+    clean.join(broadcast(bands), Seq("event_type"))
+      .withColumn("w", Tables.dec2(
+        least(greatest(col("value"), col("p05")), col("p95"))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(col("p05")).as("p05"), max(col("p95")).as("p95"),
+        (sum(col("w")).cast("double") / count(lit(1))).as("win_mean"),
+        (sum(Tables.dec2(col("value"))).cast("double") / count(lit(1)))
+          .as("raw_mean"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_winsorize" -> aggWinsorize _,
     "win_ewma"     -> winEwma _,
     "anomaly_cusum" -> anomalyCusum _,
     "anomaly_mad"  -> anomalyMad _,
@@ -233,6 +260,23 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    // same two-pass clamp; quantile_cont == Spark's interpolated
+    // percentile on identical doubles (anomaly_mad precedent)
+    "agg_winsorize" ->
+      """WITH e AS (
+          SELECT event_type, value FROM events
+          WHERE value IS NOT NULL AND NOT isnan(value)),
+        b AS (
+          SELECT event_type, quantile_cont(value, 0.05) AS p05,
+            quantile_cont(value, 0.95) AS p95
+          FROM e GROUP BY 1)
+        SELECT e.event_type, count(*) AS n,
+          max(b.p05) AS p05, max(b.p95) AS p95,
+          CAST(sum(CAST(least(greatest(e.value, b.p05), b.p95)
+            AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS win_mean,
+          CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+            AS raw_mean
+        FROM e JOIN b USING (event_type) GROUP BY 1""",
     // same bounded-cell spelling: one contingency count, window-sum
     // marginals, centi-unit integer expected counts, exact BIGINT χ²
     // accumulation; `//` == Spark's `div` (all operands nonnegative)

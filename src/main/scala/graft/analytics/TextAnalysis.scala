@@ -666,8 +666,59 @@ object TextAnalysis {
         (col("hapax").cast("double") / col("vocab").cast("double"))
           .as("hapax_rate"))
 
+  /** Feature hashing (Weinberger 2009) — the vectorizer that needs NO
+    * vocabulary pass: token → bucket by md5 mod k (k=32), emitted in
+    * the SPARSE (doc, bucket, count) triple form — the representation
+    * that actually scales (a dense k-wide array per doc ships zeros;
+    * the triple form ships only occupied buckets, and downstream ML
+    * joins consume triples anyway). One (doc, bucket) aggregation,
+    * partial-aggregated map-side. The md5-hex→int bucket arithmetic is
+    * engine-portable where a murmur hash is not. */
+  def textFeatureHash(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(tok), 1, 6), 16, 10) AS BIGINT) % 32")
+          .as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Token-pair association (log-free PMI — the lift form): for the
+    * top-50 vocabulary, how often do two tokens share a document vs
+    * what independence predicts? lift = n_ab·N / (n_a·n_b) — the word-
+    * association miner behind collocation detection and topic seeding.
+    * The vocabulary CAP is the scale valve (the |V|² pair space is
+    * meaningless and quadratic uncapped): top-50 broadcasts, each doc
+    * contributes ≤ C(50,2) pairs from its DISTINCT capped tokens, and
+    * the pair rollup partial-aggregates. Same multiply-through lift as
+    * events_cooccur. */
+  def textPairLift(s: SparkSession, d: String): DataFrame = {
+    val top = vocabBuild(s, d, 50).select(col("token"))
+    val incid = documents(s, d)
+      .select(col("doc_id"), explode(toks).as("token"))
+      .join(broadcast(top), Seq("token"))
+      .distinct()
+      .persist()
+    val nDocs = incid.select(countDistinct(col("doc_id")).as("n_docs"))
+    val marg = incid.groupBy(col("token")).agg(count(lit(1)).as("n_t"))
+    incid.toDF("tok_a", "doc_id")
+      .join(incid.toDF("tok_b", "doc_id"), Seq("doc_id"))
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+      .join(broadcast(marg.toDF("tok_a", "n_a")), Seq("tok_a"))
+      .join(broadcast(marg.toDF("tok_b", "n_b")), Seq("tok_b"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_docs"),
+        ((col("n_ab") * col("n_docs")).cast("double")
+          / (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_hapax"        -> textHapax _,
+    "text_feature_hash" -> textFeatureHash _,
+    "text_pair_lift"    -> textPairLift _,
     "url_parse"         -> urlParse _,
     "text_blocklist"    -> textBlocklist _,
     "curriculum_buckets" -> curriculumBuckets _,
@@ -701,6 +752,41 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    // same md5-prefix bucket arithmetic via the ('0x'||hex)::BIGINT lane
+    "text_feature_hash" ->
+      """SELECT doc_id,
+          ('0x' || substr(md5(tok), 1, 6))::BIGINT % 32 AS bucket,
+          count(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY 1, 2""",
+    // same top-50 cap, distinct incidences, and multiply-through lift
+    "text_pair_lift" ->
+      """WITH tf AS (
+          SELECT tok AS token, count(*) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+          GROUP BY 1),
+        top AS (
+          SELECT token FROM tf ORDER BY cnt DESC, token LIMIT 50),
+        incid AS (
+          SELECT DISTINCT doc_id, tok AS token FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+          WHERE tok IN (SELECT token FROM top)),
+        nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM incid),
+        marg AS (SELECT token, count(*) AS n_t FROM incid GROUP BY 1),
+        pairs AS (
+          SELECT a.token AS tok_a, b.token AS tok_b, count(*) AS n_ab
+          FROM incid a JOIN incid b
+            ON a.doc_id = b.doc_id AND a.token < b.token
+          GROUP BY 1, 2 HAVING count(*) >= 5)
+        SELECT tok_a, tok_b, n_ab, ma.n_t AS n_a, mb.n_t AS n_b, n_docs,
+          CAST(n_ab * n_docs AS DOUBLE)
+            / CAST(ma.n_t * mb.n_t AS DOUBLE) AS lift
+        FROM pairs
+        JOIN marg ma ON ma.token = tok_a
+        JOIN marg mb ON mb.token = tok_b
+        CROSS JOIN nd""",
     "text_hapax" ->
       """WITH tf AS (
           SELECT source, tok, count(*) AS tf FROM (

@@ -62,7 +62,9 @@ class PlanSpec extends SparkSpec {
       "stats_chi2", "events_cooccur", "privacy_tcloseness",
       "sample_balanced",
       // scd_asof: crossJoin(broadcast(1-row exact-midpoint probe))
-      "scd_asof")
+      "scd_asof",
+      // text_pair_lift: crossJoin(broadcast(1-row n_docs scalar))
+      "text_pair_lift")
 
   private val streaming =
     Set("stream_hourly", "stream_session", "stream_session_multibatch",
@@ -465,7 +467,17 @@ class PlanSpec extends SparkSpec {
     "orders_abc" -> 2,
     // agg_gini: the one cents-histogram exchange (the cumulative pass
     // runs on the bounded distinct-value domain)
-    "agg_gini" -> 1)
+    "agg_gini" -> 1,
+    // agg_winsorize: the percentile-band agg + the clamped-mean rollup
+    "agg_winsorize" -> 2,
+    // text_feature_hash: the one (doc, bucket) rollup
+    "text_feature_hash" -> 1,
+    // text_pair_lift: static multiplicity of the persisted capped
+    // incidence table (vocab agg + top-50 sort feed the broadcast cap,
+    // and the incidences appear in both self-join sides + marginals +
+    // n_docs — the graph_triangles pattern); at runtime the persist
+    // collapses them to one pass + the pair rollup
+    "text_pair_lift" -> 14)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
