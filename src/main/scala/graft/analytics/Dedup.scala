@@ -683,6 +683,40 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** Bloom-prescreened incremental exact dedup — the shape the daily
+    * "is it already in the lake" check takes at 100 TB: the corpus
+    * fingerprint index folds into a `bloom_filter_agg` (a few MB
+    * broadcast regardless of corpus size), `might_contain` screens the
+    * ingest batch SCAN-SIDE (definite-new docs never join anything —
+    * at a typical ~1% dup rate that's ~99% of the batch skipping the
+    * shuffle), and only the bloom-positive residue anti-joins the
+    * exact index to clear false positives. Bloom false NEGATIVES are
+    * impossible, so the output is BIT-IDENTICAL to the plain anti-join
+    * — which is exactly what the oracle runs (the sketch is a plan
+    * optimization, not a semantic). */
+  def dedupIncrementalBloom(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftExtensions.registerAll(s)
+    val docs = documents(s, d)
+    docs.filter(col("doc_id") < 400)
+      .select(md5(lower(col("text"))).as("fp")).distinct()
+      .createOrReplaceTempView("graft_corpus_fp")
+    docs.filter(col("doc_id") >= 400)
+      .withColumn("fp", md5(lower(col("text"))))
+      .createOrReplaceTempView("graft_ingest_batch")
+    // might_contain demands the sketch as a SCALAR SUBQUERY (the same
+    // contract the optimizer's injected runtime filters satisfy) —
+    // Spark plans it as a reusable subquery broadcast to every task
+    val screen = "bloom_contains((SELECT bloom_agg(xxhash64(fp), " +
+      "1000L, 8000L) FROM graft_corpus_fp), xxhash64(fp))"
+    val definiteNew = s.sql(
+      s"SELECT doc_id, lang, source FROM graft_ingest_batch WHERE NOT $screen")
+    val residue = s.sql(
+      s"SELECT doc_id, lang, source, fp FROM graft_ingest_batch WHERE $screen")
+      .join(s.table("graft_corpus_fp"), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+    definiteNew.unionByName(residue)
+  }
+
   /** Cross-source duplication matrix — which feeds copy each other:
     * MinHash near-dup pairs joined back to each side's `source`,
     * rolled up per unordered source pair. The curation decision this
@@ -711,6 +745,7 @@ object Dedup {
     "dedup_incremental" -> dedupIncremental _,
     "dedup_ngram"     -> dedupNgram _,
     "dedup_containment" -> dedupContainment _,
+    "dedup_incremental_bloom" -> dedupIncrementalBloom _,
     "graph_labelprop" -> graphLabelprop _,
     "dedup_minhash"   -> dedupMinhash _,
     "dedup_simhash"   -> dedupSimhash _,
@@ -801,6 +836,16 @@ object Dedup {
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
+    // the bloom prescreen is a plan optimization with zero false
+    // negatives — the semantic IS the plain exact anti-join
+    "dedup_incremental_bloom" ->
+      """WITH corpus AS (
+          SELECT DISTINCT md5(lower(text)) AS fp FROM documents
+          WHERE doc_id < 400)
+        SELECT doc_id, lang, source
+        FROM (SELECT doc_id, lang, source, md5(lower(text)) AS fp
+              FROM documents WHERE doc_id >= 400) b
+        WHERE fp NOT IN (SELECT fp FROM corpus)""",
     // same capped universe as dedup_ngram; exact 10*inter >= 8*min gate
     "dedup_containment" ->
       s"""$shCte,

@@ -70,6 +70,24 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(
           s"int_cusum expects a literal drift, got $other")
       }),
+    // Spark's own bloom sketch pair, surfaced to SQL: the optimizer
+    // injects these for runtime join filters but does not register
+    // them for direct use — registering the SAME expressions lets a
+    // query build an explicit corpus prescreen (dedup_incremental_bloom)
+    ("bloom_agg",
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (es: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          es(0), es(1), es(2)).toAggregateExpression()),
+    ("bloom_contains",
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_contains"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          es(0), es(1))),
   )
 
   /** Register into a live session's function registry (temp functions). */

@@ -167,6 +167,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(varExp > 0.999, s"var_explained $varExp")
   }
 
+  test("bloom-prescreened incremental dedup = exact anti-join, sketch in plan") {
+    val d = "/root/testdata/sf0.01"
+    val bloomed = Dedup.dedupIncrementalBloom(spark, d)
+    // the sketch is a plan optimization with zero false negatives:
+    // output must be bit-identical to the plain exact anti-join
+    val plain = graft.Tables.documents(spark, d)
+      .filter(col("doc_id") >= 400)
+      .withColumn("fp", md5(lower(col("text"))))
+      .join(graft.Tables.documents(spark, d).filter(col("doc_id") < 400)
+        .select(md5(lower(col("text"))).as("fp")).distinct(),
+        Seq("fp"), "left_anti")
+      .select(col("doc_id"))
+    val got = bloomed.select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = plain.collect().map(_.getLong(0)).toSet
+    assert(got === want)
+    assert(bloomed.queryExecution.executedPlan.toString
+      .contains("might_contain"))
+  }
+
   test("label propagation keeps bridged communities apart where CC merges them") {
     import spark.implicits._
     // two triangles {1,2,3} and {10,11,12} bridged by one spurious

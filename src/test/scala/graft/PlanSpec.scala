@@ -477,7 +477,12 @@ class PlanSpec extends SparkSpec {
     // and the incidences appear in both self-join sides + marginals +
     // n_docs — the graph_triangles pattern); at runtime the persist
     // collapses them to one pass + the pair rollup
-    "text_pair_lift" -> 14)
+    "text_pair_lift" -> 14,
+    // dedup_incremental_bloom: the corpus-fp distinct appears in the
+    // scalar-subquery sketch, the residue anti-join, and both screen
+    // branches (static multiplicity); at runtime the reused subquery
+    // + one anti-join remain
+    "dedup_incremental_bloom" -> 5)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
