@@ -717,6 +717,29 @@ object Dedup {
     definiteNew.unionByName(residue)
   }
 
+  /** Per-doc novelty rate under ingest order — the redundancy-growth
+    * curve a crawl pipeline watches: each 5-gram shingle is OWNED by
+    * the lowest doc_id containing it (first arrival), and a document's
+    * novelty is the fraction of its shingles it owns. A corpus whose
+    * late docs trend toward zero novelty has stopped contributing
+    * content — the signal to stop crawling a source, complementary to
+    * pairwise dedup (which only sees near-identical PAIRS, not diffuse
+    * corpus-wide re-use). One shingle aggregation (min owner) joined
+    * back on the shingle key, then a per-doc rollup — both shuffles
+    * carry (shingle/doc, long) pairs only. */
+  def textNovelty(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d).persist()
+    val owner = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("owner"))
+    sh.join(owner, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+  }
+
   /** Cross-source duplication matrix — which feeds copy each other:
     * MinHash near-dup pairs joined back to each side's `source`,
     * rolled up per unordered source pair. The curation decision this
@@ -746,6 +769,7 @@ object Dedup {
     "dedup_ngram"     -> dedupNgram _,
     "dedup_containment" -> dedupContainment _,
     "dedup_incremental_bloom" -> dedupIncrementalBloom _,
+    "text_novelty"    -> textNovelty _,
     "graph_labelprop" -> graphLabelprop _,
     "dedup_minhash"   -> dedupMinhash _,
     "dedup_simhash"   -> dedupSimhash _,
@@ -836,6 +860,17 @@ object Dedup {
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
+    // same first-arrival ownership over the shared shingle CTE
+    "text_novelty" ->
+      s"""$shCte,
+        owner AS (SELECT shingle, min(doc_id) AS owner FROM sh GROUP BY 1)
+        SELECT sh.doc_id, count(*) AS n_shingles,
+          CAST(sum(CASE WHEN owner.owner = sh.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+          CAST(sum(CASE WHEN owner.owner = sh.doc_id THEN 1 ELSE 0 END)
+            AS DOUBLE) / count(*) AS novelty
+        FROM sh JOIN owner ON owner.shingle = sh.shingle
+        GROUP BY sh.doc_id""",
     // the bloom prescreen is a plan optimization with zero false
     // negatives — the semantic IS the plain exact anti-join
     "dedup_incremental_bloom" ->

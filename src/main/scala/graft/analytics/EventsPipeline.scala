@@ -581,6 +581,31 @@ object EventsPipeline {
           .otherwise(0L).as("flag"))
   }
 
+  /** Cardinality expectation (GE's `expect_column_unique_value_count_
+    * to_be_between`) — the schema-drift tripwire value checks miss: a
+    * type column suddenly carrying 50 distinct values means an
+    * upstream enum exploded, whatever each row looks like. Three
+    * columns' EXACT distinct counts in one aggregation pass (no
+    * approx: the gate must not flap), bounds as literals, verdicts as
+    * INT. The unpivot to (column, …) rows keeps the output shape
+    * stable as columns are added. */
+  def expectCardinality(s: SparkSession, d: String): DataFrame = {
+    val agg = events(s, d).agg(
+      countDistinct(col("event_type")).as("c_type"),
+      countDistinct(col("user_id")).as("c_user"),
+      countDistinct(col("event_id")).as("c_id"),
+      count(lit(1)).as("n"))
+    agg.selectExpr(
+      """stack(3,
+        'event_type', c_type, 3L, 10L,
+        'user_id', c_user, 10L, n,
+        'event_id', c_id, n, n) AS (col_name, n_distinct, lo, hi)""",
+      "n")
+      .select(col("col_name"), col("n_distinct"), col("lo"), col("hi"),
+        (col("n_distinct") >= col("lo") && col("n_distinct") <= col("hi"))
+          .cast("int").cast("long").as("ok"))
+  }
+
   /** Null-preserving generator (explode_outer): documents whose filter
     * yields an EMPTY array still emit one null-token row — with plain
     * explode they vanish from the output entirely, the classic silent
@@ -1185,6 +1210,7 @@ object EventsPipeline {
     "events_cooccur"      -> eventsCooccur _,
     "events_lag_features" -> eventsLagFeatures _,
     "expect_volume"       -> expectVolume _,
+    "expect_cardinality"  -> expectCardinality _,
     "json_get"            -> jsonGet _,
     "json_variant"        -> jsonVariant _,
     "join_shuffle_hash"   -> joinShuffleHash _,
@@ -1718,6 +1744,25 @@ object EventsPipeline {
         JOIN marg ma ON ma.event_type = type_a
         JOIN marg mb ON mb.event_type = type_b
         CROSS JOIN nu""",
+    // same one-pass exact distinct counts + literal bounds, unpivoted
+    "expect_cardinality" ->
+      """WITH agg AS (
+          SELECT count(DISTINCT event_type) AS c_type,
+            count(DISTINCT user_id) AS c_user,
+            count(DISTINCT event_id) AS c_id,
+            count(*) AS n
+          FROM events),
+        rows_ AS (
+          SELECT 'event_type' AS col_name, c_type AS n_distinct,
+            CAST(3 AS BIGINT) AS lo, CAST(10 AS BIGINT) AS hi, n FROM agg
+          UNION ALL
+          SELECT 'user_id', c_user, CAST(10 AS BIGINT), n, n FROM agg
+          UNION ALL
+          SELECT 'event_id', c_id, n, n, n FROM agg)
+        SELECT col_name, n_distinct, lo, hi,
+          CAST(CASE WHEN n_distinct >= lo AND n_distinct <= hi
+            THEN 1 ELSE 0 END AS BIGINT) AS ok
+        FROM rows_""",
     // same trailing window excluding current day; exact integer gate
     "expect_volume" ->
       """WITH daily AS (

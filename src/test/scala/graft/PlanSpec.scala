@@ -482,7 +482,12 @@ class PlanSpec extends SparkSpec {
     // scalar-subquery sketch, the residue anti-join, and both screen
     // branches (static multiplicity); at runtime the reused subquery
     // + one anti-join remain
-    "dedup_incremental_bloom" -> 5)
+    "dedup_incremental_bloom" -> 5,
+    // expect_cardinality: the one multi-countDistinct expand agg
+    "expect_cardinality" -> 1,
+    // text_novelty: static multiplicity of the persisted shingle table
+    // (both the owner agg and the join probe) + the per-doc rollup
+    "text_novelty" -> 4)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
