@@ -715,7 +715,31 @@ object TextAnalysis {
           / (col("n_a") * col("n_b")).cast("double")).as("lift"))
   }
 
+  /** Heaps'-law vocabulary growth curve — corpus saturation at a
+    * glance: distinct-vocabulary size at five ingest-order checkpoints
+    * (doc_id < 100·k). A curve that flattens early means new documents
+    * stopped bringing new words (the aggregate twin of text_novelty's
+    * per-doc view). All five checkpoints are conditional DISTINCTs in
+    * ONE aggregation pass (one expand, one shuffle) — five separate
+    * scans would read the corpus five times for no reason. */
+  def textHeaps(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(toks).as("token"))
+    val cps = (1 to 5).map(k => Seq(
+      countDistinct(when(col("doc_id") < k * 100, col("token")))
+        .as(s"v$k"),
+      sum(when(col("doc_id") < k * 100, 1L).otherwise(0L)).as(s"n$k")))
+      .flatten
+    tok.agg(cps.head, cps.tail: _*)
+      .selectExpr(
+        """stack(5,
+          100L, n1, v1, 200L, n2, v2, 300L, n3, v3,
+          400L, n4, v4, 500L, n5, v5) AS (docs, n_tokens, vocab)""")
+      .withColumn("ttr_ppm", expr("(vocab * 1000000) div n_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_heaps"        -> textHeaps _,
     "text_hapax"        -> textHapax _,
     "text_feature_hash" -> textFeatureHash _,
     "text_pair_lift"    -> textPairLift _,
@@ -752,6 +776,36 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    // same one-pass conditional distincts, unpivoted
+    "text_heaps" ->
+      """WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        agg AS (
+          SELECT count(DISTINCT CASE WHEN doc_id < 100 THEN token END) AS v1,
+          CAST(sum(CASE WHEN doc_id < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          count(DISTINCT CASE WHEN doc_id < 200 THEN token END) AS v2,
+          CAST(sum(CASE WHEN doc_id < 200 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+          count(DISTINCT CASE WHEN doc_id < 300 THEN token END) AS v3,
+          CAST(sum(CASE WHEN doc_id < 300 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+          count(DISTINCT CASE WHEN doc_id < 400 THEN token END) AS v4,
+          CAST(sum(CASE WHEN doc_id < 400 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+          count(DISTINCT CASE WHEN doc_id < 500 THEN token END) AS v5,
+          CAST(sum(CASE WHEN doc_id < 500 THEN 1 ELSE 0 END) AS BIGINT) AS n5
+          FROM tok),
+        rows_ AS (
+          SELECT CAST(100 AS BIGINT) AS docs, n1 AS n_tokens, v1 AS vocab FROM agg
+          UNION ALL
+          SELECT CAST(200 AS BIGINT) AS docs, n2 AS n_tokens, v2 AS vocab FROM agg
+          UNION ALL
+          SELECT CAST(300 AS BIGINT) AS docs, n3 AS n_tokens, v3 AS vocab FROM agg
+          UNION ALL
+          SELECT CAST(400 AS BIGINT) AS docs, n4 AS n_tokens, v4 AS vocab FROM agg
+          UNION ALL
+          SELECT CAST(500 AS BIGINT) AS docs, n5 AS n_tokens, v5 AS vocab FROM agg)
+        SELECT docs, n_tokens, vocab,
+          (vocab * 1000000) // n_tokens AS ttr_ppm
+        FROM rows_""",
     // same md5-prefix bucket arithmetic via the ('0x'||hex)::BIGINT lane
     "text_feature_hash" ->
       """SELECT doc_id,

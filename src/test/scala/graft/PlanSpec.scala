@@ -487,7 +487,9 @@ class PlanSpec extends SparkSpec {
     "expect_cardinality" -> 1,
     // text_novelty: static multiplicity of the persisted shingle table
     // (both the owner agg and the join probe) + the per-doc rollup
-    "text_novelty" -> 4)
+    "text_novelty" -> 4,
+    // text_heaps: the one expand + distinct aggregation pass
+    "text_heaps" -> 1)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
