@@ -22,6 +22,7 @@ import org.apache.spark.sql.types.{DecimalType, IntegerType, StructField, Struct
   */
 /** Typed row for the Dataset[T] tier (`typed_agg`). */
 final case class EventRow(event_id: Long, user_id: Long, value: Double)
+final case class TimedEvent(user_id: Long, event_id: Long, tus: Long)
 
 object EventsPipeline {
 
@@ -190,6 +191,32 @@ object EventsPipeline {
       .mapValues(_._2)
       .agg(graft.functions.CentsSum.toColumn.name("total"))
       .toDF("event_type", "total")
+  }
+
+  /** KeyValueGroupedDataset.cogroup — the typed tier's BINARY member
+    * (mapGroups folds one stream; cogroup merges TWO per-key streams
+    * with arbitrary Scala — the escape hatch for asymmetric per-key
+    * merge logic no join spells, e.g. per-user click/purchase
+    * interleave audits). Both sides shuffle once on user_id and arrive
+    * as iterators; the merge sorts only THIS KEY's rows (the per-group
+    * memory contract). Semantics kept deterministic — counts + a
+    * strict earliest-click-precedes gate — so the query carries a full
+    * SQL oracle instead of the usual spec-only cop-out. */
+  def typedCogroup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def side(tpe: String) = events(s, d)
+      .filter(col("event_type") === tpe)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("tus"))
+      .as[TimedEvent]
+      .groupByKey(_.user_id)
+    side("click").cogroup(side("purchase")) { (uid, clicks, purchases) =>
+      val cl = clicks.map(_.tus).toArray
+      val pu = purchases.map(_.tus).toArray
+      val firstClick = if (cl.isEmpty) Long.MaxValue else cl.min
+      Iterator((uid, cl.length.toLong, pu.length.toLong,
+        pu.count(_ > firstClick).toLong))
+    }.toDF("user_id", "n_clicks", "n_purchases", "n_after_first_click")
   }
 
   /** Distribution-drift expectation: event-type shares in the first vs
@@ -1211,6 +1238,7 @@ object EventsPipeline {
     "events_lag_features" -> eventsLagFeatures _,
     "expect_volume"       -> expectVolume _,
     "expect_cardinality"  -> expectCardinality _,
+    "typed_cogroup"       -> typedCogroup _,
     "json_get"            -> jsonGet _,
     "json_variant"        -> jsonVariant _,
     "join_shuffle_hash"   -> joinShuffleHash _,
@@ -1744,6 +1772,25 @@ object EventsPipeline {
         JOIN marg ma ON ma.event_type = type_a
         JOIN marg mb ON mb.event_type = type_b
         CROSS JOIN nu""",
+    // the cogroup merge re-derived relationally: first-click scalar
+    // per user + conditional counts over the same key space
+    "typed_cogroup" ->
+      """WITH e AS (
+          SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus
+          FROM events WHERE event_type IN ('click', 'purchase')),
+        fc AS (
+          SELECT user_id, min(tus) AS first_click
+          FROM e WHERE event_type = 'click' GROUP BY 1)
+        SELECT e.user_id,
+          CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+            AS BIGINT) AS n_clicks,
+          CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+            AS BIGINT) AS n_purchases,
+          CAST(count(CASE WHEN event_type = 'purchase'
+            AND e.tus > fc.first_click THEN 1 END) AS BIGINT)
+            AS n_after_first_click
+        FROM e LEFT JOIN fc ON fc.user_id = e.user_id
+        GROUP BY e.user_id""",
     // same one-pass exact distinct counts + literal bounds, unpivoted
     "expect_cardinality" ->
       """WITH agg AS (

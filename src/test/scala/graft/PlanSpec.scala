@@ -489,7 +489,9 @@ class PlanSpec extends SparkSpec {
     // (both the owner agg and the join probe) + the per-doc rollup
     "text_novelty" -> 4,
     // text_heaps: the one expand + distinct aggregation pass
-    "text_heaps" -> 1)
+    "text_heaps" -> 1,
+    // typed_cogroup: each side's user_id exchange feeding CoGroupExec
+    "typed_cogroup" -> 2)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
