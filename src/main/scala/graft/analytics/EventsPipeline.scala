@@ -219,6 +219,34 @@ object EventsPipeline {
     }.toDF("user_id", "n_clicks", "n_purchases", "n_after_first_click")
   }
 
+  /** flatMapSortedGroups (Spark 3.4 secondary sort) — the API that
+    * makes UNBOUNDED groups safe for order-dependent typed logic:
+    * `mapGroups` hands an arbitrarily-ordered iterator (forcing a
+    * per-group in-memory sort — the OOM when one user has 10⁸ events);
+    * this hands a SORTED iterator by pushing the ordering into the
+    * shuffle's sort (the classic MapReduce secondary-sort contract),
+    * so the running-balance fold below streams in O(1) memory per
+    * group at any group size. Exact integer cents; the oracle is the
+    * window cumulative sum — proving the sorted-iterator contract
+    * against the declarative spelling. */
+  def typedSortedGroups(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(floor(abs(value) * 100) AS BIGINT)").as("cents"),
+        expr("ts_ns div 1000").as("tus"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("tus"), col("event_id")) { (uid, it) =>
+        var run = 0L
+        it.map { case (_, eid, cents, _) =>
+          run += cents
+          (uid, eid, cents, run)
+        }
+      }
+      .toDF("user_id", "event_id", "cents", "run_cents")
+  }
+
   /** Distribution-drift expectation: event-type shares in the first vs
     * second half of the time range, with the absolute share delta per
     * type — the schema-free drift gate (PSI-style, but exact: integer
@@ -1239,6 +1267,7 @@ object EventsPipeline {
     "expect_volume"       -> expectVolume _,
     "expect_cardinality"  -> expectCardinality _,
     "typed_cogroup"       -> typedCogroup _,
+    "typed_sorted_groups" -> typedSortedGroups _,
     "json_get"            -> jsonGet _,
     "json_variant"        -> jsonVariant _,
     "join_shuffle_hash"   -> joinShuffleHash _,
@@ -1772,6 +1801,16 @@ object EventsPipeline {
         JOIN marg ma ON ma.event_type = type_a
         JOIN marg mb ON mb.event_type = type_b
         CROSS JOIN nu""",
+    // the sorted-iterator fold == the declarative cumulative window
+    "typed_sorted_groups" ->
+      """SELECT user_id, event_id,
+          CAST(floor(abs(value) * 100) AS BIGINT) AS cents,
+          CAST(sum(CAST(floor(abs(value) * 100) AS BIGINT))
+            OVER (PARTITION BY user_id
+              ORDER BY epoch_ns(ts) // 1000, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS run_cents
+        FROM events""",
     // the cogroup merge re-derived relationally: first-click scalar
     // per user + conditional counts over the same key space
     "typed_cogroup" ->

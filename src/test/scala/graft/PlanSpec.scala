@@ -491,7 +491,10 @@ class PlanSpec extends SparkSpec {
     // text_heaps: the one expand + distinct aggregation pass
     "text_heaps" -> 1,
     // typed_cogroup: each side's user_id exchange feeding CoGroupExec
-    "typed_cogroup" -> 2)
+    "typed_cogroup" -> 2,
+    // typed_sorted_groups: one user_id exchange; the ORDER rides the
+    // shuffle sort (secondary sort), not a per-group in-memory sort
+    "typed_sorted_groups" -> 1)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
