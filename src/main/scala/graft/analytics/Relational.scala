@@ -1963,6 +1963,67 @@ object Relational {
         "CAST(2 * sum_ix AS DOUBLE) / n / s - CAST(n + 1 AS DOUBLE) / n AS gini")
   }
 
+  /** Lag-24 autocorrelation of the hourly value series — the statistic
+    * that JUSTIFIES events_forecast's seasonal-naive lag choice (r(24)
+    * high ⇒ yesterday-same-hour is a real predictor; r(24) ≈ 0 ⇒ the
+    * seasonal model is superstition). Same gap-proof bucket-arithmetic
+    * pairing as the forecast (+24 equi-join on the bounded hourly
+    * rollup, never a row-offset lag), Pearson r from exact moment sums
+    * — products in DECIMAL(38,0) (cents² per hour-pair outgrows BIGINT
+    * past sf ≈ 0.5; the decimal lane is exact at any SF), one fixed
+    * double tree at the end (the agg_corr spelling). */
+  def tsAutocorr(s: SparkSession, d: String): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val h = events(s, d)
+      .select(expr("ts_ns div 3600000000000").as("bucket"),
+        expr("CAST(floor(abs(value) * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("bucket")).agg(sum(col("cents")).as("cents"))
+    val lagged = h.select((col("bucket") + 24).as("bucket"),
+      col("cents").as("lag24"))
+    h.join(lagged, Seq("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sx"), sum(col("lag24")).as("sy"),
+        sum(col("cents").cast(big) * col("lag24")).cast(big).as("sxy"),
+        sum(col("cents").cast(big) * col("cents")).cast(big).as("sxx"),
+        sum(col("lag24").cast(big) * col("lag24")).cast(big).as("syy"))
+      .selectExpr("n", "sx", "sy",
+        """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r24""")
+  }
+
+  /** Running maximum drawdown per user — the peak-to-trough risk
+    * metric (finance's worst-case-so-far), spelled with three window
+    * passes over ONE (user, time) partition spec: cumulative balance,
+    * running peak of the balance, and the max of (peak − balance).
+    * All exact integer cents, one exchange; the per-user rollup rides
+    * the same partitioning. */
+  def winDrawdown(s: SparkSession, d: String): DataFrame = {
+    events(s, d)
+      .select(col("user_id"), col("event_id"),
+        // signed flow: purchases drain, everything else accrues
+        when(col("event_type") === "purchase",
+          -expr("CAST(floor(abs(value) * 100) AS BIGINT)"))
+          .otherwise(expr("CAST(floor(abs(value) * 100) AS BIGINT)"))
+          .as("flow"),
+        expr("ts_ns div 1000").as("tus"))
+      .withColumn("bal", sum(col("flow")).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("peak", max(col("bal")).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        max(col("peak") - col("bal")).as("max_drawdown"),
+        max(col("bal")).as("final_peak"))
+  }
+
   /** Cohort revenue curves — the subscription-analytics staple on the
     * star schema: customers grouped by first-order month, revenue
     * tracked by months-since-acquisition. Month index is pure integer
@@ -2289,6 +2350,8 @@ object Relational {
     "orders_cohort"     -> ordersCohort _,
     "orders_abc"        -> ordersAbc _,
     "agg_gini"          -> aggGini _,
+    "ts_autocorr"       -> tsAutocorr _,
+    "win_drawdown"      -> winDrawdown _,
     "win_null_order"    -> winNullOrder _,
     "join_lateral"      -> joinLateral _,
     "set_union_distinct" -> setUnionDistinct _,
@@ -3418,6 +3481,56 @@ object Relational {
             - CAST($expCase AS BIGINT)) AS dev_ppm
         FROM w"""
     },
+    // same +24 pairing; HUGEINT is the exact lane mirroring DECIMAL(38,0)
+    "ts_autocorr" ->
+      """WITH h AS (
+          SELECT epoch_ns(ts) // 3600000000000 AS bucket,
+            CAST(sum(CAST(floor(abs(value) * 100) AS BIGINT)) AS BIGINT)
+              AS cents
+          FROM events GROUP BY 1),
+        j AS (
+          SELECT h.cents AS x, l.cents AS y
+          FROM h JOIN h l ON h.bucket = l.bucket + 24),
+        m AS (
+          SELECT count(*) AS n,
+            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+            sum(CAST(x AS HUGEINT) * y) AS sxy,
+            sum(CAST(x AS HUGEINT) * x) AS sxx,
+            sum(CAST(y AS HUGEINT) * y) AS syy
+          FROM j)
+        SELECT n, sx, sy,
+          (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r24
+        FROM m""",
+    // same three-pass window chain; HUGEINT cumulative sums cast back
+    "win_drawdown" ->
+      """WITH f AS (
+          SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus,
+            CASE WHEN event_type = 'purchase'
+              THEN -CAST(floor(abs(value) * 100) AS BIGINT)
+              ELSE CAST(floor(abs(value) * 100) AS BIGINT) END AS flow
+          FROM events),
+        b AS (
+          SELECT user_id, event_id, tus,
+            sum(flow) OVER w AS bal
+          FROM f
+          WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        p AS (
+          SELECT user_id,
+            CAST(bal AS BIGINT) AS bal,
+            CAST(max(bal) OVER (PARTITION BY user_id ORDER BY tus, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS peak
+          FROM b)
+        SELECT user_id, count(*) AS n,
+          CAST(max(peak - bal) AS BIGINT) AS max_drawdown,
+          CAST(max(bal) AS BIGINT) AS final_peak
+        FROM p GROUP BY 1""",
     // exact-decimal multiply-through class gates over the part dim
     "orders_abc" ->
       """WITH rev AS (

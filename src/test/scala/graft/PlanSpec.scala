@@ -494,7 +494,13 @@ class PlanSpec extends SparkSpec {
     "typed_cogroup" -> 2,
     // typed_sorted_groups: one user_id exchange; the ORDER rides the
     // shuffle sort (secondary sort), not a per-group in-memory sort
-    "typed_sorted_groups" -> 1)
+    "typed_sorted_groups" -> 1,
+    // ts_autocorr: the hourly rollup appears on both sides of the +24
+    // self-join in the static plan (2); the moment agg is map-side
+    "ts_autocorr" -> 2,
+    // win_drawdown: the one (user, time) exchange all three window
+    // passes and the rollup share
+    "win_drawdown" -> 1)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
