@@ -248,8 +248,58 @@ object Stats {
           .as("raw_mean"))
   }
 
+  /** One-way ANOVA across ALL event types — the k-group generalization
+    * closing the testing family (KS: two shapes; Welch t: two means;
+    * χ²: two categoricals; ANOVA: k means at once). Per-group exact
+    * sufficient statistics (nᵢ, Σᵢ, Σᵢ²) in one keyed pass, then
+    * SSB = Σ Sᵢ²/nᵢ − S²/n and SSW = ΣQᵢ − Σ Sᵢ²/nᵢ and
+    * F = (SSB/(k−1))/(SSW/(n−k)) as a fixed double tree over the exact
+    * integers — the same engineering as stats_ttest, one group
+    * dimension wider. The per-group Sᵢ²/nᵢ terms are each one double
+    * division of exact ints; their sum runs over the BOUNDED type
+    * domain in a deterministic single-partition fold (k rows). */
+  def statsAnova(s: SparkSession, d: String): DataFrame =
+    statsAnovaOf(Tables.events(s, d))
+
+  private[graft] def statsAnovaOf(ev: DataFrame): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val groups = ev
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("ni"),
+        sum(col("cents")).as("si"),
+        sum(col("cents").cast(big) * col("cents")).cast(big).as("qi"))
+      .withColumn("term",
+        expr("CAST(si AS DOUBLE) * CAST(si AS DOUBLE) / ni"))
+    // Σ Sᵢ²/nᵢ is a sum of DOUBLES (decimal division has engine-
+    // specific scale/rounding rules) — forced into a DETERMINISTIC
+    // accumulation order by a running window over the sorted bounded
+    // type domain, so both engines execute the identical sequence of
+    // IEEE adds (a plain aggregate sum would be partitioning-ordered)
+    val wCum = Window.orderBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    groups
+      .select(
+        row_number().over(Window.orderBy(col("event_type"))).as("rn"),
+        count(lit(1)).over(wAll).as("k"),
+        sum(col("ni")).over(wAll).as("n"),
+        sum(col("si")).over(wAll).as("s"),
+        sum(col("qi")).over(wAll).cast(big).as("q"),
+        sum(col("term")).over(wCum).as("sb_num"))
+      .filter(col("rn") === col("k"))
+      .selectExpr("k", "n", "s",
+        "sb_num - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n AS ssb",
+        "CAST(q AS DOUBLE) - sb_num AS ssw")
+      .selectExpr("k", "n", "s", "ssb", "ssw",
+        "(ssb / (k - 1)) / (ssw / (n - k)) AS f_stat")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_winsorize" -> aggWinsorize _,
+    "stats_anova"  -> statsAnova _,
     "win_ewma"     -> winEwma _,
     "anomaly_cusum" -> anomalyCusum _,
     "anomaly_mad"  -> anomalyMad _,
@@ -260,6 +310,39 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    // same ordered-window-forced summation over the sorted type domain
+    "stats_anova" ->
+      """WITH g AS (
+          SELECT event_type, count(*) AS ni,
+            CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS si,
+            sum(CAST(CAST(floor(value * 100) AS BIGINT) AS HUGEINT)
+              * CAST(floor(value * 100) AS BIGINT)) AS qi
+          FROM events GROUP BY 1),
+        t AS (
+          SELECT event_type, ni, si, qi,
+            CAST(si AS DOUBLE) * CAST(si AS DOUBLE) / ni AS term
+          FROM g),
+        w AS (
+          SELECT
+            row_number() OVER (ORDER BY event_type) AS rn,
+            count(*) OVER wa AS k,
+            CAST(sum(ni) OVER wa AS BIGINT) AS n,
+            CAST(sum(si) OVER wa AS BIGINT) AS s,
+            sum(qi) OVER wa AS q,
+            sum(term) OVER (ORDER BY event_type
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sb_num
+          FROM t
+          WINDOW wa AS (ORDER BY event_type
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        last_ AS (SELECT * FROM w WHERE rn = k),
+        ss AS (
+          SELECT k, n, s,
+            sb_num - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n AS ssb,
+            CAST(q AS DOUBLE) - sb_num AS ssw
+          FROM last_)
+        SELECT k, n, s, ssb, ssw,
+          (ssb / (k - 1)) / (ssw / (n - k)) AS f_stat
+        FROM ss""",
     // same two-pass clamp; quantile_cont == Spark's interpolated
     // percentile on identical doubles (anomaly_mad precedent)
     "agg_winsorize" ->

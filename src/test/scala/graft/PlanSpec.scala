@@ -500,7 +500,10 @@ class PlanSpec extends SparkSpec {
     "ts_autocorr" -> 2,
     // win_drawdown: the one (user, time) exchange all three window
     // passes and the rollup share
-    "win_drawdown" -> 1)
+    "win_drawdown" -> 1,
+    // stats_anova: the one per-type sufficient-statistics exchange
+    // (the ordered-window fold runs on the bounded type domain)
+    "stats_anova" -> 1)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")

@@ -63,6 +63,20 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("lift") - 10.0 / 9.0) < 1e-12)
   }
 
+  test("one-way ANOVA hits the hand-computed F on three planted groups") {
+    // groups with cents {100,200,300}, {400,500,600}, {700,800,900}:
+    // SSB = 3*(300^2 + 0 + 300^2) = 540000, SSW = 3*20000 = 60000,
+    // F = (540000/2) / (60000/6) = 27
+    val ev = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(4.0, 5.0, 6.0).map(("b", _)) ++
+      Seq(7.0, 8.0, 9.0).map(("c", _))).toDF("event_type", "value")
+    val r = Stats.statsAnovaOf(ev).collect().head
+    assert(r.getAs[Long]("k") === 3L && r.getAs[Long]("n") === 9L)
+    assert(math.abs(r.getAs[Double]("ssb") - 540000.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("ssw") - 60000.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("f_stat") - 27.0) < 1e-9)
+  }
+
   test("seasonal decomposition: a pure 24h-periodic series has zero residual " +
     "and the seasonal-naive forecast scores MASE = 0 on it") {
     import org.apache.spark.sql.functions.{col, lit}
