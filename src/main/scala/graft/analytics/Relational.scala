@@ -2024,6 +2024,29 @@ object Relational {
         max(col("bal")).as("final_peak"))
   }
 
+  /** ANALYZE-TABLE-shaped column statistics — the CBO food (ndv drives
+    * join ordering, min/max drive range pruning, null counts drive
+    * outer-join estimates): four lineitem measures profiled in ONE
+    * aggregation pass (12 aggregates share the scan — running ANALYZE
+    * per column re-reads a 100 TB table per column), then unpivoted to
+    * the stable (column, n, n_null, ndv, min, max) catalog shape. */
+  def analyzeStats(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"cnt_$c"),
+      countDistinct(col(c)).as(s"ndv_$c"),
+      min(col(c)).as(s"min_$c"),
+      max(col(c)).as(s"max_$c")))
+    val stack = cols.map(c =>
+      s"'$c', n - cnt_$c, ndv_$c, min_$c, max_$c").mkString(", ")
+    lineitem(s, d)
+      .agg(count(lit(1)).as("n"), aggs: _*)
+      .selectExpr("n",
+        s"stack(${cols.size}, $stack) AS (col_name, n_null, ndv, min_v, max_v)")
+      .select(col("col_name"), col("n"), col("n_null"), col("ndv"),
+        col("min_v"), col("max_v"))
+  }
+
   /** Cohort revenue curves — the subscription-analytics staple on the
     * star schema: customers grouped by first-order month, revenue
     * tracked by months-since-acquisition. Month index is pure integer
@@ -2352,6 +2375,7 @@ object Relational {
     "agg_gini"          -> aggGini _,
     "ts_autocorr"       -> tsAutocorr _,
     "win_drawdown"      -> winDrawdown _,
+    "analyze_stats"     -> analyzeStats _,
     "win_null_order"    -> winNullOrder _,
     "join_lateral"      -> joinLateral _,
     "set_union_distinct" -> setUnionDistinct _,
@@ -3481,6 +3505,18 @@ object Relational {
             - CAST($expCase AS BIGINT)) AS dev_ppm
         FROM w"""
     },
+    // one profiling pass, unpivoted to the catalog shape
+    "analyze_stats" ->
+      """WITH a AS (
+          SELECT count(*) AS n, count(l_quantity) AS cnt_l_quantity, count(DISTINCT l_quantity) AS ndv_l_quantity, min(l_quantity) AS min_l_quantity, max(l_quantity) AS max_l_quantity, count(l_extendedprice) AS cnt_l_extendedprice, count(DISTINCT l_extendedprice) AS ndv_l_extendedprice, min(l_extendedprice) AS min_l_extendedprice, max(l_extendedprice) AS max_l_extendedprice, count(l_discount) AS cnt_l_discount, count(DISTINCT l_discount) AS ndv_l_discount, min(l_discount) AS min_l_discount, max(l_discount) AS max_l_discount, count(l_tax) AS cnt_l_tax, count(DISTINCT l_tax) AS ndv_l_tax, min(l_tax) AS min_l_tax, max(l_tax) AS max_l_tax
+          FROM lineitem)
+        SELECT 'l_quantity' AS col_name, n, n - cnt_l_quantity AS n_null, ndv_l_quantity AS ndv, min_l_quantity AS min_v, max_l_quantity AS max_v FROM a
+          UNION ALL
+          SELECT 'l_extendedprice' AS col_name, n, n - cnt_l_extendedprice AS n_null, ndv_l_extendedprice AS ndv, min_l_extendedprice AS min_v, max_l_extendedprice AS max_v FROM a
+          UNION ALL
+          SELECT 'l_discount' AS col_name, n, n - cnt_l_discount AS n_null, ndv_l_discount AS ndv, min_l_discount AS min_v, max_l_discount AS max_v FROM a
+          UNION ALL
+          SELECT 'l_tax' AS col_name, n, n - cnt_l_tax AS n_null, ndv_l_tax AS ndv, min_l_tax AS min_v, max_l_tax AS max_v FROM a""",
     // same +24 pairing; HUGEINT is the exact lane mirroring DECIMAL(38,0)
     "ts_autocorr" ->
       """WITH h AS (

@@ -297,9 +297,28 @@ object Stats {
         "(ssb / (k - 1)) / (ssw / (n - k)) AS f_stat")
   }
 
+  /** Brown–Forsythe/Levene variance-equality test — the gate run
+    * BEFORE trusting any pooled-variance assumption (ANOVA's F is only
+    * meaningful under homoscedasticity; Levene tests exactly that):
+    * one-way ANOVA applied to the absolute deviations from each
+    * group's MEDIAN (the Brown–Forsythe robust variant). Pure
+    * composition: the per-type median broadcasts back over the scan
+    * (the anomaly_mad shape), and the transformed frame reuses
+    * statsAnovaOf verbatim — same sufficient-statistics shuffle, same
+    * ordered-window float fold. */
+  def statsLevene(s: SparkSession, d: String): DataFrame = {
+    val clean = Tables.events(s, d)
+      .filter(col("value").isNotNull && !isnan(col("value")))
+    val med = clean.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    statsAnovaOf(clean.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), abs(col("value") - col("med")).as("value")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_winsorize" -> aggWinsorize _,
     "stats_anova"  -> statsAnova _,
+    "stats_levene" -> statsLevene _,
     "win_ewma"     -> winEwma _,
     "anomaly_cusum" -> anomalyCusum _,
     "anomaly_mad"  -> anomalyMad _,
@@ -310,6 +329,49 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    // Brown–Forsythe: |x − group median| fed through the same ANOVA
+    // chain (quantile_cont == Spark percentile on identical doubles)
+    "stats_levene" ->
+      """WITH e AS (
+          SELECT event_type, value FROM events
+          WHERE value IS NOT NULL AND NOT isnan(value)),
+        med AS (
+          SELECT event_type, quantile_cont(value, 0.5) AS med
+          FROM e GROUP BY 1),
+        tv AS (
+          SELECT e.event_type, abs(e.value - med.med) AS value
+          FROM e JOIN med USING (event_type)),
+        g AS (
+          SELECT event_type, count(*) AS ni,
+            CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS si,
+            sum(CAST(CAST(floor(value * 100) AS BIGINT) AS HUGEINT)
+              * CAST(floor(value * 100) AS BIGINT)) AS qi
+          FROM tv GROUP BY 1),
+        t AS (
+          SELECT event_type, ni, si, qi,
+            CAST(si AS DOUBLE) * CAST(si AS DOUBLE) / ni AS term
+          FROM g),
+        w AS (
+          SELECT
+            row_number() OVER (ORDER BY event_type) AS rn,
+            count(*) OVER wa AS k,
+            CAST(sum(ni) OVER wa AS BIGINT) AS n,
+            CAST(sum(si) OVER wa AS BIGINT) AS s,
+            sum(qi) OVER wa AS q,
+            sum(term) OVER (ORDER BY event_type
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sb_num
+          FROM t
+          WINDOW wa AS (ORDER BY event_type
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        last_ AS (SELECT * FROM w WHERE rn = k),
+        ss AS (
+          SELECT k, n, s,
+            sb_num - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n AS ssb,
+            CAST(q AS DOUBLE) - sb_num AS ssw
+          FROM last_)
+        SELECT k, n, s, ssb, ssw,
+          (ssb / (k - 1)) / (ssw / (n - k)) AS f_stat
+        FROM ss""",
     // same ordered-window-forced summation over the sorted type domain
     "stats_anova" ->
       """WITH g AS (

@@ -503,7 +503,12 @@ class PlanSpec extends SparkSpec {
     "win_drawdown" -> 1,
     // stats_anova: the one per-type sufficient-statistics exchange
     // (the ordered-window fold runs on the bounded type domain)
-    "stats_anova" -> 1)
+    "stats_anova" -> 1,
+    // stats_levene: the median-band agg + the ANOVA sufficient-stats
+    // pass over the transformed frame
+    "stats_levene" -> 2,
+    // analyze_stats: the one multi-countDistinct expand profiling pass
+    "analyze_stats" -> 1)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
