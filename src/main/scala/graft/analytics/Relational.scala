@@ -2047,6 +2047,41 @@ object Relational {
         col("min_v"), col("max_v"))
   }
 
+  /** Rolling 24-hour correlation between the click and purchase value
+    * series — the co-movement monitor (decoupling of traffic from
+    * conversions is an incident signal long before either series
+    * alone alarms). The trailing moment sums are integer window sums
+    * over the BOUNDED hourly rollup (exact — no accumulation drift);
+    * each row then computes Pearson r as a fixed per-row double tree,
+    * with EXACT-integer zero-variance guards (a flat window yields
+    * NULL, never a NaN/Inf that hashes engine-specifically).
+    * Magnitude audit: Σxy ≤ 24·(hourly cents)² — BIGINT-safe to
+    * sf ≈ 5; the DECIMAL(38,0) lane is the documented escape hatch. */
+  def winRollingCorr(s: SparkSession, d: String): DataFrame = {
+    val hourly = events(s, d)
+      .select(expr("ts_ns div 3600000000000").as("bucket"),
+        when(col("event_type") === "click",
+          expr("CAST(floor(abs(value) * 100) AS BIGINT)")).otherwise(0L).as("x"),
+        when(col("event_type") === "purchase",
+          expr("CAST(floor(abs(value) * 100) AS BIGINT)")).otherwise(0L).as("y"))
+      .groupBy(col("bucket")).agg(sum(col("x")).as("x"), sum(col("y")).as("y"))
+    val w = Window.orderBy(col("bucket")).rowsBetween(-23, 0)
+    hourly
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+      .select(col("bucket"), col("n"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") > 0L &&
+          col("n") * col("syy") - col("sy") * col("sy") > 0L,
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("r24"))
+  }
+
   /** Cohort revenue curves — the subscription-analytics staple on the
     * star schema: customers grouped by first-order month, revenue
     * tracked by months-since-acquisition. Month index is pure integer
@@ -2376,6 +2411,7 @@ object Relational {
     "ts_autocorr"       -> tsAutocorr _,
     "win_drawdown"      -> winDrawdown _,
     "analyze_stats"     -> analyzeStats _,
+    "win_rolling_corr"  -> winRollingCorr _,
     "win_null_order"    -> winNullOrder _,
     "join_lateral"      -> joinLateral _,
     "set_union_distinct" -> setUnionDistinct _,
@@ -3505,6 +3541,36 @@ object Relational {
             - CAST($expCase AS BIGINT)) AS dev_ppm
         FROM w"""
     },
+    // same exact trailing moment sums + per-row double tree + NULL
+    // guards on the exact-integer variance numerators
+    "win_rolling_corr" ->
+      """WITH h AS (
+          SELECT epoch_ns(ts) // 3600000000000 AS bucket,
+            CAST(sum(CASE WHEN event_type = 'click'
+              THEN CAST(floor(abs(value) * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS x,
+            CAST(sum(CASE WHEN event_type = 'purchase'
+              THEN CAST(floor(abs(value) * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        m AS (
+          SELECT bucket,
+            count(*) OVER w AS n,
+            CAST(sum(x) OVER w AS BIGINT) AS sx,
+            CAST(sum(y) OVER w AS BIGINT) AS sy,
+            CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+            CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+            CAST(sum(y * y) OVER w AS BIGINT) AS syy
+          FROM h
+          WINDOW w AS (ORDER BY bucket
+            ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        SELECT bucket, n,
+          CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+          END AS r24
+        FROM m""",
     // one profiling pass, unpivoted to the catalog shape
     "analyze_stats" ->
       """WITH a AS (

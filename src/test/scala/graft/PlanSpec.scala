@@ -508,7 +508,10 @@ class PlanSpec extends SparkSpec {
     // pass over the transformed frame
     "stats_levene" -> 2,
     // analyze_stats: the one multi-countDistinct expand profiling pass
-    "analyze_stats" -> 1)
+    "analyze_stats" -> 1,
+    // win_rolling_corr: the one hourly-rollup exchange (the trailing
+    // windows run on the bounded series)
+    "win_rolling_corr" -> 1)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
