@@ -315,10 +315,82 @@ object Stats {
       .select(col("event_type"), abs(col("value") - col("med")).as("value")))
   }
 
+  /** Wald–Wolfowitz runs test on the hourly value series — the
+    * randomness check that catches what mean/variance tests cannot
+    * (a perfectly alternating and a long-blocks series can share
+    * every moment; their RUN counts differ wildly). Signs are
+    * above/below the series median (exact: the median of the bounded
+    * hourly rollup), runs are a gaps-and-islands count (sign ≠
+    * lag(sign) starts a run — one window over the bounded series),
+    * and E[R] = 2n₁n₂/n + 1 with its variance feed a fixed double
+    * tree for z. Ties-on-median are assigned below (documented,
+    * deterministic both engines). */
+  def statsRuns(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .select(expr("ts_ns div 3600000000000").as("bucket"),
+        expr("CAST(floor(abs(value) * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("bucket")).agg(sum(col("cents")).as("cents"))
+    val med = hourly.agg(expr("percentile(cents, 0.5)").as("med"))
+    val w = Window.orderBy(col("bucket"))
+    hourly.crossJoin(broadcast(med))
+      .withColumn("sign", (col("cents") > col("med")).cast("int"))
+      .withColumn("run_start",
+        when(lag(col("sign"), 1).over(w).isNull ||
+          lag(col("sign"), 1).over(w) =!= col("sign"), 1L).otherwise(0L))
+      .agg(count(lit(1)).as("n"),
+        sum(col("sign").cast("long")).as("n1"),
+        sum(lit(1L) - col("sign")).as("n2"),
+        sum(col("run_start")).as("runs"))
+      .selectExpr("n", "n1", "n2", "runs",
+        "2.0 * CAST(n1 * n2 AS DOUBLE) / n + 1.0 AS e_runs",
+        """(CAST(runs AS DOUBLE) - (2.0 * CAST(n1 * n2 AS DOUBLE) / n + 1.0))
+          / sqrt(2.0 * CAST(n1 * n2 AS DOUBLE)
+              * (2.0 * CAST(n1 * n2 AS DOUBLE) - n)
+            / (CAST(n AS DOUBLE) * n * (n - 1))) AS z""")
+  }
+
+  /** Two-proportion z-test on an md5-bucketed A/B split — the
+    * experimentation primitive: users hash into arms A/B
+    * (deterministic — the same user lands in the same arm on every
+    * engine/run, the dataset_split discipline), the metric is
+    * click→purchase user conversion, and z comes from the pooled
+    * proportion via a fixed double tree over four exact counts. */
+  def statsAbTest(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      // metric with real variance on this corpus: purchase-heavy users
+      // (every user has SOME purchase here, so has-any would be the
+      // degenerate p = 1 — div-by-zero under ANSI)
+      .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          > sum(when(col("event_type") === "click", 1L).otherwise(0L)), 1L)
+        .otherwise(0L).as("converted"))
+      .withColumn("arm",
+        when(substring(md5(col("user_id").cast("string")), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), "A").otherwise("B"))
+    users.agg(
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === "A", col("converted")).otherwise(0L)).as("c_a"),
+      sum(when(col("arm") === "B", col("converted")).otherwise(0L)).as("c_b"))
+      .selectExpr("n_a", "n_b", "c_a", "c_b",
+        "CAST(c_a AS DOUBLE) / n_a AS p_a",
+        "CAST(c_b AS DOUBLE) / n_b AS p_b",
+        "CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) AS p_pool")
+      .selectExpr("n_a", "n_b", "c_a", "c_b", "p_a", "p_b",
+        // zero-variance guard: a degenerate pool yields NULL, never an
+        // ANSI divide-by-zero or an engine-specific NaN
+        """CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b
+          THEN (p_a - p_b) / sqrt(p_pool * (1.0 - p_pool)
+            * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+          END AS z""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_winsorize" -> aggWinsorize _,
     "stats_anova"  -> statsAnova _,
     "stats_levene" -> statsLevene _,
+    "stats_runs"   -> statsRuns _,
+    "stats_abtest" -> statsAbTest _,
     "win_ewma"     -> winEwma _,
     "anomaly_cusum" -> anomalyCusum _,
     "anomaly_mad"  -> anomalyMad _,
@@ -329,6 +401,68 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    // same gaps-and-islands run count + fixed double tree
+    "stats_runs" ->
+      """WITH h AS (
+          SELECT epoch_ns(ts) // 3600000000000 AS bucket,
+            CAST(sum(CAST(floor(abs(value) * 100) AS BIGINT)) AS BIGINT)
+              AS cents
+          FROM events GROUP BY 1),
+        med AS (SELECT quantile_cont(cents, 0.5) AS med FROM h),
+        sg AS (
+          SELECT bucket, CASE WHEN cents > med THEN 1 ELSE 0 END AS sign
+          FROM h, med),
+        rs AS (
+          SELECT sign,
+            CASE WHEN lag(sign, 1) OVER (ORDER BY bucket) IS NULL
+              OR lag(sign, 1) OVER (ORDER BY bucket) <> sign
+              THEN 1 ELSE 0 END AS run_start
+          FROM sg),
+        agg AS (
+          SELECT count(*) AS n,
+            CAST(sum(sign) AS BIGINT) AS n1,
+            CAST(sum(1 - sign) AS BIGINT) AS n2,
+            CAST(sum(run_start) AS BIGINT) AS runs
+          FROM rs)
+        SELECT n, n1, n2, runs,
+          2.0 * CAST(n1 * n2 AS DOUBLE) / n + 1.0 AS e_runs,
+          (CAST(runs AS DOUBLE) - (2.0 * CAST(n1 * n2 AS DOUBLE) / n + 1.0))
+          / sqrt(2.0 * CAST(n1 * n2 AS DOUBLE)
+              * (2.0 * CAST(n1 * n2 AS DOUBLE) - n)
+            / (CAST(n AS DOUBLE) * n * (n - 1))) AS z
+        FROM agg""",
+    // same md5-arm assignment and pooled-proportion tree
+    "stats_abtest" ->
+      """WITH u AS (
+          SELECT user_id,
+            CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              > sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              THEN 1 ELSE 0 END AS converted,
+            CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+              IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END
+              AS arm
+          FROM events GROUP BY user_id),
+        agg AS (
+          SELECT
+            CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+            CAST(sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END)
+              AS BIGINT) AS c_a,
+            CAST(sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END)
+              AS BIGINT) AS c_b
+          FROM u),
+        p AS (
+          SELECT n_a, n_b, c_a, c_b,
+            CAST(c_a AS DOUBLE) / n_a AS p_a,
+            CAST(c_b AS DOUBLE) / n_b AS p_b,
+            CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) AS p_pool
+          FROM agg)
+        SELECT n_a, n_b, c_a, c_b, p_a, p_b,
+          CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b
+            THEN (p_a - p_b) / sqrt(p_pool * (1.0 - p_pool)
+              * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+          END AS z
+        FROM p""",
     // Brown–Forsythe: |x − group median| fed through the same ANOVA
     // chain (quantile_cont == Spark percentile on identical doubles)
     "stats_levene" ->

@@ -64,7 +64,9 @@ class PlanSpec extends SparkSpec {
       // scd_asof: crossJoin(broadcast(1-row exact-midpoint probe))
       "scd_asof",
       // text_pair_lift: crossJoin(broadcast(1-row n_docs scalar))
-      "text_pair_lift")
+      "text_pair_lift",
+      // stats_runs: crossJoin(broadcast(1-row series median))
+      "stats_runs")
 
   private val streaming =
     Set("stream_hourly", "stream_session", "stream_session_multibatch",
@@ -511,7 +513,12 @@ class PlanSpec extends SparkSpec {
     "analyze_stats" -> 1,
     // win_rolling_corr: the one hourly-rollup exchange (the trailing
     // windows run on the bounded series)
-    "win_rolling_corr" -> 1)
+    "win_rolling_corr" -> 1,
+    // stats_runs: the hourly rollup + the final runs aggregation (the
+    // sign/lag window runs on the bounded series)
+    "stats_runs" -> 2,
+    // stats_abtest: the one per-user conversion aggregation
+    "stats_abtest" -> 1)
 
   test("part_prune pushes the date predicate to partition filters, not row filters") {
     val p = plans.toMap.apply("part_prune")
