@@ -301,10 +301,15 @@ object Chunking {
     * by the worst shared span it participates in (`clean` = none ≥ 16
     * tokens, `light` = 16..31, `heavy` = ≥ 32 — a full boilerplate
     * paragraph), counted per source with the worst span observed. The
-    * pair table is `dedupSpans`; the per-doc rollup is id+long only
-    * and tiny relative to the corpus, so the left join back to the
-    * documents scan broadcasts it — the full-text side never
-    * shuffles. */
+    * pair table is `dedupSpans`; the per-doc rollup is id+long only,
+    * but its ROW COUNT is unbounded — on a heavily duplicated crawl a
+    * large fraction of all docs participate in some shared span, so a
+    * forced broadcast would ship billions of rows to every executor.
+    * The join therefore carries NO hint: AQE broadcasts it at runtime
+    * when it measures small (the clean-corpus fast path) and falls
+    * back to a shuffle join on `doc_id` when it does not — the only
+    * behavior that survives the duplicated-corpus case this report
+    * exists to detect. */
   def dedupProfile(s: SparkSession, d: String): DataFrame = {
     val pairs = dedupSpansOf(documents(s, d), k = 8, dfCap = 32, minSpan = 16)
     val perDoc = pairs
@@ -313,7 +318,7 @@ object Chunking {
       .groupBy(col("doc_id"))
       .agg(max(col("longest_span")).as("max_span"))
     documents(s, d).select(col("doc_id"), col("source"))
-      .join(broadcast(perDoc), Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
       .select(col("source"),
         when(col("max_span").isNull, "clean")
           .when(col("max_span") < 32, "light")

@@ -134,9 +134,13 @@ class PlanSpec extends SparkSpec {
     "text_winnow" -> 1,
     // dedup_profile: dedup_spans' static 6 appears twice in the
     // per-doc union's branches (the persist collapses them at
-    // runtime) + the per-doc rollup + final (source, severity) agg;
-    // the join back to documents is a broadcast (no exchange)
-    "dedup_profile" -> 14,
+    // runtime) + the per-doc rollup + final (source, severity) agg.
+    // The join back to documents carries NO broadcast hint (r7: the
+    // per-doc rollup is unbounded on duplicated corpora, so a forced
+    // broadcast is a driver-killer at scale) — the static plan shuffles
+    // the documents side (+1 vs r6's 14); at runtime AQE re-plans it
+    // to a broadcast when the rollup measures small
+    "dedup_profile" -> 15,
     // dedup_winnow: same static triple-appearance of the persisted
     // winnow selection (doc_id window exchange + per-(doc,fp) min) as
     // dedup_substring, + fp join sides + pair rollup
