@@ -76,6 +76,28 @@ object EventsPipeline {
   def expectSuite(s: SparkSession, d: String): DataFrame =
     Expectations.report(withK(s, d), suite)
 
+  /** The events gate driven DECLARATIVELY: the same four expectations
+    * as [[suite]], but authored in the reference's Great Expectations
+    * JSON format (Validation_checks.json) and parsed by
+    * [[graft.expect.SuiteLoader]] at plan time. Must produce the exact
+    * rows of `expect_suite` — the loader is the only thing under test,
+    * so the two queries sharing an oracle pins JSON→code equivalence. */
+  val suiteJson: String =
+    """{"expectations": [
+      |  {"expectation_type": "expect_column_values_to_not_be_null",
+      |   "kwargs": {"column": "user_id"}},
+      |  {"expectation_type": "expect_column_values_to_be_between",
+      |   "kwargs": {"column": "value", "min_value": 0, "max_value": 450}},
+      |  {"expectation_type": "expect_column_values_to_be_in_set",
+      |   "kwargs": {"column": "event_type",
+      |              "value_set": ["click", "view", "purchase", "signup"]}},
+      |  {"expectation_type": "expect_column_values_to_be_between",
+      |   "kwargs": {"column": "k", "min_value": 0, "max_value": 89}}
+      |]}""".stripMargin
+
+  def expectSuiteJson(s: SparkSession, d: String): DataFrame =
+    Expectations.report(withK(s, d), graft.expect.SuiteLoader.fromJson(suiteJson))
+
   /** The reference's SAMPLE-mode gate (Glue_job.py:102 validates only a
     * 500-row `limit(500)` sample): same suite over a deterministic
     * (event_id-ordered) 500-row sample. Pins the semantic-divergence
@@ -618,7 +640,19 @@ object EventsPipeline {
     * not vote on its own baseline), and an exact multiply-through gate:
     * |n·n₇ − Σ₇| · 5 > Σ₇ ⟺ |n − mean₇|/mean₇ > 0.2 — integers only, no
     * float threshold edge. Days with under 3 trailing observations
-    * abstain (flag −1): alerting off a 1-2 day baseline is noise. */
+    * abstain (flag −1): alerting off a 1-2 day baseline is noise.
+    *
+    * Baseline semantics (advisor note, r7): the frame is ROWS BETWEEN
+    * 7 PRECEDING AND 1 PRECEDING — the trailing 7 OBSERVED days, not
+    * the trailing 7 CALENDAR days. On a gapped daily series it reaches
+    * back across missing days, so a baseline can include stale weeks.
+    * This is the intended behavior for THIS gate: a day absent from
+    * the rollup means zero rows arrived, which is itself the anomaly
+    * the n7<3 abstention and the upstream ingest monitors own — while
+    * a RANGE frame would shrink the baseline sample exactly when data
+    * is flaky and make the 20% gate noisier. The gap-proof
+    * calendar-window variant is the day-arithmetic self-join pattern
+    * `events_forecast` uses, for callers that need it. */
   def expectVolume(s: SparkSession, d: String): DataFrame =
     expectVolumeOf(events(s, d))
 
@@ -1242,6 +1276,7 @@ object EventsPipeline {
     "split_invalid"       -> splitInvalid _,
     "reasons_array"       -> reasonsArray _,
     "expect_suite"        -> expectSuite _,
+    "expect_suite_json"   -> expectSuiteJson _,
     "expect_fk"           -> expectFk _,
     "expect_schema"       -> expectSchema _,
     "expect_unique"       -> expectUnique _,
@@ -1534,6 +1569,19 @@ object EventsPipeline {
     // BIGINT casts: DuckDB's integer sum() is HUGEINT, which the
     // driver's hasher represents differently from Spark's BIGINT
     "expect_suite" ->
+      """SELECT *,
+          CASE WHEN viol_user_id_not_null + viol_value_between
+                 + viol_event_type_in_set + viol_k_between = 0
+            THEN 'PASSED' ELSE 'FAILED' END AS verdict
+        FROM (SELECT
+          CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS viol_user_id_not_null,
+          CAST(sum(CASE WHEN NOT (value BETWEEN 0 AND 450) THEN 1 ELSE 0 END) AS BIGINT) AS viol_value_between,
+          CAST(sum(CASE WHEN NOT (event_type IN ('click','view','purchase','signup')) THEN 1 ELSE 0 END) AS BIGINT) AS viol_event_type_in_set,
+          CAST(sum(CASE WHEN NOT (json_extract(props,'$.k')::INT BETWEEN 0 AND 89) THEN 1 ELSE 0 END) AS BIGINT) AS viol_k_between
+        FROM events)""",
+    // the JSON-loaded suite must be indistinguishable from the
+    // code-defined one — same oracle SQL by construction
+    "expect_suite_json" ->
       """SELECT *,
           CASE WHEN viol_user_id_not_null + viol_value_between
                  + viol_event_type_in_set + viol_k_between = 0

@@ -120,6 +120,57 @@ class PipelineSpec extends SparkSpec {
       .forall(_.getString(0) == "ge_failed"))
   }
 
+  test("SuiteLoader parses the reference GE JSON into exactly referenceSuite") {
+    // the reference's own file, parsed declaratively, must be
+    // indistinguishable from the code-defined suite — same names,
+    // semantically identical violation expressions
+    val path =
+      "/root/reference/great_expectations/Expectations/Validation_checks.json"
+    val loaded =
+      if (new java.io.File(path).exists) graft.expect.SuiteLoader.fromFile(path)
+      else graft.expect.SuiteLoader.fromJson(
+        // structural twin kept inline so the spec still runs where the
+        // reference checkout is absent
+        """{"expectations": [
+          {"expectation_type": "expect_column_values_to_not_be_null",
+           "kwargs": {"column": "truck_id"}},
+          {"expectation_type": "expect_column_values_to_be_between",
+           "kwargs": {"column": "fuel_level", "min_value": 0, "max_value": 100}},
+          {"expectation_type": "expect_column_values_to_be_between",
+           "kwargs": {"column": "temperature", "min_value": -10, "max_value": 60}},
+          {"expectation_type": "expect_column_values_to_be_in_set",
+           "kwargs": {"column": "delivery_status",
+                      "value_set": ["in_transit", "delivered", "delayed"]}}]}""")
+    val expected = Expectations.referenceSuite
+    assert(loaded.map(_.name) === expected.map(_.name))
+    loaded.zip(expected).foreach { case (l, e) =>
+      // Spark 4 Column hides .expr; the unresolved-column rendering is
+      // deterministic, so string equality pins expression identity
+      assert(l.violation.toString === e.violation.toString,
+        s"${l.name}: ${l.violation} != ${e.violation}")
+    }
+    // and behaviorally: identical violation counts on mixed data
+    val df = spark.range(6).selectExpr(
+      "IF(id = 0, CAST(NULL AS STRING), CAST(id AS STRING)) AS truck_id",
+      "IF(id = 1, 120.0, 50.0) AS fuel_level",
+      "IF(id = 2, 99.0, 20.0) AS temperature",
+      "IF(id = 3, 'lost', 'delivered') AS delivery_status")
+    assert(Expectations.report(df, loaded).collect().toSeq ===
+      Expectations.report(df, expected).collect().toSeq)
+  }
+
+  test("SuiteLoader rejects unknown expectation types loudly") {
+    val bad = """{"expectations": [
+      {"expectation_type": "expect_column_median_to_be_between",
+       "kwargs": {"column": "x", "min_value": 0, "max_value": 1}}]}"""
+    val e = intercept[IllegalArgumentException](
+      graft.expect.SuiteLoader.fromJson(bad))
+    assert(e.getMessage.contains("expect_column_median_to_be_between"))
+    // an empty suite is a gate that always passes — also rejected
+    intercept[IllegalArgumentException](
+      graft.expect.SuiteLoader.fromJson("""{"expectations": []}"""))
+  }
+
   test("sample-mode gate diverges from full-scan gate on adversarial data") {
     // the reference validates only a 500-row sample (Glue_job.py:102);
     // data whose first 500 rows are clean but whose tail is corrupt
