@@ -128,8 +128,14 @@ object Chunking {
     * 100 TB the same plan runs over the 0-mod-p sampled fingerprints
     * (span length then estimated as p·r + k - 1) — the exact variant
     * here is the calibration path, cross-checked by the oracle. */
-  def dedupSpans(s: SparkSession, d: String): DataFrame =
-    dedupSpansOf(documents(s, d), k = 8, dfCap = 32, minSpan = 16)
+  def dedupSpans(s: SparkSession, d: String): DataFrame = {
+    // r7: fingerprint df cap derived from corpus size
+    // (Sizing.spanDfCap — 0.1%-boilerplate rule, floor 32) — equals
+    // the round-6 constant 32 on every driver corpus
+    val docs = documents(s, d)
+    dedupSpansOf(docs, k = 8, dfCap = Sizing.spanDfCap(docs.count()),
+      minSpan = 16)
+  }
 
   private[graft] def slidingFingerprints(docs: DataFrame, k: Int): DataFrame = {
     def th(t: org.apache.spark.sql.Column) =
@@ -311,7 +317,9 @@ object Chunking {
     * behavior that survives the duplicated-corpus case this report
     * exists to detect. */
   def dedupProfile(s: SparkSession, d: String): DataFrame = {
-    val pairs = dedupSpansOf(documents(s, d), k = 8, dfCap = 32, minSpan = 16)
+    val docs = documents(s, d)
+    val pairs = dedupSpansOf(docs, k = 8,
+      dfCap = Sizing.spanDfCap(docs.count()), minSpan = 16)
     val perDoc = pairs
       .select(col("doc_a").as("doc_id"), col("longest_span"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"), col("longest_span")))

@@ -90,13 +90,18 @@ object Dedup {
     * nav bars) are excluded from BOTH the intersection and the set
     * sizes, so the Jaccard stays internally consistent ("similarity
     * over non-boilerplate content") rather than silently deflating when
-    * only the numerator is capped. The default cap (64) is far above
-    * the test corpus's max df (4 at sf0.1), so the result is
-    * byte-identical to the uncapped join. */
+    * only the numerator is capped. The cap is DERIVED from the corpus
+    * size (r7): `Sizing.dfCap(nDocs)` — 0.1%-boilerplate rule, floor
+    * 64, ceiling 4096 — which on every driver corpus evaluates to the
+    * round-6 constant 64, far above the test corpus's max df (4 at
+    * sf0.1), so the result is byte-identical to the uncapped join. The
+    * one extra job is a column-pruned count (metadata-speed). */
   def dedupNgram(s: SparkSession, d: String): DataFrame =
     dedupNgramOf(documents(s, d))
 
-  def dedupNgramOf(docs: DataFrame, dfCap: Int = 64): DataFrame = {
+  def dedupNgramOf(docs: DataFrame, dfCapOverride: Int = -1): DataFrame = {
+    val dfCap =
+      if (dfCapOverride > 0) dfCapOverride else Sizing.dfCap(docs.count())
     // the capped shingle universe feeds three consumers (both self-join
     // sides + set sizes); persist it once instead of re-deriving per branch
     val kept  = cappedShingles(shinglesOf(docs), dfCap).persist()
@@ -124,7 +129,11 @@ object Dedup {
   def dedupContainment(s: SparkSession, d: String): DataFrame =
     dedupContainmentOf(documents(s, d))
 
-  def dedupContainmentOf(docs: DataFrame, dfCap: Int = 64): DataFrame = {
+  def dedupContainmentOf(docs: DataFrame, dfCapOverride: Int = -1): DataFrame = {
+    // same corpus-derived cap as dedup_ngram (Sizing.dfCap) — the two
+    // statistics must share one shingle universe to stay comparable
+    val dfCap =
+      if (dfCapOverride > 0) dfCapOverride else Sizing.dfCap(docs.count())
     val kept  = cappedShingles(shinglesOf(docs), dfCap).persist()
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     shinglePairs(kept)
@@ -191,7 +200,11 @@ object Dedup {
   }
 
   /** MinHash signatures (8 seed-salted md5 mins) banded 2-per-band into
-    * 4 LSH buckets; output = candidate pairs sharing any band bucket. */
+    * 4 LSH buckets; output = candidate pairs sharing any band bucket.
+    * The 4×2 banding is `Sizing.lshBands(8, 0.6)` — the S-curve
+    * midpoint rule for the engine's 0.6 Jaccard threshold (spec-pinned;
+    * kept as compile-time constants because the band count shapes the
+    * stack() projection and the oracle, not per-corpus tuning). */
   def dedupMinhash(s: SparkSession, d: String): DataFrame =
     minhashPairsOf(shingles(s, d))
 
