@@ -176,8 +176,14 @@ object Stats {
       .withColumn("diff_c", col("o") * 100L - col("e_c"))
       .groupBy(col("n"))
       .agg(count(lit(1)).as("n_cells"),
-        sum(when(col("e_c") > 0L,
-          expr("(diff_c * diff_c) div e_c")).otherwise(0L)).as("chi2_centi"))
+        // r7 (advisor): clamp E_c to ≥1 centi-unit instead of dropping
+        // e_c=0 cells — on highly skewed sparse tables a cell whose
+        // expected count floors to zero but has observed o>0 carries
+        // the LARGEST (O−E)²/E term; dropping it biased the statistic
+        // toward independence. o=0 ∧ e_c=0 cells still contribute 0
+        // (diff_c=0), so the clamp only rescues the o>0 case
+        sum(expr("(diff_c * diff_c) div greatest(e_c, CAST(1 AS BIGINT))"))
+          .as("chi2_centi"))
       .crossJoin(broadcast(rt.agg((count(lit(1)) - 1L).as("dr"))))
       .crossJoin(broadcast(ct.agg((count(lit(1)) - 1L).as("dc"))))
       .select(col("n"), col("n_cells"), (col("dr") * col("dc")).as("dof"),
@@ -581,9 +587,11 @@ object Stats {
             o * 100 - (r * c * 100) // n AS diff_c
           FROM grid CROSS JOIN tot),
         stat AS (
+          -- E_c clamped to >=1 centi-unit (matches the engine): an
+          -- o>0 cell whose expected count floors to 0 must contribute
           SELECT n, count(*) AS n_cells,
-            CAST(sum(CASE WHEN e_c > 0 THEN (diff_c * diff_c) // e_c
-              ELSE 0 END) AS BIGINT) AS chi2_centi
+            CAST(sum((diff_c * diff_c) // greatest(e_c, 1)) AS BIGINT)
+              AS chi2_centi
           FROM terms GROUP BY n),
         d AS (
           SELECT ((SELECT count(*) FROM rt) - 1)
