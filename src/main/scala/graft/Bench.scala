@@ -137,6 +137,36 @@ object Bench {
       try w.println(fullJson) finally w.close()
     } catch { case _: Throwable => () }
 
+    // plan artifact for judges (r7 item 8): EXPLAIN FORMATTED of the
+    // sweep's 10 most expensive queries → PLANS.md, so plan audits
+    // don't require rebuilding the session. Skipped for filtered
+    // (SPARK_GRAFT_ONLY) profiling runs — only a full sweep's top-10
+    // is a meaningful ranking.
+    if (only.isEmpty) try {
+      val top = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      val mode = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+      val w = new java.io.PrintWriter("PLANS.md", "UTF-8")
+      try {
+        w.println("# PLANS — EXPLAIN FORMATTED, top-10 by sweep cost")
+        w.println()
+        w.println(s"Generated by `graft.Bench` against `$sfDir` " +
+          "(regenerated every sweep; times are the 3-pass min).")
+        top.foreach { case (name, t) =>
+          val plan = try {
+            SparkEntry.queries(name)(spark, sfDir)
+              .queryExecution.explainString(mode)
+          } catch { case e: Throwable => s"(plan unavailable: ${e.getMessage})" }
+          spark.catalog.clearCache()
+          w.println()
+          w.println(s"## $name — ${sec(t)} s")
+          w.println()
+          w.println("```")
+          w.println(plan)
+          w.println("```")
+        }
+      } finally w.close()
+    } catch { case _: Throwable => () }
+
     // the metric line: headline + as many per-query times as fit the
     // driver's 2000-char tail capture (slowest first — the fast tail is
     // uniform sub-second noise; the full map is in BENCH_FULL.json)

@@ -21,6 +21,17 @@ import org.apache.spark.sql.{Column, functions => F}
   *    double accumulator; Spark's decimal avg has its own scale rules).
   *  - Result columns are aliased identically in the Spark code and the
   *    oracle SQL (the driver sorts columns by name before hashing).
+  *
+  * Cache-lifetime convention (advisor note, r7): queries persist()
+  * multi-consumer intermediates (capped shingle universes, chi2 cells,
+  * incidence tables, …) WITHOUT a paired unpersist — by design. Both
+  * harness mains (Verify.scala:39, Bench.scala:81) run
+  * `spark.catalog.clearCache()` after every query's final action, so
+  * cached blocks never accumulate across the sweep; an in-query
+  * unpersist would have to be placed AFTER the caller's action and
+  * queries return un-executed DataFrames. Library users embedding these
+  * plans long-lived should clear the cache at their own query
+  * boundaries the same way.
   */
 object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =

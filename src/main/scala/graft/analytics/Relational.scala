@@ -3262,7 +3262,14 @@ object Relational {
             AS sum_cents
         FROM events GROUP BY 1, 2""",
     // the transposed table spelled as conditional aggregates, one row
-    // per former metric column
+    // per former metric column.
+    // TESTDATA COUPLING (advisor note, r7): this list hardcodes the
+    // events.event_type domain because transpose COLUMN NAMES must be
+    // literals on both engines (Spark's transpose() derives them from
+    // the data; SQL cannot). If the driver regenerates testdata with a
+    // different type domain, this oracle fails with a SCHEMA mismatch
+    // (wrong column names) — update the list here and the bounds in
+    // expect_cardinality (c_type between 3 and 10) together.
     "df_transpose" -> {
       val types = Seq("click", "error", "purchase", "signup", "view")
       def row(metric: String) =
