@@ -36,7 +36,11 @@ class PlanSpec extends SparkSpec {
   // broadcast shape again
   private val nljWhitelist =
     // knn_classify: same exact-scan shape as sim_knn (labeled corpus
-    // streams once against the broadcast query set)
+    // streams once against the broadcast query set).
+    // sim_knn/sim_range are whitelisted BY CONTRACT, not oversight:
+    // exact kNN is O(|Q|·N) by definition and exists as the recall
+    // oracle for the sim_ann_* family — its scaladoc
+    // (Similarity.simKnn) forbids production corpus-vs-corpus use
     Set("sim_knn", "sim_range", "knn_classify",
       "join_cross", "text_tfidf", "text_bm25",
       "zorder_value", "sketch_cms", "mixture_weights", "sample_weighted",
@@ -86,6 +90,9 @@ class PlanSpec extends SparkSpec {
     "csv_roundtrip" -> 1, "dedup_embedding" -> 1, "dedup_exact" -> 1,
     "dedup_minhash" -> 3, "dedup_ngram" -> 15, "dedup_simhash" -> 0,
     "dedup_simhash64" -> 0, "dedup_simhash_pairs" -> 1, "expect_suite" -> 0,
+    // expect_suite_json: the JSON-loaded twin of expect_suite — same
+    // single-pass global agg, hashpartitioning-free plan
+    "expect_suite_json" -> 0,
     "expect_suite_sample" -> 0, "freq_items" -> 0, "gen_explode" -> 1,
     "join_anti" -> 0, "join_asof" -> 1, "join_broadcast" -> 1,
     "join_inner" -> 1, "join_left" -> 1, "join_range" -> 0,
