@@ -573,24 +573,30 @@ object Dedup {
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("nrm", graft.functions.vec.l2norm(col("v")))
 
-  /** LSH candidate pairs: sign-bit signatures banded into buckets,
-    * pairs = equi-join on (band, bucket). Exposed for the pruning spec. */
-  private[graft] def embeddingCandidates(e: DataFrame, bandBits: Int,
+  /** (vec_id, band, bucket) LSH banding table: sign-bit signatures
+    * against seeded hyperplanes, one row per (vector, band). Shared by
+    * the candidate join and the prune-stats diagnostic. */
+  private[graft] def embeddingBanded(e: DataFrame, bandBits: Int,
       nBands: Int, dim: Int, seed: Long): DataFrame = {
     val planes = typedlit(hyperplanes(bandBits * nBands, dim, seed))
     // 1 bit per plane: sign of v·plane (norms don't change the sign)
     val sig = transform(planes, p =>
       when(graft.functions.vec.dot(col("v"), p) >= 0, lit("1")).otherwise(lit("0")))
     // one row per (vec, band); bucket = the band's bit substring
-    val banded = e
-      .withColumn("sig", sig)
+    e.withColumn("sig", sig)
       .select(col("vec_id"),
         explode(sequence(lit(0), lit(nBands - 1))).as("band"),
         col("sig"))
       .withColumn("bucket",
         concat_ws("", slice(col("sig"), col("band") * bandBits + 1, lit(bandBits))))
       .select(col("vec_id"), col("band"), col("bucket"))
-      .persist()
+  }
+
+  /** LSH candidate pairs: sign-bit signatures banded into buckets,
+    * pairs = equi-join on (band, bucket). Exposed for the pruning spec. */
+  private[graft] def embeddingCandidates(e: DataFrame, bandBits: Int,
+      nBands: Int, dim: Int, seed: Long): DataFrame = {
+    val banded = embeddingBanded(e, bandBits, nBands, dim, seed).persist()
     val ca = banded.select(col("vec_id").as("vec_a"), col("band"), col("bucket"))
     val cb = banded.select(col("vec_id").as("vec_b"), col("band"), col("bucket"))
     ca.join(cb, Seq("band", "bucket"))
@@ -630,6 +636,49 @@ object Dedup {
   private[graft] def embeddingCandidateCount(emb: DataFrame, bandBits: Int,
       nBands: Int, dim: Int): Long =
     embeddingCandidates(vectors(emb), bandBits, nBands, dim, 42L).count()
+
+  /** PRODUCTION-threshold LSH prune diagnostic — the empirical answer
+    * to `emb_clusters`' super-linear slope flag (BASELINE.md r7): at
+    * the test threshold 0.4 the 2×24 banding is deliberately
+    * non-pruning (exhaustive recall), so candidate generation is Θ(N²)
+    * by problem statement. THIS query runs the banding a real semantic
+    * dedup uses — 16-bit bands × 3 (threshold ≥0.95: per-bit agreement
+    * p = 1−acos(0.95)/π ≈ 0.90, band collision p¹⁶ ≈ 0.18 per band,
+    * while a RANDOM pair collides at 0.5¹⁶ ≈ 1.5e-5) — and reports,
+    * per band: bucket count, worst occupancy, candidate pairs
+    * Σ c·(c−1)/2, and the prune ratio vs all N·(N−1)/2 pairs. Bucket
+    * occupancy at fixed bits grows as N/2¹⁶, so candidates stay
+    * ~linear until N ≈ 10⁶ per bucket-collision class; past that,
+    * bits scale with log₂(N) (the documented production knob).
+    * Outputs are exact integers + one final double division; no SQL
+    * oracle (the hyperplane signs come from a seeded JVM RNG the
+    * oracle engine cannot replicate) — semantics are spec-pinned
+    * instead (pruning bound + planted-recall in AnalyticsSpec, slope
+    * measured at sf1 in BASELINE.md). */
+  def embPruneStats(s: SparkSession, d: String): DataFrame =
+    embPruneStatsOf(embeddings(s, d))
+
+  private[graft] def embPruneStatsOf(emb: DataFrame, bandBitsOverride: Int = -1,
+      nBands: Int = 3, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val e = vectors(emb).persist()
+    val n = e.count()
+    // band width derived from corpus size (Sizing.cosineBandBits:
+    // log2(N) keeps random-pair candidates ~linear; floor 16 = the
+    // test/production-doc value, so driver corpora are unchanged)
+    val bandBits =
+      if (bandBitsOverride > 0) bandBitsOverride else Sizing.cosineBandBits(n)
+    val occ = embeddingBanded(e, bandBits, nBands, dim, seed)
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("c"))
+    occ.groupBy(col("band"))
+      .agg(sum(col("c")).as("n_vectors"),
+        count(lit(1)).as("n_buckets"),
+        max(col("c")).as("max_bucket"),
+        sum(expr("c * (c - 1) div 2")).as("cand_pairs"))
+      .withColumn("total_pairs", lit(n * (n - 1) / 2))
+      .withColumn("prune_ratio",
+        col("cand_pairs").cast("double") / col("total_pairs").cast("double"))
+      .orderBy(col("band"))
+  }
 
   /** Bounded BFS (3 hops) from the highest-degree doc over the near-dup
     * graph — the frontier-expansion pattern (impact radius of a bad
@@ -797,6 +846,7 @@ object Dedup {
     "minhash_jaccard_est" -> minhashJaccardEst _,
     "dedup_edit"      -> dedupEdit _,
     "emb_clusters"    -> embClusters _,
+    "emb_prune_stats" -> embPruneStats _,
     "graph_bfs"       -> graphBfs _,
   )
 

@@ -56,6 +56,20 @@ object Sizing {
   def nprobe(nlist: Int, probedMass: Double): Int =
     math.max(1, math.ceil(nlist * probedMass).toInt)
 
+  /** Sign-LSH band WIDTH for production-threshold cosine dedup
+    * (`emb_prune_stats`): a random pair agrees per bit with p = 1/2,
+    * so a band of b bits collides with probability 2⁻ᵇ and expected
+    * random candidates per band are N²·2⁻ᵇ⁻¹ — choosing
+    * b = log₂(N) pins that at ~N/2 per band (linear total work).
+    * Floor 16 (the test-corpus/production-doc value: N ≤ 65536 needs
+    * no more); true duplicates are immune to widening (a dup pair's
+    * signatures are identical bit-for-bit), and near-dup recall at
+    * threshold t falls as p(t)ᵇ — callers chasing recall at very
+    * large N add bands (each an independent chance), not narrower
+    * bands. */
+  def cosineBandBits(nVecs: Long): Int =
+    math.max(16, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nVecs - 1)))
+
   /** LSH band sizing for a MinHash signature of `numHashes` hashes and
     * a Jaccard threshold `t`: choose the band count b (rows r =
     * numHashes/b) minimizing |t − (1/b)^(1/r)| — the S-curve midpoint

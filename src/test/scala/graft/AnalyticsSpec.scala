@@ -788,6 +788,41 @@ class AnalyticsSpec extends SparkSpec {
       Dedup.clustersOf(Dedup.dedupMinhash(spark, d)).count())
   }
 
+  test("production-threshold LSH banding prunes the candidate space") {
+    // the emb_clusters slope flag's counterpart: at 16-bit bands a
+    // random pair collides per band with prob 0.5^16, so candidates
+    // must be a vanishing fraction of all N(N-1)/2 pairs
+    val d = "/root/testdata/sf0.01"
+    val stats = Dedup.embPruneStatsOf(graft.Tables.embeddings(spark, d))
+      .collect()
+    assert(stats.length === 3)
+    val cand  = stats.map(_.getAs[Long]("cand_pairs")).sum
+    val total = stats.head.getAs[Long]("total_pairs")
+    assert(total > 0L)
+    assert(cand.toDouble / total < 0.01, s"candidates $cand of $total")
+  }
+
+  test("production-threshold banding still catches a planted duplicate") {
+    // a positively-scaled copy has IDENTICAL sign signatures (dot
+    // products scale by a positive constant), so candidacy is
+    // guaranteed, and cos = 1.0 passes the 0.95 rerank — recall at the
+    // tight threshold is structural, not probabilistic, for true dups
+    val base = spark.range(200).selectExpr("id AS vec_id",
+      """transform(sequence(0, 63), j -> cast(
+           sin(cast(id * 64 + j as double) * 12.9898) * 43758.5453
+           - floor(sin(cast(id * 64 + j as double) * 12.9898) * 43758.5453)
+           - 0.5 as float)) AS embedding""")
+    val planted = base.filter(col("vec_id") === 0)
+      .selectExpr("CAST(1000 AS BIGINT) AS vec_id",
+        "transform(embedding, x -> cast(x * 2.0 as float)) AS embedding")
+    val pairs = Dedup.dedupEmbeddingOf(base.unionByName(planted),
+      threshold = 0.95, bandBits = 16, nBands = 3).collect()
+    assert(pairs.exists(r => r.getLong(0) === 0L && r.getLong(1) === 1000L),
+      pairs.mkString(","))
+    // and the tight threshold rejects the random background
+    assert(pairs.length < 5, pairs.mkString(","))
+  }
+
   test("Sizing rules reproduce the round-6 constants on driver corpora") {
     // every driver corpus sits under the floors, so derived == constant
     // and the oracle rows are provably unchanged (judge item 4)
@@ -810,5 +845,10 @@ class AnalyticsSpec extends SparkSpec {
     // probe count never exceeds the cell count, never hits zero
     assert(Sizing.nprobe(65536, 0.001) === 66)
     assert(Sizing.nprobe(1, 0.001) === 1)
+    // sign-LSH band width: floor 16 through 65536 vectors, then log2(N)
+    assert(Sizing.cosineBandBits(2000L) === 16)
+    assert(Sizing.cosineBandBits(65536L) === 16)
+    assert(Sizing.cosineBandBits(1000000L) === 20)
+    assert(Sizing.cosineBandBits(1000000000L) === 30)
   }
 }

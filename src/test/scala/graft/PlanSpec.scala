@@ -93,6 +93,10 @@ class PlanSpec extends SparkSpec {
     // expect_suite_json: the JSON-loaded twin of expect_suite — same
     // single-pass global agg, hashpartitioning-free plan
     "expect_suite_json" -> 0,
+    // emb_prune_stats: one (band,bucket) occupancy exchange + the
+    // per-band rollup (the vectors() round-robin spread is not a hash
+    // exchange)
+    "emb_prune_stats" -> 2,
     "expect_suite_sample" -> 0, "freq_items" -> 0, "gen_explode" -> 1,
     "join_anti" -> 0, "join_asof" -> 1, "join_broadcast" -> 1,
     "join_inner" -> 1, "join_left" -> 1, "join_range" -> 0,
