@@ -151,6 +151,12 @@ object Bench {
         w.println()
         w.println(s"Generated by `graft.Bench` against `$sfDir` " +
           "(regenerated every sweep; times are the 3-pass min).")
+        w.println()
+        w.println("Iterative queries (connected components, BFS, label " +
+          "propagation) localCheckpoint each round to sever lineage, so " +
+          "their FINAL plan is a checkpoint scan — the loop-body plan " +
+          "shape is documented at the implementation site and audited " +
+          "by PlanSpec's per-query budgets instead.")
         top.foreach { case (name, t) =>
           val plan = try {
             SparkEntry.queries(name)(spark, sfDir)

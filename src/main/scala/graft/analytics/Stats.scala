@@ -144,7 +144,10 @@ object Stats {
     * the tiny cell table, the FULL marginal cross product re-joined to
     * the observed counts (zero cells still owe their expected count to
     * the statistic), expected counts in
-    * centi-units by integer floor division, and the statistic
+    * centi-units by integer floor division (clamped to ≥1 centi-unit
+    * so an o>0 cell whose expected count floors to zero still
+    * contributes — dropping it biased sparse tables toward
+    * independence; advisor fix, r7), and the statistic
     * χ²·100 = Σ (100·O − E_c)² div E_c accumulated EXACTLY in BIGINT —
     * order-free, so Spark's partial sums and DuckDB agree bit-for-bit
     * (a per-cell double sum would hash-drift). Day-of-week is epoch-day

@@ -54,9 +54,20 @@ object LogisticsPipeline {
   }
 
   /** Full run from a raw directory. `geSample`: Some(n) reproduces the
-    * reference's n-row sampled gate; None (default) gates on all rows. */
+    * reference's n-row sampled gate; None (default) gates on all rows.
+    * `suitePath`: Some(file) loads the quality gate DECLARATIVELY from
+    * a Great Expectations JSON document (the reference's
+    * Validation_checks.json format, parsed by
+    * [[graft.expect.SuiteLoader]]) — editing the JSON changes the gate
+    * with no code change, exactly the reference's workflow; None keeps
+    * the code-defined [[Expectations.referenceSuite]] (identical
+    * semantics, spec-pinned). A malformed or unknown-typed suite file
+    * fails the RUN loudly rather than gating on nothing. */
   def run(spark: SparkSession, rawPath: String, outRoot: String,
-      geSample: Option[Int] = None, zone: String = "UTC"): Result = {
+      geSample: Option[Int] = None, zone: String = "UTC",
+      suitePath: Option[String] = None): Result = {
+    val suite = suitePath.fold(Expectations.referenceSuite)(
+      graft.expect.SuiteLoader.fromFile)
     val parsed    = RawJsonReader.read(spark, rawPath, Schemas.telemetry)
     val validated = validateStage(parsed, zone).persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -64,7 +75,7 @@ object LogisticsPipeline {
       val rejected = Splitter.rejected(validated, coreCols)
 
       val gated = geSample.fold(curated)(n => curated.limit(n))
-      val ge    = Expectations.verdict(gated, Expectations.referenceSuite)
+      val ge    = Expectations.verdict(gated, suite)
       val (curatedF, rejectedF) = Expectations.applyVerdict(curated, rejected, ge)
 
       // Reference layer names (Glue_job.py:131-136); counts in one pass,

@@ -159,6 +159,22 @@ class PipelineSpec extends SparkSpec {
       Expectations.report(df, expected).collect().toSeq)
   }
 
+  test("pipeline run driven by the reference's JSON suite file matches the code-defined gate") {
+    // the full declarative workflow: editing Validation_checks.json is
+    // the reference's way of changing the gate — a run driven by the
+    // actual file must be indistinguishable from the built-in suite
+    val path =
+      "/root/reference/great_expectations/Expectations/Validation_checks.json"
+    assume(new java.io.File(path).exists)
+    fixture
+    val declared = LogisticsPipeline.run(spark, rawDir,
+      new java.io.File("target/fixtures/out_json_suite").getAbsolutePath,
+      suitePath = Some(path))
+    assert(declared.geStatus === result.geStatus)
+    assert(declared.curated.count() === result.curated.count())
+    assert(declared.rejected.count() === result.rejected.count())
+  }
+
   test("SuiteLoader rejects unknown expectation types loudly") {
     val bad = """{"expectations": [
       {"expectation_type": "expect_column_median_to_be_between",
