@@ -157,18 +157,37 @@ object Bench {
           "their FINAL plan is a checkpoint scan — the loop-body plan " +
           "shape is documented at the implementation site and audited " +
           "by PlanSpec's per-query budgets instead.")
-        top.foreach { case (name, t) =>
+        top.zipWithIndex.foreach { case ((name, t), i) =>
           val plan = try {
             SparkEntry.queries(name)(spark, sfDir)
               .queryExecution.explainString(mode)
           } catch { case e: Throwable => s"(plan unavailable: ${e.getMessage})" }
           spark.catalog.clearCache()
+          // for the 3 most expensive: execute once more and capture the
+          // FINAL adaptive plan — this is where AQE's runtime decisions
+          // (broadcast-after-measure, skew splits, coalesced partitions)
+          // become visible, which the static EXPLAIN cannot show
+          val finalPlan = if (i < 3) try {
+            val df = SparkEntry.queries(name)(spark, sfDir)
+            df.count()
+            val p = df.queryExecution.executedPlan.toString
+            spark.catalog.clearCache()
+            Some(p)
+          } catch { case _: Throwable => None } else None
           w.println()
           w.println(s"## $name — ${sec(t)} s")
           w.println()
           w.println("```")
           w.println(plan)
           w.println("```")
+          finalPlan.foreach { p =>
+            w.println()
+            w.println("Final adaptive plan (post-execution):")
+            w.println()
+            w.println("```")
+            w.println(p)
+            w.println("```")
+          }
         }
       } finally w.close()
     } catch { case _: Throwable => () }

@@ -131,13 +131,15 @@ object Similarity {
       nprobeOverride: Int = -1, k: Int = 10, lloydIters: Int = 2): DataFrame = {
     // corpus feeds centroid training, assignment, and the query side
     val e = corpus(s, d).persist()
-    // r7: index geometry derived from corpus size (Sizing rules — ~128
-    // vectors/cell, centroid-broadcast ceiling; 0.75 probed mass is the
-    // structureless-test-corpus recall contract). On every driver
-    // corpus this evaluates to the round-6 constants (16, 12), so the
-    // trained quantizer and its DuckDB oracle are unchanged.
-    val nlist =
-      if (nlistOverride > 0) nlistOverride else Sizing.ivfNlist(e.count())
+    // r7 (slope-measured): under the probed-mass recall contract the
+    // rerank cost is a fixed corpus fraction REGARDLESS of nlist, while
+    // assignment costs N·nlist·dim — so the scalable default is a
+    // CONSTANT nlist (a corpus-derived draft rule went quadratic at the
+    // 30× corpus; see Sizing.ivfNlist's measured caution). Clustered
+    // corpora with an absolute nprobe budget pass Sizing.ivfNlist(N)
+    // explicitly. 0.75 probed mass = the structureless-test recall
+    // contract; constants match r6, oracle unchanged.
+    val nlist = if (nlistOverride > 0) nlistOverride else 16
     val nprobe =
       if (nprobeOverride > 0) nprobeOverride else Sizing.nprobe(nlist, 0.75)
     // seed cell i with vector i: a pushed-down id filter (no global
@@ -356,11 +358,13 @@ object Similarity {
       nprobeOverride: Int = -1, k: Int = 10, m: Int = 8, subDim: Int = 8,
       nk: Int = 16): DataFrame = {
     val e = corpus(s, d).persist()
-    // r7: derived geometry (see simAnnIvf) — ADC reranks are cheaper
-    // than IVF's exact reranks, so the probed-mass contract is 0.5;
-    // evaluates to the round-6 constants (16, 8) on driver corpora
-    val nlist =
-      if (nlistOverride > 0) nlistOverride else Sizing.ivfNlist(e.count())
+    // r7 (slope-measured): constant nlist for the same reason as
+    // simAnnIvf — the probed-mass contract makes rerank corpus-
+    // fraction-linear whatever nlist is, and assignment is N·nlist·dim
+    // (11.3 s vs 50.6 s at the 30× corpus, constant vs drafted
+    // corpus-derived rule). ADC reranks are cheaper than IVF's exact
+    // reranks, so the probed-mass contract is 0.5; constants match r6.
+    val nlist = if (nlistOverride > 0) nlistOverride else 16
     val nprobe =
       if (nprobeOverride > 0) nprobeOverride else Sizing.nprobe(nlist, 0.5)
     // coarse quantizer — identical construction to simAnnIvf

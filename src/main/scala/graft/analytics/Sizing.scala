@@ -35,15 +35,28 @@ object Sizing {
     * corpus max is < 32) and the floor can afford to be tighter. */
   def spanDfCap(nDocs: Long): Int = clamp(32L, 4096L, nDocs / 1000L)
 
-  /** IVF coarse-quantizer cell count: target ~128 vectors per cell so
-    * a probed cell is one cache-friendly scan unit, floor 16 (the
-    * smallest index worth having — and the test-corpus value: 2000
-    * vectors / 128 < 16), ceiling 65536 (centroids are driver/broadcast
-    * state: 65536 × 64-dim doubles ≈ 32 MB, the broadcast budget). At
-    * corpus sizes past 65536·128 ≈ 8.4M vectors the cells grow instead
-    * of the centroid table — the correct trade at 100 TB, where the
-    * alternative (millions of centroids) stops fitting the driver. */
-  def ivfNlist(nVecs: Long): Int = clamp(16L, 65536L, nVecs / 128L)
+  /** IVF coarse-quantizer cell count for the CLUSTERED-corpus /
+    * absolute-nprobe regime: the FAISS √N guideline (per-probe cell
+    * scan ≈ √N vectors, centroid table ≈ √N — both grow gently), floor
+    * 16 (the smallest index worth having, and the driver-corpus value:
+    * √200 < 16 at the correctness SF), ceiling 65536 (centroids are
+    * driver/broadcast state: 65536 × 64-dim doubles ≈ 32 MB).
+    *
+    * MEASURED CAUTION (the r7 slope harness caught this rule's first
+    * draft): cell assignment costs N·nlist·dim, so any nlist that
+    * grows LINEARLY with N (the draft used N/128) makes
+    * training/assignment quadratic — sim_ann_ivfpq went 11.3 s → 50.6 s
+    * at the 30× corpus from that alone. Moreover, under the
+    * PROBED-MASS recall contract the board queries use (structureless
+    * corpus: recall ≈ probed fraction), rerank cost is a fixed corpus
+    * fraction REGARDLESS of nlist — growing nlist buys nothing and
+    * only adds assignment cost, so those queries pin nlist = 16
+    * (constant, measured-linear) and do NOT call this rule. Use this
+    * rule when nprobe is an absolute budget over a corpus with real
+    * cluster structure — there nlist ≈ √N balances per-probe scan
+    * against centroid-table cost. */
+  def ivfNlist(nVecs: Long): Int =
+    clamp(16L, 65536L, math.round(math.sqrt(nVecs.toDouble)))
 
   /** Probe count from a target probed-mass fraction. On corpora with
     * NO cluster structure (the driver's near-random test embeddings)

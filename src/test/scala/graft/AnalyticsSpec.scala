@@ -828,7 +828,10 @@ class AnalyticsSpec extends SparkSpec {
     // and the oracle rows are provably unchanged (judge item 4)
     for (n <- Seq(5L, 500L, 5000L)) assert(Sizing.dfCap(n) === 64)
     for (n <- Seq(5L, 500L, 5000L)) assert(Sizing.spanDfCap(n) === 32)
-    for (n <- Seq(20L, 200L, 2000L)) assert(Sizing.ivfNlist(n) === 16)
+    // the probed-mass ANN queries pin nlist=16 (constant — see the
+    // measured caution in Sizing.ivfNlist); the sqrt rule floors to the
+    // same 16 at the correctness SF (sqrt(200) < 16)
+    for (n <- Seq(20L, 200L)) assert(Sizing.ivfNlist(n) === 16)
     assert(Sizing.nprobe(16, 0.75) === 12) // sim_ann_ivf
     assert(Sizing.nprobe(16, 0.5) === 8)   // sim_ann_ivfpq
     assert(Sizing.lshBands(8, 0.6) === 4)  // dedup_minhash 4x2 banding
@@ -839,8 +842,10 @@ class AnalyticsSpec extends SparkSpec {
     assert(Sizing.dfCap(1000000L) === 1000)
     assert(Sizing.dfCap(5000000000L) === 4096)
     assert(Sizing.spanDfCap(5000000000L) === 4096)
-    // ~128 vectors/cell until the centroid-broadcast ceiling
-    assert(Sizing.ivfNlist(1000000L) === 7812)
+    // FAISS sqrt rule (clustered/absolute-nprobe regime) until the
+    // centroid-broadcast ceiling; the probed-mass board queries pin
+    // nlist=16 instead (slope-measured — see Sizing.ivfNlist)
+    assert(Sizing.ivfNlist(1000000L) === 1000)
     assert(Sizing.ivfNlist(100000000000L) === 65536)
     // probe count never exceeds the cell count, never hits zero
     assert(Sizing.nprobe(65536, 0.001) === 66)
