@@ -169,7 +169,10 @@ object Bench {
           // become visible, which the static EXPLAIN cannot show
           val finalPlan = if (i < 3) try {
             val df = SparkEntry.queries(name)(spark, sfDir)
-            df.count()
+            // execute THIS QueryExecution's plan (df.count() would wrap
+            // it in a new agg plan and leave this one un-finalized, so
+            // AQE would still print isFinalPlan=false)
+            df.queryExecution.toRdd.count()
             val p = df.queryExecution.executedPlan.toString
             spark.catalog.clearCache()
             Some(p)
