@@ -158,25 +158,28 @@ object Bench {
           "shape is documented at the implementation site and audited " +
           "by PlanSpec's per-query budgets instead.")
         top.zipWithIndex.foreach { case ((name, t), i) =>
-          val plan = try {
-            SparkEntry.queries(name)(spark, sfDir)
-              .queryExecution.explainString(mode)
-          } catch { case e: Throwable => s"(plan unavailable: ${e.getMessage})" }
+          // construct ONCE — construction itself runs real driver work
+          // for some queries (quantizer training collects, sizing
+          // count() pre-passes), so a second build per query is waste
+          val dfOpt =
+            try Some(SparkEntry.queries(name)(spark, sfDir))
+            catch { case _: Throwable => None }
+          val plan = dfOpt.fold("(plan unavailable)")(df =>
+            try df.queryExecution.explainString(mode)
+            catch { case e: Throwable => s"(plan unavailable: ${e.getMessage})" })
+          // for the 3 most expensive: execute the SAME QueryExecution
+          // and capture the FINAL adaptive plan — where AQE's runtime
+          // decisions (broadcast-after-measure, skew splits, coalesced
+          // partitions) become visible. df.count() would wrap it in a
+          // new agg plan and leave this one un-finalized
+          // (isFinalPlan=false), so drive this plan's own toRdd.
+          val finalPlan = if (i < 3) dfOpt.flatMap { df =>
+            try {
+              df.queryExecution.toRdd.count()
+              Some(df.queryExecution.executedPlan.toString)
+            } catch { case _: Throwable => None }
+          } else None
           spark.catalog.clearCache()
-          // for the 3 most expensive: execute once more and capture the
-          // FINAL adaptive plan — this is where AQE's runtime decisions
-          // (broadcast-after-measure, skew splits, coalesced partitions)
-          // become visible, which the static EXPLAIN cannot show
-          val finalPlan = if (i < 3) try {
-            val df = SparkEntry.queries(name)(spark, sfDir)
-            // execute THIS QueryExecution's plan (df.count() would wrap
-            // it in a new agg plan and leave this one un-finalized, so
-            // AQE would still print isFinalPlan=false)
-            df.queryExecution.toRdd.count()
-            val p = df.queryExecution.executedPlan.toString
-            spark.catalog.clearCache()
-            Some(p)
-          } catch { case _: Throwable => None } else None
           w.println()
           w.println(s"## $name — ${sec(t)} s")
           w.println()

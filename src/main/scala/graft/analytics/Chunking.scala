@@ -84,8 +84,11 @@ object Chunking {
     * sampled spans and the anchor positions of the smallest shared
     * fingerprint (min_by is deterministic — fp values are distinct
     * within a pair after the per-(doc, fp) first-occurrence dedupe). */
-  def dedupSubstring(s: SparkSession, d: String): DataFrame =
-    dedupSubstringOf(documents(s, d), k = 8, modP = 8, dfCap = 32)
+  def dedupSubstring(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    dedupSubstringOf(docs, k = 8, modP = 8,
+      dfCap = Sizing.spanDfCap(docs.count()))
+  }
 
   private[graft] def dedupSubstringOf(docs: DataFrame, k: Int, modP: Int,
       dfCap: Int): DataFrame = {
@@ -201,8 +204,11 @@ object Chunking {
     * (the result is fingerprinted as md5 so the compared projection
     * stays narrow). Reported: token count, covered count, and the
     * stripped-text digest. */
-  def dedupStrip(s: SparkSession, d: String): DataFrame =
-    dedupStripOf(documents(s, d), k = 8, dfCap = 32, minSpan = 16)
+  def dedupStrip(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    dedupStripOf(docs, k = 8, dfCap = Sizing.spanDfCap(docs.count()),
+      minSpan = 16)
+  }
 
   /** Distinct (doc_id, pos) token positions covered by a ≥ minSpan
     * shared span in which doc_id is the pair's later document. */
@@ -251,8 +257,11 @@ object Chunking {
     * exercises exactly the minimum-guarantee span length, below the
     * reliable reach of mod-p sampling. Same scale valves: df-cap,
     * fingerprint equi-join, ids/longs only on the wire. */
-  def dedupWinnow(s: SparkSession, d: String): DataFrame =
-    dedupWinnowOf(documents(s, d), k = 8, w = 4, dfCap = 32)
+  def dedupWinnow(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    dedupWinnowOf(docs, k = 8, w = 4,
+      dfCap = Sizing.spanDfCap(docs.count()))
+  }
 
   private[graft] def dedupWinnowOf(docs: DataFrame, k: Int, w: Int,
       dfCap: Int): DataFrame = {
@@ -482,7 +491,8 @@ object Chunking {
           SELECT doc_id, fp, min(pos) AS pos FROM w
           WHERE fp % 8 = 0 GROUP BY doc_id, fp),
         hot AS (
-          SELECT fp FROM sel GROUP BY fp HAVING count(DISTINCT doc_id) > 32),
+          SELECT fp FROM sel GROUP BY fp HAVING count(DISTINCT doc_id) >
+            (SELECT greatest(32, least(4096, count(*) // 1000)) FROM documents)),
         kept AS (
           SELECT * FROM sel WHERE fp NOT IN (SELECT fp FROM hot))
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -503,7 +513,8 @@ object Chunking {
             ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 18, 15))::BIGINT AS fp
           FROM t, unnest(generate_series(1, len(tk) - 7)) AS u(i)),
         hot AS (
-          SELECT fp FROM w GROUP BY fp HAVING count(DISTINCT doc_id) > 32),
+          SELECT fp FROM w GROUP BY fp HAVING count(DISTINCT doc_id) >
+            (SELECT greatest(32, least(4096, count(*) // 1000)) FROM documents)),
         kept AS (
           SELECT * FROM w WHERE fp NOT IN (SELECT fp FROM hot)),
         m AS (
@@ -534,7 +545,8 @@ object Chunking {
             ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 18, 15))::BIGINT AS fp
           FROM t, unnest(generate_series(1, len(tk) - 7)) AS u(i)),
         hot AS (
-          SELECT fp FROM w GROUP BY fp HAVING count(DISTINCT doc_id) > 32),
+          SELECT fp FROM w GROUP BY fp HAVING count(DISTINCT doc_id) >
+            (SELECT greatest(32, least(4096, count(*) // 1000)) FROM documents)),
         kept AS (
           SELECT * FROM w WHERE fp NOT IN (SELECT fp FROM hot)),
         m AS (
@@ -577,7 +589,8 @@ object Chunking {
             ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 18, 15))::BIGINT AS fp
           FROM t, unnest(generate_series(1, len(tk) - 7)) AS u(i)),
         hot AS (
-          SELECT fp FROM w GROUP BY fp HAVING count(DISTINCT doc_id) > 32),
+          SELECT fp FROM w GROUP BY fp HAVING count(DISTINCT doc_id) >
+            (SELECT greatest(32, least(4096, count(*) // 1000)) FROM documents)),
         kept AS (
           SELECT * FROM w WHERE fp NOT IN (SELECT fp FROM hot)),
         m AS (
@@ -633,7 +646,8 @@ object Chunking {
         sel AS (
           SELECT doc_id, fp, min(sel_pos) AS pos FROM selw GROUP BY 1, 2),
         hot AS (
-          SELECT fp FROM sel GROUP BY fp HAVING count(DISTINCT doc_id) > 32),
+          SELECT fp FROM sel GROUP BY fp HAVING count(DISTINCT doc_id) >
+            (SELECT greatest(32, least(4096, count(*) // 1000)) FROM documents)),
         kept AS (
           SELECT * FROM sel WHERE fp NOT IN (SELECT fp FROM hot))
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -675,8 +675,12 @@ object Dedup {
         max(col("c")).as("max_bucket"),
         sum(expr("c * (c - 1) div 2")).as("cand_pairs"))
       .withColumn("total_pairs", lit(n * (n - 1) / 2))
+      // guard the degenerate <2-vector corpus: 0/0 would be NaN, which
+      // silently fails any downstream ratio threshold
       .withColumn("prune_ratio",
-        col("cand_pairs").cast("double") / col("total_pairs").cast("double"))
+        when(col("total_pairs") > 0L,
+          col("cand_pairs").cast("double") / col("total_pairs").cast("double"))
+          .otherwise(lit(0.0)))
       .orderBy(col("band"))
   }
 
@@ -899,12 +903,16 @@ object Dedup {
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS canonical_id, count(*) AS dup_cnt
         FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
-    // the df cap (64, matching dedupNgramOf's default) is part of the
-    // oracle too: both engines define the same capped shingle universe,
-    // so equality holds even at an SF where the cap binds
+    // the df cap is part of the oracle too, spelled as the SAME
+    // Sizing.dfCap rule (greatest(64, least(4096, nDocs/1000)) as a
+    // scalar subquery) so both engines define one capped shingle
+    // universe at ANY corpus size — a hardcoded 64 here would silently
+    // diverge from the engine's derived cap past 65k documents
     "dedup_ngram" ->
       s"""$shCte,
-        hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 64),
+        hot AS (SELECT shingle FROM sh GROUP BY shingle
+          HAVING count(*) > (SELECT greatest(64, least(4096, count(*) // 1000))
+                             FROM documents)),
         capped AS (SELECT doc_id, shingle FROM sh
                    WHERE shingle NOT IN (SELECT shingle FROM hot)),
         sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
@@ -947,7 +955,9 @@ object Dedup {
     // same capped universe as dedup_ngram; exact 10*inter >= 8*min gate
     "dedup_containment" ->
       s"""$shCte,
-        hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 64),
+        hot AS (SELECT shingle FROM sh GROUP BY shingle
+          HAVING count(*) > (SELECT greatest(64, least(4096, count(*) // 1000))
+                             FROM documents)),
         capped AS (SELECT doc_id, shingle FROM sh
                    WHERE shingle NOT IN (SELECT shingle FROM hot)),
         sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),

@@ -1391,6 +1391,21 @@ object EventsPipeline {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
       WHERE event_type = 'purchase'"""
 
+  /** Shared by expect_suite and expect_suite_json: the two queries
+    * must stay byte-equivalent (the JSON loader is the only thing
+    * under test in the twin). */
+  private val expectSuiteOracle: String =
+    """SELECT *,
+        CASE WHEN viol_user_id_not_null + viol_value_between
+               + viol_event_type_in_set + viol_k_between = 0
+          THEN 'PASSED' ELSE 'FAILED' END AS verdict
+      FROM (SELECT
+        CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS viol_user_id_not_null,
+        CAST(sum(CASE WHEN NOT (value BETWEEN 0 AND 450) THEN 1 ELSE 0 END) AS BIGINT) AS viol_value_between,
+        CAST(sum(CASE WHEN NOT (event_type IN ('click','view','purchase','signup')) THEN 1 ELSE 0 END) AS BIGINT) AS viol_event_type_in_set,
+        CAST(sum(CASE WHEN NOT (json_extract(props,'$.k')::INT BETWEEN 0 AND 89) THEN 1 ELSE 0 END) AS BIGINT) AS viol_k_between
+      FROM events)"""
+
   val oracle: Map[String, String] = Map(
     // HUGEINT is DuckDB's exact 128-bit lane — the same values the
     // Spark side carries as DECIMAL(38,0); only BIGINT/BOOLEAN reach
@@ -1568,30 +1583,11 @@ object EventsPipeline {
         GROUP BY 1""",
     // BIGINT casts: DuckDB's integer sum() is HUGEINT, which the
     // driver's hasher represents differently from Spark's BIGINT
-    "expect_suite" ->
-      """SELECT *,
-          CASE WHEN viol_user_id_not_null + viol_value_between
-                 + viol_event_type_in_set + viol_k_between = 0
-            THEN 'PASSED' ELSE 'FAILED' END AS verdict
-        FROM (SELECT
-          CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS viol_user_id_not_null,
-          CAST(sum(CASE WHEN NOT (value BETWEEN 0 AND 450) THEN 1 ELSE 0 END) AS BIGINT) AS viol_value_between,
-          CAST(sum(CASE WHEN NOT (event_type IN ('click','view','purchase','signup')) THEN 1 ELSE 0 END) AS BIGINT) AS viol_event_type_in_set,
-          CAST(sum(CASE WHEN NOT (json_extract(props,'$.k')::INT BETWEEN 0 AND 89) THEN 1 ELSE 0 END) AS BIGINT) AS viol_k_between
-        FROM events)""",
+    "expect_suite" -> expectSuiteOracle,
     // the JSON-loaded suite must be indistinguishable from the
-    // code-defined one — same oracle SQL by construction
-    "expect_suite_json" ->
-      """SELECT *,
-          CASE WHEN viol_user_id_not_null + viol_value_between
-                 + viol_event_type_in_set + viol_k_between = 0
-            THEN 'PASSED' ELSE 'FAILED' END AS verdict
-        FROM (SELECT
-          CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS viol_user_id_not_null,
-          CAST(sum(CASE WHEN NOT (value BETWEEN 0 AND 450) THEN 1 ELSE 0 END) AS BIGINT) AS viol_value_between,
-          CAST(sum(CASE WHEN NOT (event_type IN ('click','view','purchase','signup')) THEN 1 ELSE 0 END) AS BIGINT) AS viol_event_type_in_set,
-          CAST(sum(CASE WHEN NOT (json_extract(props,'$.k')::INT BETWEEN 0 AND 89) THEN 1 ELSE 0 END) AS BIGINT) AS viol_k_between
-        FROM events)""",
+    // code-defined one — the SAME oracle string, shared so a future
+    // bounds edit cannot miss the twin
+    "expect_suite_json" -> expectSuiteOracle,
     "expect_suite_sample" ->
       """SELECT *,
           CASE WHEN viol_user_id_not_null + viol_value_between

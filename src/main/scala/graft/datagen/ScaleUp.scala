@@ -12,15 +12,24 @@ import org.apache.spark.sql.functions._
   *
   * Replication must NOT change the data's duplication/similarity
   * characteristics, or the slope measures the data and not the engine:
-  *   - documents: every 8th token is salted with the replica id, so
-  *     every k>=8 shingle window contains a salted token and replicas
-  *     share no k=8 fingerprints — the within-replica duplicate rate
-  *     (what dedup actually processes) matches the source corpus
-  *     instead of exploding 10x-squared on exact copies.
-  *   - embeddings: per-component deterministic jitter (+-0.05 via a
-  *     sin of (id, component, replica)) keeps the cluster structure
-  *     while preventing replicas from being directionally identical
-  *     points that would collapse into degenerate IVF cells.
+  *   - documents: every 4th token is salted with the replica id, so
+  *     EVERY shingle window the engine uses — the 5-token n-gram
+  *     shingles (Dedup.shinglesOf) as well as the 8-token substring
+  *     fingerprints (Chunking) — contains a salted token, and replicas
+  *     share no shingles at all. (First draft salted every 8th token,
+  *     which left 3/8 of the 5-gram windows colliding across replicas
+  *     and quadratically inflated the candidate tables — caught in the
+  *     r7 self-review.) The within-replica duplicate rate — what dedup
+  *     actually processes — matches the source corpus. n_chars is
+  *     recomputed from the salted text so the column stays truthful.
+  *   - embeddings: replica 0 keeps the originals; replicas > 0 are
+  *     FULLY RE-SYNTHESIZED uniform vectors over the source component
+  *     range (additive jitter would make each base vector's replicas
+  *     mutual near-dups, quadratically inflating near-dup pair
+  *     tables). This means the scaled corpus has no cross-replica
+  *     cluster structure and `label` is meaningless on rep > 0 rows —
+  *     it is a THROUGHPUT corpus for slope measurement, not a
+  *     recall/classification corpus.
   *   - events: ids remapped, timestamps kept — 10x rows in the same
   *     time range models higher traffic, the realistic stream-join
   *     scale-up (more state per window, not a longer history).
@@ -39,13 +48,17 @@ object ScaleUp {
     src.crossJoin(broadcast(f))
       .select(
         (col("doc_id") + col("rep") * lit(100000000L)).as("doc_id"),
-        // salt every 8th token with the replica id: kills cross-replica
-        // k>=8 fingerprint collisions, keeps within-replica duplicates
+        // salt every 4th token with the replica id: any window of >= 5
+        // consecutive tokens (n-gram shingles AND substring
+        // fingerprints) contains a salted token, so replicas share no
+        // shingles; within-replica duplicates are preserved
         array_join(
           expr("transform(split(text, ' '), (t, i) -> " +
-            "if(i % 8 = 0, concat(t, 'r', cast(rep as string)), t))"),
+            "if(i % 4 = 0, concat(t, 'r', cast(rep as string)), t))"),
           " ").as("text"),
-        col("lang"), col("source"), col("n_chars"))
+        col("lang"), col("source"))
+      // the salt changed lengths — keep the metadata truthful
+      .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
   def scaleEmbeddings(src: DataFrame, factor: Int): DataFrame = {
@@ -113,7 +126,10 @@ object ScaleUp {
         new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
       val dest = new org.apache.hadoop.fs.Path(s"$destDir/$t.parquet")
       fs.delete(dest, true)
-      fs.rename(part, dest)
+      // rename returns false instead of throwing on several failure
+      // modes; a silent miss here reproduces the exact zero-file-drain
+      // failure this flat write exists to prevent
+      require(fs.rename(part, dest), s"rename $part -> $dest failed")
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
 

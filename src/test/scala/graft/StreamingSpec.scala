@@ -332,37 +332,41 @@ class StreamingSpec extends SparkSpec {
     val prevProv = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val chk  = graft.Tables.tempOutDir("rocksdb_restart_chk")
-    // memory sink refuses checkpoint recovery — a parquet sink is the
-    // restartable one (and what production writes anyway)
-    val path = graft.Tables.tempOutDir("rocksdb_restart_out")
-    val mem = MemoryStream[(Long, String, Long)]
-    def start() = mem.toDS().groupByKey(_._1)
-      .transformWithState(new graft.analytics.UserTypeMapProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(),
-        org.apache.spark.sql.streaming.OutputMode.Append())
-      .toDF("user_id", "event_type", "n_events", "sum_cents")
-      .writeStream.format("parquet").option("path", path)
-      .outputMode("append").option("checkpointLocation", chk).start()
-    val q1 = start()
+    // one outer try/finally owns the conf restore so a failure in ANY
+    // phase (including q1's) cannot leak the RocksDB provider into the
+    // rest of the shared-session suite
     try {
-      mem.addData((1L, "click", 100L), (1L, "view", 50L))
-      q1.processAllAvailable()
-    } finally q1.stop()
-    val q2 = start()
-    try {
-      mem.addData((1L, "click", 25L))
-      q2.processAllAvailable()
-      // the restarted query's click emission carries the PRE-restart
-      // running totals (count 2, 125 cents): state came off disk, not
-      // from the new query's empty memory
-      val clicks = spark.read.parquet(path)
-        .filter(col("event_type") === "click")
-        .orderBy(col("n_events")).collect()
-      assert(clicks.map(r => (r.getLong(2), r.getLong(3))).toSeq ===
-        Seq((1L, 100L), (2L, 125L)), clicks.mkString(","))
+      val chk  = graft.Tables.tempOutDir("rocksdb_restart_chk")
+      // memory sink refuses checkpoint recovery — a parquet sink is the
+      // restartable one (and what production writes anyway)
+      val path = graft.Tables.tempOutDir("rocksdb_restart_out")
+      val mem = MemoryStream[(Long, String, Long)]
+      def start() = mem.toDS().groupByKey(_._1)
+        .transformWithState(new graft.analytics.UserTypeMapProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF("user_id", "event_type", "n_events", "sum_cents")
+        .writeStream.format("parquet").option("path", path)
+        .outputMode("append").option("checkpointLocation", chk).start()
+      val q1 = start()
+      try {
+        mem.addData((1L, "click", 100L), (1L, "view", 50L))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = start()
+      try {
+        mem.addData((1L, "click", 25L))
+        q2.processAllAvailable()
+        // the restarted query's click emission carries the PRE-restart
+        // running totals (count 2, 125 cents): state came off disk, not
+        // from the new query's empty memory
+        val clicks = spark.read.parquet(path)
+          .filter(col("event_type") === "click")
+          .orderBy(col("n_events")).collect()
+        assert(clicks.map(r => (r.getLong(2), r.getLong(3))).toSeq ===
+          Seq((1L, 100L), (2L, 125L)), clicks.mkString(","))
+      } finally q2.stop()
     } finally {
-      q2.stop()
       prevProv match {
         case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
         case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
