@@ -110,13 +110,13 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
 
     def rd(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
-    def wr(df: DataFrame, t: String): Unit =
-      df.repartition(32).write.mode("overwrite")
-        .parquet(s"$destDir/$t.parquet")
-    // the streaming source lists the sf dir with
-    // pathGlobFilter=events.parquet, which matches leaf FILE names —
-    // events must be a single flat file like the driver's testdata, or
-    // the stream silently drains zero files
+    // EVERY table is written as a single flat FILE like the driver's
+    // testdata: the streaming source lists the sf dir with
+    // pathGlobFilter=events.parquet (leaf FILE names — a directory
+    // silently drains zero files), and tools/check.py's DuckDB side
+    // reads read_parquet('<dir>/<t>.parquet') which does not descend
+    // into directories. Spark still parallelizes a single file by
+    // row-group-aligned byte ranges, so scan parallelism is unharmed.
     def wrFlat(df: DataFrame, t: String): Unit = {
       val tmp = s"$destDir/_tmp_$t"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -133,12 +133,12 @@ object ScaleUp {
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
 
-    wr(scaleDocuments(rd("documents"), factor), "documents")
-    wr(scaleEmbeddings(rd("embeddings"), factor), "embeddings")
+    wrFlat(scaleDocuments(rd("documents"), factor), "documents")
+    wrFlat(scaleEmbeddings(rd("embeddings"), factor), "embeddings")
     wrFlat(scaleEvents(rd("events"), factor), "events")
     // pass-through tables so every query resolves against destDir
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem").foreach(t => wr(rd(t), t))
+      "lineitem").foreach(t => wrFlat(rd(t), t))
     println(s"SCALEUP_DONE $destDir factor=$factor")
     spark.stop()
   }
