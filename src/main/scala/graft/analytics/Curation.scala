@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-set selection — the query an LLM-data user
@@ -248,6 +248,74 @@ object Curation {
       .select(col("vec_id"), col("label"), col("rk").cast("long").as("rk"))
   }
 
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much its hashed-unigram features over-index in a
+    * TARGET corpus (here: the lang='en' slice) vs the raw pool, and
+    * keep the top-k. DSIR's weight is the log-ratio of two hashed
+    * n-gram models; logs are not cross-engine reproducible (no-ln
+    * rule), so the score is the exact-integer rate-difference
+    * surrogate: per token, tgt_rate_ppm − raw_rate_ppm of its md5
+    * feature bucket (ppm rates via truncating division — identical in
+    * both engines), summed per document. Monotone in the same
+    * direction as the log-ratio for each bucket; |score| ≤ 10⁶·len,
+    * corpus-size-independent — no overflow at any scale.
+    *
+    * Scale shape: the feature model is the 256-row bucket table —
+    * model METADATA, broadcast (rates computed inside it in the
+    * DECIMAL(38,0) exact lane, mirroring DuckDB's HUGEINT); docs are
+    * scored with one broadcast join + one per-doc aggregation; the
+    * final top-k is TakeOrderedAndProject, never a global sort. */
+  def dsirSelect(s: SparkSession, d: String, topK: Int = 100): DataFrame =
+    dsirSelectOf(documents(s, d), topK)
+
+  /** Core of dsirSelect over an arbitrary (doc_id, lang, text) table —
+    * target slice = lang='en' (spec-tested on planted vocabularies). */
+  private[graft] def dsirSelectOf(docs: DataFrame, topK: Int): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), col("lang"), explode(toks).as("t"))
+      .withColumn("b", substring(md5(col("t")), 1, 2))
+    val stats = tok.groupBy(col("b")).agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_tgt"))
+    val totals = stats.agg(sum(col("n_raw")).as("tot_raw"),
+      sum(col("n_tgt")).as("tot_tgt"))
+    // ppm rates inside the tiny bucket table: 128-bit exact multiply,
+    // truncating integral division (Spark div == DuckDB //)
+    val rates = stats.crossJoin(broadcast(totals)).select(col("b"),
+      expr("CAST(n_tgt AS DECIMAL(28,0)) * 1000000 div tot_tgt")
+        .as("tgt_ppm"),
+      expr("CAST(n_raw AS DECIMAL(28,0)) * 1000000 div tot_raw")
+        .as("raw_ppm"))
+    tok.join(broadcast(rates), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tgt_ppm") - col("raw_ppm")).as("score"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+      .select(col("doc_id"), col("score"), col("n_tokens"))
+  }
+
+  /** Model-based quality gate — the fastText/classifier filter shape
+    * (CCNet, DCLM, FineWeb-Edu): score each document with a LINEAR
+    * model over its tokens at scan speed and gate on the margin. The
+    * weight table here is a deterministic stand-in for trained weights
+    * (w(t) = ascii(first md5 hex char of t) % 7 − 3 ∈ [−3, 3] — a real
+    * deployment broadcasts its trained vocabulary weights the same
+    * way); what the operator pins is the SHAPE: a codegen'd
+    * fold over the token array (functions.aggregate — no explode, no
+    * join, no shuffle; the score never leaves the scan), which is what
+    * makes classifier-gating 100 TB a map-only pass. */
+  def qualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val weight: Column => Column =
+      t => (ascii(substring(md5(t), 1, 1)) % 7 - 3).cast("long")
+    val margin = aggregate(toks, lit(0L), (acc, t) => acc + weight(t))
+    documents(s, d).select(col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      margin.as("margin"),
+      (margin > 0).cast("int").as("accept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_balanced" -> sampleBalanced _,
     "training_select" -> trainingSelect _,
@@ -257,9 +325,48 @@ object Curation {
     "privacy_kanon"   -> privacyKanon _,
     "privacy_ldiversity" -> privacyLdiversity _,
     "privacy_tcloseness" -> privacyTcloseness _,
+    "dsir_select"        -> ((s: SparkSession, d: String) => dsirSelect(s, d)),
+    "quality_classifier" -> qualityClassifier _,
   )
 
   val oracle: Map[String, String] = Map(
+    // ppm rates via HUGEINT multiply + // (== Spark DECIMAL(38,0) div);
+    // sums over per-token small ints, projected as BIGINT
+    "dsir_select" ->
+      """WITH tb AS (
+          SELECT doc_id, lang, substr(md5(t), 1, 2) AS b FROM (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+            FROM documents)),
+        stats AS (
+          SELECT b, count(*) AS n_raw,
+            sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_tgt
+          FROM tb GROUP BY b),
+        tot AS (
+          SELECT sum(n_raw) AS tot_raw, sum(n_tgt) AS tot_tgt FROM stats),
+        rates AS (
+          SELECT b,
+            (CAST(n_tgt AS HUGEINT) * 1000000) // tot_tgt AS tgt_ppm,
+            (CAST(n_raw AS HUGEINT) * 1000000) // tot_raw AS raw_ppm
+          FROM stats CROSS JOIN tot)
+        SELECT doc_id,
+          CAST(sum(tgt_ppm - raw_ppm) AS BIGINT) AS score,
+          count(*) AS n_tokens
+        FROM tb JOIN rates USING (b)
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT 100""",
+    // same per-token weight (ascii of first md5 hex char, % 7 − 3)
+    // folded with list_sum; list_sum of an INT list widens — cast back
+    "quality_classifier" ->
+      """WITH sc AS (
+          SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+            CAST(coalesce(list_sum(list_transform(string_split(text, ' '),
+              t -> ascii(substr(md5(t), 1, 1)) % 7 - 3)), 0) AS BIGINT)
+              AS margin
+          FROM documents)
+        SELECT doc_id, n_tokens, margin,
+          CAST(margin > 0 AS INT) AS accept
+        FROM sc""",
     // identical md5 rank order and broadcast min-class scalar
     "sample_balanced" ->
       """WITH lab AS (

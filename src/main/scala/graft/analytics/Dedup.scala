@@ -339,6 +339,36 @@ object Dedup {
   def dedupClusters(s: SparkSession, d: String): DataFrame =
     clustersOf(dedupMinhash(s, d))
 
+  /** Quality-aware cluster representative selection — the curation
+    * policy knob `training_select`'s keep-min-id rule hides: per
+    * near-dup cluster, keep the HIGHEST-QUALITY member (here: most
+    * tokens, ties to the lowest doc_id — the "keep the longest
+    * version of the boilerplate family" rule production dedup
+    * pipelines run, since the longest copy usually embeds the others).
+    * Output is the per-cluster decision record: representative, its
+    * token count, and cluster size — the audit table a dedup run
+    * publishes next to its drop list.
+    *
+    * Scale shape: the cluster table is id-only (dedupClusters), the
+    * quality score joins by doc_id (text never shuffles — n_tokens is
+    * computed scan-side before the join), and the window state is
+    * bounded by near-dup cluster size. */
+  def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dedupClusters(s, d)
+    val docs = documents(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    clusters.join(docs, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_doc"),
+        col("n_tokens").as("rep_tokens"), col("n_members"))
+  }
+
   /** Connected components over an arbitrary (doc_a, doc_b) pair table —
     * the reusable core of dedupClusters (spec-tested on synthetic
     * chains/cliques independently of the LSH candidate generator). */
@@ -843,6 +873,7 @@ object Dedup {
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "dedup_simhash64_pairs" -> ((s: SparkSession, d: String) => simhash64Pairs(s, d)),
     "dedup_clusters"  -> dedupClusters _,
+    "dedup_keep_best" -> dedupKeepBest _,
     "dedup_embedding" -> dedupEmbedding _,
     "graph_triangles" -> graphTriangles _,
     "graph_pagerank"  -> graphPagerank _,
@@ -1033,6 +1064,38 @@ object Dedup {
           SELECT e.dst AS doc_id, r.label
           FROM reach r JOIN edges e ON e.src = r.doc_id)
         SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id""",
+    // dedup_clusters' chain + a token-count quality join + one argmax
+    // window per cluster (count(*) OVER has no frame dependence)
+    "dedup_keep_best" ->
+      s"""${shCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $minhashCtes,
+        mpairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM mpairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM mpairs),
+        reach AS (
+          SELECT src AS doc_id, src AS label FROM edges
+          UNION
+          SELECT e.dst AS doc_id, r.label
+          FROM reach r JOIN edges e ON e.src = r.doc_id),
+        clusters AS (
+          SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+        scored AS (
+          SELECT c.cluster_id, c.doc_id,
+            CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+          FROM clusters c JOIN documents d USING (doc_id))
+        SELECT cluster_id, doc_id AS rep_doc, n_tokens AS rep_tokens,
+          n_members
+        FROM (
+          SELECT cluster_id, doc_id, n_tokens,
+            row_number() OVER (PARTITION BY cluster_id
+              ORDER BY n_tokens DESC, doc_id) AS rk,
+            count(*) OVER (PARTITION BY cluster_id) AS n_members
+          FROM scored)
+        WHERE rk = 1""",
     "dedup_edit" ->
       s"""$shCte, $minhashCtes,
         mpairs AS (

@@ -127,6 +127,69 @@ object Similarity {
     * test embeddings, where recall ≈ probed mass and no quantizer can
     * prune hard; production corpora with real cluster structure run the
     * same plan with nprobe ≪ nlist. */
+  /** Seed-and-refine coarse quantizer — cell i is seeded with vector i
+    * (a pushed-down id filter, no global sort/limit; the id IS the cell
+    * index both here and in the DuckDB oracles), then `iters`
+    * fixed-point Lloyd rounds. Shared by the IVF index family and
+    * semantic dedup; the collect is nlist·dim doubles of index
+    * metadata, corpus-size-independent. */
+  private def coarseCentroids(e: DataFrame, nlist: Int,
+      iters: Int): Array[Array[Double]] = {
+    val init = e.filter(col("vec_id") < nlist)
+      .select(col("vec_id"), col("v")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    lloyd(e, init, iters)
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    * 2303.09540): partition embedding space with the SAME trained
+    * coarse quantizer the IVF index uses (16 cells seeded from the
+    * first 16 vectors + 2 fixed-point Lloyd rounds — deterministic,
+    * so the whole pipeline carries a DuckDB oracle), then compare
+    * cosines ONLY within a cell and drop every vector that has a
+    * lower-id cell-mate with cos ≥ τ (the paper's keep-one-per-
+    * near-dup-group policy with the deterministic keep-lowest-id
+    * tie-break; `dup_of` records the canonical witness).
+    *
+    * Scale shape — this is the whole point of SemDeDup vs all-pairs
+    * semantic dedup (`dedup_embedding`'s LSH banding is the other
+    * route): candidate generation is an equi-join on `cell`, so
+    * per-cell work is (N/nlist)² and total work N²/nlist. Production
+    * runs nlist = Sizing.ivfNlist(N) (the FAISS √N rule — the paper
+    * uses 1.1e4 clusters for 1.1e8 embeddings ≈ √N), giving N^1.5
+    * total comparisons with bare-id candidate pairs (vectors rejoin by
+    * id AFTER the cell join, so the 256-byte embeddings never ride the
+    * candidate shuffle — same discipline as dedup_embedding). The
+    * test corpus pins nlist=16 to share the sim_ann_ivf oracle chain. */
+  def dedupSemantic(s: SparkSession, d: String,
+      threshold: Double = 0.4, nlist: Int = 16): DataFrame = {
+    val e = corpus(s, d).persist()
+    val cl = centroidsLit(coarseCentroids(e, nlist, iters = 2))
+    val assigned = e.select(col("vec_id"), col("v"), col("nrm"),
+      cellOf(cl, col("v")).as("cell")).persist()
+    // bare-id candidate pairs within a cell; vectors rejoin by id
+    val ids = assigned.select(col("cell"), col("vec_id"))
+    val cand = ids.select(col("cell"), col("vec_id").as("va"))
+      .join(ids.select(col("cell"), col("vec_id").as("vb")), Seq("cell"))
+      .filter(col("va") < col("vb"))
+    val va = assigned.select(col("vec_id").as("va"),
+      col("v").as("v_a"), col("nrm").as("n_a"))
+    val vb = assigned.select(col("vec_id").as("vb"),
+      col("v").as("v_b"), col("nrm").as("n_b"))
+    val wit = cand.join(va, Seq("va")).join(vb, Seq("vb"))
+      .withColumn("cos",
+        dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("vb").as("vec_id"))
+      .agg(min(col("va")).as("dup_of"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(wit, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        col("dup_of").isNull.cast("int").as("kept"))
+  }
+
   def simAnnIvf(s: SparkSession, d: String, nlistOverride: Int = -1,
       nprobeOverride: Int = -1, k: Int = 10, lloydIters: Int = 2): DataFrame = {
     // corpus feeds centroid training, assignment, and the query side
@@ -142,14 +205,7 @@ object Similarity {
     val nlist = if (nlistOverride > 0) nlistOverride else 16
     val nprobe =
       if (nprobeOverride > 0) nprobeOverride else Sizing.nprobe(nlist, 0.75)
-    // seed cell i with vector i: a pushed-down id filter (no global
-    // sort/limit), and the id IS the cell index both here and in the
-    // DuckDB oracle
-    val init = e.filter(col("vec_id") < nlist)
-      .select(col("vec_id"), col("v")).collect()
-      .sortBy(_.getLong(0))
-      .map(_.getSeq[Double](1).toArray)
-    val cl = centroidsLit(lloyd(e, init, lloydIters))
+    val cl = centroidsLit(coarseCentroids(e, nlist, lloydIters))
 
     // shuffle-free assignment: argmax expression per corpus row
     val assigned = e.select(col("vec_id"), col("v"), col("nrm"),
@@ -728,7 +784,62 @@ object Similarity {
     "emb_quantize" -> embQuantize _,
     "emb_pq" -> ((s: SparkSession, d: String) => embPq(s, d)),
     "emb_centroid" -> embCentroid _,
+    "dedup_semantic" -> ((s: SparkSession, d: String) => dedupSemantic(s, d)),
   )
+
+  /** Coarse-quantizer CTE chain (seed 16 cells + 2 fixed-point Lloyd
+    * rounds + final assignment `af`) — the DuckDB spelling of
+    * `coarseCentroids` + `cellOf`, shared by the sim_ann_ivf and
+    * dedup_semantic oracles. Leaves the WITH list open: callers append
+    * their own CTEs after a comma. Exposes `e` (double vectors), `n`
+    * (norms), `cn2` (final normalized centroids), `af` (final
+    * vec_id→cell assignment). */
+  private val ivfCoarseCtes: String = {
+    // normalized list-form centroids from (cell, dim, val) rows; the
+    // zero-norm guard mirrors centroidsLit
+    def cn(cd: String): String =
+      s"""SELECT cell, list_transform(c, x ->
+           CASE WHEN sqrt(list_dot_product(c, c)) = 0 THEN 0
+                ELSE x / sqrt(list_dot_product(c, c)) END) AS c
+         FROM (SELECT cell, list(val ORDER BY dim) AS c FROM $cd GROUP BY cell)"""
+    // nearest-cell assignment (argmax dot, ties to the lowest cell)
+    def assign(cnT: String): String =
+      s"""SELECT vec_id, cell FROM (
+           SELECT e.vec_id, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.c) DESC, c.cell) AS rn
+           FROM e CROSS JOIN $cnT c) WHERE rn = 1"""
+    // fixed-point per-(cell, dim) means over an assignment
+    def means(aT: String): String =
+      s"""SELECT a.cell, d.i - 1 AS dim,
+           CAST(sum(CAST(floor(e.v[d.i] * 1000000) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1000000 AS val
+         FROM e JOIN $aT a USING (vec_id), dims d
+         GROUP BY a.cell, d.i"""
+    // lost cells keep the previous round's centroid
+    def step(prevCd: String, mT: String): String =
+      s"""SELECT $prevCd.cell, $prevCd.dim, coalesce($mT.val, $prevCd.val) AS val
+         FROM $prevCd LEFT JOIN $mT
+           ON $mT.cell = $prevCd.cell AND $mT.dim = $prevCd.dim"""
+    s"""WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+      cd0 AS (
+        SELECT vec_id AS cell, i - 1 AS dim, v[i] AS val
+        FROM e, dims WHERE vec_id < 16),
+      cn0 AS (${cn("cd0")}),
+      a1 AS (${assign("cn0")}),
+      m1 AS (${means("a1")}),
+      cd1 AS (${step("cd0", "m1")}),
+      cn1 AS (${cn("cd1")}),
+      a2 AS (${assign("cn1")}),
+      m2 AS (${means("a2")}),
+      cd2 AS (${step("cd1", "m2")}),
+      cn2 AS (${cn("cd2")}),
+      af AS (${assign("cn2")})"""
+  }
 
   /** Gram + unrolled power-iteration CTE chain (shared by the emb_pca
     * and emb_pca_scores oracles): HUGEINT is the exact lane, `//`
@@ -825,51 +936,8 @@ object Similarity {
     // 2 Lloyd rounds, probe, rerank — unrolls as DuckDB CTEs and the
     // approximate result set itself is hash-checked. Recall vs sim_knn
     // is additionally asserted in AnalyticsSpec.
-    "sim_ann_ivf" -> {
-      // normalized list-form centroids from (cell, dim, val) rows; the
-      // zero-norm guard mirrors centroidsLit
-      def cn(cd: String): String =
-        s"""SELECT cell, list_transform(c, x ->
-             CASE WHEN sqrt(list_dot_product(c, c)) = 0 THEN 0
-                  ELSE x / sqrt(list_dot_product(c, c)) END) AS c
-           FROM (SELECT cell, list(val ORDER BY dim) AS c FROM $cd GROUP BY cell)"""
-      // nearest-cell assignment (argmax dot, ties to the lowest cell)
-      def assign(cnT: String): String =
-        s"""SELECT vec_id, cell FROM (
-             SELECT e.vec_id, c.cell,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY list_dot_product(e.v, c.c) DESC, c.cell) AS rn
-             FROM e CROSS JOIN $cnT c) WHERE rn = 1"""
-      // fixed-point per-(cell, dim) means over an assignment
-      def means(aT: String): String =
-        s"""SELECT a.cell, d.i - 1 AS dim,
-             CAST(sum(CAST(floor(e.v[d.i] * 1000000) AS BIGINT)) AS DOUBLE)
-               / count(*) / 1000000 AS val
-           FROM e JOIN $aT a USING (vec_id), dims d
-           GROUP BY a.cell, d.i"""
-      // lost cells keep the previous round's centroid
-      def step(prevCd: String, mT: String): String =
-        s"""SELECT $prevCd.cell, $prevCd.dim, coalesce($mT.val, $prevCd.val) AS val
-           FROM $prevCd LEFT JOIN $mT
-             ON $mT.cell = $prevCd.cell AND $mT.dim = $prevCd.dim"""
-      s"""WITH e AS (
-          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          FROM embeddings),
-        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        dims AS (SELECT unnest(generate_series(1, 64)) AS i),
-        cd0 AS (
-          SELECT vec_id AS cell, i - 1 AS dim, v[i] AS val
-          FROM e, dims WHERE vec_id < 16),
-        cn0 AS (${cn("cd0")}),
-        a1 AS (${assign("cn0")}),
-        m1 AS (${means("a1")}),
-        cd1 AS (${step("cd0", "m1")}),
-        cn1 AS (${cn("cd1")}),
-        a2 AS (${assign("cn1")}),
-        m2 AS (${means("a2")}),
-        cd2 AS (${step("cd1", "m2")}),
-        cn2 AS (${cn("cd2")}),
-        af AS (${assign("cn2")}),
+    "sim_ann_ivf" ->
+      s"""$ivfCoarseCtes,
         probes AS (
           SELECT qid, cell FROM (
             SELECT q.vec_id AS qid, c.cell,
@@ -887,8 +955,28 @@ object Similarity {
         SELECT qid, nid, rn FROM (
           SELECT qid, nid,
             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
-          FROM scored) WHERE rn <= 10"""
-    },
+          FROM scored) WHERE rn <= 10""",
+    // same trained quantizer as sim_ann_ivf (shared CTE chain), then
+    // within-cell pairs only; the cosine is the same left-to-right
+    // list_dot_product spelling the dedup_embedding oracle proved
+    // cross-engine exact
+    "dedup_semantic" ->
+      s"""$ivfCoarseCtes,
+        cand AS (
+          SELECT fa.vec_id AS va, fb.vec_id AS vb
+          FROM af fa JOIN af fb
+            ON fa.cell = fb.cell AND fa.vec_id < fb.vec_id),
+        wit AS (
+          SELECT c.vb AS vec_id, min(c.va) AS dup_of
+          FROM cand c
+          JOIN n a ON a.vec_id = c.va
+          JOIN n b ON b.vec_id = c.vb
+          WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+          GROUP BY c.vb)
+        SELECT f.vec_id, CAST(f.cell AS INT) AS cell,
+          coalesce(w.dup_of, -1) AS dup_of,
+          CAST(w.dup_of IS NULL AS INT) AS kept
+        FROM af f LEFT JOIN wit w USING (vec_id)""",
     // IVF-PQ/ADC composed as CTEs: the coarse pipeline is sim_ann_ivf's
     // verbatim (seed + 2 fixed-point Lloyd rounds), the codebook
     // pipeline emb_pq's verbatim (seed + 1 round); ADC sums the same

@@ -856,4 +856,99 @@ class AnalyticsSpec extends SparkSpec {
     assert(Sizing.cosineBandBits(1000000L) === 20)
     assert(Sizing.cosineBandBits(1000000000L) === 30)
   }
+
+  test("semantic dedup: witnesses are lower-id cell-mates and real near-dup pairs") {
+    val out = Similarity.dedupSemantic(spark, sfDir).collect()
+    val emb = Tables.embeddings(spark, sfDir)
+    // total function over the corpus: every vector decided exactly once
+    assert(out.length === emb.count())
+    assert(out.map(_.getLong(0)).distinct.length === out.length)
+    val cellOf = out.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val removed = out.filter(_.getInt(3) === 0)
+    assert(removed.nonEmpty, "threshold 0.4 should remove someone at sf0.001")
+    // kept <=> no witness; witness is a lower id in the SAME cell
+    out.foreach { r =>
+      val (vid, dupOf, kept) = (r.getLong(0), r.getLong(2), r.getInt(3))
+      assert((kept == 1) === (dupOf == -1L))
+      if (kept == 0) {
+        assert(dupOf < vid)
+        assert(cellOf(dupOf) === cellOf(vid), s"witness of $vid crosses cells")
+      }
+    }
+    // every witness pair is a genuine >=0.4 cosine pair per the
+    // exhaustive-identical LSH near-dup detector
+    val allPairs = Dedup.dedupEmbeddingOf(Tables.embeddings(spark, sfDir))
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    removed.foreach { r =>
+      val p = (r.getLong(2), r.getLong(0))
+      assert(allPairs.contains(p), s"witness pair $p is not a near-dup pair")
+    }
+  }
+
+  test("dedup_keep_best picks each cluster's longest member (ties: lowest id)") {
+    val reps = Dedup.dedupKeepBest(spark, sfDir).collect()
+    val clusters = Dedup.dedupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nTok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(reps.map(_.getLong(0)).toSet === byCluster.keySet)
+    reps.foreach { r =>
+      val (cid, rep, repTok, n) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val members = byCluster(cid)
+      assert(n === members.length)
+      assert(members.contains(rep))
+      assert(repTok === nTok(rep))
+      val best = members.minBy(m => (-nTok(m), m))
+      assert(rep === best, s"cluster $cid kept $rep, expected $best")
+    }
+  }
+
+  test("dsir selection prefers documents built from the target vocabulary") {
+    import spark.implicits._
+    // planted corpus: target (en) speaks 'alpha beta', the raw pool
+    // speaks 'gamma delta'; one mixed doc sits in between
+    val docs = (
+      (0L until 10L).map(i => (i, "en", "alpha beta alpha beta alpha")) ++
+      (10L until 30L).map(i => (i, "de", "gamma delta gamma delta gamma")) ++
+      Seq((30L, "de", "alpha beta gamma delta alpha"))
+    ).toDF("doc_id", "lang", "text")
+    val got = analytics.Curation.dsirSelectOf(docs, topK = 15).collect()
+    val scoreOf = got.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // all 10 target-vocabulary docs selected, ahead of the mixed doc,
+    // ahead of every pure raw-pool doc
+    assert((0L until 10L).forall(scoreOf.contains))
+    assert(scoreOf.contains(30L))
+    val tgtScore = scoreOf(0L)
+    assert((1L until 10L).forall(i => scoreOf(i) == tgtScore))
+    assert(tgtScore > scoreOf(30L), "pure target must outscore mixed")
+    got.filter(r => r.getLong(0) >= 10L && r.getLong(0) < 30L).foreach { r =>
+      assert(r.getLong(1) < scoreOf(30L), "raw-pool docs must rank last")
+    }
+  }
+
+  test("quality classifier margin equals the JVM-computed weight fold") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def w(t: String): Long = {
+      val hex = md.digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (hex.charAt(0).toInt % 7 - 3).toLong
+    }
+    val rows = analytics.Curation.qualityClassifier(spark, sfDir).collect()
+    val text = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val toks = text(r.getLong(0)).split(" ", -1)
+      assert(r.getLong(1) === toks.length.toLong)
+      val margin = toks.map(w).sum
+      assert(r.getLong(2) === margin)
+      assert(r.getInt(3) === (if (margin > 0) 1 else 0))
+    }
+    // the stand-in weights are signed: both classes occur on real data
+    assert(rows.exists(_.getInt(3) == 1) && rows.exists(_.getInt(3) == 0))
+  }
 }

@@ -70,7 +70,10 @@ class PlanSpec extends SparkSpec {
       // text_pair_lift: crossJoin(broadcast(1-row n_docs scalar))
       "text_pair_lift",
       // stats_runs: crossJoin(broadcast(1-row series median))
-      "stats_runs")
+      "stats_runs",
+      // dsir_select: crossJoin(broadcast(1-row corpus token totals))
+      // inside the 256-row bucket-rate model table
+      "dsir_select")
 
   private val streaming =
     Set("stream_hourly", "stream_session", "stream_session_multibatch",
@@ -82,6 +85,16 @@ class PlanSpec extends SparkSpec {
 
   /** Audited max Exchange-hashpartitioning count per query. */
   private val exchangeBudget: Map[String, Int] = Map(
+    // round-7 wave 2 —
+    // dedup_semantic: cell-candidate equi-join + per-vec witness agg
+    // (the assignment itself is a shuffle-free literal-centroid argmax);
+    // dedup_keep_best: rides dedup_clusters' checkpointed id table, +1
+    // for the quality join/window on cluster_id;
+    // dsir_select: token explode→bucket agg (1), per-doc score agg (1),
+    // bucket-rate model join (1) — the rates table itself is broadcast;
+    // quality_classifier: scan-only codegen'd fold, zero exchanges
+    "dedup_semantic" -> 2, "dedup_keep_best" -> 1,
+    "dsir_select" -> 3, "quality_classifier" -> 0,
     "agg_arg_extrema" -> 1, "agg_count" -> 0, "agg_cube" -> 1,
     "agg_distinct" -> 2, "agg_group" -> 2, "agg_grouping_sets" -> 1,
     "agg_pivot" -> 2, "agg_quantile" -> 1, "agg_rollup" -> 1,
