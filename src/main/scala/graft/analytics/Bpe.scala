@@ -185,10 +185,39 @@ object Bpe {
         array_join(toks, "|").as("toks_str"), size(toks).as("n_toks"))
   }
 
+  /** Pre-training token budget: how many tokens does each SOURCE
+    * contribute under the trained tokenizer, and what corpus share is
+    * that? The planning table every pre-training data mix starts from
+    * (mixture weights are set in tokens, not documents — sources with
+    * verbose boilerplate inflate document counts but not useful
+    * tokens). Same vocab-sized pricing join as `bpe_encode`, rolled up
+    * to the bounded source key; the share is an exact ppm via the
+    * DECIMAL(38,0) lane (HUGEINT in DuckDB), so the budget is
+    * overflow-free at any corpus size. */
+  def tokenBudget(s: SparkSession, d: String): DataFrame = {
+    val (tables, _) = train(s, d)
+    val wtc = tables(rounds).groupBy(col("w")).agg(count(lit(1)).as("ntok"))
+    val dw = documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val per = dw.join(wtc, Seq("w"))
+      .groupBy(col("source"))
+      .agg(sum(col("c") * col("ntok")).as("n_tok_bpe"),
+        sum(col("c")).as("n_words"))
+    val tot = per.agg(sum(col("n_tok_bpe")).as("tot_bpe"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tok_bpe"), col("n_words"),
+        expr("CAST(n_tok_bpe AS DECIMAL(28,0)) * 1000000 div tot_bpe")
+          .as("share_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_merges" -> (bpeMerges _),
     "bpe_encode" -> (bpeEncode _),
-    "bpe_segment" -> (bpeSegment _))
+    "bpe_segment" -> (bpeSegment _),
+    "token_budget" -> (tokenBudget _))
 
   // ---------------------------------------------------------------
   // DuckDB oracle: the full training unrolled as MATERIALIZED CTEs
@@ -262,5 +291,20 @@ object Bpe {
           count(*) AS n_toks
         FROM t$rounds GROUP BY w)
       SELECT top.w, top.wcnt, seg.toks_str, CAST(seg.n_toks AS INT) AS n_toks
-      FROM top JOIN seg ON top.w = seg.w"""))
+      FROM top JOIN seg ON top.w = seg.w"""),
+    // bpe_encode's pricing join rolled to source; share in the HUGEINT
+    // lane (== Spark DECIMAL(38,0) div)
+    "token_budget" -> (oracleTraining + s""",
+      wtc AS (SELECT w, count(*) AS ntok FROM t$rounds GROUP BY 1),
+      dw AS (SELECT source, w, count(*) AS c FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) z
+        WHERE length(w) > 0 GROUP BY 1, 2),
+      per AS (
+        SELECT source, sum(c * ntok) AS n_tok_bpe, sum(c) AS n_words
+        FROM dw JOIN wtc USING (w) GROUP BY source),
+      tot AS (SELECT sum(n_tok_bpe) AS tot_bpe FROM per)
+      SELECT source, CAST(n_tok_bpe AS BIGINT) AS n_tok_bpe,
+        CAST(n_words AS BIGINT) AS n_words,
+        CAST((n_tok_bpe * 1000000) // tot_bpe AS BIGINT) AS share_ppm
+      FROM per CROSS JOIN tot"""))
 }

@@ -233,6 +233,46 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("nid"), col("rn"))
   }
 
+  /** Hard-negative mining for contrastive training — for each labeled
+    * query vector, the k most-SIMILAR vectors with a DIFFERENT label
+    * (the "hardest" negatives: near-misses are what make contrastive /
+    * metric-learning batches informative; random negatives are too
+    * easy to carry gradient). Rides the SAME trained IVF index as
+    * `sim_ann_ivf`: probe the nprobe nearest cells, rerank only
+    * different-label cell members — one index serves search, semantic
+    * dedup (`dedup_semantic`), AND negative mining, which is exactly
+    * how a production embedding stack amortizes index build cost.
+    * Deterministic end to end (fixed-point quantizer) ⇒ full DuckDB
+    * oracle; same probed-mass recall contract as the parent index. */
+  def annNegatives(s: SparkSession, d: String, k: Int = 5,
+      nprobe: Int = 12): DataFrame = {
+    val lab = embeddings(s, d).select(col("vec_id"), col("label"))
+    val e = corpus(s, d).persist()
+    val cl = centroidsLit(coarseCentroids(e, nlist = 16, iters = 2))
+    val assigned = e.join(lab, Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("label"),
+        cellOf(cl, col("v")).as("cell"))
+    val probes = e.join(lab, Seq("vec_id")).filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("label").as("qlabel"),
+        posexplode(transform(cl, c => dot(col("v"), c)))
+          .as(Seq("cell", "csim")))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("csim").desc, col("cell"))
+    val probed = probes.withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("qv"), col("qn"), col("qlabel"), col("cell"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("qid") =!= col("vec_id") && col("label") =!= col("qlabel"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"), col("rn"))
+  }
+
   /** LSH-bucketed ANN — the second approximate scale path next to IVF:
     * random-hyperplane (SimHash) sign bits bucket the corpus, and only
     * bucket-mates are reranked. 16 hyperplanes (vectors 50..65 of the
@@ -785,6 +825,7 @@ object Similarity {
     "emb_pq" -> ((s: SparkSession, d: String) => embPq(s, d)),
     "emb_centroid" -> embCentroid _,
     "dedup_semantic" -> ((s: SparkSession, d: String) => dedupSemantic(s, d)),
+    "ann_negatives" -> ((s: SparkSession, d: String) => annNegatives(s, d)),
   )
 
   /** Coarse-quantizer CTE chain (seed 16 cells + 2 fixed-point Lloyd
@@ -977,6 +1018,32 @@ object Similarity {
           coalesce(w.dup_of, -1) AS dup_of,
           CAST(w.dup_of IS NULL AS INT) AS kept
         FROM af f LEFT JOIN wit w USING (vec_id)""",
+    // the shared quantizer chain + a label join; rerank restricted to
+    // different-label candidates inside the probed cells
+    "ann_negatives" ->
+      s"""$ivfCoarseCtes,
+        lab AS (SELECT vec_id, label FROM embeddings),
+        probes AS (
+          SELECT qid, qlabel, cell FROM (
+            SELECT q.vec_id AS qid, lq.label AS qlabel, c.cell,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_dot_product(q.v, c.c) DESC, c.cell) AS prn
+            FROM e q JOIN lab lq ON lq.vec_id = q.vec_id
+            CROSS JOIN cn2 c WHERE q.vec_id < 50) WHERE prn <= 12),
+        scored AS (
+          SELECT p.qid, x.vec_id AS neg_id, lx.label AS neg_label,
+            list_dot_product(q.v, x.v) / (q.nrm * x.nrm) AS cos
+          FROM probes p
+          JOIN af ON af.cell = p.cell
+          JOIN n x ON x.vec_id = af.vec_id
+          JOIN lab lx ON lx.vec_id = x.vec_id
+          JOIN n q ON q.vec_id = p.qid
+          WHERE x.vec_id <> p.qid AND lx.label <> p.qlabel)
+        SELECT qid, neg_id, neg_label, rn FROM (
+          SELECT qid, neg_id, neg_label,
+            row_number() OVER (PARTITION BY qid
+              ORDER BY cos DESC, neg_id) AS rn
+          FROM scored) WHERE rn <= 5""",
     // IVF-PQ/ADC composed as CTEs: the coarse pipeline is sim_ann_ivf's
     // verbatim (seed + 2 fixed-point Lloyd rounds), the codebook
     // pipeline emb_pq's verbatim (seed + 1 round); ADC sums the same

@@ -930,6 +930,53 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("token budget: source totals tile bpe_encode's corpus total; shares sum to ~1e6") {
+    val per = analytics.Bpe.tokenBudget(spark, sfDir).collect()
+    val docTotal = analytics.Bpe.bpeEncode(spark, sfDir)
+      .agg(sum(col("n_tok_bpe"))).collect()(0).getLong(0)
+    assert(per.map(_.getLong(1)).sum === docTotal,
+      "per-source budgets must tile the per-doc pricing exactly")
+    val shares = per.map(_.getLong(3))
+    // truncating ppm division: sum is at most 1e6, short by < |sources|
+    assert(shares.sum <= 1000000L && shares.sum > 1000000L - per.length)
+    assert(per.map(_.getString(0)).distinct.length === per.length)
+  }
+
+  test("negative mining returns hard different-label neighbors from probed cells") {
+    val negs = Similarity.annNegatives(spark, sfDir).collect()
+    val label = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(negs.nonEmpty)
+    // different-label everywhere, ranks contiguous from 1 per query
+    negs.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq === (1 to rows.length))
+      assert(rows.map(_.getLong(1)).distinct.length === rows.length)
+      rows.foreach { r =>
+        assert(r.getInt(2) === label(r.getLong(1)))
+        assert(label(r.getLong(1)) !== label(qid), s"easy negative for $qid")
+      }
+    }
+    // hardness: the rank-1 negative must beat the median different-label
+    // cosine for its query (exact JVM recompute over the small corpus)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    negs.filter(_.getInt(3) == 1).foreach { r =>
+      val qid = r.getLong(0)
+      val others = vecs.keys.filter(v => v != qid && label(v) != label(qid))
+        .map(v => cos(vecs(qid), vecs(v))).toArray.sorted
+      val median = others(others.length / 2)
+      assert(cos(vecs(qid), vecs(r.getLong(1))) >= median,
+        s"rank-1 negative for $qid is not hard")
+    }
+  }
+
   test("quality classifier margin equals the JVM-computed weight fold") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def w(t: String): Long = {

@@ -73,7 +73,10 @@ class PlanSpec extends SparkSpec {
       "stats_runs",
       // dsir_select: crossJoin(broadcast(1-row corpus token totals))
       // inside the 256-row bucket-rate model table
-      "dsir_select")
+      "dsir_select",
+      // token_budget: crossJoin(broadcast(1-row corpus token total))
+      // over the bounded per-source rollup
+      "token_budget")
 
   private val streaming =
     Set("stream_hourly", "stream_session", "stream_session_multibatch",
@@ -95,6 +98,14 @@ class PlanSpec extends SparkSpec {
     // quality_classifier: scan-only codegen'd fold, zero exchanges
     "dedup_semantic" -> 2, "dedup_keep_best" -> 1,
     "dsir_select" -> 3, "quality_classifier" -> 0,
+    // round-7 wave 3 —
+    // token_budget: bpe_encode's pricing shape rolled to source — the
+    // static plan re-counts the BPE training table's (w, pos) windows
+    // (4 exchanges, vocab-sized data) + the word-explode agg and the
+    // source rollup; the 1-row corpus total is broadcast;
+    // ann_negatives: sim_ann_ivf's probe/rerank budget (the label join
+    // broadcasts at test SF, shuffles on vec_id at scale)
+    "token_budget" -> 6, "ann_negatives" -> 2,
     "agg_arg_extrema" -> 1, "agg_count" -> 0, "agg_cube" -> 1,
     "agg_distinct" -> 2, "agg_group" -> 2, "agg_grouping_sets" -> 1,
     "agg_pivot" -> 2, "agg_quantile" -> 1, "agg_rollup" -> 1,
