@@ -316,6 +316,39 @@ object Curation {
       (margin > 0).cast("int").as("accept"))
   }
 
+  /** Temperature-scaled source sampling weights (the T5/PaLM
+    * multilingual mixing knob at α = 1/2): a source's sampling share is
+    * proportional to n_tokens^α, which boosts small sources relative to
+    * proportional sampling without letting the head dominate. α = 1/2
+    * is the one temperature that is cross-engine EXACT — x^0.5 is IEEE
+    * sqrt (correctly rounded in both engines), where a pow()-based
+    * temperature would hit the no-ln libm rule. The share denominator
+    * Σ√nₛ is a float sum over the BOUNDED source domain, forced into
+    * the identical sequential order both engines via the running-window
+    * trick (the stats_anova technique); √ is monotone, so max(run) IS
+    * the final prefix. Output carries the exact proportional ppm next
+    * to the temperature share — the before/after a mixture review
+    * compares. Scale shape: one corpus aggregation to the source key;
+    * everything after runs on the bounded source table. */
+  def mixtureTemperature(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = documents(s, d)
+      .groupBy(col("source"))
+      .agg(sum(size(toks).cast("long")).as("n_tokens"))
+    val wRun = Window.orderBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sq = per
+      .withColumn("sq", sqrt(col("n_tokens").cast("double")))
+      .withColumn("run", sum(col("sq")).over(wRun))
+    val tot = sq.agg(max(col("run")).as("sq_tot"),
+      sum(col("n_tokens")).as("tot_n"))
+    sq.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        expr("CAST(n_tokens AS DECIMAL(28,0)) * 1000000 div tot_n")
+          .as("prop_ppm"),
+        (col("sq") / col("sq_tot")).as("temp_share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_balanced" -> sampleBalanced _,
     "training_select" -> trainingSelect _,
@@ -327,6 +360,7 @@ object Curation {
     "privacy_tcloseness" -> privacyTcloseness _,
     "dsir_select"        -> ((s: SparkSession, d: String) => dsirSelect(s, d)),
     "quality_classifier" -> qualityClassifier _,
+    "mixture_temperature" -> mixtureTemperature _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -354,6 +388,25 @@ object Curation {
         FROM tb JOIN rates USING (b)
         GROUP BY doc_id
         ORDER BY score DESC, doc_id LIMIT 100""",
+    // α=1/2 temperature via IEEE sqrt; denominator forced sequential
+    // with the running-window trick; proportional ppm in the exact lane
+    "mixture_temperature" ->
+      """WITH per AS (
+          SELECT source,
+            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source),
+        sq AS (
+          SELECT source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS sq,
+            sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER (ORDER BY source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM per),
+        tot AS (
+          SELECT max(run) AS sq_tot, sum(n_tokens) AS tot_n FROM sq)
+        SELECT source, n_tokens,
+          CAST((CAST(n_tokens AS HUGEINT) * 1000000) // tot_n AS BIGINT)
+            AS prop_ppm,
+          sq / sq_tot AS temp_share
+        FROM sq CROSS JOIN tot""",
     // same per-token weight (ascii of first md5 hex char, % 7 − 3)
     // folded with list_sum; list_sum of an INT list widens — cast back
     "quality_classifier" ->

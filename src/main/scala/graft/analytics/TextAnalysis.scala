@@ -60,26 +60,51 @@ object TextAnalysis {
     * method degenerates to marker tokens on this single-vocabulary
     * synthetic corpus, but the operator shape (score columns + argmax)
     * is the real algorithm. */
+  private def langRatio(markers: Seq[String]): Column = {
+    val hits = size(filter(toks, t => markers.map(m => t === m).reduce(_ || _)))
+    hits.cast("double") / size(toks).cast("double")
+  }
+  private def langScores: Seq[(String, Column)] = Seq(
+    "en" -> langRatio(Seq("the", "a", "of")),
+    "de" -> langRatio(Seq("der", "die", "das", "und")),
+    "fr" -> langRatio(Seq("le", "la", "et")),
+    "es" -> langRatio(Seq("el", "los", "y")))
+
+  /** The argmax prediction as a pure per-row expression (shared by
+    * langId and langConfusion — both are scan-side). */
+  private def predLangCol: Column = {
+    val m = langScores.toMap
+    val best = greatest(m.values.toSeq: _*)
+    when(best === 0, "und")
+      .when(m("de") === best, "de")   // alphabetical priority on ties
+      .when(m("en") === best, "en")
+      .when(m("es") === best, "es")
+      .otherwise("fr")
+  }
+
   def langId(s: SparkSession, d: String): DataFrame = {
-    def ratio(markers: Seq[String]): Column = {
-      val hits = size(filter(toks, t => markers.map(m => t === m).reduce(_ || _)))
-      hits.cast("double") / size(toks).cast("double")
-    }
-    val sEn = ratio(Seq("the", "a", "of"))
-    val sDe = ratio(Seq("der", "die", "das", "und"))
-    val sFr = ratio(Seq("le", "la", "et"))
-    val sEs = ratio(Seq("el", "los", "y"))
-    val best = greatest(sEn, sDe, sFr, sEs)
+    val m = langScores.toMap
     documents(s, d).select(
       col("doc_id"),
-      sEn.as("score_en"), sDe.as("score_de"),
-      sFr.as("score_fr"), sEs.as("score_es"),
-      when(best === 0, "und")
-        .when(sDe === best, "de")   // alphabetical priority on ties
-        .when(sEn === best, "en")
-        .when(sEs === best, "es")
-        .otherwise("fr").as("pred_lang"))
+      m("en").as("score_en"), m("de").as("score_de"),
+      m("fr").as("score_fr"), m("es").as("score_es"),
+      predLangCol.as("pred_lang"))
   }
+
+  /** Declared-vs-predicted language confusion matrix — the label-noise
+    * audit a multilingual corpus runs before trusting its `lang` tags
+    * (mislabeled docs poison per-language mixtures and eval splits;
+    * here the zh slice has NO marker coverage, so the matrix also
+    * surfaces detector blind spots as an `und`/misroute column). One
+    * scan: the prediction is the same per-row expression langId uses,
+    * so lang and pred_lang come off the same rows — no self-join; one
+    * exchange on the bounded lang×pred domain. */
+  def langConfusion(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("lang"), predLangCol.as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("is_match", (col("lang") === col("pred_lang")).cast("int"))
 
   /** Language-ID confidence: the margin between the best and
     * second-best marker-hit counts — the gate real pipelines use to
@@ -760,6 +785,7 @@ object TextAnalysis {
     "text_token_regex" -> textTokenRegex _,
     "lang_id"          -> langId _,
     "lang_id_margin"   -> langIdMargin _,
+    "lang_confusion"   -> langConfusion _,
     "text_fingerprint" -> fingerprint _,
     "text_rolling_hash" -> rollingHashPortable _,
     "text_bigrams"     -> bigrams _,
@@ -774,6 +800,28 @@ object TextAnalysis {
     "text_inverted"    -> ((s: SparkSession, d: String) => textInverted(s, d)),
     "sample_stratified" -> ((s: SparkSession, d: String) => sampleStratified(s, d)),
   )
+
+  /** lang_id's full oracle SQL (shared: the lang_id board row and the
+    * lang_confusion derived subquery — also consumed by
+    * Curation.oracle("training_select")). */
+  private[analytics] val langIdSql: String =
+    """WITH s AS (SELECT doc_id,
+          CAST(len(list_filter(string_split(text,' '), t -> t='the' OR t='a' OR t='of')) AS DOUBLE)
+            / CAST(len(string_split(text,' ')) AS DOUBLE) AS score_en,
+          CAST(len(list_filter(string_split(text,' '), t -> t='der' OR t='die' OR t='das' OR t='und')) AS DOUBLE)
+            / CAST(len(string_split(text,' ')) AS DOUBLE) AS score_de,
+          CAST(len(list_filter(string_split(text,' '), t -> t='le' OR t='la' OR t='et')) AS DOUBLE)
+            / CAST(len(string_split(text,' ')) AS DOUBLE) AS score_fr,
+          CAST(len(list_filter(string_split(text,' '), t -> t='el' OR t='los' OR t='y')) AS DOUBLE)
+            / CAST(len(string_split(text,' ')) AS DOUBLE) AS score_es
+        FROM documents)
+        SELECT doc_id, score_en, score_de, score_fr, score_es,
+          CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+               WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+               WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+               WHEN score_es = greatest(score_en, score_de, score_fr, score_es) THEN 'es'
+               ELSE 'fr' END AS pred_lang
+        FROM s"""
 
   val oracle: Map[String, String] = Map(
     // same one-pass conditional distincts, unpivoted
@@ -1051,24 +1099,16 @@ object TextAnalysis {
              - list_sort([h_en, h_de, h_fr, h_es])[3] AS BIGINT) AS margin_hits,
           CAST(n AS BIGINT) AS n_tokens
         FROM h""",
-    "lang_id" ->
-      """WITH s AS (SELECT doc_id,
-          CAST(len(list_filter(string_split(text,' '), t -> t='the' OR t='a' OR t='of')) AS DOUBLE)
-            / CAST(len(string_split(text,' ')) AS DOUBLE) AS score_en,
-          CAST(len(list_filter(string_split(text,' '), t -> t='der' OR t='die' OR t='das' OR t='und')) AS DOUBLE)
-            / CAST(len(string_split(text,' ')) AS DOUBLE) AS score_de,
-          CAST(len(list_filter(string_split(text,' '), t -> t='le' OR t='la' OR t='et')) AS DOUBLE)
-            / CAST(len(string_split(text,' ')) AS DOUBLE) AS score_fr,
-          CAST(len(list_filter(string_split(text,' '), t -> t='el' OR t='los' OR t='y')) AS DOUBLE)
-            / CAST(len(string_split(text,' ')) AS DOUBLE) AS score_es
-        FROM documents)
-        SELECT doc_id, score_en, score_de, score_fr, score_es,
-          CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
-               WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
-               WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
-               WHEN score_es = greatest(score_en, score_de, score_fr, score_es) THEN 'es'
-               ELSE 'fr' END AS pred_lang
-        FROM s""",
+    "lang_id" -> langIdSql,
+    // the lang_id prediction joined back to the declared label (the
+    // engine computes both on one scan; the oracle's doc_id join is
+    // plan-shape-free)
+    "lang_confusion" ->
+      s"""SELECT d.lang, p.pred_lang, count(*) AS n_docs,
+          CAST(d.lang = p.pred_lang AS INT) AS is_match
+        FROM documents d
+        JOIN ($langIdSql) p USING (doc_id)
+        GROUP BY d.lang, p.pred_lang""",
     "text_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp FROM documents",
     // token hash = ('0x' || low 15 md5 hex digits)::BIGINT; polynomial

@@ -977,6 +977,37 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("lang confusion tiles the corpus; matches only on the diagonal; zh is blind") {
+    val cells = analytics.TextAnalysis.langConfusion(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(cells.map(_.getLong(2)).sum === nDocs)
+    cells.foreach { r =>
+      assert((r.getInt(3) == 1) === (r.getString(0) == r.getString(1)))
+    }
+    // declared-en docs are dominated by the (en, en) diagonal cell
+    val enCells = cells.filter(_.getString(0) == "en")
+    val enDiag = enCells.find(_.getString(1) == "en").map(_.getLong(2)).getOrElse(0L)
+    assert(enDiag > enCells.map(_.getLong(2)).sum / 2)
+    // the detector has no zh markers: no (zh, zh) agreement can exist
+    assert(!cells.exists(r => r.getString(0) == "zh" && r.getInt(3) == 1))
+  }
+
+  test("temperature mixing: shares sum to 1 and compress the source spread") {
+    val rows = analytics.Curation.mixtureTemperature(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).distinct.length === rows.length)
+    val shareSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"shares sum to $shareSum")
+    val propSum = rows.map(_.getLong(2)).sum
+    assert(propSum <= 1000000L && propSum > 1000000L - rows.length)
+    // α=1/2 boosts the smallest source and shrinks the largest
+    val smallest = rows.minBy(_.getLong(1))
+    val largest = rows.maxBy(_.getLong(1))
+    assert(smallest.getDouble(3) > smallest.getLong(2) / 1e6,
+      "temperature must boost the smallest source")
+    assert(largest.getDouble(3) < largest.getLong(2) / 1e6 + 1e-6,
+      "temperature must shrink the largest source")
+  }
+
   test("quality classifier margin equals the JVM-computed weight fold") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def w(t: String): Long = {

@@ -76,7 +76,10 @@ class PlanSpec extends SparkSpec {
       "dsir_select",
       // token_budget: crossJoin(broadcast(1-row corpus token total))
       // over the bounded per-source rollup
-      "token_budget")
+      "token_budget",
+      // mixture_temperature: crossJoin(broadcast(1-row Σ√n/Σn scalars))
+      // over the bounded per-source table
+      "mixture_temperature")
 
   private val streaming =
     Set("stream_hourly", "stream_session", "stream_session_multibatch",
@@ -106,6 +109,13 @@ class PlanSpec extends SparkSpec {
     // ann_negatives: sim_ann_ivf's probe/rerank budget (the label join
     // broadcasts at test SF, shuffles on vec_id at scale)
     "token_budget" -> 6, "ann_negatives" -> 2,
+    // round-7 wave 4 —
+    // lang_confusion: one scan-side prediction + the bounded
+    // lang×pred-domain agg; mixture_temperature: corpus→source agg (1)
+    // consumed by both the per-source branch and the scalar-totals
+    // branch (the static plan repeats it pre-AQE-reuse: 2), then a
+    // bounded-domain running window + scalar broadcast
+    "lang_confusion" -> 1, "mixture_temperature" -> 2,
     "agg_arg_extrema" -> 1, "agg_count" -> 0, "agg_cube" -> 1,
     "agg_distinct" -> 2, "agg_group" -> 2, "agg_grouping_sets" -> 1,
     "agg_pivot" -> 2, "agg_quantile" -> 1, "agg_rollup" -> 1,
