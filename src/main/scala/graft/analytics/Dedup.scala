@@ -231,20 +231,26 @@ object Dedup {
   /** 16-bit SimHash fingerprint: bit b = sign of the token-count-weighted
     * sum of md5 hex-digit-b high bits (+1/−1 per token). Emitted as a
     * bitstring so the value is engine-portable. */
-  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    // md5 once per token; the 16 bit-columns then only substring into it
-    // (recomputing the digest per bit would 16× the dominant cost)
+  /** 16-bit SimHash over a token-md5-array column — a pure per-row
+    * expression (shared by the batch dedup_simhash and the streaming
+    * ingest dedup, where it runs scan-side inside the micro-batch). */
+  private[analytics] def simhash16Col(hashes: Column): Column = {
     val bits = (1 to 16).map { b =>
-      val contrib = transform(col("hashes"), h =>
+      val contrib = transform(hashes, h =>
         when(substring(h, b, 1)
           .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
       when(aggregate(contrib, lit(0), (acc, x) => acc + x) >= 0, "1").otherwise("0")
     }
+    concat(bits: _*)
+  }
+
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
+      // md5 once per token; the 16 bit-columns then only substring into
+      // it (recomputing the digest per bit would 16× the dominant cost)
       .withColumn("hashes", transform(toks, t => md5(t)))
-      .select(col("doc_id"), concat(bits: _*).as("simhash"))
-  }
+      .select(col("doc_id"), simhash16Col(col("hashes")).as("simhash"))
 
   /** Production-width 64-bit SimHash: two salted md5 digests per token
     * (32 high-bits each) — at 5k+ docs the 16-bit space saturates with
@@ -908,7 +914,7 @@ object Dedup {
           FROM sigs GROUP BY doc_id, i // 2)"""
 
   /** DuckDB spelling of the 16-bit simhash (generated per bit). */
-  private val simhashSql: String = {
+  private[analytics] val simhashSql: String = {
     val highs = "('8','9','a','b','c','d','e','f')"
     val bitExprs = (1 to 16).map { b =>
       s"""CASE WHEN list_sum(list_transform(string_split(text, ' '),

@@ -695,7 +695,68 @@ object StreamingQueries {
         .agg(count(lit(1)).as("cnt"), sum(col("mval")).as("sum_mval")),
       OutputMode.Complete())
 
+  /** Streaming near-duplicate CANONICALIZATION at ingest — the
+    * fingerprint-level upgrade of `stream_dedup` (which suppresses
+    * exact replays by event_id): documents arrive on a synthetic
+    * 1-doc-per-10-seconds clock, the 16-bit SimHash fingerprint is
+    * computed SCAN-SIDE inside the micro-batch (the same per-row
+    * expression batch `dedup_simhash` uses), and a windowed
+    * (hour, fingerprint) aggregation emits each fingerprint's
+    * canonical (min) doc id, latest member, and member count ONCE —
+    * when the watermark passes the window end. This is dedup-before-
+    * landing: at 100 TB/day the curation stack's fingerprint pass runs
+    * in-flight and the lake only stores one copy per fingerprint per
+    * window, with state bounded by the watermark horizon.
+    *
+    * Harness mechanics (same replay discipline as streamDedup): the
+    * source directory holds TWO identical files — the stamped corpus
+    * plus a far-future sentinel row — streamed one file per
+    * micro-batch. Whichever file lands first, batch 1 builds the full
+    * aggregation state (watermark still 0, nothing late) and advances
+    * the watermark to sentinel − 1 min; batch 2's copies are all
+    * older than the watermark and are dropped, so counts stay exact.
+    * Every real window then emits; the sentinel's own window stays
+    * open (its end is past the final watermark) and is withheld —
+    * the append-mode emit-once contract doing the cleanup. */
+  def streamFpDedup(s: SparkSession, d: String): DataFrame = {
+    val tmp = graft.Tables.tempOutDir("stream_fp_src")
+    val stamped = s.read.parquet(s"$d/documents.parquet")
+      // the +1 keeps doc 0 strictly ABOVE the initial watermark
+      // (epoch): an event time equal to the watermark is dropped as
+      // late by the dedup operator
+      .select(col("doc_id"), col("text"),
+        (lit(java.sql.Timestamp.valueOf("1970-01-01 00:00:00"))
+          + expr("make_interval(0,0,0,0,0,0, (doc_id + 1) * 10)")).as("ts"))
+      .unionByName(s.sql(
+        """SELECT CAST(-1 AS BIGINT) AS doc_id, 'zz' AS text,
+             timestamp'1970-03-01 00:00:00' AS ts"""))
+    stamped.coalesce(1).write.mode("overwrite").parquet(tmp)
+    stamped.coalesce(1).write.mode("append").parquet(tmp)
+    val schema = s.read.parquet(tmp).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(tmp)
+    val fp = Dedup.simhash16Col(
+      transform(split(col("text"), " "), t => md5(t)))
+    val agg = src
+      .withColumn("fp", fp)
+      .withWatermark("ts", "1 minute")
+      // CHAINED stateful operators: exact-replay suppression by doc_id
+      // (the at-least-once upgrade) feeding the fingerprint window agg
+      // — replay-idempotent regardless of how the file source batches
+      // the two copies (watermark propagation handles the handoff)
+      .dropDuplicatesWithinWatermark("doc_id")
+      .groupBy(window(col("ts"), "1 hour"), col("fp"))
+      .agg(min(col("doc_id")).as("canon"),
+        max(col("doc_id")).as("latest"),
+        count(lit(1)).as("n_members"))
+      .select(unix_micros(col("window.start")).as("win_us"),
+        col("fp"), col("canon"), col("latest"), col("n_members"))
+    runToMemory(s, agg, OutputMode.Append())
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_fp_dedup" -> streamFpDedup _,
     "stream_dsv2"    -> streamDsv2 _,
     "stream_stateful" -> streamStateful _,
     "stream_tws"     -> streamTws _,
@@ -717,6 +778,18 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the same 16-bit simhash spelling as dedup_simhash, bucketed on
+    // the synthetic 10-s/doc clock's hour windows; the sentinel row is
+    // not in `documents`, and its window is withheld by the final
+    // watermark on the engine side — both sides see only real docs
+    "stream_fp_dedup" ->
+      s"""WITH f AS (${Dedup.simhashSql})
+        SELECT CAST((((doc_id + 1) * 10) // 3600) * 3600000000 AS BIGINT)
+            AS win_us,
+          simhash AS fp,
+          min(doc_id) AS canon, max(doc_id) AS latest,
+          count(*) AS n_members
+        FROM f GROUP BY 1, 2""",
     "stream_dsv2" ->
       """SELECT CAST(id % 97 AS INT) AS bucket, count(*) AS cnt,
           CAST(sum((id * 2654435761) % 4294967296) AS BIGINT) AS sum_mval

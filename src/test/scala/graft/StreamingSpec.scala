@@ -400,6 +400,20 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("fp-dedup stream: replay-idempotent counts, sentinel window withheld") {
+    // the source directory is written TWICE (full replay); the chained
+    // dropDuplicatesWithinWatermark must make the window agg count
+    // every document exactly ONCE, and the far-future sentinel's own
+    // window must be withheld by the final watermark
+    val out = analytics.StreamingQueries.streamFpDedup(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(out.map(_.getLong(4)).sum === nDocs,
+      "each doc must be counted exactly once despite the replay")
+    assert(!out.exists(_.getLong(2) === -1L), "sentinel row leaked")
+    // canonical is the group minimum and a real member range
+    out.foreach { r => assert(r.getLong(2) <= r.getLong(3)) }
+  }
+
   test("stateful refuel detector finds fuel jumps per truck in seq order") {
     import spark.implicits._
     val readings = Seq(
