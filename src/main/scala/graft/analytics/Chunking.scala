@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Document chunking + chunk-level corpus hygiene for LLM training-data
@@ -447,7 +447,57 @@ object Chunking {
         s"(cum - n_tokens) div $budget AS pack_id")
   }
 
+  /** Span-corruption example prep (the T5/UL2 denoising objective,
+    * Raffel et al. 2020 §3.1.4): mask fixed-length token spans on a
+    * deterministic periodic schedule (span length 3 every 20 tokens =
+    * 15% corruption), emit the sentinel-delimited INPUT (each masked
+    * span collapsed to one `<X_k>` sentinel) and TARGET (sentinels +
+    * the masked tokens) the seq2seq trainer consumes. A production run
+    * randomizes span starts per epoch; the schedule here is the
+    * deterministic calibration variant (doc-content-independent, so
+    * the same doc yields the same example on every engine/run — the
+    * reproducibility contract the rest of this board holds), and the
+    * declared row carries the count fields plus md5 fingerprints of
+    * both sequences (the strings themselves are training payload, not
+    * analytics output).
+    *
+    * Scale shape: pure per-row expression work (sequence + transform +
+    * filter + array_join — all codegen'd), zero joins, zero shuffles:
+    * corrupting 100 TB is a map-only pass, the same contract as
+    * quality_classifier. */
+  def spanCorruption(s: SparkSession, d: String,
+      spanLen: Int = 3, period: Int = 20): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    // token i (1-based) is masked iff (i-1) % period < spanLen;
+    // span id = (i-1) div period
+    def masked(i: Column) = ((i - 1) % period) < spanLen
+    def spanId(i: Column) = (i - 1).cast("int") / period
+    val idx = sequence(lit(1), n)
+    val inputArr = transform(idx, i =>
+      when(!masked(i), element_at(toks, i))
+        .when(((i - 1) % period) === 0,
+          concat(lit("<X"), spanId(i).cast("int").cast("string"), lit(">")))
+        .otherwise(lit("")))
+    val targetArr = transform(idx, i =>
+      when(masked(i) && ((i - 1) % period) === 0,
+        concat(lit("<X"), spanId(i).cast("int").cast("string"), lit("> "),
+          element_at(toks, i)))
+        .when(masked(i), element_at(toks, i))
+        .otherwise(lit("")))
+    def joined(a: Column) = array_join(filter(a, x => x =!= ""), " ")
+    documents(s, d).select(
+      col("doc_id"),
+      n.cast("long").as("n_tokens"),
+      size(filter(idx, i => masked(i))).cast("long").as("n_masked"),
+      size(filter(idx, i => masked(i) && ((i - 1) % period) === 0))
+        .cast("long").as("n_spans"),
+      md5(joined(inputArr)).as("input_fp"),
+      md5(joined(targetArr)).as("target_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "span_corruption" -> ((s: SparkSession, d: String) => spanCorruption(s, d)),
     "text_chunk"    -> textChunk _,
     "dedup_chunks"  -> dedupChunks _,
     "dedup_substring" -> dedupSubstring _,
@@ -462,6 +512,34 @@ object Chunking {
   )
 
   val oracle: Map[String, String] = Map(
+    // identical periodic schedule: token i masked iff (i-1)%20 < 3,
+    // span sentinel at each span start; both engines filter the ''
+    // placeholders before joining on ' '
+    "span_corruption" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        b AS (
+          SELECT doc_id, len(tk) AS n_tokens,
+            list_transform(generate_series(1, len(tk)), i ->
+              CASE WHEN (i-1) % 20 >= 3 THEN tk[i]
+                   WHEN (i-1) % 20 = 0
+                     THEN '<X' || CAST((i-1) // 20 AS VARCHAR) || '>'
+                   ELSE '' END) AS inp,
+            list_transform(generate_series(1, len(tk)), i ->
+              CASE WHEN (i-1) % 20 = 0
+                     THEN '<X' || CAST((i-1) // 20 AS VARCHAR) || '> ' || tk[i]
+                   WHEN (i-1) % 20 < 3 THEN tk[i]
+                   ELSE '' END) AS tgt,
+            len(list_filter(generate_series(1, len(tk)),
+              i -> (i-1) % 20 < 3)) AS n_masked,
+            len(list_filter(generate_series(1, len(tk)),
+              i -> (i-1) % 20 = 0)) AS n_spans
+          FROM t)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+          CAST(n_masked AS BIGINT) AS n_masked,
+          CAST(n_spans AS BIGINT) AS n_spans,
+          md5(array_to_string(list_filter(inp, x -> x <> ''), ' ')) AS input_fp,
+          md5(array_to_string(list_filter(tgt, x -> x <> ''), ' ')) AS target_fp
+        FROM b""",
     "text_chunk" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
         SELECT doc_id, CAST((start - 1) // 24 AS BIGINT) AS chunk_idx,

@@ -1008,6 +1008,35 @@ class AnalyticsSpec extends SparkSpec {
       "temperature must shrink the largest source")
   }
 
+  test("span corruption reproduces the JVM-built T5 example exactly") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = Chunking.spanCorruption(spark, sfDir).collect()
+    val text = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length === text.size)
+    rows.foreach { r =>
+      val tk = text(r.getLong(0)).split(" ", -1)
+      def m(i: Int) = i % 20 < 3        // 0-based mask rule
+      val inp = tk.zipWithIndex.flatMap { case (t, i) =>
+        if (!m(i)) Some(t)
+        else if (i % 20 == 0) Some(s"<X${i / 20}>")
+        else None
+      }.filter(_.nonEmpty).mkString(" ")
+      val tgt = tk.zipWithIndex.flatMap { case (t, i) =>
+        if (i % 20 == 0) Some(s"<X${i / 20}> " + t)
+        else if (m(i)) Some(t)
+        else None
+      }.filter(_.nonEmpty).mkString(" ")
+      assert(r.getLong(1) === tk.length.toLong)
+      assert(r.getLong(2) === tk.indices.count(m).toLong)
+      assert(r.getLong(3) === tk.indices.count(i => i % 20 == 0).toLong)
+      assert(r.getString(4) === md5hex(inp), s"input drift doc ${r.getLong(0)}")
+      assert(r.getString(5) === md5hex(tgt), s"target drift doc ${r.getLong(0)}")
+    }
+  }
+
   test("quality classifier margin equals the JVM-computed weight fold") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def w(t: String): Long = {

@@ -116,6 +116,8 @@ class PlanSpec extends SparkSpec {
     // branch (the static plan repeats it pre-AQE-reuse: 2), then a
     // bounded-domain running window + scalar broadcast
     "lang_confusion" -> 1, "mixture_temperature" -> 2,
+    // span_corruption: pure per-row expression work, map-only
+    "span_corruption" -> 0,
     "agg_arg_extrema" -> 1, "agg_count" -> 0, "agg_cube" -> 1,
     "agg_distinct" -> 2, "agg_group" -> 2, "agg_grouping_sets" -> 1,
     "agg_pivot" -> 2, "agg_quantile" -> 1, "agg_rollup" -> 1,
