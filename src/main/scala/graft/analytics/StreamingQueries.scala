@@ -720,7 +720,13 @@ object StreamingQueries {
     * the append-mode emit-once contract doing the cleanup. */
   def streamFpDedup(s: SparkSession, d: String): DataFrame = {
     val tmp = graft.Tables.tempOutDir("stream_fp_src")
-    val stamped = s.read.parquet(s"$d/documents.parquet")
+    val docs = s.read.parquet(s"$d/documents.parquet")
+    // the sentinel must postdate EVERY real arrival or the watermark
+    // flush silently stops closing windows — derive it from the max id
+    // (1-row harness metadata; a fixed date broke past ~500k docs on
+    // the 10 s/doc clock)
+    val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val stamped = docs
       // the +1 keeps doc 0 strictly ABOVE the initial watermark
       // (epoch): an event time equal to the watermark is dropped as
       // late by the dedup operator
@@ -728,8 +734,9 @@ object StreamingQueries {
         (lit(java.sql.Timestamp.valueOf("1970-01-01 00:00:00"))
           + expr("make_interval(0,0,0,0,0,0, (doc_id + 1) * 10)")).as("ts"))
       .unionByName(s.sql(
-        """SELECT CAST(-1 AS BIGINT) AS doc_id, 'zz' AS text,
-             timestamp'1970-03-01 00:00:00' AS ts"""))
+        s"""SELECT CAST(-1 AS BIGINT) AS doc_id, 'zz' AS text,
+             timestamp'1970-01-01 00:00:00'
+               + make_interval(0, 0, 0, 2, 0, 0, (${maxId} + 2) * 10) AS ts"""))
     stamped.coalesce(1).write.mode("overwrite").parquet(tmp)
     stamped.coalesce(1).write.mode("append").parquet(tmp)
     val schema = s.read.parquet(tmp).schema
