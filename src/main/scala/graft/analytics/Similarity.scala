@@ -273,6 +273,32 @@ object Similarity {
         col("label").as("neg_label"), col("rn"))
   }
 
+  /** ANN index-quality audit — recall@10 of the IVF index against the
+    * exact scan, per query, as a FIRST-CLASS query (production vector
+    * stacks run this continuously: an index silently degrades as the
+    * corpus drifts away from its trained centroids, and the recall
+    * audit is what catches it before retrieval quality does). Both
+    * pipelines are deterministic, so the audit itself carries a full
+    * DuckDB oracle — the composition is two exact-integer counts per
+    * query (n_hit, recall_ppm = n_hit·10⁵ for k=10).
+    *
+    * Scale contract: inherits sim_knn's exact-scan cost on the
+    * baseline side — run it on a SAMPLED query set (here the bounded
+    * qid<50 probe set), never corpus-vs-corpus; the index side is the
+    * production ANN path. Same calibration-harness contract as
+    * sim_knn itself (PlanSpec whitelists it with the exact-scan
+    * family). */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = simKnn(s, d).select(col("qid"), col("nid"))
+    val approx = simAnnIvf(s, d)
+      .select(col("qid"), col("nid"), lit(1).as("hit"))
+    exact.join(approx, Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        (col("n_hit") * 100000L).as("recall_ppm"))
+  }
+
   /** LSH-bucketed ANN — the second approximate scale path next to IVF:
     * random-hyperplane (SimHash) sign bits bucket the corpus, and only
     * bucket-mates are reranked. 16 hyperplanes (vectors 50..65 of the
@@ -826,6 +852,7 @@ object Similarity {
     "emb_centroid" -> embCentroid _,
     "dedup_semantic" -> ((s: SparkSession, d: String) => dedupSemantic(s, d)),
     "ann_negatives" -> ((s: SparkSession, d: String) => annNegatives(s, d)),
+    "ann_recall" -> annRecall _,
   )
 
   /** Coarse-quantizer CTE chain (seed 16 cells + 2 fixed-point Lloyd
@@ -881,6 +908,30 @@ object Similarity {
       cn2 AS (${cn("cd2")}),
       af AS (${assign("cn2")})"""
   }
+
+  /** The IVF probe/rerank tail (12 probes, top-10) over the coarse
+    * chain's `e`/`n`/`cn2`/`af` — shared by the sim_ann_ivf and
+    * ann_recall oracles; exposes `ivf(qid, nid, rn)`. */
+  private val ivfTopCtes: String =
+    """probes AS (
+          SELECT qid, cell FROM (
+            SELECT q.vec_id AS qid, c.cell,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_dot_product(q.v, c.c) DESC, c.cell) AS prn
+            FROM e q CROSS JOIN cn2 c WHERE q.vec_id < 50) WHERE prn <= 12),
+        scored AS (
+          SELECT p.qid, x.vec_id AS nid,
+            list_dot_product(q.v, x.v) / (q.nrm * x.nrm) AS cos
+          FROM probes p
+          JOIN af ON af.cell = p.cell
+          JOIN n x ON x.vec_id = af.vec_id
+          JOIN n q ON q.vec_id = p.qid
+          WHERE x.vec_id <> p.qid),
+        ivf AS (
+          SELECT qid, nid, rn FROM (
+            SELECT qid, nid,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+            FROM scored) WHERE rn <= 10)"""
 
   /** Gram + unrolled power-iteration CTE chain (shared by the emb_pca
     * and emb_pca_scores oracles): HUGEINT is the exact lane, `//`
@@ -979,24 +1030,30 @@ object Similarity {
     // is additionally asserted in AnalyticsSpec.
     "sim_ann_ivf" ->
       s"""$ivfCoarseCtes,
-        probes AS (
-          SELECT qid, cell FROM (
-            SELECT q.vec_id AS qid, c.cell,
-              row_number() OVER (PARTITION BY q.vec_id
-                ORDER BY list_dot_product(q.v, c.c) DESC, c.cell) AS prn
-            FROM e q CROSS JOIN cn2 c WHERE q.vec_id < 50) WHERE prn <= 12),
-        scored AS (
-          SELECT p.qid, x.vec_id AS nid,
-            list_dot_product(q.v, x.v) / (q.nrm * x.nrm) AS cos
-          FROM probes p
-          JOIN af ON af.cell = p.cell
-          JOIN n x ON x.vec_id = af.vec_id
-          JOIN n q ON q.vec_id = p.qid
-          WHERE x.vec_id <> p.qid)
-        SELECT qid, nid, rn FROM (
-          SELECT qid, nid,
-            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
-          FROM scored) WHERE rn <= 10""",
+        $ivfTopCtes
+        SELECT qid, nid, rn FROM ivf""",
+    // the index audit: exact top-10 (the sim_knn spelling over the
+    // shared e/n) left-joined with the index's top-10, counted per
+    // query in exact integers
+    "ann_recall" ->
+      s"""$ivfCoarseCtes,
+        $ivfTopCtes,
+        kscored AS (
+          SELECT q.vec_id AS qid, c.vec_id AS nid,
+            list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+          FROM n q JOIN n c ON q.vec_id < 50 AND q.vec_id <> c.vec_id),
+        knn AS (
+          SELECT qid, nid FROM (
+            SELECT qid, nid,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+            FROM kscored) WHERE rn <= 10)
+        SELECT k.qid,
+          CAST(sum(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_hit,
+          CAST(sum(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) * 100000
+            AS BIGINT) AS recall_ppm
+        FROM knn k LEFT JOIN ivf i ON i.qid = k.qid AND i.nid = k.nid
+        GROUP BY k.qid""",
     // same trained quantizer as sim_ann_ivf (shared CTE chain), then
     // within-cell pairs only; the cosine is the same left-to-right
     // list_dot_product spelling the dedup_embedding oracle proved

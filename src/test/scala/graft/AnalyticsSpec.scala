@@ -1037,6 +1037,17 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("ann recall audit: per-query recall in range and mean >= 0.9") {
+    val rows = Similarity.annRecall(spark, sfDir).collect()
+    assert(rows.length === 50)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 10)
+      assert(r.getLong(2) === r.getLong(1) * 100000L)
+    }
+    val mean = rows.map(_.getLong(1)).sum.toDouble / rows.length / 10.0
+    assert(mean >= 0.9, s"audited mean recall $mean below the index contract")
+  }
+
   test("quality classifier margin equals the JVM-computed weight fold") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def w(t: String): Long = {

@@ -41,7 +41,9 @@ class PlanSpec extends SparkSpec {
     // exact kNN is O(|Q|·N) by definition and exists as the recall
     // oracle for the sim_ann_* family — its scaladoc
     // (Similarity.simKnn) forbids production corpus-vs-corpus use
-    Set("sim_knn", "sim_range", "knn_classify",
+    // ann_recall: the recall audit composes sim_knn's exact scan (the
+    // baseline side) — same bounded-query-set contract
+    Set("sim_knn", "sim_range", "knn_classify", "ann_recall",
       "join_cross", "text_tfidf", "text_bm25",
       "zorder_value", "sketch_cms", "mixture_weights", "sample_weighted",
       "expect_drift", "orders_rfm", "source_divergence", "agg_hll_union",
@@ -118,6 +120,9 @@ class PlanSpec extends SparkSpec {
     "lang_confusion" -> 1, "mixture_temperature" -> 2,
     // span_corruption: pure per-row expression work, map-only
     "span_corruption" -> 0,
+    // ann_recall: sim_knn (1) + sim_ann_ivf (2) + the audit
+    // join (2: both sides hash on (qid, nid)) + the per-qid agg
+    "ann_recall" -> 6,
     "agg_arg_extrema" -> 1, "agg_count" -> 0, "agg_cube" -> 1,
     "agg_distinct" -> 2, "agg_group" -> 2, "agg_grouping_sets" -> 1,
     "agg_pivot" -> 2, "agg_quantile" -> 1, "agg_rollup" -> 1,
