@@ -393,4 +393,23 @@ class ScaleSpec extends SparkSpec {
     assert(lv > 0.5 && zv < 0.6 * lv,
       s"z value extent $zv not clearly below user-sorted $lv")
   }
+
+  test("semantic dedup candidate volume shrinks with the quantizer cell count") {
+    // the N²/nlist contract behind dedup_semantic's scale story: the
+    // within-cell candidate count is Σ n_c·(n_c−1)/2 over cells, directly
+    // computable from the emitted (vec_id, cell) assignment. Same
+    // corpus, 4 vs 32 cells — the pair volume must drop by well over
+    // the 2× conservative bound (ideal uniform occupancy gives 8×).
+    def pairVolume(nlist: Int): Long = {
+      val cells = graft.analytics.Similarity
+        .dedupSemantic(spark, sfDir, nlist = nlist)
+        .groupBy(col("cell")).count().collect().map(_.getLong(1))
+      cells.map(n => n * (n - 1) / 2).sum
+    }
+    val coarse = pairVolume(4)
+    val fine = pairVolume(32)
+    assert(fine > 0, "32-cell quantizer degenerated to empty cells")
+    assert(fine * 2 < coarse,
+      s"candidate volume $fine (32 cells) not well below $coarse (4 cells)")
+  }
 }
