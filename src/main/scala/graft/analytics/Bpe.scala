@@ -191,9 +191,10 @@ object Bpe {
     * (mixture weights are set in tokens, not documents — sources with
     * verbose boilerplate inflate document counts but not useful
     * tokens). Same vocab-sized pricing join as `bpe_encode`, rolled up
-    * to the bounded source key; the share is an exact ppm via the
-    * DECIMAL(38,0) lane (HUGEINT in DuckDB), so the budget is
-    * overflow-free at any corpus size. */
+    * to the bounded source key; the share is an exact ppm via a
+    * DECIMAL(28,0) cast (28 + 7 multiply digits + 1 stays ≤ 38, so
+    * Spark never caps the precision; DuckDB's lane is HUGEINT),
+    * making the budget overflow-free at any corpus size. */
   def tokenBudget(s: SparkSession, d: String): DataFrame = {
     val (tables, _) = train(s, d)
     val wtc = tables(rounds).groupBy(col("w")).agg(count(lit(1)).as("ntok"))

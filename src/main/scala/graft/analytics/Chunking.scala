@@ -467,7 +467,6 @@ object Chunking {
     * quality_classifier. */
   def spanCorruption(s: SparkSession, d: String,
       spanLen: Int = 3, period: Int = 20): DataFrame = {
-    val toks = split(col("text"), " ")
     val n = size(toks)
     // token i (1-based) is masked iff (i-1) % period < spanLen;
     // span id = (i-1) div period

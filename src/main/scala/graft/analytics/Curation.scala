@@ -263,7 +263,8 @@ object Curation {
     *
     * Scale shape: the feature model is the 256-row bucket table —
     * model METADATA, broadcast (rates computed inside it in the
-    * DECIMAL(38,0) exact lane, mirroring DuckDB's HUGEINT); docs are
+    * DECIMAL(28,0)-cast exact lane — 28+7 multiply digits stays under
+    * Spark's 38 cap, mirroring DuckDB's HUGEINT); docs are
     * scored with one broadcast join + one per-doc aggregation; the
     * final top-k is TakeOrderedAndProject, never a global sort. */
   def dsirSelect(s: SparkSession, d: String, topK: Int = 100): DataFrame =
@@ -364,7 +365,7 @@ object Curation {
   )
 
   val oracle: Map[String, String] = Map(
-    // ppm rates via HUGEINT multiply + // (== Spark DECIMAL(38,0) div);
+    // ppm rates via HUGEINT multiply + // (== Spark DECIMAL(28,0) div);
     // sums over per-token small ints, projected as BIGINT
     "dsir_select" ->
       """WITH tb AS (
@@ -485,23 +486,9 @@ object Curation {
     // Dedup.oracle("dedup_clusters")
     "training_select" ->
       s"""${Dedup.shCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, ${Dedup.minhashCtes},
-        mpairs AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-        edges AS (
-          SELECT doc_a AS src, doc_b AS dst FROM mpairs
-          UNION ALL
-          SELECT doc_b AS src, doc_a AS dst FROM mpairs),
-        reach AS (
-          SELECT src AS doc_id, src AS label FROM edges
-          UNION
-          SELECT e.dst AS doc_id, r.label
-          FROM reach r JOIN edges e ON e.src = r.doc_id),
+        ${Dedup.clusterCtes},
         losers AS (
-          SELECT doc_id FROM (
-            SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id)
-          WHERE cluster_id <> doc_id),
+          SELECT doc_id FROM clusters WHERE cluster_id <> doc_id),
         en AS (
           SELECT doc_id FROM (${TextAnalysis.oracle("lang_id")})
           WHERE pred_lang = 'en'),

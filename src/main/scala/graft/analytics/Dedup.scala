@@ -363,7 +363,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val clusters = dedupClusters(s, d)
     val docs = documents(s, d).select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      size(toks).cast("long").as("n_tokens"))
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("n_tokens").desc, col("doc_id"))
     clusters.join(docs, Seq("doc_id"))
@@ -936,6 +936,28 @@ object Dedup {
     s"SELECT doc_id, ${bitExprs.mkString(" || ")} AS simhash64 FROM documents"
   }
 
+  /** Connected-components CTE chain over the MinHash band buckets
+    * (expects `bands` in scope; caller's WITH must be RECURSIVE) —
+    * exposes `clusters(doc_id, cluster_id)`. Shared by the
+    * dedup_clusters / dedup_keep_best oracles and Curation's
+    * training_select (one spelling, not three drifting copies). */
+  private[analytics] val clusterCtes: String =
+    """mpairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM mpairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM mpairs),
+        reach AS (
+          SELECT src AS doc_id, src AS label FROM edges
+          UNION
+          SELECT e.dst AS doc_id, r.label
+          FROM reach r JOIN edges e ON e.src = r.doc_id),
+        clusters AS (
+          SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id)"""
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS canonical_id, count(*) AS dup_cnt
@@ -1056,39 +1078,13 @@ object Dedup {
     // the Spark side's iterative min-label propagation
     "dedup_clusters" ->
       s"""${shCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $minhashCtes,
-        mpairs AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-        edges AS (
-          SELECT doc_a AS src, doc_b AS dst FROM mpairs
-          UNION ALL
-          SELECT doc_b AS src, doc_a AS dst FROM mpairs),
-        reach AS (
-          SELECT src AS doc_id, src AS label FROM edges
-          UNION
-          SELECT e.dst AS doc_id, r.label
-          FROM reach r JOIN edges e ON e.src = r.doc_id)
-        SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id""",
+        $clusterCtes
+        SELECT doc_id, cluster_id FROM clusters""",
     // dedup_clusters' chain + a token-count quality join + one argmax
     // window per cluster (count(*) OVER has no frame dependence)
     "dedup_keep_best" ->
       s"""${shCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $minhashCtes,
-        mpairs AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-        edges AS (
-          SELECT doc_a AS src, doc_b AS dst FROM mpairs
-          UNION ALL
-          SELECT doc_b AS src, doc_a AS dst FROM mpairs),
-        reach AS (
-          SELECT src AS doc_id, src AS label FROM edges
-          UNION
-          SELECT e.dst AS doc_id, r.label
-          FROM reach r JOIN edges e ON e.src = r.doc_id),
-        clusters AS (
-          SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+        $clusterCtes,
         scored AS (
           SELECT c.cluster_id, c.doc_id,
             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens

@@ -727,16 +727,17 @@ object StreamingQueries {
     // the 10 s/doc clock)
     val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
     val stamped = docs
-      // the +1 keeps doc 0 strictly ABOVE the initial watermark
-      // (epoch): an event time equal to the watermark is dropped as
-      // late by the dedup operator
+      // timestamp_seconds is pure epoch arithmetic — timezone-free on
+      // both engines (a java.sql.Timestamp.valueOf literal would parse
+      // in the JVM DEFAULT zone and break the oracle off-UTC). The +1
+      // keeps doc 0 strictly ABOVE the initial watermark (epoch): an
+      // event time equal to the watermark is dropped as late by the
+      // dedup operator
       .select(col("doc_id"), col("text"),
-        (lit(java.sql.Timestamp.valueOf("1970-01-01 00:00:00"))
-          + expr("make_interval(0,0,0,0,0,0, (doc_id + 1) * 10)")).as("ts"))
+        timestamp_seconds((col("doc_id") + 1) * 10).as("ts"))
       .unionByName(s.sql(
         s"""SELECT CAST(-1 AS BIGINT) AS doc_id, 'zz' AS text,
-             timestamp'1970-01-01 00:00:00'
-               + make_interval(0, 0, 0, 2, 0, 0, (${maxId} + 2) * 10) AS ts"""))
+             timestamp_seconds((${maxId} + 2) * 10 + 172800) AS ts"""))
     stamped.coalesce(1).write.mode("overwrite").parquet(tmp)
     stamped.coalesce(1).write.mode("append").parquet(tmp)
     val schema = s.read.parquet(tmp).schema
