@@ -28,6 +28,20 @@ object Expectations {
   def inSet(c: String, values: Seq[String]): Expectation =
     Expectation(s"${c}_in_set", when(!col(c).isin(values: _*), 1).otherwise(0))
 
+  /** GE expect_column_values_to_match_regex — NULL does not match
+    * (GE counts nulls as violations of a regex expectation; pair with
+    * notNull to make the intent explicit). */
+  def matchesRegex(c: String, regex: String): Expectation =
+    Expectation(s"${c}_matches_regex",
+      when(!coalesce(col(c).rlike(regex), lit(false)), 1).otherwise(0))
+
+  /** GE expect_column_value_lengths_to_be_between (string length
+    * bounds, inclusive; NULL violates — it has no length). */
+  def lengthBetween(c: String, lo: Int, hi: Int): Expectation =
+    Expectation(s"${c}_length_between",
+      when(!coalesce(length(col(c)).between(lo, hi), lit(false)), 1)
+        .otherwise(0))
+
   /** The reference's exact suite (Glue_job.py:105-108). */
   val referenceSuite: Seq[Expectation] = Seq(
     notNull("truck_id"),

@@ -67,12 +67,22 @@ object SuiteLoader {
       case "expect_column_values_to_be_in_set" =>
         Expectations.inSet(str(kw, "column", tpe),
           strings(kw, "value_set", tpe))
+      // two standard GE row-wise types beyond the reference file's
+      // three — the common additions a user's edited suite reaches for
+      case "expect_column_values_to_match_regex" =>
+        Expectations.matchesRegex(str(kw, "column", tpe),
+          str(kw, "regex", tpe))
+      case "expect_column_value_lengths_to_be_between" =>
+        Expectations.lengthBetween(str(kw, "column", tpe),
+          num(kw, "min_value", tpe).toInt, num(kw, "max_value", tpe).toInt)
       case unknown =>
         throw new IllegalArgumentException(
           s"unsupported expectation_type '$unknown' — supported: " +
             "expect_column_values_to_not_be_null, " +
             "expect_column_values_to_be_between, " +
-            "expect_column_values_to_be_in_set")
+            "expect_column_values_to_be_in_set, " +
+            "expect_column_values_to_match_regex, " +
+            "expect_column_value_lengths_to_be_between")
     }
   }
 

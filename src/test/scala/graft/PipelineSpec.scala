@@ -187,6 +187,27 @@ class PipelineSpec extends SparkSpec {
       graft.expect.SuiteLoader.fromJson("""{"expectations": []}"""))
   }
 
+  test("SuiteLoader regex/length expectations parse and flag planted rows") {
+    val suite = graft.expect.SuiteLoader.fromJson(
+      """{"expectations": [
+        {"expectation_type": "expect_column_values_to_match_regex",
+         "kwargs": {"column": "code", "regex": "^[A-Z]{2}[0-9]+$"}},
+        {"expectation_type": "expect_column_value_lengths_to_be_between",
+         "kwargs": {"column": "code", "min_value": 3, "max_value": 5}}]}""")
+    assert(suite.map(_.name) ===
+      Seq("code_matches_regex", "code_length_between"))
+    val df = spark.createDataFrame(Seq(
+      Tuple1("AB12"),        // clean
+      Tuple1("ab12"),        // regex violation
+      Tuple1("AB1234567"),   // length violation (regex-clean)
+      Tuple1(null.asInstanceOf[String]) // violates both (GE null rule)
+    )).toDF("code")
+    val r = graft.expect.Expectations.report(df, suite).collect()(0)
+    assert(r.getLong(r.fieldIndex("viol_code_matches_regex")) === 2L)
+    assert(r.getLong(r.fieldIndex("viol_code_length_between")) === 2L)
+    assert(r.getString(r.fieldIndex("verdict")) === "FAILED")
+  }
+
   test("sample-mode gate diverges from full-scan gate on adversarial data") {
     // the reference validates only a 500-row sample (Glue_job.py:102);
     // data whose first 500 rows are clean but whose tail is corrupt
