@@ -1668,6 +1668,40 @@ object Relational {
       Map("lo" -> "1997-01-01", "hi" -> "1998-01-01", "status" -> "F"))
   }
 
+  /** SQL scripting (Spark 4 `BEGIN…END`, SQL/PSM-style): session
+    * variables + a WHILE loop drive DISTRIBUTED aggregates — the
+    * procedural front-end tier beyond pipe syntax and parameter
+    * markers. The script calibrates a value threshold by doubling:
+    * starting at 1 cent, double until at most half the events survive
+    * (the "headroom search" an alerting config runs). Each iteration
+    * is one full distributed count; the loop runs log₂(max cents) ≈ 16
+    * times on the driver — iterative CONTROL is driver-side (as in any
+    * stored procedure), the data work stays on the cluster. All
+    * arithmetic is exact integers, so the procedural result carries a
+    * plain declarative DuckDB oracle (min qualifying power of two). */
+  def sqlScript(s: SparkSession, d: String): DataFrame = {
+    events(s, d).createOrReplaceTempView("events")
+    val prev = s.conf.getOption("spark.sql.scripting.enabled")
+    s.conf.set("spark.sql.scripting.enabled", "true")
+    try s.sql("""BEGIN
+        DECLARE n BIGINT DEFAULT 0;
+        DECLARE thr BIGINT DEFAULT 1;
+        DECLARE kept BIGINT DEFAULT 0;
+        SET n = (SELECT count(*) FROM events);
+        SET kept = n;
+        WHILE kept * 2 > n DO
+          SET thr = thr * 2;
+          SET kept = (SELECT count(*) FROM events
+                      WHERE CAST(floor(value * 100) AS BIGINT) >= thr);
+        END WHILE;
+        SELECT thr AS threshold_cents, kept AS n_kept, n AS n_total;
+      END""")
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.scripting.enabled", v)
+      case None    => s.conf.unset("spark.sql.scripting.enabled")
+    }
+  }
+
   /** Scalar XML codec (to_xml → from_xml round-trip): each order
     * serializes to an XML fragment and parses back scan-side — the
     * per-record codec path (message envelopes), distinct from the
@@ -2394,6 +2428,7 @@ object Relational {
     "sql_udf"           -> sqlUdf _,
     "sql_udtf"          -> sqlUdtf _,
     "sql_pipe"          -> sqlPipe _,
+    "sql_script"        -> sqlScript _,
     "df_transpose"      -> dfTranspose _,
     "sql_params"        -> sqlParams _,
     "xml_scalar"        -> xmlScalar _,
@@ -3285,6 +3320,24 @@ object Relational {
         UNION ALL
         ${row("cents")}"""
     },
+    // the WHILE loop's fixpoint spelled declaratively: the smallest
+    // power-of-two threshold (>= 2 — the loop doubles before testing)
+    // keeping at most half the events; same exact-integer arithmetic
+    "sql_script" ->
+      """WITH ns AS (SELECT count(*) AS n FROM events),
+        cents AS (
+          SELECT CAST(floor(value * 100) AS BIGINT) AS c FROM events),
+        thrs AS (
+          SELECT CAST(2 AS BIGINT) << g AS thr
+          FROM (SELECT unnest(generate_series(0, 39)) AS g)),
+        kept AS (
+          SELECT t.thr, sum(CASE WHEN c.c >= t.thr THEN 1 ELSE 0 END) AS k
+          FROM thrs t CROSS JOIN cents c GROUP BY t.thr),
+        win AS (
+          SELECT min(thr) AS thr FROM kept, ns WHERE k * 2 <= n)
+        SELECT w.thr AS threshold_cents,
+          CAST(k.k AS BIGINT) AS n_kept, ns.n AS n_total
+        FROM win w JOIN kept k ON k.thr = w.thr, ns""",
     // the classical spelling of the pipe query (same rows — the pipe
     // front end is pure syntax); mean chain mirrors the lateral alias
     "sql_pipe" ->

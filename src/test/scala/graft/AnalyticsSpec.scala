@@ -1048,6 +1048,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(mean >= 0.9, s"audited mean recall $mean below the index contract")
   }
 
+  test("sql script converges to the minimal doubling threshold") {
+    val r = analytics.Relational.sqlScript(spark, sfDir).collect()(0)
+    val (thr, kept, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(kept * 2 <= n, "threshold must keep at most half the events")
+    assert(thr >= 2 && (thr & (thr - 1)) == 0, s"$thr is not a power of two")
+    // minimality: the previous rung keeps MORE than half
+    val prevKept = Tables.events(spark, sfDir)
+      .filter(expr(s"CAST(floor(value * 100) AS BIGINT) >= ${thr / 2}"))
+      .count()
+    assert(prevKept * 2 > n, s"thr/2=${thr / 2} already satisfied the gate")
+  }
+
   test("quality classifier margin equals the JVM-computed weight fold") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def w(t: String): Long = {

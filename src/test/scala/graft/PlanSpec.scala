@@ -123,6 +123,9 @@ class PlanSpec extends SparkSpec {
     // ann_recall: sim_knn (1) + sim_ann_ivf (2) + the audit
     // join (2: both sides hash on (qid, nid)) + the per-qid agg
     "ann_recall" -> 6,
+    // sql_script: the BEGIN…END body executes at spark.sql() time; the
+    // returned frame is the final 1-row variable projection
+    "sql_script" -> 0,
     "agg_arg_extrema" -> 1, "agg_count" -> 0, "agg_cube" -> 1,
     "agg_distinct" -> 2, "agg_group" -> 2, "agg_grouping_sets" -> 1,
     "agg_pivot" -> 2, "agg_quantile" -> 1, "agg_rollup" -> 1,
