@@ -137,20 +137,27 @@ object Bpe {
     * division, so the oracle hash-matches). The corpus never carries
     * symbol tables: docs aggregate to (doc, word, count) once, then
     * join the vocab-sized per-word token counts. */
-  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+  /** The pricing join both encode-side queries share: (key, w, c) word
+    * occurrences joined with the trained per-word token counts. `key`
+    * is doc_id for per-doc pricing, source for the budget rollup — one
+    * spelling, not two drifting copies. */
+  private def pricedWords(s: SparkSession, d: String, key: String): DataFrame = {
     val (tables, _) = train(s, d)
     val wtc = tables(rounds).groupBy(col("w")).agg(count(lit(1)).as("ntok"))
-    val dw = documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    documents(s, d)
+      .select(col(key), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-      .groupBy(col("doc_id"), col("w"))
+      .groupBy(col(key), col("w"))
       .agg(count(lit(1)).as("c"))
-    dw.join(wtc, Seq("w"))
+      .join(wtc, Seq("w"))
+  }
+
+  def bpeEncode(s: SparkSession, d: String): DataFrame =
+    pricedWords(s, d, "doc_id")
       .groupBy(col("doc_id"))
       .agg(sum(col("c") * col("ntok")).as("n_tok_bpe"),
         sum(col("c") * length(col("w"))).as("n_tok_char"))
       .withColumn("char_per_tok_ppm", expr("(n_tok_char * 1000000) div n_tok_bpe"))
-  }
 
   /** Greedy application of the learned merges to a char-array column —
     * the INFERENCE path: one chained left-fold (`aggregate` HOF) per
@@ -196,14 +203,7 @@ object Bpe {
     * Spark never caps the precision; DuckDB's lane is HUGEINT),
     * making the budget overflow-free at any corpus size. */
   def tokenBudget(s: SparkSession, d: String): DataFrame = {
-    val (tables, _) = train(s, d)
-    val wtc = tables(rounds).groupBy(col("w")).agg(count(lit(1)).as("ntok"))
-    val dw = documents(s, d)
-      .select(col("source"), explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy(col("source"), col("w"))
-      .agg(count(lit(1)).as("c"))
-    val per = dw.join(wtc, Seq("w"))
+    val per = pricedWords(s, d, "source")
       .groupBy(col("source"))
       .agg(sum(col("c") * col("ntok")).as("n_tok_bpe"),
         sum(col("c")).as("n_words"))
@@ -269,17 +269,22 @@ object Bpe {
   private def oracleTraining: String =
     oracleBase + ",\n" + (1 to rounds).map(oracleRound).mkString(",\n")
 
+  /** The pricing join's CTE pair (the SQL twin of `pricedWords`) —
+    * appended after `oracleTraining`, parameterized by the rollup key. */
+  private def pricingCtes(key: String): String =
+    s""",
+      wtc AS (SELECT w, count(*) AS ntok FROM t$rounds GROUP BY 1),
+      dw AS (SELECT $key, w, count(*) AS c FROM (
+          SELECT $key, unnest(string_split(text, ' ')) AS w FROM documents) z
+        WHERE length(w) > 0 GROUP BY 1, 2)"""
+
   val oracle: Map[String, String] = Map(
     "bpe_merges" -> (oracleTraining + "\n" +
       "SELECT merge_rank, lhs, rhs, cnt FROM (" +
       (1 to rounds).map(r =>
         s"SELECT $r AS merge_rank, a AS lhs, b AS rhs, CAST(cnt AS BIGINT) AS cnt FROM top$r")
         .mkString(" UNION ALL ") + ") u"),
-    "bpe_encode" -> (oracleTraining + s""",
-      wtc AS (SELECT w, count(*) AS ntok FROM t$rounds GROUP BY 1),
-      dw AS (SELECT doc_id, w, count(*) AS c FROM (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) z
-        WHERE length(w) > 0 GROUP BY 1, 2)
+    "bpe_encode" -> (oracleTraining + pricingCtes("doc_id") + s"""
       SELECT doc_id,
         CAST(sum(c * ntok) AS BIGINT) AS n_tok_bpe,
         CAST(sum(c * length(w)) AS BIGINT) AS n_tok_char,
@@ -295,11 +300,7 @@ object Bpe {
       FROM top JOIN seg ON top.w = seg.w"""),
     // bpe_encode's pricing join rolled to source; share in the HUGEINT
     // lane (== Spark DECIMAL(38,0) div)
-    "token_budget" -> (oracleTraining + s""",
-      wtc AS (SELECT w, count(*) AS ntok FROM t$rounds GROUP BY 1),
-      dw AS (SELECT source, w, count(*) AS c FROM (
-          SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) z
-        WHERE length(w) > 0 GROUP BY 1, 2),
+    "token_budget" -> (oracleTraining + pricingCtes("source") + s""",
       per AS (
         SELECT source, sum(c * ntok) AS n_tok_bpe, sum(c) AS n_words
         FROM dw JOIN wtc USING (w) GROUP BY source),

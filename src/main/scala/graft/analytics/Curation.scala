@@ -273,9 +273,14 @@ object Curation {
   /** Core of dsirSelect over an arbitrary (doc_id, lang, text) table —
     * target slice = lang='en' (spec-tested on planted vocabularies). */
   private[graft] def dsirSelectOf(docs: DataFrame, topK: Int): DataFrame = {
+    // persisted: both the bucket-stats pass and the scoring pass read
+    // the exploded+hashed token table — without the cache the corpus
+    // is tokenized and digested twice (file-wide persist convention:
+    // harness mains clearCache per query, see Tables)
     val tok = docs
       .select(col("doc_id"), col("lang"), explode(toks).as("t"))
       .withColumn("b", substring(md5(col("t")), 1, 2))
+      .persist()
     val stats = tok.groupBy(col("b")).agg(
       count(lit(1)).as("n_raw"),
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_tgt"))

@@ -1683,13 +1683,18 @@ object Relational {
     events(s, d).createOrReplaceTempView("events")
     val prev = s.conf.getOption("spark.sql.scripting.enabled")
     s.conf.set("spark.sql.scripting.enabled", "true")
+    // rungs tested: 2, 4, …, 2⁴⁰ (first rung probed before the loop;
+    // the 2⁴⁰ cap bounds the loop AND matches the oracle's rung
+    // domain, so degenerate inputs — empty table, all-huge values —
+    // agree cross-engine instead of diverging or overflowing)
     try s.sql("""BEGIN
         DECLARE n BIGINT DEFAULT 0;
-        DECLARE thr BIGINT DEFAULT 1;
+        DECLARE thr BIGINT DEFAULT 2;
         DECLARE kept BIGINT DEFAULT 0;
         SET n = (SELECT count(*) FROM events);
-        SET kept = n;
-        WHILE kept * 2 > n DO
+        SET kept = (SELECT count(*) FROM events
+                    WHERE CAST(floor(value * 100) AS BIGINT) >= 2);
+        WHILE kept * 2 > n AND thr < 1099511627776 DO
           SET thr = thr * 2;
           SET kept = (SELECT count(*) FROM events
                       WHERE CAST(floor(value * 100) AS BIGINT) >= thr);
@@ -3321,22 +3326,26 @@ object Relational {
         ${row("cents")}"""
     },
     // the WHILE loop's fixpoint spelled declaratively: the smallest
-    // power-of-two threshold (>= 2 — the loop doubles before testing)
-    // keeping at most half the events; same exact-integer arithmetic
+    // rung in {2, 4, …, 2^40} keeping at most half the events (the
+    // coalesce is the loop's 2^40 cap for all-huge corpora); the
+    // LEFT JOIN tolerates empty `cents` (empty table → rung 2, k=0 —
+    // identical to the loop's no-iteration exit)
     "sql_script" ->
       """WITH ns AS (SELECT count(*) AS n FROM events),
         cents AS (
           SELECT CAST(floor(value * 100) AS BIGINT) AS c FROM events),
         thrs AS (
-          SELECT CAST(2 AS BIGINT) << g AS thr
-          FROM (SELECT unnest(generate_series(0, 39)) AS g)),
+          SELECT CAST(1 AS BIGINT) << g AS thr
+          FROM (SELECT unnest(generate_series(1, 40)) AS g)),
         kept AS (
-          SELECT t.thr, sum(CASE WHEN c.c >= t.thr THEN 1 ELSE 0 END) AS k
-          FROM thrs t CROSS JOIN cents c GROUP BY t.thr),
+          SELECT t.thr,
+            sum(CASE WHEN c.c >= t.thr THEN 1 ELSE 0 END) AS k
+          FROM thrs t LEFT JOIN cents c ON true GROUP BY t.thr),
         win AS (
-          SELECT min(thr) AS thr FROM kept, ns WHERE k * 2 <= n)
+          SELECT coalesce(min(thr), 1099511627776) AS thr
+          FROM kept, ns WHERE k * 2 <= n)
         SELECT w.thr AS threshold_cents,
-          CAST(k.k AS BIGINT) AS n_kept, ns.n AS n_total
+          CAST(coalesce(k.k, 0) AS BIGINT) AS n_kept, ns.n AS n_total
         FROM win w JOIN kept k ON k.thr = w.thr, ns""",
     // the classical spelling of the pipe query (same rows — the pipe
     // front end is pure syntax); mean chain mirrors the lateral alias

@@ -162,12 +162,22 @@ object Similarity {
     * id AFTER the cell join, so the 256-byte embeddings never ride the
     * candidate shuffle — same discipline as dedup_embedding). The
     * test corpus pins nlist=16 to share the sim_ann_ivf oracle chain. */
-  def dedupSemantic(s: SparkSession, d: String,
-      threshold: Double = 0.4, nlist: Int = 16): DataFrame = {
+  /** The quantizer assignment alone — (vec_id, v, nrm, cell) — without
+    * the within-cell pair scoring; the seam the occupancy/slope specs
+    * measure candidate volume through (reading cell counts via the
+    * full dedupSemantic would execute the quadratic pair join it is
+    * trying to size). */
+  private[graft] def semanticAssignments(s: SparkSession, d: String,
+      nlist: Int): DataFrame = {
     val e = corpus(s, d).persist()
     val cl = centroidsLit(coarseCentroids(e, nlist, iters = 2))
-    val assigned = e.select(col("vec_id"), col("v"), col("nrm"),
-      cellOf(cl, col("v")).as("cell")).persist()
+    e.select(col("vec_id"), col("v"), col("nrm"),
+      cellOf(cl, col("v")).as("cell"))
+  }
+
+  def dedupSemantic(s: SparkSession, d: String,
+      threshold: Double = 0.4, nlist: Int = 16): DataFrame = {
+    val assigned = semanticAssignments(s, d, nlist).persist()
     // bare-id candidate pairs within a cell; vectors rejoin by id
     val ids = assigned.select(col("cell"), col("vec_id"))
     val cand = ids.select(col("cell"), col("vec_id").as("va"))

@@ -744,10 +744,13 @@ object StreamingQueries {
     val src = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(tmp)
-    val fp = Dedup.simhash16Col(
-      transform(split(col("text"), " "), t => md5(t)))
     val agg = src
-      .withColumn("fp", fp)
+      // digest once per token in its own projection (CollapseProject
+      // keeps it un-inlined) — simhash16Col expands its argument 16×,
+      // and HOF subtrees get no subexpression elimination
+      .withColumn("hashes", transform(split(col("text"), " "), t => md5(t)))
+      .withColumn("fp", Dedup.simhash16Col(col("hashes")))
+      .drop("hashes")
       .withWatermark("ts", "1 minute")
       // CHAINED stateful operators: exact-replay suppression by doc_id
       // (the at-least-once upgrade) feeding the fingerprint window agg

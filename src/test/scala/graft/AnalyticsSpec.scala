@@ -1053,11 +1053,14 @@ class AnalyticsSpec extends SparkSpec {
     val (thr, kept, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
     assert(kept * 2 <= n, "threshold must keep at most half the events")
     assert(thr >= 2 && (thr & (thr - 1)) == 0, s"$thr is not a power of two")
-    // minimality: the previous rung keeps MORE than half
-    val prevKept = Tables.events(spark, sfDir)
-      .filter(expr(s"CAST(floor(value * 100) AS BIGINT) >= ${thr / 2}"))
-      .count()
-    assert(prevKept * 2 > n, s"thr/2=${thr / 2} already satisfied the gate")
+    // minimality: the previous rung keeps MORE than half (rung 2 is
+    // the loop's entry probe — no previous rung to test there)
+    if (thr > 2) {
+      val prevKept = Tables.events(spark, sfDir)
+        .filter(expr(s"CAST(floor(value * 100) AS BIGINT) >= ${thr / 2}"))
+        .count()
+      assert(prevKept * 2 > n, s"thr/2=${thr / 2} already satisfied the gate")
+    }
   }
 
   test("quality classifier margin equals the JVM-computed weight fold") {

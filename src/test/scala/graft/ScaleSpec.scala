@@ -402,7 +402,7 @@ class ScaleSpec extends SparkSpec {
     // the 2× conservative bound (ideal uniform occupancy gives 8×).
     def pairVolume(nlist: Int): Long = {
       val cells = graft.analytics.Similarity
-        .dedupSemantic(spark, sfDir, nlist = nlist)
+        .semanticAssignments(spark, sfDir, nlist = nlist)
         .groupBy(col("cell")).count().collect().map(_.getLong(1))
       cells.map(n => n * (n - 1) / 2).sum
     }
