@@ -101,7 +101,9 @@ object Chunking {
     val hot = sel.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > dfCap).select(col("fp"))
-    val kept = sel.join(broadcast(hot), Seq("fp"), "left_anti")
+    // no broadcast hint: |hot| is corpus-linear (≤ occurrences/dfCap);
+    // AQE broadcasts while small, shuffle anti-join beyond that
+    val kept = sel.join(hot, Seq("fp"), "left_anti")
     val a = kept.select(col("fp"), col("doc_id").as("doc_a"),
       col("pos").as("pos_a"))
     val b = kept.select(col("fp"), col("doc_id").as("doc_b"),
@@ -158,7 +160,8 @@ object Chunking {
     val hot = wins.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > dfCap).select(col("fp"))
-    val kept = wins.join(broadcast(hot), Seq("fp"), "left_anti")
+    // unhinted: hot set is corpus-linear, AQE decides (see above)
+    val kept = wins.join(hot, Seq("fp"), "left_anti")
     val a = kept.select(col("fp"), col("doc_id").as("doc_a"),
       col("pos").cast("long").as("pos_a"))
     val b = kept.select(col("fp"), col("doc_id").as("doc_b"),
@@ -272,7 +275,8 @@ object Chunking {
     val hot = sel.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > dfCap).select(col("fp"))
-    val kept = sel.join(broadcast(hot), Seq("fp"), "left_anti")
+    // unhinted: hot set is corpus-linear, AQE decides (see above)
+    val kept = sel.join(hot, Seq("fp"), "left_anti")
     val a = kept.select(col("fp"), col("doc_id").as("doc_a"),
       col("pos").as("pos_a"))
     val b = kept.select(col("fp"), col("doc_id").as("doc_b"),

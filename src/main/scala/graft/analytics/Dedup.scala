@@ -61,14 +61,18 @@ object Dedup {
     * excluded — the standard LSH/all-pairs guard: one boilerplate
     * shingle (license header, nav bar) appearing in f docs contributes
     * f² join rows; at 100 TB a single hot shingle makes the self-join
-    * quadratic. The hot list is tiny by construction (few shingles
-    * exceed any sane cap), so it broadcast-anti-joins for free. */
+    * quadratic. The hot list is small but NOT bounded — |hot| ≤
+    * totalOccurrences/dfCap grows linearly with the corpus (~25M rows
+    * per 10¹¹ shingle occurrences at cap 4096), so the anti-join
+    * carries no broadcast hint: AQE broadcasts it while it fits and
+    * falls back to a shuffle anti-join on boilerplate-heavy corpora
+    * where it doesn't. */
   private def cappedShingles(sh: DataFrame, dfCap: Int): DataFrame = {
     val hot = sh.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap)
       .select(col("shingle"))
-    sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    sh.join(hot, Seq("shingle"), "left_anti")
   }
 
   /** Candidate pairs + shared-shingle counts from the (already-capped)
@@ -284,15 +288,16 @@ object Dedup {
       .withColumn("bucket", concat(col("band"),
         lit(":"), substring(col("simhash"), col("band") * 4 + 1, lit(4))))
       .select(col("doc_id"), col("bucket"))
-    // candidate distinct moves bare id pairs; fingerprints rejoin from
-    // the tiny broadcast side (see simhash64Pairs)
+    // candidate distinct moves bare id pairs; fingerprints rejoin
+    // UNHINTED (see simhash64Pairs — fp is one row per document, so a
+    // forced broadcast would be corpus-sized; AQE picks the strategy)
     val cand = banded.select(col("doc_id").as("doc_a"), col("bucket"))
       .join(banded.select(col("doc_id").as("doc_b"), col("bucket")), Seq("bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
     cand
-      .join(broadcast(fp.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))), Seq("doc_a"))
-      .join(broadcast(fp.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))), Seq("doc_b"))
+      .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a")), Seq("doc_a"))
+      .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b")), Seq("doc_b"))
       .withColumn("hamming", graft.functions.hamming(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
@@ -307,9 +312,13 @@ object Dedup {
     * from one vocabulary — or boilerplate-heavy web text) is the
     * difference between near-linear candidates and a quadratic blowup.
     * The candidate distinct carries BARE ID PAIRS only; the 64-char
-    * fingerprints rejoin from the tiny broadcast fingerprint table
-    * afterwards, so the big shuffle moves 16-byte rows, not 144-byte
-    * ones. This is the pairs query whose SHAPE survives 100×. */
+    * fingerprints rejoin afterwards, so the big shuffle moves 16-byte
+    * rows, not 144-byte ones. The rejoin carries NO broadcast hint:
+    * `fp` has one row per DOCUMENT (corpus-sized, not bounded), so a
+    * forced broadcast is exactly the OOM class the dedup_profile
+    * rollup avoided — AQE broadcasts it at test scale and falls back
+    * to a shuffle join at 10⁹ docs. This is the pairs query whose
+    * SHAPE survives 100×. */
   def simhash64Pairs(s: SparkSession, d: String, maxDist: Int = 3): DataFrame = {
     val fp = dedupSimhash64(s, d).persist()
     val banded = fp.select(col("doc_id"), col("simhash64"),
@@ -322,8 +331,8 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
     cand
-      .join(broadcast(fp.select(col("doc_id").as("doc_a"), col("simhash64").as("sh_a"))), Seq("doc_a"))
-      .join(broadcast(fp.select(col("doc_id").as("doc_b"), col("simhash64").as("sh_b"))), Seq("doc_b"))
+      .join(fp.select(col("doc_id").as("doc_a"), col("simhash64").as("sh_a")), Seq("doc_a"))
+      .join(fp.select(col("doc_id").as("doc_b"), col("simhash64").as("sh_b")), Seq("doc_b"))
       .withColumn("hamming", graft.functions.hamming(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
@@ -613,8 +622,15 @@ object Dedup {
     * against seeded hyperplanes, one row per (vector, band). Shared by
     * the candidate join and the prune-stats diagnostic. */
   private[graft] def embeddingBanded(e: DataFrame, bandBits: Int,
-      nBands: Int, dim: Int, seed: Long): DataFrame = {
-    val planes = typedlit(hyperplanes(bandBits * nBands, dim, seed))
+      nBands: Int, dim: Int, seed: Long): DataFrame =
+    bandedWith(e, hyperplanes(bandBits * nBands, dim, seed), bandBits, nBands)
+
+  /** Banding against an EXPLICIT plane list (the shared core of the
+    * seeded-Rademacher path above and the corpus-derived-plane path of
+    * the prune diagnostic). */
+  private def bandedWith(e: DataFrame, planeRows: Seq[Seq[Double]],
+      bandBits: Int, nBands: Int): DataFrame = {
+    val planes = typedlit(planeRows)
     // 1 bit per plane: sign of v·plane (norms don't change the sign)
     val sig = transform(planes, p =>
       when(graft.functions.vec.dot(col("v"), p) >= 0, lit("1")).otherwise(lit("0")))
@@ -686,11 +702,15 @@ object Dedup {
     * occupancy at fixed bits grows as N/2¹⁶, so candidates stay
     * ~linear until N ≈ 10⁶ per bucket-collision class; past that,
     * bits scale with log₂(N) (the documented production knob).
-    * Outputs are exact integers + one final double division; no SQL
-    * oracle (the hyperplane signs come from a seeded JVM RNG the
-    * oracle engine cannot replicate) — semantics are spec-pinned
-    * instead (pruning bound + planted-recall in AnalyticsSpec, slope
-    * measured at sf1 in BASELINE.md). */
+    * Outputs are exact integers + one final double division, and the
+    * query carries a FULL DuckDB oracle: the hyperplanes are corpus
+    * vectors 100..100+3·bits (the same data-derived-plane trick
+    * sim_ann_lsh uses — deterministic "random" directions both engines
+    * read straight from the table; a seeded JVM RNG could not be
+    * respelled in SQL), the sign is of the identical left-to-right
+    * double dot product, and every count is exact-integer.
+    * Semantics additionally spec-pinned (pruning bound in
+    * AnalyticsSpec, slope measured at sf1 in BASELINE.md). */
   def embPruneStats(s: SparkSession, d: String): DataFrame =
     embPruneStatsOf(embeddings(s, d))
 
@@ -703,7 +723,13 @@ object Dedup {
     // test/production-doc value, so driver corpora are unchanged)
     val bandBits =
       if (bandBitsOverride > 0) bandBitsOverride else Sizing.cosineBandBits(n)
-    val occ = embeddingBanded(e, bandBits, nBands, dim, seed)
+    // corpus-derived hyperplanes (vec_id 100..100+3·bits): bounded
+    // driver-side index metadata (≤ 3·64 vectors), oracle-replicable
+    val planes: Seq[Seq[Double]] = e
+      .filter(col("vec_id") >= 100 && col("vec_id") < 100 + nBands.toLong * bandBits)
+      .select(col("vec_id"), col("v")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1)).toSeq
+    val occ = bandedWith(e, planes, bandBits, nBands)
       .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("c"))
     occ.groupBy(col("band"))
       .agg(sum(col("c")).as("n_vectors"),
@@ -1323,5 +1349,46 @@ object Dedup {
           list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
         FROM n a JOIN n b ON a.vec_id < b.vec_id
         WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""",
+    // the prune diagnostic as CTEs: band width re-derived from corpus
+    // size (ceil-log2 via binary-string length = Spark's
+    // 64 − numberOfLeadingZeros, floor 16), hyperplanes read straight
+    // from the table (vec_id 100..100+3·bits), signs of the identical
+    // left-to-right double dot product, exact-integer counts, one
+    // final double division
+    "emb_prune_stats" ->
+      """WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        nn AS (SELECT count(*) AS n FROM e),
+        bits AS (SELECT GREATEST(16,
+            length(format('{:b}', GREATEST(1, n - 1)))) AS b FROM nn),
+        pl AS (
+          SELECT e.vec_id - 100 AS j, e.v AS pv FROM e, bits
+          WHERE e.vec_id >= 100 AND e.vec_id < 100 + 3 * bits.b),
+        sigb AS (
+          SELECT e.vec_id, CAST(p.j // b.b AS INT) AS band,
+            p.j % b.b AS pos,
+            CASE WHEN list_dot_product(e.v, p.pv) >= 0
+              THEN '1' ELSE '0' END AS bit
+          FROM e CROSS JOIN pl p CROSS JOIN bits b),
+        bk AS (
+          SELECT vec_id, band, string_agg(bit, '' ORDER BY pos) AS bucket
+          FROM sigb GROUP BY vec_id, band),
+        occ AS (SELECT band, bucket, count(*) AS c
+                FROM bk GROUP BY band, bucket),
+        agg AS (
+          SELECT band,
+            CAST(sum(c) AS BIGINT) AS n_vectors,
+            count(*) AS n_buckets,
+            CAST(max(c) AS BIGINT) AS max_bucket,
+            CAST(sum(c * (c - 1) // 2) AS BIGINT) AS cand_pairs,
+            (SELECT CAST(n * (n - 1) // 2 AS BIGINT) FROM nn) AS total_pairs
+          FROM occ GROUP BY band)
+        SELECT band, n_vectors, n_buckets, max_bucket, cand_pairs,
+          total_pairs,
+          CASE WHEN total_pairs > 0
+            THEN CAST(cand_pairs AS DOUBLE) / CAST(total_pairs AS DOUBLE)
+            ELSE 0.0 END AS prune_ratio
+        FROM agg ORDER BY band""",
   )
 }

@@ -452,15 +452,19 @@ object Relational {
         sum(dec12(col("o_totalprice"))).cast("double").as("total"))
   }
 
-  /** Star join with explicitly broadcast dimensions (fact never moves
-    * except for the final small aggregation shuffle). */
+  /** Star join with explicitly broadcast BOUNDED dimensions: nation
+    * (25 rows) and region (5 rows) are fixed-cardinality in TPC-H, so
+    * their hints are scale-safe. customer is SF-SCALED (150k·SF rows —
+    * gigabytes at 100 TB), so its join carries NO hint: AQE broadcasts
+    * it at test scale and falls back to a shuffle join when it
+    * outgrows the threshold. */
   def joinBroadcast(s: SparkSession, d: String): DataFrame = {
     val ord = orders(s, d)
     val cst = customer(s, d)
     val nat = nation(s, d)
     val reg = region(s, d)
     ord
-      .join(broadcast(cst), ord("o_custkey") === cst("c_custkey"))
+      .join(cst, ord("o_custkey") === cst("c_custkey"))
       .join(broadcast(nat), cst("c_nationkey") === nat("n_nationkey"))
       .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
       .groupBy(col("n_name"))

@@ -606,15 +606,112 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"), p)
   }
 
-  /** Each query's physical-plan string, built ONCE for both tests (the
-    * round-trip queries execute a file write when constructed). */
-  private lazy val plans: Seq[(String, String)] =
+  /** Each query's physical-plan string + analyzed-plan broadcast-hint
+    * audit, built ONCE for all tests (the round-trip queries execute a
+    * file write when constructed). */
+  private lazy val built: Seq[(String, String, Seq[String])] =
     SparkEntry.queries.toSeq.sortBy(_._1).collect {
       case (name, fn) if !streaming(name) =>
-        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val qe = fn(spark, sfDir).queryExecution
+        val hints = unboundedBroadcastHints(qe.analyzed)
+        val p = qe.executedPlan.toString
         spark.catalog.clearCache()
-        name -> p
+        (name, p, hints)
     }
+
+  private lazy val plans: Seq[(String, String)] =
+    built.map(t => (t._1, t._2))
+
+  // ---- forced-broadcast audit (the r6/r7 verdict class, as a test) --
+
+  /** A broadcast HINT forces the shuffle-free plan regardless of size,
+    * so it is only safe on tables bounded BY CONSTRUCTION — a table
+    * that merely happens to be small at test scale (one row per
+    * document, per fingerprint, per user…) OOMs every executor at
+    * 100 TB. This walker flags every `broadcast()` site whose child is
+    * not a recognizably bounded shape.
+    *
+    * Auto-recognized bounded shapes (size independent of the corpus):
+    *  - a grouping-free Aggregate (exactly 1 row: corpus totals,
+    *    min/max extents, sketch rollups);
+    *  - a Limit anywhere on the spine (top-k vocab tables);
+    *  - LocalRelation / OneRowRelation / Range (literal model tables).
+    * Unary nodes that cannot grow row counts (Project/Filter/Sort/
+    * Distinct/…) are transparent; Generate/Expand are NOT (an explode
+    * over one row can be arbitrarily wide), nor are joins/unions.
+    * Everything else must appear in `boundedHintWhitelist` with a
+    * comment saying WHY the hinted table is bounded. */
+  private def unboundedBroadcastHints(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    @annotation.tailrec
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case a: Aggregate => a.groupingExpressions.isEmpty
+      case _: GlobalLimit | _: LocalLimit => true
+      case _: LocalRelation | _: OneRowRelation | _: Range => true
+      case _: Generate | _: Expand => false
+      case u: UnaryNode => bounded(u.child)
+      case _ => false
+    }
+    plan.collect {
+      case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) &&
+          !bounded(h.child) =>
+        h.child.nodeName + ": " + h.child.simpleString(60)
+    }
+  }
+
+  /** Queries whose broadcast hints are bounded for reasons the shape
+    * walker cannot see. Every entry documents the bound. */
+  private val boundedHintWhitelist: Set[String] = Set(
+    // ---- bounded GROUP domain: the hinted table is a grouped
+    // aggregate whose key domain is fixed by the data model (9 event
+    // types / 3 return flags / ≤8 langs / 256 dsir buckets / ≤50
+    // nullif-mod keys / bounded distinct-doc-length histogram) — row
+    // count is domain-sized, corpus-independent
+    "agg_approx_quantile", "agg_winsorize", "anomaly_mad",
+    "anomaly_zscore", "agg_moments", "stats_levene",
+    "events_anomaly_iqr", "events_cooccur", "sample_weighted",
+    "dsir_select", "join_null_safe", "curriculum_buckets",
+    // ---- bounded PROBE/EVAL set: the hinted side is filtered to the
+    // fixed query workload (qid < 50) or the held-out eval corpus
+    // (doc_id < 25) before the hint — workload-sized, not corpus-sized;
+    // text_bm25's df table groups tokens already isin-filtered to the
+    // 3 query terms
+    "sim_knn", "sim_range", "sim_ann_ivf", "sim_ann_lsh",
+    "sim_ann_ivfpq", "knn_classify", "ann_negatives", "ann_recall",
+    "contamination", "text_bm25",
+    // ---- top-k vocab marginals: built FROM the limit(topK) token
+    // table (the walker sees only the post-join Project) — ≤ topK rows
+    "text_pair_lift",
+    // ---- fixed-cardinality dimensions: TPC-H nation (25) / region
+    // (5); geo_join's 4-row literal depot table × 81 literal offsets
+    "join_broadcast", "geo_join")
+
+  test("no query force-broadcasts a corpus-sized table") {
+    val offenders = built.collect {
+      case (name, _, hints) if hints.nonEmpty &&
+          !boundedHintWhitelist(name) =>
+        s"$name: ${hints.mkString("; ")}"
+    }
+    assert(offenders.isEmpty,
+      s"forced broadcast of unbounded tables:\n${offenders.mkString("\n")}")
+  }
+
+  test("the unbounded-broadcast detector flags a planted corpus hint") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val docs = Tables.documents(spark, sfDir)
+    val planted = docs.join(
+      broadcast(docs.select(col("doc_id"), col("source"))), Seq("doc_id"))
+    assert(unboundedBroadcastHints(planted.queryExecution.analyzed).nonEmpty,
+      "detector must flag a forced broadcast of the documents table")
+    // and the bounded shapes stay allowed: a 1-row aggregate…
+    val scalar = docs.crossJoin(broadcast(
+      docs.groupBy().agg(org.apache.spark.sql.functions.count(col("doc_id")).as("n"))))
+    assert(unboundedBroadcastHints(scalar.queryExecution.analyzed).isEmpty)
+    // …and a top-k limit table
+    val topk = docs.join(broadcast(docs.select(col("doc_id")).limit(10)), Seq("doc_id"))
+    assert(unboundedBroadcastHints(topk.queryExecution.analyzed).isEmpty)
+  }
 
   test("no query plans a nested-loop or cartesian join (exact-scan family excepted)") {
     val offenders = plans.collect {
