@@ -98,6 +98,33 @@ object EventsPipeline {
   def expectSuiteJson(s: SparkSession, d: String): DataFrame =
     Expectations.report(withK(s, d), graft.expect.SuiteLoader.fromJson(suiteJson))
 
+  /** The AGGREGATE-shaped GE tier, JSON-loaded end-to-end: uniqueness
+    * (a grouped pass — GE counts every row of a duplicated value) and
+    * proportion-of-unique (a 0/1 column-aggregate flag) alongside one
+    * row-wise check, stitched by [[Expectations.reportFull]] as 1-row
+    * scalar crossJoins. event_id is genuinely unique (viol 0); user_id
+    * is heavily repeated (viol ≈ every row), and its distinct/total
+    * ratio sits inside the declared [0.001, 0.9] band — so the single
+    * verdict column exercises a real mixed outcome, not all-zeros. */
+  val aggSuiteJson: String =
+    """{"expectations": [
+      |  {"expectation_type": "expect_column_values_to_not_be_null",
+      |   "kwargs": {"column": "event_id"}},
+      |  {"expectation_type": "expect_column_values_to_be_unique",
+      |   "kwargs": {"column": "event_id"}},
+      |  {"expectation_type": "expect_column_values_to_be_unique",
+      |   "kwargs": {"column": "user_id"}},
+      |  {"expectation_type":
+      |     "expect_column_proportion_of_unique_values_to_be_between",
+      |   "kwargs": {"column": "user_id",
+      |              "min_value": 0.001, "max_value": 0.9}}
+      |]}""".stripMargin
+
+  def expectSuiteAgg(s: SparkSession, d: String): DataFrame = {
+    val loaded = graft.expect.SuiteLoader.load(aggSuiteJson)
+    Expectations.reportFull(events(s, d), loaded.rowWise, loaded.agg)
+  }
+
   /** The reference's SAMPLE-mode gate (Glue_job.py:102 validates only a
     * 500-row `limit(500)` sample): same suite over a deterministic
     * (event_id-ordered) 500-row sample. Pins the semantic-divergence
@@ -1317,6 +1344,7 @@ object EventsPipeline {
     "proj_distinct"       -> projDistinct _,
     "csv_roundtrip"       -> csvRoundtrip _,
     "expect_suite_sample" -> expectSuiteSample _,
+    "expect_suite_agg"    -> expectSuiteAgg _,
     "freq_items"          -> freqItems _,
     "sketch_cms"          -> sketchCms _,
     "events_attribution"  -> eventsAttribution _,
@@ -1599,6 +1627,31 @@ object EventsPipeline {
           CAST(sum(CASE WHEN NOT (event_type IN ('click','view','purchase','signup')) THEN 1 ELSE 0 END) AS BIGINT) AS viol_event_type_in_set,
           CAST(sum(CASE WHEN NOT (json_extract(props,'$.k')::INT BETWEEN 0 AND 89) THEN 1 ELSE 0 END) AS BIGINT) AS viol_k_between
         FROM (SELECT * FROM events ORDER BY event_id LIMIT 500))""",
+    // aggregate-shaped tier: uniqueness = every row of a duplicated
+    // value (GE semantics, nulls ignored); proportion flag = one
+    // double division of two exact counts, 0/1 as BIGINT
+    "expect_suite_agg" ->
+      """SELECT *,
+          CASE WHEN viol_event_id_not_null + viol_event_id_unique
+                 + viol_user_id_unique + viol_user_id_unique_proportion = 0
+            THEN 'PASSED' ELSE 'FAILED' END AS verdict
+        FROM (SELECT
+          (SELECT CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) FROM events) AS viol_event_id_not_null,
+          (SELECT CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT)
+             FROM (SELECT count(*) AS n FROM events
+                   WHERE event_id IS NOT NULL GROUP BY event_id))
+            AS viol_event_id_unique,
+          (SELECT CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT)
+             FROM (SELECT count(*) AS n FROM events
+                   WHERE user_id IS NOT NULL GROUP BY user_id))
+            AS viol_user_id_unique,
+          (SELECT CAST(CASE WHEN count(*) = 0 THEN 0
+               WHEN CAST(count(DISTINCT user_id) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE)
+                    BETWEEN 0.001 AND 0.9 THEN 0 ELSE 1 END AS BIGINT)
+             FROM events WHERE user_id IS NOT NULL)
+            AS viol_user_id_unique_proportion)""",
     "expect_schema" ->
       """SELECT * FROM (VALUES
           ('event_id', 1, 1), ('ts', 1, 1),

@@ -90,7 +90,10 @@ object ScaleUp {
       .select(
         (col("event_id") + col("rep") * lit(100000000L)).as("event_id"),
         col("ts"),
-        (col("user_id") + col("rep") * lit(1000000L)).as("user_id"),
+        // same 1e8 stride as every other id: a narrower stride would
+        // collide replicas once source user_ids reach it, silently
+        // changing per-user cardinality in the slope measurements
+        (col("user_id") + col("rep") * lit(100000000L)).as("user_id"),
         col("event_type"), col("value"), col("props"))
   }
 

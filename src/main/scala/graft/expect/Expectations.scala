@@ -49,18 +49,83 @@ object Expectations {
     between("temperature", -10, 60),
     inSet("delivery_status", Seq("in_transit", "delivered", "delayed")))
 
+  /** AGGREGATE-shaped expectation (GE's column-aggregate tier):
+    * uniqueness and proportion checks can't be a per-row flag summed in
+    * the shared single-pass agg — the violation count needs its own
+    * grouped pass over the frame. `violations` returns a 1-ROW frame
+    * whose single BIGINT column is named `viol_<name>`; the combined
+    * report crossJoins these scalars onto the row-wise counts (the
+    * same 1-row-broadcast shape the tfidf/cms queries use — no
+    * corpus-sized broadcast, each pass is a distributed agg with
+    * map-side combine). */
+  final case class AggExpectation(name: String,
+      violations: DataFrame => DataFrame)
+
+  /** GE expect_column_values_to_be_unique: every non-null row whose
+    * value occurs more than once is unexpected (GE counts ALL rows of
+    * a duplicated value, not just the extras; nulls are ignored).
+    * One groupBy(column) pass — shuffles on the checked column with
+    * partial aggregation, the honest distributed spelling of a
+    * uniqueness gate. */
+  def unique(c: String): AggExpectation =
+    AggExpectation(s"${c}_unique", df =>
+      df.filter(col(c).isNotNull)
+        .groupBy(col(c)).agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(when(col("n") > 1, col("n"))), lit(0L))
+          .cast("long").as(s"viol_${c}_unique")))
+
+  /** GE expect_column_proportion_of_unique_values_to_be_between:
+    * distinct/non-null ratio outside [lo, hi] fails the suite (a 0/1
+    * verdict flag, not a row count — GE defines this expectation on
+    * the column aggregate). Empty column passes vacuously. The ratio
+    * is one double division of two exact counts (cross-engine safe). */
+  def uniqueProportionBetween(c: String, lo: Double, hi: Double): AggExpectation =
+    AggExpectation(s"${c}_unique_proportion", df =>
+      df.filter(col(c).isNotNull)
+        .agg(countDistinct(col(c)).as("nd"), count(lit(1)).as("nn"))
+        .select(
+          when(col("nn") === 0L, 0L)
+            .when((col("nd").cast("double") / col("nn").cast("double"))
+              .between(lo, hi), 0L)
+            .otherwise(1L).as(s"viol_${c}_unique_proportion")))
+
   /** Single-pass violation counts + PASSED/FAILED verdict as a 1-row
     * DataFrame (plan-only; composes into oracle-checked queries). */
-  def report(df: DataFrame, suite: Seq[Expectation]): DataFrame = {
-    val counts = suite.map(e => sum(e.violation).as(s"viol_${e.name}"))
-    val total  = suite.map(e => s"viol_${e.name}").map(col).reduce(_ + _)
-    df.agg(counts.head, counts.tail: _*)
-      .withColumn("verdict", when(total === 0, "PASSED").otherwise("FAILED"))
+  def report(df: DataFrame, suite: Seq[Expectation]): DataFrame =
+    reportFull(df, suite, Nil)
+
+  /** Combined gate: ONE distributed pass for every row-wise
+    * expectation + one pass per aggregate-shaped expectation, stitched
+    * as 1-row scalar crossJoins; all-or-nothing verdict over both
+    * tiers. */
+  def reportFull(df: DataFrame, suite: Seq[Expectation],
+      aggSuite: Seq[AggExpectation]): DataFrame = {
+    require(suite.nonEmpty || aggSuite.nonEmpty,
+      "empty expectation suite — an empty gate always passes")
+    val base =
+      if (suite.isEmpty) null
+      else {
+        val counts = suite.map(e => sum(e.violation).as(s"viol_${e.name}"))
+        df.agg(counts.head, counts.tail: _*)
+      }
+    val scalars = aggSuite.map(a => broadcast(a.violations(df)))
+    val joined =
+      if (base == null) scalars.reduce(_.crossJoin(_))
+      else scalars.foldLeft(base)(_.crossJoin(_))
+    val total = (suite.map(e => s"viol_${e.name}") ++
+      aggSuite.map(a => s"viol_${a.name}")).map(col).reduce(_ + _)
+    joined.withColumn("verdict",
+      when(total === 0, "PASSED").otherwise("FAILED"))
   }
 
   /** Run the gate (one distributed job) and return the verdict string. */
   def verdict(df: DataFrame, suite: Seq[Expectation]): String =
     report(df, suite).select("verdict").first().getString(0)
+
+  /** Combined-gate verdict (row-wise + aggregate tiers). */
+  def verdictFull(df: DataFrame, suite: Seq[Expectation],
+      aggSuite: Seq[AggExpectation]): String =
+    reportFull(df, suite, aggSuite).select("verdict").first().getString(0)
 
   /** Reference's all-or-nothing outcome (Glue_job.py:110-121): stamp the
     * verdict; on FAILED, re-flag every curated row REJECTED_GE with

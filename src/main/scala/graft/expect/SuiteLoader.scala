@@ -22,6 +22,41 @@ import org.json4s.jackson.JsonMethods
   */
 object SuiteLoader {
 
+  /** A parsed suite, split by gate shape: row-wise expectations run in
+    * the shared single-pass aggregate; aggregate-shaped ones
+    * (uniqueness, proportions) each need their own grouped pass. */
+  final case class LoadedSuite(
+      rowWise: Seq[Expectation],
+      agg: Seq[Expectations.AggExpectation])
+
+  /** Reject unrecognized kwargs LOUDLY. GE's optional modifiers
+    * (`mostly`, `strict_min`, `strict_max`, …) change the declared
+    * semantics; silently ignoring them would make the loaded gate
+    * stricter or looser than the JSON says — the inverse of the
+    * silently-dropped-check lie this loader exists to prevent. */
+  private def checkKwargs(kw: JValue, allowed: Set[String], ctx: String): Unit =
+    kw match {
+      case JObject(fields) =>
+        val unknown = fields.map(_._1).filterNot(allowed)
+        if (unknown.nonEmpty) throw new IllegalArgumentException(
+          s"$ctx: unsupported kwargs ${unknown.mkString("'", "', '", "'")} — " +
+            s"supported: ${allowed.toSeq.sorted.mkString(", ")} " +
+            "(GE modifiers like 'mostly'/'strict_min'/'strict_max' are " +
+            "not implemented; remove them rather than have the gate " +
+            "silently diverge from the document)")
+      case other => throw new IllegalArgumentException(
+        s"$ctx: 'kwargs' must be an object, got $other")
+    }
+
+  /** Integral kwarg for length bounds: 4.9 silently truncated to 4
+    * would TIGHTEN the declared bound — reject instead. */
+  private def intNum(kw: JValue, key: String, ctx: String): Int = {
+    val v = num(kw, key, ctx)
+    if (v != math.rint(v) || v.isNaN) throw new IllegalArgumentException(
+      s"$ctx: '$key' must be an integer for a length bound, got $v")
+    v.toInt
+  }
+
   private def str(kw: JValue, key: String, ctx: String): String =
     kw \ key match {
       case JString(v) => v
@@ -51,30 +86,46 @@ object SuiteLoader {
     }
 
   /** Parse one expectation object into the engine's representation. */
-  private def one(j: JValue): Expectation = {
+  private def one(j: JValue): Either[Expectation, Expectations.AggExpectation] = {
     val tpe = j \ "expectation_type" match {
       case JString(v) => v
       case other => throw new IllegalArgumentException(
         s"expectation missing string 'expectation_type' (got $other)")
     }
     val kw = j \ "kwargs"
+    val colOnly   = Set("column")
+    val colBounds = Set("column", "min_value", "max_value")
     tpe match {
       case "expect_column_values_to_not_be_null" =>
-        Expectations.notNull(str(kw, "column", tpe))
+        checkKwargs(kw, colOnly, tpe)
+        Left(Expectations.notNull(str(kw, "column", tpe)))
       case "expect_column_values_to_be_between" =>
-        Expectations.between(str(kw, "column", tpe),
-          num(kw, "min_value", tpe), num(kw, "max_value", tpe))
+        checkKwargs(kw, colBounds, tpe)
+        Left(Expectations.between(str(kw, "column", tpe),
+          num(kw, "min_value", tpe), num(kw, "max_value", tpe)))
       case "expect_column_values_to_be_in_set" =>
-        Expectations.inSet(str(kw, "column", tpe),
-          strings(kw, "value_set", tpe))
+        checkKwargs(kw, Set("column", "value_set"), tpe)
+        Left(Expectations.inSet(str(kw, "column", tpe),
+          strings(kw, "value_set", tpe)))
       // two standard GE row-wise types beyond the reference file's
       // three — the common additions a user's edited suite reaches for
       case "expect_column_values_to_match_regex" =>
-        Expectations.matchesRegex(str(kw, "column", tpe),
-          str(kw, "regex", tpe))
+        checkKwargs(kw, Set("column", "regex"), tpe)
+        Left(Expectations.matchesRegex(str(kw, "column", tpe),
+          str(kw, "regex", tpe)))
       case "expect_column_value_lengths_to_be_between" =>
-        Expectations.lengthBetween(str(kw, "column", tpe),
-          num(kw, "min_value", tpe).toInt, num(kw, "max_value", tpe).toInt)
+        checkKwargs(kw, colBounds, tpe)
+        Left(Expectations.lengthBetween(str(kw, "column", tpe),
+          intNum(kw, "min_value", tpe), intNum(kw, "max_value", tpe)))
+      // the AGGREGATE-shaped tier: these gate on a column aggregate
+      // (a grouped/distinct pass of their own), not a per-row flag
+      case "expect_column_values_to_be_unique" =>
+        checkKwargs(kw, colOnly, tpe)
+        Right(Expectations.unique(str(kw, "column", tpe)))
+      case "expect_column_proportion_of_unique_values_to_be_between" =>
+        checkKwargs(kw, colBounds, tpe)
+        Right(Expectations.uniqueProportionBetween(str(kw, "column", tpe),
+          num(kw, "min_value", tpe), num(kw, "max_value", tpe)))
       case unknown =>
         throw new IllegalArgumentException(
           s"unsupported expectation_type '$unknown' — supported: " +
@@ -82,13 +133,16 @@ object SuiteLoader {
             "expect_column_values_to_be_between, " +
             "expect_column_values_to_be_in_set, " +
             "expect_column_values_to_match_regex, " +
-            "expect_column_value_lengths_to_be_between")
+            "expect_column_value_lengths_to_be_between, " +
+            "expect_column_values_to_be_unique, " +
+            "expect_column_proportion_of_unique_values_to_be_between")
     }
   }
 
-  /** Parse a GE-format JSON document into a runnable suite. */
-  def fromJson(json: String): Seq[Expectation] =
-    JsonMethods.parse(json) \ "expectations" match {
+  /** Parse a GE-format JSON document into a runnable suite (both gate
+    * shapes, original document order preserved within each tier). */
+  def load(json: String): LoadedSuite = {
+    val parsed = JsonMethods.parse(json) \ "expectations" match {
       case JArray(es) =>
         if (es.isEmpty) throw new IllegalArgumentException(
           "suite has no expectations — an empty gate always passes")
@@ -96,8 +150,32 @@ object SuiteLoader {
       case other => throw new IllegalArgumentException(
         s"top-level 'expectations' must be an array, got $other")
     }
+    LoadedSuite(parsed.collect { case Left(e) => e },
+      parsed.collect { case Right(a) => a })
+  }
 
   /** Load a suite from a JSON file on local disk. */
+  def loadFile(path: String): LoadedSuite =
+    load(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Row-wise-only view for callers composing into the shared
+    * single-pass aggregate; REJECTS documents that declare
+    * aggregate-shaped expectations (dropping them would un-declare a
+    * gate) — use [[load]]/[[loadFile]] + `Expectations.reportFull`
+    * there. */
+  def fromJson(json: String): Seq[Expectation] = {
+    val s = load(json)
+    if (s.agg.nonEmpty) throw new IllegalArgumentException(
+      "suite declares aggregate-shaped expectations (" +
+        s.agg.map(_.name).mkString(", ") +
+        ") — load it with SuiteLoader.load and run " +
+        "Expectations.reportFull, or remove them")
+    s.rowWise
+  }
+
+  /** File variant of [[fromJson]]. */
   def fromFile(path: String): Seq[Expectation] =
     fromJson(new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),

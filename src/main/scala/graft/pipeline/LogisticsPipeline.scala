@@ -66,8 +66,9 @@ object LogisticsPipeline {
   def run(spark: SparkSession, rawPath: String, outRoot: String,
       geSample: Option[Int] = None, zone: String = "UTC",
       suitePath: Option[String] = None): Result = {
-    val suite = suitePath.fold(Expectations.referenceSuite)(
-      graft.expect.SuiteLoader.fromFile)
+    val loaded = suitePath.fold(
+      graft.expect.SuiteLoader.LoadedSuite(Expectations.referenceSuite, Nil))(
+      graft.expect.SuiteLoader.loadFile)
     val parsed    = RawJsonReader.read(spark, rawPath, Schemas.telemetry)
     val validated = validateStage(parsed, zone).persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -75,7 +76,7 @@ object LogisticsPipeline {
       val rejected = Splitter.rejected(validated, coreCols)
 
       val gated = geSample.fold(curated)(n => curated.limit(n))
-      val ge    = Expectations.verdict(gated, suite)
+      val ge    = Expectations.verdictFull(gated, loaded.rowWise, loaded.agg)
       val (curatedF, rejectedF) = Expectations.applyVerdict(curated, rejected, ge)
 
       // Reference layer names (Glue_job.py:131-136); counts in one pass,

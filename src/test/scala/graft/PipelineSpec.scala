@@ -208,6 +208,60 @@ class PipelineSpec extends SparkSpec {
     assert(r.getString(r.fieldIndex("verdict")) === "FAILED")
   }
 
+  test("SuiteLoader rejects unsupported GE kwargs instead of ignoring them") {
+    // GE's 'mostly' loosens a check to a fraction; silently dropping it
+    // would run a STRICTER gate than the document declares
+    val mostly = """{"expectations": [
+      {"expectation_type": "expect_column_values_to_not_be_null",
+       "kwargs": {"column": "x", "mostly": 0.95}}]}"""
+    val e = intercept[IllegalArgumentException](
+      graft.expect.SuiteLoader.load(mostly))
+    assert(e.getMessage.contains("mostly"), e.getMessage)
+    // fractional length bounds would silently TIGHTEN via truncation
+    val frac = """{"expectations": [
+      {"expectation_type": "expect_column_value_lengths_to_be_between",
+       "kwargs": {"column": "x", "min_value": 1, "max_value": 4.9}}]}"""
+    val e2 = intercept[IllegalArgumentException](
+      graft.expect.SuiteLoader.load(frac))
+    assert(e2.getMessage.contains("4.9"), e2.getMessage)
+  }
+
+  test("aggregate-shaped expectations parse, gate, and refuse fromJson") {
+    val json = """{"expectations": [
+      {"expectation_type": "expect_column_values_to_be_unique",
+       "kwargs": {"column": "id"}},
+      {"expectation_type":
+         "expect_column_proportion_of_unique_values_to_be_between",
+       "kwargs": {"column": "id", "min_value": 0.9, "max_value": 1.0}}]}"""
+    val loaded = graft.expect.SuiteLoader.load(json)
+    assert(loaded.rowWise.isEmpty && loaded.agg.map(_.name) ===
+      Seq("id_unique", "id_unique_proportion"))
+    // fromJson (row-wise-only view) must refuse rather than drop a gate
+    intercept[IllegalArgumentException](
+      graft.expect.SuiteLoader.fromJson(json))
+    // planted rows: 5 values, 'b' duplicated 3× → GE counts all 3 rows
+    // of the duplicated value; nulls ignored; proportion = 3/6 < 0.9
+    val df = spark.createDataFrame(
+      Seq("a", "b", "b", "b", "c", "z", null, null).map(Tuple1(_))).toDF("id")
+    val r = graft.expect.Expectations
+      .reportFull(df, loaded.rowWise, loaded.agg).collect()(0)
+    assert(r.getLong(r.fieldIndex("viol_id_unique")) === 3L)
+    assert(r.getLong(r.fieldIndex("viol_id_unique_proportion")) === 1L)
+    assert(r.getString(r.fieldIndex("verdict")) === "FAILED")
+    // a unique column with an in-band proportion passes both tiers
+    val ok = spark.createDataFrame(
+      Seq("a", "b", "c").map(Tuple1(_))).toDF("id")
+    val r2 = graft.expect.Expectations
+      .reportFull(ok, loaded.rowWise, loaded.agg).collect()(0)
+    assert(r2.getLong(r2.fieldIndex("viol_id_unique")) === 0L)
+    assert(r2.getLong(r2.fieldIndex("viol_id_unique_proportion")) === 0L)
+    assert(r2.getString(r2.fieldIndex("verdict")) === "PASSED")
+    // empty frame: vacuous pass (0/0 must not be NaN-poisoned)
+    val r3 = graft.expect.Expectations
+      .reportFull(ok.limit(0), loaded.rowWise, loaded.agg).collect()(0)
+    assert(r3.getString(r3.fieldIndex("verdict")) === "PASSED")
+  }
+
   test("sample-mode gate diverges from full-scan gate on adversarial data") {
     // the reference validates only a 500-row sample (Glue_job.py:102);
     // data whose first 500 rows are clean but whose tail is corrupt

@@ -81,7 +81,11 @@ class PlanSpec extends SparkSpec {
       "token_budget",
       // mixture_temperature: crossJoin(broadcast(1-row Σ√n/Σn scalars))
       // over the bounded per-source table
-      "mixture_temperature")
+      "mixture_temperature",
+      // expect_suite_agg: the aggregate-tier gate stitches each
+      // 1-row violation scalar onto the row-wise counts —
+      // crossJoin(broadcast(1-row agg)) per aggregate expectation
+      "expect_suite_agg")
 
   private val streaming =
     Set("stream_hourly", "stream_session", "stream_session_multibatch",
@@ -103,6 +107,10 @@ class PlanSpec extends SparkSpec {
     // quality_classifier: scan-only codegen'd fold, zero exchanges
     "dedup_semantic" -> 2, "dedup_keep_best" -> 1,
     "dsir_select" -> 3, "quality_classifier" -> 0,
+    // expect_suite_agg: one groupBy(column) pass per uniqueness check
+    // (2) + the countDistinct pass for the proportion check (1); the
+    // row-wise tier and the scalar stitches are exchange-free
+    "expect_suite_agg" -> 3,
     // round-7 wave 3 —
     // token_budget: bpe_encode's pricing shape rolled to source — the
     // static plan re-counts the BPE training table's (w, pos) windows
