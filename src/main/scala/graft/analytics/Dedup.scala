@@ -280,7 +280,16 @@ object Dedup {
     * is the native codegen HammingDistance expression (one primitive
     * byte loop vs 16 substring compares). Approximate by construction
     * (banding can miss pairs), but deterministic — the declared query
-    * carries a DuckDB oracle of the identical banding + distance. */
+    * carries a DuckDB oracle of the identical banding + distance.
+    *
+    * WIDTH CONTRACT (measured r8, BASELINE.md): the 16-bit code space
+    * (65536 fingerprints) saturates at ~5k docs, so past that scale
+    * RANDOM pairs collide in both the buckets and the ≤2-hamming test
+    * and the pair table goes quadratic (37× time at 10× docs). That
+    * makes this the DENSE-GRAPH TESTBED — it feeds graph_bfs exactly
+    * because its graph has real frontier growth at test SF. Production
+    * near-dup pair recovery is [[simhash64Pairs]]: identical plan
+    * shape at 64-bit width, measured sublinear (3.1× at 10×). */
   def simhashPairs(s: SparkSession, d: String, maxDist: Int = 2): DataFrame = {
     val fp = dedupSimhash(s, d).persist()
     val banded = fp.select(col("doc_id"), col("simhash"),
@@ -760,8 +769,14 @@ object Dedup {
     withLoopShufflePartitions(s)(graphBfsLoop(s, d))
 
   private def graphBfsLoop(s: SparkSession, d: String): DataFrame = {
-    // the simhash near-dup graph (hamming ≤ 2) — dense enough (17k
-    // edges at sf0.01) that 3 hops exercise real frontier growth
+    // the 16-bit simhash near-dup graph (hamming ≤ 2) — dense enough
+    // (17k edges at sf0.01) that 3 hops exercise real frontier growth;
+    // the 64-bit production graph is 41 edges here and BFS-degenerate
+    // (max-degree component = 4 nodes, no hop-2 growth — measured r8).
+    // The dense testbed inherits the 16-bit width's saturation
+    // quadratic at 10×+ corpora (BASELINE.md); the LOOP itself is
+    // id-only joins + localCheckpoint per hop, and production BFS
+    // rides the 64-bit pair generator
     val p0 = simhashPairs(s, d).select(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
     val edges = p0.select(col("doc_a").as("src"), col("doc_b").as("dst"))

@@ -117,7 +117,9 @@ object EventsPipeline {
       |  {"expectation_type":
       |     "expect_column_proportion_of_unique_values_to_be_between",
       |   "kwargs": {"column": "user_id",
-      |              "min_value": 0.001, "max_value": 0.9}}
+      |              "min_value": 0.001, "max_value": 0.9}},
+      |  {"expectation_type": "expect_table_row_count_to_be_between",
+      |   "kwargs": {"min_value": 1, "max_value": 100000000}}
       |]}""".stripMargin
 
   def expectSuiteAgg(s: SparkSession, d: String): DataFrame = {
@@ -771,16 +773,25 @@ object EventsPipeline {
     * per-invocation and JVM-exit-cleaned (Tables.tempOutDir): Verify and
     * both Bench passes run these concurrently-adjacent, and a fixed path
     * would race while an uncleaned one would leak. */
+  /** Spark 4.1 ships the complete Avro connector CLASSES inside
+    * spark-sql (AvroFileFormat, serializer/deserializer, options) but
+    * not the `avro` short-name service registration — that still lives
+    * in the separate spark-avro artifact this image lacks. Addressing
+    * the provider CLASS directly runs the identical engine code the
+    * short name would resolve to; only the spelling differs. */
+  private val avroProvider = "org.apache.spark.sql.avro.AvroFileFormat"
+
   private def roundtrip(s: SparkSession, d: String, format: String): DataFrame = {
     val out = graft.Tables.tempOutDir(s"${format}_roundtrip")
+    val fmtName = if (format == "avro") avroProvider else format
     val writer = events(s, d)
       .select(col("event_id"), col("event_type"), col("value"))
       .write.mode("overwrite").option("header", "true")
     (if (format == "xml") writer.option("rowTag", "event") else writer)
-      .format(format).save(out)
+      .format(fmtName).save(out)
     val back = format match {
-      // self-describing binary format: schema rides in the files
-      case "orc" => s.read.format(format).load(out)
+      // self-describing binary formats: schema rides in the files
+      case "orc" | "avro" => s.read.format(fmtName).load(out)
       case "xml" => s.read
         .schema("event_id LONG, event_type STRING, value DOUBLE")
         .option("rowTag", "event").format("xml").load(out)
@@ -806,6 +817,12 @@ object EventsPipeline {
   /** XML round-trip — the fourth text format (Spark 4 absorbed
     * spark-xml into core; `rowTag` frames each record). */
   def xmlRoundtrip(s: SparkSession, d: String): DataFrame = roundtrip(s, d, "xml")
+
+  /** Avro round-trip — the fifth format, closing the r6/r7 "spark-avro
+    * DataSource absent" gap: the connector turned out to be bundled in
+    * Spark 4.1's spark-sql jar (see [[avroProvider]]); only the short
+    * name is unregistered in this image. */
+  def avroRoundtrip(s: SparkSession, d: String): DataFrame = roundtrip(s, d, "avro")
 
   /** PERMISSIVE ingest with corrupt-record accounting — what a 100 TB
     * raw-layer load actually faces: rows that don't parse. Every 7th
@@ -1350,6 +1367,7 @@ object EventsPipeline {
     "events_attribution"  -> eventsAttribution _,
     "json_roundtrip"      -> jsonRoundtrip _,
     "orc_roundtrip"       -> orcRoundtrip _,
+    "avro_roundtrip"      -> avroRoundtrip _,
     "xml_roundtrip"       -> xmlRoundtrip _,
     "ingest_badrecords"   -> ingestBadrecords _,
     "join_asof"           -> joinAsof _,
@@ -1633,7 +1651,8 @@ object EventsPipeline {
     "expect_suite_agg" ->
       """SELECT *,
           CASE WHEN viol_event_id_not_null + viol_event_id_unique
-                 + viol_user_id_unique + viol_user_id_unique_proportion = 0
+                 + viol_user_id_unique + viol_user_id_unique_proportion
+                 + viol_table_row_count = 0
             THEN 'PASSED' ELSE 'FAILED' END AS verdict
         FROM (SELECT
           (SELECT CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
@@ -1651,7 +1670,10 @@ object EventsPipeline {
                     / CAST(count(*) AS DOUBLE)
                     BETWEEN 0.001 AND 0.9 THEN 0 ELSE 1 END AS BIGINT)
              FROM events WHERE user_id IS NOT NULL)
-            AS viol_user_id_unique_proportion)""",
+            AS viol_user_id_unique_proportion,
+          (SELECT CAST(CASE WHEN count(*) BETWEEN 1 AND 100000000
+               THEN 0 ELSE 1 END AS BIGINT) FROM events)
+            AS viol_table_row_count)""",
     "expect_schema" ->
       """SELECT * FROM (VALUES
           ('event_id', 1, 1), ('ts', 1, 1),
@@ -2013,6 +2035,7 @@ object EventsPipeline {
     "json_roundtrip" -> roundtripOracle,
     "orc_roundtrip"  -> roundtripOracle,
     "xml_roundtrip"  -> roundtripOracle,
+    "avro_roundtrip" -> roundtripOracle,
     // corruption rule re-applied to the clean table: event_id % 7 = 0
     // rows are the quarantined ones, everything else must parse
     "ingest_badrecords" ->

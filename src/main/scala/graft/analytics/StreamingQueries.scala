@@ -708,18 +708,27 @@ object StreamingQueries {
     * in-flight and the lake only stores one copy per fingerprint per
     * window, with state bounded by the watermark horizon.
     *
-    * Harness mechanics (same replay discipline as streamDedup): the
-    * source directory holds TWO identical files — the stamped corpus
-    * plus a far-future sentinel row — streamed one file per
-    * micro-batch. Whichever file lands first, batch 1 builds the full
-    * aggregation state (watermark still 0, nothing late) and advances
-    * the watermark to sentinel − 1 min; batch 2's copies are all
-    * older than the watermark and are dropped, so counts stay exact.
-    * Every real window then emits; the sentinel's own window stays
-    * open (its end is past the final watermark) and is withheld —
-    * the append-mode emit-once contract doing the cleanup. */
+    * Harness mechanics (the replay discipline of streamDedup, but
+    * PARALLEL): the corpus is written TWICE as K files per copy plus
+    * the far-future sentinel as its own strictly-last file, and the
+    * stream admits K files per micro-batch — so each batch's scan-side
+    * SimHash fans out over K tasks instead of serializing onto one
+    * partition (the r7 slope flag: 6.5× at 10× data was the
+    * coalesce(1) harness, not the operator). Batch 1 (copy A) builds
+    * the aggregation state with watermark 0; batch 2 (copy B) is a
+    * full replay — rows older than the now-advanced watermark are
+    * late-dropped, the rest are suppressed by the chained
+    * dropDuplicatesWithinWatermark, either way counted once; batch 3
+    * (sentinel) pushes the watermark past every real window so
+    * append mode flushes them all, while the sentinel's own window
+    * stays open and is withheld. The only ordering the construction
+    * relies on is write-job order (each job commits before the next
+    * starts, so file mtimes put A before B before the sentinel —
+    * the sentinel must be LAST or not-yet-seen rows would be
+    * late-dropped and undercounted). */
   def streamFpDedup(s: SparkSession, d: String): DataFrame = {
     val tmp = graft.Tables.tempOutDir("stream_fp_src")
+    val filesPerBatch = 8
     val docs = s.read.parquet(s"$d/documents.parquet")
     // the sentinel must postdate EVERY real arrival or the watermark
     // flush silently stops closing windows — derive it from the max id
@@ -735,14 +744,19 @@ object StreamingQueries {
       // dedup operator
       .select(col("doc_id"), col("text"),
         timestamp_seconds((col("doc_id") + 1) * 10).as("ts"))
-      .unionByName(s.sql(
-        s"""SELECT CAST(-1 AS BIGINT) AS doc_id, 'zz' AS text,
-             timestamp_seconds((${maxId} + 2) * 10 + 172800) AS ts"""))
-    stamped.coalesce(1).write.mode("overwrite").parquet(tmp)
-    stamped.coalesce(1).write.mode("append").parquet(tmp)
+    // sentinel seconds computed in SCALA Long: interpolating maxId
+    // into SQL arithmetic types a ≤2³¹ id as INT32, and (9e8)·10
+    // overflows it under ANSI mode at the 10× corpus
+    val sentinelSec: Long = (maxId + 2L) * 10L + 172800L
+    val sentinel = s.sql(
+      s"""SELECT CAST(-1 AS BIGINT) AS doc_id, 'zz' AS text,
+           timestamp_seconds(CAST($sentinelSec AS BIGINT)) AS ts""")
+    stamped.repartition(filesPerBatch).write.mode("overwrite").parquet(tmp)
+    stamped.repartition(filesPerBatch).write.mode("append").parquet(tmp)
+    sentinel.coalesce(1).write.mode("append").parquet(tmp)
     val schema = s.read.parquet(tmp).schema
     val src = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(tmp)
     val agg = src
       // digest once per token in its own projection (CollapseProject

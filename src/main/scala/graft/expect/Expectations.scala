@@ -89,6 +89,16 @@ object Expectations {
               .between(lo, hi), 0L)
             .otherwise(1L).as(s"viol_${c}_unique_proportion")))
 
+  /** GE expect_table_row_count_to_be_between: the table-level size
+    * gate (an ingest that suddenly halves or doubles is broken
+    * upstream even when every row passes). 0/1 flag from one exact
+    * count. */
+  def rowCountBetween(lo: Long, hi: Long): AggExpectation =
+    AggExpectation("table_row_count", df =>
+      df.agg(count(lit(1)).as("n"))
+        .select(when(col("n").between(lo, hi), 0L).otherwise(1L)
+          .as("viol_table_row_count")))
+
   /** Single-pass violation counts + PASSED/FAILED verdict as a 1-row
     * DataFrame (plan-only; composes into oracle-checked queries). */
   def report(df: DataFrame, suite: Seq[Expectation]): DataFrame =

@@ -57,6 +57,14 @@ object SuiteLoader {
     v.toInt
   }
 
+  /** Integral long kwarg (row-count bounds — same no-truncation rule). */
+  private def intLong(kw: JValue, key: String, ctx: String): Long = {
+    val v = num(kw, key, ctx)
+    if (v != math.rint(v) || v.isNaN) throw new IllegalArgumentException(
+      s"$ctx: '$key' must be an integer for a count bound, got $v")
+    v.toLong
+  }
+
   private def str(kw: JValue, key: String, ctx: String): String =
     kw \ key match {
       case JString(v) => v
@@ -126,6 +134,10 @@ object SuiteLoader {
         checkKwargs(kw, colBounds, tpe)
         Right(Expectations.uniqueProportionBetween(str(kw, "column", tpe),
           num(kw, "min_value", tpe), num(kw, "max_value", tpe)))
+      case "expect_table_row_count_to_be_between" =>
+        checkKwargs(kw, Set("min_value", "max_value"), tpe)
+        Right(Expectations.rowCountBetween(
+          intLong(kw, "min_value", tpe), intLong(kw, "max_value", tpe)))
       case unknown =>
         throw new IllegalArgumentException(
           s"unsupported expectation_type '$unknown' — supported: " +
@@ -135,7 +147,8 @@ object SuiteLoader {
             "expect_column_values_to_match_regex, " +
             "expect_column_value_lengths_to_be_between, " +
             "expect_column_values_to_be_unique, " +
-            "expect_column_proportion_of_unique_values_to_be_between")
+            "expect_column_proportion_of_unique_values_to_be_between, " +
+            "expect_table_row_count_to_be_between")
     }
   }
 

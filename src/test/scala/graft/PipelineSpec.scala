@@ -260,6 +260,24 @@ class PipelineSpec extends SparkSpec {
     val r3 = graft.expect.Expectations
       .reportFull(ok.limit(0), loaded.rowWise, loaded.agg).collect()(0)
     assert(r3.getString(r3.fieldIndex("verdict")) === "PASSED")
+    // table-level row-count gate: 3 rows inside [2, 5] passes,
+    // outside [10, 20] fails — and fractional bounds are rejected
+    val rc = graft.expect.SuiteLoader.load(
+      """{"expectations": [
+        {"expectation_type": "expect_table_row_count_to_be_between",
+         "kwargs": {"min_value": 2, "max_value": 5}}]}""")
+    assert(graft.expect.Expectations
+      .verdictFull(ok, rc.rowWise, rc.agg) === "PASSED")
+    val rcBad = graft.expect.SuiteLoader.load(
+      """{"expectations": [
+        {"expectation_type": "expect_table_row_count_to_be_between",
+         "kwargs": {"min_value": 10, "max_value": 20}}]}""")
+    assert(graft.expect.Expectations
+      .verdictFull(ok, rcBad.rowWise, rcBad.agg) === "FAILED")
+    intercept[IllegalArgumentException](graft.expect.SuiteLoader.load(
+      """{"expectations": [
+        {"expectation_type": "expect_table_row_count_to_be_between",
+         "kwargs": {"min_value": 1.5, "max_value": 20}}]}"""))
   }
 
   test("sample-mode gate diverges from full-scan gate on adversarial data") {

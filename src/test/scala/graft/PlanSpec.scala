@@ -139,6 +139,7 @@ class PlanSpec extends SparkSpec {
     "agg_pivot" -> 2, "agg_quantile" -> 1, "agg_rollup" -> 1,
     "agg_salted" -> 2, "agg_unpivot" -> 0, "array_funcs" -> 0,
     "clean_nan_null" -> 1,
+    "avro_roundtrip" -> 1,
     "csv_roundtrip" -> 1, "dedup_embedding" -> 1, "dedup_exact" -> 1,
     "dedup_minhash" -> 3, "dedup_ngram" -> 15, "dedup_simhash" -> 0,
     "dedup_simhash64" -> 0, "dedup_simhash_pairs" -> 1, "expect_suite" -> 0,
