@@ -1950,9 +1950,12 @@ object Relational {
 
   /** ABC (Pareto) classification of parts by revenue — the inventory
     * 80/15/5 cut: rank parts by revenue, classify by cumulative share.
-    * The ranking window runs over the aggregated PART dimension (the
-    * curriculum_buckets argument: a catalog is bounded at any fact
-    * scale — lineitem only feeds the grouped decimal sums), and the
+    * The part CATALOG is SF-scaled (200k·SF — billions of rows at
+    * 100 TB), so the cumulative pass uses [[Ranking.prefixSum]] —
+    * range-partitioned parallel running sums + driver-literal
+    * offsets — instead of the single-partition global window the r8
+    * plan audit banned. The grand total comes back as an exact
+    * driver-side decimal literal (no scalar crossJoin needed), and the
     * class gates compare EXACT decimals in multiply-through form
     * (cum·100 ≤ total·80 — no float share edge). Output is the 3-row
     * class rollup, revenue cast to double once. */
@@ -1960,15 +1963,12 @@ object Relational {
     val rev = lineitem(s, d)
       .groupBy(col("l_partkey"))
       .agg(sum(dec2(col("l_extendedprice"))).as("rev"))
-    val wCum = Window.orderBy(col("rev").desc, col("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wTot = Window.partitionBy()
-    rev
-      .withColumn("cum", sum(col("rev")).over(wCum))
-      .withColumn("total", sum(col("rev")).over(wTot))
+    val (cum, total) = Ranking.prefixSum(rev,
+      Seq(col("rev").desc, col("l_partkey")), col("rev"), "cum")
+    cum
       .withColumn("cls",
-        when(col("cum") * 100 <= col("total") * 80, "A")
-          .when(col("cum") * 100 <= col("total") * 95, "B")
+        when(col("cum") * 100 <= total * 80, "A")
+          .when(col("cum") * 100 <= total * 95, "B")
           .otherwise("C"))
       .groupBy(col("cls"))
       .agg(count(lit(1)).as("n_parts"),

@@ -472,7 +472,13 @@ class PlanSpec extends SparkSpec {
     // side broadcasts at audit SF; the cumulative window runs over the
     // bounded date domain, single-partition by design)
     "ts_backlog" -> 3,
-    "win_ewma" -> 1, "stats_ks" -> 2, "agg_spearman" -> 1,
+    "win_ewma" -> 1, "stats_ks" -> 2,
+    // agg_spearman (r8 distributed-rank rewrite): the supplier rollup
+    // + a _pid window exchange per ranking branch + the rank rejoin on
+    // l_suppkey; the static count is inflated by the persisted
+    // subtrees' cached-plan text repeating their exchanges — the
+    // RUNTIME plan reuses the InMemoryRelation
+    "agg_spearman" -> 12,
     // anomaly_cusum: the one user_id window exchange; geo_join: cell
     // cover broadcasts, the exchange is the per-depot rollup
     "anomaly_cusum" -> 1, "geo_join" -> 1,
@@ -534,7 +540,10 @@ class PlanSpec extends SparkSpec {
     "sql_pipe" -> 1,
     // orders_abc: partkey revenue agg + the 3-class rollup (both
     // ranking windows run on the bounded part dimension)
-    "orders_abc" -> 2,
+    // orders_abc (r8 distributed prefix-sum rewrite): part rollup +
+    // the _pid window exchange + the class rollup; static count
+    // repeats the persisted prefix subtree's text (runtime reuses it)
+    "orders_abc" -> 5,
     // agg_gini: the one cents-histogram exchange (the cumulative pass
     // runs on the bounded distinct-value domain)
     "agg_gini" -> 1,
@@ -616,20 +625,59 @@ class PlanSpec extends SparkSpec {
   }
 
   /** Each query's physical-plan string + analyzed-plan broadcast-hint
-    * audit, built ONCE for all tests (the round-trip queries execute a
-    * file write when constructed). */
-  private lazy val built: Seq[(String, String, Seq[String])] =
+    * audit + partition-less-window audit, built ONCE for all tests
+    * (the round-trip queries execute a file write when constructed). */
+  private lazy val built: Seq[(String, String, Seq[String], Seq[String])] =
     SparkEntry.queries.toSeq.sortBy(_._1).collect {
       case (name, fn) if !streaming(name) =>
         val qe = fn(spark, sfDir).queryExecution
         val hints = unboundedBroadcastHints(qe.analyzed)
+        val gw = globalWindows(qe.executedPlan)
         val p = qe.executedPlan.toString
         spark.catalog.clearCache()
-        (name, p, hints)
+        (name, p, hints, gw)
     }
 
   private lazy val plans: Seq[(String, String)] =
     built.map(t => (t._1, t._2))
+
+  /** A Window with an EMPTY partitionSpec funnels the whole input
+    * through ONE task — the classic global-ntile scale trap. It is
+    * only acceptable when the windowed frame is already bounded
+    * (domain-sized aggregates, histograms, digit tables …), which the
+    * plan alone can't prove — so every site must be whitelisted per
+    * query with the bound written down. */
+  private def globalWindows(
+      plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution._
+    // AQE wraps the real plan in AdaptiveSparkPlanExec, which collect()
+    // treats as a leaf — audit the inner (initial) plan
+    val root = plan match {
+      case a: adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    // a partition-less window whose input is already LIMITED (top-k
+    // rank patterns plan TakeOrderedAndProject below the window) or a
+    // 1-row aggregate is bounded by construction — same spine walk as
+    // the broadcast-hint rule
+    @annotation.tailrec
+    def boundedInput(p: SparkPlan): Boolean = p match {
+      case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |
+           _: LocalLimitExec => true
+      case a: aggregate.BaseAggregateExec => a.groupingExpressions.isEmpty
+      case _: GenerateExec | _: ExpandExec => false
+      case u: UnaryExecNode => boundedInput(u.child)
+      case _ => false
+    }
+    root.collect {
+      case w: window.WindowExec
+          if w.partitionSpec.isEmpty && !boundedInput(w.child) =>
+        "Window: " + w.windowExpression.map(_.sql).mkString(",").take(80)
+      case w: window.WindowGroupLimitExec
+          if w.partitionSpec.isEmpty && !boundedInput(w.child) =>
+        "WindowGroupLimit: " + w.rankLikeFunction.sql.take(80)
+    }
+  }
 
   // ---- forced-broadcast audit (the r6/r7 verdict class, as a test) --
 
@@ -698,12 +746,42 @@ class PlanSpec extends SparkSpec {
 
   test("no query force-broadcasts a corpus-sized table") {
     val offenders = built.collect {
-      case (name, _, hints) if hints.nonEmpty &&
+      case (name, _, hints, _) if hints.nonEmpty &&
           !boundedHintWhitelist(name) =>
         s"$name: ${hints.mkString("; ")}"
     }
     assert(offenders.isEmpty,
       s"forced broadcast of unbounded tables:\n${offenders.mkString("\n")}")
+  }
+
+  /** Queries whose partition-less windows run over a BOUNDED frame.
+    * Every entry names the bound. The two former offenders over
+    * SF-SCALED dimensions (orders_abc: parts; agg_spearman:
+    * suppliers) were REWRITTEN onto Ranking.globalRowNumber/prefixSum
+    * in r8 rather than whitelisted. */
+  private val globalWindowWhitelist: Set[String] = Set(
+    // 9-digit Benford histogram / binned cents histograms — the
+    // cumulative pass runs over distinct bins, never rows
+    "agg_benford", "agg_gini", "stats_ks",
+    // distinct-doc-length histogram (the scale-safe exact-quantile
+    // pattern this query exists to demonstrate)
+    "curriculum_buckets",
+    // bounded event-type domain (≤9 groups)
+    "stats_anova", "stats_levene",
+    // bounded source-table domain (≤8 sources)
+    "mixture_temperature",
+    // calendar-bucketed series: per-day / per-month / hourly rollups
+    // aggregated BEFORE the window — frame size is the time range
+    "expect_volume", "ts_backlog", "ts_mom", "ts_seasonal",
+    "stats_runs", "win_rolling_corr")
+
+  test("no query runs a partition-less window over an unbounded frame") {
+    val offenders = built.collect {
+      case (name, _, _, gw) if gw.nonEmpty && !globalWindowWhitelist(name) =>
+        s"$name: ${gw.mkString("; ")}"
+    }
+    assert(offenders.isEmpty,
+      s"single-partition windows:\n${offenders.mkString("\n")}")
   }
 
   test("the unbounded-broadcast detector flags a planted corpus hint") {

@@ -8,6 +8,40 @@ import org.apache.spark.sql.functions._
   * approx distinct accuracy, rolling-hash fingerprints. */
 class ScaleSpec extends SparkSpec {
 
+  test("Ranking helpers equal the single-partition window exactly") {
+    import org.apache.spark.sql.expressions.Window
+    // scrambled total order with a unique tie-break; values collide
+    // (v has duplicates) so the tie-break is load-bearing
+    val df = spark.range(1000).select(
+      (col("id") * 2654435761L % 97).as("v"), col("id"))
+    val order = Seq(col("v"), col("id"))
+    val expectRn = df.withColumn("rn",
+      row_number().over(Window.orderBy(order: _*)).cast("long"))
+    val gotRn = graft.analytics.Ranking.globalRowNumber(df, order, "rn")
+    assert(gotRn.select("id", "rn").exceptAll(
+      expectRn.select("id", "rn")).count() === 0)
+    assert(gotRn.count() === 1000)
+    // decimal running sum with NEGATIVE values (the max-of-running-sum
+    // shortcut would get partition offsets wrong here)
+    val dec = df.select(col("id"), col("v"),
+      (col("v") - 48).cast("decimal(18,2)").as("x"))
+    val expectCum = dec.withColumn("cum",
+      sum(col("x")).over(Window.orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val (gotCum, total) = graft.analytics.Ranking.prefixSum(
+      dec, order, col("x"), "cum")
+    assert(gotCum.select(col("id"), col("cum").cast("decimal(28,2)"))
+      .exceptAll(expectCum.select(col("id"), col("cum").cast("decimal(28,2)")))
+      .count() === 0)
+    // the driver-literal grand total is the exact sum
+    val expectTotal = dec.agg(sum(col("x"))).collect()(0).getDecimal(0)
+    assert(spark.range(1).select(total.cast("decimal(28,2)").as("t"))
+      .collect()(0).getDecimal(0).compareTo(expectTotal) === 0)
+    // and the plan carries NO partition-less window
+    val p = gotRn.queryExecution.executedPlan.toString
+    assert(!p.contains("Window [row_number() windowspecdefinition(v"), p)
+  }
+
   test("co-bucketed tables join with no Exchange and no Sort") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     // exploit per-bucket sort order (off by default since SPARK-28209;
