@@ -116,11 +116,175 @@ object Multimodal {
     }.toDF("asset_id", "n_bytes", "resized_bytes", "resized_sha")
   }
 
+  // ---------------------------------------------------------------
+  // REAL binary decode (r8): WAV and BMP need no codec library — the
+  // containers are plain little-endian structs — so for these two
+  // formats the decode path is NOT a stub. Deterministic synthetic
+  // media (a full-range integer sawtooth / a per-channel modular
+  // pixel pattern) replaces a corpus of real files; the decoder then
+  // genuinely parses the BYTES (chunk walk, header offsets,
+  // endianness, BMP bottom-up row order + row padding), and the
+  // DuckDB oracle recomputes the declared waveform/pixels from the
+  // construction rule — any mis-parse (wrong offset, wrong sign,
+  // wrong row order) hash-mismatches. JPEG/MP4 remain stubbed
+  // (decodeBatch above): no codec libs in the container.
+  // ---------------------------------------------------------------
+
+  /** 8 kHz 16-bit mono PCM WAV: sample i of asset a is the full-range
+    * sawtooth ((a·31 + i·7919) mod 65536) − 32768. */
+  private[graft] def wavBytes(docId: Long, nSamples: Int): Array[Byte] = {
+    val dataSize = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)              // PCM, mono
+      .putInt(8000).putInt(16000)           // sample rate, byte rate
+      .putShort(2).putShort(16)             // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nSamples) {
+      bb.putShort((((docId * 31L + i.toLong * 7919L) % 65536L) - 32768L).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Real RIFF/WAVE parse: chunk walk to fmt + data (not fixed
+    * offsets — a RIFF reader that assumes data at 44 breaks on any
+    * extra chunk), then exact-integer stats over the PCM samples.
+    * checksum = Σ(i+1)·sampleᵢ pins sample ORDER, not just values. */
+  private[graft] def parseWav(bytes: Array[Byte]): (Int, Long, Long, Long, Long, Long) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 12 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE", "not a RIFF/WAVE file")
+    var pos = 12
+    var sampleRate = -1; var blockAlign = -1
+    var dataOff = -1; var dataLen = -1
+    while (pos + 8 <= bytes.length && (dataOff < 0 || sampleRate < 0)) {
+      val id = new String(bytes, pos, 4, "US-ASCII")
+      val len = bb.getInt(pos + 4)
+      if (id == "fmt ") {
+        require(bb.getShort(pos + 8) == 1, "not PCM")
+        sampleRate = bb.getInt(pos + 12)
+        blockAlign = bb.getShort(pos + 20)
+      } else if (id == "data") { dataOff = pos + 8; dataLen = len }
+      pos += 8 + len + (len & 1) // RIFF chunks are 2-byte aligned
+    }
+    require(sampleRate > 0 && dataOff >= 0, "missing fmt/data chunk")
+    val n = dataLen / blockAlign
+    var i = 0; var sumAbs = 0L; var maxAbs = 0L; var checksum = 0L
+    while (i < n) {
+      val v: Long = bb.getShort(dataOff + i * 2).toLong
+      sumAbs += math.abs(v)
+      maxAbs = math.max(maxAbs, math.abs(v))
+      checksum += (i + 1L) * v
+      i += 1
+    }
+    (sampleRate, n.toLong, n.toLong * 1000000L / sampleRate,
+      sumAbs, maxAbs, checksum)
+  }
+
+  /** Synthesize → genuinely decode WAV per document; all-integer
+    * output, fully oracled from the construction rule. */
+  def multimodalWav(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        val n = math.max(1L, nChars).toInt
+        val (rate, ns, durUs, sumAbs, maxAbs, ck) = parseWav(wavBytes(id, n))
+        (id, rate, ns, durUs, sumAbs, maxAbs, ck)
+      })
+      .toDF("asset_id", "sample_rate", "n_samples", "duration_us",
+        "sum_abs", "max_abs", "checksum")
+  }
+
+  /** 24-bit bottom-up BMP: w = 16 + a mod 16, h = 8 + a mod 8, pixel
+    * (x, y) channels are modular functions of (a, x, y); rows padded
+    * to 4 bytes as the format requires. */
+  private[graft] def bmpBytes(docId: Long): Array[Byte] = {
+    val w = 16 + (docId % 16).toInt
+    val h = 8 + (docId % 8).toInt
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val bb = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)                 // reserved, pixel offset
+      .putInt(40).putInt(w).putInt(h)       // BITMAPINFOHEADER
+      .putShort(1).putShort(24)             // planes, bpp
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var row = 0
+    while (row < h) {
+      val y = h - 1 - row                   // bottom row is stored first
+      var x = 0
+      while (x < w) {
+        bb.put(((docId + x * 3L + y * 7L) % 256L).toByte)        // B
+        bb.put(((docId * 5L + x + y * 11L) % 256L).toByte)       // G
+        bb.put(((docId * 9L + x * 13L + y) % 256L).toByte)       // R
+        x += 1
+      }
+      var p = w * 3
+      while (p < rowSize) { bb.put(0.toByte); p += 1 }
+      row += 1
+    }
+    bb.array()
+  }
+
+  /** Real BMP parse: header offsets, bottom-up row reconstruction,
+    * padding skip; per-channel exact sums + a positional checksum
+    * Σ(y·w + x + 1)·(r + g + b) that pins the GEOMETRY (a top-down
+    * misread or off-by-one pad changes it). */
+  private[graft] def parseBmp(bytes: Array[Byte]): (Int, Int, Long, Long, Long, Long) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte, "not a BMP")
+    val off = bb.getInt(10)
+    val w = bb.getInt(18); val h = bb.getInt(22)
+    require(bb.getShort(28) == 24, "not 24-bit")
+    val rowSize = (w * 3 + 3) / 4 * 4
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var ck = 0L
+    var row = 0
+    while (row < h) {
+      val y = h - 1 - row
+      var x = 0
+      while (x < w) {
+        val p = off + row * rowSize + x * 3
+        val b = bytes(p) & 0xff; val g = bytes(p + 1) & 0xff
+        val r = bytes(p + 2) & 0xff
+        sumB += b; sumG += g; sumR += r
+        ck += (y.toLong * w + x + 1L) * (r + g + b)
+        x += 1
+      }
+      row += 1
+    }
+    (w, h, sumR, sumG, sumB, ck)
+  }
+
+  /** Synthesize → genuinely decode BMP per document. */
+  def multimodalBmp(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h, r, g, b, ck) = parseBmp(bmpBytes(id))
+        (id, w, h, w.toLong * h, r, g, b, ck)
+      })
+      .toDF("asset_id", "width", "height", "n_pixels",
+        "sum_r", "sum_g", "sum_b", "checksum")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_stub"     -> multimodalStub _,
     "multimodal_features" -> featuresScalar _,
     "multimodal_frames"   -> multimodalFrames _,
     "multimodal_resize"   -> ((s: SparkSession, d: String) => multimodalResize(s, d)),
+    "multimodal_wav"      -> multimodalWav _,
+    "multimodal_bmp"      -> multimodalBmp _,
   )
 
   /** hex-pair → byte value, DuckDB spelling (strpos is 1-based). */
@@ -166,5 +330,45 @@ object Multimodal {
           CAST(u.f AS BIGINT) AS frame_idx,
           CAST(u.f * 256 AS BIGINT) AS byte_off
         FROM a, unnest(generate_series(0, n_frames - 1, 4)) AS u(f)""",
+    // the WAV construction rule recomputed sample-by-sample: if the
+    // engine-side RIFF parse misreads an offset, sign, or sample
+    // order, sum/max/positional-checksum diverge
+    "multimodal_wav" ->
+      """WITH a AS (
+          SELECT doc_id, GREATEST(1, n_chars) AS n FROM documents),
+        s AS (
+          SELECT a.doc_id, u.i,
+            ((a.doc_id * 31 + u.i * 7919) % 65536) - 32768 AS v
+          FROM a, unnest(generate_series(0, a.n - 1)) AS u(i))
+        SELECT doc_id AS asset_id,
+          CAST(8000 AS INT) AS sample_rate,
+          CAST(count(*) AS BIGINT) AS n_samples,
+          CAST(count(*) * 125 AS BIGINT) AS duration_us,
+          CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+          CAST(max(abs(v)) AS BIGINT) AS max_abs,
+          CAST(sum((i + 1) * v) AS BIGINT) AS checksum
+        FROM s GROUP BY doc_id""",
+    // the BMP pixel rule recomputed per (x, y): the positional
+    // checksum pins bottom-up row order and pad-skip
+    "multimodal_bmp" ->
+      """WITH a AS (
+          SELECT doc_id, 16 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+          FROM documents),
+        px AS (
+          SELECT a.doc_id, a.w, a.h, x.x, y.y,
+            (a.doc_id + x.x * 3 + y.y * 7) % 256 AS b,
+            (a.doc_id * 5 + x.x + y.y * 11) % 256 AS g,
+            (a.doc_id * 9 + x.x * 13 + y.y) % 256 AS r
+          FROM a, unnest(generate_series(0, a.w - 1)) AS x(x),
+               unnest(generate_series(0, a.h - 1)) AS y(y))
+        SELECT doc_id AS asset_id,
+          CAST(min(w) AS INT) AS width,
+          CAST(min(h) AS INT) AS height,
+          CAST(min(w) * min(h) AS BIGINT) AS n_pixels,
+          CAST(sum(r) AS BIGINT) AS sum_r,
+          CAST(sum(g) AS BIGINT) AS sum_g,
+          CAST(sum(b) AS BIGINT) AS sum_b,
+          CAST(sum((y * w + x + 1) * (r + g + b)) AS BIGINT) AS checksum
+        FROM px GROUP BY doc_id""",
   )
 }

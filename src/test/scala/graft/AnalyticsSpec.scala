@@ -250,6 +250,54 @@ class AnalyticsSpec extends SparkSpec {
     assert(!plan.contains("content") || plan.contains("ReadSchema: struct<doc_id"))
   }
 
+  test("WAV/BMP decoders parse real containers and reject corrupt ones") {
+    // hand-computed 2-sample WAV: doc 3 → samples ((3·31+i·7919) mod
+    // 65536) − 32768 = {-32675, -24756}
+    val wav = Multimodal.wavBytes(3L, 2)
+    assert(wav.length === 48)
+    val (rate, n, durUs, sumAbs, maxAbs, ck) = Multimodal.parseWav(wav)
+    assert(rate === 8000 && n === 2L && durUs === 250L)
+    assert(sumAbs === 32675L + 24756L)
+    assert(maxAbs === 32675L)
+    assert(ck === 1L * -32675L + 2L * -24756L)
+    // the chunk walk must survive an extra RIFF chunk BEFORE data —
+    // a reader that hard-codes offset 44 breaks here
+    val extra = {
+      val payload = wav.drop(36) // "data" chunk onward
+      val list = "LIST".getBytes("US-ASCII") ++
+        Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+      val head = wav.take(36)
+      val out = head ++ list ++ payload
+      // fix the RIFF size field
+      val bb = java.nio.ByteBuffer.wrap(out)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(4, out.length - 8)
+      out
+    }
+    assert(Multimodal.parseWav(extra) === ((rate, n, durUs, sumAbs, maxAbs, ck)))
+    // corrupt magic rejects loudly
+    val bad = wav.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.parseWav(bad))
+    // BMP: doc 3 → 19×11 bottom-up with 57→60-byte padded rows; the
+    // parse must agree with the direct pixel-rule recomputation
+    val bmp = Multimodal.bmpBytes(3L)
+    val (w, h, sr, sg, sb, bck) = Multimodal.parseBmp(bmp)
+    assert(w === 19 && h === 11)
+    var er = 0L; var eg = 0L; var eb = 0L; var eck = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val b = (3L + x * 3 + y * 7) % 256
+      val g = (3L * 5 + x + y * 11) % 256
+      val r = (3L * 9 + x * 13 + y) % 256
+      er += r; eg += g; eb += b
+      eck += (y.toLong * w + x + 1) * (r + g + b)
+    }
+    assert((sr, sg, sb, bck) === ((er, eg, eb, eck)))
+    intercept[IllegalArgumentException] {
+      val badBmp = bmp.clone(); badBmp(1) = 'X'.toByte
+      Multimodal.parseBmp(badBmp)
+    }
+  }
+
   test("chunking tiles every document: stride==width partitions the tokens exactly") {
     val docs = Tables.documents(spark, sfDir)
     val chunks = Chunking.chunksOf(docs, width = 8, stride = 8)
