@@ -151,11 +151,10 @@ object Multimodal {
     bb.array()
   }
 
-  /** Real RIFF/WAVE parse: chunk walk to fmt + data (not fixed
-    * offsets — a RIFF reader that assumes data at 44 breaks on any
-    * extra chunk), then exact-integer stats over the PCM samples.
-    * checksum = Σ(i+1)·sampleᵢ pins sample ORDER, not just values. */
-  private[graft] def parseWav(bytes: Array[Byte]): (Int, Long, Long, Long, Long, Long) = {
+  /** RIFF chunk walk to fmt + data (not fixed offsets — a RIFF reader
+    * that assumes data at 44 breaks on any extra chunk). Returns
+    * (sampleRate, dataOffset, nSamples). */
+  private def wavLayout(bytes: Array[Byte]): (Int, Int, Int) = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     require(bytes.length >= 12 &&
@@ -175,7 +174,15 @@ object Multimodal {
       pos += 8 + len + (len & 1) // RIFF chunks are 2-byte aligned
     }
     require(sampleRate > 0 && dataOff >= 0, "missing fmt/data chunk")
-    val n = dataLen / blockAlign
+    (sampleRate, dataOff, dataLen / blockAlign)
+  }
+
+  /** Real RIFF/WAVE parse → exact-integer stats over the PCM samples.
+    * checksum = Σ(i+1)·sampleᵢ pins sample ORDER, not just values. */
+  private[graft] def parseWav(bytes: Array[Byte]): (Int, Long, Long, Long, Long, Long) = {
+    val (sampleRate, dataOff, n) = wavLayout(bytes)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     var i = 0; var sumAbs = 0L; var maxAbs = 0L; var checksum = 0L
     while (i < n) {
       val v: Long = bb.getShort(dataOff + i * 2).toLong
@@ -186,6 +193,74 @@ object Multimodal {
     }
     (sampleRate, n.toLong, n.toLong * 1000000L / sampleRate,
       sumAbs, maxAbs, checksum)
+  }
+
+  /** Amplitude-varied PCM for the audio GATE: the sawtooth scaled by
+    * (a mod 5)/3 with truncating integer division (both engines
+    * truncate toward zero) and clamped to the int16 rails — so the
+    * corpus contains genuinely SILENT assets (amp 0), clean ones
+    * (amp 1–2), and CLIPPED ones (amp 3–4 drive samples past the
+    * rails, clamped on write exactly as a saturating recorder would). */
+  private[graft] def wavBytesAmp(docId: Long, nSamples: Int): Array[Byte] = {
+    val dataSize = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nSamples) {
+      val raw = ((docId * 31L + i.toLong * 7919L) % 65536L) - 32768L
+      val v = raw * (docId % 5L) / 3L
+      bb.putShort(math.max(-32768L, math.min(32767L, v)).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Audio-quality gate on genuinely decoded PCM — the filter an
+    * audio training pipeline runs before transcription: per-256-sample
+    * frame energy flags SILENT frames (mean |v| < 100, the last
+    * partial frame judged against its own length), rail samples
+    * (|v| ≥ 32767) count as CLIPPED, and an asset is dropped when
+    * more than half its frames are silent. All-integer output;
+    * the oracle replays the amplitude rule frame-by-frame. */
+  private[graft] def parseWavGate(bytes: Array[Byte]): (Long, Long, Long, String) = {
+    val (_, dataOff, n) = wavLayout(bytes)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0; var nSilent = 0L; var nClipped = 0L
+    var frameSum = 0L; var frameLen = 0L; var nFrames = 0L
+    def closeFrame(): Unit = if (frameLen > 0) {
+      nFrames += 1
+      if (frameSum < frameLen * 100L) nSilent += 1
+      frameSum = 0L; frameLen = 0L
+    }
+    while (i < n) {
+      val v: Long = bb.getShort(dataOff + i * 2).toLong
+      frameSum += math.abs(v); frameLen += 1
+      if (math.abs(v) >= 32767L) nClipped += 1
+      if (frameLen == 256L) closeFrame()
+      i += 1
+    }
+    closeFrame()
+    val verdict = if (2 * nSilent > nFrames) "drop_silent" else "keep"
+    (nFrames, nSilent, nClipped, verdict)
+  }
+
+  def multimodalAudioGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        val n = math.max(1L, nChars).toInt
+        val (nf, ns, nc, v) = parseWavGate(wavBytesAmp(id, n))
+        (id, nf, ns, nc, v)
+      })
+      .toDF("asset_id", "n_frames", "n_silent", "n_clipped", "verdict")
   }
 
   /** Synthesize → genuinely decode WAV per document; all-integer
@@ -285,6 +360,7 @@ object Multimodal {
     "multimodal_resize"   -> ((s: SparkSession, d: String) => multimodalResize(s, d)),
     "multimodal_wav"      -> multimodalWav _,
     "multimodal_bmp"      -> multimodalBmp _,
+    "multimodal_audio_gate" -> multimodalAudioGate _,
   )
 
   /** hex-pair → byte value, DuckDB spelling (strpos is 1-based). */
@@ -370,5 +446,34 @@ object Multimodal {
           CAST(sum(b) AS BIGINT) AS sum_b,
           CAST(sum((y * w + x + 1) * (r + g + b)) AS BIGINT) AS checksum
         FROM px GROUP BY doc_id""",
+    // the amplitude rule replayed frame-by-frame: truncating //
+    // matches the engine's Long division toward zero, the clamp is
+    // the write-side saturation, and the last partial frame is judged
+    // against its own length
+    "multimodal_audio_gate" ->
+      """WITH a AS (
+          SELECT doc_id, GREATEST(1, n_chars) AS n FROM documents),
+        s AS (
+          SELECT a.doc_id, u.i,
+            GREATEST(-32768, LEAST(32767,
+              (((a.doc_id * 31 + u.i * 7919) % 65536) - 32768)
+                * (a.doc_id % 5) // 3)) AS v
+          FROM a, unnest(generate_series(0, a.n - 1)) AS u(i)),
+        fr AS (
+          SELECT doc_id, i // 256 AS f,
+            sum(abs(v)) AS fs, count(*) AS fn,
+            sum(CASE WHEN abs(v) >= 32767 THEN 1 ELSE 0 END) AS cl
+          FROM s GROUP BY doc_id, i // 256),
+        g AS (
+          SELECT doc_id,
+            CAST(count(*) AS BIGINT) AS n_frames,
+            CAST(sum(CASE WHEN fs < fn * 100 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_silent,
+            CAST(sum(cl) AS BIGINT) AS n_clipped
+          FROM fr GROUP BY doc_id)
+        SELECT doc_id AS asset_id, n_frames, n_silent, n_clipped,
+          CASE WHEN 2 * n_silent > n_frames
+            THEN 'drop_silent' ELSE 'keep' END AS verdict
+        FROM g""",
   )
 }

@@ -296,6 +296,14 @@ class AnalyticsSpec extends SparkSpec {
       val badBmp = bmp.clone(); badBmp(1) = 'X'.toByte
       Multimodal.parseBmp(badBmp)
     }
+    // audio gate: amp = docId mod 5 — doc 5 is all-zero (silent →
+    // dropped), doc 4 is amp-4/3 overdrive (clipped samples, kept)
+    val (nf5, ns5, nc5, v5) = Multimodal.parseWavGate(
+      Multimodal.wavBytesAmp(5L, 600))
+    assert(nf5 === 3L && ns5 === 3L && nc5 === 0L && v5 === "drop_silent")
+    val (nf4, ns4, nc4, v4) = Multimodal.parseWavGate(
+      Multimodal.wavBytesAmp(4L, 600))
+    assert(nf4 === 3L && ns4 === 0L && nc4 > 0L && v4 === "keep")
   }
 
   test("chunking tiles every document: stride==width partitions the tokens exactly") {
