@@ -738,6 +738,12 @@ object Dedup {
       .filter(col("vec_id") >= 100 && col("vec_id") < 100 + nBands.toLong * bandBits)
       .select(col("vec_id"), col("v")).collect()
       .sortBy(_.getLong(0)).map(_.getSeq[Double](1)).toSeq
+    // a short/gapped id range would densely pack the planes here while
+    // the oracle assigns positions BY vec_id — the two sides would
+    // silently band differently, so fail loudly instead (r8 review)
+    require(planes.size == nBands * bandBits,
+      s"emb_prune_stats needs contiguous embeddings vec_id 100..${100 + nBands * bandBits} " +
+        s"as hyperplanes; found ${planes.size} of ${nBands * bandBits}")
     val occ = bandedWith(e, planes, bandBits, nBands)
       .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("c"))
     occ.groupBy(col("band"))

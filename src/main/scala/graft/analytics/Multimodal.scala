@@ -130,9 +130,15 @@ object Multimodal {
   // (decodeBatch above): no codec libs in the container.
   // ---------------------------------------------------------------
 
-  /** 8 kHz 16-bit mono PCM WAV: sample i of asset a is the full-range
-    * sawtooth ((a·31 + i·7919) mod 65536) − 32768. */
-  private[graft] def wavBytes(docId: Long, nSamples: Int): Array[Byte] = {
+  /** The raw full-range sawtooth: sample i of asset a is
+    * ((a·31 + i·7919) mod 65536) − 32768. */
+  private def sawtooth(docId: Long, i: Int): Long =
+    ((docId * 31L + i.toLong * 7919L) % 65536L) - 32768L
+
+  /** 8 kHz 16-bit mono PCM WAV container around caller-supplied
+    * samples — ONE header builder shared by both synthetic corpora so
+    * a header fix can never apply to one and not the other. */
+  private def wavContainer(nSamples: Int)(sample: Int => Short): Array[Byte] = {
     val dataSize = nSamples * 2
     val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -144,12 +150,12 @@ object Multimodal {
       .putShort(2).putShort(16)             // block align, bits
       .put("data".getBytes("US-ASCII")).putInt(dataSize)
     var i = 0
-    while (i < nSamples) {
-      bb.putShort((((docId * 31L + i.toLong * 7919L) % 65536L) - 32768L).toShort)
-      i += 1
-    }
+    while (i < nSamples) { bb.putShort(sample(i)); i += 1 }
     bb.array()
   }
+
+  private[graft] def wavBytes(docId: Long, nSamples: Int): Array[Byte] =
+    wavContainer(nSamples)(i => sawtooth(docId, i).toShort)
 
   /** RIFF chunk walk to fmt + data (not fixed offsets — a RIFF reader
     * that assumes data at 44 breaks on any extra chunk). Returns
@@ -168,6 +174,10 @@ object Multimodal {
       val len = bb.getInt(pos + 4)
       if (id == "fmt ") {
         require(bb.getShort(pos + 8) == 1, "not PCM")
+        // the sample loops hard-code a 2-byte mono stride — anything
+        // else would silently mis-decode, so reject it loudly
+        require(bb.getShort(pos + 10) == 1, "not mono")
+        require(bb.getShort(pos + 22) == 16, "not 16-bit")
         sampleRate = bb.getInt(pos + 12)
         blockAlign = bb.getShort(pos + 20)
       } else if (id == "data") { dataOff = pos + 8; dataLen = len }
@@ -201,25 +211,11 @@ object Multimodal {
     * corpus contains genuinely SILENT assets (amp 0), clean ones
     * (amp 1–2), and CLIPPED ones (amp 3–4 drive samples past the
     * rails, clamped on write exactly as a saturating recorder would). */
-  private[graft] def wavBytesAmp(docId: Long, nSamples: Int): Array[Byte] = {
-    val dataSize = nSamples * 2
-    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
-      .put("WAVE".getBytes("US-ASCII"))
-      .put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1).putShort(1).putInt(8000).putInt(16000)
-      .putShort(2).putShort(16)
-      .put("data".getBytes("US-ASCII")).putInt(dataSize)
-    var i = 0
-    while (i < nSamples) {
-      val raw = ((docId * 31L + i.toLong * 7919L) % 65536L) - 32768L
-      val v = raw * (docId % 5L) / 3L
-      bb.putShort(math.max(-32768L, math.min(32767L, v)).toShort)
-      i += 1
+  private[graft] def wavBytesAmp(docId: Long, nSamples: Int): Array[Byte] =
+    wavContainer(nSamples) { i =>
+      val v = sawtooth(docId, i) * (docId % 5L) / 3L
+      math.max(-32768L, math.min(32767L, v)).toShort
     }
-    bb.array()
-  }
 
   /** Audio-quality gate on genuinely decoded PCM — the filter an
     * audio training pipeline runs before transcription: per-256-sample

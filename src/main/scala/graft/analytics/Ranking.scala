@@ -77,15 +77,18 @@ object Ranking {
     val sums = local.groupBy(col("_pid"))
       .agg(sum(valueCol).as("_s"))
       .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toList.sortBy(_._1)
-    // exact decimal prefix offsets, emitted as a when-chain of literals
-    // (pid-ordered); BigDecimal addition is exact so the offsets equal
-    // the single-partition running sum at each range boundary
+    // exact decimal prefix offsets as a flat literal-map lookup (the
+    // same constant-depth spelling globalRowNumber uses — a nested
+    // when-chain would codegen O(numPartitions) branches per row);
+    // BigDecimal addition is exact so the offsets equal the
+    // single-partition running sum at each range boundary
     val zero = java.math.BigDecimal.ZERO
-    val prefix = sums.map(_._1)
-      .zip(sums.scanLeft(zero)((acc, s) => acc.add(s._2)))
-    val offCol = prefix.foldLeft(lit(zero): Column) {
-      case (acc, (p, o)) => when(col("_pid") === p, lit(o)).otherwise(acc)
-    }
+    val offsets: Map[Int, scala.math.BigDecimal] = sums.map(_._1)
+      .zip(sums.scanLeft(zero)((acc, s) => acc.add(s._2))
+        .map(scala.math.BigDecimal(_))).toMap
+    val offCol =
+      if (offsets.isEmpty) lit(zero)
+      else coalesce(element_at(typedlit(offsets), col("_pid")), lit(zero))
     val total = sums.map(_._2).foldLeft(zero)(_.add(_))
     (local.withColumn(outCol, col("_lcum") + offCol).drop("_pid", "_lcum"),
       lit(total))
