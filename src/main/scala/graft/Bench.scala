@@ -78,6 +78,8 @@ object Bench {
         val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         // queries persist() intermediates for their own multi-consumer
         // plans; drop them so caches don't accumulate across the run
+        // (release() also drains the tracked-frame registry)
+        graft.analytics.Caches.release()
         spark.catalog.clearCache()
         System.err.println(f"[bench:$tag] $name%-26s $dt%8.2f s")
         name -> dt
@@ -179,6 +181,7 @@ object Bench {
               Some(df.queryExecution.executedPlan.toString)
             } catch { case _: Throwable => None }
           } else None
+          graft.analytics.Caches.release()
           spark.catalog.clearCache()
           w.println()
           w.println(s"## $name — ${sec(t)} s")

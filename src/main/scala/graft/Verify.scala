@@ -35,7 +35,10 @@ object Verify {
           new java.io.File(s"$outDir/$name"))
       }
       // queries persist() intermediates for their own multi-consumer
-      // plans; drop them so caches don't accumulate across 60 queries
+      // plans; drop them so caches don't accumulate across the run
+      // (release() also drains the tracked-frame registry — see
+      // graft.analytics.Caches for the lifecycle contract)
+      graft.analytics.Caches.release()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -1,5 +1,6 @@
 package graft.analytics
 
+import graft.analytics.Caches.TrackedPersist
 import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -97,7 +98,7 @@ object Chunking {
       .groupBy(col("doc_id"), col("fp"))
       .agg(min(col("pos").cast("long")).as("pos"))
     // materialized once: feeds the df-cap audit AND both join sides
-    val sel = wins.persist()
+    val sel = wins.persistTracked()
     val hot = sel.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > dfCap).select(col("fp"))
@@ -156,7 +157,7 @@ object Chunking {
   /** Df-capped candidate (doc_a, doc_b, pos_a, pos_b) window matches —
     * the shared core of dedupSpansOf and the scale audit below. */
   private def windowMatches(docs: DataFrame, k: Int, dfCap: Int): DataFrame = {
-    val wins = slidingFingerprints(docs, k).persist()
+    val wins = slidingFingerprints(docs, k).persistTracked()
     val hot = wins.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > dfCap).select(col("fp"))
@@ -271,7 +272,7 @@ object Chunking {
     val sel = winnowSelect(docs, k, w)
       .groupBy(col("doc_id"), col("fp"))
       .agg(min(col("sel_pos")).as("pos"))
-      .persist()
+      .persistTracked()
     val hot = sel.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > dfCap).select(col("fp"))

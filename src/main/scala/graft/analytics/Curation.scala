@@ -1,5 +1,6 @@
 package graft.analytics
 
+import graft.analytics.Caches.TrackedPersist
 import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -280,7 +281,7 @@ object Curation {
     val tok = docs
       .select(col("doc_id"), col("lang"), explode(toks).as("t"))
       .withColumn("b", substring(md5(col("t")), 1, 2))
-      .persist()
+      .persistTracked()
     val stats = tok.groupBy(col("b")).agg(
       count(lit(1)).as("n_raw"),
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_tgt"))

@@ -1,5 +1,6 @@
 package graft.analytics
 
+import graft.analytics.Caches.TrackedPersist
 import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -108,7 +109,7 @@ object Dedup {
       if (dfCapOverride > 0) dfCapOverride else Sizing.dfCap(docs.count())
     // the capped shingle universe feeds three consumers (both self-join
     // sides + set sizes); persist it once instead of re-deriving per branch
-    val kept  = cappedShingles(shinglesOf(docs), dfCap).persist()
+    val kept  = cappedShingles(shinglesOf(docs), dfCap).persistTracked()
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     shinglePairs(kept)
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
@@ -138,7 +139,7 @@ object Dedup {
     // statistics must share one shingle universe to stay comparable
     val dfCap =
       if (dfCapOverride > 0) dfCapOverride else Sizing.dfCap(docs.count())
-    val kept  = cappedShingles(shinglesOf(docs), dfCap).persist()
+    val kept  = cappedShingles(shinglesOf(docs), dfCap).persistTracked()
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     shinglePairs(kept)
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
@@ -225,7 +226,7 @@ object Dedup {
     val bands = sigs
       .selectExpr("doc_id",
         s"stack(4, ${bucketExprs.mkString(", ")}) AS (band, bucket)")
-      .persist()
+      .persistTracked()
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket")).filter(col("doc_a") < col("doc_b"))
@@ -291,7 +292,7 @@ object Dedup {
     * near-dup pair recovery is [[simhash64Pairs]]: identical plan
     * shape at 64-bit width, measured sublinear (3.1× at 10×). */
   def simhashPairs(s: SparkSession, d: String, maxDist: Int = 2): DataFrame = {
-    val fp = dedupSimhash(s, d).persist()
+    val fp = dedupSimhash(s, d).persistTracked()
     val banded = fp.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bucket", concat(col("band"),
@@ -329,7 +330,7 @@ object Dedup {
     * to a shuffle join at 10⁹ docs. This is the pairs query whose
     * SHAPE survives 100×. */
   def simhash64Pairs(s: SparkSession, d: String, maxDist: Int = 3): DataFrame = {
-    val fp = dedupSimhash64(s, d).persist()
+    val fp = dedupSimhash64(s, d).persistTracked()
     val banded = fp.select(col("doc_id"), col("simhash64"),
       explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bucket", concat(col("band"),
@@ -482,8 +483,8 @@ object Dedup {
     * is only affordable on a sample. Estimate and truth are both
     * deterministic, so the whole comparison is oracle-checked. */
   def minhashJaccardEst(s: SparkSession, d: String): DataFrame = {
-    val sigs  = minhashSigs(s, d).persist()
-    val sh    = shingles(s, d).persist()
+    val sigs  = minhashSigs(s, d).persistTracked()
+    val sh    = shingles(s, d).persistTracked()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val sigArr = array((0 to 7).map(i => col(s"sig$i")): _*)
     val inter = coalesce(col("inter0"), lit(0L))
@@ -539,7 +540,7 @@ object Dedup {
     trianglesOf(dedupMinhash(s, d))
 
   def trianglesOf(pairs: DataFrame): DataFrame = {
-    val p = pairs.persist()
+    val p = pairs.persistTracked()
     val ab = p.select(col("doc_a").as("v1"), col("doc_b").as("v2"))
     val bc = p.select(col("doc_a").as("v2"), col("doc_b").as("v3"))
     val ac = p.select(col("doc_a").as("v1"), col("doc_b").as("v3"))
@@ -657,7 +658,7 @@ object Dedup {
     * pairs = equi-join on (band, bucket). Exposed for the pruning spec. */
   private[graft] def embeddingCandidates(e: DataFrame, bandBits: Int,
       nBands: Int, dim: Int, seed: Long): DataFrame = {
-    val banded = embeddingBanded(e, bandBits, nBands, dim, seed).persist()
+    val banded = embeddingBanded(e, bandBits, nBands, dim, seed).persistTracked()
     val ca = banded.select(col("vec_id").as("vec_a"), col("band"), col("bucket"))
     val cb = banded.select(col("vec_id").as("vec_b"), col("band"), col("bucket"))
     ca.join(cb, Seq("band", "bucket"))
@@ -669,7 +670,7 @@ object Dedup {
   def dedupEmbeddingOf(emb: DataFrame, threshold: Double = 0.4,
       bandBits: Int = 2, nBands: Int = 24, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
-    val e = vectors(emb).persist()
+    val e = vectors(emb).persistTracked()
     val cand = embeddingCandidates(e, bandBits, nBands, dim, seed)
     // exact rerank: equi-joins on vec_id (planner broadcasts the small
     // vector table at test SF; shuffles on vec_id at 100 TB — both fine)
@@ -725,7 +726,7 @@ object Dedup {
 
   private[graft] def embPruneStatsOf(emb: DataFrame, bandBitsOverride: Int = -1,
       nBands: Int = 3, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val e = vectors(emb).persist()
+    val e = vectors(emb).persistTracked()
     val n = e.count()
     // band width derived from corpus size (Sizing.cosineBandBits:
     // log2(N) keeps random-pair candidates ~linear; floor 16 = the
@@ -877,7 +878,7 @@ object Dedup {
     * back on the shingle key, then a per-doc rollup — both shuffles
     * carry (shingle/doc, long) pairs only. */
   def textNovelty(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).persist()
+    val sh = shingles(s, d).persistTracked()
     val owner = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("owner"))
     sh.join(owner, Seq("shingle"))
       .groupBy(col("doc_id"))

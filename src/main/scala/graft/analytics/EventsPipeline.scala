@@ -1,5 +1,6 @@
 package graft.analytics
 
+import graft.analytics.Caches.TrackedPersist
 import graft.Tables._
 import graft.expect.{Expectation, Expectations}
 import graft.lineage.Lineage
@@ -619,7 +620,7 @@ object EventsPipeline {
 
   private[graft] def eventsCooccurOf(ev: DataFrame): DataFrame = {
     val incid = ev
-      .select(col("user_id"), col("event_type")).distinct().persist()
+      .select(col("user_id"), col("event_type")).distinct().persistTracked()
     val nUsers = incid.select(countDistinct(col("user_id")).as("n_users"))
     val marg = incid.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
     val pairs = incid.toDF("user_id", "type_a")

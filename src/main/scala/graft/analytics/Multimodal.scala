@@ -172,6 +172,11 @@ object Multimodal {
     while (pos + 8 <= bytes.length && (dataOff < 0 || sampleRate < 0)) {
       val id = new String(bytes, pos, 4, "US-ASCII")
       val len = bb.getInt(pos + 4)
+      // a corrupt negative/overlong chunk length would leave pos
+      // unchanged (or run past the buffer) — infinite loop instead of
+      // the loud reject every other malformed input gets (r8 advisor)
+      require(len >= 0 && pos + 8 + len <= bytes.length,
+        s"corrupt RIFF chunk length $len at offset $pos")
       if (id == "fmt ") {
         require(bb.getShort(pos + 8) == 1, "not PCM")
         // the sample loops hard-code a 2-byte mono stride — anything

@@ -1,5 +1,6 @@
 package graft.analytics
 
+import graft.analytics.Caches.TrackedPersist
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -33,7 +34,27 @@ import org.apache.spark.sql.functions._
   * dimension-sized) pid hash exchange + parallel windows — two
   * distributed shuffles instead of one single-task sort. Two small
   * eager jobs run at plan-build time (range-boundary sampling and the
-  * offsets collect) — the bounded pre-pass pattern Sizing uses. */
+  * offsets collect) — the bounded pre-pass pattern Sizing uses.
+  *
+  * CACHE LIFECYCLE: the range-partitioned frame is persisted (tracked
+  * via [[Caches]]) and MUST stay cached until the caller's action has
+  * run — not an optimization: `repartitionByRange` SAMPLES its
+  * boundaries at execution, and when the input contains an upstream
+  * shuffle a recomputation can sample a different boundary set,
+  * silently mismatching the collected offsets. Unpersisting right
+  * after the offsets collect would therefore trade a leak for a
+  * wrong answer. Callers own cleanup at the query boundary
+  * (`Caches.release()` / `clearCache()` — the harnesses already do).
+  *
+  * NULL CONTRACT ([[prefixSum]]): `valueCol` must be DECIMAL-typed
+  * (checked loudly) and null-free. `sum` ignores nulls, so with nulls
+  * present a row whose range partition has seen no non-null value yet
+  * gets a null running sum here even when EARLIER partitions carried
+  * mass — diverging from the global window, which would emit the
+  * carried-over prefix. The per-partition offsets coalesce to 0 so a
+  * fully-null partition cannot NPE the driver-side prefix fold, but
+  * the per-row semantics with nulls are not the window's — keep the
+  * value column null-free (every current caller aggregates upstream). */
 object Ranking {
 
   private def withLocal(df: DataFrame, order: Seq[Column],
@@ -51,7 +72,7 @@ object Ranking {
       outCol: String): DataFrame = {
     val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
     val local = withLocal(df, order, row_number().over(w).cast("long"), "_lrn")
-      .persist()
+      .persistTracked()
     val counts = local.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toList.sortBy(_._1)
     val offsets: Map[Int, Long] = counts.map(_._1)
@@ -73,10 +94,20 @@ object Ranking {
     val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = withLocal(df, order, sum(valueCol).over(w), "_lcum")
-      .persist()
-    val sums = local.groupBy(col("_pid"))
-      .agg(sum(valueCol).as("_s"))
-      .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toList.sortBy(_._1)
+      .persistTracked()
+    val sumsDf = local.groupBy(col("_pid")).agg(sum(valueCol).as("_s"))
+    // loud type gate: a non-decimal valueCol would ClassCastException
+    // at getDecimal below with a bare JVM trace; name the contract
+    require(sumsDf.schema("_s").dataType
+        .isInstanceOf[org.apache.spark.sql.types.DecimalType],
+      s"prefixSum needs a DECIMAL valueCol (exact distributed addition); " +
+        s"got ${sumsDf.schema("_s").dataType.simpleString} — cast upstream")
+    val sums = sumsDf.collect()
+      .map(r => r.getInt(0) ->
+        // an all-null partition sums to NULL; fold it as 0 (see the
+        // null contract in the object scaladoc)
+        Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+      .toList.sortBy(_._1)
     // exact decimal prefix offsets as a flat literal-map lookup (the
     // same constant-depth spelling globalRowNumber uses — a nested
     // when-chain would codegen O(numPartitions) branches per row);

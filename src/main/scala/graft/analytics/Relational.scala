@@ -1,5 +1,6 @@
 package graft.analytics
 
+import graft.analytics.Caches.TrackedPersist
 import graft.Tables
 import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -626,7 +627,7 @@ object Relational {
       .groupBy(col("event_type"),
         bitmap_bucket_number(col("user_id")).as("bucket"))
       .agg(bitmap_construct_agg(bitmap_bit_position(col("user_id"))).as("bm"))
-      .persist()
+      .persistTracked()
     val perType = perBucket.groupBy(col("event_type"))
       .agg(sum(bitmap_count(col("bm"))).cast("long").as("distinct_users"))
     val overall = perBucket

@@ -1,5 +1,6 @@
 package graft.analytics
 
+import graft.analytics.Caches.TrackedPersist
 import graft.Tables._
 import graft.functions.vec
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -169,7 +170,7 @@ object Similarity {
     * trying to size). */
   private[graft] def semanticAssignments(s: SparkSession, d: String,
       nlist: Int): DataFrame = {
-    val e = corpus(s, d).persist()
+    val e = corpus(s, d).persistTracked()
     val cl = centroidsLit(coarseCentroids(e, nlist, iters = 2))
     e.select(col("vec_id"), col("v"), col("nrm"),
       cellOf(cl, col("v")).as("cell"))
@@ -177,7 +178,7 @@ object Similarity {
 
   def dedupSemantic(s: SparkSession, d: String,
       threshold: Double = 0.4, nlist: Int = 16): DataFrame = {
-    val assigned = semanticAssignments(s, d, nlist).persist()
+    val assigned = semanticAssignments(s, d, nlist).persistTracked()
     // bare-id candidate pairs within a cell; vectors rejoin by id
     val ids = assigned.select(col("cell"), col("vec_id"))
     val cand = ids.select(col("cell"), col("vec_id").as("va"))
@@ -203,7 +204,7 @@ object Similarity {
   def simAnnIvf(s: SparkSession, d: String, nlistOverride: Int = -1,
       nprobeOverride: Int = -1, k: Int = 10, lloydIters: Int = 2): DataFrame = {
     // corpus feeds centroid training, assignment, and the query side
-    val e = corpus(s, d).persist()
+    val e = corpus(s, d).persistTracked()
     // r7 (slope-measured): under the probed-mass recall contract the
     // rerank cost is a fixed corpus fraction REGARDLESS of nlist, while
     // assignment costs N·nlist·dim — so the scalable default is a
@@ -257,7 +258,7 @@ object Similarity {
   def annNegatives(s: SparkSession, d: String, k: Int = 5,
       nprobe: Int = 12): DataFrame = {
     val lab = embeddings(s, d).select(col("vec_id"), col("label"))
-    val e = corpus(s, d).persist()
+    val e = corpus(s, d).persistTracked()
     val cl = centroidsLit(coarseCentroids(e, nlist = 16, iters = 2))
     val assigned = e.join(lab, Seq("vec_id"))
       .select(col("vec_id"), col("v"), col("nrm"), col("label"),
@@ -329,7 +330,7 @@ object Similarity {
     * spec-asserted; the result set itself is deterministic and carries
     * a full DuckDB oracle (the same pipeline as CTEs). */
   def simAnnLsh(s: SparkSession, d: String, k: Int = 10): DataFrame = {
-    val e = corpus(s, d).persist()
+    val e = corpus(s, d).persistTracked()
     // hyperplanes = corpus vectors 50..65, collected as index metadata
     // (16·64 doubles) — same driver-side footprint as IVF centroids
     val planes: Array[Seq[Double]] = e
@@ -449,7 +450,7 @@ object Similarity {
 
   def embPq(s: SparkSession, d: String, m: Int = 8, subDim: Int = 8,
       k: Int = 16, lloydRounds: Int = 1): DataFrame = {
-    val e = corpus(s, d).persist()
+    val e = corpus(s, d).persistTracked()
     val subs = pqSubs(e, m, subDim)
     val trained = trainPq(subs, m, subDim, k, lloydRounds)
 
@@ -489,7 +490,7 @@ object Similarity {
   def simAnnIvfPq(s: SparkSession, d: String, nlistOverride: Int = -1,
       nprobeOverride: Int = -1, k: Int = 10, m: Int = 8, subDim: Int = 8,
       nk: Int = 16): DataFrame = {
-    val e = corpus(s, d).persist()
+    val e = corpus(s, d).persistTracked()
     // r7 (slope-measured): constant nlist for the same reason as
     // simAnnIvf — the probed-mass contract makes rerank corpus-
     // fraction-linear whatever nlist is, and assignment is N·nlist·dim

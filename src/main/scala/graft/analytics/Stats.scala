@@ -1,5 +1,6 @@
 package graft.analytics
 
+import graft.analytics.Caches.TrackedPersist
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -100,7 +101,7 @@ object Stats {
       .groupBy(col("l_suppkey"))
       .agg(sum(Tables.dec2(col("l_quantity"))).as("qty"),
         sum(Tables.dec2(col("l_extendedprice"))).as("price"))
-      .persist()
+      .persistTracked()
     val rq = Ranking.globalRowNumber(per,
       Seq(col("qty"), col("l_suppkey")), "rq")
       .select(col("l_suppkey"), col("rq"))
@@ -169,7 +170,7 @@ object Stats {
         expr("(ts_ns div 86400000000000) % 7").as("dow"))
       .groupBy(col("event_type"), col("dow"))
       .agg(count(lit(1)).as("o"))
-      .persist()
+      .persistTracked()
     val rt = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
     val ct = cells.groupBy(col("dow")).agg(sum(col("o")).as("c"))
     val tot = cells.agg(sum(col("o")).as("n"))

@@ -753,7 +753,21 @@ object StreamingQueries {
            timestamp_seconds(CAST($sentinelSec AS BIGINT)) AS ts""")
     stamped.repartition(filesPerBatch).write.mode("overwrite").parquet(tmp)
     stamped.repartition(filesPerBatch).write.mode("append").parquet(tmp)
+    val dataFiles = new java.io.File(tmp).listFiles().toSeq
     sentinel.coalesce(1).write.mode("append").parquet(tmp)
+    // sentinel-LAST is load-bearing (a not-yet-seen row behind the
+    // sentinel's watermark would be late-dropped and undercounted),
+    // and FileStreamSource orders by mtime with path tie-break — on a
+    // coarse-mtime (1 s) filesystem all three write jobs can land in
+    // one timestamp and the tie-break could order the sentinel FIRST.
+    // Pin the invariant: stamp the sentinel's files strictly after
+    // every data file instead of trusting job-commit granularity.
+    val maxDataMtime = dataFiles.map(_.lastModified).max
+    val dataNames = dataFiles.map(_.getName).toSet
+    new java.io.File(tmp).listFiles()
+      .filterNot(f => dataNames(f.getName))
+      .foreach(f => f.setLastModified(
+        math.max(f.lastModified, maxDataMtime + 2000L)))
     val schema = s.read.parquet(tmp).schema
     val src = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerBatch)

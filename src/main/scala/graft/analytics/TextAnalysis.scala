@@ -1,5 +1,6 @@
 package graft.analytics
 
+import graft.analytics.Caches.TrackedPersist
 import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -723,7 +724,7 @@ object TextAnalysis {
       .select(col("doc_id"), explode(toks).as("token"))
       .join(broadcast(top), Seq("token"))
       .distinct()
-      .persist()
+      .persistTracked()
     val nDocs = incid.select(countDistinct(col("doc_id")).as("n_docs"))
     val marg = incid.groupBy(col("token")).agg(count(lit(1)).as("n_t"))
     incid.toDF("tok_a", "doc_id")

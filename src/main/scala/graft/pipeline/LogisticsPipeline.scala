@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.analytics.Caches.TrackedPersist
 import graft.expect.Expectations
 import graft.ingest.RawJsonReader
 import graft.lineage.Lineage
@@ -70,7 +71,7 @@ object LogisticsPipeline {
       graft.expect.SuiteLoader.LoadedSuite(Expectations.referenceSuite, Nil))(
       graft.expect.SuiteLoader.loadFile)
     val parsed    = RawJsonReader.read(spark, rawPath, Schemas.telemetry)
-    val validated = validateStage(parsed, zone).persist(StorageLevel.MEMORY_AND_DISK)
+    val validated = validateStage(parsed, zone).persistTracked(StorageLevel.MEMORY_AND_DISK)
     try {
       val curated  = Splitter.curated(validated)
       val rejected = Splitter.rejected(validated, coreCols)
