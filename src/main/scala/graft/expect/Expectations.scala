@@ -15,7 +15,17 @@ import org.apache.spark.sql.functions._
   * collect (documented semantic upgrade: full data, not a sample;
   * `sample(n)` reproduces the reference's sampling when wanted).
   */
-final case class Expectation(name: String, violation: Column)
+/** One row-wise expectation: `violation` is a 0/1 per-row flag summed
+  * in the shared single-pass aggregate. `mostlyPpm` is GE's `mostly`
+  * modifier in parts-per-million: when set, the expectation SUCCEEDS
+  * as long as violations / rows ≤ 1 − mostly (spelled as the exact
+  * integer comparison viol·10⁶ ≤ (10⁶ − ppm)·n — no float division to
+  * drift between engines); when None the gate is zero-tolerance as
+  * before. ppm resolution (6 decimal digits) covers every real GE
+  * suite; the loader rounds finer values and says so in the name of
+  * determinism. */
+final case class Expectation(name: String, violation: Column,
+    mostlyPpm: Option[Long] = None)
 
 object Expectations {
 
@@ -41,6 +51,18 @@ object Expectations {
     Expectation(s"${c}_length_between",
       when(!coalesce(length(col(c)).between(lo, hi), lit(false)), 1)
         .otherwise(0))
+
+  /** GE's `mostly` modifier: succeed when at least `m` of the rows
+    * pass (violation rate ≤ 1 − m). Applies to any row-wise
+    * expectation; rejected for the aggregate tier (GE defines mostly
+    * on column-map expectations only). */
+  def mostly(e: Expectation, m: Double): Expectation = {
+    require(!m.isNaN && m > 0.0 && m <= 1.0,
+      s"mostly must be in (0, 1], got $m")
+    val ppm = math.round(m * 1e6)
+    require(ppm > 0L, s"mostly $m rounds to 0 ppm — below resolution")
+    e.copy(mostlyPpm = Some(ppm))
+  }
 
   /** The reference's exact suite (Glue_job.py:105-108). */
   val referenceSuite: Seq[Expectation] = Seq(
@@ -112,20 +134,39 @@ object Expectations {
       aggSuite: Seq[AggExpectation]): DataFrame = {
     require(suite.nonEmpty || aggSuite.nonEmpty,
       "empty expectation suite — an empty gate always passes")
+    // `mostly` gates need the row count in the SAME single-pass agg
+    // (viol·10⁶ ≤ (10⁶ − ppm)·n — exact integers, engine-portable)
+    val anyMostly = suite.exists(_.mostlyPpm.nonEmpty)
     val base =
       if (suite.isEmpty) null
       else {
-        val counts = suite.map(e => sum(e.violation).as(s"viol_${e.name}"))
+        val counts = suite.map(e => sum(e.violation).as(s"viol_${e.name}")) ++
+          (if (anyMostly) Seq(count(lit(1)).as("_n_rows")) else Nil)
         df.agg(counts.head, counts.tail: _*)
       }
     val scalars = aggSuite.map(a => broadcast(a.violations(df)))
     val joined =
       if (base == null) scalars.reduce(_.crossJoin(_))
       else scalars.foldLeft(base)(_.crossJoin(_))
-    val total = (suite.map(e => s"viol_${e.name}") ++
-      aggSuite.map(a => s"viol_${a.name}")).map(col).reduce(_ + _)
-    joined.withColumn("verdict",
+    // per-expectation fail contribution: zero-tolerance gates count
+    // raw violations; mostly gates contribute a 0/1 threshold flag
+    def failFlag(e: Expectation): Column = e.mostlyPpm match {
+      case None => col(s"viol_${e.name}")
+      case Some(ppm) =>
+        when(col(s"viol_${e.name}") * lit(1000000L) >
+          lit(1000000L - ppm) * col("_n_rows"), lit(1L)).otherwise(lit(0L))
+    }
+    val total = (suite.map(failFlag) ++
+      aggSuite.map(a => col(s"viol_${a.name}"))).reduce(_ + _)
+    // mostly gates also surface their own verdict column (ok_<name>
+    // 1/0) — the threshold comparison is oracle-pinned individually,
+    // not just through the all-or-nothing verdict
+    val withOk = suite.filter(_.mostlyPpm.nonEmpty).foldLeft(joined)(
+      (acc, e) => acc.withColumn(s"ok_${e.name}",
+        when(failFlag(e) === 0L, lit(1L)).otherwise(lit(0L))))
+    withOk.withColumn("verdict",
       when(total === 0, "PASSED").otherwise("FAILED"))
+      .drop("_n_rows")
   }
 
   /** Run the gate (one distributed job) and return the verdict string. */

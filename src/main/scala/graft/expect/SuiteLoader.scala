@@ -30,10 +30,13 @@ object SuiteLoader {
       agg: Seq[Expectations.AggExpectation])
 
   /** Reject unrecognized kwargs LOUDLY. GE's optional modifiers
-    * (`mostly`, `strict_min`, `strict_max`, …) change the declared
-    * semantics; silently ignoring them would make the loaded gate
-    * stricter or looser than the JSON says — the inverse of the
-    * silently-dropped-check lie this loader exists to prevent. */
+    * (`strict_min`, `strict_max`, …) change the declared semantics;
+    * silently ignoring them would make the loaded gate stricter or
+    * looser than the JSON says — the inverse of the silently-dropped-
+    * check lie this loader exists to prevent. (`mostly` — the most
+    * used modifier in real GE suites — IS supported on the row-wise
+    * tier since r9; the aggregate tier still rejects it, matching GE,
+    * which defines mostly for column-map expectations only.) */
   private def checkKwargs(kw: JValue, allowed: Set[String], ctx: String): Unit =
     kw match {
       case JObject(fields) =>
@@ -41,9 +44,9 @@ object SuiteLoader {
         if (unknown.nonEmpty) throw new IllegalArgumentException(
           s"$ctx: unsupported kwargs ${unknown.mkString("'", "', '", "'")} — " +
             s"supported: ${allowed.toSeq.sorted.mkString(", ")} " +
-            "(GE modifiers like 'mostly'/'strict_min'/'strict_max' are " +
-            "not implemented; remove them rather than have the gate " +
-            "silently diverge from the document)")
+            "(an unimplemented GE modifier is rejected rather than " +
+            "letting the gate silently diverge from the document; " +
+            "'mostly' is accepted on row-wise expectations only)")
       case other => throw new IllegalArgumentException(
         s"$ctx: 'kwargs' must be an object, got $other")
     }
@@ -103,27 +106,38 @@ object SuiteLoader {
     val kw = j \ "kwargs"
     val colOnly   = Set("column")
     val colBounds = Set("column", "min_value", "max_value")
+    // the row-wise tier additionally accepts `mostly`; the aggregate
+    // tier below keeps the bare sets and so still rejects it loudly
+    val rowOnly   = colOnly + "mostly"
+    val rowBounds = colBounds + "mostly"
+    // row-wise tier: apply GE's `mostly` modifier when declared
+    // (violation rate ≤ 1 − mostly instead of zero-tolerance)
+    def rowWise(e: Expectation): Either[Expectation, Expectations.AggExpectation] =
+      Left(kw \ "mostly" match {
+        case JNothing => e
+        case _        => Expectations.mostly(e, num(kw, "mostly", tpe))
+      })
     tpe match {
       case "expect_column_values_to_not_be_null" =>
-        checkKwargs(kw, colOnly, tpe)
-        Left(Expectations.notNull(str(kw, "column", tpe)))
+        checkKwargs(kw, rowOnly, tpe)
+        rowWise(Expectations.notNull(str(kw, "column", tpe)))
       case "expect_column_values_to_be_between" =>
-        checkKwargs(kw, colBounds, tpe)
-        Left(Expectations.between(str(kw, "column", tpe),
+        checkKwargs(kw, rowBounds, tpe)
+        rowWise(Expectations.between(str(kw, "column", tpe),
           num(kw, "min_value", tpe), num(kw, "max_value", tpe)))
       case "expect_column_values_to_be_in_set" =>
-        checkKwargs(kw, Set("column", "value_set"), tpe)
-        Left(Expectations.inSet(str(kw, "column", tpe),
+        checkKwargs(kw, Set("column", "value_set", "mostly"), tpe)
+        rowWise(Expectations.inSet(str(kw, "column", tpe),
           strings(kw, "value_set", tpe)))
       // two standard GE row-wise types beyond the reference file's
       // three — the common additions a user's edited suite reaches for
       case "expect_column_values_to_match_regex" =>
-        checkKwargs(kw, Set("column", "regex"), tpe)
-        Left(Expectations.matchesRegex(str(kw, "column", tpe),
+        checkKwargs(kw, Set("column", "regex", "mostly"), tpe)
+        rowWise(Expectations.matchesRegex(str(kw, "column", tpe),
           str(kw, "regex", tpe)))
       case "expect_column_value_lengths_to_be_between" =>
-        checkKwargs(kw, colBounds, tpe)
-        Left(Expectations.lengthBetween(str(kw, "column", tpe),
+        checkKwargs(kw, rowBounds, tpe)
+        rowWise(Expectations.lengthBetween(str(kw, "column", tpe),
           intNum(kw, "min_value", tpe), intNum(kw, "max_value", tpe)))
       // the AGGREGATE-shaped tier: these gate on a column aggregate
       // (a grouped/distinct pass of their own), not a per-row flag

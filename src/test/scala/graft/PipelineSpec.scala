@@ -209,14 +209,24 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("SuiteLoader rejects unsupported GE kwargs instead of ignoring them") {
-    // GE's 'mostly' loosens a check to a fraction; silently dropping it
-    // would run a STRICTER gate than the document declares
-    val mostly = """{"expectations": [
-      {"expectation_type": "expect_column_values_to_not_be_null",
-       "kwargs": {"column": "x", "mostly": 0.95}}]}"""
+    // 'strict_min' is a real GE modifier this loader does not
+    // implement; silently dropping it would run a LOOSER gate than
+    // the document declares
+    val strict = """{"expectations": [
+      {"expectation_type": "expect_column_values_to_be_between",
+       "kwargs": {"column": "x", "min_value": 0, "max_value": 1,
+                  "strict_min": true}}]}"""
     val e = intercept[IllegalArgumentException](
-      graft.expect.SuiteLoader.load(mostly))
-    assert(e.getMessage.contains("mostly"), e.getMessage)
+      graft.expect.SuiteLoader.load(strict))
+    assert(e.getMessage.contains("strict_min"), e.getMessage)
+    // 'mostly' is row-wise-only (matching GE's column-map semantics):
+    // the aggregate tier still rejects it loudly
+    val aggMostly = """{"expectations": [
+      {"expectation_type": "expect_column_values_to_be_unique",
+       "kwargs": {"column": "x", "mostly": 0.95}}]}"""
+    val e1 = intercept[IllegalArgumentException](
+      graft.expect.SuiteLoader.load(aggMostly))
+    assert(e1.getMessage.contains("mostly"), e1.getMessage)
     // fractional length bounds would silently TIGHTEN via truncation
     val frac = """{"expectations": [
       {"expectation_type": "expect_column_value_lengths_to_be_between",
@@ -224,6 +234,44 @@ class PipelineSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       graft.expect.SuiteLoader.load(frac))
     assert(e2.getMessage.contains("4.9"), e2.getMessage)
+    // out-of-range mostly: 0 and >1 carry no GE meaning — reject
+    for (bad <- Seq("0", "1.5", "-0.2"))
+      intercept[IllegalArgumentException](graft.expect.SuiteLoader.fromJson(
+        s"""{"expectations": [
+          {"expectation_type": "expect_column_values_to_not_be_null",
+           "kwargs": {"column": "x", "mostly": $bad}}]}"""))
+  }
+
+  test("GE mostly: fractional tolerance in the shared single-pass gate") {
+    // 10 rows, 2 nulls → violation rate 0.2: mostly 0.8 passes (the
+    // boundary is inclusive — viol·10⁶ ≤ (10⁶−ppm)·n), 0.85 fails
+    val df = spark.range(10).selectExpr(
+      "IF(id < 2, CAST(NULL AS STRING), CAST(id AS STRING)) AS x")
+    def gate(m: Double) = graft.expect.Expectations.report(df,
+      graft.expect.SuiteLoader.fromJson(
+        s"""{"expectations": [
+          {"expectation_type": "expect_column_values_to_not_be_null",
+           "kwargs": {"column": "x", "mostly": $m}}]}""")).collect()(0)
+    val pass = gate(0.8)
+    assert(pass.getLong(pass.fieldIndex("viol_x_not_null")) === 2L)
+    assert(pass.getLong(pass.fieldIndex("ok_x_not_null")) === 1L)
+    assert(pass.getString(pass.fieldIndex("verdict")) === "PASSED")
+    val fail = gate(0.85)
+    assert(fail.getLong(fail.fieldIndex("ok_x_not_null")) === 0L)
+    assert(fail.getString(fail.fieldIndex("verdict")) === "FAILED")
+    // mixed with a zero-tolerance expectation: one raw violation still
+    // fails the suite even when the mostly gate passes
+    val mixed = graft.expect.Expectations.report(df,
+      graft.expect.SuiteLoader.fromJson(
+        """{"expectations": [
+          {"expectation_type": "expect_column_values_to_not_be_null",
+           "kwargs": {"column": "x", "mostly": 0.8}},
+          {"expectation_type": "expect_column_value_lengths_to_be_between",
+           "kwargs": {"column": "x", "min_value": 1, "max_value": 0}}]}"""))
+      .collect()(0)
+    assert(mixed.getString(mixed.fieldIndex("verdict")) === "FAILED")
+    // the internal count column must not leak into the report schema
+    assert(!mixed.schema.fieldNames.contains("_n_rows"))
   }
 
   test("aggregate-shaped expectations parse, gate, and refuse fromJson") {

@@ -146,6 +146,11 @@ class PlanSpec extends SparkSpec {
     // expect_suite_json: the JSON-loaded twin of expect_suite — same
     // single-pass global agg, hashpartitioning-free plan
     "expect_suite_json" -> 0,
+    // expect_suite_mostly: the mostly tier rides the SAME single-pass
+    // agg (one extra count column + literal ppm comparisons) — any
+    // exchange appearing here means the fractional gate stopped being
+    // a one-job scan
+    "expect_suite_mostly" -> 0,
     // emb_prune_stats: one (band,bucket) occupancy exchange + the
     // per-band rollup (the vectors() round-robin spread is not a hash
     // exchange)
