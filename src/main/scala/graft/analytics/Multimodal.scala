@@ -354,6 +354,197 @@ object Multimodal {
         "sum_r", "sum_g", "sum_b", "checksum")
   }
 
+  // ---------------------------------------------------------------
+  // PNG (r9): the one image format closable WITHOUT a codec library —
+  // PNG's only compression is zlib, and the JDK ships it
+  // (java.util.zip.Deflater/Inflater). The synthesizer emits a fully
+  // valid 8-bit RGB PNG (signature, IHDR, one IDAT, IEND, real CRCs)
+  // with the per-row filter type rotating through ALL FIVE spec
+  // filters (None/Sub/Up/Average/Paeth), and the decoder genuinely
+  // walks chunks, verifies CRC32s, inflates, and un-filters. The
+  // DuckDB oracle replays the pixel rule; AnalyticsSpec additionally
+  // decodes the same bytes with the JDK's INDEPENDENT ImageIO PNG
+  // reader, so a filter-math bug shared by this writer/reader pair
+  // (which would cancel out in a round-trip) still gets caught.
+  // ---------------------------------------------------------------
+
+  /** Planted pixel rule for asset a at (x, y), top-down row order:
+    * r = (a·7 + x·5 + y·3) mod 256, g = (a·11 + x + y·13) mod 256,
+    * b = (a·3 + x·17 + y) mod 256; w = 8 + a mod 17, h = 4 + a mod 11. */
+  private def pngDims(docId: Long): (Int, Int) =
+    (8 + (docId % 17).toInt, 4 + (docId % 11).toInt)
+
+  private def pngPixel(docId: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((docId * 7L + x * 5L + y * 3L) % 256L).toInt,
+    ((docId * 11L + x + y * 13L) % 256L).toInt,
+    ((docId * 3L + x * 17L + y) % 256L).toInt)
+
+  /** PNG Paeth predictor (RFC 2083 §6.6) — shared by writer and
+    * reader; the spec's ImageIO cross-decode is what keeps a shared
+    * mistake here honest. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def crc32(parts: Array[Byte]*): Int = {
+    val c = new java.util.zip.CRC32
+    parts.foreach(c.update)
+    c.getValue.toInt
+  }
+
+  private def chunk(out: java.io.ByteArrayOutputStream, tpe: String,
+      data: Array[Byte]): Unit = {
+    val bb = java.nio.ByteBuffer.allocate(4).putInt(data.length)
+    out.write(bb.array())
+    val t = tpe.getBytes("US-ASCII")
+    out.write(t); out.write(data)
+    out.write(java.nio.ByteBuffer.allocate(4).putInt(crc32(t, data)).array())
+  }
+
+  /** Synthesize a valid 8-bit RGB PNG of the planted pixel rule, per-
+    * row filter type = row mod 5 (every spec filter exercised). */
+  private[graft] def pngBytes(docId: Long): Array[Byte] = {
+    val (w, h) = pngDims(docId)
+    val stride = w * 3
+    // raw top-down scanlines, then genuinely FILTER them (the decoder
+    // must invert this against its own reconstructed neighbors)
+    val raw = Array.tabulate(h, stride) { (y, i) =>
+      val (r, g, b) = pngPixel(docId, i / 3, y)
+      (i % 3 match { case 0 => r; case 1 => g; case _ => b }).toByte
+    }
+    val filtered = new Array[Byte](h * (1 + stride))
+    for (y <- 0 until h) {
+      val f = y % 5
+      filtered(y * (1 + stride)) = f.toByte
+      for (i <- 0 until stride) {
+        val cur  = raw(y)(i) & 0xff
+        val left = if (i >= 3) raw(y)(i - 3) & 0xff else 0
+        val up   = if (y >= 1) raw(y - 1)(i) & 0xff else 0
+        val ul   = if (y >= 1 && i >= 3) raw(y - 1)(i - 3) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        filtered(y * (1 + stride) + 1 + i) = ((cur - pred) & 0xff).toByte
+      }
+    }
+    val deflater = new java.util.zip.Deflater
+    deflater.setInput(filtered); deflater.finish()
+    val buf = new Array[Byte](filtered.length + 64)
+    val zlen = deflater.deflate(buf)
+    require(deflater.finished(), "deflate buffer undersized")
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'))
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte)   // bit depth
+      .put(2.toByte)   // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+      .array()
+    chunk(out, "IHDR", ihdr)
+    chunk(out, "IDAT", buf.take(zlen))
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Real PNG parse: signature, chunk walk with CRC32 verification,
+    * IDAT concatenation, zlib inflate, per-row un-filtering (all five
+    * filter types). Returns (w, h, sum_r, sum_g, sum_b, checksum) with
+    * the same positional checksum convention as [[parseBmp]]
+    * (Σ(y·w + x + 1)·(r + g + b), y top-down — a filter mis-invert or
+    * row swap changes it). Loud rejects for bad signature, CRC
+    * mismatch, unsupported color/bit depth, and short inflate. */
+  private[graft] def parsePng(bytes: Array[Byte]): (Int, Int, Long, Long, Long, Long) = {
+    require(bytes.length >= 8 &&
+      (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' &&
+      bytes(3) == 'G', "not a PNG")
+    val bb = java.nio.ByteBuffer.wrap(bytes) // PNG ints are big-endian
+    var pos = 8
+    var w = -1; var h = -1
+    val idat = new java.io.ByteArrayOutputStream
+    var ended = false
+    while (!ended) {
+      require(pos + 8 <= bytes.length, "truncated PNG chunk header")
+      val len = bb.getInt(pos)
+      require(len >= 0 && pos + 12 + len <= bytes.length,
+        s"corrupt PNG chunk length $len at offset $pos")
+      val tpe = new String(bytes, pos + 4, 4, "US-ASCII")
+      val crc = bb.getInt(pos + 8 + len)
+      require(crc == crc32(java.util.Arrays.copyOfRange(bytes, pos + 4, pos + 8 + len)),
+        s"PNG CRC mismatch in $tpe chunk")
+      tpe match {
+        case "IHDR" =>
+          w = bb.getInt(pos + 8); h = bb.getInt(pos + 12)
+          require(bytes(pos + 16) == 8, "not 8-bit")
+          require(bytes(pos + 17) == 2, "not truecolor RGB")
+          require(bytes(pos + 18) == 0 && bytes(pos + 19) == 0 &&
+            bytes(pos + 20) == 0, "unsupported compression/filter/interlace")
+        case "IDAT" => idat.write(bytes, pos + 8, len)
+        case "IEND" => ended = true
+        case _      => () // ancillary chunks skip (CRC already checked)
+      }
+      pos += 12 + len
+    }
+    require(w > 0 && h > 0 && idat.size > 0, "missing IHDR/IDAT")
+    val stride = w * 3
+    val inflater = new java.util.zip.Inflater
+    inflater.setInput(idat.toByteArray)
+    val scan = new Array[Byte](h * (1 + stride))
+    val got = inflater.inflate(scan)
+    require(got == scan.length && inflater.finished(),
+      s"short inflate: $got of ${scan.length} bytes")
+    inflater.end()
+    // un-filter in place against RECONSTRUCTED neighbors (the spec's
+    // requirement — filtering chains row to row)
+    val px = Array.ofDim[Byte](h, stride)
+    for (y <- 0 until h) {
+      val f = scan(y * (1 + stride)) & 0xff
+      require(f <= 4, s"invalid PNG filter type $f")
+      for (i <- 0 until stride) {
+        val cur  = scan(y * (1 + stride) + 1 + i) & 0xff
+        val left = if (i >= 3) px(y)(i - 3) & 0xff else 0
+        val up   = if (y >= 1) px(y - 1)(i) & 0xff else 0
+        val ul   = if (y >= 1 && i >= 3) px(y - 1)(i - 3) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case _ => paeth(left, up, ul)
+        }
+        px(y)(i) = ((cur + pred) & 0xff).toByte
+      }
+    }
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var ck = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = px(y)(x * 3) & 0xff
+      val g = px(y)(x * 3 + 1) & 0xff
+      val b = px(y)(x * 3 + 2) & 0xff
+      sumR += r; sumG += g; sumB += b
+      ck += (y.toLong * w + x + 1L) * (r + g + b)
+    }
+    (w, h, sumR, sumG, sumB, ck)
+  }
+
+  /** Synthesize → genuinely decode PNG per document (same output
+    * shape as [[multimodalBmp]]). */
+  def multimodalPng(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h, r, g, b, ck) = parsePng(pngBytes(id))
+        (id, w, h, w.toLong * h, r, g, b, ck)
+      })
+      .toDF("asset_id", "width", "height", "n_pixels",
+        "sum_r", "sum_g", "sum_b", "checksum")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_stub"     -> multimodalStub _,
     "multimodal_features" -> featuresScalar _,
@@ -361,6 +552,7 @@ object Multimodal {
     "multimodal_resize"   -> ((s: SparkSession, d: String) => multimodalResize(s, d)),
     "multimodal_wav"      -> multimodalWav _,
     "multimodal_bmp"      -> multimodalBmp _,
+    "multimodal_png"      -> multimodalPng _,
     "multimodal_audio_gate" -> multimodalAudioGate _,
   )
 
@@ -436,6 +628,30 @@ object Multimodal {
             (a.doc_id + x.x * 3 + y.y * 7) % 256 AS b,
             (a.doc_id * 5 + x.x + y.y * 11) % 256 AS g,
             (a.doc_id * 9 + x.x * 13 + y.y) % 256 AS r
+          FROM a, unnest(generate_series(0, a.w - 1)) AS x(x),
+               unnest(generate_series(0, a.h - 1)) AS y(y))
+        SELECT doc_id AS asset_id,
+          CAST(min(w) AS INT) AS width,
+          CAST(min(h) AS INT) AS height,
+          CAST(min(w) * min(h) AS BIGINT) AS n_pixels,
+          CAST(sum(r) AS BIGINT) AS sum_r,
+          CAST(sum(g) AS BIGINT) AS sum_g,
+          CAST(sum(b) AS BIGINT) AS sum_b,
+          CAST(sum((y * w + x + 1) * (r + g + b)) AS BIGINT) AS checksum
+        FROM px GROUP BY doc_id""",
+    // the PNG pixel rule recomputed per (x, y) — the engine side only
+    // matches after a correct chunk walk + CRC check + inflate +
+    // un-filter of all five rotating filter types, so a single wrong
+    // predictor byte anywhere hash-mismatches
+    "multimodal_png" ->
+      """WITH a AS (
+          SELECT doc_id, 8 + doc_id % 17 AS w, 4 + doc_id % 11 AS h
+          FROM documents),
+        px AS (
+          SELECT a.doc_id, a.w, a.h, x.x, y.y,
+            (a.doc_id * 7 + x.x * 5 + y.y * 3) % 256 AS r,
+            (a.doc_id * 11 + x.x + y.y * 13) % 256 AS g,
+            (a.doc_id * 3 + x.x * 17 + y.y) % 256 AS b
           FROM a, unnest(generate_series(0, a.w - 1)) AS x(x),
                unnest(generate_series(0, a.h - 1)) AS y(y))
         SELECT doc_id AS asset_id,

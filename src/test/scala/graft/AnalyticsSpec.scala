@@ -306,6 +306,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(nf4 === 3L && ns4 === 0L && nc4 > 0L && v4 === "keep")
   }
 
+  test("PNG decoder: real chunk walk + inflate + un-filter, cross-checked by ImageIO") {
+    // doc 3 → 11×7: rows 0..6 rotate through ALL five filter types
+    // (None/Sub/Up/Average/Paeth), so the un-filter path is fully
+    // exercised, not just the trivial filter-0 case
+    val png = Multimodal.pngBytes(3L)
+    val (w, h, sr, sg, sb, ck) = Multimodal.parsePng(png)
+    assert(w === 11 && h === 7)
+    var er = 0L; var eg = 0L; var eb = 0L; var eck = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (3L * 7 + x * 5 + y * 3) % 256
+      val g = (3L * 11 + x + y * 13) % 256
+      val b = (3L * 3 + x * 17 + y) % 256
+      er += r; eg += g; eb += b
+      eck += (y.toLong * w + x + 1) * (r + g + b)
+    }
+    assert((sr, sg, sb, ck) === ((er, eg, eb, eck)))
+    // INDEPENDENT decoder: the JDK's ImageIO PNG reader on the same
+    // bytes — catches a filter-math mistake shared by this writer/
+    // reader pair, which a round-trip alone would cancel out
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth === w && img.getHeight === h)
+    var ir = 0L; var ig = 0L; var ib = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      ir += (rgb >> 16) & 0xff; ig += (rgb >> 8) & 0xff; ib += rgb & 0xff
+    }
+    assert((ir, ig, ib) === ((er, eg, eb)))
+    // a flipped payload byte must fail the CRC check loudly, not
+    // silently decode garbage
+    val badCrc = png.clone()
+    badCrc(45) = (badCrc(45) ^ 0x01).toByte // inside IDAT payload
+    val e = intercept[IllegalArgumentException](Multimodal.parsePng(badCrc))
+    assert(e.getMessage.contains("CRC"), e.getMessage)
+    // corrupt signature and truncation reject loudly too
+    val badSig = png.clone(); badSig(1) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.parsePng(badSig))
+    intercept[IllegalArgumentException](Multimodal.parsePng(png.take(30)))
+  }
+
   test("chunking tiles every document: stride==width partitions the tokens exactly") {
     val docs = Tables.documents(spark, sfDir)
     val chunks = Chunking.chunksOf(docs, width = 8, stride = 8)
