@@ -306,6 +306,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(nf4 === 3L && ns4 === 0L && nc4 > 0L && v4 === "keep")
   }
 
+  test("graph_bfs testbed: planted 64-bit component gives real frontier growth") {
+    // the r9 re-seed contract: at the production width the natural
+    // graph is BFS-degenerate at small SF (max component 4 nodes), so
+    // the planted cumulative-salt component must (a) hold the
+    // max-degree source and (b) produce non-degenerate growth across
+    // all three hops — otherwise the board query is timing a no-op
+    val visited = Dedup.graphBfs(spark, sfDir).collect()
+    val byDist = visited.groupBy(_.getInt(1)).view.mapValues(_.length).toMap
+    assert(byDist.getOrElse(0, 0) === 1)
+    for (hop <- 1 to 3)
+      assert(byDist.getOrElse(hop, 0) >= 2,
+        s"hop $hop degenerate: $byDist — the plant stopped producing growth")
+    // the source (and with it the measured frontier) sits in the plant
+    val src = visited.find(_.getInt(1) == 0).get.getLong(0)
+    assert(src >= 9000000L, s"BFS source $src escaped the planted component")
+  }
+
   test("PNG decoder: real chunk walk + inflate + un-filter, cross-checked by ImageIO") {
     // doc 3 → 11×7: rows 0..6 rotate through ALL five filter types
     // (None/Sub/Up/Average/Paeth), so the un-filter path is fully
