@@ -48,6 +48,14 @@ object Bench {
       .config("spark.buffer.pageSize", "4m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // let AQE replan INSIDE cached-plan compilation (off by default):
+      // without it the hot-set anti-join inside the persisted shingle
+      // relation stays a SortMergeJoin with two corpus-shingle
+      // exchanges even when the hot set is runtime-tiny — the r8
+      // shingle-family regression's actual mechanism (adjudicated r9,
+      // BASELINE.md "Shingle-family A/B"). Scale-safe: AQE still falls
+      // back to the shuffle join when the build side is genuinely big
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up the JVM/codegen/shuffle machinery once so the first timed

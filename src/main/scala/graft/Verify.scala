@@ -16,6 +16,9 @@ object Verify {
       .config("spark.buffer.pageSize", "4m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same session shape as Bench: allow AQE inside cached-plan
+      // compilation (see Bench.scala / BASELINE.md shingle A/B)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
