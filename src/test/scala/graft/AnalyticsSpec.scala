@@ -362,6 +362,67 @@ class AnalyticsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.parsePng(png.take(30)))
   }
 
+  test("JPEG gate: real-codec round-trip within tolerance, geometry pinned") {
+    // doc 5 → 64×64 two-tone; encode+decode through the JDK's actual
+    // JPEG codec must land both half-means within the ±6 tolerance
+    val bytes = Multimodal.jpegBytes(5L)
+    assert(bytes.length > 2 &&
+      (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8, "not a JFIF stream")
+    val (w, h, eTop, eBot) = Multimodal.jpegHalfErrors(bytes, 5L)
+    assert(w === 64 && h === 64)
+    assert(eTop <= 6L && eBot <= 6L, s"errors $eTop/$eBot exceed tolerance")
+    // the construction is periodic in doc_id with period 192 (every
+    // color multiplier is mod 192; dims are mod 4/2, both divide 192),
+    // so sweeping one full cycle is EXHAUSTIVE over all distinct
+    // (dims, colors) cases at any SF — the all-ones oracle flags rest
+    // on this measured bound, not on an assumption about the codec
+    // measured worst at quality 1.0: 4 — the board tolerance 6 leaves
+    // a 2-level margin for JDK minor-version quant-table drift while
+    // staying an order below the ≥56-level wrong-plant separation
+    val worst = (0L until 192L).map { id =>
+      val (_, _, a, b) = Multimodal.jpegHalfErrors(Multimodal.jpegBytes(id), id)
+      math.max(a, b)
+    }.max
+    assert(worst <= 4L, s"worst half-mean error over the full cycle: $worst")
+    // the gate must DISCRIMINATE: the same decoded pixels measured
+    // against a different doc's plant (same dims, different colors —
+    // doc 13) must be far outside tolerance, i.e. the flags carry
+    // information about the decode, not vacuous ones
+    val (_, _, xTop, xBot) = Multimodal.jpegHalfErrors(bytes, 13L)
+    assert(xTop > 6L || xBot > 6L, s"wrong-plant errors $xTop/$xBot too small")
+    // truncated stream: reject or flag, never silently pass
+    val truncCaught =
+      try { val r = Multimodal.jpegHalfErrors(bytes.take(60), 5L)
+            r._3 > 6L || r._4 > 6L }
+      catch { case _: Exception => true }
+    assert(truncCaught, "truncated JPEG passed the gate")
+  }
+
+  test("MP4 box walk: largesize form, audio-track layout, corrupt-size rejection") {
+    // id 6: %3==0 → mdat uses the 64-bit largesize form; even → video
+    // only. A parser that only reads 32-bit sizes dies here (size
+    // field is literal 1)
+    val b6 = Multimodal.mp4Bytes(6L)
+    val (ts6, dur6, nt6, w6, h6, na6, nb6, _) = Multimodal.parseMp4(b6)
+    assert((ts6, dur6, nt6, na6) === ((600L, 780L, 1L, 0L)))
+    assert((w6, h6) === ((384L, 240L)))       // 320+1*64, 240+0*80
+    assert(nb6 === 64L + 6L % 97L)
+    // id 7: 32-bit size form, odd → audio trak follows the video trak
+    // with 0×0 tkhd geometry — a last-trak-wins (positional) parser
+    // would report 0×0 and fail the board oracle; the hdlr-associated
+    // walk keeps the video geometry
+    val (_, _, nt7, w7, h7, na7, _, _) = Multimodal.parseMp4(Multimodal.mp4Bytes(7L))
+    assert((nt7, na7) === ((2L, 1L)))
+    assert((w7, h7) === ((448L, 320L)))       // 320+2*64, 240+1*80
+    // the unknown `free` box between ftyp and moov is skipped by size
+    // (covered by both parses above); corrupt sizes reject loudly
+    // instead of looping/overreading
+    val corrupt = b6.clone()
+    corrupt(0) = 0x7f.toByte                   // ftyp size → huge
+    intercept[IllegalArgumentException](Multimodal.parseMp4(corrupt))
+    intercept[IllegalArgumentException](Multimodal.parseMp4(b6.take(20)))
+  }
+
   test("chunking tiles every document: stride==width partitions the tokens exactly") {
     val docs = Tables.documents(spark, sfDir)
     val chunks = Chunking.chunksOf(docs, width = 8, stride = 8)
