@@ -856,6 +856,48 @@ object EventsPipeline {
     * name is unregistered in this image. */
   def avroRoundtrip(s: SparkSession, d: String): DataFrame = roundtrip(s, d, "avro")
 
+  /** Explicit Avro writer schema for [[avroFunctions]]: non-null
+    * fields (the events columns are null-free), so the datum encoding
+    * carries NO union branch indexes — each row is exactly
+    * zigzag-varint(event_id) ++ varint(len) ++ utf8(event_type) ++
+    * 8-byte LE IEEE double. AnalyticsSpec pins one row byte-for-byte
+    * against that layout, hand-computed from the Avro spec. */
+  private[graft] val avroRecordSchema =
+    """{"type":"record","name":"e","fields":[
+      |{"name":"event_id","type":"long"},
+      |{"name":"event_type","type":"string"},
+      |{"name":"value","type":"double"}]}""".stripMargin
+
+  /** `to_avro`/`from_avro` COLUMN functions (r9) — closes the r8
+    * verdict's remaining Avro gap. The public
+    * `o.a.s.sql.avro.functions` spellings stay env-blocked even from
+    * Scala (their ToAvro/FromAvro expressions reflectively load the
+    * spark-avro artifact's wrapper classes, which this image lacks),
+    * but the entire Avro ENGINE is bundled in spark-sql — so
+    * [[graft.functions.AvroFunctions]] reimplements the two thin
+    * wrappers as native codegen expressions over the bundled
+    * serializer. The query is a per-row encode→decode round-trip whose
+    * rollup also SUMS the encoded payload size, and the DuckDB oracle
+    * replays the Avro datum layout arithmetically (zigzag varint width
+    * ladder + 1-byte string length + utf8 length + 8): a wrong branch
+    * byte, varint width, or field order shifts the byte sum and
+    * hash-mismatches — the encoding itself is oracled, not just the
+    * identity composition. Scale: map-only encode/decode (codegen'd
+    * expressions, no shuffle) + one grouped agg. */
+  def avroFunctions(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.AvroFunctions.{toAvro, fromAvro}
+    val enc = events(s, d).select(
+      toAvro(struct(col("event_id"), col("event_type"), col("value")),
+        avroRecordSchema).as("payload"))
+    enc.select(fromAvro(col("payload"), avroRecordSchema).as("r"),
+        length(col("payload")).cast("long").as("nbytes"))
+      .groupBy(col("r.event_type").as("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(dec2(col("r.value"))).cast("double").as("sum_value"),
+        sum(col("nbytes")).as("sum_avro_bytes"))
+  }
+
   /** PERMISSIVE ingest with corrupt-record accounting — what a 100 TB
     * raw-layer load actually faces: rows that don't parse. Every 7th
     * event is deterministically mangled (non-numeric value field),
@@ -1401,6 +1443,7 @@ object EventsPipeline {
     "json_roundtrip"      -> jsonRoundtrip _,
     "orc_roundtrip"       -> orcRoundtrip _,
     "avro_roundtrip"      -> avroRoundtrip _,
+    "avro_functions"      -> avroFunctions _,
     "xml_roundtrip"       -> xmlRoundtrip _,
     "ingest_badrecords"   -> ingestBadrecords _,
     "join_asof"           -> joinAsof _,
@@ -2090,6 +2133,27 @@ object EventsPipeline {
     "orc_roundtrip"  -> roundtripOracle,
     "xml_roundtrip"  -> roundtripOracle,
     "avro_roundtrip" -> roundtripOracle,
+    // the Avro datum layout replayed arithmetically: zigzag(id) = 2*id
+    // for non-negative ids, varint width by explicit threshold ladder
+    // (no ln — not cross-engine stable), event_type is ASCII so utf8
+    // length == char length and its 1-byte length varint is exact for
+    // len < 128, double is fixed 8; non-null schema → no branch bytes.
+    // sum(CASE...) in DuckDB is HUGEINT — cast back to BIGINT.
+    "avro_functions" ->
+      """SELECT event_type, count(*) AS cnt,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+          CAST(sum(
+            CASE WHEN 2*event_id < 128 THEN 1
+                 WHEN 2*event_id < 16384 THEN 2
+                 WHEN 2*event_id < 2097152 THEN 3
+                 WHEN 2*event_id < 268435456 THEN 4
+                 WHEN 2*event_id < 34359738368 THEN 5
+                 WHEN 2*event_id < 4398046511104 THEN 6
+                 WHEN 2*event_id < 562949953421312 THEN 7
+                 WHEN 2*event_id < 72057594037927936 THEN 8
+                 ELSE 9 END
+            + 1 + length(event_type) + 8) AS BIGINT) AS sum_avro_bytes
+        FROM events GROUP BY event_type""",
     // corruption rule re-applied to the clean table: event_id % 7 = 0
     // rows are the quarantined ones, everything else must parse
     "ingest_badrecords" ->

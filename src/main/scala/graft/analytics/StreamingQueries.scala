@@ -259,6 +259,35 @@ object StreamingQueries {
       StreamingPipeline.windowedCounts(eventsStream(s, d)),
       OutputMode.Complete())
 
+  /** Streaming Avro payload codec (r9) — the pair's real production
+    * home: a Kafka consumer decoding per-record Avro datums. The
+    * events stream is serialized row-by-row with [[graft.functions
+    * .AvroFunctions.toAvro]] (the producer side), leaving ONLY the
+    * binary payload column (as a Kafka `value` would arrive), then
+    * decoded back with `fromAvro` and rolled up — executed by a real
+    * StreamingQuery, so the expressions run inside streaming
+    * micro-batch plans, not just batch codegen. The oracle is the
+    * same arithmetic datum-layout replay as `avro_functions` (zigzag
+    * varint width + utf8 length + fixed double), so the streamed
+    * encoding is oracled byte-count-exactly. */
+  def streamAvro(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.AvroFunctions.{fromAvro, toAvro}
+    val schema = EventsPipeline.avroRecordSchema
+    val payloads = eventsStream(s, d).select(
+      toAvro(struct(col("event_id"), col("event_type"), col("value")),
+        schema).as("payload"))
+    val decoded = payloads.select(
+      fromAvro(col("payload"), schema).as("r"),
+      length(col("payload")).cast("long").as("nbytes"))
+    runToMemory(s,
+      decoded.groupBy(col("r.event_type").as("event_type"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(graft.Tables.dec2(col("r.value"))).cast("double").as("sum_value"),
+          sum(col("nbytes")).as("sum_avro_bytes")),
+      OutputMode.Complete())
+  }
+
   /** session_window (native streaming sessionization) parity with the
     * batch lag/running-sum spelling in Relational.winSession: 30-minute
     * gap sessions per user, executed by a real StreamingQuery. Output
@@ -808,6 +837,7 @@ object StreamingQueries {
     "stream_join_left" -> streamJoinLeft _,
     "stream_join_full" -> streamJoinFull _,
     "stream_hourly"  -> streamHourly _,
+    "stream_avro"    -> streamAvro _,
     "stream_union"   -> streamUnion _,
     "stream_session" -> streamSession _,
     "stream_session_multibatch" -> streamSessionMultiBatch _,
@@ -867,6 +897,25 @@ object StreamingQueries {
           event_type, count(*) AS cnt,
           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2""",
+    // the streamed Avro datum layout replayed arithmetically — same
+    // ladder as avro_functions (see EventsPipeline.oracle for the
+    // derivation); a streaming-plan encoding difference would shift
+    // the byte sum
+    "stream_avro" ->
+      """SELECT event_type, count(*) AS cnt,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+          CAST(sum(
+            CASE WHEN 2*event_id < 128 THEN 1
+                 WHEN 2*event_id < 16384 THEN 2
+                 WHEN 2*event_id < 2097152 THEN 3
+                 WHEN 2*event_id < 268435456 THEN 4
+                 WHEN 2*event_id < 34359738368 THEN 5
+                 WHEN 2*event_id < 4398046511104 THEN 6
+                 WHEN 2*event_id < 562949953421312 THEN 7
+                 WHEN 2*event_id < 72057594037927936 THEN 8
+                 ELSE 9 END
+            + 1 + length(event_type) + 8) AS BIGINT) AS sum_avro_bytes
+        FROM events GROUP BY event_type""",
     // the two parity sources must merge into the identical result
     "stream_union" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,

@@ -33,6 +33,13 @@ object GraftExtensions {
         s"$fn expects a literal int, got $other")
   }
 
+  private def strArg(e: Expression, fn: String): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+    case other =>
+      throw new IllegalArgumentException(
+        s"$fn expects a literal string, got $other")
+  }
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("vec_dot",
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
@@ -70,6 +77,18 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(
           s"int_cusum expects a literal drift, got $other")
       }),
+    // Avro datum codec over the engine bundled in spark-sql: Spark 4.1
+    // registers built-in `to_avro`/`from_avro` SQL names whose
+    // expressions reflectively require the absent spark-avro artifact
+    // and always throw in this image — so the working reimplementation
+    // registers under the graft_ prefix rather than shadowing a
+    // built-in name (see AvroExpressions.scala)
+    ("graft_to_avro",
+      new ExpressionInfo(classOf[ToAvroExpr].getName, "graft_to_avro"),
+      (es: Seq[Expression]) => ToAvroExpr(es(0), strArg(es(1), "graft_to_avro"))),
+    ("graft_from_avro",
+      new ExpressionInfo(classOf[FromAvroExpr].getName, "graft_from_avro"),
+      (es: Seq[Expression]) => FromAvroExpr(es(0), strArg(es(1), "graft_from_avro"))),
     // Spark's own bloom sketch pair, surfaced to SQL: the optimizer
     // injects these for runtime join filters but does not register
     // them for direct use — registering the SAME expressions lets a

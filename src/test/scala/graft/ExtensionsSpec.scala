@@ -27,6 +27,16 @@ class ExtensionsSpec extends SparkSpec {
           SELECT explode(array('x','x','x','y','z')) AS t)""")
       .first().getMap[String, Long](0)
     assert(hh.get("x").contains(3L))
+    // the Avro codec pair from pure SQL (the built-in to_avro/from_avro
+    // SQL names throw AVRO_NOT_LOADED in this image; the graft_ pair is
+    // the working reimplementation over the bundled engine)
+    val av = spark.sql(
+      """SELECT graft_from_avro(
+           graft_to_avro(named_struct('a', 7L),
+             '{"type":"record","name":"r","fields":[{"name":"a","type":"long"}]}'),
+           '{"type":"record","name":"r","fields":[{"name":"a","type":"long"}]}').a
+         AS a""").first()
+    assert(av.getLong(0) === 7L)
   }
 
   test("optimizer rule vectorizes the HOF dot-product pattern") {

@@ -1,5 +1,6 @@
 package graft
 
+import graft.analytics.EventsPipeline
 import graft.datagen.TelemetryGen
 import graft.expect.Expectations
 import graft.ingest.RawJsonReader
@@ -81,6 +82,44 @@ class PipelineSpec extends SparkSpec {
     val wh = WarehouseLoad.curated(spark, s"$outDir/curated")
     assert(wh.count() === result.curated.count())
     assert(wh.columns.contains("lat") && wh.columns.contains("data_quality_flag"))
+  }
+
+  test("to_avro emits the exact Avro datum bytes; from_avro inverts them") {
+    // one row, hand-computed from the Avro 1.x spec against the
+    // non-null writer schema: long 3 → zigzag 6 → varint 0x06;
+    // "click" → length varint 0x0a ++ 5 utf8 bytes; double 1.5 →
+    // 8-byte LITTLE-endian IEEE (0x3FF8000000000000 reversed). A
+    // union-branch byte, wrong varint, field reorder, or endianness
+    // slip breaks this byte-for-byte pin — the query's summed-length
+    // oracle then guards the same layout at corpus width
+    import spark.implicits._
+    import graft.functions.AvroFunctions.{toAvro, fromAvro}
+    val schema = EventsPipeline.avroRecordSchema
+    val df = Seq((3L, "click", 1.5)).toDF("event_id", "event_type", "value")
+    val payload = df.select(toAvro(
+        struct(col("event_id"), col("event_type"), col("value")), schema))
+      .collect()(0).getAs[Array[Byte]](0)
+    val expected = Array(0x06, 0x0a, 'c', 'l', 'i', 'c', 'k',
+      0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0xf8, 0x3f).map(_.toByte)
+    assert(payload.toSeq === expected.toSeq,
+      payload.map(b => f"$b%02x").mkString(" "))
+    // and the decoder inverts it exactly
+    val back = spark.createDataset(Seq(payload)).toDF("p")
+      .select(fromAvro(col("p"), schema).as("r")).select("r.*")
+      .as[(Long, String, Double)].collect()(0)
+    assert(back === ((3L, "click", 1.5)))
+    // FAILFAST contract: truncated payloads throw loudly, never a
+    // silent null row
+    intercept[Exception] {
+      spark.createDataset(Seq(payload.take(3))).toDF("p")
+        .select(fromAvro(col("p"), schema)).collect()
+    }
+    // schema_of_avro semantics: the engine's own converter maps the
+    // writer schema to the expected catalyst struct (non-union avro
+    // fields land NOT NULL)
+    assert(graft.functions.AvroFunctions.schemaOfAvro(schema) ===
+      "STRUCT<event_id: BIGINT NOT NULL, event_type: STRING NOT NULL, " +
+        "value: DOUBLE NOT NULL>")
   }
 
   test("observe() rides the job: pipeline metrics without a second pass") {

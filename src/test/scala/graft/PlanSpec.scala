@@ -93,7 +93,8 @@ class PlanSpec extends SparkSpec {
       "stream_static_join", "stream_stream_join", "stream_dsv2",
       "stream_session_append", "stream_timers", "stream_mapstate",
       "stream_init_state", "stream_list_state", "stream_join_left",
-      "stream_join_full", "stream_union", "stream_fp_dedup")
+      "stream_join_full", "stream_union", "stream_fp_dedup",
+      "stream_avro")
 
   /** Audited max Exchange-hashpartitioning count per query. */
   private val exchangeBudget: Map[String, Int] = Map(
@@ -140,6 +141,9 @@ class PlanSpec extends SparkSpec {
     "agg_salted" -> 2, "agg_unpivot" -> 0, "array_funcs" -> 0,
     "clean_nan_null" -> 1,
     "avro_roundtrip" -> 1,
+    // avro_functions: map-only encode/decode expressions + ONE grouped
+    // rollup — the single hashpartitioning is the event_type agg
+    "avro_functions" -> 1,
     "csv_roundtrip" -> 1, "dedup_embedding" -> 1, "dedup_exact" -> 1,
     "dedup_minhash" -> 3, "dedup_ngram" -> 15, "dedup_simhash" -> 0,
     "dedup_simhash64" -> 0, "dedup_simhash_pairs" -> 1, "expect_suite" -> 0,
