@@ -35,6 +35,10 @@ import org.apache.spark.sql.functions._
   *     scale-up (more state per window, not a longer history).
   *
   * Usage: tools/run.sh graft.datagen.ScaleUp <srcSfDir> <destDir> <factor>
+  *        [tables]  — optional comma-separated subset (e.g.
+  *        "embeddings" for the r9 ANN √N-regime corpus, where scaling
+  *        the full 10-table corpus 300× would waste minutes of build
+  *        for tables the measurement never reads)
   * The other TPC-H-ish tables are copied through unchanged so every
   * SparkEntry query resolves against the dest dir.
   */
@@ -136,12 +140,15 @@ object ScaleUp {
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
 
-    wrFlat(scaleDocuments(rd("documents"), factor), "documents")
-    wrFlat(scaleEmbeddings(rd("embeddings"), factor), "embeddings")
-    wrFlat(scaleEvents(rd("events"), factor), "events")
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").toSet) else None
+    def want(t: String) = only.forall(_.contains(t))
+    if (want("documents")) wrFlat(scaleDocuments(rd("documents"), factor), "documents")
+    if (want("embeddings")) wrFlat(scaleEmbeddings(rd("embeddings"), factor), "embeddings")
+    if (want("events")) wrFlat(scaleEvents(rd("events"), factor), "events")
     // pass-through tables so every query resolves against destDir
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem").foreach(t => wrFlat(rd(t), t))
+      "lineitem").filter(want).foreach(t => wrFlat(rd(t), t))
     println(s"SCALEUP_DONE $destDir factor=$factor")
     spark.stop()
   }
