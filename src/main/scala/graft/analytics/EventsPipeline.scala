@@ -1485,6 +1485,33 @@ object EventsPipeline {
         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY event_type"""
 
+  /** The Avro datum layout replayed arithmetically — ONE copy shared
+    * by `avro_functions` (batch) and `stream_avro` (streaming), so the
+    * two oracles cannot drift. zigzag(n) = 2n for non-negative n;
+    * varint width by explicit threshold ladder (no ln — not
+    * cross-engine stable). event_type is ASCII so utf8 length == char
+    * length, and the string-LENGTH varint gets its own 2-step ladder:
+    * 1 byte covers zigzag(len) = 2·len < 128, i.e. len ≤ 63 (NOT
+    * len < 128 — lengths are zigzag longs too). Double is fixed 8;
+    * non-null writer schema → no union branch bytes. sum(CASE...) in
+    * DuckDB is HUGEINT — cast back to BIGINT. */
+  private[graft] val avroBytesOracle =
+    """SELECT event_type, count(*) AS cnt,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        CAST(sum(
+          CASE WHEN 2*event_id < 128 THEN 1
+               WHEN 2*event_id < 16384 THEN 2
+               WHEN 2*event_id < 2097152 THEN 3
+               WHEN 2*event_id < 268435456 THEN 4
+               WHEN 2*event_id < 34359738368 THEN 5
+               WHEN 2*event_id < 4398046511104 THEN 6
+               WHEN 2*event_id < 562949953421312 THEN 7
+               WHEN 2*event_id < 72057594037927936 THEN 8
+               ELSE 9 END
+          + CASE WHEN 2*length(event_type) < 128 THEN 1 ELSE 2 END
+          + length(event_type) + 8) AS BIGINT) AS sum_avro_bytes
+      FROM events GROUP BY event_type"""
+
   private val reasonsExpr =
     """array_to_string(list_filter([
         CASE WHEN NOT r1 THEN 'missing_user_id' END,
@@ -2133,27 +2160,7 @@ object EventsPipeline {
     "orc_roundtrip"  -> roundtripOracle,
     "xml_roundtrip"  -> roundtripOracle,
     "avro_roundtrip" -> roundtripOracle,
-    // the Avro datum layout replayed arithmetically: zigzag(id) = 2*id
-    // for non-negative ids, varint width by explicit threshold ladder
-    // (no ln — not cross-engine stable), event_type is ASCII so utf8
-    // length == char length and its 1-byte length varint is exact for
-    // len < 128, double is fixed 8; non-null schema → no branch bytes.
-    // sum(CASE...) in DuckDB is HUGEINT — cast back to BIGINT.
-    "avro_functions" ->
-      """SELECT event_type, count(*) AS cnt,
-          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-          CAST(sum(
-            CASE WHEN 2*event_id < 128 THEN 1
-                 WHEN 2*event_id < 16384 THEN 2
-                 WHEN 2*event_id < 2097152 THEN 3
-                 WHEN 2*event_id < 268435456 THEN 4
-                 WHEN 2*event_id < 34359738368 THEN 5
-                 WHEN 2*event_id < 4398046511104 THEN 6
-                 WHEN 2*event_id < 562949953421312 THEN 7
-                 WHEN 2*event_id < 72057594037927936 THEN 8
-                 ELSE 9 END
-            + 1 + length(event_type) + 8) AS BIGINT) AS sum_avro_bytes
-        FROM events GROUP BY event_type""",
+    "avro_functions" -> avroBytesOracle,
     // corruption rule re-applied to the clean table: event_id % 7 = 0
     // rows are the quarantined ones, everything else must parse
     "ingest_badrecords" ->

@@ -897,25 +897,11 @@ object StreamingQueries {
           event_type, count(*) AS cnt,
           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2""",
-    // the streamed Avro datum layout replayed arithmetically — same
-    // ladder as avro_functions (see EventsPipeline.oracle for the
-    // derivation); a streaming-plan encoding difference would shift
-    // the byte sum
-    "stream_avro" ->
-      """SELECT event_type, count(*) AS cnt,
-          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-          CAST(sum(
-            CASE WHEN 2*event_id < 128 THEN 1
-                 WHEN 2*event_id < 16384 THEN 2
-                 WHEN 2*event_id < 2097152 THEN 3
-                 WHEN 2*event_id < 268435456 THEN 4
-                 WHEN 2*event_id < 34359738368 THEN 5
-                 WHEN 2*event_id < 4398046511104 THEN 6
-                 WHEN 2*event_id < 562949953421312 THEN 7
-                 WHEN 2*event_id < 72057594037927936 THEN 8
-                 ELSE 9 END
-            + 1 + length(event_type) + 8) AS BIGINT) AS sum_avro_bytes
-        FROM events GROUP BY event_type""",
+    // the streamed Avro datum layout — the SAME shared oracle as
+    // avro_functions (EventsPipeline.avroBytesOracle), so a streaming-
+    // plan encoding difference would shift the byte sum while the two
+    // spellings' oracles cannot drift apart
+    "stream_avro" -> EventsPipeline.avroBytesOracle,
     // the two parity sources must merge into the identical result
     "stream_union" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,

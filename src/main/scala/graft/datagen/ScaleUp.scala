@@ -140,8 +140,17 @@ object ScaleUp {
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
 
+    val known = Set("documents", "embeddings", "events", "region",
+      "nation", "customer", "supplier", "part", "orders", "lineitem")
     val only: Option[Set[String]] =
       if (args.length > 3) Some(args(3).split(",").toSet) else None
+    // a typo'd table name must fail fast, not print SCALEUP_DONE over
+    // an empty dest dir that a downstream bench then mis-measures
+    only.foreach { ts =>
+      val bad = ts.diff(known)
+      require(bad.isEmpty, s"unknown tables ${bad.mkString(",")}; " +
+        s"known: ${known.toSeq.sorted.mkString(",")}")
+    }
     def want(t: String) = only.forall(_.contains(t))
     if (want("documents")) wrFlat(scaleDocuments(rd("documents"), factor), "documents")
     if (want("embeddings")) wrFlat(scaleEmbeddings(rd("embeddings"), factor), "embeddings")

@@ -94,7 +94,13 @@ case class FromAvroExpr(child: Expression, jsonSchema: String)
     val bytes = input.asInstanceOf[Array[Byte]]
     decoder = DecoderFactory.get().binaryDecoder(bytes, 0, bytes.length, decoder)
     datum = reader.read(datum, decoder)
-    deserialize(datum).getOrElse(null)
+    // FAILFAST also covers the deserializer's None skip path: returning
+    // a bare null here would desync the codegen path (defineCodeGen
+    // derives isNull from the INPUT only, so value=null would carry
+    // isNull=false and NPE downstream) — throw loudly instead
+    deserialize(datum).getOrElse(
+      throw new IllegalArgumentException(
+        "from_avro: deserializer skipped the datum (schema mismatch)"))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
