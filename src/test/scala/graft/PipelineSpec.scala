@@ -122,6 +122,35 @@ class PipelineSpec extends SparkSpec {
         "value: DOUBLE NOT NULL>")
   }
 
+  test("Avro varint ladder: engine payload length matches at every tier boundary") {
+    // the corpus only carries ids <= 9999, so oracle ladder tiers 3-9
+    // would otherwise ship untested; encode one row at each threshold's
+    // both sides (2*id just under / at each 2^(7k) varint capacity) and
+    // pin length(payload) against the same arithmetic the DuckDB
+    // oracle runs: vlen(2*id) + lenVarint + strlen + 8
+    import spark.implicits._
+    import graft.functions.AvroFunctions.toAvro
+    val schema = EventsPipeline.avroRecordSchema
+    def ladder(id: Long): Int = {
+      val zz = 2L * id
+      if (zz < 128L) 1 else if (zz < 16384L) 2 else if (zz < 2097152L) 3
+      else if (zz < 268435456L) 4 else if (zz < 34359738368L) 5
+      else if (zz < 4398046511104L) 6 else if (zz < 562949953421312L) 7
+      else if (zz < 72057594037927936L) 8 else 9
+    }
+    val probes = (1 to 8).map(k => 1L << (7 * k - 1)) // 2*id == 2^(7k): first id of each wider tier
+    val ids = (probes.map(_ - 1) ++ probes :+ 0L :+ Long.MaxValue / 2).distinct
+    val rows = ids.map(id => (id, "click", 1.5)).toDF("event_id", "event_type", "value")
+      .select(col("event_id"),
+        length(toAvro(struct(col("event_id"), col("event_type"), col("value")),
+          schema)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    ids.foreach { id =>
+      assert(rows(id) === ladder(id) + 1 + 5 + 8,
+        s"id=$id: engine ${rows(id)} vs ladder ${ladder(id) + 14}")
+    }
+  }
+
   test("observe() rides the job: pipeline metrics without a second pass") {
     // the ops surface for production counters: the reference re-counts
     // its frames 8 times (Glue_job.py:95,124,127,131-135 — each count a
