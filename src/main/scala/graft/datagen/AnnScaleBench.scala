@@ -17,6 +17,9 @@ import org.apache.spark.sql.SparkSession
   * constant-nlist spelling stays the structureless-corpus default).
   *
   * Usage: tools/run.sh graft.datagen.AnnScaleBench <sfDir> [<sfDir> …]
+  * RUNTIME: the contract is the point — expect ~35 s total at 60k
+  * vectors but ~55 MINUTES at 600k/nlist=775 on local[32] (2 passes
+  * × (719 s ivf + 848 s ivfpq), measured r9); it has not hung.
   * Prints one JSON line per dir:
   *   {"dir":…,"n":…,"nlist":…,"ivf_sec":…,"ivfpq_sec":…}
   * (min of `passes` timed runs each, count() as the action; results

@@ -421,6 +421,32 @@ class AnalyticsSpec extends SparkSpec {
     corrupt(0) = 0x7f.toByte                   // ftyp size → huge
     intercept[IllegalArgumentException](Multimodal.parseMp4(corrupt))
     intercept[IllegalArgumentException](Multimodal.parseMp4(b6.take(20)))
+    // box-order/noise robustness: a real muxer interleaves boxes the
+    // synthesizer doesn't emit — inject unknown boxes at the top level
+    // (after ftyp and at EOF) and inside moov (before mvhd), and the
+    // walk must skip them all by size with identical results
+    def unk(tp: String, n: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + n)
+      bb.putInt(8 + n).put(tp.getBytes("US-ASCII")).put(Array.fill[Byte](n)(42))
+      bb.array()
+    }
+    val bb = java.nio.ByteBuffer.wrap(b6)
+    val ftypLen = bb.getInt(0)
+    val freeLen = bb.getInt(ftypLen)
+    val moovLen = bb.getInt(ftypLen + freeLen)
+    val (pre, rest) = b6.splitAt(ftypLen + freeLen)
+    val (moov, mdat) = rest.splitAt(moovLen)
+    // rebuild moov with a foreign child prepended (header stays 8 +
+    // grown size); children of moov start right after its 8-byte header
+    val extra = unk("udta", 11)
+    val moovGrown = {
+      val nb = java.nio.ByteBuffer.allocate(moov.length + extra.length)
+      nb.putInt(moov.length + extra.length).put("moov".getBytes("US-ASCII"))
+        .put(extra).put(moov.drop(8))
+      nb.array()
+    }
+    val noisy = pre ++ unk("skip", 5) ++ moovGrown ++ mdat ++ unk("uuid", 16)
+    assert(Multimodal.parseMp4(noisy) === Multimodal.parseMp4(b6))
   }
 
   test("chunking tiles every document: stride==width partitions the tokens exactly") {
