@@ -43,6 +43,45 @@ class TypeAggProcessor
   }
 }
 
+/** transformWithState processor exercising STATE TTL (r9) — the
+  * state-growth bound a 100-TB streaming job actually relies on: at
+  * that scale "state per key, forever" is the memory leak, and
+  * `TTLConfig(Duration)` is the engine-level expiry that caps it
+  * without hand-written timer bookkeeping. Two counters per key
+  * side-by-side: `recent` carries the TTL, `total` is the
+  * TTLConfig.NONE CONTROL — after an idle gap longer than the TTL the
+  * recent counter restarts at the new batch's count while the control
+  * keeps the lifetime total, so the spec's expiry assertion cannot be
+  * satisfied by state being lost for any other reason (that would
+  * reset BOTH). ProcessingTime mode: TTL expiry is wall-clock by
+  * definition. */
+class TtlCountProcessor(ttl: java.time.Duration)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var recent: ValueState[Long] = _
+  @transient private var total: ValueState[Long] = _
+
+  override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+    recent = getHandle.getValueState[Long]("recent",
+      Encoders.scalaLong, new TTLConfig(ttl))
+    total = getHandle.getValueState[Long]("total",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    val n = rows.size.toLong
+    val r = (if (recent.exists()) recent.get() else 0L) + n
+    val t = (if (total.exists()) total.get() else 0L) + n
+    recent.update(r)
+    total.update(t)
+    Iterator.single((key, r, t))
+  }
+}
+
 /** transformWithState processor WITH EVENT-TIME TIMERS: per-user
   * sessionization where closed sessions emit inline (gap detected
   * within the sorted batch buffer) and each user's OPEN session is

@@ -376,6 +376,75 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("state TTL expires the TTL'd counter while the NONE control persists") {
+    // the 100-TB state-growth bound: `recent` carries TTLConfig(1s),
+    // `total` is the TTLConfig.NONE control in the SAME processor. An
+    // idle gap longer than the TTL must reset ONLY the TTL'd counter —
+    // any other state-loss mode (provider restart, eviction bug) would
+    // reset both, so the control makes the expiry assertion specific
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val prevProv = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // HARNESS NOTE (found the hard way): under TimeMode.ProcessingTime
+    // — which TTL state requires — the TWS operator keeps scheduling
+    // batches to evaluate wall-clock expiry, so BOTH
+    // processAllAvailable and Trigger.AvailableNow spin forever
+    // (observed 2300+ empty micro-batches). The workable harness is a
+    // PACED trigger plus polling the sink for the expected emission
+    // count; shuffle partitions are dropped to 2 so the per-batch
+    // churn is 2 state stores, not 32.
+    val prevPart = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val mem = MemoryStream[(Long, Long)]
+    val out = mem.toDS().groupByKey(_._1)
+      .transformWithState(
+        // TTL 5 s: comfortably above worst-case batch-to-batch latency
+        // (the inside-TTL phase must not expire by accident) and well
+        // under the 12 s idle gap that must expire it
+        new graft.analytics.TtlCountProcessor(java.time.Duration.ofSeconds(5)),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF("user_id", "recent", "total")
+    val name = "ttl_sink"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", graft.Tables.tempOutDir("ttl_chk"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (spark.table(name).count() < n) {
+        require(System.nanoTime() < deadline, s"timed out waiting for $n rows")
+        Thread.sleep(200)
+      }
+    }
+    try {
+      mem.addData((1L, 10L), (1L, 20L))
+      awaitRows(1)
+      mem.addData((1L, 30L))             // immediately: inside the TTL
+      awaitRows(2)
+      Thread.sleep(12000)                // idle past the 5 s TTL
+      mem.addData((1L, 40L))
+      awaitRows(3)
+      // emissions in batch order (total is monotone): recent tracks
+      // total while fresh, then restarts at 1 after the idle gap
+      val rows = spark.table(name).orderBy(col("total"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+      assert(rows === Seq((2L, 2L), (3L, 3L), (1L, 4L)), rows.mkString(","))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+      spark.conf.set("spark.sql.shuffle.partitions", prevPart)
+      prevProv match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("RocksDB CHANGELOG checkpointing: per-batch deltas + restart recovery") {
     // r8 judge item 8: at 100-TB streaming state the snapshot-upload
     // cadence is the recovery-time lever — changelog checkpointing
