@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * extract / frame-sample stages. The stub surface has shrunk round
   * over round: WAV/BMP (r8) and PNG (r9) are full genuine decoders,
   * JPEG (r9) round-trips through the JDK's real codec behind a
-  * tolerance gate, and MP4 (r9) genuinely parses the ISO BMFF
-  * container; the ONLY remaining stub is compressed video FRAME
-  * decode (`decodeBatch` below — no video codec anywhere in this
-  * container). Everything Spark-side is real throughout: schema,
+  * tolerance gate, MP4 (r9) genuinely parses the ISO BMFF container,
+  * and animated GIF (r9) does REAL multi-frame extraction with an
+  * exact-replay oracle; the ONLY remaining stub is COMPRESSED-codec
+  * video frame decode (`decodeBatch` below — no H.264-class codec
+  * anywhere in this container). Everything Spark-side is real
+  * throughout: schema,
   * batch shape, partitioning, and the per-partition processing
   * pattern (`mapPartitions` — the Scala analogue of `mapInPandas`
   * batch processing).
@@ -651,6 +653,94 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------
+  // Animated GIF (r9): REAL multi-frame decode — the frame-extraction
+  // primitive a video training pipeline runs — with an EXACT oracle:
+  // GIF is lossless (indexed color), and a solid-color frame's
+  // palette contains exactly its color, so unlike JPEG the decoded
+  // pixels replay bit-exactly. Per document, an animated GIF with a
+  // rule-derived frame count and per-frame solid colors is written
+  // with the JDK's actual GIF encoder (writeToSequence) and decoded
+  // frame-by-frame with the actual reader; per-frame FULL-pixel sums
+  // (not just one probe pixel) pin every pixel of every frame, and
+  // the (f+1)-weighted checksum pins frame ORDER.
+  // ---------------------------------------------------------------
+
+  /** (width, height, nFrames) per asset. */
+  private def gifRule(id: Long): (Int, Int, Int) =
+    (16 + (id % 16).toInt, 8 + (id % 8).toInt, 2 + (id % 6).toInt)
+
+  /** Solid color of frame f. */
+  private def gifColor(id: Long, f: Int): (Int, Int, Int) = (
+    ((id * 7L + f * 29L) % 256L).toInt,
+    ((id * 13L + f * 17L) % 256L).toInt,
+    ((id * 3L + f * 41L) % 256L).toInt)
+
+  /** Animated GIF via the JDK's real encoder (one writer reused per
+    * partition — the codec-init amortization this file's mapPartitions
+    * idiom exists for). */
+  private[graft] def gifBytes(writer: javax.imageio.ImageWriter, id: Long): Array[Byte] = {
+    val (w, h, nf) = gifRule(id)
+    val out = new java.io.ByteArrayOutputStream
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until nf).foreach { f =>
+      val (r, g, b) = gifColor(id, f)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (r << 16) | (g << 8) | b
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    out.toByteArray
+  }
+
+  /** Genuine frame-by-frame decode → (w, h, nFrames, sumR, sumG,
+    * sumB, orderChecksum) with FULL-pixel sums per frame. */
+  private[graft] def parseGif(reader: javax.imageio.ImageReader,
+      bytes: Array[Byte]): (Int, Int, Long, Long, Long, Long, Long) = {
+    require(bytes.length >= 6 &&
+      new String(bytes, 0, 6, "US-ASCII").startsWith("GIF8"), "not a GIF")
+    reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    val n = reader.getNumImages(true)
+    var w = -1; var h = -1
+    var sr = 0L; var sg = 0L; var sb = 0L; var ck = 0L
+    (0 until n).foreach { f =>
+      val img = reader.read(f)
+      w = img.getWidth; h = img.getHeight
+      var fr = 0L; var fg = 0L; var fb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y)
+        fr += (p >> 16) & 0xff; fg += (p >> 8) & 0xff; fb += p & 0xff
+      }
+      sr += fr; sg += fg; sb += fb
+      ck += (f + 1L) * (fr + fg + fb)
+    }
+    (w, h, n.toLong, sr, sg, sb, ck)
+  }
+
+  /** Synthesize → genuinely decode every FRAME of an animated GIF per
+    * document; exact-replay oracle (lossless codec). */
+  def multimodalGif(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        // one encoder/decoder per partition, reused across assets
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        it.map { id =>
+          val (w, h, nf, sr, sg, sb, ck) = parseGif(reader, gifBytes(writer, id))
+          (id, w, h, nf, sr, sg, sb, ck)
+        }
+      }
+      .toDF("asset_id", "width", "height", "n_frames",
+        "sum_r", "sum_g", "sum_b", "checksum")
+  }
+
+  // ---------------------------------------------------------------
   // MP4 / ISO BMFF (r9): frame DECODE genuinely needs codecs — that
   // stays the one stubbed step — but the CONTAINER is a plain
   // big-endian box tree, and container-level metadata extraction
@@ -890,6 +980,7 @@ object Multimodal {
     "multimodal_bmp"      -> multimodalBmp _,
     "multimodal_png"      -> multimodalPng _,
     "multimodal_jpeg"     -> multimodalJpeg _,
+    "multimodal_gif"      -> multimodalGif _,
     "multimodal_mp4"      -> multimodalMp4 _,
     "multimodal_audio_gate" -> multimodalAudioGate _,
   )
@@ -1020,6 +1111,30 @@ object Multimodal {
           CAST(1 AS BIGINT) AS ok_top,
           CAST(1 AS BIGINT) AS ok_bottom
         FROM documents""",
+    // the GIF frame rule replayed exactly (lossless codec): full-pixel
+    // sums are w·h·color per frame, and the (f+1)-weighted checksum
+    // pins frame ORDER — a dropped, duplicated, or reordered frame
+    // hash-mismatches
+    "multimodal_gif" ->
+      """WITH a AS (
+          SELECT doc_id, 16 + doc_id % 16 AS w, 8 + doc_id % 8 AS h,
+            2 + doc_id % 6 AS nf
+          FROM documents),
+        fr AS (
+          SELECT a.doc_id, a.w, a.h, u.f,
+            (a.doc_id * 7 + u.f * 29) % 256 AS r,
+            (a.doc_id * 13 + u.f * 17) % 256 AS g,
+            (a.doc_id * 3 + u.f * 41) % 256 AS b
+          FROM a, unnest(generate_series(0, a.nf - 1)) AS u(f))
+        SELECT doc_id AS asset_id,
+          CAST(min(w) AS INT) AS width,
+          CAST(min(h) AS INT) AS height,
+          CAST(count(*) AS BIGINT) AS n_frames,
+          CAST(sum(w * h * r) AS BIGINT) AS sum_r,
+          CAST(sum(w * h * g) AS BIGINT) AS sum_g,
+          CAST(sum(w * h * b) AS BIGINT) AS sum_b,
+          CAST(sum((f + 1) * w * h * (r + g + b)) AS BIGINT) AS checksum
+        FROM fr GROUP BY doc_id""",
     // the MP4 construction rule replayed arithmetically: duration_ms
     // is exactly integral ((600+30k)·1000/600 = 1000+50k, no
     // truncation ambiguity), and the mdat positional checksum pins

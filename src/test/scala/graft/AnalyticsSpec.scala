@@ -398,6 +398,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(truncCaught, "truncated JPEG passed the gate")
   }
 
+  test("GIF multi-frame decode: exact pixels per frame, order pinned, magic rejected") {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    // doc 9: 25×1? — rule says w=16+9=25, h=8+1=9, nf=2+3=5
+    val bytes = Multimodal.gifBytes(writer, 9L)
+    assert(new String(bytes.take(6), "US-ASCII") === "GIF89a")
+    val (w, h, nf, sr, sg, sb, ck) = Multimodal.parseGif(reader, bytes)
+    assert((w, h, nf) === ((25, 9, 5L)))
+    // exact replay: lossless codec, so full-pixel sums equal
+    // w·h·color summed over frames — computed independently here
+    val exp = (0 until 5).map { f =>
+      val r = (9L * 7 + f * 29) % 256; val g = (9L * 13 + f * 17) % 256
+      val b = (9L * 3 + f * 41) % 256
+      (225L * r, 225L * g, 225L * b, (f + 1L) * 225L * (r + g + b))
+    }
+    assert((sr, sg, sb) === ((exp.map(_._1).sum, exp.map(_._2).sum, exp.map(_._3).sum)))
+    assert(ck === exp.map(_._4).sum)
+    // the checksum DISCRIMINATES frame order: reversing the weights
+    // (what a backwards frame iteration would produce) must differ
+    val reversed = (0 until 5).map(f => (5L - f) * 225L *
+      (((9L * 7 + f * 29) % 256) + ((9L * 13 + f * 17) % 256) + ((9L * 3 + f * 41) % 256))).sum
+    assert(ck !== reversed)
+    // corrupt magic rejects loudly
+    val bad = bytes.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.parseGif(reader, bad))
+  }
+
   test("MP4 box walk: largesize form, audio-track layout, corrupt-size rejection") {
     // id 6: %3==0 → mdat uses the 64-bit largesize form; even → video
     // only. A parser that only reads 32-bit sizes dies here (size
