@@ -741,6 +741,110 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------
+  // TAR / WebDataset shard (r9): large multimodal corpora ship as tar
+  // shards (the WebDataset layout — one sample = adjacent members
+  // "key.jpg"/"key.txt"/"key.json" inside a shard), so reading tar is
+  // a first-class 100-TB ingest op, not an archival nicety. The JDK
+  // has no tar support; both sides are hand-rolled against the POSIX
+  // ustar spec: 512-byte headers (name, octal size/mode/mtime, the
+  // space-seeded header CHECKSUM, ustar magic), content blocks padded
+  // to 512, two zero blocks at EOF. The parser verifies every header
+  // checksum and the magic, walks by parsed octal size, and rejects
+  // corruption loudly; the DuckDB oracle replays member count/sizes/
+  // bytes and a (member,position)-weighted checksum exactly.
+  // ---------------------------------------------------------------
+
+  /** Members per shard and per-member sizes/bytes. */
+  private def tarRule(id: Long): Int = 2 + (id % 3).toInt
+  private def tarMemberSize(id: Long, m: Int): Int =
+    10 + ((id * 31L + m * 7L) % 200L).toInt
+  private def tarByte(id: Long, m: Int, i: Int): Int =
+    ((id * 17L + m * 5L + i * 13L) % 251L).toInt
+  private def tarName(id: Long, m: Int): String = s"doc$id/$m.bin"
+
+  private def tarOctal(v: Long, width: Int): Array[Byte] = {
+    // POSIX numeric field: zero-padded octal, NUL terminator
+    val s = java.lang.Long.toOctalString(v)
+    (("0" * (width - 1 - s.length)) + s + "\u0000").getBytes("US-ASCII")
+  }
+
+  /** One ustar shard for the rule above. */
+  private[graft] def tarBytes(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    (0 until tarRule(id)).foreach { m =>
+      val size = tarMemberSize(id, m)
+      val hdr = new Array[Byte](512)
+      def put(off: Int, bytes: Array[Byte]): Unit =
+        System.arraycopy(bytes, 0, hdr, off, bytes.length)
+      put(0, tarName(id, m).getBytes("US-ASCII"))
+      put(100, tarOctal(420 /* 0644 */, 8))       // mode
+      put(108, tarOctal(0, 8))                    // uid
+      put(116, tarOctal(0, 8))                    // gid
+      put(124, tarOctal(size.toLong, 12))         // size
+      put(136, tarOctal(0, 12))                   // mtime (deterministic)
+      java.util.Arrays.fill(hdr, 148, 156, ' '.toByte) // chksum seed
+      hdr(156) = '0'                              // typeflag: regular file
+      put(257, "ustar\u000000".getBytes("US-ASCII")) // magic + version
+      val sum = hdr.map(_ & 0xff).sum
+      put(148, (f"$sum%06o" + "\u0000 ").getBytes("US-ASCII"))
+      out.write(hdr)
+      val content = Array.tabulate[Byte](size)(i => tarByte(id, m, i).toByte)
+      out.write(content)
+      val pad = (512 - size % 512) % 512
+      out.write(new Array[Byte](pad))
+    }
+    out.write(new Array[Byte](1024))              // two zero blocks
+    out.toByteArray
+  }
+
+  /** Genuine ustar walk → (nMembers, totalBytes, sumNameLen,
+    * checksum) with header-checksum and magic verification. */
+  private[graft] def parseTar(bytes: Array[Byte]): (Long, Long, Long, Long) = {
+    var pos = 0
+    var nm = 0L; var total = 0L; var nameLen = 0L; var ck = 0L
+    def isZeroBlock(p: Int): Boolean =
+      (p until p + 512).forall(bytes(_) == 0)
+    while (pos + 512 <= bytes.length && !isZeroBlock(pos)) {
+      require(new String(bytes, pos + 257, 5, "US-ASCII") == "ustar",
+        s"missing ustar magic at $pos")
+      // recompute the space-seeded checksum before trusting the header
+      var sum = 0
+      (0 until 512).foreach { i =>
+        sum += (if (i >= 148 && i < 156) ' '.toInt else bytes(pos + i) & 0xff)
+      }
+      val declared = java.lang.Integer.parseInt(
+        new String(bytes, pos + 148, 6, "US-ASCII"), 8)
+      require(sum == declared, s"header checksum mismatch at $pos")
+      val name = new String(bytes, pos, 100, "US-ASCII").takeWhile(_ != 0)
+      val size = java.lang.Long.parseLong(
+        new String(bytes, pos + 124, 11, "US-ASCII"), 8)
+      require(size >= 0 && pos + 512 + size <= bytes.length,
+        s"corrupt member size $size at $pos")
+      nm += 1; total += size; nameLen += name.length
+      var i = 0
+      while (i < size) {
+        ck += nm * (i + 1L) * (bytes(pos + 512 + i) & 0xff)
+        i += 1
+      }
+      pos += 512 + ((size + 511) / 512).toInt * 512
+    }
+    require(nm > 0, "empty or unterminated tar")
+    (nm, total, nameLen, ck)
+  }
+
+  /** Synthesize → genuinely parse a WebDataset-style tar shard per
+    * document; exact oracle from the construction rule. */
+  def multimodalTar(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (nm, total, nameLen, ck) = parseTar(tarBytes(id))
+        (id, nm, total, nameLen, ck)
+      })
+      .toDF("asset_id", "n_members", "sum_bytes", "sum_name_len", "checksum")
+  }
+
+  // ---------------------------------------------------------------
   // MP4 / ISO BMFF (r9): frame DECODE genuinely needs codecs — that
   // stays the one stubbed step — but the CONTAINER is a plain
   // big-endian box tree, and container-level metadata extraction
@@ -982,6 +1086,7 @@ object Multimodal {
     "multimodal_jpeg"     -> multimodalJpeg _,
     "multimodal_gif"      -> multimodalGif _,
     "multimodal_mp4"      -> multimodalMp4 _,
+    "multimodal_tar"      -> multimodalTar _,
     "multimodal_audio_gate" -> multimodalAudioGate _,
   )
 
@@ -1135,6 +1240,34 @@ object Multimodal {
           CAST(sum(w * h * b) AS BIGINT) AS sum_b,
           CAST(sum((f + 1) * w * h * (r + g + b)) AS BIGINT) AS checksum
         FROM fr GROUP BY doc_id""",
+    // the tar member rule replayed exactly: names from the string
+    // rule, sizes/bytes from the arithmetic rule, and a (member,
+    // position)-weighted checksum that a mis-walked block boundary,
+    // bad octal parse, or padding slip breaks
+    "multimodal_tar" ->
+      """WITH a AS (
+          SELECT doc_id, 2 + doc_id % 3 AS nmem FROM documents),
+        m AS (
+          SELECT a.doc_id, u.m,
+            10 + (a.doc_id * 31 + u.m * 7) % 200 AS sz,
+            length('doc' || a.doc_id || '/' || u.m || '.bin') AS nlen
+          FROM a, unnest(generate_series(0, a.nmem - 1)) AS u(m)),
+        mm AS (
+          SELECT doc_id, count(*) AS n_members, sum(sz) AS sum_bytes,
+            sum(nlen) AS sum_name_len
+          FROM m GROUP BY doc_id),
+        bb AS (
+          SELECT m.doc_id,
+            sum((m.m + 1) * (v.i + 1)
+              * ((m.doc_id * 17 + m.m * 5 + v.i * 13) % 251)) AS ck
+          FROM m, unnest(generate_series(0, m.sz - 1)) AS v(i)
+          GROUP BY m.doc_id)
+        SELECT mm.doc_id AS asset_id,
+          CAST(mm.n_members AS BIGINT) AS n_members,
+          CAST(mm.sum_bytes AS BIGINT) AS sum_bytes,
+          CAST(mm.sum_name_len AS BIGINT) AS sum_name_len,
+          CAST(bb.ck AS BIGINT) AS checksum
+        FROM mm JOIN bb ON mm.doc_id = bb.doc_id""",
     // the MP4 construction rule replayed arithmetically: duration_ms
     // is exactly integral ((600+30k)·1000/600 = 1000+50k, no
     // truncation ambiguity), and the mdat positional checksum pins

@@ -398,6 +398,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(truncCaught, "truncated JPEG passed the gate")
   }
 
+  test("tar shard: ustar walk verifies checksums; GNU tar cross-reads our bytes") {
+    // doc 7 → 3 members of sizes 10+(7*31+m*7)%200
+    val bytes = Multimodal.tarBytes(7L)
+    val (nm, total, nameLen, _) = Multimodal.parseTar(bytes)
+    val sizes = (0 until 3).map(m => 10 + ((7L * 31 + m * 7) % 200).toInt)
+    assert(nm === 3L)
+    assert(total === sizes.sum.toLong)
+    assert(nameLen === (0 until 3).map(m => s"doc7/$m.bin".length).sum.toLong)
+    // a flipped content byte breaks the payload checksum but NOT the
+    // header checksum — while a flipped header byte is caught loudly
+    val badHdr = bytes.clone(); badHdr(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.parseTar(badHdr))
+    val badCk = bytes.clone(); badCk(512 + 3) = (badCk(512 + 3) + 1).toByte
+    assert(Multimodal.parseTar(badCk)._4 !== Multimodal.parseTar(bytes)._4)
+    // INDEPENDENT reader: if the system has GNU/BSD tar, it must list
+    // exactly our member names and sizes — pinning that the shard is
+    // real ustar, not merely self-consistent with our own parser
+    if (new java.io.File("/usr/bin/tar").exists) {
+      val f = java.io.File.createTempFile("graft_tar", ".tar")
+      try {
+        java.nio.file.Files.write(f.toPath, bytes)
+        val out = new StringBuilder
+        val p = new ProcessBuilder("/usr/bin/tar", "-tvf", f.getAbsolutePath)
+          .redirectErrorStream(true).start()
+        scala.io.Source.fromInputStream(p.getInputStream).getLines()
+          .foreach(l => out.append(l).append('\n'))
+        assert(p.waitFor() === 0, s"tar rejected our shard:\n$out")
+        val listing = out.toString
+        (0 until 3).foreach { m =>
+          assert(listing.contains(s"doc7/$m.bin"), listing)
+          assert(listing.contains(s" ${sizes(m)} "), listing)
+        }
+      } finally f.delete()
+    }
+  }
+
   test("GIF multi-frame decode: exact pixels per frame, order pinned, magic rejected") {
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
