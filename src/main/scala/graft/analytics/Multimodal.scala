@@ -680,6 +680,10 @@ object Multimodal {
     * idiom exists for). */
   private[graft] def gifBytes(writer: javax.imageio.ImageWriter, id: Long): Array[Byte] = {
     val (w, h, nf) = gifRule(id)
+    // without this, createImageOutput/InputStream default to FILE-cache
+    // wrappers: pointless temp-file I/O per asset and (on the read
+    // side) a leaked fd per document until GC
+    javax.imageio.ImageIO.setUseCache(false)
     val out = new java.io.ByteArrayOutputStream
     val ios = javax.imageio.ImageIO.createImageOutputStream(out)
     writer.setOutput(ios)
@@ -703,23 +707,27 @@ object Multimodal {
       bytes: Array[Byte]): (Int, Int, Long, Long, Long, Long, Long) = {
     require(bytes.length >= 6 &&
       new String(bytes, 0, 6, "US-ASCII").startsWith("GIF8"), "not a GIF")
-    reader.setInput(javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(bytes)))
-    val n = reader.getNumImages(true)
-    var w = -1; var h = -1
-    var sr = 0L; var sg = 0L; var sb = 0L; var ck = 0L
-    (0 until n).foreach { f =>
-      val img = reader.read(f)
-      w = img.getWidth; h = img.getHeight
-      var fr = 0L; var fg = 0L; var fb = 0L
-      for (y <- 0 until h; x <- 0 until w) {
-        val p = img.getRGB(x, y)
-        fr += (p >> 16) & 0xff; fg += (p >> 8) & 0xff; fb += p & 0xff
+    javax.imageio.ImageIO.setUseCache(false)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      var w = -1; var h = -1
+      var sr = 0L; var sg = 0L; var sb = 0L; var ck = 0L
+      (0 until n).foreach { f =>
+        val img = reader.read(f)
+        w = img.getWidth; h = img.getHeight
+        var fr = 0L; var fg = 0L; var fb = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          val p = img.getRGB(x, y)
+          fr += (p >> 16) & 0xff; fg += (p >> 8) & 0xff; fb += p & 0xff
+        }
+        sr += fr; sg += fg; sb += fb
+        ck += (f + 1L) * (fr + fg + fb)
       }
-      sr += fr; sg += fg; sb += fb
-      ck += (f + 1L) * (fr + fg + fb)
-    }
-    (w, h, n.toLong, sr, sg, sb, ck)
+      (w, h, n.toLong, sr, sg, sb, ck)
+    } finally iis.close()
   }
 
   /** Synthesize → genuinely decode every FRAME of an animated GIF per
@@ -763,8 +771,13 @@ object Multimodal {
   private def tarName(id: Long, m: Int): String = s"doc$id/$m.bin"
 
   private def tarOctal(v: Long, width: Int): Array[Byte] = {
-    // POSIX numeric field: zero-padded octal, NUL terminator
+    // POSIX numeric field: zero-padded octal, NUL terminator. An
+    // overflowing value would otherwise silently BLEED into the next
+    // header field (Scala's "0" * negative is ""), producing a
+    // checksum-valid but malformed header — the self-consistent-but-
+    // wrong mode the GNU-tar cross-check exists to catch
     val s = java.lang.Long.toOctalString(v)
+    require(s.length < width, s"octal value $v overflows a $width-byte field")
     (("0" * (width - 1 - s.length)) + s + "\u0000").getBytes("US-ASCII")
   }
 
@@ -828,7 +841,12 @@ object Multimodal {
       }
       pos += 512 + ((size + 511) / 512).toInt * 512
     }
-    require(nm > 0, "empty or unterminated tar")
+    require(nm > 0, "empty tar")
+    // the walk must have ENDED on the two EOF zero blocks — exiting
+    // because bytes ran out means a truncated shard, which must reject
+    // loudly rather than parse as a smaller valid one
+    require(pos + 1024 <= bytes.length && isZeroBlock(pos) && isZeroBlock(pos + 512),
+      s"unterminated/truncated tar at $pos (missing EOF zero blocks)")
     (nm, total, nameLen, ck)
   }
 

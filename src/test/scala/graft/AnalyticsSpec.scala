@@ -412,6 +412,12 @@ class AnalyticsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.parseTar(badHdr))
     val badCk = bytes.clone(); badCk(512 + 3) = (badCk(512 + 3) + 1).toByte
     assert(Multimodal.parseTar(badCk)._4 !== Multimodal.parseTar(bytes)._4)
+    // truncation at a block boundary (EOF zero blocks stripped) must
+    // reject loudly, never parse as a smaller valid shard
+    intercept[IllegalArgumentException](
+      Multimodal.parseTar(bytes.dropRight(1024)))
+    intercept[IllegalArgumentException](
+      Multimodal.parseTar(bytes.dropRight(1024 + 512 + sizes.last + (512 - sizes.last % 512) % 512)))
     // INDEPENDENT reader: if the system has GNU/BSD tar, it must list
     // exactly our member names and sizes — pinning that the shard is
     // real ustar, not merely self-consistent with our own parser

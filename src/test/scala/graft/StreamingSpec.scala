@@ -401,10 +401,11 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[(Long, Long)]
     val out = mem.toDS().groupByKey(_._1)
       .transformWithState(
-        // TTL 5 s: comfortably above worst-case batch-to-batch latency
-        // (the inside-TTL phase must not expire by accident) and well
-        // under the 12 s idle gap that must expire it
-        new graft.analytics.TtlCountProcessor(java.time.Duration.ofSeconds(5)),
+        // TTL 20 s: the inside-TTL phase must not expire by accident,
+        // and this suite has documented multi-second RocksDB/
+        // maintenance stalls — so the TTL dwarfs any plausible
+        // batch-to-batch gap while the 28 s idle still expires it
+        new graft.analytics.TtlCountProcessor(java.time.Duration.ofSeconds(20)),
         org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
         org.apache.spark.sql.streaming.OutputMode.Append())
       .toDF("user_id", "recent", "total")
@@ -426,7 +427,7 @@ class StreamingSpec extends SparkSpec {
       awaitRows(1)
       mem.addData((1L, 30L))             // immediately: inside the TTL
       awaitRows(2)
-      Thread.sleep(12000)                // idle past the 5 s TTL
+      Thread.sleep(28000)                // idle past the 20 s TTL
       mem.addData((1L, 40L))
       awaitRows(3)
       // emissions in batch order (total is monotone): recent tracks
