@@ -581,10 +581,11 @@ object Multimodal {
     val (top, bot) = jpegColors(docId)
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until h; x <- 0 until w) {
-      val c = if (y < h / 2) top else bot
-      img.setRGB(x, y, (c(0) << 16) | (c(1) << 8) | c(2))
+    val px = Array.tabulate(w * h) { i =>
+      val c = if (i / w < h / 2) top else bot
+      (c(0) << 16) | (c(1) << 8) | c(2)
     }
+    img.setRGB(0, 0, w, h, px, 0, w)
     javax.imageio.ImageIO.setUseCache(false)
     val it = javax.imageio.ImageIO.getImageWritersByFormatName("jpg")
     require(it.hasNext, "JDK JPEG writer unavailable")
@@ -610,10 +611,16 @@ object Multimodal {
     val (w, h) = (img.getWidth, img.getHeight)
     val (top, bot) = jpegColors(docId)
     def halfErr(y0: Int, y1: Int, planted: Array[Int]): Long = {
+      // bulk raster read: per-pixel getRGB pays a color-model virtual
+      // call per pixel — the bulk variant is the fast path and this
+      // loop dominates the query's per-document cost
+      val px = img.getRGB(0, y0, w, y1 - y0, null, 0, w)
       var sr = 0L; var sg = 0L; var sb = 0L
-      for (y <- y0 until y1; x <- 0 until w) {
-        val rgb = img.getRGB(x, y)
+      var i = 0
+      while (i < px.length) {
+        val rgb = px(i)
         sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+        i += 1
       }
       val n = (y1 - y0).toLong * w
       // rounded mean error per channel, worst channel wins
@@ -693,7 +700,7 @@ object Multimodal {
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
       val rgb = (r << 16) | (g << 8) | b
-      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      img.setRGB(0, 0, w, h, Array.fill(w * h)(rgb), 0, w)
       writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
     }
     writer.endWriteSequence()
@@ -718,10 +725,14 @@ object Multimodal {
       (0 until n).foreach { f =>
         val img = reader.read(f)
         w = img.getWidth; h = img.getHeight
+        // bulk raster read — same reasoning as the JPEG half-mean loop
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
         var fr = 0L; var fg = 0L; var fb = 0L
-        for (y <- 0 until h; x <- 0 until w) {
-          val p = img.getRGB(x, y)
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
           fr += (p >> 16) & 0xff; fg += (p >> 8) & 0xff; fb += p & 0xff
+          i += 1
         }
         sr += fr; sg += fg; sb += fb
         ck += (f + 1L) * (fr + fg + fb)
