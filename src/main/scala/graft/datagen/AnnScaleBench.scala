@@ -20,6 +20,8 @@ import org.apache.spark.sql.SparkSession
   * RUNTIME: the contract is the point — expect ~35 s total at 60k
   * vectors but ~55 MINUTES at 600k/nlist=775 on local[32] (2 passes
   * × (719 s ivf + 848 s ivfpq), measured r9); it has not hung.
+  * SPARK_GRAFT_ANN_ONLY=ivf|ivfpq re-measures one workload (a -1
+  * placeholder fills the skipped field).
   * Prints one JSON line per dir:
   *   {"dir":…,"n":…,"nlist":…,"ivf_sec":…,"ivfpq_sec":…}
   * (min of `passes` timed runs each, count() as the action; results
@@ -52,10 +54,12 @@ object AnnScaleBench {
           spark.catalog.clearCache()
           dt
         }.min
-      val ivf = time(() => graft.analytics.Similarity
-        .simAnnIvf(spark, dir, nlistOverride = nlist, nprobeOverride = 16))
-      val ivfpq = time(() => graft.analytics.Similarity
-        .simAnnIvfPq(spark, dir, nlistOverride = nlist, nprobeOverride = 16))
+      val only = sys.env.get("SPARK_GRAFT_ANN_ONLY")
+      def want(w: String) = only.forall(_ == w)
+      val ivf = if (want("ivf")) time(() => graft.analytics.Similarity
+        .simAnnIvf(spark, dir, nlistOverride = nlist, nprobeOverride = 16)) else -1.0
+      val ivfpq = if (want("ivfpq")) time(() => graft.analytics.Similarity
+        .simAnnIvfPq(spark, dir, nlistOverride = nlist, nprobeOverride = 16)) else -1.0
       println(f"""{"dir":"$dir","n":$n,"nlist":$nlist,""" +
         f""""ivf_sec":$ivf%.2f,"ivfpq_sec":$ivfpq%.2f}""")
     }
