@@ -898,6 +898,33 @@ object EventsPipeline {
         sum(col("nbytes")).as("sum_avro_bytes"))
   }
 
+  /** Protobuf wire-format codec (r9) — the second Kafka payload
+    * codec, closing the protobuf gap FUNCTIONALLY the way tar closed
+    * WebDataset: nothing of protobuf ships in this image (only the
+    * three always-throwing SQL stubs — see COVERAGE.md), but the wire
+    * format is public and small, so
+    * [[graft.functions.ProtoExpressions]] implements the flat-record
+    * subset natively. Same query/oracle shape as [[avroFunctions]]:
+    * encode→decode round-trip whose rollup sums the encoded payload
+    * size, with the DuckDB oracle replaying the wire layout
+    * arithmetically — tags are 1 byte each here, the id varint is
+    * PLAIN (not zigzag: ladder thresholds on id, not 2·id), and the
+    * string length rides its own plain varint. */
+  def protoFunctions(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ProtoFunctions.{fromProto, toProto}
+    val ddl = "event_id BIGINT, event_type STRING, value DOUBLE"
+    val enc = events(s, d).select(
+      toProto(struct(col("event_id"), col("event_type"), col("value")))
+        .as("payload"))
+    enc.select(fromProto(col("payload"), ddl).as("r"),
+        length(col("payload")).cast("long").as("nbytes"))
+      .groupBy(col("r.event_type").as("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(dec2(col("r.value"))).cast("double").as("sum_value"),
+        sum(col("nbytes")).as("sum_proto_bytes"))
+  }
+
   /** PERMISSIVE ingest with corrupt-record accounting — what a 100 TB
     * raw-layer load actually faces: rows that don't parse. Every 7th
     * event is deterministically mangled (non-numeric value field),
@@ -1444,6 +1471,7 @@ object EventsPipeline {
     "orc_roundtrip"       -> orcRoundtrip _,
     "avro_roundtrip"      -> avroRoundtrip _,
     "avro_functions"      -> avroFunctions _,
+    "proto_functions"     -> protoFunctions _,
     "xml_roundtrip"       -> xmlRoundtrip _,
     "ingest_badrecords"   -> ingestBadrecords _,
     "join_asof"           -> joinAsof _,
@@ -2161,6 +2189,26 @@ object EventsPipeline {
     "xml_roundtrip"  -> roundtripOracle,
     "avro_roundtrip" -> roundtripOracle,
     "avro_functions" -> avroBytesOracle,
+    // the proto wire layout replayed arithmetically: three 1-byte
+    // tags, a PLAIN varint for the id (thresholds on id itself —
+    // proto int64 is not zigzag), a plain 1-byte length varint for
+    // the short ASCII event_type (exact for len < 128 here, unlike
+    // Avro's zigzag lengths), and a fixed 8-byte double
+    "proto_functions" ->
+      """SELECT event_type, count(*) AS cnt,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+          CAST(sum(
+            CASE WHEN event_id < 128 THEN 1
+                 WHEN event_id < 16384 THEN 2
+                 WHEN event_id < 2097152 THEN 3
+                 WHEN event_id < 268435456 THEN 4
+                 WHEN event_id < 34359738368 THEN 5
+                 WHEN event_id < 4398046511104 THEN 6
+                 WHEN event_id < 562949953421312 THEN 7
+                 WHEN event_id < 72057594037927936 THEN 8
+                 ELSE 9 END
+            + 12 + length(event_type)) AS BIGINT) AS sum_proto_bytes
+        FROM events GROUP BY event_type""",
     // corruption rule re-applied to the clean table: event_id % 7 = 0
     // rows are the quarantined ones, everything else must parse
     "ingest_badrecords" ->

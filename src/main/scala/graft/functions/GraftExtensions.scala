@@ -89,6 +89,15 @@ object GraftExtensions {
     ("graft_from_avro",
       new ExpressionInfo(classOf[FromAvroExpr].getName, "graft_from_avro"),
       (es: Seq[Expression]) => FromAvroExpr(es(0), strArg(es(1), "graft_from_avro"))),
+    // Protobuf wire-format pair (nothing of protobuf ships in this
+    // image — the subset codec is hand-rolled; see
+    // ProtoExpressions.scala)
+    ("graft_to_proto",
+      new ExpressionInfo(classOf[ToProtoExpr].getName, "graft_to_proto"),
+      (es: Seq[Expression]) => ToProtoExpr(es(0))),
+    ("graft_from_proto",
+      new ExpressionInfo(classOf[FromProtoExpr].getName, "graft_from_proto"),
+      (es: Seq[Expression]) => FromProtoExpr(es(0), strArg(es(1), "graft_from_proto"))),
     // Spark's own bloom sketch pair, surfaced to SQL: the optimizer
     // injects these for runtime join filters but does not register
     // them for direct use — registering the SAME expressions lets a

@@ -122,6 +122,45 @@ class PipelineSpec extends SparkSpec {
         "value: DOUBLE NOT NULL>")
   }
 
+  test("proto wire codec: exact bytes, unknown-field skip, any order, truncation") {
+    // hand-computed from the protobuf encoding spec for
+    // {1: int64=3, 2: string="click", 3: double=1.5}:
+    // tag(1,varint)=0x08, 3; tag(2,len)=0x12, len 5, utf8;
+    // tag(3,fixed64)=0x19, 1.5 as 8-byte LITTLE-endian IEEE
+    import spark.implicits._
+    import graft.functions.ProtoFunctions.{fromProto, toProto}
+    val ddl = "event_id BIGINT, event_type STRING, value DOUBLE"
+    val df = Seq((3L, "click", 1.5)).toDF("event_id", "event_type", "value")
+    val payload = df.select(toProto(
+        struct(col("event_id"), col("event_type"), col("value"))))
+      .collect()(0).getAs[Array[Byte]](0)
+    val expected = Array(0x08, 0x03, 0x12, 0x05, 'c', 'l', 'i', 'c', 'k',
+      0x19, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0xf8, 0x3f).map(_.toByte)
+    assert(payload.toSeq === expected.toSeq,
+      payload.map(b => f"$b%02x").mkString(" "))
+    def decode(bytes: Array[Byte]) =
+      spark.createDataset(Seq(bytes)).toDF("p")
+        .select(fromProto(col("p"), ddl).as("r")).select("r.*")
+        .as[(Long, String, Double)].collect()(0)
+    assert(decode(payload) === ((3L, "click", 1.5)))
+    // proto compatibility behaviors, both spec-mandated:
+    // (a) UNKNOWN field numbers are skipped by wire type
+    val withUnknown = payload ++ Array[Byte](0x48, 0x07) // field 9 varint
+    assert(decode(withUnknown) === ((3L, "click", 1.5)))
+    // (b) fields may arrive in ANY order
+    val reordered = (expected.slice(9, 18) ++ expected.slice(0, 9)).toArray
+    assert(decode(reordered) === ((3L, "click", 1.5)))
+    // truncated payloads throw loudly (FAILFAST)
+    intercept[Exception] {
+      spark.createDataset(Seq(payload.take(8))).toDF("p")
+        .select(fromProto(col("p"), ddl)).collect()
+    }
+    // absent fields decode to null (explicit presence)
+    val onlyId = spark.createDataset(Seq(Array[Byte](0x08, 0x03))).toDF("p")
+      .select(fromProto(col("p"), ddl).as("r")).select("r.*").collect()(0)
+    assert(onlyId.getLong(0) === 3L && onlyId.isNullAt(1) && onlyId.isNullAt(2))
+  }
+
   test("Avro varint ladder: engine payload length matches at every tier boundary") {
     // the corpus only carries ids <= 9999, so oracle ladder tiers 3-9
     // would otherwise ship untested; encode one row at each threshold's

@@ -141,9 +141,11 @@ class PlanSpec extends SparkSpec {
     "agg_salted" -> 2, "agg_unpivot" -> 0, "array_funcs" -> 0,
     "clean_nan_null" -> 1,
     "avro_roundtrip" -> 1,
-    // avro_functions: map-only encode/decode expressions + ONE grouped
-    // rollup — the single hashpartitioning is the event_type agg
+    // avro_functions / proto_functions: map-only encode/decode
+    // expressions + ONE grouped rollup — the single hashpartitioning
+    // is the event_type agg
     "avro_functions" -> 1,
+    "proto_functions" -> 1,
     "csv_roundtrip" -> 1, "dedup_embedding" -> 1, "dedup_exact" -> 1,
     "dedup_minhash" -> 3, "dedup_ngram" -> 15, "dedup_simhash" -> 0,
     "dedup_simhash64" -> 0, "dedup_simhash_pairs" -> 1, "expect_suite" -> 0,
