@@ -693,18 +693,27 @@ object Multimodal {
     javax.imageio.ImageIO.setUseCache(false)
     val out = new java.io.ByteArrayOutputStream
     val ios = javax.imageio.ImageIO.createImageOutputStream(out)
-    writer.setOutput(ios)
-    writer.prepareWriteSequence(null)
-    (0 until nf).foreach { f =>
-      val (r, g, b) = gifColor(id, f)
-      val img = new java.awt.image.BufferedImage(w, h,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val rgb = (r << 16) | (g << 8) | b
-      img.setRGB(0, 0, w, h, Array.fill(w * h)(rgb), 0, w)
-      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    // an exception mid-sequence must neither leak the stream nor leave
+    // the per-partition REUSED writer pointing at it in a stale
+    // prepareWriteSequence state for the next asset — reset() restores
+    // the writer to its initial state either way (mirrors jpegBytes'
+    // try/finally; reset instead of dispose because this writer lives
+    // for the whole partition)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until nf).foreach { f =>
+        val (r, g, b) = gifColor(id, f)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (r << 16) | (g << 8) | b
+        img.setRGB(0, 0, w, h, Array.fill(w * h)(rgb), 0, w)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      try writer.reset() finally ios.close()
     }
-    writer.endWriteSequence()
-    ios.close()
     out.toByteArray
   }
 

@@ -834,8 +834,17 @@ object StreamingQueries {
     val dataNames = dataFiles.map(_.getName).toSet
     new java.io.File(tmp).listFiles()
       .filterNot(f => dataNames(f.getName))
-      .foreach(f => f.setLastModified(
-        math.max(f.lastModified, maxDataMtime + 2000L)))
+      .foreach { f =>
+        f.setLastModified(math.max(f.lastModified, maxDataMtime + 2000L))
+        // a silently failed pin (setLastModified returns false on
+        // filesystems that reject mtime updates) would degrade the
+        // ordering invariant back to path tie-break luck — re-stat and
+        // fail loudly instead of undercounting (r9 advisor)
+        require(f.lastModified > maxDataMtime,
+          s"could not pin sentinel file ${f.getName} strictly after the " +
+            s"data files (mtime ${f.lastModified} <= $maxDataMtime); the " +
+            "FileStreamSource ordering invariant would be tie-break luck")
+      }
     val schema = s.read.parquet(tmp).schema
     val src = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerBatch)

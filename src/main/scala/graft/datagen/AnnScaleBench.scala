@@ -55,6 +55,11 @@ object AnnScaleBench {
           dt
         }.min
       val only = sys.env.get("SPARK_GRAFT_ANN_ONLY")
+      // fail fast on a typo'd value — silently skipping BOTH workloads
+      // and printing -1/-1 is how a re-measurement quietly measures
+      // nothing (r9 advisor; mirrors ScaleUp's table-subset validation)
+      require(only.forall(Set("ivf", "ivfpq")),
+        s"SPARK_GRAFT_ANN_ONLY must be 'ivf' or 'ivfpq', got '${only.getOrElse("")}'")
       def want(w: String) = only.forall(_ == w)
       val ivf = if (want("ivf")) time(() => graft.analytics.Similarity
         .simAnnIvf(spark, dir, nlistOverride = nlist, nprobeOverride = 16)) else -1.0

@@ -32,10 +32,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * BinaryType (length-delimited). Encoding writes every non-null
   * field in field-number order and OMITS nulls (explicit presence);
   * decoding returns null for absent fields, tolerates fields arriving
-  * in ANY order, and SKIPS unknown field numbers by wire type — the
+  * in ANY order, and SKIPS unknown field numbers carried on the
+  * varint / fixed64 / length-delimited / fixed32 wire types (fixed32
+  * covers e.g. a float added in a newer schema generation) — the
   * proto compatibility behaviors that make the format useful across
-  * schema generations. Truncated or malformed payloads throw loudly
-  * (FAILFAST, matching [[FromAvroExpr]]).
+  * schema generations. The deprecated group wire types (3/4) are NOT
+  * skippable without a recursive END_GROUP scan and throw instead.
+  * Truncated or malformed payloads throw loudly (FAILFAST, matching
+  * [[FromAvroExpr]]), including tags whose field number is 0 or
+  * exceeds the spec's 2^29-1 cap — a conforming encoder can emit
+  * neither, so both mark corruption rather than schema drift.
   *
   * Scale: both are per-row codegen-fused expressions (the same
   * reference-object callback as the Avro pair) — map-only, no
@@ -114,7 +120,15 @@ object ProtoWire {
     var pos = 0
     while (pos < bytes.length) {
       val (tag, p1) = readVarint(bytes, pos)
-      val field = (tag >>> 3).toInt
+      // compare the field number as a LONG before narrowing: a corrupt
+      // tag whose low 32 bits happen to land in 1..schema.length must
+      // not be silently misattributed to a declared field (conforming
+      // encoders cap field numbers at 2^29-1, so anything above marks
+      // corruption, as does the spec-invalid field number 0)
+      val fieldL = tag >>> 3
+      require(fieldL >= 1L && fieldL <= 536870911L,
+        s"invalid field number $fieldL at $pos (spec range is 1..2^29-1)")
+      val field = fieldL.toInt
       val wt = (tag & 0x7).toInt
       pos = p1
       val known = field >= 1 && field <= schema.length
@@ -150,9 +164,15 @@ object ProtoWire {
               java.util.Arrays.copyOfRange(bytes, p2, p2 + len.toInt)
             case _ => throw new IllegalStateException("unreachable")
           }
+        case 5 =>
+          // no declared type maps to fixed32, so a KNOWN field already
+          // failed the wire-type require above; an unknown fixed32
+          // (e.g. a float in a newer schema generation) is skipped
+          require(pos + 4 <= bytes.length, s"truncated fixed32 at $pos")
+          pos += 4
         case other =>
           throw new IllegalArgumentException(
-            s"unsupported wire type $other at $pos (groups/fixed32 not in this subset)")
+            s"unsupported wire type $other at $pos (deprecated groups not skippable)")
       }
     }
     InternalRow.fromSeq(values.toIndexedSeq)

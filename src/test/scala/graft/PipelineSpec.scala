@@ -147,6 +147,30 @@ class PipelineSpec extends SparkSpec {
     // (a) UNKNOWN field numbers are skipped by wire type
     val withUnknown = payload ++ Array[Byte](0x48, 0x07) // field 9 varint
     assert(decode(withUnknown) === ((3L, "click", 1.5)))
+    // (a') ... including fixed32 (a float added in a newer schema
+    // generation): tag (9<<3)|5 = 0x4d + 4 payload bytes
+    val withFixed32 = payload ++
+      Array[Byte](0x4d, 0x00, 0x00, 0x80.toByte, 0x3f) // field 9 = 1.0f
+    assert(decode(withFixed32) === ((3L, "click", 1.5)))
+    // ... but a TRUNCATED fixed32 still throws (FAILFAST)
+    intercept[Exception] {
+      spark.createDataset(Seq(payload ++ Array[Byte](0x4d, 0x00))).toDF("p")
+        .select(fromProto(col("p"), ddl)).collect()
+    }
+    // (a'') spec-invalid field numbers mark CORRUPTION, not drift:
+    // field 0 rejects, and a >2^29-1 field number whose LOW 32 BITS
+    // land on declared field 1 (fieldL = 2^32+1, varint of
+    // (2^32+1)<<3) must throw rather than be misattributed to field 1
+    intercept[Exception] {
+      spark.createDataset(Seq(Array[Byte](0x00, 0x01))).toDF("p")
+        .select(fromProto(col("p"), ddl)).collect()
+    }
+    val hugeField = Array(0x88, 0x80, 0x80, 0x80, 0x80, 0x01, 0x07)
+      .map(_.toByte) // tag varint 2^35+8 (field 2^32+1, wt 0), value 7
+    intercept[Exception] {
+      spark.createDataset(Seq(hugeField)).toDF("p")
+        .select(fromProto(col("p"), ddl)).collect()
+    }
     // (b) fields may arrive in ANY order
     val reordered = (expected.slice(9, 18) ++ expected.slice(0, 9)).toArray
     assert(decode(reordered) === ((3L, "click", 1.5)))
