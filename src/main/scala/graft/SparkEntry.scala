@@ -30,7 +30,9 @@ object SparkEntry {
       analytics.Chunking.queries ++
       analytics.Bpe.queries ++
       analytics.Stats.queries ++
-      analytics.Geo.queries
+      analytics.Geo.queries ++
+      analytics.Web.queries ++
+      analytics.Codecs.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,5 +48,7 @@ object SparkEntry {
       analytics.Chunking.oracle ++
       analytics.Bpe.oracle ++
       analytics.Stats.oracle ++
-      analytics.Geo.oracle
+      analytics.Geo.oracle ++
+      analytics.Web.oracle ++
+      analytics.Codecs.oracle
 }

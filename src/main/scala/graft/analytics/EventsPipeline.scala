@@ -1408,6 +1408,61 @@ object EventsPipeline {
         z.as("zval"))
   }
 
+  /** In-flight data-quality counters via Spark's Observation API
+    * (r10): `df.observe` piggybacks named aggregates on the SAME pass
+    * that materializes the valid split — at 100 TB a separate
+    * counting pass re-reads the corpus, while observe() costs one
+    * accumulator update per row inside the existing scan. The query
+    * drives the observed pass through the zero-copy `noop` sink
+    * (exactly how a production job would attach metrics to its real
+    * write) and returns the collected metrics as a one-row frame.
+    * The sum is folded in DECIMAL (exact, order-free) and only cast
+    * to double at the edge — an observed double sum would be
+    * partition-order-dependent and hash-unstable. */
+  def observeMetrics(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val obs = org.apache.spark.sql.Observation("split_metrics")
+    splitValid(s, d)
+      .observe(obs,
+        count(lit(1)).as("n_valid"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        max(col("value")).as("max_value"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    Seq((m("n_valid").asInstanceOf[Long],
+      m("sum_value").asInstanceOf[Double],
+      m("max_value").asInstanceOf[Double],
+      m("min_k").asInstanceOf[Int],
+      m("max_k").asInstanceOf[Int]))
+      .toDF("n_valid", "sum_value", "max_value", "min_k", "max_k")
+  }
+
+  /** Collation-aware grouping (Spark 4's collated string type, r10):
+    * real feeds spell the same enum value in many cases, and the
+    * engine-level fix is a COLLATED comparison, not lower() sprinkled
+    * over every predicate (a collated column keeps pushdown and
+    * codegen; an expression wrapper can defeat both). Mixed-case
+    * variants are synthesized on an event_id rotation, grouped under
+    * UTF8_LCASE collation, and the per-group count + binary-min
+    * variant must land exactly where DuckDB's lower()-keyed grouping
+    * puts them. One exchange on the collated key. The group key
+    * itself is NOT output — under a collation any case variant may
+    * represent the group; the deterministic outputs are lower(min)
+    * and min. */
+  def strCollation(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"),
+        when(col("event_id") % 3 === 0, upper(col("event_type")))
+          .when(col("event_id") % 3 === 1, initcap(col("event_type")))
+          .otherwise(col("event_type")).as("mixed"))
+      .groupBy(expr("collate(mixed, 'UTF8_LCASE')").as("ckey"))
+      .agg(min(col("mixed")).as("variant_min"),
+        count(lit(1)).as("cnt"))
+      .select(lower(col("variant_min")).as("etype"),
+        col("variant_min"), col("cnt"))
+
   /** Snowpipe-style cast/extract projection (S8/F10). */
   def warehouseLoad(s: SparkSession, d: String): DataFrame =
     events(s, d).select(
@@ -1419,6 +1474,8 @@ object EventsPipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "split_valid"         -> splitValid _,
     "split_invalid"       -> splitInvalid _,
+    "observe_metrics"     -> observeMetrics _,
+    "str_collation"       -> strCollation _,
     "reasons_array"       -> reasonsArray _,
     "expect_suite"        -> expectSuite _,
     "expect_suite_json"   -> expectSuiteJson _,
@@ -1753,6 +1810,31 @@ object EventsPipeline {
         SELECT event_id, event_type, value, k,
           $reasonsExpr AS rejection_reasons
         FROM v WHERE NOT (r1 AND r2 AND r3 AND r4)""",
+    // UTF8_LCASE-collated grouping is definitionally lower()-keyed
+    // grouping; the binary min (uppercase sorts first in both
+    // engines' binary order) pins that every case variant landed in
+    // the right group
+    "str_collation" ->
+      """WITH m AS (
+          SELECT CASE WHEN event_id % 3 = 0 THEN upper(event_type)
+            WHEN event_id % 3 = 1 THEN
+              upper(substr(event_type, 1, 1)) || substr(event_type, 2)
+            ELSE event_type END AS mixed
+          FROM events)
+        SELECT lower(min(mixed)) AS etype,
+          min(mixed) AS variant_min,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM m GROUP BY lower(mixed)""",
+    // the observed pass counts exactly the valid-split rows; DECIMAL
+    // sum cast to double at the edge matches the engine's exact fold
+    "observe_metrics" ->
+      s"""$vCte
+        SELECT CAST(count(*) AS BIGINT) AS n_valid,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+          max(value) AS max_value,
+          CAST(min(k) AS INT) AS min_k,
+          CAST(max(k) AS INT) AS max_k
+        FROM v WHERE r1 AND r2 AND r3 AND r4""",
     "reasons_array" ->
       s"""$vCte
         SELECT $reasonsExpr AS rejection_reasons, count(*) AS cnt

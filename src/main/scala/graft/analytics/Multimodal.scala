@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * JPEG (r9) round-trips through the JDK's real codec behind a
   * tolerance gate, MP4 (r9) genuinely parses the ISO BMFF container,
   * and animated GIF (r9) does REAL multi-frame extraction with an
-  * exact-replay oracle; the ONLY remaining stub is COMPRESSED-codec
-  * video frame decode (`decodeBatch` below — no H.264-class codec
-  * anywhere in this container). Everything Spark-side is real
+  * exact-replay oracle; MJPEG-in-AVI (r10) genuinely demuxes and
+  * decodes a COMPRESSED video codec, so the only remaining stub is
+  * INTER-frame codec decode (`decodeBatch` below — no H.264-class
+  * codec anywhere in this container). Everything Spark-side is real
   * throughout: schema,
   * batch shape, partitioning, and the per-partition processing
   * pattern (`mapPartitions` — the Scala analogue of `mapInPandas`
@@ -31,6 +32,20 @@ object Multimodal {
   final case class Asset(asset_id: Long, content: Array[Byte], media_type: String)
   final case class AssetFeatures(asset_id: Long, n_bytes: Int, sha256: String,
       n_frames: Int, features: Array[Float])
+
+  /** Codec-bound queries fan the 8-byte id stream to full parallelism
+    * before the per-partition codec loop. This is the right trade at
+    * ANY scale — per-row codec work is 10³–10⁶× the shuffle cost of an
+    * id — and at test SF it is load-bearing: the corpus is ONE small
+    * parquet split, which would otherwise serialize tens of thousands
+    * of encode/decode ops on a single task (measured: multimodal_mjpeg
+    * 4.5 s → 0.4 s at sf0.1). Round-robin, not hash: there is no key,
+    * only width. */
+  private def fannedIds(s: SparkSession, d: String): org.apache.spark.sql.Dataset[Long] = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+  }
 
   /** documents → asset table: text bytes standing in for media blobs. */
   def assets(s: SparkSession, d: String): DataFrame =
@@ -579,6 +594,19 @@ object Multimodal {
   private[graft] def jpegBytes(docId: Long): Array[Byte] = {
     val (w, h) = jpegDims(docId)
     val (top, bot) = jpegColors(docId)
+    javax.imageio.ImageIO.setUseCache(false)
+    val it = javax.imageio.ImageIO.getImageWritersByFormatName("jpg")
+    require(it.hasNext, "JDK JPEG writer unavailable")
+    val writer = it.next()
+    try twoToneJpeg(writer, w, h, top, bot)
+    finally writer.dispose()
+  }
+
+  /** Two-tone frame through the real JPEG codec at explicit quality
+    * 1.0 (see [[jpegBytes]] for why the default quality is unusable);
+    * takes the writer so the AVI muxer can reuse one per partition. */
+  private[graft] def twoToneJpeg(writer: javax.imageio.ImageWriter,
+      w: Int, h: Int, top: Array[Int], bot: Array[Int]): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     val px = Array.tabulate(w * h) { i =>
@@ -587,18 +615,19 @@ object Multimodal {
     }
     img.setRGB(0, 0, w, h, px, 0, w)
     javax.imageio.ImageIO.setUseCache(false)
-    val it = javax.imageio.ImageIO.getImageWritersByFormatName("jpg")
-    require(it.hasNext, "JDK JPEG writer unavailable")
-    val writer = it.next()
     val param = writer.getDefaultWriteParam
     param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     param.setCompressionQuality(1.0f)
     val out = new java.io.ByteArrayOutputStream
     val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    // reset() not dispose(): the caller may reuse this writer for the
+    // next frame/asset (the gifBytes lifecycle contract)
     try {
       writer.setOutput(ios)
       writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
-    } finally { writer.dispose(); ios.close() }
+    } finally {
+      try writer.reset() finally ios.close()
+    }
     out.toByteArray
   }
 
@@ -634,7 +663,7 @@ object Multimodal {
   /** Synthesize → real-codec encode → real-codec decode → gate. */
   def multimodalJpeg(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    documents(s, d).select(col("doc_id")).as[Long]
+    fannedIds(s, d)
       .mapPartitions(_.map { id =>
         val (w, h, errTop, errBot) = jpegHalfErrors(jpegBytes(id), id)
         val (top, bot) = jpegColors(id)
@@ -754,7 +783,7 @@ object Multimodal {
     * document; exact-replay oracle (lossless codec). */
   def multimodalGif(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    documents(s, d).select(col("doc_id")).as[Long]
+    fannedIds(s, d)
       .mapPartitions { it =>
         // one encoder/decoder per partition, reused across assets
         val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
@@ -1113,6 +1142,274 @@ object Multimodal {
         "width", "height", "n_audio", "mdat_bytes", "mdat_checksum")
   }
 
+  // ---------------------------------------------------------------
+  // MJPEG-in-AVI (r10): COMPRESSED-video frame decode — closes this
+  // file's last stub surface. Motion-JPEG is a real compressed video
+  // codec (intra-frame JPEG — the native output of webcams, capture
+  // cards, and many dashcams), and the JDK ships the full JPEG codec,
+  // so unlike H.264-class inter-frame codecs it is genuinely
+  // decodable in this container. Per document: one two-tone JPEG per
+  // frame (per-frame planted colors, explicit quality 1.0 — see
+  // twoToneJpeg) muxed into a hand-rolled RIFF/AVI container (hdrl
+  // avih + strl strh/strf, movi 00dc chunks with odd-length padding,
+  // idx1 index). The parser walks the RIFF tree by chunk size (never
+  // by position), takes geometry from the stream's OWN strf
+  // BITMAPINFOHEADER (the mp4 hdlr lesson: positional parsers fail
+  // the oracle), cross-checks the idx1 index entry-by-entry against
+  // the chunks it actually walked, and decodes every frame with the
+  // real codec. Lossy codec ⇒ exact pixel replay is impossible; the
+  // oracle carries the planted construction plus all-ones gate flags
+  // (the multimodal_jpeg pattern, here per FRAME: ok_frames must
+  // equal n_frames). All construction moduli divide 192, so
+  // AnalyticsSpec's exhaustive cycle sweep covers every (dims,
+  // frame-count, rate, color) combination the corpus can produce.
+  // ---------------------------------------------------------------
+
+  /** (width, height, nFrames, usPerFrame) per asset. Dims stay
+    * MCU-aligned (16-multiples) for the same 4:2:0-chroma reason as
+    * [[jpegDims]]; every modulus divides 192. */
+  private def aviRule(id: Long): (Int, Int, Int, Int) =
+    (48 + (id % 3).toInt * 16, 32 + (id % 2).toInt * 32,
+      2 + (id % 4).toInt, 20000 * (1 + (id % 4).toInt))
+
+  /** Planted (top, bottom) colors of frame f — mid-range 32..223 like
+    * [[jpegColors]] so the codec gate's tolerance analysis carries. */
+  private def aviColors(id: Long, f: Int): (Array[Int], Array[Int]) = (
+    Array(32 + ((id * 7 + f * 19) % 192L).toInt,
+      32 + ((id * 11 + f * 23) % 192L).toInt,
+      32 + ((id * 3 + f * 29) % 192L).toInt),
+    Array(32 + ((id * 5 + f * 13 + 96) % 192L).toInt,
+      32 + ((id * 13 + f * 37 + 64) % 192L).toInt,
+      32 + ((id * 17 + f * 7 + 32) % 192L).toInt))
+
+  private def le32(v: Int): Array[Byte] =
+    Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+  private def le16(v: Int): Array[Byte] = Array(v.toByte, (v >> 8).toByte)
+  private def fourcc(s: String): Array[Byte] = {
+    require(s.length == 4, s"fourcc '$s'"); s.getBytes("US-ASCII")
+  }
+
+  /** RIFF chunk: tag + LE32 size (unpadded) + payload + odd-pad byte.
+    * The pad-byte rule is the classic RIFF parser trap — idx1 sizes
+    * are unpadded while the walk must advance padded. */
+  private def riffChunk(tag: String, payload: Array[Byte]): Array[Byte] =
+    fourcc(tag) ++ le32(payload.length) ++ payload ++
+      (if ((payload.length & 1) == 1) Array(0.toByte) else Array.empty[Byte])
+
+  private def riffList(tpe: String, body: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", fourcc(tpe) ++ body)
+
+  /** Mux the per-frame JPEGs into an AVI: RIFF('AVI ') { LIST hdrl
+    * { avih, LIST strl { strh, strf } }, LIST movi { 00dc* }, idx1 }.
+    * idx1 offsets are relative to the movi list's type fourcc (the
+    * convention OpenDML clarified; first chunk ⇒ offset 4). */
+  private[graft] def aviBytes(writer: javax.imageio.ImageWriter, id: Long): Array[Byte] = {
+    val (w, h, nf, usf) = aviRule(id)
+    val frames = Array.tabulate(nf) { f =>
+      val (top, bot) = aviColors(id, f)
+      twoToneJpeg(writer, w, h, top, bot)
+    }
+    val maxFrame = frames.map(_.length).max
+    val avih = le32(usf) ++ le32(0) ++ le32(0) ++ le32(0x10 /*HASINDEX*/) ++
+      le32(nf) ++ le32(0) ++ le32(1 /*streams*/) ++ le32(maxFrame) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = fourcc("vids") ++ fourcc("MJPG") ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le32(0) ++ le32(usf /*scale*/) ++
+      le32(1000000 /*rate*/) ++ le32(0) ++ le32(nf /*length*/) ++
+      le32(maxFrame) ++ le32(-1 /*quality*/) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      fourcc("MJPG") ++ le32(w * h * 3) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(0)
+    val hdrl = riffList("hdrl",
+      riffChunk("avih", avih) ++
+        riffList("strl", riffChunk("strh", strh) ++ riffChunk("strf", strf)))
+    // movi body + idx1 offsets (relative to the 'movi' fourcc): the
+    // fourcc itself is 4 bytes, so the first chunk tag sits at 4
+    var off = 4
+    val moviBody = new java.io.ByteArrayOutputStream
+    val idx = new java.io.ByteArrayOutputStream
+    frames.foreach { jp =>
+      val ch = riffChunk("00dc", jp)
+      idx.write(fourcc("00dc")); idx.write(le32(0x10 /*KEYFRAME*/))
+      idx.write(le32(off)); idx.write(le32(jp.length))
+      moviBody.write(ch)
+      off += ch.length
+    }
+    val body = hdrl ++ riffList("movi", moviBody.toByteArray) ++
+      riffChunk("idx1", idx.toByteArray)
+    riffChunk("RIFF", fourcc("AVI ") ++ body)
+  }
+
+  /** Walk + genuinely decode: (w, h, nFrames, durationUs, okFrames,
+    * idxOk). Corrupt structure rejects loudly; a decode drift beyond
+    * the ±6 gate or an index/chunk disagreement flips the flags. The
+    * reader is caller-supplied and reused across frames/assets (the
+    * per-partition codec-init amortization this file's mapPartitions
+    * idiom exists for). */
+  private[graft] def parseAvi(reader: javax.imageio.ImageReader,
+      bytes: Array[Byte], id: Long): (Int, Int, Long, Long, Long, Long) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tagAt(p: Int): String = {
+      require(p + 4 <= bytes.length, s"truncated tag at $p")
+      new String(bytes, p, 4, "US-ASCII")
+    }
+    // p is the chunk START (tag position); the LE32 size sits at p+4
+    // and covers the payload only — the walk advances 8 + size + pad
+    def sizeAt(p: Int): Int = {
+      val v = bb.getInt(p + 4)
+      require(v >= 0 && p + 8 + v <= bytes.length, s"bad chunk size $v at $p")
+      v
+    }
+    require(tagAt(0) == "RIFF" && tagAt(8) == "AVI ", "not an AVI")
+    val riffEnd = 8 + sizeAt(0)
+    // hdrl fields
+    var usf = -1; var totalFrames = -1; var avihW = -1; var avihH = -1
+    var strfW = -1; var strfH = -1; var strhLen = -1; var strhScale = -1
+    var strhRate = -1; var sawVids = false
+    // movi chunk records: (offset rel. to movi fourcc, unpadded len,
+    // payload start abs)
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    var idx1 = Array.empty[Byte]
+    def walkStrl(start: Int, end: Int): Unit = {
+      var p = start
+      while (p < end) {
+        val tag = tagAt(p); val sz = sizeAt(p)
+        tag match {
+          case "strh" =>
+            require(sz >= 56, "short strh")
+            val fccType = tagAt(p + 8); val handler = tagAt(p + 12)
+            if (fccType == "vids") {
+              sawVids = true
+              require(handler == "MJPG", s"codec $handler")
+              strhScale = bb.getInt(p + 8 + 20)
+              strhRate = bb.getInt(p + 8 + 24)
+              strhLen = bb.getInt(p + 8 + 32)
+            }
+          case "strf" =>
+            require(sz >= 40, "short strf")
+            require(bb.getInt(p + 8) == 40, "biSize")
+            strfW = bb.getInt(p + 12); strfH = bb.getInt(p + 16)
+            require(tagAt(p + 24) == "MJPG", "strf biCompression")
+          case _ => () // unknown stream chunks (indx, vprp) skip by size
+        }
+        p += 8 + sz + (sz & 1)
+      }
+    }
+    def walkHdrl(start: Int, end: Int): Unit = {
+      var p = start
+      while (p < end) {
+        val tag = tagAt(p); val sz = sizeAt(p)
+        if (tag == "avih") {
+          require(sz >= 56, "short avih")
+          usf = bb.getInt(p + 8); totalFrames = bb.getInt(p + 24)
+          avihW = bb.getInt(p + 40); avihH = bb.getInt(p + 44)
+        } else if (tag == "LIST" && tagAt(p + 8) == "strl")
+          walkStrl(p + 12, p + 8 + sz)
+        p += 8 + sz + (sz & 1)
+      }
+    }
+    var p = 12
+    while (p < riffEnd) {
+      val tag = tagAt(p); val sz = sizeAt(p)
+      if (tag == "LIST") {
+        tagAt(p + 8) match {
+          case "hdrl" => walkHdrl(p + 12, p + 8 + sz)
+          case "movi" =>
+            val moviFour = p + 8
+            var q = moviFour + 4
+            val end = p + 8 + sz
+            while (q < end) {
+              val ct = tagAt(q); val cs = sizeAt(q)
+              // 00dc = stream-0 compressed video; rec  lists legal
+              if (ct == "00dc") chunks += ((q - moviFour, cs, q + 8))
+              q += 8 + cs + (cs & 1)
+            }
+          case _ => ()
+        }
+      } else if (tag == "idx1")
+        idx1 = java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + sz)
+      p += 8 + sz + (sz & 1)
+    }
+    require(sawVids, "no vids stream")
+    require(usf > 0 && totalFrames >= 0, "no avih")
+    require(strfW == avihW && strfH == avihH, "strf/avih dim mismatch")
+    require(strhScale == usf && strhRate == 1000000,
+      s"strh rate $strhRate/$strhScale vs avih $usf")
+    require(strhLen == chunks.length && totalFrames == chunks.length,
+      s"frame count ${chunks.length} vs strh $strhLen / avih $totalFrames")
+    // idx1 cross-check: entry-per-chunk, same tag/offset/unpadded size
+    val ib = java.nio.ByteBuffer.wrap(idx1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val idxOk =
+      if (idx1.length != 16 * chunks.length) 0L
+      else if (chunks.zipWithIndex.forall { case ((o, l, _), i) =>
+        new String(idx1, 16 * i, 4, "US-ASCII") == "00dc" &&
+          ib.getInt(16 * i + 8) == o && ib.getInt(16 * i + 12) == l
+      }) 1L else 0L
+    // decode every frame with the real codec and gate both halves
+    javax.imageio.ImageIO.setUseCache(false)
+    var ok = 0L
+    chunks.zipWithIndex.foreach { case ((_, len, start), f) =>
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes, start, len))
+      val img = try {
+        reader.setInput(iis)
+        reader.read(0)
+      } finally {
+        try reader.reset() finally iis.close()
+      }
+      require(img != null, s"frame $f not decodable")
+      require(img.getWidth == strfW && img.getHeight == strfH,
+        s"frame $f dims ${img.getWidth}x${img.getHeight}")
+      val (top, bot) = aviColors(id, f)
+      def halfErr(y0: Int, y1: Int, planted: Array[Int]): Long = {
+        val px = img.getRGB(0, y0, strfW, y1 - y0, null, 0, strfW)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < px.length) {
+          val rgb = px(i)
+          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+          i += 1
+        }
+        val n = (y1 - y0).toLong * strfW
+        Seq(sr, sg, sb).zip(planted).map { case (sv, pv) =>
+          math.abs((sv + n / 2) / n - pv)
+        }.max
+      }
+      if (halfErr(0, strfH / 2, top) <= 6L &&
+        halfErr(strfH / 2, strfH, bot) <= 6L) ok += 1L
+    }
+    (strfW, strfH, chunks.length.toLong, chunks.length.toLong * usf, ok, idxOk)
+  }
+
+  /** Synthesize → mux → genuinely demux + decode every frame of an
+    * MJPEG AVI per document (the compressed-video analogue of
+    * [[multimodalGif]]; lossy codec ⇒ gated oracle like
+    * [[multimodalJpeg]]). The planted checksum binds the per-frame
+    * color construction into the hash-compare. */
+  def multimodalMjpeg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    fannedIds(s, d)
+      .mapPartitions { it =>
+        // one JPEG encoder + decoder per partition, reused across
+        // frames/assets
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("jpg").next()
+        it.map { id =>
+          val (w, h, nf, durUs, ok, idxOk) = parseAvi(reader, aviBytes(writer, id), id)
+          val plantCk = (0 until nf.toInt).map { f =>
+            val (top, bot) = aviColors(id, f)
+            (f + 1L) * (top.sum.toLong + bot.sum.toLong)
+          }.sum
+          (id, w, h, nf, durUs, ok, idxOk, plantCk)
+        }
+      }
+      .toDF("asset_id", "width", "height", "n_frames", "duration_us",
+        "ok_frames", "idx_ok", "plant_checksum")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_stub"     -> multimodalStub _,
     "multimodal_features" -> featuresScalar _,
@@ -1123,6 +1420,7 @@ object Multimodal {
     "multimodal_png"      -> multimodalPng _,
     "multimodal_jpeg"     -> multimodalJpeg _,
     "multimodal_gif"      -> multimodalGif _,
+    "multimodal_mjpeg"    -> multimodalMjpeg _,
     "multimodal_mp4"      -> multimodalMp4 _,
     "multimodal_tar"      -> multimodalTar _,
     "multimodal_audio_gate" -> multimodalAudioGate _,
@@ -1278,6 +1576,41 @@ object Multimodal {
           CAST(sum(w * h * b) AS BIGINT) AS sum_b,
           CAST(sum((f + 1) * w * h * (r + g + b)) AS BIGINT) AS checksum
         FROM fr GROUP BY doc_id""",
+    // MJPEG-AVI decode GATE (lossy codec, like multimodal_jpeg): the
+    // oracle replays the container construction arithmetically (dims,
+    // frame count, duration from the avih rate rule, the per-frame
+    // planted-color checksum) and carries ok_frames = n_frames plus
+    // idx_ok = 1; the engine's counts come from genuinely demuxing
+    // the RIFF tree, cross-checking idx1, and decoding every frame
+    // with the real codec — any demux or decode break flips them
+    "multimodal_mjpeg" ->
+      """WITH a AS (
+          SELECT doc_id, 48 + (doc_id % 3) * 16 AS w,
+            32 + (doc_id % 2) * 32 AS h,
+            2 + doc_id % 4 AS nf,
+            20000 * (1 + doc_id % 4) AS usf
+          FROM documents),
+        fr AS (
+          SELECT a.doc_id, u.f,
+            (u.f + 1) * (
+              32 + (a.doc_id * 7  + u.f * 19) % 192
+            + 32 + (a.doc_id * 11 + u.f * 23) % 192
+            + 32 + (a.doc_id * 3  + u.f * 29) % 192
+            + 32 + (a.doc_id * 5  + u.f * 13 + 96) % 192
+            + 32 + (a.doc_id * 13 + u.f * 37 + 64) % 192
+            + 32 + (a.doc_id * 17 + u.f * 7  + 32) % 192) AS wck
+          FROM a, unnest(generate_series(0, a.nf - 1)) AS u(f)),
+        ck AS (
+          SELECT doc_id, sum(wck) AS plant_ck FROM fr GROUP BY doc_id)
+        SELECT a.doc_id AS asset_id,
+          CAST(a.w AS INT) AS width,
+          CAST(a.h AS INT) AS height,
+          CAST(a.nf AS BIGINT) AS n_frames,
+          CAST(a.nf * a.usf AS BIGINT) AS duration_us,
+          CAST(a.nf AS BIGINT) AS ok_frames,
+          CAST(1 AS BIGINT) AS idx_ok,
+          CAST(ck.plant_ck AS BIGINT) AS plant_checksum
+        FROM a JOIN ck ON ck.doc_id = a.doc_id""",
     // the tar member rule replayed exactly: names from the string
     // rule, sizes/bytes from the arithmetic rule, and a (member,
     // position)-weighted checksum that a mis-walked block boundary,

@@ -1352,4 +1352,151 @@ class AnalyticsSpec extends SparkSpec {
     // the stand-in weights are signed: both classes occur on real data
     assert(rows.exists(_.getInt(3) == 1) && rows.exists(_.getInt(3) == 0))
   }
+
+  test("MJPEG AVI: demux + real-codec decode over the exhaustive cycle") {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("jpg").next()
+    try {
+      // doc 5 → 80×64, 3 frames at 40000 µs/frame
+      val bytes = Multimodal.aviBytes(writer, 5L)
+      assert(new String(bytes, 0, 4, "US-ASCII") === "RIFF")
+      val (w, h, nf, dur, ok, idxOk) = Multimodal.parseAvi(reader, bytes, 5L)
+      assert(w === 80 && h === 64 && nf === 3L && dur === 120000L)
+      assert(ok === 3L && idxOk === 1L)
+      // every construction modulus divides 192 → one cycle is
+      // EXHAUSTIVE over all (dims, frame-count, rate, color) cases at
+      // any SF; the all-ones oracle flags rest on this measured sweep
+      (0L until 192L).foreach { id =>
+        val (_, _, n, _, okF, okI) = Multimodal.parseAvi(reader,
+          Multimodal.aviBytes(writer, id), id)
+        assert(okF === n && okI === 1L, s"id $id: ok $okF/$n idx $okI")
+      }
+      // discriminate: same structure (id ≡ 5 mod 12 ⇒ identical dims/
+      // frames/rate), different planted colors — the gate must flip
+      val (_, _, _, _, okWrong, _) = Multimodal.parseAvi(reader, bytes, 17L)
+      assert(okWrong < 3L, s"wrong-plant ok_frames $okWrong")
+      // idx1 tamper: flip an offset byte → the cross-check must report
+      // idx_ok = 0 without (necessarily) rejecting the walk
+      val idxPos = {
+        var i = bytes.length - 8
+        while (!(bytes(i) == 'i' && bytes(i + 1) == 'd' &&
+          bytes(i + 2) == 'x' && bytes(i + 3) == '1')) i -= 1
+        i
+      }
+      val tampered = bytes.clone()
+      tampered(idxPos + 8 + 8) = (tampered(idxPos + 8 + 8) + 1).toByte
+      assert(Multimodal.parseAvi(reader, tampered, 5L)._6 === 0L,
+        "tampered idx1 passed")
+      // structural damage rejects loudly: corrupt chunk size, truncation
+      val badSize = bytes.clone(); badSize(4) = (badSize(4) + 1).toByte
+      intercept[IllegalArgumentException](Multimodal.parseAvi(reader, badSize, 5L))
+      intercept[IllegalArgumentException](
+        Multimodal.parseAvi(reader, bytes.take(bytes.length / 2), 5L))
+    } finally {
+      try writer.dispose() finally reader.dispose()
+    }
+  }
+
+  test("WARC shard: strict re-frame, case-insensitive headers, loud rejects") {
+    import graft.analytics.Web
+    // doc 4 → 2 fetches; replay the construction arithmetic directly
+    val bytes = Web.warcBytes(4L)
+    val (nr, nresp, nreq, sp, su, ck) = Web.parseWarc(bytes)
+    val sizes = (0 until 2).map(r => 20 + ((4L * 31 + r * 7) % 180).toInt)
+    assert(nr === 5L && nresp === 2L && nreq === 2L)
+    assert(sp === sizes.sum.toLong)
+    assert(su === (0 until 2).map(r => s"https://example.com/doc4/$r".length).sum.toLong)
+    val expCk = (0 until 2).flatMap { r =>
+      (0 until sizes(r)).map(i =>
+        (r + 1L) * (i + 1L) * ((4L * 17 + r * 5 + i * 13) % 251))
+    }.sum
+    assert(ck === expCk)
+    // the 'warc-type: request' records are authored in lower case —
+    // nreq = 2 above already proves case-insensitive header handling
+    // corrupt version line / truncation / lost terminator reject loudly
+    val badVer = bytes.clone(); badVer(4) = 'X'.toByte
+    intercept[IllegalArgumentException](Web.parseWarc(badVer))
+    intercept[IllegalArgumentException](Web.parseWarc(bytes.dropRight(3)))
+    // a flipped response payload byte shifts the positional checksum
+    val respBody = new String(bytes, "ISO-8859-1").indexOf("msgtype=response")
+    val flipAt = {
+      // first payload byte of the first response: after its blank line
+      val hdrEnd = new String(bytes, "ISO-8859-1").indexOf("\r\n\r\n", respBody)
+      hdrEnd + 4
+    }
+    val flipped = bytes.clone()
+    flipped(flipAt) = ((flipped(flipAt) + 1) & 0x7f).toByte
+    assert(Web.parseWarc(flipped)._6 !== ck, "payload flip kept the checksum")
+  }
+
+  test("HTML extraction: block-level boilerplate removal, not naive stripping") {
+    import graft.analytics.Web
+    import spark.implicits._
+    // adversarial page: script with bare </ and <, footer owning a <p>,
+    // entities inside and outside main, head/title text
+    val html = "<html><head><title>Title Words</title><style>p{x:1}" +
+      "</style></head><body><nav>home &gt; here</nav><header><h1>big" +
+      "</h1></header><main><p>hello world</p><p>a &amp;&amp; b &lt;c&gt;" +
+      "</p></main><footer><p>copyright junk</p></footer>" +
+      "<script>if(a<b){c=d>e;}</script></body></html>"
+    val out = Seq(html).toDF("h")
+      .select(Web.extractMainText(col("h")).as("t")).head.getString(0)
+    assert(out === "hello world a && b <c>", s"extracted '$out'")
+    // the board query is map-only: zero exchanges — one narrow stage
+    // at any corpus size (the synthesis side's transform() is a
+    // higher-order function, which keeps the Project itself out of
+    // whole-stage codegen; the scan below it still codegens and there
+    // is no exchange anywhere)
+    val plan = Web.htmlExtract(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // warc_parse is likewise exchange-free partition-local work
+    val wplan = Web.warcParse(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!wplan.contains("Exchange"), wplan)
+  }
+
+  test("binary codecs: bit-exact round-trips, wrong-size/corrupt inputs reject") {
+    import graft.analytics.Codecs
+    val rnd = new java.util.Random(42)
+    val incompressible = new Array[Byte](65536); rnd.nextBytes(incompressible)
+    val empty = Array.empty[Byte]
+    for (raw <- Seq(empty, incompressible, "abc".getBytes("UTF-8"))) {
+      assert(java.util.Arrays.equals(Codecs.deflateRoundTrip(raw), raw))
+      assert(java.util.Arrays.equals(Codecs.zstdRoundTrip(raw), raw))
+      assert(java.util.Arrays.equals(Codecs.lz4RoundTrip(raw), raw))
+      assert(java.util.Arrays.equals(Codecs.snappyRoundTrip(raw), raw))
+    }
+    // corrupt/garbage streams must throw, not return wrong bytes
+    val garbage = Array.fill[Byte](32)(0x5a)
+    intercept[Exception](com.github.luben.zstd.Zstd.decompress(garbage, 100))
+    intercept[Exception](org.xerial.snappy.Snappy.uncompress(garbage))
+    intercept[Exception] {
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(garbage)
+        val buf = new Array[Byte](64)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          require(n > 0 || inf.finished(), "stalled")
+        }
+      } finally inf.end()
+    }
+    // the LZ4 block contract: the caller-supplied size is load-bearing
+    val comp = net.jpountz.lz4.LZ4Factory.fastestInstance()
+      .fastCompressor().compress("hello hello hello".getBytes("UTF-8"))
+    intercept[Exception](net.jpountz.lz4.LZ4Factory.fastestInstance()
+      .fastDecompressor().decompress(comp, 9999))
+  }
+
+  test("observe(): in-flight metrics equal a direct aggregation pass") {
+    import graft.analytics.EventsPipeline
+    val m = EventsPipeline.observeMetrics(spark, sfDir).head
+    val direct = EventsPipeline.splitValid(spark, sfDir)
+      .agg(count(lit(1)), sum(col("value").cast("decimal(18,2)")).cast("double"),
+        max(col("value")), min(col("k")), max(col("k"))).head
+    assert(m.getLong(0) === direct.getLong(0))
+    assert(m.getDouble(1) === direct.getDouble(1))
+    assert(m.getDouble(2) === direct.getDouble(2))
+    assert(m.getInt(3) === direct.getInt(3))
+    assert(m.getInt(4) === direct.getInt(4))
+  }
 }

@@ -146,6 +146,14 @@ class PlanSpec extends SparkSpec {
     // is the event_type agg
     "avro_functions" -> 1,
     "proto_functions" -> 1,
+    // round-10 wave —
+    // url_canon_dedup: the ONE canonical-key grouping exchange;
+    // str_collation: the ONE collated-key grouping exchange (the
+    // collation must not add a second normalization pass). The other
+    // r10 queries (warc_parse, text_html_extract, binary_codecs,
+    // multimodal_mjpeg, observe_metrics) are map-only at budget 0.
+    "url_canon_dedup" -> 1,
+    "str_collation" -> 1,
     "csv_roundtrip" -> 1, "dedup_embedding" -> 1, "dedup_exact" -> 1,
     "dedup_minhash" -> 3, "dedup_ngram" -> 15, "dedup_simhash" -> 0,
     "dedup_simhash64" -> 0, "dedup_simhash_pairs" -> 1, "expect_suite" -> 0,
