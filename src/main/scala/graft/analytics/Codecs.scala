@@ -77,6 +77,10 @@ object Codecs {
     import s.implicits._
     documents(s, d).select(col("doc_id"), col("text"))
       .as[(Long, String)]
+      // fan to full width before the codec loop (the multimodal_mjpeg
+      // single-split finding); the shuffled payload is the sub-KB text
+      // itself and four codec round-trips per row dwarf it
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map { case (id, text) =>
         val raw = text.getBytes("UTF-8")
         def ok(rt: => Array[Byte]): Long =

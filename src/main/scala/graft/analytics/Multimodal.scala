@@ -33,14 +33,16 @@ object Multimodal {
   final case class AssetFeatures(asset_id: Long, n_bytes: Int, sha256: String,
       n_frames: Int, features: Array[Float])
 
-  /** Codec-bound queries fan the 8-byte id stream to full parallelism
-    * before the per-partition codec loop. This is the right trade at
-    * ANY scale — per-row codec work is 10³–10⁶× the shuffle cost of an
-    * id — and at test SF it is load-bearing: the corpus is ONE small
+  /** EVERY synth-parse query in this file (and warc_parse /
+    * binary_codecs) fans its input stream to full parallelism before
+    * the per-partition codec loop. This is the right trade at ANY
+    * scale — per-row codec work is 10³–10⁶× the shuffle cost of an id
+    * — and at test SF it is load-bearing: the corpus is ONE small
     * parquet split, which would otherwise serialize tens of thousands
     * of encode/decode ops on a single task (measured: multimodal_mjpeg
-    * 4.5 s → 0.4 s at sf0.1). Round-robin, not hash: there is no key,
-    * only width. */
+    * 4.5 s → 0.46 s, multimodal_jpeg 1.54 → 0.36 s at sf0.1).
+    * Round-robin, not hash: there is no key, only width. PlanSpec
+    * machine-checks the pattern per query (the r10 finding class). */
   private def fannedIds(s: SparkSession, d: String): org.apache.spark.sql.Dataset[Long] = {
     import s.implicits._
     documents(s, d).select(col("doc_id")).as[Long]
@@ -278,6 +280,7 @@ object Multimodal {
     import s.implicits._
     documents(s, d).select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)]
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map { case (id, nChars) =>
         val n = math.max(1L, nChars).toInt
         val (nf, ns, nc, v) = parseWavGate(wavBytesAmp(id, n))
@@ -292,6 +295,7 @@ object Multimodal {
     import s.implicits._
     documents(s, d).select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)]
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map { case (id, nChars) =>
         val n = math.max(1L, nChars).toInt
         val (rate, ns, durUs, sumAbs, maxAbs, ck) = parseWav(wavBytes(id, n))
@@ -367,7 +371,7 @@ object Multimodal {
   /** Synthesize → genuinely decode BMP per document. */
   def multimodalBmp(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    documents(s, d).select(col("doc_id")).as[Long]
+    fannedIds(s, d)
       .mapPartitions(_.map { id =>
         val (w, h, r, g, b, ck) = parseBmp(bmpBytes(id))
         (id, w, h, w.toLong * h, r, g, b, ck)
@@ -679,7 +683,7 @@ object Multimodal {
     * shape as [[multimodalBmp]]). */
   def multimodalPng(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    documents(s, d).select(col("doc_id")).as[Long]
+    fannedIds(s, d)
       .mapPartitions(_.map { id =>
         val (w, h, r, g, b, ck) = parsePng(pngBytes(id))
         (id, w, h, w.toLong * h, r, g, b, ck)
@@ -903,7 +907,7 @@ object Multimodal {
     * document; exact oracle from the construction rule. */
   def multimodalTar(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    documents(s, d).select(col("doc_id")).as[Long]
+    fannedIds(s, d)
       .mapPartitions(_.map { id =>
         val (nm, total, nameLen, ck) = parseTar(tarBytes(id))
         (id, nm, total, nameLen, ck)
@@ -1133,7 +1137,7 @@ object Multimodal {
     * output, fully oracled from the construction rule. */
   def multimodalMp4(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    documents(s, d).select(col("doc_id")).as[Long]
+    fannedIds(s, d)
       .mapPartitions(_.map { id =>
         val (ts, dur, nt, w, h, na, nb, ck) = parseMp4(mp4Bytes(id))
         (id, ts, dur * 1000L / ts, nt, w, h, na, nb, ck)

@@ -174,6 +174,11 @@ object Web {
   def warcParse(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     documents(s, d).select(col("doc_id")).as[Long]
+      // fan the 8-byte id stream to full width before the parse loop —
+      // at test SF the corpus is ONE parquet split and the synth+parse
+      // work would serialize on a single task (the multimodal_mjpeg
+      // finding, Multimodal.fannedIds)
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map { id =>
         val (nr, nresp, nreq, sp, su, ck) = parseWarc(warcBytes(id))
         (id, nr, nresp, nreq, sp, su, ck)

@@ -828,6 +828,25 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"nested-loop plans: $offenders")
   }
 
+  /** The r10 finding class as a machine check: a mapPartitions codec
+    * loop over a bare (small) file scan runs as ONE task — at test SF
+    * the documents corpus is a single parquet split, so every
+    * synth-parse query must carry the explicit full-width round-robin
+    * fan-out or its codec work serializes (multimodal_mjpeg measured
+    * 4.5 s → 0.46 s at sf0.1 from this alone). */
+  test("codec-bound synth-parse queries fan to full width before the loop") {
+    val mustFan = Set(
+      "multimodal_jpeg", "multimodal_gif", "multimodal_mjpeg",
+      "multimodal_bmp", "multimodal_png", "multimodal_tar",
+      "multimodal_mp4", "multimodal_wav", "multimodal_audio_gate",
+      "warc_parse", "binary_codecs")
+    val missing = plans.collect {
+      case (name, p) if mustFan(name) &&
+        !p.contains("RoundRobinPartitioning") => name
+    }
+    assert(missing.isEmpty, s"single-split codec loops: $missing")
+  }
+
   test("every query stays within its audited shuffle budget") {
     val over = plans.flatMap { case (name, p) =>
       val ex = "Exchange hashpartitioning".r.findAllIn(p).size
