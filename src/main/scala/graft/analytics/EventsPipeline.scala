@@ -1431,6 +1431,12 @@ object EventsPipeline {
         max(col("k")).as("max_k"))
       .write.format("noop").mode("overwrite").save()
     val m = obs.get
+    // an EMPTY valid split returns null sum/max/min, which asInstanceOf
+    // would silently unbox to 0/0.0 (diverging from the oracle's
+    // NULLs) — reject loudly instead; the gate pipeline's premise is a
+    // non-empty curated side
+    require(m("n_valid").asInstanceOf[Long] > 0L,
+      "observe_metrics: valid split is empty — metrics would be NULL")
     Seq((m("n_valid").asInstanceOf[Long],
       m("sum_value").asInstanceOf[Double],
       m("max_value").asInstanceOf[Double],

@@ -43,7 +43,7 @@ object Multimodal {
     * 4.5 s → 0.46 s, multimodal_jpeg 1.54 → 0.36 s at sf0.1).
     * Round-robin, not hash: there is no key, only width. PlanSpec
     * machine-checks the pattern per query (the r10 finding class). */
-  private def fannedIds(s: SparkSession, d: String): org.apache.spark.sql.Dataset[Long] = {
+  private[analytics] def fannedIds(s: SparkSession, d: String): org.apache.spark.sql.Dataset[Long] = {
     import s.implicits._
     documents(s, d).select(col("doc_id")).as[Long]
       .repartition(s.sparkContext.defaultParallelism)

@@ -173,12 +173,11 @@ object Web {
   /** Synthesize → strictly re-frame a WARC shard per document. */
   def warcParse(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    documents(s, d).select(col("doc_id")).as[Long]
-      // fan the 8-byte id stream to full width before the parse loop —
-      // at test SF the corpus is ONE parquet split and the synth+parse
-      // work would serialize on a single task (the multimodal_mjpeg
-      // finding, Multimodal.fannedIds)
-      .repartition(s.sparkContext.defaultParallelism)
+    // fan the 8-byte id stream to full width before the parse loop —
+    // at test SF the corpus is ONE parquet split and the synth+parse
+    // work would serialize on a single task (the multimodal_mjpeg
+    // finding; one shared policy in Multimodal.fannedIds)
+    Multimodal.fannedIds(s, d)
       .mapPartitions(_.map { id =>
         val (nr, nresp, nreq, sp, su, ck) = parseWarc(warcBytes(id))
         (id, nr, nresp, nreq, sp, su, ck)
@@ -194,6 +193,15 @@ object Web {
   /** Words per <p> block. */
   private val WordsPerPara = 12
 
+  /** ceil(nWords / WordsPerPara) — ONE definition shared by the page
+    * synthesis and the n_paras output column, so the reported count
+    * can never drift from the page actually synthesized. (Column./ is
+    * DOUBLE division — floor+cast for the integral ceil-div that
+    * sequence() needs.) */
+  private def nParasOf(textCol: Column): Column =
+    floor((size(split(textCol, " ")) + lit(WordsPerPara - 1)) /
+      lit(WordsPerPara)).cast("int")
+
   /** Page synthesis: the real document text split into <p> blocks
     * inside <main>, wrapped in adversarial chrome — a <script> with
     * bare `<`/`>` (tags-only strippers corrupt on it), a <footer>
@@ -201,10 +209,7 @@ object Web {
     * harvesting), and entities in the nav/footer. */
   private def htmlOf(idCol: Column, textCol: Column): Column = {
     val words = split(textCol, " ")
-    // Column./ is DOUBLE division — floor+cast for the integral
-    // ceil-div that sequence() needs
-    val nParas = floor((size(words) + lit(WordsPerPara - 1)) /
-      lit(WordsPerPara)).cast("int")
+    val nParas = nParasOf(textCol)
     val paras = array_join(
       transform(sequence(lit(0), nParas - 1), i =>
         concat(lit("<p>"),
@@ -255,8 +260,7 @@ object Web {
     val extracted = extractMainText(html)
     docs.select(
       col("doc_id"),
-      floor((size(split(col("text"), " ")) + lit(WordsPerPara - 1)) /
-        lit(WordsPerPara)).cast("long").as("n_paras"),
+      nParasOf(col("text")).cast("long").as("n_paras"),
       length(extracted).cast("long").as("n_chars"),
       sha2(extracted, 256).as("extracted_sha"))
   }

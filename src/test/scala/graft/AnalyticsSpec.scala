@@ -1449,9 +1449,11 @@ class AnalyticsSpec extends SparkSpec {
     // is no exchange anywhere)
     val plan = Web.htmlExtract(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
-    // warc_parse is likewise exchange-free partition-local work
+    // warc_parse carries exactly its round-robin fan-out (the r10
+    // single-split finding; PlanSpec requires it) and NO keyed shuffle
     val wplan = Web.warcParse(spark, sfDir).queryExecution.executedPlan.toString
-    assert(!wplan.contains("Exchange"), wplan)
+    assert(wplan.contains("RoundRobinPartitioning"), wplan)
+    assert(!wplan.contains("Exchange hashpartitioning"), wplan)
   }
 
   test("binary codecs: bit-exact round-trips, wrong-size/corrupt inputs reject") {
