@@ -31,7 +31,13 @@ object EventsPipeline {
 
   /** events + parsed JSON payload field `k` (nested access F2/P3). */
   def withK(s: SparkSession, d: String): DataFrame =
-    events(s, d).withColumn("k",
+    withKOf(events(s, d))
+
+  /** Frame-based twin of [[withK]] — the same payload parse applied to
+    * any events-shaped frame (the streaming observe query feeds a file
+    * STREAM through the identical validation chain). */
+  def withKOf(frame: DataFrame): DataFrame =
+    frame.withColumn("k",
       from_json(col("props"), kSchema).getField("k"))
 
   val rules: Seq[ValidationRule] = Seq(

@@ -327,6 +327,69 @@ object StreamingQueries {
       OutputMode.Complete())
   }
 
+  /** Streaming observe() (r10) — the monitoring surface a production
+    * streaming pipeline actually runs on: `df.observe` metrics arrive
+    * per MICRO-BATCH in each QueryProgressEvent's `observedMetrics`,
+    * and operator totals are the across-batch fold of the per-batch
+    * rows (counts and DECIMAL sums add; min/max compose) — no second
+    * pass over the stream, one accumulator update per row. The events
+    * table is re-written as 4 files and streamed with
+    * maxFilesPerTrigger=1 so the cross-batch fold is REAL (4 data
+    * batches, pinned by the n_batches column); rows pass through the
+    * SAME validation chain as the batch pipeline (withKOf +
+    * Validator.validate) below the observe node, and the folded frame
+    * must equal the corpus-total SQL — so streaming metric collection
+    * is oracled against the same arithmetic as batch observe_metrics.
+    * The DECIMAL sum is folded exactly across batches and cast to
+    * double once at the edge (a per-batch double fold would be
+    * batch-order-dependent). */
+  def streamObserve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tmp = graft.Tables.tempOutDir("stream_observe_src")
+    s.read.parquet(s"$d/events.parquet").repartition(4)
+      .write.mode("overwrite").parquet(tmp)
+    val schema = s.read.parquet(tmp).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(tmp)
+    val valid = graft.rules.Validator
+      .validate(EventsPipeline.withKOf(src), EventsPipeline.rules)
+      .filter(col("is_valid") === true)
+    val observed = valid.observe("gate",
+      count(lit(1)).as("n_valid"),
+      sum(col("value").cast("decimal(18,2)")).as("sum_dec"),
+      max(col("value")).as("max_value"),
+      min(col("k")).as("min_k"),
+      max(col("k")).as("max_k"))
+    val name = "graft_obs_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = observed.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val metricRows =
+      try {
+        q.awaitTermination()
+        q.recentProgress.toSeq
+          .flatMap(p => Option(p.observedMetrics.get("gate")))
+      } finally {
+        if (q.isActive) q.stop()
+        s.catalog.dropTempView(name)
+      }
+    // across-batch fold; empty batches emit a 0-count row with null
+    // min/max — skip them (they carry no data)
+    val data = metricRows.filter(_.getLong(0) > 0L)
+    require(data.nonEmpty, "stream_observe: no data batches observed")
+    val nBatches = data.size.toLong
+    val nValid = data.map(_.getLong(0)).sum
+    val sumDec = data.map(r => BigDecimal(r.getDecimal(1))).sum
+    val maxV = data.map(_.getDouble(2)).max
+    val minK = data.map(_.getInt(3)).min
+    val maxK = data.map(_.getInt(4)).max
+    Seq((nBatches, nValid, sumDec.toDouble, maxV, minK, maxK))
+      .toDF("n_batches", "n_valid", "sum_value", "max_value",
+        "min_k", "max_k")
+  }
+
   /** session_window (native streaming sessionization) parity with the
     * batch lag/running-sum spelling in Relational.winSession: 30-minute
     * gap sessions per user, executed by a real StreamingQuery. Output
@@ -886,6 +949,7 @@ object StreamingQueries {
     "stream_join_full" -> streamJoinFull _,
     "stream_hourly"  -> streamHourly _,
     "stream_avro"    -> streamAvro _,
+    "stream_observe" -> streamObserve _,
     "stream_union"   -> streamUnion _,
     "stream_session" -> streamSession _,
     "stream_session_multibatch" -> streamSessionMultiBatch _,
@@ -950,6 +1014,24 @@ object StreamingQueries {
     // plan encoding difference would shift the byte sum while the two
     // spellings' oracles cannot drift apart
     "stream_avro" -> EventsPipeline.avroBytesOracle,
+    // the across-batch fold of per-batch observed metrics must equal
+    // the corpus-total aggregate over the SAME validation predicate;
+    // n_batches pins that the fold genuinely spanned 4 data batches
+    "stream_observe" ->
+      """WITH v AS (
+          SELECT *, json_extract(props, '$.k')::INT AS k FROM events),
+        g AS (
+          SELECT * FROM v
+          WHERE user_id IS NOT NULL AND value BETWEEN 0 AND 450
+            AND event_type IN ('click','view','purchase','signup')
+            AND k BETWEEN 0 AND 89)
+        SELECT CAST(4 AS BIGINT) AS n_batches,
+          CAST(count(*) AS BIGINT) AS n_valid,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+          max(value) AS max_value,
+          CAST(min(k) AS INT) AS min_k,
+          CAST(max(k) AS INT) AS max_k
+        FROM g""",
     // the two parity sources must merge into the identical result
     "stream_union" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,

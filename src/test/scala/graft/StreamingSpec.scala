@@ -563,6 +563,22 @@ class StreamingSpec extends SparkSpec {
     out.foreach { r => assert(r.getLong(2) <= r.getLong(3)) }
   }
 
+  test("streaming observe(): across-batch metric fold equals the batch aggregate") {
+    import org.apache.spark.sql.functions._
+    val m = analytics.StreamingQueries.streamObserve(spark, sfDir).head
+    // 4 source files => the fold genuinely spanned 4 data batches
+    assert(m.getLong(0) === 4L, s"n_batches ${m.getLong(0)}")
+    val direct = analytics.EventsPipeline.splitValid(spark, sfDir)
+      .agg(count(lit(1)),
+        sum(col("value").cast("decimal(18,2)")).cast("double"),
+        max(col("value")), min(col("k")), max(col("k"))).head
+    assert(m.getLong(1) === direct.getLong(0))
+    assert(m.getDouble(2) === direct.getDouble(1))
+    assert(m.getDouble(3) === direct.getDouble(2))
+    assert(m.getInt(4) === direct.getInt(3))
+    assert(m.getInt(5) === direct.getInt(4))
+  }
+
   test("stateful refuel detector finds fuel jumps per truck in seq order") {
     import spark.implicits._
     val readings = Seq(
