@@ -345,13 +345,7 @@ object StreamingQueries {
     * batch-order-dependent). */
   def streamObserve(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tmp = graft.Tables.tempOutDir("stream_observe_src")
-    s.read.parquet(s"$d/events.parquet").repartition(4)
-      .write.mode("overwrite").parquet(tmp)
-    val schema = s.read.parquet(tmp).schema
-    val src = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(tmp)
+    val src = multiFileEventsStream(s, d, 4, "stream_observe_src", lit(true))
     val valid = graft.rules.Validator
       .validate(EventsPipeline.withKOf(src), EventsPipeline.rules)
       .filter(col("is_valid") === true)
@@ -361,30 +355,33 @@ object StreamingQueries {
       max(col("value")).as("max_value"),
       min(col("k")).as("min_k"),
       max(col("k")).as("max_k"))
-    val name = "graft_obs_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = observed.writeStream.format("memory").queryName(name)
+    // the zero-copy noop sink (the batch observe_metrics pattern): the
+    // metrics live in the progress events, so buffering the full valid
+    // split in a memory sink would be pure driver-heap waste — and a
+    // driver OOM as SF grows
+    val q = observed.writeStream.format("noop")
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
       .start()
-    val metricRows =
-      try {
-        q.awaitTermination()
-        q.recentProgress.toSeq
-          .flatMap(p => Option(p.observedMetrics.get("gate")))
-      } finally {
-        if (q.isActive) q.stop()
-        s.catalog.dropTempView(name)
-      }
-    // across-batch fold; empty batches emit a 0-count row with null
-    // min/max — skip them (they carry no data)
-    val data = metricRows.filter(_.getLong(0) > 0L)
-    require(data.nonEmpty, "stream_observe: no data batches observed")
+    val progresses =
+      try { q.awaitTermination(); q.recentProgress.toSeq }
+      finally if (q.isActive) q.stop()
+    // a DATA batch is one that consumed input rows — batches whose
+    // rows ALL failed validation still count (they carried input and
+    // their metrics row contributes n_valid = 0 with null min/max),
+    // so n_batches pins the 4-file construction regardless of where
+    // the invalid rows land
+    val data = progresses
+      .filter(_.numInputRows > 0L)
+      .flatMap(p => Option(p.observedMetrics.get("gate")))
+    val nonEmpty = data.filter(_.getLong(0) > 0L)
+    require(nonEmpty.nonEmpty, "stream_observe: no valid rows observed")
     val nBatches = data.size.toLong
     val nValid = data.map(_.getLong(0)).sum
-    val sumDec = data.map(r => BigDecimal(r.getDecimal(1))).sum
-    val maxV = data.map(_.getDouble(2)).max
-    val minK = data.map(_.getInt(3)).min
-    val maxK = data.map(_.getInt(4)).max
+    val sumDec = nonEmpty.map(r => BigDecimal(r.getDecimal(1))).sum
+    val maxV = nonEmpty.map(_.getDouble(2)).max
+    val minK = nonEmpty.map(_.getInt(3)).min
+    val maxK = nonEmpty.map(_.getInt(4)).max
     Seq((nBatches, nValid, sumDec.toDouble, maxV, minK, maxK))
       .toDF("n_batches", "n_valid", "sum_value", "max_value",
         "min_k", "max_k")
@@ -405,18 +402,27 @@ object StreamingQueries {
     * store — the part of streaming sessionization a single-batch run
     * never exercises. Input is quartered (user_id % 4 = 0) to keep the
     * 4-epoch run cheap; the oracle applies the same filter. */
-  def streamSessionMultiBatch(s: SparkSession, d: String): DataFrame = {
+  /** Rewrite the (filtered) events table as `nFiles` parquet files in
+    * a temp dir and stream them with maxFilesPerTrigger=1 — the
+    * multi-micro-batch source construction shared by
+    * streamSessionMultiBatch and streamObserve. The schema comes from
+    * the pre-write frame (identical to what is written), avoiding a
+    * redundant post-write listing + footer read. */
+  private def multiFileEventsStream(s: SparkSession, d: String,
+      nFiles: Int, prefix: String,
+      rowFilter: org.apache.spark.sql.Column): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tmp = graft.Tables.tempOutDir("stream_src")
-    s.read.parquet(s"$d/events.parquet")
-      .filter(col("user_id") % 4 === 0)
-      .repartition(4)
-      .write.mode("overwrite").parquet(tmp)
-    val schema = s.read.parquet(tmp).schema
+    val tmp = graft.Tables.tempOutDir(prefix)
+    val base = s.read.parquet(s"$d/events.parquet").filter(rowFilter)
+    base.repartition(nFiles).write.mode("overwrite").parquet(tmp)
+    s.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(tmp)
+  }
+
+  def streamSessionMultiBatch(s: SparkSession, d: String): DataFrame = {
     val src = graft.Tables.withEventTime(
-      s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(tmp))
+      multiFileEventsStream(s, d, 4, "stream_src", col("user_id") % 4 === 0))
     runToMemory(s, sessionAgg(src), OutputMode.Complete())
   }
 
