@@ -20,10 +20,16 @@ import org.apache.spark.sql.functions._
   * and agreed), and all-ones per-codec flags — the multimodal_jpeg
   * gate pattern applied to codecs.
   *
-  * Scale: map-only, zero exchanges; codec contexts are per-asset with
-  * try/finally release (Deflater/Inflater hold native memory — a
-  * leaked context per row is the classic executor-OOM at billions of
-  * rows).
+  * Scale: the codec chain itself is map-only; the only exchange is a
+  * CONDITIONAL round-robin fan-out applied when the input arrives in
+  * fewer splits than the cluster is wide (at local SF the documents
+  * table is ONE parquet split, which serialized all codec work on a
+  * single task — the r10 multimodal_mjpeg finding). Unlike the id-only
+  * fan-outs in Multimodal, this one carries the text payload, so it is
+  * gated on input width: a real multi-split corpus takes zero
+  * exchanges. Codec contexts are per-asset with try/finally release
+  * (Deflater/Inflater hold native memory — a leaked context per row is
+  * the classic executor-OOM at billions of rows).
   */
 object Codecs {
 
@@ -75,12 +81,18 @@ object Codecs {
     * trips → per-codec bit-exact gates + recovered-bytes sha. */
   def binaryCodecs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    documents(s, d).select(col("doc_id"), col("text"))
+    val src = documents(s, d).select(col("doc_id"), col("text"))
       .as[(Long, String)]
-      // fan to full width before the codec loop (the multimodal_mjpeg
-      // single-split finding); the shuffled payload is the sub-KB text
-      // itself and four codec round-trips per row dwarf it
-      .repartition(s.sparkContext.defaultParallelism)
+    // fan to full width before the codec loop ONLY when the scan is
+    // narrower than the cluster (the multimodal_mjpeg single-split
+    // finding): unlike the id-only fans this shuffle carries the text
+    // payload, so a corpus already split wide skips it — and when it
+    // does fire (test SF: one split), four codec round-trips per row
+    // dwarf the sub-KB payload shuffle
+    val width = s.sparkContext.defaultParallelism
+    val fanned =
+      if (src.rdd.getNumPartitions < width) src.repartition(width) else src
+    fanned
       .mapPartitions(_.map { case (id, text) =>
         val raw = text.getBytes("UTF-8")
         def ok(rt: => Array[Byte]): Long =

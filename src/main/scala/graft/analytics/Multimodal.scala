@@ -49,6 +49,18 @@ object Multimodal {
       .repartition(s.sparkContext.defaultParallelism)
   }
 
+  /** Release per-partition codec contexts when the TASK ends — success
+    * or failure — via the TaskContext completion listener (a finally
+    * around mapPartitions cannot cover lazy consumption of the
+    * returned iterator). No-op outside a task (mapPartitions bodies
+    * always run inside one; the guard keeps driver-side unit calls
+    * harmless). */
+  private[analytics] def disposeAtTaskEnd(release: (() => Unit)*): Unit = {
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null)
+      tc.addTaskCompletionListener[Unit](_ => release.foreach(r => r()))
+  }
+
   /** documents → asset table: text bytes standing in for media blobs. */
   def assets(s: SparkSession, d: String): DataFrame =
     documents(s, d).select(
@@ -789,9 +801,13 @@ object Multimodal {
     import s.implicits._
     fannedIds(s, d)
       .mapPartitions { it =>
-        // one encoder/decoder per partition, reused across assets
+        // one encoder/decoder per partition, reused across assets,
+        // dispose()d at task end (success OR failure) — ImageIO
+        // plugins hold native buffers, and abandoning one per task to
+        // GC is the leak class Codecs.scala's try/finally exists for
         val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
         val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        disposeAtTaskEnd(() => writer.dispose(), () => reader.dispose())
         it.map { id =>
           val (w, h, nf, sr, sg, sb, ck) = parseGif(reader, gifBytes(writer, id))
           (id, w, h, nf, sr, sg, sb, ck)
@@ -1398,9 +1414,10 @@ object Multimodal {
     fannedIds(s, d)
       .mapPartitions { it =>
         // one JPEG encoder + decoder per partition, reused across
-        // frames/assets
+        // frames/assets, dispose()d at task end (see multimodalGif)
         val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
         val reader = javax.imageio.ImageIO.getImageReadersByFormatName("jpg").next()
+        disposeAtTaskEnd(() => writer.dispose(), () => reader.dispose())
         it.map { id =>
           val (w, h, nf, durUs, ok, idxOk) = parseAvi(reader, aviBytes(writer, id), id)
           val plantCk = (0 until nf.toInt).map { f =>

@@ -270,7 +270,10 @@ object StreamingQueries {
     // the sink's temp view (and its retained rows) leak for the session
     // lifetime and the stopped-query check below never happens
     try {
-      q.awaitTermination()
+      // bounded wait: a wedged micro-batch (hung executor, sink fault)
+      // fails loudly instead of hanging the whole bench/test harness
+      require(q.awaitTermination(StreamTimeoutMs),
+        s"streaming query $name still running after ${StreamTimeoutMs} ms")
       val sink = s.table(name)
       s.createDataFrame(sink.collectAsList(), sink.schema)
     } finally {
@@ -278,6 +281,11 @@ object StreamingQueries {
       s.catalog.dropTempView(name)
     }
   }
+
+  /** Generous bound for AvailableNow queries that finish in seconds at
+    * any test SF — awaitTermination without a timeout turns any wedged
+    * batch into a harness hang (ADVICE r10). */
+  private val StreamTimeoutMs = 600000L
 
   /** The 30-minute-gap session aggregation both session queries share. */
   private def sessionAgg(src: DataFrame): DataFrame =
@@ -342,7 +350,17 @@ object StreamingQueries {
     * is oracled against the same arithmetic as batch observe_metrics.
     * The DECIMAL sum is folded exactly across batches and cast to
     * double once at the edge (a per-batch double fold would be
-    * batch-order-dependent). */
+    * batch-order-dependent).
+    *
+    * The fold reads a [[StreamingQueryListener]], NOT
+    * `q.recentProgress` (the r10 spelling): recentProgress is a ring
+    * buffer capped at `spark.sql.streaming.numRecentProgressUpdates`
+    * (default 100), so a corpus arriving as >100 micro-batches would
+    * silently DROP the earliest metric rows from a post-hoc read — the
+    * listener accumulates each batch's row as its event arrives and is
+    * exact at any batch count. StreamingSpec proves the difference by
+    * running this query under numRecentProgressUpdates=2 over the
+    * 4-batch corpus. */
   def streamObserve(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val src = multiFileEventsStream(s, d, 4, "stream_observe_src", lit(true))
@@ -355,25 +373,62 @@ object StreamingQueries {
       max(col("value")).as("max_value"),
       min(col("k")).as("min_k"),
       max(col("k")).as("max_k"))
+    // per-batch progress rows accumulate as events arrive; keyed by
+    // query id so a concurrent stream's events can't bleed in. The
+    // listener buffer holds one small Row per DATA batch — bounded by
+    // batch count, not input size, and exact past the ring-buffer cap.
+    val acc = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val done = new java.util.concurrent.CountDownLatch(1)
+    // the query is identified by a pre-chosen unique NAME, captured as
+    // an id in onQueryStarted — matching on a post-start() q.id would
+    // race the first progress event; all three callbacks run on the
+    // one listener thread in event order, so qid is always set before
+    // any progress event is examined
+    val qname = "graft_observe_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      private var qid: java.util.UUID = null
+      override def onQueryStarted(e: QueryStartedEvent): Unit =
+        if (e.name == qname) qid = e.id
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.id == qid && e.progress.numInputRows > 0L)
+          Option(e.progress.observedMetrics.get("gate"))
+            .foreach(r => acc.synchronized { acc += r })
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == qid) done.countDown()
+    }
+    s.streams.addListener(listener)
     // the zero-copy noop sink (the batch observe_metrics pattern): the
     // metrics live in the progress events, so buffering the full valid
     // split in a memory sink would be pure driver-heap waste — and a
     // driver OOM as SF grows
-    val q = observed.writeStream.format("noop")
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    val progresses =
-      try { q.awaitTermination(); q.recentProgress.toSeq }
-      finally if (q.isActive) q.stop()
-    // a DATA batch is one that consumed input rows — batches whose
-    // rows ALL failed validation still count (they carried input and
-    // their metrics row contributes n_valid = 0 with null min/max),
-    // so n_batches pins the 4-file construction regardless of where
-    // the invalid rows land
-    val data = progresses
-      .filter(_.numInputRows > 0L)
-      .flatMap(p => Option(p.observedMetrics.get("gate")))
+    val data =
+      try {
+        val q = observed.writeStream.format("noop")
+          .queryName(qname)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try {
+          // bounded wait: a wedged batch fails loudly instead of
+          // hanging the whole bench/test harness (ADVICE r10)
+          require(q.awaitTermination(StreamTimeoutMs),
+            s"stream_observe: query still running after ${StreamTimeoutMs} ms")
+        } finally if (q.isActive) q.stop()
+        // listener delivery is async but IN ORDER per query — the
+        // terminated event lands after every progress event, so waiting
+        // for it (not a sleep) makes the accumulator read race-free
+        require(done.await(StreamTimeoutMs,
+          java.util.concurrent.TimeUnit.MILLISECONDS),
+          "stream_observe: listener bus did not drain")
+        acc.synchronized { acc.toSeq }
+      } finally s.streams.removeListener(listener)
+    // a DATA batch is one that consumed input rows (the listener
+    // filters on numInputRows > 0) — batches whose rows ALL failed
+    // validation still count (they carried input and their metrics row
+    // contributes n_valid = 0 with null min/max), so n_batches pins
+    // the 4-file construction regardless of where the invalid rows land
     val nonEmpty = data.filter(_.getLong(0) > 0L)
     require(nonEmpty.nonEmpty, "stream_observe: no valid rows observed")
     val nBatches = data.size.toLong

@@ -579,6 +579,28 @@ class StreamingSpec extends SparkSpec {
     assert(m.getInt(5) === direct.getInt(4))
   }
 
+  test("streaming observe(): listener fold survives past the recentProgress ring-buffer cap") {
+    // the r10 spelling read q.recentProgress post-hoc, a ring buffer
+    // capped at numRecentProgressUpdates (default 100) — >100 batches
+    // silently dropped the earliest metric rows. The listener fold must
+    // be exact even when the ring retains only 2 of the 4 batches.
+    val key = "spark.sql.streaming.numRecentProgressUpdates"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "2")
+    try {
+      val m = analytics.StreamingQueries.streamObserve(spark, sfDir).head
+      assert(m.getLong(0) === 4L,
+        s"listener saw ${m.getLong(0)} data batches — fold rode the capped ring buffer")
+      val direct = analytics.EventsPipeline.splitValid(spark, sfDir)
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1))).head
+      assert(m.getLong(1) === direct.getLong(0))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("stateful refuel detector finds fuel jumps per truck in seq order") {
     import spark.implicits._
     val readings = Seq(
