@@ -1462,12 +1462,22 @@ object EventsPipeline {
     * puts them. One exchange on the collated key. The group key
     * itself is NOT output — under a collation any case variant may
     * represent the group; the deterministic outputs are lower(min)
-    * and min. */
+    * and min.
+    *
+    * The title-case variant is spelled upper(first)||rest — NOT
+    * initcap() — to match the oracle EXACTLY on any corpus: initcap
+    * also LOWERCASES the rest of each word, which agrees with
+    * upper-first only while every event_type is a single all-lowercase
+    * token; an event_type with interior capitals or spaces would make
+    * the two spellings diverge for a data reason, not an engine reason
+    * (ADVICE r10). */
   def strCollation(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .select(col("event_id"),
         when(col("event_id") % 3 === 0, upper(col("event_type")))
-          .when(col("event_id") % 3 === 1, initcap(col("event_type")))
+          .when(col("event_id") % 3 === 1,
+            concat(upper(substring(col("event_type"), 1, 1)),
+              expr("substring(event_type, 2)")))
           .otherwise(col("event_type")).as("mixed"))
       .groupBy(expr("collate(mixed, 'UTF8_LCASE')").as("ckey"))
       .agg(min(col("mixed")).as("variant_min"),

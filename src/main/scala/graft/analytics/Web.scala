@@ -170,6 +170,120 @@ object Web {
     (nRec, nResp, nReq, sumPayload, sumUri, ck)
   }
 
+  // ---------------------------------------------------------------
+  // gzip'd WARC members (r11): the REAL Common Crawl layout — a .warc
+  // .gz file is not one gzip stream but a CONCATENATION of per-record
+  // gzip members (ISO 28500 annex; it's what makes byte-offset random
+  // access into a crawl shard possible). The writer gzips each record
+  // separately and concatenates; the parser walks the gzip container
+  // member-by-member BY HAND (header flags, raw-deflate body via
+  // Inflater(nowrap), CRC32 + ISIZE trailer verified per member — a
+  // transparent GZIPInputStream would hide exactly the member framing
+  // this format exists for), then strictly re-frames the recovered
+  // records with the same parseWarc.
+  // ---------------------------------------------------------------
+
+  /** One gzip member per WARC record, concatenated (JDK
+    * GZIPOutputStream per record — real DEFLATE, real CRC trailer). */
+  private[graft] def warcGzipBytes(id: Long): Array[Byte] = {
+    val plain = warcBytes(id)
+    val out = new java.io.ByteArrayOutputStream
+    // re-frame the PLAIN shard to find record boundaries, then gzip
+    // each record separately: member count == record count by
+    // construction, which the parser must reproduce
+    var p = 0
+    while (p < plain.length) {
+      val start = p
+      // skip version line + headers to the blank line, reading
+      // Content-Length on the way
+      var len = -1L
+      var line = ""
+      do {
+        var q = p
+        while (!(plain(q) == '\r' && plain(q + 1) == '\n')) q += 1
+        line = new String(plain, p, q - p, "US-ASCII")
+        p = q + 2
+        if (line.toLowerCase.startsWith("content-length:"))
+          len = line.substring(15).trim.toLong
+      } while (line.nonEmpty)
+      p += len.toInt + 4 // payload + CRLFCRLF
+      // close() finishes the member AND releases the native Deflater
+      // (ByteArrayOutputStream.close is a no-op, so out survives)
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      try gz.write(plain, start, p - start) finally gz.close()
+    }
+    out.toByteArray
+  }
+
+  /** Walk the gzip container member-by-member: returns the
+    * concatenated decompressed bytes and the member count. Each
+    * member's CRC32 and ISIZE trailer is verified — bit-rot inside
+    * any member rejects loudly here, before WARC re-framing. */
+  private[graft] def gunzipMembers(bytes: Array[Byte]): (Array[Byte], Long) = {
+    val out = new java.io.ByteArrayOutputStream
+    var members = 0L
+    var p = 0
+    while (p < bytes.length) {
+      require(p + 10 <= bytes.length, s"truncated gzip header at $p")
+      require((bytes(p) & 0xff) == 0x1f && (bytes(p + 1) & 0xff) == 0x8b,
+        s"bad gzip magic at $p")
+      require(bytes(p + 2) == 8, "unsupported compression method")
+      val flg = bytes(p + 3) & 0xff
+      p += 10 // fixed header (magic, CM, FLG, MTIME, XFL, OS)
+      if ((flg & 4) != 0) { // FEXTRA: 2-byte little-endian length
+        val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+        p += 2 + xlen
+      }
+      if ((flg & 8) != 0) { while (bytes(p) != 0) p += 1; p += 1 }  // FNAME
+      if ((flg & 16) != 0) { while (bytes(p) != 0) p += 1; p += 1 } // FCOMMENT
+      if ((flg & 2) != 0) p += 2                                    // FHCRC
+      val inf = new java.util.zip.Inflater(true) // raw deflate body
+      val crc = new java.util.zip.CRC32
+      var memberLen = 0L
+      try {
+        inf.setInput(bytes, p, bytes.length - p)
+        val buf = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          require(n > 0 || inf.finished(), s"truncated deflate body at $p")
+          out.write(buf, 0, n)
+          crc.update(buf, 0, n)
+          memberLen += n
+        }
+        p += inf.getBytesRead.toInt
+      } finally inf.end()
+      require(p + 8 <= bytes.length, s"truncated gzip trailer at $p")
+      def le32(o: Int): Long =
+        ((bytes(o) & 0xffL)) | ((bytes(o + 1) & 0xffL) << 8) |
+          ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      require(le32(p) == crc.getValue, s"gzip CRC mismatch in member $members")
+      require(le32(p + 4) == (memberLen & 0xffffffffL),
+        s"gzip ISIZE mismatch in member $members")
+      p += 8
+      members += 1
+    }
+    (out.toByteArray, members)
+  }
+
+  /** Synthesize → per-record-gzip → member walk → strict WARC
+    * re-frame. Output adds the member count, which must equal the
+    * record count (one record per member — the random-access
+    * contract); the remaining columns replay the same arithmetic as
+    * warc_parse, so the oracle pins that compression changed NOTHING
+    * about the recovered content. */
+  def warcGzip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.fannedIds(s, d)
+      .mapPartitions(_.map { id =>
+        val (plain, members) = gunzipMembers(warcGzipBytes(id))
+        val (nr, nresp, nreq, sp, su, ck) = parseWarc(plain)
+        require(members == nr, s"member count $members != record count $nr")
+        (id, members, nr, nresp, nreq, sp, su, ck)
+      })
+      .toDF("asset_id", "n_members", "n_records", "n_responses",
+        "n_requests", "sum_payload", "sum_uri_len", "checksum")
+  }
+
   /** Synthesize → strictly re-frame a WARC shard per document. */
   def warcParse(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -206,31 +320,84 @@ object Web {
     * inside <main>, wrapped in adversarial chrome — a <script> with
     * bare `<`/`>` (tags-only strippers corrupt on it), a <footer>
     * containing its own <p> (block removal must precede paragraph
-    * harvesting), and entities in the nav/footer. */
+    * harvesting), entities in the nav/footer, an HTML comment that
+    * CONTAINS tags and an entity (r10 verdict: the `<[^>]*>` strip
+    * alone eats `<!-- <p>` as one tag and leaks the comment text), a
+    * conditional comment, a CDATA section holding raw `<`/`>`/`&`,
+    * and every inter-word space inside the paragraphs spelled as a
+    * NUMERIC character reference (`&#32;` on even paragraphs,
+    * `&#x20;` on odd) — bit-exact recovery now requires real
+    * comment/CDATA removal and a real decimal+hex reference decoder,
+    * not just the five named entities. */
   private def htmlOf(idCol: Column, textCol: Column): Column = {
     val words = split(textCol, " ")
     val nParas = nParasOf(textCol)
     val paras = array_join(
       transform(sequence(lit(0), nParas - 1), i =>
         concat(lit("<p>"),
-          array_join(slice(words, i * WordsPerPara + 1, lit(WordsPerPara)), " "),
+          regexp_replace(
+            array_join(slice(words, i * WordsPerPara + 1, lit(WordsPerPara)), " "),
+            lit(" "),
+            when(i % 2 === 0, lit("&#32;")).otherwise(lit("&#x20;"))),
           lit("</p>"))), "")
     concat(
       lit("<!DOCTYPE html><html><head><title>Doc "), idCol,
-      lit("</title><style>body{color:#000;font-size:14px}</style>" +
+      lit("</title><!--[if IE]><link rel=\"x\" href=\"/ie.css\"><![endif]-->" +
+        "<style>body{color:#000;font-size:14px}</style>" +
         "<script>var x=1&amp;&amp;2;if(x<3){x=4>2?1:0;}</script>" +
         "</head><body><nav><ul><li><a href=\"/\">home &gt; docs</a>" +
         "</li></ul></nav><header><h1>doc "), idCol,
-      lit("</h1></header><main>"), paras,
-      lit("</main><footer><p>&copy; 2026 example&nbsp;corp &amp; " +
+      lit("</h1></header>" +
+        "<!-- <p>commented-out boilerplate &#65; must not leak</p> -->" +
+        "<main>"), paras,
+      lit("</main><![CDATA[ raw < junk > &#66; & more ]]>" +
+        "<footer><p>&copy; 2026 example&nbsp;corp &amp; " +
         "partners</p></footer></body></html>"))
   }
 
-  /** The extractor: block-level boilerplate removal, then tag strip,
-    * entity decode, whitespace collapse. Pure codegen'd built-ins. */
+  /** Decode decimal and hex numeric character references (`&#NN;` /
+    * `&#xHH;`) with built-in string surgery: a zero-width-lookahead
+    * split keeps every potential reference at a segment head, then
+    * each segment either decodes its head reference — full Unicode
+    * via [[graft.functions.codepointChar]]; Spark's own `chr()` wraps
+    * code points at 256 — or passes through verbatim. Malformed or
+    * out-of-range references (no digits, missing `;`, surrogate, or
+    * past U+10FFFF) survive unchanged: the lenient-browser contract.
+    * Must run BEFORE `&amp;` decode so `&amp;#65;` renders as the
+    * literal text `&#65;`, never double-decodes to `A`. */
+  private[graft] def decodeNumericEntities(c: Column): Column = {
+    val segs = split(c, "(?=&#)")
+    array_join(transform(segs, seg => {
+      val whole = regexp_extract(seg, "^&#(?:[0-9]{1,7}|[xX][0-9a-fA-F]{1,6});", 0)
+      val dec = regexp_extract(seg, "^&#([0-9]{1,7});", 1)
+      val hex = regexp_extract(seg, "^&#[xX]([0-9a-fA-F]{1,6});", 1)
+      val code = when(dec =!= "", dec.cast("int"))
+        .when(hex =!= "", conv(hex, 16, 10).cast("int"))
+      val valid = code.isNotNull && code <= lit(0x10FFFF) &&
+        !(code >= lit(0xD800) && code <= lit(0xDFFF))
+      when(valid,
+        concat(graft.functions.codepointChar(code),
+          seg.substr(length(whole) + 1, length(seg))))
+        .otherwise(seg)
+    }), "")
+  }
+
+  /** The extractor: comment/CDATA removal, block-level boilerplate
+    * removal, tag strip, entity decode (named + numeric), whitespace
+    * collapse. Pure codegen'd built-ins plus one native codegen
+    * Expression (codepoint_char). */
   private[graft] def extractMainText(html: Column): Column = {
-    // 1. script/style bodies are NOT text — drop whole blocks first
-    val noScript = regexp_replace(html,
+    // 0. comments and CDATA sections die FIRST — a comment may contain
+    //    tags (`<!-- <p>x</p> -->`): the bare tag strip would eat
+    //    `<!-- <p>` as ONE tag and leak "x</p> -->" into the text; a
+    //    CDATA section may contain bare < > & that would corrupt every
+    //    later stage. (Assumes comments don't nest inside scripts —
+    //    true of the synthesized page; a full HTML5 tokenizer is out
+    //    of scope by design.)
+    val noComments = regexp_replace(html,
+      "(?s)<!--.*?-->|<!\\[CDATA\\[.*?\\]\\]>", " ")
+    // 1. script/style bodies are NOT text — drop whole blocks
+    val noScript = regexp_replace(noComments,
       "(?s)<script\\b[^>]*>.*?</script>|<style\\b[^>]*>.*?</style>", " ")
     // 2. the whole <head> (title text is NOT page text — the classic
     //    naive-stripper leak) and chrome blocks are boilerplate; the
@@ -242,10 +409,13 @@ object Web {
     // 3. remaining tags become whitespace (so adjacent <p> blocks
     //    don't glue their words together)
     val noTags = regexp_replace(noChrome, "<[^>]*>", " ")
-    // 4. entity decode (the common five; order matters — &amp; last
-    //    so freshly-decoded ampersands don't re-decode)
+    // 4a. numeric character references first (see decodeNumericEntities
+    //     for why they precede &amp;)
+    val numDecoded = decodeNumericEntities(noTags)
+    // 4b. named entities (the common five; order matters — &amp; last
+    //     so freshly-decoded ampersands don't re-decode)
     val decoded = regexp_replace(regexp_replace(regexp_replace(
-      regexp_replace(regexp_replace(noTags,
+      regexp_replace(regexp_replace(numDecoded,
         "&lt;", "<"), "&gt;", ">"), "&nbsp;", " "), "&copy;", "©"),
       "&amp;", "&")
     // 5. whitespace collapse + trim
@@ -269,36 +439,77 @@ object Web {
   // URL canonicalization dedup
   // ---------------------------------------------------------------
 
+  /** RFC 3986 §2.3 unreserved characters — the ONLY percent-escapes a
+    * canonicalizer may decode (decoding a reserved escape like %2F
+    * would change which resource the URL names). */
+  private def isUnreserved(code: Column): Column =
+    (code >= 48 && code <= 57) || (code >= 65 && code <= 90) ||
+      (code >= 97 && code <= 122) ||
+      code.isin(45, 46, 95, 126) // - . _ ~
+
+  /** Percent-encoding normalization (RFC 3986 §6.2.2.1–2): decode
+    * escapes of UNRESERVED characters (`%41`→`A`, `%7E`→`~` — they
+    * never needed encoding), uppercase the hex of every other escape
+    * (`%2f`→`%2F` — reserved escapes stay escaped but get one
+    * spelling). Same zero-width-lookahead split-and-stitch as the
+    * numeric-entity decoder; stray `%` not followed by two hex digits
+    * passes through verbatim. */
+  private[graft] def pctNormalize(c: Column): Column = {
+    val segs = split(c, "(?=%)")
+    array_join(transform(segs, seg => {
+      val hx = upper(regexp_extract(seg, "^%([0-9a-fA-F]{2})", 1))
+      val rest = seg.substr(lit(4), length(seg))
+      when(hx === "", seg).otherwise({
+        val code = conv(hx, 16, 10).cast("int")
+        when(isUnreserved(code),
+          concat(graft.functions.codepointChar(code), rest))
+          .otherwise(concat(lit("%"), hx, rest))
+      })
+    }), "")
+  }
+
   /** The FIRST dedup a web pipeline runs — long before any content
     * hashing: the same resource arrives under many URL spellings
     * (mixed-case host, explicit default port, unsorted query params,
-    * trailing slash, fragments), and canonicalizing before grouping
-    * collapses them for free. Per document a messy variant is
-    * synthesized (the variants co-rotate on doc_id moduli), then
-    * genuinely normalized with codegen'd string surgery: fragment
-    * strip, host lowercase, default-port strip, trailing-slash strip,
-    * query-param SORT. Groups on the canonical key — ONE exchange at
-    * any scale, and the key is the short canonical URL, never the
-    * document payload. If any normalization step breaks, a group
-    * splits and both its count and its min-doc keeper shift. */
+    * trailing slash, fragments, percent-escape variants, bare `?`),
+    * and canonicalizing before grouping collapses them for free. Per
+    * document a messy variant is synthesized (the variants co-rotate
+    * on doc_id moduli), then genuinely normalized with codegen'd
+    * string surgery: fragment strip, host lowercase, default-port
+    * strip, trailing-slash strip, percent-encoding normalization
+    * (unreserved decode + uppercase hex, r11), empty-query strip
+    * (r11), query-param SORT. Groups on the canonical key — ONE
+    * exchange at any scale, and the key is the short canonical URL,
+    * never the document payload. If any normalization step breaks, a
+    * group splits and both its count and its min-doc keeper shift. */
   def urlCanonDedup(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id")
     val messy = concat(
       lit("https://"),
       when(id % 2 === 0, lit("ExAmple.COM")).otherwise(lit("example.com")),
       when(id % 3 === 0, lit(":443")).otherwise(lit("")),
-      lit("/d/"), (id % 50).cast("string"),
+      // %41 = 'A' (unreserved — must DECODE, hex case co-rotates);
+      // %2f = '/' (reserved — must stay escaped, hex must UPPERCASE);
+      // %7e = '~' (unreserved, the classic home-dir variant)
+      when(id % 2 === 0, lit("/d%41ta/")).otherwise(lit("/dAta/")),
+      (id % 50).cast("string"),
+      when(id % 5 === 0, lit("/x%2fy")).otherwise(lit("/x%2Fy")),
+      when(id % 3 === 0, lit("/%7e"))
+        .when(id % 3 === 1, lit("/%7E")).otherwise(lit("/~")),
       when(id % 5 === 0, lit("/")).otherwise(lit("")),
-      when(id % 2 === 0, lit("?b=2&a=1")).otherwise(lit("?a=1&b=2")),
+      // the bare-? class canonicalizes to NO query — its own groups
+      when(id % 13 === 0, lit("?"))
+        .when(id % 2 === 0, lit("?b=2&a=1")).otherwise(lit("?a=1&b=2")),
       when(id % 7 === 0, lit("#sec")).otherwise(lit("")))
     val noFrag = regexp_replace(messy, "#.*$", "")
     val host = lower(regexp_extract(noFrag, "^[a-z]+://([^/?#]+)", 1))
     val hostNoPort = regexp_replace(host, ":443$", "")
     val path = regexp_extract(noFrag, "^[a-z]+://[^/?#]+([^?#]*)", 1)
-    val pathNorm = regexp_replace(path, "/$", "")
+    val pathNorm = pctNormalize(regexp_replace(path, "/$", ""))
     val query = regexp_extract(noFrag, "\\?(.*)$", 1)
     val qNorm = when(query === "", lit("")).otherwise(
-      concat(lit("?"), array_join(sort_array(split(query, "&")), "&")))
+      concat(lit("?"),
+        array_join(sort_array(split(pctNormalize(query), "&")), "&")))
     val canon = concat(lit("https://"), hostNoPort, pathNorm, qNorm)
     documents(s, d)
       .select(id, canon.as("canon_url"))
@@ -308,6 +519,7 @@ object Web {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "warc_parse"        -> warcParse _,
+    "warc_gzip"         -> warcGzip _,
     "text_html_extract" -> htmlExtract _,
     "url_canon_dedup"   -> urlCanonDedup _,
   )
@@ -344,19 +556,58 @@ object Web {
           CAST(ff.su AS BIGINT) AS sum_uri_len,
           CAST(bb.ck AS BIGINT) AS checksum
         FROM ff JOIN bb ON bb.doc_id = ff.doc_id""",
+    // the gzip'd layout replays the SAME arithmetic as warc_parse —
+    // compression must change nothing about the recovered records —
+    // plus n_members == n_records (one gzip member per record, the
+    // random-access contract the parser `require`s)
+    "warc_gzip" ->
+      """WITH a AS (
+          SELECT doc_id, 1 + doc_id % 3 AS nf FROM documents),
+        f AS (
+          SELECT a.doc_id, u.r,
+            20 + (a.doc_id * 31 + u.r * 7) % 180 AS sz,
+            length('https://example.com/doc' || a.doc_id || '/' || u.r)
+              AS ulen
+          FROM a, unnest(generate_series(0, a.nf - 1)) AS u(r)),
+        ff AS (
+          SELECT doc_id, count(*) AS nresp, sum(sz) AS sp,
+            sum(ulen) AS su
+          FROM f GROUP BY doc_id),
+        bb AS (
+          SELECT f.doc_id,
+            sum((f.r + 1) * (v.i + 1)
+              * ((f.doc_id * 17 + f.r * 5 + v.i * 13) % 251)) AS ck
+          FROM f, unnest(generate_series(0, f.sz - 1)) AS v(i)
+          GROUP BY f.doc_id)
+        SELECT ff.doc_id AS asset_id,
+          CAST(1 + 2 * ff.nresp AS BIGINT) AS n_members,
+          CAST(1 + 2 * ff.nresp AS BIGINT) AS n_records,
+          CAST(ff.nresp AS BIGINT) AS n_responses,
+          CAST(ff.nresp AS BIGINT) AS n_requests,
+          CAST(ff.sp AS BIGINT) AS sum_payload,
+          CAST(ff.su AS BIGINT) AS sum_uri_len,
+          CAST(bb.ck AS BIGINT) AS checksum
+        FROM ff JOIN bb ON bb.doc_id = ff.doc_id""",
     // bit-exact recovery: the extractor must hand back EXACTLY the
     // original document text (sha + length), and the paragraph count
-    // replays the 12-words-per-<p> synthesis rule
+    // replays the 12-words-per-<p> synthesis rule. CORPUS
+    // PRECONDITION (spec-guarded in AnalyticsSpec): doc text contains
+    // no '<' '>' '&' and no repeated/non-space whitespace — otherwise
+    // the synth/extract round trip is not the identity and the sha
+    // mismatch would be a corpus artifact, not an extractor bug
     // every messy variant of path-group k canonicalizes to ONE fixed
-    // spelling — the oracle states that spelling literally, so a
-    // broken normalization step splits a group and fails all three
-    // columns
+    // spelling — the oracle states that spelling literally (unreserved
+    // escapes decoded, reserved escape %2F uppercased-but-kept, ~
+    // decoded, bare-? docs in their own no-query groups), so a broken
+    // normalization step splits a group and fails all three columns
     "url_canon_dedup" ->
-      """SELECT 'https://example.com/d/' || (doc_id % 50) || '?a=1&b=2'
+      """SELECT 'https://example.com/dAta/' || (doc_id % 50)
+            || '/x%2Fy/~'
+            || CASE WHEN doc_id % 13 = 0 THEN '' ELSE '?a=1&b=2' END
             AS canon_url,
           CAST(count(*) AS BIGINT) AS n_dups,
           CAST(min(doc_id) AS BIGINT) AS keeper
-        FROM documents GROUP BY doc_id % 50""",
+        FROM documents GROUP BY doc_id % 50, doc_id % 13 = 0""",
     "text_html_extract" ->
       """SELECT doc_id,
           CAST((array_length(string_split(text, ' ')) + 11) // 12

@@ -151,7 +151,12 @@ class PlanSpec extends SparkSpec {
     // str_collation: the ONE collated-key grouping exchange (the
     // collation must not add a second normalization pass). The other
     // r10 queries (warc_parse, text_html_extract, binary_codecs,
-    // multimodal_mjpeg, observe_metrics) are map-only at budget 0.
+    // multimodal_mjpeg) are map-only at budget 0. CAVEAT
+    // observe_metrics: its constructor RUNS the observed noop write
+    // eagerly, so the frame this sweep audits is the one-row result
+    // literal (like the streaming set) and its budget-0 entry is
+    // vacuous — the REAL observed pass is audited separately in
+    // "observe() rides the valid split without adding exchanges".
     "url_canon_dedup" -> 1,
     "str_collation" -> 1,
     "csv_roundtrip" -> 1, "dedup_embedding" -> 1, "dedup_exact" -> 1,
@@ -839,12 +844,29 @@ class PlanSpec extends SparkSpec {
       "multimodal_jpeg", "multimodal_gif", "multimodal_mjpeg",
       "multimodal_bmp", "multimodal_png", "multimodal_tar",
       "multimodal_mp4", "multimodal_wav", "multimodal_audio_gate",
-      "warc_parse", "binary_codecs")
+      "warc_parse", "warc_gzip", "binary_codecs")
     val missing = plans.collect {
       case (name, p) if mustFan(name) &&
         !p.contains("RoundRobinPartitioning") => name
     }
     assert(missing.isEmpty, s"single-split codec loops: $missing")
+  }
+
+  test("observe() rides the valid split without adding exchanges") {
+    // the board's observe_metrics entry audits only the post-hoc
+    // result literal (its constructor executes the noop write
+    // eagerly — ADVICE r10), so the map-only claim about the REAL
+    // observed pass is checked here on the same plan observeMetrics
+    // executes: splitValid + observe() + noop write must stay one
+    // exchange-free narrow stage at any corpus size
+    import org.apache.spark.sql.functions._
+    val observed = graft.analytics.EventsPipeline.splitValid(spark, sfDir)
+      .observe("plan_audit",
+        count(lit(1)).as("n_valid"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    val plan = observed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("CollectMetrics"), plan)
   }
 
   test("every query stays within its audited shuffle budget") {
