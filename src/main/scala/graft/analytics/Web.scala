@@ -108,14 +108,14 @@ object Web {
     out.toByteArray
   }
 
-  /** Strict re-frame: (nRecords, nResponses, nRequests, sumPayload,
-    * sumUriLen, checksum). Response payloads feed sum/positional
-    * checksum; URI lengths come from the parsed WARC-Target-URI
-    * header. Any framing damage rejects loudly. */
-  private[graft] def parseWarc(bytes: Array[Byte]): (Long, Long, Long, Long, Long, Long) = {
+  /** The strict framing walk shared by every WARC consumer: yields one
+    * (warc-type, target-uri, payloadStart, payloadLen) per record,
+    * enforcing the version line, header well-formedness, exact
+    * Content-Length, and the CRLFCRLF terminator. Any framing damage
+    * rejects loudly. */
+  private[graft] def warcRecords(bytes: Array[Byte]): Seq[(String, String, Int, Int)] = {
+    val out = Seq.newBuilder[(String, String, Int, Int)]
     var p = 0
-    var nRec = 0L; var nResp = 0L; var nReq = 0L
-    var sumPayload = 0L; var sumUri = 0L; var ck = 0L
     def line(): String = {
       val nl = {
         var q = p
@@ -146,7 +146,26 @@ object Web {
         h = line()
       }
       require(len >= 0, "missing Content-Length")
+      require(tpe.nonEmpty, "missing WARC-Type")
       require(p + len + 4 <= bytes.length, s"truncated payload at $p")
+      out += ((tpe, uri, p, len.toInt))
+      p += len.toInt
+      require(bytes(p) == '\r' && bytes(p + 1) == '\n' &&
+        bytes(p + 2) == '\r' && bytes(p + 3) == '\n',
+        s"missing record terminator at $p")
+      p += 4
+    }
+    out.result()
+  }
+
+  /** Strict re-frame: (nRecords, nResponses, nRequests, sumPayload,
+    * sumUriLen, checksum). Response payloads feed sum/positional
+    * checksum; URI lengths come from the parsed WARC-Target-URI
+    * header. */
+  private[graft] def parseWarc(bytes: Array[Byte]): (Long, Long, Long, Long, Long, Long) = {
+    var nRec = 0L; var nResp = 0L; var nReq = 0L
+    var sumPayload = 0L; var sumUri = 0L; var ck = 0L
+    warcRecords(bytes).foreach { case (tpe, uri, start, len) =>
       nRec += 1
       tpe match {
         case "response" =>
@@ -154,18 +173,12 @@ object Web {
           val r = nResp // 1-based fetch index — matches the oracle's r+1
           var i = 0
           while (i < len) {
-            ck += r * (i + 1) * (bytes(p + i.toInt) & 0xff)
+            ck += r * (i + 1) * (bytes(start + i) & 0xff)
             i += 1
           }
         case "request"  => nReq += 1
-        case "warcinfo" => ()
-        case other      => require(other.nonEmpty, "missing WARC-Type")
+        case _          => ()
       }
-      p += len.toInt
-      require(bytes(p) == '\r' && bytes(p + 1) == '\n' &&
-        bytes(p + 2) == '\r' && bytes(p + 3) == '\n',
-        s"missing record terminator at $p")
-      p += 4
     }
     (nRec, nResp, nReq, sumPayload, sumUri, ck)
   }
@@ -436,6 +449,61 @@ object Web {
   }
 
   // ---------------------------------------------------------------
+  // WET extraction (r11): WARC → text, the actual composition
+  // ---------------------------------------------------------------
+
+  /** WET extraction — the step Common Crawl's WET files ARE: a WARC
+    * shard whose response payloads hold fetched HTML is re-framed,
+    * each response payload is taken, and boilerplate removal recovers
+    * the plain text. Exercises the two r10/r11 web operators as one
+    * PIPELINE rather than in isolation: codegen'd page+shard synthesis
+    * (the response payload is the full adversarial HTML page, framed
+    * with a BYTE-exact Content-Length — octet_length, not char
+    * length, or any multi-byte char breaks the framing) → strict
+    * per-partition WARC re-frame (the shared walker) → codegen'd
+    * extraction. The sha oracle pins bit-exact recovery of the
+    * document text through the WHOLE chain; n_records pins the
+    * framing. Map-only aside from the gated single-split fan-out. */
+  def warcWet(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val info = "software: graft\r\n"
+    val html = htmlOf(col("doc_id"), col("text"))
+    val response = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " +
+        "https://example.com/doc"),
+      col("doc_id").cast("string"),
+      lit("\r\nContent-Type: text/html\r\nContent-Length: "),
+      octet_length(html).cast("string"),
+      lit("\r\n\r\n"), html, lit("\r\n\r\n"))
+    val shard = concat(
+      lit("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: " +
+        s"${info.getBytes("UTF-8").length}\r\n\r\n$info\r\n\r\n"),
+      response)
+    val src = documents(s, d)
+      .select(col("doc_id"), shard.as("shard")).as[(Long, String)]
+    // gated full-width fan-out before the parse loop (the
+    // binary_codecs policy: this shuffle carries the shard payload, so
+    // it only fires when the scan is narrower than the cluster)
+    val width = s.sparkContext.defaultParallelism
+    val fanned =
+      if (src.rdd.getNumPartitions < width) src.repartition(width) else src
+    val parsed = fanned
+      .mapPartitions(_.map { case (id, sh) =>
+        val bytes = sh.getBytes("UTF-8")
+        val recs = warcRecords(bytes)
+        val resp = recs.filter(_._1 == "response")
+        require(resp.size == 1, s"expected 1 response, got ${resp.size}")
+        val (_, _, start, len) = resp.head
+        (id, recs.size.toLong, new String(bytes, start, len, "UTF-8"))
+      })
+      .toDF("doc_id", "n_records", "payload")
+    val wet = extractMainText(col("payload"))
+    parsed.select(col("doc_id"), col("n_records"),
+      length(wet).cast("long").as("n_chars"),
+      sha2(wet, 256).as("wet_sha"))
+  }
+
+  // ---------------------------------------------------------------
   // URL canonicalization dedup
   // ---------------------------------------------------------------
 
@@ -517,11 +585,86 @@ object Web {
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper"))
   }
 
+  // ---------------------------------------------------------------
+  // robots.txt exclusion filter (RFC 9309)
+  // ---------------------------------------------------------------
+
+  /** The crawl-policy rule set: (rule-as-written, allow?) pairs. One
+    * Allow overriding a Disallow prefix, an equal-length Allow/
+    * Disallow tie (Allow must win, RFC 9309 §2.2.2), a `*` wildcard
+    * rule, and a `$` end-anchor rule — the four matching behaviors a
+    * real robots.txt exercises. */
+  private val RobotsRules: Seq[(String, Int)] = Seq(
+    "/private"    -> 0,
+    "/private/ok" -> 1,
+    "/tmp"        -> 0,
+    "/equal"      -> 0,
+    "/equal"      -> 1, // same length as the Disallow — Allow wins ties
+    "/img/*.bin"  -> 0,
+    "/exact$"     -> 0)
+
+  /** RFC 9309 rule → anchored regex: `*` is any run, `$` (final only)
+    * pins the path end, everything else is literal; without `$` the
+    * rule is a PREFIX match (path may continue). */
+  private def robotsRegex(rule: String): String = {
+    val anchored = rule.endsWith("$")
+    val core = if (anchored) rule.dropRight(1) else rule
+    val esc = core.flatMap {
+      case '*'                                  => ".*"
+      case c if "\\.[]{}()+-^$|?".contains(c)   => "\\" + c
+      case c                                    => c.toString
+    }
+    "^" + esc + (if (anchored) "$" else "")
+  }
+
+  /** robots.txt exclusion filter — the crawl-POLICY gate that runs
+    * between URL canonicalization and fetch (a pipeline that ignores
+    * it ships data it was asked not to take). Longest-match-wins per
+    * RFC 9309 (§2.2.2: most octets of the rule as written; Allow wins
+    * an equal-length tie), spelled as a verdict KEY — 2·len + allow —
+    * folded with greatest() over the static rule list, so the whole
+    * decision is one codegen'd expression chain per row: zero
+    * exchanges, zero UDFs, rule regexes compiled once at plan time.
+    * Nine co-rotating path classes cover every rule interaction
+    * (override, tie, wildcard, end-anchor, anchor-miss, no-match
+    * default-allow); the oracle states each class's verdict and
+    * matched-rule length literally. */
+  def urlRobotsFilter(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val k = (id % 10).cast("string")
+    val cls = id % 9
+    val path = when(cls === 0, concat(lit("/public/a"), k))
+      .when(cls === 1, concat(lit("/private/x"), k))
+      .when(cls === 2, concat(lit("/private/ok/y"), k))
+      .when(cls === 3, concat(lit("/tmp/z"), k))
+      .when(cls === 4, lit("/"))
+      .when(cls === 5, concat(lit("/equal/w"), k))
+      .when(cls === 6, concat(lit("/img/p"), k, lit(".bin")))
+      .when(cls === 7, lit("/exact"))
+      .otherwise(lit("/exactish"))
+    documents(s, d)
+      .select(id, path.as("path"))
+      .withColumn("verdict_key",
+        RobotsRules.foldLeft(lit(-1)) { case (acc, (rule, allow)) =>
+          greatest(acc,
+            when(col("path").rlike(robotsRegex(rule)),
+              lit(rule.length * 2 + allow)).otherwise(lit(-1)))
+        })
+      .select(id, col("path"),
+        when(col("verdict_key") < 0, lit(1L))
+          .otherwise(pmod(col("verdict_key"), lit(2)).cast("long"))
+          .as("allowed"),
+        when(col("verdict_key") < 0, lit(0L))
+          .otherwise(expr("verdict_key div 2")).as("match_len"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "warc_parse"        -> warcParse _,
     "warc_gzip"         -> warcGzip _,
+    "warc_wet"          -> warcWet _,
     "text_html_extract" -> htmlExtract _,
     "url_canon_dedup"   -> urlCanonDedup _,
+    "url_robots_filter" -> urlRobotsFilter _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -588,6 +731,15 @@ object Web {
           CAST(ff.su AS BIGINT) AS sum_uri_len,
           CAST(bb.ck AS BIGINT) AS checksum
         FROM ff JOIN bb ON bb.doc_id = ff.doc_id""",
+    // the WET pipeline end-to-end: framing pinned by n_records,
+    // extraction pinned by bit-exact recovery of the document text
+    // through synth -> WARC framing -> re-frame -> extraction
+    "warc_wet" ->
+      """SELECT doc_id,
+          CAST(2 AS BIGINT) AS n_records,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          sha256(text) AS wet_sha
+        FROM documents""",
     // bit-exact recovery: the extractor must hand back EXACTLY the
     // original document text (sha + length), and the paragraph count
     // replays the 12-words-per-<p> synthesis rule. CORPUS
@@ -600,6 +752,30 @@ object Web {
     // escapes decoded, reserved escape %2F uppercased-but-kept, ~
     // decoded, bare-? docs in their own no-query groups), so a broken
     // normalization step splits a group and fails all three columns
+    // every path class's verdict and matched-rule length stated
+    // literally: override (class 2: Allow /private/ok beats Disallow
+    // /private), equal-length tie (5: Allow wins), wildcard (6),
+    // end-anchor hit (7) and miss (8), default-allow (0, 4)
+    "url_robots_filter" ->
+      """SELECT doc_id,
+          CASE CAST(doc_id % 9 AS INT)
+            WHEN 0 THEN '/public/a' || (doc_id % 10)
+            WHEN 1 THEN '/private/x' || (doc_id % 10)
+            WHEN 2 THEN '/private/ok/y' || (doc_id % 10)
+            WHEN 3 THEN '/tmp/z' || (doc_id % 10)
+            WHEN 4 THEN '/'
+            WHEN 5 THEN '/equal/w' || (doc_id % 10)
+            WHEN 6 THEN '/img/p' || (doc_id % 10) || '.bin'
+            WHEN 7 THEN '/exact'
+            ELSE '/exactish' END AS path,
+          CAST(CASE CAST(doc_id % 9 AS INT)
+            WHEN 1 THEN 0 WHEN 3 THEN 0 WHEN 6 THEN 0 WHEN 7 THEN 0
+            ELSE 1 END AS BIGINT) AS allowed,
+          CAST(CASE CAST(doc_id % 9 AS INT)
+            WHEN 1 THEN 8 WHEN 2 THEN 11 WHEN 3 THEN 4 WHEN 5 THEN 6
+            WHEN 6 THEN 10 WHEN 7 THEN 7 ELSE 0 END AS BIGINT)
+            AS match_len
+        FROM documents""",
     "url_canon_dedup" ->
       """SELECT 'https://example.com/dAta/' || (doc_id % 50)
             || '/x%2Fy/~'

@@ -1482,6 +1482,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(Web.parseWarc(flipped)._6 !== ck, "payload flip kept the checksum")
   }
 
+  test("content-type sniffing: magic-byte detection incl. RIFF forms and offset-257 tar") {
+    import graft.analytics.{Multimodal, Web}
+    val gifWriter = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      assert(Multimodal.sniffMediaType(Multimodal.pngBytes(3L)) === "image/png")
+      assert(Multimodal.sniffMediaType(Multimodal.jpegBytes(3L)) === "image/jpeg")
+      assert(Multimodal.sniffMediaType(Multimodal.gifBytes(gifWriter, 3L)) === "image/gif")
+      assert(Multimodal.sniffMediaType(Multimodal.bmpBytes(3L)) === "image/bmp")
+      // the two RIFF forms share their leading fourcc — the form type
+      // at offset 8 must disambiguate
+      assert(Multimodal.sniffMediaType(Multimodal.wavBytes(3L, 10)) === "audio/wav")
+      val jpgWriter = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      try assert(Multimodal.sniffMediaType(Multimodal.aviBytes(jpgWriter, 3L)) === "video/avi")
+      finally jpgWriter.dispose()
+      // tar magic sits at offset 257, not 0
+      assert(Multimodal.sniffMediaType(Multimodal.tarBytes(3L)) === "application/x-tar")
+      assert(Multimodal.sniffMediaType(Web.warcGzipBytes(3L)) === "application/gzip")
+      // junk, truncated, and empty inputs fall back, never throw
+      assert(Multimodal.sniffMediaType("plain text".getBytes("UTF-8"))
+        === "application/octet-stream")
+      assert(Multimodal.sniffMediaType(Array[Byte](0x42)) === "application/octet-stream")
+      assert(Multimodal.sniffMediaType(Array.empty[Byte]) === "application/octet-stream")
+    } finally gifWriter.dispose()
+  }
+
   test("gzip'd WARC: member-per-record framing, CRC/ISIZE verified, flags handled") {
     import graft.analytics.Web
     val gz = Web.warcGzipBytes(4L)

@@ -858,7 +858,8 @@ class PlanSpec extends SparkSpec {
       "multimodal_jpeg", "multimodal_gif", "multimodal_mjpeg",
       "multimodal_bmp", "multimodal_png", "multimodal_tar",
       "multimodal_mp4", "multimodal_wav", "multimodal_audio_gate",
-      "warc_parse", "warc_gzip", "binary_codecs")
+      "warc_parse", "warc_gzip", "warc_wet", "binary_codecs",
+      "multimodal_sniff")
     val missing = plans.collect {
       case (name, p) if mustFan(name) &&
         !p.contains("RoundRobinPartitioning") => name
