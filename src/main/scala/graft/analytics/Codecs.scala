@@ -85,14 +85,8 @@ object Codecs {
       .as[(Long, String)]
     // fan to full width before the codec loop ONLY when the scan is
     // narrower than the cluster (the multimodal_mjpeg single-split
-    // finding): unlike the id-only fans this shuffle carries the text
-    // payload, so a corpus already split wide skips it — and when it
-    // does fire (test SF: one split), four codec round-trips per row
-    // dwarf the sub-KB payload shuffle
-    val width = s.sparkContext.defaultParallelism
-    val fanned =
-      if (src.rdd.getNumPartitions < width) src.repartition(width) else src
-    fanned
+    // finding; shared gate: Multimodal.fanWhenNarrow)
+    Multimodal.fanWhenNarrow(s, src)
       .mapPartitions(_.map { case (id, text) =>
         val raw = text.getBytes("UTF-8")
         def ok(rt: => Array[Byte]): Long =

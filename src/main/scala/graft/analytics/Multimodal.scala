@@ -49,6 +49,20 @@ object Multimodal {
       .repartition(s.sparkContext.defaultParallelism)
   }
 
+  /** Payload-carrying variant of the fan-out policy: fan to full
+    * width ONLY when the scan arrives in fewer splits than the
+    * cluster is wide. Unlike [[fannedIds]] this shuffle carries the
+    * row payload, so a corpus already split wide must take zero
+    * exchanges; when it does fire (test SF: one split) the per-row
+    * codec work dwarfs the payload shuffle. One definition so the
+    * gate can't drift between payload-carrying codec loops (PlanSpec
+    * machine-checks the fan per query). */
+  private[analytics] def fanWhenNarrow[T](s: SparkSession,
+      ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
+    val width = s.sparkContext.defaultParallelism
+    if (ds.rdd.getNumPartitions < width) ds.repartition(width) else ds
+  }
+
   /** Release per-partition codec contexts when the TASK ends — success
     * or failure — via the TaskContext completion listener (a finally
     * around mapPartitions cannot cover lazy consumption of the
@@ -1458,7 +1472,13 @@ object Multimodal {
     else if (ascii(0, "GIF8")) "image/gif"
     else if (ascii(0, "RIFF") && ascii(8, "WAVE")) "audio/wav"
     else if (ascii(0, "RIFF") && ascii(8, "AVI ")) "video/avi"
-    else if (ascii(0, "BM")) "image/bmp"
+    // 'BM' is a 2-byte magic that text can trivially collide with
+    // ("BMW …"), so corroborate the way file(1) does: a full header
+    // must fit and the size field at offset 2 must equal the payload
+    // length (our writer and every well-formed producer set it)
+    else if (ascii(0, "BM") && b.length >= 54 &&
+      ((b(2) & 0xffL) | ((b(3) & 0xffL) << 8) | ((b(4) & 0xffL) << 16) |
+        ((b(5) & 0xffL) << 24)) == b.length.toLong) "image/bmp"
     else if (b.length >= 2 && (b(0) & 0xff) == 0x1f &&
       (b(1) & 0xff) == 0x8b) "application/gzip"
     else if (ascii(257, "ustar")) "application/x-tar"

@@ -201,29 +201,19 @@ object Web {
   private[graft] def warcGzipBytes(id: Long): Array[Byte] = {
     val plain = warcBytes(id)
     val out = new java.io.ByteArrayOutputStream
-    // re-frame the PLAIN shard to find record boundaries, then gzip
-    // each record separately: member count == record count by
-    // construction, which the parser must reproduce
-    var p = 0
-    while (p < plain.length) {
-      val start = p
-      // skip version line + headers to the blank line, reading
-      // Content-Length on the way
-      var len = -1L
-      var line = ""
-      do {
-        var q = p
-        while (!(plain(q) == '\r' && plain(q + 1) == '\n')) q += 1
-        line = new String(plain, p, q - p, "US-ASCII")
-        p = q + 2
-        if (line.toLowerCase.startsWith("content-length:"))
-          len = line.substring(15).trim.toLong
-      } while (line.nonEmpty)
-      p += len.toInt + 4 // payload + CRLFCRLF
+    // record spans come from the SAME strict walker every consumer
+    // uses (a second hand-rolled framing walk here could drift): each
+    // record runs from the previous record's end to payload end + the
+    // CRLFCRLF terminator; gzip each separately — member count ==
+    // record count by construction, which the parser must reproduce
+    var start = 0
+    warcRecords(plain).foreach { case (_, _, payloadStart, len) =>
+      val end = payloadStart + len + 4
       // close() finishes the member AND releases the native Deflater
       // (ByteArrayOutputStream.close is a no-op, so out survives)
       val gz = new java.util.zip.GZIPOutputStream(out)
-      try gz.write(plain, start, p - start) finally gz.close()
+      try gz.write(plain, start, end - start) finally gz.close()
+      start = end
     }
     out.toByteArray
   }
@@ -243,13 +233,27 @@ object Web {
       require(bytes(p + 2) == 8, "unsupported compression method")
       val flg = bytes(p + 3) & 0xff
       p += 10 // fixed header (magic, CM, FLG, MTIME, XFL, OS)
+      // every optional-field walk is BOUNDS-CHECKED so truncation
+      // inside a field rejects with the same loud require as every
+      // other corruption path, never an ArrayIndexOutOfBounds
       if ((flg & 4) != 0) { // FEXTRA: 2-byte little-endian length
+        require(p + 2 <= bytes.length, s"truncated FEXTRA length at $p")
         val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
         p += 2 + xlen
+        require(p <= bytes.length, s"truncated FEXTRA field at $p")
       }
-      if ((flg & 8) != 0) { while (bytes(p) != 0) p += 1; p += 1 }  // FNAME
-      if ((flg & 16) != 0) { while (bytes(p) != 0) p += 1; p += 1 } // FCOMMENT
-      if ((flg & 2) != 0) p += 2                                    // FHCRC
+      def zeroTerminated(field: String): Unit = {
+        while (p < bytes.length && bytes(p) != 0) p += 1
+        require(p < bytes.length, s"truncated $field at $p")
+        p += 1
+      }
+      if ((flg & 8) != 0) zeroTerminated("FNAME")
+      if ((flg & 16) != 0) zeroTerminated("FCOMMENT")
+      if ((flg & 2) != 0) { // FHCRC
+        p += 2
+        require(p <= bytes.length, "truncated FHCRC")
+      }
+      require(p < bytes.length, s"gzip member $members has no body")
       val inf = new java.util.zip.Inflater(true) // raw deflate body
       val crc = new java.util.zip.CRC32
       var memberLen = 0L
@@ -368,30 +372,43 @@ object Web {
         "partners</p></footer></body></html>"))
   }
 
-  /** Decode decimal and hex numeric character references (`&#NN;` /
-    * `&#xHH;`) with built-in string surgery: a zero-width-lookahead
-    * split keeps every potential reference at a segment head, then
-    * each segment either decodes its head reference — full Unicode
-    * via [[graft.functions.codepointChar]]; Spark's own `chr()` wraps
-    * code points at 256 — or passes through verbatim. Malformed or
-    * out-of-range references (no digits, missing `;`, surrogate, or
-    * past U+10FFFF) survive unchanged: the lenient-browser contract.
-    * Must run BEFORE `&amp;` decode so `&amp;#65;` renders as the
-    * literal text `&#65;`, never double-decodes to `A`. */
-  private[graft] def decodeNumericEntities(c: Column): Column = {
-    val segs = split(c, "(?=&#)")
+  /** SINGLE-PASS character-reference decode — named (the common five)
+    * and numeric (decimal + hex, full Unicode via
+    * [[graft.functions.codepointChar]]; Spark's own `chr()` wraps code
+    * points at 256) in ONE split-and-stitch: a zero-width-lookahead
+    * split puts every `&` at a segment head, each segment decodes AT
+    * MOST its head reference, and decoded output is NEVER rescanned —
+    * the browser contract. Sequential regexp_replace passes cannot do
+    * this: with numeric-then-named, `&#38;lt;` (browser: the literal
+    * text `&lt;`) double-decodes to `<`; with named-then-numeric,
+    * `&amp;#65;` (browser: `&#65;`) double-decodes to `A`. Here both
+    * come out browser-correct, because the tail of a decoded segment
+    * passes through verbatim. Malformed or out-of-range references
+    * (no digits, missing `;`, surrogate, past U+10FFFF, unknown name)
+    * survive unchanged: the lenient-browser contract. */
+  private[graft] def decodeEntities(c: Column): Column = {
+    val segs = split(c, "(?=&)")
     array_join(transform(segs, seg => {
-      val whole = regexp_extract(seg, "^&#(?:[0-9]{1,7}|[xX][0-9a-fA-F]{1,6});", 0)
       val dec = regexp_extract(seg, "^&#([0-9]{1,7});", 1)
       val hex = regexp_extract(seg, "^&#[xX]([0-9a-fA-F]{1,6});", 1)
       val code = when(dec =!= "", dec.cast("int"))
         .when(hex =!= "", conv(hex, 16, 10).cast("int"))
-      val valid = code.isNotNull && code <= lit(0x10FFFF) &&
+      val numValid = code.isNotNull && code <= lit(0x10FFFF) &&
         !(code >= lit(0xD800) && code <= lit(0xDFFF))
-      when(valid,
-        concat(graft.functions.codepointChar(code),
-          seg.substr(length(whole) + 1, length(seg))))
-        .otherwise(seg)
+      val numWhole = regexp_extract(seg,
+        "^&#(?:[0-9]{1,7}|[xX][0-9a-fA-F]{1,6});", 0)
+      def named(entity: String, repl: String): (Column, Column) =
+        (startswith(seg, lit(entity)), concat(lit(repl),
+          seg.substr(lit(entity.length + 1), length(seg))))
+      val cases = Seq(
+        named("&lt;", "<"), named("&gt;", ">"), named("&amp;", "&"),
+        named("&nbsp;", " "), named("&copy;", "©"))
+      cases.foldLeft(
+        when(numValid,
+          concat(graft.functions.codepointChar(code),
+            seg.substr(length(numWhole) + 1, length(seg))))) {
+        case (acc, (cond, repl)) => acc.when(cond, repl)
+      }.otherwise(seg)
     }), "")
   }
 
@@ -422,15 +439,10 @@ object Web {
     // 3. remaining tags become whitespace (so adjacent <p> blocks
     //    don't glue their words together)
     val noTags = regexp_replace(noChrome, "<[^>]*>", " ")
-    // 4a. numeric character references first (see decodeNumericEntities
-    //     for why they precede &amp;)
-    val numDecoded = decodeNumericEntities(noTags)
-    // 4b. named entities (the common five; order matters — &amp; last
-    //     so freshly-decoded ampersands don't re-decode)
-    val decoded = regexp_replace(regexp_replace(regexp_replace(
-      regexp_replace(regexp_replace(numDecoded,
-        "&lt;", "<"), "&gt;", ">"), "&nbsp;", " "), "&copy;", "©"),
-      "&amp;", "&")
+    // 4. named + numeric character references in ONE single-pass
+    //    decode (see decodeEntities: sequential replace passes
+    //    double-decode one direction or the other)
+    val decoded = decodeEntities(noTags)
     // 5. whitespace collapse + trim
     trim(regexp_replace(decoded, "\\s+", " "))
   }
@@ -481,13 +493,9 @@ object Web {
       response)
     val src = documents(s, d)
       .select(col("doc_id"), shard.as("shard")).as[(Long, String)]
-    // gated full-width fan-out before the parse loop (the
-    // binary_codecs policy: this shuffle carries the shard payload, so
-    // it only fires when the scan is narrower than the cluster)
-    val width = s.sparkContext.defaultParallelism
-    val fanned =
-      if (src.rdd.getNumPartitions < width) src.repartition(width) else src
-    val parsed = fanned
+    // gated full-width fan-out before the parse loop (this shuffle
+    // carries the shard payload; shared gate: Multimodal.fanWhenNarrow)
+    val parsed = Multimodal.fanWhenNarrow(s, src)
       .mapPartitions(_.map { case (id, sh) =>
         val bytes = sh.getBytes("UTF-8")
         val recs = warcRecords(bytes)

@@ -1499,9 +1499,14 @@ class AnalyticsSpec extends SparkSpec {
       // tar magic sits at offset 257, not 0
       assert(Multimodal.sniffMediaType(Multimodal.tarBytes(3L)) === "application/x-tar")
       assert(Multimodal.sniffMediaType(Web.warcGzipBytes(3L)) === "application/gzip")
-      // junk, truncated, and empty inputs fall back, never throw
+      // junk, truncated, and empty inputs fall back, never throw —
+      // including text that collides with the 2-byte 'BM' magic (the
+      // size-field corroboration rejects it, like file(1))
       assert(Multimodal.sniffMediaType("plain text".getBytes("UTF-8"))
         === "application/octet-stream")
+      assert(Multimodal.sniffMediaType(
+        "BMW models ship with forty-two different dashboard layouts today"
+          .getBytes("UTF-8")) === "application/octet-stream")
       assert(Multimodal.sniffMediaType(Array[Byte](0x42)) === "application/octet-stream")
       assert(Multimodal.sniffMediaType(Array.empty[Byte]) === "application/octet-stream")
     } finally gifWriter.dispose()
@@ -1546,6 +1551,14 @@ class AnalyticsSpec extends SparkSpec {
       body ++ le32(crc.getValue) ++ le32(payload.length.toLong)
     val (plain2, members2) = Web.gunzipMembers(named)
     assert(members2 === 1L && java.util.Arrays.equals(plain2, payload))
+    // truncation INSIDE an optional header field must reject with the
+    // same loud IllegalArgumentException as every other corruption
+    // path, never an ArrayIndexOutOfBounds (r11 review finding)
+    intercept[IllegalArgumentException](
+      Web.gunzipMembers(named.take(14))) // mid-FNAME cut
+    val fextra = Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 4, 0, 0, 0, 0, 0, 0,
+      0x40, 0x00) // FEXTRA xlen=64 but no bytes follow
+    intercept[IllegalArgumentException](Web.gunzipMembers(fextra))
   }
 
   test("HTML extraction: block-level boilerplate removal, not naive stripping") {
@@ -1562,16 +1575,18 @@ class AnalyticsSpec extends SparkSpec {
       "</style></head><body><nav>home &gt; here</nav><header><h1>big" +
       "</h1></header><!-- <p>leaky comment</p> --><main><p>hello world" +
       "</p><p>a &amp;&amp; b &lt;c&gt;</p><p>A&#32;B&#x20;C &#955; " +
-      "&#128512; &#xD800; &#1114112; &# &#12 x&amp;#65;y</p></main>" +
-      "<![CDATA[ raw < junk > & ]]><footer><p>copyright junk</p>" +
-      "</footer><script>if(a<b){c=d>e;}</script></body></html>"
+      "&#128512; &#xD800; &#1114112; &# &#12 x&amp;#65;y &#38;lt;z" +
+      "</p></main><![CDATA[ raw < junk > & ]]><footer><p>copyright " +
+      "junk</p></footer><script>if(a<b){c=d>e;}</script></body></html>"
     val out = Seq(html).toDF("h")
       .select(Web.extractMainText(col("h")).as("t")).head.getString(0)
     // &#955; = λ (chr() would wrap this to 0xBB), &#128512; = 😀
     // (supplementary plane), surrogate/out-of-range/aborted refs stay
-    // literal, &amp;#65; decodes ONLY the &amp; (no double decode)
+    // literal; the decode is SINGLE-PASS in both directions —
+    // &amp;#65; decodes ONLY the &amp; (never A) and &#38;lt; decodes
+    // ONLY the &#38; (never <), matching a browser
     assert(out === "hello world a && b <c> A B C λ 😀 " +
-      "&#xD800; &#1114112; &# &#12 x&#65;y", s"extracted '$out'")
+      "&#xD800; &#1114112; &# &#12 x&#65;y &lt;z", s"extracted '$out'")
     // corpus precondition for the bit-exact sha oracle (ADVICE r10):
     // synthesis + extraction round-trip the document text through
     // split-on-space / entity encode-decode / whitespace collapse,
