@@ -594,6 +594,77 @@ object Web {
   }
 
   // ---------------------------------------------------------------
+  // Per-registered-domain document caps (PSL mechanics)
+  // ---------------------------------------------------------------
+
+  /** PSL-lite public-suffix set: enough to exercise the real
+    * mechanics — a 2-level ccTLD suffix (`co.uk`, where the naive
+    * "last two labels" rule returns the WRONG registered domain) and
+    * a private-section entry (`blogspot.com`, where every user
+    * subdomain is its own registrant — the exact case domain caps
+    * exist to get right: capping all of blogspot as one site would
+    * throw away unrelated authors). */
+  private val PublicSuffixes = Seq("com", "org", "uk", "co.uk", "blogspot.com")
+
+  /** Registered domain (eTLD+1): longest public suffix matching the
+    * host's tail, plus one label. Pure codegen'd array surgery —
+    * negative-index slice takes the last j labels, the longest match
+    * wins by the when-chain order. */
+  private[graft] def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    def lastJ(j: Int): Column = array_join(slice(labels, -j, j), ".")
+    val widths = PublicSuffixes.map(_.count(_ == '.') + 1).distinct
+      .sorted(Ordering[Int].reverse) // longest suffix first
+    val matched = widths.foldLeft(lit(null).cast("string")) { (acc, j) =>
+      coalesce(acc,
+        when(size(labels) > j &&
+          array_contains(typedlit(PublicSuffixes), lastJ(j)), lastJ(j + 1)))
+    }
+    // a host that matches no suffix (or IS a bare suffix) stands for
+    // itself — the PSL's own fallback rule
+    coalesce(matched, host)
+  }
+
+  /** Per-registered-domain document caps — the C4/Dolma curation rule
+    * that stops one crawl-heavy site from dominating the corpus:
+    * group documents by eTLD+1 (NOT raw host — `a.example.com` and
+    * `b.example.com` are one site; `x0.blogspot.com` and
+    * `x1.blogspot.com` are NOT), rank within the domain by doc_id,
+    * keep the first `cap`. Output is per-domain: total, kept, the
+    * keeper, and the LAST kept id (pins that the kept set is the cap
+    * lowest ids, i.e. the ordering semantics, not just the count).
+    * One exchange on the registered domain; the window reuses that
+    * partitioning. Skew note for 100 TB: a mega-domain makes the
+    * per-domain rank a single-reducer hotspot — the skew-safe
+    * spelling is the engine's TopKPerKey operator (plans/TopKPerKey,
+    * board id `topk_per_key`), which keeps only `cap` rows per key in
+    * each partial before the shuffle; at board SF the window is the
+    * right cost. */
+  def urlDomainCap(s: SparkSession, d: String, cap: Int = 5): DataFrame = {
+    val id = col("doc_id")
+    val host = when(id % 6 === 0,
+        concat(lit("a"), (id % 7).cast("string"), lit(".example.com")))
+      .when(id % 6 === 1, lit("www.sample.co.uk"))
+      .when(id % 6 === 2, lit("b.news.sample.co.uk"))
+      .when(id % 6 === 3, lit("cdn.photos.org"))
+      .when(id % 6 === 4, lit("photos.org"))
+      // % 5 is coprime to the % 6 class rotation, so all five
+      // blogspot registrants actually occur (id % 3 would collapse to
+      // one: class-5 ids are ≡ 5 mod 6, hence ≡ 2 mod 3)
+      .otherwise(concat(lit("x"), (id % 5).cast("string"), lit(".blogspot.com")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rd")).orderBy(col("doc_id"))
+    documents(s, d)
+      .select(id, registeredDomain(host).as("rd"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("rd").as("registered_domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rn") <= cap, 1L).otherwise(0L)).as("n_kept"),
+        min(col("doc_id")).as("keeper"),
+        max(when(col("rn") <= cap, col("doc_id"))).as("last_kept"))
+  }
+
+  // ---------------------------------------------------------------
   // robots.txt exclusion filter (RFC 9309)
   // ---------------------------------------------------------------
 
@@ -673,6 +744,7 @@ object Web {
     "text_html_extract" -> htmlExtract _,
     "url_canon_dedup"   -> urlCanonDedup _,
     "url_robots_filter" -> urlRobotsFilter _,
+    "url_domain_cap"    -> ((s: SparkSession, d: String) => urlDomainCap(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -760,6 +832,33 @@ object Web {
     // escapes decoded, reserved escape %2F uppercased-but-kept, ~
     // decoded, bare-? docs in their own no-query groups), so a broken
     // normalization step splits a group and fails all three columns
+    // eTLD+1 grouping stated literally per host class (the co.uk
+    // 2-level suffix folds two host classes into one registrant;
+    // blogspot subdomains stay separate registrants); last_kept pins
+    // the kept set is the cap lowest doc_ids, not just the count
+    "url_domain_cap" ->
+      """WITH u AS (
+          SELECT doc_id,
+            CASE CAST(doc_id % 6 AS INT)
+              WHEN 0 THEN 'example.com'
+              WHEN 1 THEN 'sample.co.uk'
+              WHEN 2 THEN 'sample.co.uk'
+              WHEN 3 THEN 'photos.org'
+              WHEN 4 THEN 'photos.org'
+              ELSE 'x' || (doc_id % 5) || '.blogspot.com' END AS rd
+          FROM documents),
+        r AS (
+          SELECT doc_id, rd,
+            row_number() OVER (PARTITION BY rd ORDER BY doc_id) AS rn
+          FROM u)
+        SELECT rd AS registered_domain,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_kept,
+          CAST(min(doc_id) AS BIGINT) AS keeper,
+          CAST(max(CASE WHEN rn <= 5 THEN doc_id END) AS BIGINT)
+            AS last_kept
+        FROM r GROUP BY rd""",
     // every path class's verdict and matched-rule length stated
     // literally: override (class 2: Allow /private/ok beats Disallow
     // /private), equal-length tie (5: Allow wins), wildcard (6),

@@ -163,6 +163,10 @@ class PlanSpec extends SparkSpec {
     // "observe() rides the valid split without adding exchanges".
     "url_canon_dedup" -> 1,
     "str_collation" -> 1,
+    // url_domain_cap: ONE exchange on the registered domain — the
+    // per-domain rank window hashes on rd and the rollup reuses that
+    // partitioning (a second exchange here means the agg re-shuffled)
+    "url_domain_cap" -> 1,
     // dedup_embedding (r11 production spelling): the (band, bucket)
     // candidate join + pair distinct land in ONE hash exchange at test
     // SF (AQE broadcasts the rerank joins); the recall gate adds the
