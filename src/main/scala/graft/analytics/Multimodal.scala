@@ -1473,12 +1473,18 @@ object Multimodal {
     else if (ascii(0, "RIFF") && ascii(8, "WAVE")) "audio/wav"
     else if (ascii(0, "RIFF") && ascii(8, "AVI ")) "video/avi"
     // 'BM' is a 2-byte magic that text can trivially collide with
-    // ("BMW …"), so corroborate the way file(1) does: a full header
-    // must fit and the size field at offset 2 must equal the payload
-    // length (our writer and every well-formed producer set it)
+    // ("BMW …"), so corroborate the way file(1)'s magic database
+    // does: the four RESERVED bytes at offsets 6–9 must be zero and
+    // the pixel-data offset at 10–13 must point past the smallest
+    // possible header and inside the buffer. (Deliberately NOT the
+    // size field at offset 2 — real writers legally emit 0 there, and
+    // a prefix-sniffer can't know the file length anyway.)
     else if (ascii(0, "BM") && b.length >= 54 &&
-      ((b(2) & 0xffL) | ((b(3) & 0xffL) << 8) | ((b(4) & 0xffL) << 16) |
-        ((b(5) & 0xffL) << 24)) == b.length.toLong) "image/bmp"
+      b(6) == 0 && b(7) == 0 && b(8) == 0 && b(9) == 0 && {
+        val pixOff = (b(10) & 0xffL) | ((b(11) & 0xffL) << 8) |
+          ((b(12) & 0xffL) << 16) | ((b(13) & 0xffL) << 24)
+        pixOff >= 26L && pixOff <= b.length.toLong
+      }) "image/bmp"
     else if (b.length >= 2 && (b(0) & 0xff) == 0x1f &&
       (b(1) & 0xff) == 0x8b) "application/gzip"
     else if (ascii(257, "ustar")) "application/x-tar"

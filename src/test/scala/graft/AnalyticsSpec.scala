@@ -1509,7 +1509,31 @@ class AnalyticsSpec extends SparkSpec {
           .getBytes("UTF-8")) === "application/octet-stream")
       assert(Multimodal.sniffMediaType(Array[Byte](0x42)) === "application/octet-stream")
       assert(Multimodal.sniffMediaType(Array.empty[Byte]) === "application/octet-stream")
+      // a spec-legal BMP with size field 0 (real writers emit it; a
+      // prefix-sniffer can't know file length) still sniffs as BMP —
+      // the corroboration is reserved-bytes + pixel offset, not size
+      val zeroSize = Multimodal.bmpBytes(3L).clone()
+      zeroSize(2) = 0; zeroSize(3) = 0; zeroSize(4) = 0; zeroSize(5) = 0
+      assert(Multimodal.sniffMediaType(zeroSize) === "image/bmp")
     } finally gifWriter.dispose()
+  }
+
+  test("registered-domain extraction: suffix fold, private-section split, PSL fallback") {
+    import graft.analytics.Web
+    import spark.implicits._
+    val hosts = Seq(
+      "a3.example.com"      -> "example.com",   // 1-level suffix + sub
+      "www.sample.co.uk"    -> "sample.co.uk",  // 2-level ccTLD suffix
+      "b.news.sample.co.uk" -> "sample.co.uk",  // deeper sub, same registrant
+      "x4.blogspot.com"     -> "x4.blogspot.com", // private-section entry
+      "example.net"         -> "example.net",   // no matching suffix -> itself
+      "co.uk"               -> "co.uk")         // bare suffix -> itself
+    val got = hosts.map(_._1).toDF("h")
+      .select(col("h"), Web.registeredDomain(col("h")).as("rd"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    hosts.foreach { case (h, exp) =>
+      assert(got(h) === exp, s"registeredDomain($h)")
+    }
   }
 
   test("gzip'd WARC: member-per-record framing, CRC/ISIZE verified, flags handled") {
