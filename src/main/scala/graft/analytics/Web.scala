@@ -261,7 +261,15 @@ object Web {
         inf.setInput(bytes, p, bytes.length - p)
         val buf = new Array[Byte](8192)
         while (!inf.finished()) {
-          val n = inf.inflate(buf)
+          // a corrupted DEFLATE stream surfaces as the checked
+          // DataFormatException — rethrown as the same loud
+          // IllegalArgumentException every other corruption path
+          // uses, so callers match ONE rejection contract
+          val n = try inf.inflate(buf) catch {
+            case e: java.util.zip.DataFormatException =>
+              throw new IllegalArgumentException(
+                s"corrupt deflate body in gzip member $members: ${e.getMessage}", e)
+          }
           require(n > 0 || inf.finished(), s"truncated deflate body at $p")
           out.write(buf, 0, n)
           crc.update(buf, 0, n)
@@ -383,26 +391,31 @@ object Web {
     * text `&lt;`) double-decodes to `<`; with named-then-numeric,
     * `&amp;#65;` (browser: `&#65;`) double-decodes to `A`. Here both
     * come out browser-correct, because the tail of a decoded segment
-    * passes through verbatim. Malformed or out-of-range references
+    * passes through verbatim. Leading zeros are stripped before the
+    * digit-count bound, so any-length zero padding decodes the way a
+    * browser accepts it (`&#0000065;` → `A`, `&#x0010FFFF;` works);
+    * `&nbsp;` decodes to the real U+00A0 (extractMainText's
+    * whitespace collapse includes   in its class, so main-text
+    * nbsp still normalizes). Malformed or out-of-range references
     * (no digits, missing `;`, surrogate, past U+10FFFF, unknown name)
     * survive unchanged: the lenient-browser contract. */
   private[graft] def decodeEntities(c: Column): Column = {
     val segs = split(c, "(?=&)")
     array_join(transform(segs, seg => {
-      val dec = regexp_extract(seg, "^&#([0-9]{1,7});", 1)
-      val hex = regexp_extract(seg, "^&#[xX]([0-9a-fA-F]{1,6});", 1)
+      val dec = regexp_extract(seg, "^&#0*([0-9]{1,7});", 1)
+      val hex = regexp_extract(seg, "^&#[xX]0*([0-9a-fA-F]{1,6});", 1)
       val code = when(dec =!= "", dec.cast("int"))
         .when(hex =!= "", conv(hex, 16, 10).cast("int"))
       val numValid = code.isNotNull && code <= lit(0x10FFFF) &&
         !(code >= lit(0xD800) && code <= lit(0xDFFF))
       val numWhole = regexp_extract(seg,
-        "^&#(?:[0-9]{1,7}|[xX][0-9a-fA-F]{1,6});", 0)
+        "^&#(?:0*[0-9]{1,7}|[xX]0*[0-9a-fA-F]{1,6});", 0)
       def named(entity: String, repl: String): (Column, Column) =
         (startswith(seg, lit(entity)), concat(lit(repl),
           seg.substr(lit(entity.length + 1), length(seg))))
       val cases = Seq(
         named("&lt;", "<"), named("&gt;", ">"), named("&amp;", "&"),
-        named("&nbsp;", " "), named("&copy;", "©"))
+        named("&nbsp;", " "), named("&copy;", "©"))
       cases.foldLeft(
         when(numValid,
           concat(graft.functions.codepointChar(code),
@@ -443,8 +456,10 @@ object Web {
     //    decode (see decodeEntities: sequential replace passes
     //    double-decode one direction or the other)
     val decoded = decodeEntities(noTags)
-    // 5. whitespace collapse + trim
-    trim(regexp_replace(decoded, "\\s+", " "))
+    // 5. whitespace collapse + trim — the class includes U+00A0 so a
+    //    decoded &nbsp; (or a genuine no-break space in the source)
+    //    normalizes like every other space; Java's \s alone is ASCII
+    trim(regexp_replace(decoded, "[\\s\\u00A0]+", " "))
   }
 
   /** documents → synthesized page → extracted main text; the sha
@@ -609,9 +624,14 @@ object Web {
   /** Registered domain (eTLD+1): longest public suffix matching the
     * host's tail, plus one label. Pure codegen'd array surgery —
     * negative-index slice takes the last j labels, the longest match
-    * wins by the when-chain order. */
+    * wins by the when-chain order. Hosts fold to lower case FIRST
+    * (DNS names are case-insensitive; URLs legally carry mixed-case
+    * hosts), so `WWW.Sample.CO.UK` reaches the same registrant as
+    * `www.sample.co.uk` instead of falling through to the identity
+    * fallback — idempotent for callers that already lowercased. */
   private[graft] def registeredDomain(host: Column): Column = {
-    val labels = split(host, "\\.")
+    val h = lower(host)
+    val labels = split(h, "\\.")
     def lastJ(j: Int): Column = array_join(slice(labels, -j, j), ".")
     val widths = PublicSuffixes.map(_.count(_ == '.') + 1).distinct
       .sorted(Ordering[Int].reverse) // longest suffix first
@@ -622,7 +642,7 @@ object Web {
     }
     // a host that matches no suffix (or IS a bare suffix) stands for
     // itself — the PSL's own fallback rule
-    coalesce(matched, host)
+    coalesce(matched, h)
   }
 
   /** Per-registered-domain document caps — the C4/Dolma curation rule

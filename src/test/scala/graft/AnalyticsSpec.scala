@@ -1527,7 +1527,12 @@ class AnalyticsSpec extends SparkSpec {
       "b.news.sample.co.uk" -> "sample.co.uk",  // deeper sub, same registrant
       "x4.blogspot.com"     -> "x4.blogspot.com", // private-section entry
       "example.net"         -> "example.net",   // no matching suffix -> itself
-      "co.uk"               -> "co.uk")         // bare suffix -> itself
+      "co.uk"               -> "co.uk",         // bare suffix -> itself
+      // mixed-case hosts are legal in URLs; suffix matching must fold
+      // case instead of falling through to the identity fallback
+      // (ADVICE r11), and the fallback itself returns the FOLDED host
+      "WWW.Sample.CO.UK"    -> "sample.co.uk",
+      "Example.NET"         -> "example.net")
     val got = hosts.map(_._1).toDF("h")
       .select(col("h"), Web.registeredDomain(col("h")).as("rd"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
@@ -1546,12 +1551,22 @@ class AnalyticsSpec extends SparkSpec {
     val (nr, nresp, nreq, sp, _, ck) = Web.parseWarc(plain)
     assert(members === nr && nr === 5L && nresp === 2L && nreq === 2L)
     assert(sp > 0 && ck > 0)
-    // a flipped byte inside a member's DEFLATE body must fail the CRC
-    // check (find a byte whose flip still inflates — most do)
+    // a flipped byte inside a member's DEFLATE body must reject with
+    // the SAME IllegalArgumentException contract as every other
+    // corruption path (ADVICE r11: DataFormatException from a
+    // structurally-corrupt stream is rethrown; a flip that still
+    // inflates fails the CRC require) — callers match ONE exception
     val midMember = gz.length / 2
     val tampered = gz.clone()
     tampered(midMember) = (tampered(midMember) ^ 0x01).toByte
-    intercept[Exception](Web.gunzipMembers(tampered))
+    intercept[IllegalArgumentException](Web.gunzipMembers(tampered))
+    // a corruption of DEFLATE structure itself (first body byte of the
+    // first member: setting its block-header BTYPE to the reserved 11,
+    // which Inflater rejects as DataFormatException) also arrives as
+    // IllegalArgumentException, not a leaked DataFormatException
+    val structural = gz.clone()
+    structural(10) = (structural(10) | 0x06).toByte
+    intercept[IllegalArgumentException](Web.gunzipMembers(structural))
     // truncated final member rejects loudly
     intercept[IllegalArgumentException](Web.gunzipMembers(gz.dropRight(5)))
     // FLG fields (FNAME here) are legal in real crawl members even
@@ -1600,7 +1615,8 @@ class AnalyticsSpec extends SparkSpec {
       "</h1></header><!-- <p>leaky comment</p> --><main><p>hello world" +
       "</p><p>a &amp;&amp; b &lt;c&gt;</p><p>A&#32;B&#x20;C &#955; " +
       "&#128512; &#xD800; &#1114112; &# &#12 x&amp;#65;y &#38;lt;z" +
-      "</p></main><![CDATA[ raw < junk > & ]]><footer><p>copyright " +
+      "</p><p>zero&#0000065;pad &#x0010FFFF; q&nbsp;r</p>" +
+      "</main><![CDATA[ raw < junk > & ]]><footer><p>copyright " +
       "junk</p></footer><script>if(a<b){c=d>e;}</script></body></html>"
     val out = Seq(html).toDF("h")
       .select(Web.extractMainText(col("h")).as("t")).head.getString(0)
@@ -1608,9 +1624,19 @@ class AnalyticsSpec extends SparkSpec {
     // (supplementary plane), surrogate/out-of-range/aborted refs stay
     // literal; the decode is SINGLE-PASS in both directions —
     // &amp;#65; decodes ONLY the &amp; (never A) and &#38;lt; decodes
-    // ONLY the &#38; (never <), matching a browser
+    // ONLY the &#38; (never <), matching a browser. Zero-padded
+    // numeric refs decode at any digit count (browsers strip leading
+    // zeros; ADVICE r11) and &nbsp; decodes to real U+00A0, which the
+    // whitespace collapse then folds — 'q r' with ONE space, not a
+    // surviving   and not a dropped word boundary
     assert(out === "hello world a && b <c> A B C λ 😀 " +
-      "&#xD800; &#1114112; &# &#12 x&#65;y &lt;z", s"extracted '$out'")
+      "&#xD800; &#1114112; &# &#12 x&#65;y &lt;z " +
+      "zeroApad " + new String(Character.toChars(0x10FFFF)) + " q r", s"extracted '$out'")
+    // the U+00A0 decode itself (pre-collapse) is pinned directly: a
+    // naive space substitution would make this a plain 0x20
+    val nb = Seq("q&nbsp;r &#0;x").toDF("h")
+      .select(Web.decodeEntities(col("h")).as("t")).head.getString(0)
+    assert(nb === "q\u00A0r \u0000x", s"decoded '$nb'")
     // corpus precondition for the bit-exact sha oracle (ADVICE r10):
     // synthesis + extraction round-trip the document text through
     // split-on-space / entity encode-decode / whitespace collapse,
