@@ -340,23 +340,89 @@ object Dedup {
     simhash64PairsOf(documents(s, d), maxDist)
 
   private[analytics] def simhash64PairsOf(docs: DataFrame,
-      maxDist: Int = 3): DataFrame = {
-    val fp = dedupSimhash64Of(docs).persistTracked()
-    val banded = fp.select(col("doc_id"), col("simhash64"),
+      maxDist: Int = 3): DataFrame =
+    banded64Pairs(dedupSimhash64Of(docs), "simhash64", maxDist)
+
+  /** The 4×16-bit banded hamming-pair machinery over ANY 64-char
+    * bitstring fingerprint relation (doc_id, fpCol) — shared by the
+    * text SimHash pairs and the image dHash pairs, so the pigeonhole
+    * guarantee (≤3 dirty bits can dirty at most 3 of 4 bands), the
+    * bare-id-pairs candidate shuffle, and the unhinted corpus-sized
+    * rejoin (AQE decides; see [[simhash64Pairs]]) exist ONCE. */
+  private[analytics] def banded64Pairs(fingerprints: DataFrame,
+      fpCol: String, maxDist: Int): DataFrame = {
+    val fp = fingerprints.persistTracked()
+    val banded = fp.select(col("doc_id"), col(fpCol),
       explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bucket", concat(col("band"),
-        lit(":"), substring(col("simhash64"), col("band") * 16 + 1, lit(16))))
+        lit(":"), substring(col(fpCol), col("band") * 16 + 1, lit(16))))
       .select(col("doc_id"), col("bucket"))
     val cand = banded.select(col("doc_id").as("doc_a"), col("bucket"))
       .join(banded.select(col("doc_id").as("doc_b"), col("bucket")), Seq("bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
     cand
-      .join(fp.select(col("doc_id").as("doc_a"), col("simhash64").as("sh_a")), Seq("doc_a"))
-      .join(fp.select(col("doc_id").as("doc_b"), col("simhash64").as("sh_b")), Seq("doc_b"))
+      .join(fp.select(col("doc_id").as("doc_a"), col(fpCol).as("sh_a")), Seq("doc_a"))
+      .join(fp.select(col("doc_id").as("doc_b"), col(fpCol).as("sh_b")), Seq("doc_b"))
       .withColumn("hamming", graft.functions.hamming(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  // ---------------------------------------------------------------
+  // Perceptual-hash image near-dup (r12): dHash over genuinely
+  // decoded BMP pixels (Multimodal.phashOfBmp), banded exactly like
+  // the production text fingerprint. The corpus: one synthesized
+  // image per document (pattern seed = doc_id — all far apart in
+  // hamming) plus 60 CONSTANT-SIZE planted near-dup variants (the
+  // dedup_embedding discipline): plant pid ∈ [0,60) reuses the
+  // pattern of base doc (pid % 30) with a DIFFERENT texture (the
+  // bytes genuinely differ; a cryptographic hash would scatter), and
+  // the second variant tier (pid ≥ 30) flips exactly one pattern bit
+  // — hamming 0 and hamming 1 neighbours respectively, both inside
+  // the ≤3 pigeonhole guarantee. DuckDB replays the PATTERN
+  // arithmetic (md5-bit rule + flip); the engine must recover the
+  // same 64 bits THROUGH the real decode + 4×4 pooling.
+  // ---------------------------------------------------------------
+
+  private[analytics] val PhashPlants = 60
+  private[analytics] val PhashPlantBases = 30
+  private[analytics] val PhashPlantBase = 9200000L
+
+  /** (doc_id, seed, tex, flip_c, flip_r) for corpus images + plants —
+    * the synthesis parameters [[dedupPhash]] decodes from. */
+  private[analytics] def phashCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"),
+      col("doc_id").as("seed"), col("doc_id").as("tex"),
+      lit(-1L).as("flip_c"), lit(-1L).as("flip_r"))
+    val t = col("id") % PhashPlantBases
+    val plants = s.range(PhashPlants).select(
+      (col("id") + PhashPlantBase).as("doc_id"),
+      t.as("seed"),
+      (col("id") + PhashPlantBase).as("tex"),
+      when(col("id") >= PhashPlantBases, t % 8).otherwise(-1L).as("flip_c"),
+      when(col("id") >= PhashPlantBases, (t * 5 + 3) % 8).otherwise(-1L).as("flip_r"))
+    docs.unionByName(plants)
+  }
+
+  /** Image near-dup pairs by dHash hamming ≤ 3: synthesize → REAL
+    * BMP decode → 4×4 pooled dHash (map-only behind the full-width
+    * fan-out; the decode is per-image work, never shuffled), then the
+    * shared 4×16-bit banding. Scale shape identical to
+    * [[simhash64Pairs]]: candidates move bare id pairs, fingerprints
+    * rejoin by id, md5-uniform bits keep 16-bit buckets selective
+    * (random pairs collide per band at 2⁻¹⁶); the width contract
+    * (log₂N bits past 65k docs) applies unchanged at corpus scale. */
+  def dedupPhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fp = phashCorpus(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, Long, Long, Long, Long)]
+      .mapPartitions(_.map { case (id, seed, tex, fc, fr) =>
+        (id, Multimodal.phashOfBmp(Multimodal.phashBmpBytes(seed, tex, fc, fr)))
+      })
+      .toDF("doc_id", "phash")
+    banded64Pairs(fp, "phash", maxDist = 3)
   }
 
   /** Duplicate CLUSTERS from near-dup pairs: connected components by
@@ -1102,6 +1168,7 @@ object Dedup {
     "dedup_simhash64" -> dedupSimhash64 _,
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "dedup_simhash64_pairs" -> ((s: SparkSession, d: String) => simhash64Pairs(s, d)),
+    "dedup_phash"     -> dedupPhash _,
     "dedup_clusters"  -> dedupClusters _,
     "dedup_keep_best" -> dedupKeepBest _,
     "dedup_embedding" -> dedupEmbedding _,
@@ -1164,6 +1231,35 @@ object Dedup {
   }
 
   private val simhash64Sql: String = simhash64SqlFrom("documents")
+
+  /** The phash testbed's PATTERN fingerprint replayed arithmetically:
+    * bit b = by·8+c is the md5 nibble rule XOR the planted flip — by
+    * the synthesis margin (±12·16·3 step vs ≤48 texture in every
+    * pooled comparison) the engine's decoded dHash must equal it
+    * bit-for-bit. Corpus ids carry no flip; plants reuse base
+    * patterns with the co-rotating flip tier. */
+  private def phashSql: String = {
+    val highs = "('8','9','a','b','c','d','e','f')"
+    val bitExprs = (0 until 64).map { b =>
+      val (by, c) = (b / 8, b % 8)
+      s"""CASE WHEN ((CASE WHEN substr(md5(seed || ':$c:$by'), 1, 1) IN $highs
+          THEN 1 ELSE 0 END)
+          + (CASE WHEN flip_c = $c AND flip_r = $by THEN 1 ELSE 0 END)) % 2 = 1
+          THEN '1' ELSE '0' END"""
+    }
+    s"""ids AS (
+        SELECT doc_id, doc_id AS seed,
+          CAST(-1 AS BIGINT) AS flip_c, CAST(-1 AS BIGINT) AS flip_r
+        FROM documents
+        UNION ALL
+        SELECT $PhashPlantBase + pid, pid % $PhashPlantBases,
+          CASE WHEN pid >= $PhashPlantBases
+            THEN (pid % $PhashPlantBases) % 8 ELSE -1 END,
+          CASE WHEN pid >= $PhashPlantBases
+            THEN ((pid % $PhashPlantBases) * 5 + 3) % 8 ELSE -1 END
+        FROM (SELECT unnest(generate_series(0, ${PhashPlants - 1})) AS pid)),
+      fp AS (SELECT doc_id, ${bitExprs.mkString(" || ")} AS phash FROM ids)"""
+  }
 
   /** Connected-components CTE chain over the MinHash band buckets
     * (expects `bands` in scope; caller's WITH must be RECURSIVE) —
@@ -1506,6 +1602,26 @@ object Dedup {
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
             a.simhash64 AS sh_a, b.simhash64 AS sh_b
+          FROM banded a JOIN banded b
+            ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, hamming FROM (
+          SELECT doc_a, doc_b,
+            CAST(len(list_filter(generate_series(1, 64),
+              i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1))) AS INT) AS hamming
+          FROM cand)
+        WHERE hamming <= 3""",
+    // identical banding tail over the dHash pattern fingerprint; the
+    // 30 planted {base, same-pattern, one-flip} triples must come out
+    // at hamming {0, 1, 1} and nothing else lands within 3 bits
+    "dedup_phash" ->
+      s"""WITH $phashSql,
+        banded AS (
+          SELECT doc_id, phash, b.band,
+            CAST(b.band AS VARCHAR) || ':' || substr(phash, b.band * 16 + 1, 16) AS bucket
+          FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            a.phash AS sh_a, b.phash AS sh_b
           FROM banded a JOIN banded b
             ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
         SELECT doc_a, doc_b, hamming FROM (

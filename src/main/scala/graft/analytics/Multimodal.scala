@@ -407,6 +407,142 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------
+  // Perceptual hash (dHash) over DECODED pixels (r12) — the image
+  // near-dup fingerprint (the LAION-style first dedup pass: aHash/
+  // dHash/pHash over downscaled pixels, long before any embedding).
+  // dHash here: pool the canvas into a coarse grid by 4×4 block sums
+  // and emit one bit per ADJACENT-COLUMN comparison — robust to
+  // pixel-level texture changes by construction, which is the whole
+  // point of a perceptual (vs cryptographic) hash. The fingerprint is
+  // computed from a REAL BMP decode (container walk, bottom-up rows,
+  // padding), and the testbed construction makes the bits replayable:
+  // block means step ±PhashStep between adjacent grid columns on a
+  // planted md5-derived pattern, so the pooled comparison recovers
+  // the pattern bit with a 528-vs-48 margin over the texture — the
+  // DuckDB oracle replays the pattern arithmetic while the engine
+  // must reach the same bits THROUGH the decode (the multimodal-tier
+  // discipline: construction rule vs real parser).
+  // ---------------------------------------------------------------
+
+  /** dHash canvas/grid geometry: 36×32 pixels pooled 4×4 → 9×8 grid
+    * → 8 adjacent-column comparisons × 8 rows = 64 bits. */
+  private[analytics] val PhashW = 36
+  private[analytics] val PhashH = 32
+  private val PhashBlock = 4
+  private val PhashStep = 12
+
+  /** Planted coarse-pattern bit for (seed, grid column step c ∈ [0,8),
+    * grid row by ∈ [0,8)): high nibble of md5("seed:c:by") ≥ 8 —
+    * uniform across seeds and engine-portable (DuckDB spells it
+    * substr(md5(...),1,1) IN ('8'..'f')). */
+  private[graft] def phashPatternBit(seed: Long, c: Int, by: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$seed:$c:$by".getBytes("US-ASCII"))
+    if (((h(0) >> 4) & 0xf) >= 8) 1 else 0
+  }
+
+  /** Synthesize a phash-testbed BMP: grayscale (r=g=b) 24-bit
+    * bottom-up BMP whose 4×4-block base value steps ±PhashStep
+    * between adjacent grid columns per [[phashPatternBit]] (XOR one
+    * optional planted flip at grid step (flipC, flipR); pass -1 to
+    * disable), plus a {0,1} per-pixel texture keyed by `tex`. Two
+    * images with the same seed but different tex are genuinely
+    * different byte-for-byte (every texture bit moves pixels) yet
+    * share all 64 dHash bits; one flipped pattern bit moves EXACTLY
+    * one dHash bit (the flip shifts all later columns equally, so
+    * only the flipped comparison changes sign). */
+  private[graft] def phashBmpBytes(seed: Long, tex: Long,
+      flipC: Long, flipR: Long): Array[Byte] = {
+    val w = PhashW; val h = PhashH
+    // base value per grid (bx, by): 128 + PhashStep · Σ_{c<bx} ±1
+    val base = Array.tabulate(h / PhashBlock, w / PhashBlock) { (by, bx) =>
+      var v = 128
+      var c = 0
+      while (c < bx) {
+        val flip = if (c == flipC && by == flipR) 1 else 0
+        v += PhashStep * (2 * (phashPatternBit(seed, c, by) ^ flip) - 1)
+        c += 1
+      }
+      v
+    }
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val bb = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)
+      .putInt(40).putInt(w).putInt(h)
+      .putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var row = 0
+    while (row < h) {
+      val y = h - 1 - row                   // bottom-up storage
+      var x = 0
+      while (x < w) {
+        // {0,1} texture from a mixed 64-bit hash — never part of the
+        // fingerprint (the pooled margin absorbs it), so the rule is
+        // engine-internal and free to be a real bit mixer (a plain
+        // parity rule collapses distinct tex keys onto 2 textures)
+        val mix = (tex + 1L) * 0x9E3779B97F4A7C15L +
+          x * 0xBF58476D1CE4E5B9L + y * 0x94D049BB133111EBL
+        val v = base(y / PhashBlock)(x / PhashBlock) +
+          ((mix >>> 17) & 1L).toInt
+        bb.put(v.toByte).put(v.toByte).put(v.toByte)
+        x += 1
+      }
+      var p = w * 3
+      while (p < rowSize) { bb.put(0.toByte); p += 1 }
+      row += 1
+    }
+    bb.array()
+  }
+
+  /** REAL decode → dHash: walk the BMP container (magic, pixel
+    * offset, 24 bpp, bottom-up rows, 4-byte row padding), pool 4×4
+    * block sums of (r+g+b), compare adjacent grid columns. Bit
+    * b = by·8 + c is '1' iff blockSum(c+1, by) > blockSum(c, by).
+    * Requires the canonical 36×32 canvas (arbitrary inputs go
+    * through a resize first — multimodalResize's job, not the
+    * fingerprint's). */
+  private[graft] def phashOfBmp(bytes: Array[Byte]): String = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte, "not a BMP")
+    val off = bb.getInt(10)
+    val w = bb.getInt(18); val h = bb.getInt(22)
+    require(bb.getShort(28) == 24, "not 24-bit")
+    require(w == PhashW && h == PhashH,
+      s"phash canvas must be ${PhashW}x$PhashH, got ${w}x$h")
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val gw = w / PhashBlock; val gh = h / PhashBlock
+    val sums = Array.ofDim[Long](gh, gw)
+    var row = 0
+    while (row < h) {
+      val y = h - 1 - row
+      var x = 0
+      while (x < w) {
+        val p = off + row * rowSize + x * 3
+        sums(y / PhashBlock)(x / PhashBlock) +=
+          (bytes(p) & 0xff) + (bytes(p + 1) & 0xff) + (bytes(p + 2) & 0xff)
+        x += 1
+      }
+      row += 1
+    }
+    val sb = new StringBuilder(64)
+    var by = 0
+    while (by < gh) {
+      var c = 0
+      while (c < gw - 1) {
+        sb.append(if (sums(by)(c + 1) > sums(by)(c)) '1' else '0')
+        c += 1
+      }
+      by += 1
+    }
+    sb.toString
+  }
+
+  // ---------------------------------------------------------------
   // PNG (r9): the one image format closable WITHOUT a codec library —
   // PNG's only compression is zlib, and the JDK ships it
   // (java.util.zip.Deflater/Inflater). The synthesizer emits a fully

@@ -1518,6 +1518,64 @@ class AnalyticsSpec extends SparkSpec {
     } finally gifWriter.dispose()
   }
 
+  test("perceptual dHash: decoded bits = planted pattern, texture-invariant, flip moves one bit") {
+    import graft.analytics.{Dedup, Multimodal}
+    // the dHash computed THROUGH the real BMP decode must equal the
+    // md5 pattern rule (the margin claim: ±12-step block means beat
+    // the {0,1} texture in every pooled comparison), for corpus-style
+    // and plant-style texture keys alike
+    for (seed <- 0L to 5L; tex <- Seq(seed, 9200000L + seed)) {
+      val bits = Multimodal.phashOfBmp(Multimodal.phashBmpBytes(seed, tex, -1, -1))
+      val expected = (for (by <- 0 until 8; c <- 0 until 8)
+        yield if (Multimodal.phashPatternBit(seed, c, by) == 1) '1' else '0').mkString
+      assert(bits === expected, s"seed=$seed tex=$tex")
+    }
+    // perceptual, not cryptographic: a different texture changes the
+    // BYTES but not one fingerprint bit…
+    val base = Multimodal.phashBmpBytes(7L, 7L, -1, -1)
+    val retex = Multimodal.phashBmpBytes(7L, 9200007L, -1, -1)
+    assert(!java.util.Arrays.equals(base, retex), "textures must move pixels")
+    assert(Multimodal.phashOfBmp(base) === Multimodal.phashOfBmp(retex))
+    // …while one planted pattern flip moves EXACTLY the flipped bit
+    // (later columns shift equally, so no other comparison changes)
+    val flipped = Multimodal.phashOfBmp(Multimodal.phashBmpBytes(7L, 7L, 3, 5))
+    val diff = Multimodal.phashOfBmp(base).zip(flipped).zipWithIndex
+      .collect { case ((a, b), i) if a != b => i }
+    assert(diff === Seq(5 * 8 + 3), s"flip moved bits $diff")
+    // independent-reader corroboration (the BMP-writer/parser pair
+    // could share a geometry bug that cancels in a round-trip): the
+    // JDK's own ImageIO BMP reader must pool to the same 64 bits
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    val sums = Array.ofDim[Long](8, 9)
+    for (y <- 0 until 32; x <- 0 until 36) {
+      val rgb = img.getRGB(x, y)
+      sums(y / 4)(x / 4) +=
+        ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+    }
+    val viaImageIO = (for (by <- 0 until 8; c <- 0 until 8)
+      yield if (sums(by)(c + 1) > sums(by)(c)) '1' else '0').mkString
+    assert(viaImageIO === Multimodal.phashOfBmp(base))
+    // planted recall through the board query: every {base doc t,
+    // same-pattern plant, one-flip plant} triple must surface as
+    // exactly (h=0, h=1, h=1), and banding must find ALL of them (≤3
+    // dirty bits is the 4-band pigeonhole guarantee, so recall over
+    // the plant is not probabilistic)
+    val got = Dedup.dedupPhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    for (t <- 0L until 30L) {
+      val p0 = 9200000L + t; val p1 = 9200030L + t
+      assert(got.get((t, p0)).contains(0), s"base-plant pair t=$t")
+      assert(got.get((t, p1)).contains(1), s"base-flip pair t=$t")
+      assert(got.get((p0, p1)).contains(1), s"plant-plant pair t=$t")
+    }
+    assert(got.size === 90, s"unexpected extra near-dup pairs: ${got.size}")
+    // corrupt container rejects loudly; wrong canvas is not a phash
+    intercept[IllegalArgumentException](
+      Multimodal.phashOfBmp(Multimodal.bmpBytes(3L)))
+    val bad = base.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.phashOfBmp(bad))
+  }
+
   test("registered-domain extraction: suffix fold, private-section split, PSL fallback") {
     import graft.analytics.Web
     import spark.implicits._
