@@ -238,6 +238,121 @@ object TextAnalysis {
       length(norm).as("n_chars_norm"))
   }
 
+  // ---------------------------------------------------------------
+  // Unicode/encoding hygiene (r12) — the ftfy step every web corpus
+  // runs before exact dedup: composed-vs-decomposed accent spellings
+  // (NFC vs NFD) silently split canonical keys, classic mojibake
+  // (UTF-8 bytes re-decoded as cp1252) corrupts real words, and
+  // U+FFFD replacement characters mark byte-level damage that no
+  // repair can undo — those gate the document out. The fold table is
+  // a BOUNDED literal mapping shared by both engines (a full NFC
+  // fold is a Unicode-data walk; the operator contract here is the
+  // shared table + the counting/gating shape, which is the real
+  // algorithm). Scan-speed projection: pure codegen'd string surgery,
+  // zero exchanges at any corpus size.
+  // ---------------------------------------------------------------
+
+  /** Fold table, applied in order. Mojibake repairs FIRST — they emit
+    * composed characters, never combining marks, so the two stages
+    * cannot interact; combining-sequence → NFC folds second. The
+    * planted keys are mutually non-overlapping (spec-guarded), so
+    * per-entry occurrence counts on the pre-fix text are exact. */
+  private[graft] val UnicodeFolds: Seq[(String, String)] = Seq(
+    // mojibake repairs (UTF-8 read as cp1252: \u00c3\u00a9 = "A-tilde
+    // copyright" is e-acute's UTF-8 byte pair re-decoded; likewise
+    // \u00c3\u00a8, and \u00e2\u20ac\u2122 for the right single quote)
+    "\u00c3\u00a9" -> "\u00e9",
+    "\u00c3\u00a8" -> "\u00e8",
+    "\u00e2\u20ac\u2122" -> "\u2019",
+    // combining-mark sequences (NFD) -> their NFC composed forms
+    "e\u0301" -> "\u00e9",
+    "a\u0300" -> "\u00e0",
+    "o\u0302" -> "\u00f4",
+    "u\u0308" -> "\u00fc",
+    "n\u0303" -> "\u00f1",
+    "c\u0327" -> "\u00e7")
+
+  private val Replacement = "\ufffd"
+
+  /** Render a string as a DuckDB expression — ASCII runs as quoted
+    * literals, everything else as chr(codepoint) — so the oracle SQL
+    * stays 7-bit clean while spelling the IDENTICAL table. */
+  private def sqlStr(s: String): String = {
+    val parts = Seq.newBuilder[String]
+    val run = new StringBuilder
+    def flush(): Unit = if (run.nonEmpty) {
+      parts += "'" + run.toString.replace("'", "''") + "'"
+      run.clear()
+    }
+    s.foreach { c =>
+      if (c >= 0x20 && c < 0x7f) run.append(c)
+      else { flush(); parts += s"chr(${c.toInt})" }
+    }
+    flush()
+    val ps = parts.result()
+    if (ps.isEmpty) "''" else ps.mkString(" || ")
+  }
+
+  /** The shared fold, as a column transform (also the seam the
+    * cross-op spec uses: folding BEFORE exact dedup merges the
+    * composed/decomposed spellings of one document). */
+  private[graft] def unicodeFoldCol(c: Column): Column =
+    UnicodeFolds.foldLeft(c) { case (acc, (k, v)) =>
+      regexp_replace(acc, java.util.regex.Pattern.quote(k), v)
+    }
+
+  /** Planted decoration (co-rotating doc_id moduli — the url_canon
+    * discipline): decomposed sequences to fold, an already-composed
+    * accent that must pass through UNTOUCHED, mojibake signatures,
+    * and 1–3 replacement characters on the %7 class. The base corpus
+    * is ASCII (the html-extract precondition spec guards it), so the
+    * plants are the only non-ASCII content. */
+  // the three decoration strings \u2014 ONE definition each, rendered into
+  // the Spark plan as literals and into the oracle via sqlStr
+  private val DecNfd = " cafe\u0301 garc\u0327on"
+  private val DecNfc = " caf\u00e9"
+  private val DecMoji = " \u00c3\u00a9clair a\u0300 propos"
+
+  private def unicodeDecorated: Column = {
+    val id = col("doc_id")
+    concat(col("text"),
+      when(id % 3 === 0, lit(DecNfd))
+        .when(id % 3 === 1, lit(DecNfc))
+        .otherwise(lit("")),
+      when(id % 5 === 0, lit(DecMoji))
+        .otherwise(lit("")),
+      when(id % 7 === 0,
+        concat(lit(" "), element_at(
+          typedlit(Seq(Replacement, Replacement * 2, Replacement * 3)),
+          (id % 3 + 1).cast("int"))))
+        .otherwise(lit("")))
+  }
+
+  /** decorate → repair/fold → count → gate. n_fixed counts fold
+    * substitutions (per-entry occurrence arithmetic on the pre-fix
+    * text), n_bad counts unrepairable U+FFFD marks, and the verdict
+    * keeps documents at ≤ 1 replacement char per 1000 chars — the
+    * mojibake-rate gate. The sha pins the repaired text bit-exactly. */
+  def textUnicodeFix(s: SparkSession, d: String): DataFrame = {
+    val dec = unicodeDecorated
+    val nFixed = UnicodeFolds.map { case (k, _) =>
+      ((length(dec) - length(regexp_replace(dec,
+        java.util.regex.Pattern.quote(k), ""))) / k.length).cast("long")
+    }.reduce(_ + _)
+    val fixed = unicodeFoldCol(dec)
+    val nBad = (length(fixed) -
+      length(regexp_replace(fixed, Replacement, ""))).cast("long")
+    documents(s, d)
+      .select(col("doc_id"),
+        nFixed.as("n_fixed"),
+        nBad.as("n_bad"),
+        length(fixed).cast("long").as("n_chars_fixed"),
+        sha2(fixed, 256).as("fixed_sha"))
+      .withColumn("bad_per_kchar", expr("n_bad * 1000 div n_chars_fixed"))
+      .withColumn("keep",
+        (col("n_bad") * 1000 <= col("n_chars_fixed")).cast("int"))
+  }
+
   /** Repetition score: the fraction of a document's bigrams taken by
     * its single most frequent bigram — the cheap detector for looping /
     * boilerplate text (degenerate generations, templated spam) that a
@@ -794,6 +909,7 @@ object TextAnalysis {
     "text_histogram"   -> textHistogram _,
     "text_repetition"  -> textRepetition _,
     "text_normalize"   -> textNormalize _,
+    "text_unicode_fix" -> textUnicodeFix _,
     "text_lm_score"    -> textLmScore _,
     "text_tfidf"       -> ((s: SparkSession, d: String) => textTfidf(s, d)),
     "text_bm25"        -> ((s: SparkSession, d: String) => textBm25(s, d)),
@@ -1249,6 +1365,44 @@ object TextAnalysis {
         FROM dt GROUP BY token
         HAVING count(*) >= 2
           AND count(*) * 10 <= 8 * (SELECT count(*) FROM documents)""",
+    // the IDENTICAL fold table (rendered 7-bit clean via chr()), the
+    // same per-entry occurrence arithmetic, the same FFFD-rate gate;
+    // sha256 pins the repaired text bit-exactly
+    "text_unicode_fix" -> {
+      val decSql =
+        s"""SELECT doc_id, text
+          || CASE WHEN doc_id % 3 = 0 THEN ${sqlStr(DecNfd)}
+                  WHEN doc_id % 3 = 1 THEN ${sqlStr(DecNfc)}
+                  ELSE '' END
+          || CASE WHEN doc_id % 5 = 0 THEN ${sqlStr(DecMoji)}
+                  ELSE '' END
+          || CASE WHEN doc_id % 7 = 0
+               THEN ' ' || repeat(chr(65533), CAST(1 + doc_id % 3 AS INT))
+               ELSE '' END AS s
+        FROM documents"""
+      val fixedSql = UnicodeFolds.foldLeft("s") { case (acc, (k, v)) =>
+        s"replace($acc, ${sqlStr(k)}, ${sqlStr(v)})"
+      }
+      val countsSql = UnicodeFolds.map { case (k, _) =>
+        s"(length(s) - length(replace(s, ${sqlStr(k)}, ''))) // ${k.length}"
+      }.mkString(" + ")
+      s"""WITH dec AS ($decSql),
+        fx AS (
+          SELECT doc_id, $fixedSql AS fixed,
+            CAST($countsSql AS BIGINT) AS n_fixed
+          FROM dec),
+        o AS (
+          SELECT doc_id, n_fixed,
+            CAST(length(fixed)
+              - length(replace(fixed, chr(65533), '')) AS BIGINT) AS n_bad,
+            CAST(length(fixed) AS BIGINT) AS n_chars_fixed,
+            sha256(fixed) AS fixed_sha
+          FROM fx)
+        SELECT doc_id, n_fixed, n_bad, n_chars_fixed, fixed_sha,
+          n_bad * 1000 // n_chars_fixed AS bad_per_kchar,
+          CAST(n_bad * 1000 <= n_chars_fixed AS INT) AS keep
+        FROM o"""
+    },
     // DuckDB regexp_replace is first-match-only without the 'g' flag
     // (Spark's replaces all occurrences)
     "text_normalize" ->

@@ -1369,25 +1369,61 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
-  test("quality classifier margin equals the JVM-computed weight fold") {
+  test("quality_train: trained margin beats the stand-in, classifier folds the learned weights") {
+    import analytics.Curation
+    val docs = Tables.documents(spark, sfDir)
+    // training is deterministic — two runs give identical weights
+    val (w1, ws1) = Curation.trainQualityWeightsOf(docs)
+    val (w2, ws2) = Curation.trainQualityWeightsOf(docs)
+    assert(w1.toSeq === w2.toSeq && ws1.toSeq === ws2.toSeq)
+    assert(w1.length === 34 && ws1.exists(_ != 0L))
+    // the classifier's margin IS the JVM-computed averaged-weight fold
+    // over the hashed buckets + bias (the weights it just trained)
     val md = java.security.MessageDigest.getInstance("MD5")
-    def w(t: String): Long = {
-      val hex = md.digest(t.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
+    def bucket(t: String): Int = {
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(6), 16) % 32).toInt
+    }
+    def standinW(t: String): Long = {
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
       (hex.charAt(0).toInt % 7 - 3).toLong
     }
-    val rows = analytics.Curation.qualityClassifier(spark, sfDir).collect()
-    val text = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val rows = Curation.qualityClassifier(spark, sfDir).collect()
+    val text = docs.select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val toks = text(r.getLong(0)).split(" ", -1)
       assert(r.getLong(1) === toks.length.toLong)
-      val margin = toks.map(w).sum
+      val q = 1000L / toks.length
+      val margin = ws1(32) * 10L +
+        ws1(33) * math.min(toks.length.toLong, 50L) * 20L +
+        toks.map(t => ws1(bucket(t)) * q).sum
       assert(r.getLong(2) === margin)
       assert(r.getInt(3) === (if (margin > 0) 1 else 0))
     }
-    // the stand-in weights are signed: both classes occur on real data
+    // THE training claim (r11 verdict #2): the learned margin must
+    // separate the corpus's quality tiers strictly better than the
+    // documented md5 stand-in it replaces. Label = the textQuality
+    // gate in exact integers; accuracy = sign-agreement rate.
+    def label(t: Array[String]): Int = {
+      val nStop = t.count(x => x == "a" || x == "the")
+      if (t.length >= 20 && t.length <= 400 && nStop * 10 < t.length * 3) 1 else -1
+    }
+    var trainedOk = 0; var standinOk = 0
+    rows.foreach { r =>
+      val toks = text(r.getLong(0)).split(" ", -1)
+      val y = label(toks)
+      if ((if (r.getLong(2) > 0) 1 else -1) == y) trainedOk += 1
+      if ((if (toks.map(standinW).sum > 0) 1 else -1) == y) standinOk += 1
+    }
+    assert(trainedOk > standinOk,
+      s"trained $trainedOk/${rows.length} must beat stand-in $standinOk/${rows.length}")
+    // and it should not be a near-miss: the trained gate recovers the
+    // majority tier structure (≥80% agreement on this corpus)
+    assert(trainedOk * 5 >= rows.length * 4,
+      s"trained accuracy ${trainedOk}/${rows.length} below 80%")
+    // both verdict classes occur
     assert(rows.exists(_.getInt(3) == 1) && rows.exists(_.getInt(3) == 0))
   }
 
@@ -1516,6 +1552,52 @@ class AnalyticsSpec extends SparkSpec {
       zeroSize(2) = 0; zeroSize(3) = 0; zeroSize(4) = 0; zeroSize(5) = 0
       assert(Multimodal.sniffMediaType(zeroSize) === "image/bmp")
     } finally gifWriter.dispose()
+  }
+
+  test("unicode fix: fold merges NFD/NFC dedup keys, mojibake repairs, FFFD rate gates") {
+    import analytics.TextAnalysis
+    import spark.implicits._
+    // the cross-op claim (r11 verdict #3): composed vs decomposed
+    // spellings of ONE document carry DIFFERENT exact-dedup keys raw
+    // — the fold merges them (e + COMBINING ACUTE vs precomposed é)
+    val pair = Seq("cafe\u0301 au lait", "caf\u00e9 au lait").toDF("text")
+    val raw = pair.select(md5(col("text")).as("k")).collect().map(_.getString(0))
+    assert(raw(0) !== raw(1), "raw NFD/NFC keys must differ")
+    val folded = pair
+      .select(md5(TextAnalysis.unicodeFoldCol(col("text"))).as("k"))
+      .collect().map(_.getString(0))
+    assert(folded(0) === folded(1), "folded keys must merge")
+    // idempotence: NFC output is a fixpoint of the table (no fold
+    // value contains a fold key), so fixing twice changes nothing
+    val twice = pair.select(
+      TextAnalysis.unicodeFoldCol(TextAnalysis.unicodeFoldCol(col("text"))).as("a"),
+      TextAnalysis.unicodeFoldCol(col("text")).as("b")).collect()
+    twice.foreach(r => assert(r.getString(0) === r.getString(1)))
+    // mojibake repair: the UTF-8-as-cp1252 signature comes back as
+    // the real character, and an already-composed é passes untouched
+    val moji = Seq("\u00c3\u00a9clair et cafe\u0301 \u00e2\u20ac\u2122ok")
+      .toDF("text")
+      .select(TextAnalysis.unicodeFoldCol(col("text"))).head.getString(0)
+    assert(moji === "\u00e9clair et caf\u00e9 \u2019ok", s"got '$moji'")
+    // board query: planted counts are pure doc_id arithmetic, the
+    // keep verdict IS the ≤1-per-1000-chars rate gate, and both
+    // verdict classes occur
+    val rows = TextAnalysis.textUnicodeFix(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val expFix = (if (id % 3 == 0) 2L else 0L) + (if (id % 5 == 0) 2L else 0L)
+      assert(r.getLong(1) === expFix, s"n_fixed doc $id")
+      val expBad = if (id % 7 == 0) 1L + id % 3 else 0L
+      assert(r.getLong(2) === expBad, s"n_bad doc $id")
+      val keepExp = if (expBad * 1000 <= r.getLong(3)) 1 else 0
+      assert(r.getInt(6) === keepExp, s"keep doc $id")
+    }
+    assert(rows.exists(_.getInt(6) == 0) && rows.exists(_.getInt(6) == 1))
+    // scan-speed projection: zero exchanges at any corpus size
+    val plan = TextAnalysis.textUnicodeFix(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
   }
 
   test("perceptual dHash: decoded bits = planted pattern, texture-invariant, flip moves one bit") {
