@@ -354,7 +354,8 @@ object Web {
     * `&#x20;` on odd) — bit-exact recovery now requires real
     * comment/CDATA removal and a real decimal+hex reference decoder,
     * not just the five named entities. */
-  private def htmlOf(idCol: Column, textCol: Column): Column = {
+  private[graft] def htmlOf(idCol: Column, textCol: Column,
+      langCol: Column, srcCol: Column): Column = {
     val words = split(textCol, " ")
     val nParas = nParasOf(textCol)
     val paras = array_join(
@@ -365,9 +366,23 @@ object Web {
             lit(" "),
             when(i % 2 === 0, lit("&#32;")).otherwise(lit("&#x20;"))),
           lit("</p>"))), "")
+    // head metadata (r12): the real document attributes a crawl
+    // pipeline keys language/domain decisions off — lang on <html>,
+    // <title>, description = the first five words, og:title — plus a
+    // DECOY description inside a head comment BEFORE the real one, so
+    // a metadata extractor that skips comment removal returns the
+    // decoy and fails the oracle (the main-text discipline applied to
+    // the head)
     concat(
-      lit("<!DOCTYPE html><html><head><title>Doc "), idCol,
-      lit("</title><!--[if IE]><link rel=\"x\" href=\"/ie.css\"><![endif]-->" +
+      lit("<!DOCTYPE html><html lang=\""), langCol,
+      lit("\"><head><title>Doc "), idCol,
+      lit("</title>" +
+        "<!-- <meta name=\"description\" content=\"decoy must not win\"> -->" +
+        "<meta name=\"description\" content=\""),
+      array_join(slice(words, 1, 5), " "),
+      lit("\"><meta property=\"og:title\" content=\"doc "), idCol,
+      lit(" @ "), srcCol,
+      lit("\"><!--[if IE]><link rel=\"x\" href=\"/ie.css\"><![endif]-->" +
         "<style>body{color:#000;font-size:14px}</style>" +
         "<script>var x=1&amp;&amp;2;if(x<3){x=4>2?1:0;}</script>" +
         "</head><body><nav><ul><li><a href=\"/\">home &gt; docs</a>" +
@@ -466,13 +481,36 @@ object Web {
     * pins bit-exact recovery of the original text. */
   def htmlExtract(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val html = htmlOf(col("doc_id"), col("text"))
+    val html = htmlOf(col("doc_id"), col("text"), col("lang"), col("source"))
     val extracted = extractMainText(html)
     docs.select(
       col("doc_id"),
       nParasOf(col("text")).cast("long").as("n_paras"),
       length(extracted).cast("long").as("n_chars"),
       sha2(extracted, 256).as("extracted_sha"))
+  }
+
+  /** Structured-metadata extraction (r12) — the head fields a crawl
+    * pipeline keys language/domain/routing decisions off BEFORE any
+    * main-text work: <html lang>, <title>, <meta name="description">,
+    * <meta property="og:title">. Comments die first (the synthesized
+    * head carries a decoy description inside a comment BEFORE the
+    * real tag — a regex extractor that skips comment removal returns
+    * the decoy and hash-fails), then each field is one anchored
+    * codegen'd regexp_extract. Map-only, zero exchanges; the oracle
+    * states all four fields from the construction rules literally. */
+  def htmlMetadata(s: SparkSession, d: String): DataFrame = {
+    val html = htmlOf(col("doc_id"), col("text"), col("lang"), col("source"))
+    val clean = regexp_replace(html,
+      "(?s)<!--.*?-->|<!\\[CDATA\\[.*?\\]\\]>", " ")
+    documents(s, d).select(
+      col("doc_id"),
+      regexp_extract(clean, "<html lang=\"([a-z]+)\"", 1).as("meta_lang"),
+      regexp_extract(clean, "<title>([^<]*)</title>", 1).as("title"),
+      regexp_extract(clean,
+        "<meta name=\"description\" content=\"([^\"]*)\"", 1).as("description"),
+      regexp_extract(clean,
+        "<meta property=\"og:title\" content=\"([^\"]*)\"", 1).as("og_title"))
   }
 
   // ---------------------------------------------------------------
@@ -494,7 +532,7 @@ object Web {
   def warcWet(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val info = "software: graft\r\n"
-    val html = htmlOf(col("doc_id"), col("text"))
+    val html = htmlOf(col("doc_id"), col("text"), col("lang"), col("source"))
     val response = concat(
       lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " +
         "https://example.com/doc"),
@@ -762,6 +800,7 @@ object Web {
     "warc_gzip"         -> warcGzip _,
     "warc_wet"          -> warcWet _,
     "text_html_extract" -> htmlExtract _,
+    "html_metadata"     -> htmlMetadata _,
     "url_canon_dedup"   -> urlCanonDedup _,
     "url_robots_filter" -> urlRobotsFilter _,
     "url_domain_cap"    -> ((s: SparkSession, d: String) => urlDomainCap(s, d)),
@@ -917,6 +956,18 @@ object Web {
             AS BIGINT) AS n_paras,
           CAST(length(text) AS BIGINT) AS n_chars,
           sha256(text) AS extracted_sha
+        FROM documents""",
+    // all four head fields stated from the construction rules —
+    // including the description (first five words), which the decoy
+    // comment forces the extractor to recover via real comment
+    // removal, not first-regex-match luck
+    "html_metadata" ->
+      """SELECT doc_id,
+          lang AS meta_lang,
+          'Doc ' || doc_id AS title,
+          array_to_string(string_split(text, ' ')[1:5], ' ')
+            AS description,
+          'doc ' || doc_id || ' @ ' || source AS og_title
         FROM documents""",
   )
 }

@@ -1554,6 +1554,33 @@ class AnalyticsSpec extends SparkSpec {
     } finally gifWriter.dispose()
   }
 
+  test("html metadata: decoy-in-comment defeats naive regex, real fields extracted") {
+    import graft.analytics.Web
+    // a regex extractor that skips comment removal finds the planted
+    // head-comment decoy FIRST — the board query must not
+    val page = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === 7)
+      .select(Web.htmlOf(col("doc_id"), col("text"), col("lang"),
+        col("source")).as("h"), col("text"), col("lang"), col("source"))
+    val (html, text, lang, source) = {
+      val r = page.head
+      (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+    }
+    val naive = "<meta name=\"description\" content=\"([^\"]*)\"".r
+      .findFirstMatchIn(html).get.group(1)
+    assert(naive === "decoy must not win", s"naive got '$naive'")
+    val row = Web.htmlMetadata(spark, sfDir)
+      .filter(col("doc_id") === 7).head
+    assert(row.getString(1) === lang)
+    assert(row.getString(2) === "Doc 7")
+    assert(row.getString(3) === text.split(" ").take(5).mkString(" "))
+    assert(row.getString(4) === s"doc 7 @ $source")
+    // map-only at any corpus size
+    val plan = Web.htmlMetadata(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("unicode fix: fold merges NFD/NFC dedup keys, mojibake repairs, FFFD rate gates") {
     import analytics.TextAnalysis
     import spark.implicits._
