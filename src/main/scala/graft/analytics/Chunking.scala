@@ -250,6 +250,76 @@ object Chunking {
             lit(false))))).as("stripped_md5"))
   }
 
+  // ---------------------------------------------------------------
+  // Paragraph-level dedup + removal (r12) — Dolma's dedup-paragraphs:
+  // the production boundary is the NEWLINE PARAGRAPH, not a fixed
+  // token window. A 5-token boilerplate paragraph shared by a quarter
+  // of the corpus is invisible to dedup_chunks (no aligned 8-token
+  // chunk is identical — the neighbours differ per doc) but is
+  // exactly what paragraph-keyed dedup removes. The corpus carries no
+  // newlines, so the paragraph layout is synthesized: 10-token
+  // content paragraphs plus two planted boilerplate paragraphs on
+  // co-rotating moduli (prepended on %4, appended on %6). Remedy =
+  // keep the globally FIRST occurrence of each paragraph (min
+  // (doc_id, idx)), remove every other occurrence, and rewrite the
+  // document — the rewrite is a codegen'd indexed-lambda filter over
+  // the paragraph array (the dedup_strip discipline): the only
+  // corpus-sized shuffles carry 32-byte hashes + ids and the bounded
+  // removed-index lists; document text never shuffles.
+  // ---------------------------------------------------------------
+
+  private val ParaWidth = 10
+  private val BoilA = "subscribe to our newsletter today"
+  private val BoilB = "all rights reserved worldwide"
+
+  /** The synthesized paragraph array for one document. */
+  private def paraArray: Column = {
+    val id = col("doc_id")
+    val tk = toks
+    val nP = floor((size(tk) + lit(ParaWidth - 1)) / lit(ParaWidth)).cast("int")
+    val content = transform(sequence(lit(0), nP - 1), i =>
+      array_join(slice(tk, i * ParaWidth + 1, lit(ParaWidth)), " "))
+    concat(
+      when(id % 4 === 0, array(lit(BoilA)))
+        .otherwise(array().cast("array<string>")),
+      content,
+      when(id % 6 === 0, array(lit(BoilB)))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Keep-first paragraph dedup with rewrite. Output per document:
+    * paragraph count, removed count, and the md5 of the rewritten
+    * (newline-joined) document — the digest moves iff the removal
+    * logic or the keep-first ordering moves. */
+  def dedupParagraphs(s: SparkSession, d: String): DataFrame =
+    dedupParagraphsOf(documents(s, d))
+
+  private[graft] def dedupParagraphsOf(docs: DataFrame): DataFrame = {
+    val pa = docs.select(col("doc_id"), paraArray.as("pa")).persistTracked()
+    val ph = pa
+      .select(col("doc_id"), posexplode(col("pa")).as(Seq("idx", "para")))
+      .select(col("doc_id"), col("idx"), md5(col("para")).as("h"))
+    // global first occurrence per paragraph hash: idx is bounded by
+    // the paragraph count (≤ ~42 ≪ 1000), so (doc_id·1000 + idx) is a
+    // total order key both engines spell identically
+    val g = ph.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(col("doc_id") * 1000 + col("idx")).as("first_key"))
+    val removed = ph.join(g, Seq("h"))
+      .filter(col("n_occ") > 1 &&
+        col("doc_id") * 1000 + col("idx") =!= col("first_key"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("idx"))).as("rm"),
+        count(lit(1)).as("n_removed"))
+    pa.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("pa")).cast("long").as("n_paras"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        md5(concat_ws("\n", filter(col("pa"),
+          (_, i) => !coalesce(array_contains(col("rm"), i), lit(false)))))
+          .as("kept_md5"))
+  }
+
   /** Winnowed cross-doc dedup — `dedupSubstring`'s pair stage fed by
     * the winnowing selection instead of 0-mod-p sampling. The trade:
     * winnowing is slightly denser (2/(w+1) vs 1/p) but its recall is
@@ -500,6 +570,27 @@ object Chunking {
       md5(joined(targetArr)).as("target_fp"))
   }
 
+  /** The paragraph synthesis + keep-first CTEs the dedup_paragraphs
+    * oracle replays (the identical array slicing, ordering key, and
+    * rewrite-by-kept-rows). */
+  private def paraSql: String =
+    s"""pa AS MATERIALIZED (
+        SELECT doc_id,
+          CASE WHEN doc_id % 4 = 0 THEN ['$BoilA'] ELSE [] END
+          || list_transform(
+               generate_series(0, (len(string_split(text,' ')) + ${ParaWidth - 1}) // $ParaWidth - 1),
+               i -> array_to_string(
+                 string_split(text,' ')[i*$ParaWidth+1 : i*$ParaWidth+$ParaWidth], ' '))
+          || CASE WHEN doc_id % 6 = 0 THEN ['$BoilB'] ELSE [] END AS pa
+        FROM documents),
+      px AS MATERIALIZED (
+        SELECT doc_id, CAST(u.i - 1 AS INT) AS idx, pa[u.i] AS para
+        FROM pa, unnest(generate_series(1, len(pa))) AS u(i)),
+      g AS (
+        SELECT md5(para) AS h, count(*) AS n_occ,
+          min(doc_id * 1000 + idx) AS first_key
+        FROM px GROUP BY 1)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "span_corruption" -> ((s: SparkSession, d: String) => spanCorruption(s, d)),
     "text_chunk"    -> textChunk _,
@@ -511,6 +602,7 @@ object Chunking {
     "text_selfrep"  -> textSelfrep _,
     "dedup_winnow"  -> dedupWinnow _,
     "dedup_strip"   -> dedupStrip _,
+    "dedup_paragraphs" -> dedupParagraphs _,
     "contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
   )
@@ -662,6 +754,32 @@ object Chunking {
         GROUP BY 1, 2""",
     // dedup_spans' islands -> covered positions of the later doc ->
     // indexed list_filter strip, digested as md5 (keep-first policy)
+    // keep-first per paragraph hash; the rewrite digest is rebuilt
+    // from the KEPT rows in idx order (identical to the engine's
+    // indexed-lambda filter over the paragraph array)
+    "dedup_paragraphs" ->
+      s"""WITH $paraSql,
+        keep AS (
+          SELECT p.doc_id, p.idx, p.para
+          FROM px p JOIN g ON md5(p.para) = g.h
+          WHERE NOT (g.n_occ > 1
+            AND p.doc_id * 1000 + p.idx != g.first_key)),
+        rm AS (
+          SELECT p.doc_id, count(*) AS n_removed
+          FROM px p JOIN g ON md5(p.para) = g.h
+          WHERE g.n_occ > 1 AND p.doc_id * 1000 + p.idx != g.first_key
+          GROUP BY 1),
+        agg AS (
+          SELECT doc_id,
+            md5(array_to_string(list(para ORDER BY idx), chr(10))) AS kept_md5
+          FROM keep GROUP BY 1)
+        SELECT pa.doc_id,
+          CAST(len(pa.pa) AS BIGINT) AS n_paras,
+          CAST(coalesce(rm.n_removed, 0) AS BIGINT) AS n_removed,
+          coalesce(agg.kept_md5, md5('')) AS kept_md5
+        FROM pa
+        LEFT JOIN rm ON rm.doc_id = pa.doc_id
+        LEFT JOIN agg ON agg.doc_id = pa.doc_id""",
     "dedup_strip" ->
       """WITH t AS (
           SELECT doc_id, string_split(text, ' ') AS tk FROM documents

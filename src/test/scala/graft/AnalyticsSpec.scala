@@ -1554,6 +1554,64 @@ class AnalyticsSpec extends SparkSpec {
     } finally gifWriter.dispose()
   }
 
+  test("paragraph dedup: keep-first removes planted boilerplate that 8-token chunks miss") {
+    import analytics.Chunking
+    import spark.implicits._
+    // exact mechanics on a CONTROLLED corpus (the real corpus carries
+    // genuine duplicated text by construction, so content paragraphs
+    // legitimately collide there — see the corpus-level bound below):
+    // four docs with unique content words; ids 0,4,8 carry the %4
+    // prepend, 0 and 12 the %6 append (12 both)
+    val ctl = Seq(0L, 4L, 7L, 12L).map { id =>
+      (id, (1 to 25).map(i => s"w${id}x$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Chunking.dedupParagraphsOf(ctl).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 0: first occurrence of BOTH boilerplates — keeps everything
+    assert(got(0L).getLong(2) === 0L)
+    // doc 4: loses the prepended A; doc 7: no plants; doc 12: loses
+    // A AND the appended B (doc 0 is the global first of both)
+    assert(got(4L).getLong(2) === 1L)
+    assert(got(7L).getLong(2) === 0L)
+    assert(got(12L).getLong(2) === 2L)
+    // rewrite digest recomputed from first principles for doc 12:
+    // kept = exactly its 3 content paragraphs (25 words / 10)
+    val content12 = (1 to 25).map(i => s"w12x$i").grouped(10)
+      .map(_.mkString(" ")).toSeq
+    val expMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(content12.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got(12L).getString(3) === expMd5)
+    assert(got(12L).getLong(1) === content12.size + 2L)
+    // corpus-level: the planted boilerplate guarantees a LOWER BOUND
+    // on removals (content collisions can only add more), and both
+    // the clean and the deduped classes occur
+    val rows = Chunking.dedupParagraphs(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      var minExp = 0L
+      if (id % 4 == 0 && id != 0) minExp += 1
+      if (id % 6 == 0 && id != 0) minExp += 1
+      assert(r.getLong(2) >= minExp, s"n_removed doc $id below plant bound")
+    }
+    assert(rows.exists(_.getLong(2) == 0L) && rows.exists(_.getLong(2) > 0L))
+    // THE granularity claim (r11 verdict #5): the same shared 5-token
+    // paragraph embedded in two otherwise-distinct token streams is
+    // INVISIBLE to fixed 8-token chunk dedup (no aligned chunk is
+    // identical — the boilerplate spans chunk boundaries with
+    // doc-specific neighbours) while the paragraph key catches it
+    val boiler = "subscribe to our newsletter today"
+    val a = (boiler.split(" ") ++ (1 to 20).map(i => s"alpha$i")).mkString(" ")
+    val b = (boiler.split(" ") ++ (1 to 20).map(i => s"beta$i")).mkString(" ")
+    val two = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val sharedChunks = Chunking.chunksOf(two, width = 8, stride = 8)
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(sharedChunks === 0L, "8-token chunks must NOT see the shared paragraph")
+  }
+
   test("html metadata: decoy-in-comment defeats naive regex, real fields extracted") {
     import graft.analytics.Web
     // a regex extractor that skips comment removal finds the planted
