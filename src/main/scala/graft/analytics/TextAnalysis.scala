@@ -239,6 +239,95 @@ object TextAnalysis {
   }
 
   // ---------------------------------------------------------------
+  // quality_gopher (r12) — the NAMED Gopher rule bundle (Rae et al.
+  // 2021, appendix A: quality filtering) as a DECLARATIVE SuiteLoader
+  // tier: mean-word-length band, symbol-to-word ratio, bullet-line
+  // and ellipsis-line fractions, stopword presence. The thresholds
+  // live in Great-Expectations JSON ([[gopherSuiteJson]]) compiled by
+  // the SAME SuiteLoader the pipeline's quality gate runs
+  // (LogisticsPipeline.run suitePath — editing the JSON retunes the
+  // gate with no code change), and an Expectation's violation flag is
+  // a per-row column, so the whole bundle is ONE SCAN: line
+  // synthesis, metrics, thresholds and keep-verdict are a single
+  // codegen'd projection with zero exchanges at any corpus size. The
+  // corpus has no line structure or symbols, so 10-token lines are
+  // synthesized with co-rotating bullet/symbol/ellipsis decorations,
+  // including three whole-document failure classes (%11: every line
+  // bulleted, breaching the 0.9 bullet-fraction cap; %13: every line
+  // ellipsis-terminated, breaching 0.3; %17: symbol-heavy, breaching
+  // the 0.1 symbol-to-word cap) plus the natural stopword failures.
+  // ---------------------------------------------------------------
+
+  private val GopherStops = Seq("the", "a", "of", "and", "to", "in")
+
+  /** The Gopher thresholds as a GE suite document — integer-scaled
+    * metric columns (×100/×1000) keep every comparison exact. */
+  private[graft] val gopherSuiteJson: String =
+    """{"expectations": [
+      |  {"expectation_type": "expect_column_values_to_be_between",
+      |   "kwargs": {"column": "mean_word_len_x100",
+      |              "min_value": 300, "max_value": 1000}},
+      |  {"expectation_type": "expect_column_values_to_be_between",
+      |   "kwargs": {"column": "symbol_ratio_x1000",
+      |              "min_value": 0, "max_value": 100}},
+      |  {"expectation_type": "expect_column_values_to_be_between",
+      |   "kwargs": {"column": "bullet_frac_x1000",
+      |              "min_value": 0, "max_value": 900}},
+      |  {"expectation_type": "expect_column_values_to_be_between",
+      |   "kwargs": {"column": "ellipsis_frac_x1000",
+      |              "min_value": 0, "max_value": 300}},
+      |  {"expectation_type": "expect_column_values_to_be_between",
+      |   "kwargs": {"column": "n_stop_distinct",
+      |              "min_value": 2, "max_value": 6}}
+      |]}""".stripMargin
+
+  /** The synthesized-line Gopher metrics, per document. */
+  private[graft] def gopherMetricsOf(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val tk = toks
+    val nL = floor((size(tk) + lit(9)) / lit(10)).cast("int")
+    val lines = transform(sequence(lit(0), nL - 1), i =>
+      concat(
+        when(id % 11 === 0 || (id + i) % 3 === 0, lit("- ")).otherwise(lit("")),
+        array_join(slice(tk, i * 10 + 1, lit(10)), " "),
+        when(id % 17 === 0 || (id + i) % 5 === 0, lit(" #####")).otherwise(lit("")),
+        when(id % 13 === 0 || (id + i) % 4 === 0, lit(" ...")).otherwise(lit(""))))
+    val words = flatten(transform(lines, l => split(l, " ")))
+    val joined = array_join(lines, "\n")
+    val nStop = GopherStops
+      .map(w => when(array_contains(words, w), 1L).otherwise(0L))
+      .reduce(_ + _)
+    docs.select(id,
+      size(lines).cast("long").as("n_lines"),
+      size(words).cast("long").as("n_words"),
+      aggregate(words, lit(0L), (acc, w) => acc + length(w)).as("_sum_len"),
+      (length(joined) - length(regexp_replace(joined, "#", "")))
+        .cast("long").as("_n_hash"),
+      ((length(joined) - length(regexp_replace(joined, "\\.\\.\\.", ""))) / 3)
+        .cast("long").as("_n_ell"),
+      size(filter(lines, l => l.startsWith("- "))).cast("long").as("_n_bullet"),
+      size(filter(lines, l => l.endsWith("..."))).cast("long").as("_n_ell_line"),
+      nStop.as("n_stop_distinct"))
+      .withColumn("mean_word_len_x100", expr("_sum_len * 100 div n_words"))
+      .withColumn("symbol_ratio_x1000", expr("(_n_hash + _n_ell) * 1000 div n_words"))
+      .withColumn("bullet_frac_x1000", expr("_n_bullet * 1000 div n_lines"))
+      .withColumn("ellipsis_frac_x1000", expr("_n_ell_line * 1000 div n_lines"))
+      .drop("_sum_len", "_n_hash", "_n_ell", "_n_bullet", "_n_ell_line")
+  }
+
+  /** Metrics + the JSON-declared gate applied per row: gopher_keep is
+    * 1 iff every loaded expectation's violation flag is 0. */
+  def qualityGopher(s: SparkSession, d: String): DataFrame =
+    qualityGopherOf(documents(s, d))
+
+  private[graft] def qualityGopherOf(docs: DataFrame): DataFrame = {
+    val suite = graft.expect.SuiteLoader.fromJson(gopherSuiteJson)
+    val violSum = suite.map(_.violation).reduce(_ + _)
+    gopherMetricsOf(docs)
+      .withColumn("gopher_keep", when(violSum === 0, 1).otherwise(0))
+  }
+
+  // ---------------------------------------------------------------
   // Unicode/encoding hygiene (r12) — the ftfy step every web corpus
   // runs before exact dedup: composed-vs-decomposed accent spellings
   // (NFC vs NFD) silently split canonical keys, classic mojibake
@@ -910,6 +999,7 @@ object TextAnalysis {
     "text_repetition"  -> textRepetition _,
     "text_normalize"   -> textNormalize _,
     "text_unicode_fix" -> textUnicodeFix _,
+    "quality_gopher"   -> qualityGopher _,
     "text_lm_score"    -> textLmScore _,
     "text_tfidf"       -> ((s: SparkSession, d: String) => textTfidf(s, d)),
     "text_bm25"        -> ((s: SparkSession, d: String) => textBm25(s, d)),
@@ -1365,6 +1455,61 @@ object TextAnalysis {
         FROM dt GROUP BY token
         HAVING count(*) >= 2
           AND count(*) * 10 <= 8 * (SELECT count(*) FROM documents)""",
+    // the identical line synthesis, integer-scaled metrics, and the
+    // SAME thresholds the JSON suite declares (between is inclusive
+    // on both ends, matching Expectations.between)
+    "quality_gopher" ->
+      """WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        ln AS MATERIALIZED (
+          SELECT doc_id,
+            CASE WHEN doc_id % 11 = 0 OR (doc_id + u.i) % 3 = 0
+              THEN '- ' ELSE '' END
+            || array_to_string(tk[u.i*10+1 : u.i*10+10], ' ')
+            || CASE WHEN doc_id % 17 = 0 OR (doc_id + u.i) % 5 = 0
+              THEN ' #####' ELSE '' END
+            || CASE WHEN doc_id % 13 = 0 OR (doc_id + u.i) % 4 = 0
+              THEN ' ...' ELSE '' END AS line
+          FROM t, unnest(generate_series(0, (len(tk) + 9) // 10 - 1)) AS u(i)),
+        w AS (
+          SELECT doc_id, unnest(string_split(line, ' ')) AS word FROM ln),
+        ws AS (
+          SELECT doc_id, count(*) AS n_words, sum(length(word)) AS sum_len,
+            max(CASE WHEN word = 'the' THEN 1 ELSE 0 END)
+            + max(CASE WHEN word = 'a' THEN 1 ELSE 0 END)
+            + max(CASE WHEN word = 'of' THEN 1 ELSE 0 END)
+            + max(CASE WHEN word = 'and' THEN 1 ELSE 0 END)
+            + max(CASE WHEN word = 'to' THEN 1 ELSE 0 END)
+            + max(CASE WHEN word = 'in' THEN 1 ELSE 0 END) AS n_stop
+          FROM w GROUP BY 1),
+        ls AS (
+          SELECT doc_id, count(*) AS n_lines,
+            sum(CASE WHEN line LIKE '- %' THEN 1 ELSE 0 END) AS n_bullet,
+            sum(CASE WHEN line LIKE '%...' THEN 1 ELSE 0 END) AS n_ell_line,
+            sum(length(line) - length(replace(line, '#', ''))) AS n_hash,
+            sum((length(line) - length(replace(line, '...', ''))) // 3) AS n_ell
+          FROM ln GROUP BY 1),
+        m AS (
+          SELECT ws.doc_id,
+            CAST(ls.n_lines AS BIGINT) AS n_lines,
+            CAST(ws.n_words AS BIGINT) AS n_words,
+            CAST(ws.sum_len * 100 // ws.n_words AS BIGINT) AS mean_word_len_x100,
+            CAST((ls.n_hash + ls.n_ell) * 1000 // ws.n_words AS BIGINT)
+              AS symbol_ratio_x1000,
+            CAST(ls.n_bullet * 1000 // ls.n_lines AS BIGINT) AS bullet_frac_x1000,
+            CAST(ls.n_ell_line * 1000 // ls.n_lines AS BIGINT)
+              AS ellipsis_frac_x1000,
+            CAST(ws.n_stop AS BIGINT) AS n_stop_distinct
+          FROM ws JOIN ls ON ls.doc_id = ws.doc_id)
+        SELECT doc_id, n_lines, n_words, n_stop_distinct,
+          mean_word_len_x100, symbol_ratio_x1000, bullet_frac_x1000,
+          ellipsis_frac_x1000,
+          CAST(mean_word_len_x100 BETWEEN 300 AND 1000
+            AND symbol_ratio_x1000 BETWEEN 0 AND 100
+            AND bullet_frac_x1000 BETWEEN 0 AND 900
+            AND ellipsis_frac_x1000 BETWEEN 0 AND 300
+            AND n_stop_distinct BETWEEN 2 AND 6 AS INT) AS gopher_keep
+        FROM m""",
     // the IDENTICAL fold table (rendered 7-bit clean via chr()), the
     // same per-entry occurrence arithmetic, the same FFFD-rate gate;
     // sha256 pins the repaired text bit-exactly

@@ -1554,6 +1554,47 @@ class AnalyticsSpec extends SparkSpec {
     } finally gifWriter.dispose()
   }
 
+  test("quality_gopher: JSON-declared rule bundle gates per doc in one scan") {
+    import analytics.TextAnalysis
+    // the gate is DECLARATIVE: the same JSON loaded from a FILE (the
+    // LogisticsPipeline.run suitePath tier) compiles to the identical
+    // per-row gate as the inline document
+    val f = java.nio.file.Files.createTempFile("gopher", ".json")
+    java.nio.file.Files.write(f,
+      TextAnalysis.gopherSuiteJson.getBytes("UTF-8"))
+    val fromFile = graft.expect.SuiteLoader.fromFile(f.toString)
+    val inline = graft.expect.SuiteLoader.fromJson(TextAnalysis.gopherSuiteJson)
+    assert(fromFile.map(_.name) === inline.map(_.name))
+    assert(fromFile.size === 5)
+    // planted whole-doc failure classes trip exactly their rule
+    val rows = TextAnalysis.qualityGopher(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    rows.foreach { case (id, r) =>
+      val bullet = r.getAs[Long]("bullet_frac_x1000")
+      val ell = r.getAs[Long]("ellipsis_frac_x1000")
+      val sym = r.getAs[Long]("symbol_ratio_x1000")
+      if (id % 11 == 0) assert(bullet === 1000L, s"doc $id all-bulleted")
+      if (id % 13 == 0) assert(ell === 1000L, s"doc $id all-ellipsis")
+      if (id % 17 == 0) assert(sym > 100L, s"doc $id symbol-heavy")
+      // keep is the conjunction of the five declared bands — recompute
+      val keepExp = r.getAs[Long]("mean_word_len_x100") >= 300 &&
+        r.getAs[Long]("mean_word_len_x100") <= 1000 &&
+        sym <= 100 && bullet <= 900 && ell <= 300 &&
+        r.getAs[Long]("n_stop_distinct") >= 2 &&
+        r.getAs[Long]("n_stop_distinct") <= 6
+      assert(r.getAs[Int]("gopher_keep") === (if (keepExp) 1 else 0), s"keep doc $id")
+    }
+    // mixed outcome: failures exist (the planted classes) and passes
+    // exist (the undecorated majority)
+    assert(rows.values.exists(_.getAs[Int]("gopher_keep") == 0))
+    assert(rows.values.exists(_.getAs[Int]("gopher_keep") == 1))
+    // one scan: the whole bundle — synthesis, metrics, JSON gate —
+    // carries zero exchanges at any corpus size
+    val plan = TextAnalysis.qualityGopher(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("paragraph dedup: keep-first removes planted boilerplate that 8-token chunks miss") {
     import analytics.Chunking
     import spark.implicits._
