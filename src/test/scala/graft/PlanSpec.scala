@@ -209,7 +209,7 @@ class PlanSpec extends SparkSpec {
     // round-3 additions (audited at the same sf0.001/local[4] baseline)
     "agg_conditional" -> 1, "agg_string_agg" -> 1, "date_funcs" -> 0,
     "dedup_clusters" -> 0, "dedup_simhash64_pairs" -> 1, "explode_pos" -> 0,
-    "dedup_phash" -> 1,
+    "dedup_phash" -> 1, "dedup_paragraphs" -> 2,
     "join_cross" -> 0, "join_full" -> 2, "sample_det" -> 0,
     "subquery_exists" -> 0, "training_select" -> 3, "ts_gapfill" -> 2,
     "win_range_frame" -> 1, "map_funcs" -> 2, "win_nth" -> 1,
