@@ -752,11 +752,9 @@ object Chunking {
           coalesce(max(p.max_span), 0) AS worst_span
         FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
         GROUP BY 1, 2""",
-    // dedup_spans' islands -> covered positions of the later doc ->
-    // indexed list_filter strip, digested as md5 (keep-first policy)
-    // keep-first per paragraph hash; the rewrite digest is rebuilt
-    // from the KEPT rows in idx order (identical to the engine's
-    // indexed-lambda filter over the paragraph array)
+    // dedup_paragraphs: keep-first per paragraph hash; the rewrite
+    // digest is rebuilt from the KEPT rows in idx order (identical to
+    // the engine's indexed-lambda filter over the paragraph array)
     "dedup_paragraphs" ->
       s"""WITH $paraSql,
         keep AS (
@@ -780,6 +778,9 @@ object Chunking {
         FROM pa
         LEFT JOIN rm ON rm.doc_id = pa.doc_id
         LEFT JOIN agg ON agg.doc_id = pa.doc_id""",
+    // dedup_strip: dedup_spans' islands -> covered positions of the
+    // later doc -> indexed list_filter strip, digested as md5
+    // (keep-first policy)
     "dedup_strip" ->
       """WITH t AS (
           SELECT doc_id, string_split(text, ' ') AS tk FROM documents

@@ -331,11 +331,11 @@ object Curation {
   private[graft] val QualityRounds = 16
   private[graft] val QualityBuckets = 34 // 32 hashed tf + bias + length
 
-  /** Per-token feature bucket: the text_feature_hash rule (md5-hex
-    * prefix mod 32 — engine-portable where murmur is not), as a
-    * column function usable inside higher-order lambdas. */
-  private def bucketOf(t: Column): Column =
-    conv(substring(md5(t), 1, 6), 16, 10).cast("long") % 32
+  /** Per-token feature bucket — ONE definition with text_feature_hash
+    * (TextAnalysis.featureBucket): quality_train's contract is "the
+    * text_feature_hash buckets", so the two operators must not be
+    * able to drift apart. */
+  private def bucketOf(t: Column): Column = TextAnalysis.featureBucket(t)
 
   /** Integer quality label: the textQuality gate with the ratio
     * comparison in exact integers (10·n_stop < 3·n_tok ⟺
@@ -431,11 +431,22 @@ object Curation {
     (w, wsum)
   }
 
+  /** Training is deterministic per corpus (spec-pinned), and the
+    * learned vector is 2×34 longs of metadata — so a session trains
+    * each corpus directory ONCE and the classifier reuses the result
+    * (a user's workflow: one training job, then scan-speed gating;
+    * without the memo a board run pays the 16 rounds twice). */
+  private val weightMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (Array[Long], Array[Long])]
+
+  private def trainQualityWeights(s: SparkSession, d: String): (Array[Long], Array[Long]) =
+    weightMemo.getOrElseUpdate(d, trainQualityWeightsOf(documents(s, d)))
+
   /** Board query: the learned weight table — final weights and the
     * averaged-perceptron vote sums per bucket, both integer-exact and
     * replayed by the oracle's unrolled training CTEs. */
   def qualityTrain(s: SparkSession, d: String): DataFrame = {
-    val (w, wsum) = trainQualityWeightsOf(documents(s, d))
+    val (w, wsum) = trainQualityWeights(s, d)
     import s.implicits._
     (0 until QualityBuckets).map(b => (b.toLong, w(b), wsum(b)))
       .toDF("bucket", "w", "w_sum")
@@ -446,13 +457,14 @@ object Curation {
     * averaged-perceptron weights (r12; the weight table was a
     * documented md5 stand-in through r11 — see [[standinMargin]]).
     * Training runs first (bounded passes over the cached feature
-    * table); the 33 learned longs then ride into a codegen'd fold
-    * over the token array (functions.aggregate — no explode, no join,
-    * no shuffle; the score never leaves the scan), which is what
-    * makes classifier-gating 100 TB a map-only pass after one
-    * training job. */
+    * table, memoized per corpus); the 34 learned longs then ride into
+    * a codegen'd fold over the token array — the 32 tf weights per
+    * token, bias and length in the fold's init (functions.aggregate:
+    * no explode, no join, no shuffle; the score never leaves the
+    * scan), which is what makes classifier-gating 100 TB a map-only
+    * pass after one training job. */
   def qualityClassifier(s: SparkSession, d: String): DataFrame = {
-    val (_, wsum) = trainQualityWeightsOf(documents(s, d))
+    val (_, wsum) = trainQualityWeights(s, d)
     val warr = typedlit(wsum.toIndexedSeq)
     // margin = Σ_tokens w[bucket(t)]·q  +  w[32]·10  +  w[33]·ℓ, with
     // q = 1000 div n_tok the per-token tf quantum (the reason the

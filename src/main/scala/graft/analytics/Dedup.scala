@@ -382,7 +382,9 @@ object Dedup {
   // — hamming 0 and hamming 1 neighbours respectively, both inside
   // the ≤3 pigeonhole guarantee. DuckDB replays the PATTERN
   // arithmetic (md5-bit rule + flip); the engine must recover the
-  // same 64 bits THROUGH the real decode + 4×4 pooling.
+  // same 64 bits THROUGH the real decode + 4×4 pooling (the pooled
+  // comparison's net margin is 528 vs a ≤48 texture differential —
+  // see Multimodal.phashBmpBytes).
   // ---------------------------------------------------------------
 
   private[analytics] val PhashPlants = 60

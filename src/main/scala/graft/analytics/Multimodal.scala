@@ -515,6 +515,11 @@ object Multimodal {
     require(w == PhashW && h == PhashH,
       s"phash canvas must be ${PhashW}x$PhashH, got ${w}x$h")
     val rowSize = (w * 3 + 3) / 4 * 4
+    // a truncated buffer behind an intact header must reject with the
+    // SAME IllegalArgumentException as every other corruption path
+    // (the gzip-walk contract), never an ArrayIndexOutOfBounds
+    require(bytes.length >= off + rowSize * h,
+      s"truncated BMP pixel data: need ${off + rowSize * h}, got ${bytes.length}")
     val gw = w / PhashBlock; val gh = h / PhashBlock
     val sums = Array.ofDim[Long](gh, gw)
     var row = 0

@@ -907,11 +907,16 @@ object TextAnalysis {
   def textFeatureHash(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), explode(toks).as("tok"))
-      .select(col("doc_id"),
-        expr("CAST(conv(substring(md5(tok), 1, 6), 16, 10) AS BIGINT) % 32")
-          .as("bucket"))
+      .select(col("doc_id"), featureBucket(col("tok")).as("bucket"))
       .groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** THE feature-hash bucket rule (md5-hex prefix mod 32) — one
+    * definition shared by text_feature_hash and quality_train's
+    * features (whose contract is "the text_feature_hash buckets");
+    * a width change here retunes both together. */
+  private[analytics] def featureBucket(t: Column): Column =
+    conv(substring(md5(t), 1, 6), 16, 10).cast("long") % 32
 
   /** Token-pair association (log-free PMI — the lift form): for the
     * top-50 vocabulary, how often do two tokens share a document vs

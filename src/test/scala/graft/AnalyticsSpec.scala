@@ -1384,10 +1384,11 @@ class AnalyticsSpec extends SparkSpec {
       val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
       (java.lang.Long.parseLong(hex.take(6), 16) % 32).toInt
     }
-    def standinW(t: String): Long = {
-      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      (hex.charAt(0).toInt % 7 - 3).toLong
-    }
+    // the baseline comes from the ENGINE's retained stand-in spelling
+    // (Curation.standinMargin) — one definition, no silent spec drift
+    val standinAccept = docs
+      .select(col("doc_id"), (Curation.standinMargin > 0).as("acc"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     val rows = Curation.qualityClassifier(spark, sfDir).collect()
     val text = docs.select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -1415,7 +1416,7 @@ class AnalyticsSpec extends SparkSpec {
       val toks = text(r.getLong(0)).split(" ", -1)
       val y = label(toks)
       if ((if (r.getLong(2) > 0) 1 else -1) == y) trainedOk += 1
-      if ((if (toks.map(standinW).sum > 0) 1 else -1) == y) standinOk += 1
+      if ((if (standinAccept(r.getLong(0))) 1 else -1) == y) standinOk += 1
     }
     assert(trainedOk > standinOk,
       s"trained $trainedOk/${rows.length} must beat stand-in $standinOk/${rows.length}")
@@ -1678,6 +1679,14 @@ class AnalyticsSpec extends SparkSpec {
     val plan = Web.htmlMetadata(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+    // corpus precondition (named, like the html-extract one): the
+    // extractor's lang regex is [a-z]+ while the oracle states the
+    // column verbatim — a corpus that grows region tags ('en-US') or
+    // mixed case must fail HERE, not as a baffling hash mismatch
+    val dirtyLang = Tables.documents(spark, sfDir)
+      .filter(!col("lang").rlike("^[a-z]+$")).count()
+    assert(dirtyLang === 0L,
+      s"$dirtyLang documents violate the metadata lang precondition")
   }
 
   test("unicode fix: fold merges NFD/NFC dedup keys, mojibake repairs, FFFD rate gates") {
@@ -1777,11 +1786,14 @@ class AnalyticsSpec extends SparkSpec {
       assert(got.get((p0, p1)).contains(1), s"plant-plant pair t=$t")
     }
     assert(got.size === 90, s"unexpected extra near-dup pairs: ${got.size}")
-    // corrupt container rejects loudly; wrong canvas is not a phash
+    // corrupt container rejects loudly; wrong canvas is not a phash;
+    // truncation behind an intact header rejects with the SAME
+    // exception (the one-rejection-contract discipline), never AIOOBE
     intercept[IllegalArgumentException](
       Multimodal.phashOfBmp(Multimodal.bmpBytes(3L)))
     val bad = base.clone(); bad(0) = 'X'.toByte
     intercept[IllegalArgumentException](Multimodal.phashOfBmp(bad))
+    intercept[IllegalArgumentException](Multimodal.phashOfBmp(base.take(500)))
   }
 
   test("registered-domain extraction: suffix fold, private-section split, PSL fallback") {
