@@ -226,6 +226,60 @@ object Curation {
           .otherwise(0L)).as("weak_rows"))
   }
 
+  /** THE shared discrete-Laplace (two-sided geometric) inverse-CDF
+    * threshold table for ε = 1, sensitivity Δ = 1 (α = e^−ε/Δ):
+    * T[j] = floor(CDF(j − 20)·2⁴⁸) for noise values −20..+20, with the
+    * last entry clamped to 2⁴⁸ so both tails fold into the end bins
+    * (P(|X| > 20) = α²¹/(1+α) ≈ 5.5·10⁻¹⁰ — the truncation that makes
+    * the mechanism (ε, δ)-DP with δ below one in a billion). The
+    * TABLE is the contract both engines share: noise = #{T[j] ≤ u} −
+    * 20 for a 48-bit uniform u, so the draw is pure integer
+    * arithmetic — no exp/ln at query time (the no-ln rule), no
+    * float CDF inversion to drift between engines. Values derived
+    * once from the closed forms CDF(k<0) = α^|k|/(1+α),
+    * CDF(k≥0) = 1 − α^(k+1)/(1+α) at 60-digit precision. */
+  private val dpLaplaceThresholds: Seq[Long] = Seq(
+    424133L, 1152913L, 3133944L, 8518944L, 23156891L, 62946957L,
+    171107569L, 465118597L, 1264323431L, 3436787409L, 9342156763L,
+    25394614967L, 69029720408L, 187642234609L, 510064476589L,
+    1386498998055L, 3768895031591L, 10244918877744L, 27848576819410L,
+    75700280316650L, 205774696394005L, 253626399891245L,
+    271230057832911L, 277706081679064L, 280088477712600L,
+    280964912234066L, 281287334476046L, 281405946990247L,
+    281449582095688L, 281465634553892L, 281471539923246L,
+    281473712387224L, 281474511592058L, 281474805603086L,
+    281474913763698L, 281474953553764L, 281474968191711L,
+    281474973576711L, 281474975557742L, 281474976286522L,
+    281474976710656L)
+
+  /** Differentially-private release counts per event type — the
+    * privacy tier's OUTPUT mechanism next to its three audit gates
+    * (kanon/ldiversity/tcloseness audit what a release would leak;
+    * this one actually releases): true count + discrete-Laplace noise
+    * at ε = 1 for the Δ = 1 counting query. Noise is drawn by
+    * inverse-CDF over [[dpLaplaceThresholds]] from a 48-bit uniform —
+    * here md5-derived from the event type so the draw is REPLAYABLE
+    * for the oracle and the ScalaTest distribution check; a
+    * production release swaps the md5 for a CSPRNG draw per query
+    * (a replayable draw is calibration plumbing, NOT private — same
+    * demo-vs-production split as dedup_simhash_pairs, documented).
+    * `n_true` is likewise emitted only for the oracle pin; the
+    * release view is (event_type, n_noised). Scale shape: one keyed
+    * count of the stream, then 5 rows of integer arithmetic. */
+  def privacyDpCounts(s: SparkSession, d: String): DataFrame = {
+    val th = dpLaplaceThresholds.mkString("array(", "L, ", "L)")
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("u",
+        conv(substring(md5(concat(lit("dp-"), col("event_type"))), 1, 12),
+          16, 10).cast("long"))
+      .withColumn("noise",
+        expr(s"size(filter($th, t -> t <= u)) - 20").cast("long"))
+      .select(col("event_type"), col("n_true"), col("noise"),
+        (col("n_true") + col("noise")).as("n_noised"))
+  }
+
   /** Class-balanced downsampling over the labeled embedding corpus —
     * the classifier-training prerequisite (a 10:1 label skew trains a
     * majority-class predictor): every label keeps exactly min-class
@@ -524,6 +578,7 @@ object Curation {
     "privacy_kanon"   -> privacyKanon _,
     "privacy_ldiversity" -> privacyLdiversity _,
     "privacy_tcloseness" -> privacyTcloseness _,
+    "privacy_dp_counts" -> privacyDpCounts _,
     "dsir_select"        -> ((s: SparkSession, d: String) => dsirSelect(s, d)),
     "quality_classifier" -> qualityClassifier _,
     "quality_train"      -> qualityTrain _,
@@ -799,6 +854,33 @@ object Curation {
           CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
             AS weak_rows
         FROM groups GROUP BY 1""",
+    // same md5-derived 48-bit uniform and the SAME literal
+    // discrete-Laplace threshold table (ε = 1) — the noise draw is
+    // table lookup arithmetic on both engines
+    "privacy_dp_counts" ->
+      """WITH c AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_true,
+            CAST(('0x' || substr(md5('dp-' || event_type), 1, 12))
+              AS BIGINT) AS u
+          FROM events GROUP BY 1),
+        n AS (
+          SELECT event_type, n_true,
+            CAST(len(list_filter([424133, 1152913, 3133944, 8518944,
+              23156891, 62946957, 171107569, 465118597, 1264323431,
+              3436787409, 9342156763, 25394614967, 69029720408,
+              187642234609, 510064476589, 1386498998055, 3768895031591,
+              10244918877744, 27848576819410, 75700280316650,
+              205774696394005, 253626399891245, 271230057832911,
+              277706081679064, 280088477712600, 280964912234066,
+              281287334476046, 281405946990247, 281449582095688,
+              281465634553892, 281471539923246, 281473712387224,
+              281474511592058, 281474805603086, 281474913763698,
+              281474953553764, 281474968191711, 281474973576711,
+              281474975557742, 281474976286522, 281474976710656],
+              t -> t <= u)) - 20 AS BIGINT) AS noise
+          FROM c)
+        SELECT event_type, n_true, noise, n_true + noise AS n_noised
+        FROM n""",
     "privacy_kanon" ->
       """WITH groups AS (
           SELECT event_type, hour(ts) AS hh,

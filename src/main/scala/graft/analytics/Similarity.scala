@@ -567,6 +567,68 @@ object Similarity {
             .otherwise(floor(x / col("mx") * 127 + 0.5).cast("long"))))
           .as("codes"))
 
+  /** The seeded ±1 sign matrix for [[embRproj]] — signs(j)(i) = +1
+    * iff the first hex char of md5("rp-j-i") is in 0..7 (the
+    * stats_abtest arm rule applied per cell). Derived on the driver
+    * with MessageDigest — 16×64 longs of index METADATA, the
+    * centroidsLit discipline — while the ORACLE re-derives every cell
+    * from the same md5 rule in SQL, so the contract is the rule, not
+    * a pasted table; RprojSpec pins driver == SQL derivation. */
+  private[analytics] def rprojSigns(k: Int, dims: Int): Seq[Seq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until k).map { j =>
+      (0 until dims).map { i =>
+        md.reset()
+        val hex = md.digest(s"rp-$j-$i".getBytes("UTF-8"))
+        if (((hex(0) >> 4) & 0xf) < 8) 1L else -1L
+      }
+    }
+  }
+
+  /** Johnson–Lindenstrauss random projection 64 → 16 dims — the cheap
+    * dimensionality reducer that precedes any ANN index build at scale
+    * (a 4× dim cut is a 4× index-build and scan-cost cut; Achlioptas
+    * 2001 shows ±1 signs lose nothing vs Gaussian projections). The
+    * projection is EXACT integer arithmetic end-to-end: inputs are
+    * fixed-pointed (floor(x·10⁶), the lloyd lane), each output
+    * component is a signed sum of 64 such ints (|p_j| ≤ 6.4·10⁷), and
+    * the audit's dot products stay in BIGINT (16 products ≤ 4·10¹⁵ →
+    * sum ≤ 6.5·10¹⁶ — a double-based dot would LOSE exactness past
+    * 2⁵³, which is why the oracle sums per-index HUGEINT products
+    * instead of list_dot_product here). Output is the JL receipt the
+    * operator exists for: for 20 planted probe pairs (a, a+100),
+    * cosine in the original vs the projected space side by side with
+    * the absolute distortion — the measured ε of the JL lemma at
+    * k = 16. Map-only per row; the audit join touches 40 rows. */
+  def embRproj(s: SparkSession, d: String): DataFrame = {
+    val sgn = typedlit(rprojSigns(16, 64))
+    val q = embeddings(s, d)
+      .filter(col("vec_id") < 120)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1e6).cast("long")).as("q"))
+      .withColumn("p", transform(sgn, r =>
+        aggregate(zip_with(col("q"), r, (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x)))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val left = q.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("vid_a"), col("q").as("qa"), col("p").as("pa"))
+    val right = q.select((col("vec_id") - 100L).as("vid_a"),
+      col("vec_id").as("vid_b"), col("q").as("qb"), col("p").as("pb"))
+    left.join(right, Seq("vid_a"))
+      .select(col("vid_a"), col("vid_b"),
+        dot(col("qa"), col("qb")).as("dot64"),
+        dot(col("pa"), col("pb")).as("dot16"),
+        dot(col("qa"), col("qa")).as("na"), dot(col("qb"), col("qb")).as("nb"),
+        dot(col("pa"), col("pa")).as("pna"), dot(col("pb"), col("pb")).as("pnb"))
+      .selectExpr("vid_a", "vid_b", "dot64", "dot16",
+        "CAST(dot64 AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos64",
+        "CAST(dot16 AS DOUBLE) / (sqrt(CAST(pna AS DOUBLE)) * sqrt(CAST(pnb AS DOUBLE))) AS cos16")
+      .selectExpr("vid_a", "vid_b", "dot64", "dot16", "cos64", "cos16",
+        "abs(cos64 - cos16) AS distortion")
+  }
+
   /** Per-language class centroids: language-ID the documents, join to
     * their embeddings on id, and aggregate element-wise means. Floats
     * are fixed-point-scaled (floor(x·10⁶) — exact integers) before the
@@ -859,6 +921,7 @@ object Similarity {
     "sim_ann_lsh" -> ((s: SparkSession, d: String) => simAnnLsh(s, d)),
     "sim_range" -> ((s: SparkSession, d: String) => simRange(s, d)),
     "emb_quantize" -> embQuantize _,
+    "emb_rproj" -> embRproj _,
     "emb_pq" -> ((s: SparkSession, d: String) => embPq(s, d)),
     "emb_centroid" -> embCentroid _,
     "dedup_semantic" -> ((s: SparkSession, d: String) => dedupSemantic(s, d)),
@@ -1044,6 +1107,61 @@ object Similarity {
         $ivfTopCtes
         SELECT qid, nid, rn FROM ivf""",
     // the index audit: exact top-10 (the sim_knn spelling over the
+    // signs re-derived per cell from the md5 rule (not pasted), dots
+    // summed as per-index HUGEINT products (exact past 2^53), same
+    // fixed double tree for the cosines
+    "emb_rproj" ->
+      """WITH e AS (
+          SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+          FROM embeddings WHERE vec_id < 120),
+        sgn AS (
+          SELECT j, i,
+            CASE WHEN substr(md5('rp-' || j || '-' || i), 1, 1)
+              IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END AS sg
+          FROM generate_series(0, 15) AS gj(j),
+            generate_series(0, 63) AS gi(i)),
+        proj AS (
+          SELECT vec_id, j,
+            CAST(sum(sg * q[i + 1]) AS BIGINT) AS pj
+          FROM e, sgn GROUP BY 1, 2),
+        pv AS (
+          SELECT vec_id, list(pj ORDER BY j) AS p FROM proj GROUP BY 1),
+        pairs AS (
+          SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
+            a.q AS qa, b.q AS qb, pa.p AS pa, pb.p AS pb
+          FROM e a JOIN e b ON b.vec_id = a.vec_id + 100
+            JOIN pv pa ON pa.vec_id = a.vec_id
+            JOIN pv pb ON pb.vec_id = b.vec_id
+          WHERE a.vec_id < 20),
+        dots AS (
+          SELECT vid_a, vid_b,
+            (SELECT CAST(sum(CAST(qa[i] AS HUGEINT) * qb[i]) AS BIGINT)
+              FROM generate_series(1, 64) AS g(i)) AS dot64,
+            (SELECT CAST(sum(CAST(pa[i] AS HUGEINT) * pb[i]) AS BIGINT)
+              FROM generate_series(1, 16) AS g(i)) AS dot16,
+            (SELECT CAST(sum(CAST(qa[i] AS HUGEINT) * qa[i]) AS BIGINT)
+              FROM generate_series(1, 64) AS g(i)) AS na,
+            (SELECT CAST(sum(CAST(qb[i] AS HUGEINT) * qb[i]) AS BIGINT)
+              FROM generate_series(1, 64) AS g(i)) AS nb,
+            (SELECT CAST(sum(CAST(pa[i] AS HUGEINT) * pa[i]) AS BIGINT)
+              FROM generate_series(1, 16) AS g(i)) AS pna,
+            (SELECT CAST(sum(CAST(pb[i] AS HUGEINT) * pb[i]) AS BIGINT)
+              FROM generate_series(1, 16) AS g(i)) AS pnb
+          FROM pairs),
+        cs AS (
+          SELECT vid_a, vid_b, dot64, dot16,
+            CAST(dot64 AS DOUBLE)
+              / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+              AS cos64,
+            CAST(dot16 AS DOUBLE)
+              / (sqrt(CAST(pna AS DOUBLE)) * sqrt(CAST(pnb AS DOUBLE)))
+              AS cos16
+          FROM dots)
+        SELECT vid_a, vid_b, dot64, dot16, cos64, cos16,
+          abs(cos64 - cos16) AS distortion
+        FROM cs""",
     // shared e/n) left-joined with the index's top-10, counted per
     // query in exact integers
     "ann_recall" ->

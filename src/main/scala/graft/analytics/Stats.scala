@@ -87,6 +87,76 @@ object Stats {
           / (col("n1") * col("n2")).cast("double")).as("d_stat"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) between the click and purchase
+    * `value` distributions — the nonparametric location test that
+    * completes the two-sample family: stats_ttest assumes normality,
+    * stats_ks tests the whole CDF, U asks specifically "does one arm
+    * stochastically dominate?" (the robust A/B read when values are
+    * heavy-tailed, as revenue always is).
+    *
+    * Same bounded-bin scale move as stats_ks: floor-dollar binning
+    * first means every later step runs over the ~bounded bin domain
+    * (hundreds of rows at any SF), never a global sort of N
+    * observations — and the tie-aware MIDRANK formulation is then
+    * EXACT rather than approximate: the t observations tied in a bin
+    * after C predecessors all take rank C + (t+1)/2, so DOUBLED
+    * midranks 2C + t + 1 stay integers. 2R₁ = Σ n1b·(2C+t+1) and
+    * 2U₁ = 2R₁ − 2·n1(n1+1)/2 accumulate in DECIMAL(38,0) (the
+    * HUGEINT lane — 2R₁ ≤ N·(2N+1) outgrows BIGINT near N ≈ 2·10⁹,
+    * i.e. exactly at the 100 TB row counts this engine targets), as
+    * does the tie term Σ(t³−t). z then comes from one fixed double
+    * tree over the exact integers with the standard tie-corrected
+    * variance σ² = n1n2/12·((n+1) − Σ(t³−t)/(n(n−1))), NULL-guarded
+    * for the degenerate all-one-bin corpus. NaN/NULL values are
+    * excluded on both engines (the anomalyMad convention — floor(NaN)
+    * is engine-specific). */
+  def statsMannWhitney(s: SparkSession, d: String): DataFrame = {
+    val binned = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase")
+        && col("value").isNotNull && !isnan(col("value")))
+      .select(expr("CAST(floor(value) AS BIGINT)").as("bin"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("c1"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("c2"))
+      .groupBy(col("bin"))
+      .agg(sum(col("c1")).as("n1b"), sum(col("c2")).as("n2b"))
+      .withColumn("t", col("n1b") + col("n2b"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned
+      .withColumn("cum", sum(col("t")).over(w))
+      // doubled midrank shared by every observation in the bin
+      .withColumn("midrank2",
+        lit(2L) * (col("cum") - col("t")) + col("t") + lit(1L))
+      .agg(
+        sum(col("n1b")).as("n1"),
+        sum(col("n2b")).as("n2"),
+        sum(col("n1b").cast("decimal(38,0)") * col("midrank2")).as("r1_2"),
+        // widen BEFORE cubing: a single bin can hold ~all N rows, and
+        // t³ outgrows BIGINT past t ≈ 2·10⁶ (one sf10 arm)
+        sum(col("t").cast("decimal(38,0)") * col("t") * col("t")
+          - col("t")).as("ties3"))
+      .selectExpr("n1", "n2",
+        // BIGINT renderings for the cross-engine hash (values fit at
+        // any test SF; the internal lane above is what scales)
+        "CAST(r1_2 AS BIGINT) AS r1_2",
+        "CAST(ties3 AS BIGINT) AS ties3",
+        "CAST(r1_2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS BIGINT) AS u1_2")
+      .selectExpr("n1", "n2", "r1_2", "ties3", "u1_2",
+        // z = (U1 − n1n2/2) / sqrt(n1n2/12·((n+1) − ties3/(n(n−1))));
+        // spelled over doubled U to keep the tree integer-fed:
+        // U1 − n1n2/2 = (u1_2 − n1n2) / 2
+        """CASE WHEN n1 > 0 AND n2 > 0
+             AND CAST(n1 + n2 + 1 AS DOUBLE)
+               - CAST(ties3 AS DOUBLE)
+                 / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)) > 0
+           THEN ((CAST(u1_2 AS DOUBLE) - CAST(n1 AS DOUBLE) * n2) / 2.0)
+             / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+               * (CAST(n1 + n2 + 1 AS DOUBLE)
+                  - CAST(ties3 AS DOUBLE)
+                    / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))
+           END AS z""")
+  }
+
   /** Spearman rank correlation between per-supplier shipped quantity
     * and revenue. The supplier DIMENSION is SF-scaled (10k·SF — a
     * hundred million rows at 100 TB), so both rankings use
@@ -411,6 +481,7 @@ object Stats {
     "anomaly_cusum" -> anomalyCusum _,
     "anomaly_mad"  -> anomalyMad _,
     "stats_ks"     -> statsKs _,
+    "stats_mannwhitney" -> statsMannWhitney _,
     "stats_chi2"   -> statsChi2 _,
     "stats_ttest"  -> statsTtest _,
     "agg_spearman" -> aggSpearman _,
@@ -692,6 +763,49 @@ object Stats {
             ON b.user_id = r.user_id AND b.rn = r.rn + 1)
         SELECT event_id, user_id, cents, cusum, (cusum > 200000)::INT AS alarm
         FROM rec""",
+    // same binned midrank algebra: doubled midranks stay integers, the
+    // big sums ride HUGEINT, one fixed double tree for z
+    "stats_mannwhitney" ->
+      """WITH binned AS (
+          SELECT CAST(floor(value) AS BIGINT) AS bin,
+            CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+              AS BIGINT) AS n1b,
+            CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+              AS BIGINT) AS n2b
+          FROM events
+          WHERE event_type IN ('click', 'purchase')
+            AND value IS NOT NULL AND NOT isnan(value)
+          GROUP BY 1),
+        t AS (SELECT bin, n1b, n2b, n1b + n2b AS t FROM binned),
+        mr AS (
+          SELECT n1b, n2b, t,
+            2 * (sum(t) OVER (ORDER BY bin) - t) + t + 1 AS midrank2
+          FROM t),
+        agg AS (
+          SELECT
+            CAST(sum(n1b) AS BIGINT) AS n1,
+            CAST(sum(n2b) AS BIGINT) AS n2,
+            sum(CAST(n1b AS HUGEINT) * midrank2) AS r1_2h,
+            sum(CAST(t AS HUGEINT) * t * t - t) AS ties3h
+          FROM mr),
+        fin AS (
+          SELECT n1, n2,
+            CAST(r1_2h AS BIGINT) AS r1_2,
+            CAST(ties3h AS BIGINT) AS ties3,
+            CAST(r1_2h - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u1_2
+          FROM agg)
+        SELECT n1, n2, r1_2, ties3, u1_2,
+          CASE WHEN n1 > 0 AND n2 > 0
+            AND CAST(n1 + n2 + 1 AS DOUBLE)
+              - CAST(ties3 AS DOUBLE)
+                / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)) > 0
+          THEN ((CAST(u1_2 AS DOUBLE) - CAST(n1 AS DOUBLE) * n2) / 2.0)
+            / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+              * (CAST(n1 + n2 + 1 AS DOUBLE)
+                 - CAST(ties3 AS DOUBLE)
+                   / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))
+          END AS z
+        FROM fin""",
     "stats_ks" ->
       """WITH binned AS (
           SELECT CAST(floor(value) AS BIGINT) AS bin,

@@ -973,7 +973,60 @@ object TextAnalysis {
       .withColumn("ttr_ppm", expr("(vocab * 1000000) div n_tokens"))
   }
 
+  /** S-stemmer (Harman 1991, "How effective is suffixing?") vocabulary
+    * fold — the conservative three-rule plural stemmer retrieval
+    * pipelines run before indexing (Porter's 60 rules buy ~nothing
+    * over it for English plurals and cost conflation errors):
+    *   1. "-ies" → "-y"   unless the word ends "-eies"/"-aies"
+    *   2. "-es"  → "-e"   unless the word ends "-aes"/"-ees"/"-oes"
+    *   3. "-s"   → drop   unless the word ends "-us"/"-ss"
+    * The driver corpus's vocabulary is singular by construction (zero
+    * s-final tokens), so the query PLANTS inflected surface forms
+    * deterministically — suffix by (position mod 8) over
+    * {s, es, ies, ss, us, ∅, oes, eies} — and stems them back; the
+    * plant set is chosen to fire every rule AND every guard (base
+    * words ending in -e/-a make "-ies" plants hit the eies/aies
+    * guards naturally). Output per source: token count, inflected vs
+    * stemmed DISTINCT vocabulary (the fold the stemmer exists to
+    * buy), and per-rule fire counts — each rule branch pinned
+    * separately. Everything is a codegen'd CASE chain per token; one
+    * aggregation exchange, exact integers. */
+  def textStem(s: SparkSession, d: String): DataFrame = {
+    val inflected = documents(s, d)
+      .select(col("source"),
+        explode(expr(
+          """transform(split(text, ' '), (t, i) ->
+               CASE (i % 8) WHEN 0 THEN concat(t, 's')
+                 WHEN 1 THEN concat(t, 'es') WHEN 2 THEN concat(t, 'ies')
+                 WHEN 3 THEN concat(t, 'ss') WHEN 4 THEN concat(t, 'us')
+                 WHEN 6 THEN concat(t, 'oes') WHEN 7 THEN concat(t, 'eies')
+                 ELSE t END)""")).as("w"))
+      .withColumn("rule", expr(
+        """CASE
+             WHEN w LIKE '%ies' AND w NOT LIKE '%eies'
+               AND w NOT LIKE '%aies' THEN 'ies'
+             WHEN w LIKE '%es' AND w NOT LIKE '%aes'
+               AND w NOT LIKE '%ees' AND w NOT LIKE '%oes' THEN 'es'
+             WHEN w LIKE '%s' AND w NOT LIKE '%us'
+               AND w NOT LIKE '%ss' THEN 's'
+             ELSE 'none' END"""))
+      .withColumn("stem", expr(
+        """CASE rule
+             WHEN 'ies' THEN concat(substring(w, 1, length(w) - 3), 'y')
+             WHEN 'es'  THEN substring(w, 1, length(w) - 1)
+             WHEN 's'   THEN substring(w, 1, length(w) - 1)
+             ELSE w END"""))
+    inflected.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("w")).as("vocab_inflected"),
+        countDistinct(col("stem")).as("vocab_stemmed"),
+        sum(when(col("rule") === "ies", 1L).otherwise(0L)).as("n_ies"),
+        sum(when(col("rule") === "es", 1L).otherwise(0L)).as("n_es"),
+        sum(when(col("rule") === "s", 1L).otherwise(0L)).as("n_s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stem"         -> textStem _,
     "text_heaps"        -> textHeaps _,
     "text_hapax"        -> textHapax _,
     "text_feature_hash" -> textFeatureHash _,
@@ -1036,6 +1089,49 @@ object TextAnalysis {
         FROM s"""
 
   val oracle: Map[String, String] = Map(
+    // same deterministic plant (1-based series → (i-1) % 8) and the
+    // same three-rule CASE chain
+    "text_stem" ->
+      """WITH tk AS (
+          SELECT source, string_split(text, ' ') AS a FROM documents),
+        inflected AS (
+          SELECT source,
+            CASE ((i - 1) % 8)
+              WHEN 0 THEN a[i] || 's' WHEN 1 THEN a[i] || 'es'
+              WHEN 2 THEN a[i] || 'ies' WHEN 3 THEN a[i] || 'ss'
+              WHEN 4 THEN a[i] || 'us' WHEN 6 THEN a[i] || 'oes'
+              WHEN 7 THEN a[i] || 'eies' ELSE a[i] END AS w
+          FROM tk, unnest(generate_series(1, len(a))) AS u(i)),
+        ruled AS (
+          SELECT source, w,
+            CASE
+              WHEN w LIKE '%ies' AND w NOT LIKE '%eies'
+                AND w NOT LIKE '%aies' THEN 'ies'
+              WHEN w LIKE '%es' AND w NOT LIKE '%aes'
+                AND w NOT LIKE '%ees' AND w NOT LIKE '%oes' THEN 'es'
+              WHEN w LIKE '%s' AND w NOT LIKE '%us'
+                AND w NOT LIKE '%ss' THEN 's'
+              ELSE 'none' END AS rule
+          FROM inflected),
+        stemmed AS (
+          SELECT source, w, rule,
+            CASE rule
+              WHEN 'ies' THEN substr(w, 1, length(w) - 3) || 'y'
+              WHEN 'es'  THEN substr(w, 1, length(w) - 1)
+              WHEN 's'   THEN substr(w, 1, length(w) - 1)
+              ELSE w END AS stem
+          FROM ruled)
+        SELECT source,
+          CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(count(DISTINCT w) AS BIGINT) AS vocab_inflected,
+          CAST(count(DISTINCT stem) AS BIGINT) AS vocab_stemmed,
+          CAST(sum(CASE WHEN rule = 'ies' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_ies,
+          CAST(sum(CASE WHEN rule = 'es' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_es,
+          CAST(sum(CASE WHEN rule = 's' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_s
+        FROM stemmed GROUP BY source""",
     // same one-pass conditional distincts, unpivoted
     "text_heaps" ->
       """WITH tok AS (
