@@ -238,7 +238,7 @@ object Curation {
     * float CDF inversion to drift between engines. Values derived
     * once from the closed forms CDF(k<0) = α^|k|/(1+α),
     * CDF(k≥0) = 1 − α^(k+1)/(1+α) at 60-digit precision. */
-  private val dpLaplaceThresholds: Seq[Long] = Seq(
+  private[graft] val dpLaplaceThresholds: Seq[Long] = Seq(
     424133L, 1152913L, 3133944L, 8518944L, 23156891L, 62946957L,
     171107569L, 465118597L, 1264323431L, 3436787409L, 9342156763L,
     25394614967L, 69029720408L, 187642234609L, 510064476589L,

@@ -846,6 +846,184 @@ object Multimodal {
         "bot_r", "bot_g", "bot_b", "ok_top", "ok_bottom")
   }
 
+  // ---------------------------------------------------------------
+  // EXIF / TIFF APP1 metadata — the image-METADATA step next to the
+  // pixel decoders: crawl pipelines read orientation/dimensions/
+  // timestamps from EXIF before ever decoding pixels (and strip the
+  // segment on release — it is the classic PII leak in image sets).
+  // Reference behavior per the public EXIF 2.3 / TIFF 6.0 layouts.
+  // ---------------------------------------------------------------
+
+  private[graft] def exifOrientation(id: Long): Int = 1 + (id % 8).toInt
+  private[graft] def exifMake(id: Long): String = s"graftcam-${id % 100}"
+  private[graft] def exifDateTime(id: Long): String =
+    f"2026:08:${1 + id % 28}%02d ${id % 24}%02d:00:00"
+
+  /** Serialize the planted TIFF structure — IFD0 {Make 0x010F,
+    * Orientation 0x0112, DateTime 0x0132, ExifIFD pointer 0x8769} and
+    * the pointed-to Exif IFD {PixelXDimension 0xA002, PixelYDimension
+    * 0xA003} — in the byte order chosen by id parity (MM big-endian on
+    * even ids, II little-endian on odd), so BOTH orders exercise the
+    * reader on every corpus. Tags ascend within each IFD (TIFF 6.0
+    * requirement); the count-1 SHORT value sits left-justified in its
+    * 4-byte field; out-of-line ASCII values are NUL-terminated with
+    * the DateTime offset padded even. `dims` defaults to the real
+    * JPEG dims — the spec plants a WRONG pair to prove the
+    * cross-corroboration gate actually bites. */
+  private[graft] def exifApp1(id: Long,
+      dims: Option[(Int, Int)] = None): Array[Byte] = {
+    val (w, h) = dims.getOrElse(jpegDims(id))
+    val make = exifMake(id)
+    val makeN = make.length + 1
+    val dtOff = 92 + ((makeN + 1) & ~1)
+    val tiffLen = dtOff + 20
+    val bb = java.nio.ByteBuffer.allocate(tiffLen)
+    val big = id % 2 == 0
+    bb.order(if (big) java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put((if (big) "MM" else "II").getBytes("US-ASCII"))
+    bb.putShort(42)
+    bb.putInt(8)
+    def entry(tag: Int, typ: Int, cnt: Int)(value: => Unit): Unit = {
+      bb.putShort(tag.toShort); bb.putShort(typ.toShort); bb.putInt(cnt)
+      value
+    }
+    bb.putShort(4) // IFD0 entry count
+    entry(0x010f, 2, makeN) { bb.putInt(92) }
+    entry(0x0112, 3, 1) { bb.putShort(exifOrientation(id).toShort); bb.putShort(0) }
+    entry(0x0132, 2, 20) { bb.putInt(dtOff) }
+    entry(0x8769, 4, 1) { bb.putInt(62) }
+    bb.putInt(0) // next IFD
+    require(bb.position() == 62, s"IFD0 layout drifted: ${bb.position()}")
+    bb.putShort(2) // Exif IFD entry count
+    entry(0xa002, 4, 1) { bb.putInt(w) }
+    entry(0xa003, 4, 1) { bb.putInt(h) }
+    bb.putInt(0)
+    require(bb.position() == 92, s"Exif IFD layout drifted: ${bb.position()}")
+    bb.put(make.getBytes("US-ASCII")); bb.put(0.toByte)
+    while (bb.position() < dtOff) bb.put(0.toByte)
+    bb.put(exifDateTime(id).getBytes("US-ASCII")); bb.put(0.toByte)
+    val out = new java.io.ByteArrayOutputStream
+    out.write(Array[Byte](0xff.toByte, 0xe1.toByte))
+    val segLen = 2 + 6 + tiffLen
+    out.write((segLen >> 8) & 0xff); out.write(segLen & 0xff)
+    out.write("Exif".getBytes("US-ASCII")); out.write(0); out.write(0)
+    out.write(bb.array())
+    out.toByteArray
+  }
+
+  /** Splice the APP1 right after SOI of the real-codec JPEG — the
+    * position cameras write it to (JFIF APP0 then follows; readers
+    * must walk markers, not assume offsets). */
+  private[graft] def exifJpegBytes(id: Long,
+      dims: Option[(Int, Int)] = None): Array[Byte] = {
+    val jpg = jpegBytes(id)
+    require(jpg.length > 2 && (jpg(0) & 0xff) == 0xff
+      && (jpg(1) & 0xff) == 0xd8, "not a JPEG (no SOI)")
+    val app1 = exifApp1(id, dims)
+    val out = new Array[Byte](jpg.length + app1.length)
+    out(0) = jpg(0); out(1) = jpg(1)
+    System.arraycopy(app1, 0, out, 2, app1.length)
+    System.arraycopy(jpg, 2, out, 2 + app1.length, jpg.length - 2)
+    out
+  }
+
+  /** Minimal TIFF/EXIF reader: JPEG marker walk → the first APP1 whose
+    * payload opens "Exif\0\0" → byte-order mark → magic-42 check →
+    * IFD0 tag walk (inline SHORTs left-justified, ASCII values via
+    * offset) → Exif-IFD hop for the pixel dimensions. Reads ONLY via
+    * explicit offset arithmetic (independent of the writer's
+    * ByteBuffer); any structural lie — bad magic, unknown byte order,
+    * an offset or segment running past the buffer — rejects loudly
+    * via require (IllegalArgumentException), never a silent default.
+    * Returns (byte_order, orientation, make, dt_original, w, h). */
+  private[graft] def parseExif(
+      jpeg: Array[Byte]): (String, Int, String, String, Int, Int) = {
+    require(jpeg.length >= 4 && (jpeg(0) & 0xff) == 0xff
+      && (jpeg(1) & 0xff) == 0xd8, "no SOI")
+    var pos = 2
+    var tiff: Array[Byte] = null
+    while (tiff == null) {
+      require(pos + 4 <= jpeg.length, "ran off buffer before APP1/SOS")
+      require((jpeg(pos) & 0xff) == 0xff, f"marker sync lost at $pos")
+      val marker = jpeg(pos + 1) & 0xff
+      require(marker != 0xda, "reached SOS without an Exif APP1")
+      val len = ((jpeg(pos + 2) & 0xff) << 8) | (jpeg(pos + 3) & 0xff)
+      require(pos + 2 + len <= jpeg.length, "segment length overruns buffer")
+      if (marker == 0xe1 && len >= 8
+          && new String(jpeg, pos + 4, 4, "US-ASCII") == "Exif"
+          && jpeg(pos + 8) == 0 && jpeg(pos + 9) == 0)
+        tiff = java.util.Arrays.copyOfRange(jpeg, pos + 10, pos + 2 + len)
+      pos += 2 + len
+    }
+    val bom = new String(tiff, 0, 2, "US-ASCII")
+    require(bom == "II" || bom == "MM", s"unknown byte order '$bom'")
+    val little = bom == "II"
+    def u16(o: Int): Int = {
+      require(o + 2 <= tiff.length, s"u16 read past buffer at $o")
+      val a = tiff(o) & 0xff; val b = tiff(o + 1) & 0xff
+      if (little) (b << 8) | a else (a << 8) | b
+    }
+    def u32(o: Int): Int = {
+      require(o + 4 <= tiff.length, s"u32 read past buffer at $o")
+      if (little) (tiff(o) & 0xff) | ((tiff(o + 1) & 0xff) << 8) |
+        ((tiff(o + 2) & 0xff) << 16) | ((tiff(o + 3) & 0xff) << 24)
+      else ((tiff(o) & 0xff) << 24) | ((tiff(o + 1) & 0xff) << 16) |
+        ((tiff(o + 2) & 0xff) << 8) | (tiff(o + 3) & 0xff)
+    }
+    require(u16(2) == 42, s"TIFF magic ${u16(2)} != 42")
+    def ascii(off: Int, cnt: Int): String = {
+      require(off + cnt <= tiff.length, "ASCII value runs past buffer")
+      val end = off + cnt - 1 // NUL-terminated per TIFF type 2
+      new String(tiff, off, math.max(0, end - off), "US-ASCII")
+    }
+    // one IFD walk → tag→(type, count, valueFieldOffset) map
+    def ifdEntries(ifdOff: Int): Map[Int, (Int, Int, Int)] = {
+      val n = u16(ifdOff)
+      (0 until n).map { k =>
+        val e = ifdOff + 2 + 12 * k
+        u16(e) -> ((u16(e + 2), u32(e + 4), e + 8))
+      }.toMap
+    }
+    val ifd0 = ifdEntries(u32(4))
+    val orient = ifd0.get(0x0112).map { case (_, _, v) => u16(v) }
+      .getOrElse(0)
+    val make = ifd0.get(0x010f).map { case (_, cnt, v) => ascii(u32(v), cnt) }
+      .getOrElse("")
+    val dt = ifd0.get(0x0132).map { case (_, cnt, v) => ascii(u32(v), cnt) }
+      .getOrElse("")
+    val (w, h) = ifd0.get(0x8769).map { case (_, _, v) =>
+      val sub = ifdEntries(u32(v))
+      (sub.get(0xa002).map { case (_, _, sv) => u32(sv) }.getOrElse(0),
+        sub.get(0xa003).map { case (_, _, sv) => u32(sv) }.getOrElse(0))
+    }.getOrElse((0, 0))
+    (bom, orient, make, dt, w, h)
+  }
+
+  /** Synthesize a camera-shaped JPEG (real codec + spliced APP1),
+    * parse the EXIF back with the independent reader, and
+    * CROSS-CORROBORATE: the EXIF pixel dimensions must equal what the
+    * real decoder sees (`dims_match` — the multimodal tier's
+    * two-reader discipline; a metadata/pixel disagreement is exactly
+    * what a poisoned crawl image looks like). Document-linear
+    * map-only work behind the shared fan-out. */
+  def multimodalExif(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    fannedIds(s, d)
+      .mapPartitions(_.map { id =>
+        val bytes = exifJpegBytes(id)
+        val (bo, orient, make, dt, ew, eh) = parseExif(bytes)
+        javax.imageio.ImageIO.setUseCache(false)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, "APP1 splice broke the JPEG")
+        val ok = ew == img.getWidth && eh == img.getHeight
+        (id, bo, orient, make, dt, ew, eh, if (ok) 1 else 0)
+      })
+      .toDF("asset_id", "byte_order", "orientation", "make",
+        "dt_original", "exif_w", "exif_h", "dims_match")
+  }
+
   /** Synthesize → genuinely decode PNG per document (same output
     * shape as [[multimodalBmp]]). */
   def multimodalPng(s: SparkSession, d: String): DataFrame = {
@@ -1692,6 +1870,7 @@ object Multimodal {
     "multimodal_bmp"      -> multimodalBmp _,
     "multimodal_png"      -> multimodalPng _,
     "multimodal_jpeg"     -> multimodalJpeg _,
+    "multimodal_exif"     -> multimodalExif _,
     "multimodal_gif"      -> multimodalGif _,
     "multimodal_mjpeg"    -> multimodalMjpeg _,
     "multimodal_mp4"      -> multimodalMp4 _,
@@ -1705,6 +1884,22 @@ object Multimodal {
        + (strpos('0123456789abcdef', substr(sha, 2*i + 2, 1)) - 1)"""
 
   val oracle: Map[String, String] = Map(
+    // every EXIF field is a construction rule over doc_id, so the
+    // oracle replays the PLANT arithmetically while the query only
+    // reproduces it by correctly walking markers + both TIFF byte
+    // orders; dims_match = 1 is the two-reader corroboration verdict
+    "multimodal_exif" ->
+      """SELECT doc_id AS asset_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'MM' ELSE 'II' END AS byte_order,
+          CAST(1 + doc_id % 8 AS INT) AS orientation,
+          'graftcam-' || CAST(doc_id % 100 AS VARCHAR) AS make,
+          '2026:08:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+            || ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+            || ':00:00' AS dt_original,
+          CAST(48 + (doc_id % 4) * 16 AS INT) AS exif_w,
+          CAST(32 + (doc_id % 2) * 32 AS INT) AS exif_h,
+          CAST(1 AS INT) AS dims_match
+        FROM documents""",
     // both detection AND dispatched decode are pinned: media_type by
     // the synthesis rotation (the sniffer never sees the rotation —
     // only correct magic-byte detection reproduces it) and n_units by

@@ -574,7 +574,7 @@ object Similarity {
     * centroidsLit discipline — while the ORACLE re-derives every cell
     * from the same md5 rule in SQL, so the contract is the rule, not
     * a pasted table; RprojSpec pins driver == SQL derivation. */
-  private[analytics] def rprojSigns(k: Int, dims: Int): Seq[Seq[Long]] = {
+  private[graft] def rprojSigns(k: Int, dims: Int): Seq[Seq[Long]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     (0 until k).map { j =>
       (0 until dims).map { i =>

@@ -110,8 +110,11 @@ object Stats {
     * for the degenerate all-one-bin corpus. NaN/NULL values are
     * excluded on both engines (the anomalyMad convention — floor(NaN)
     * is engine-specific). */
-  def statsMannWhitney(s: SparkSession, d: String): DataFrame = {
-    val binned = Tables.events(s, d)
+  def statsMannWhitney(s: SparkSession, d: String): DataFrame =
+    statsMannWhitneyOf(Tables.events(s, d))
+
+  private[graft] def statsMannWhitneyOf(ev: DataFrame): DataFrame = {
+    val binned = ev
       .filter(col("event_type").isin("click", "purchase")
         && col("value").isNotNull && !isnan(col("value")))
       .select(expr("CAST(floor(value) AS BIGINT)").as("bin"),

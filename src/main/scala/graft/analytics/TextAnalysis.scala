@@ -991,8 +991,11 @@ object TextAnalysis {
     * buy), and per-rule fire counts — each rule branch pinned
     * separately. Everything is a codegen'd CASE chain per token; one
     * aggregation exchange, exact integers. */
-  def textStem(s: SparkSession, d: String): DataFrame = {
-    val inflected = documents(s, d)
+  def textStem(s: SparkSession, d: String): DataFrame =
+    textStemOf(documents(s, d))
+
+  private[graft] def textStemOf(docs: DataFrame): DataFrame = {
+    val inflected = docs
       .select(col("source"),
         explode(expr(
           """transform(split(text, ' '), (t, i) ->

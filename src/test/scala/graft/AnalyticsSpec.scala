@@ -1985,4 +1985,116 @@ class AnalyticsSpec extends SparkSpec {
     assert(m.getInt(3) === direct.getInt(3))
     assert(m.getInt(4) === direct.getInt(4))
   }
+
+  test("exif: both byte orders round-trip; every structural lie rejects loudly") {
+    // id 4 -> MM big-endian; id 7 -> II little-endian
+    Seq(4L, 7L).foreach { id =>
+      val (bo, orient, make, dt, w, h) = Multimodal.parseExif(
+        Multimodal.exifJpegBytes(id))
+      assert(bo === (if (id % 2 == 0) "MM" else "II"))
+      assert(orient === 1 + (id % 8).toInt)
+      assert(make === s"graftcam-${id % 100}")
+      assert(dt.length === 19 && dt.startsWith("2026:08:"))
+      // corroborated against the REAL decoder
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.exifJpegBytes(id)))
+      assert(w === img.getWidth && h === img.getHeight)
+    }
+    // a lying EXIF (planted 1x1 against the real 48x64 pixels) parses
+    // fine but FAILS the corroboration — the gate the operator exists for
+    val lie = Multimodal.exifJpegBytes(4L, Some((1, 1)))
+    val (_, _, _, _, lw, lh) = Multimodal.parseExif(lie)
+    val limg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(lie))
+    assert(lw === 1 && lh === 1)
+    assert(lw !== limg.getWidth)
+    assert(lh !== limg.getHeight)
+    // tampering: TIFF magic, byte-order mark, truncation — all reject
+    // with IllegalArgumentException (the unified require contract)
+    val good = Multimodal.exifJpegBytes(4L)
+    def corrupt(at: Int, to: Byte) = {
+      val b = good.clone(); b(at) = to; b
+    }
+    // APP1 payload layout: 2 SOI + 2 marker + 2 len + 6 Exif00 -> TIFF
+    // base at 12; magic u16 at base+2, BOM at base
+    intercept[IllegalArgumentException] {
+      Multimodal.parseExif(corrupt(15, 43.toByte)) // magic 42 -> wrong
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.parseExif(corrupt(12, 'X'.toByte)) // byte order mark
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.parseExif(java.util.Arrays.copyOfRange(good, 0, 40))
+    }
+    // a JPEG with NO APP1 at all (the raw codec output) also rejects
+    intercept[IllegalArgumentException] {
+      Multimodal.parseExif(Multimodal.jpegBytes(4L))
+    }
+  }
+
+  test("s-stemmer: every rule and every guard branch pinned by hand") {
+    import spark.implicits._
+    import graft.analytics.TextAnalysis
+    // position-planted suffixes {s,es,ies,ss,us,bare,oes,eies}; the two
+    // base rows steer them into different rule/guard branches:
+    //   doc a: values(es) tablees(ees guard -> FALLS THROUGH to rule 3,
+    //     "tablee") aies(aies guard, falls to es) scanss(ss guard ->
+    //     none) windowus(us guard -> none) part(bare)
+    //     customeroes(oes guard, falls to s) queryeies(eies guard,
+    //     falls to es) — the elif chain means a blocked rule hands the
+    //     word DOWN, not out (Harman's published control flow)
+    //   doc b: rows(s) rowes(es) bigies(IES FIRES -> bigy) rowss rowus
+    //     row rowoes(->s) roweies(->es)
+    val docs = Seq(
+      (1L, "value table a scan window part customer query", "a"),
+      (2L, "row row big row row row row row", "b"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.textStemOf(docs).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    val a = r("a")
+    assert(a.getAs[Long]("n_tokens") === 8L)
+    assert(a.getAs[Long]("n_ies") === 0L)
+    assert(a.getAs[Long]("n_es") === 3L)  // values, aies, queryeies
+    assert(a.getAs[Long]("n_s") === 2L)   // tablees, customeroes
+    val b = r("b")
+    assert(b.getAs[Long]("n_ies") === 1L) // bigies -> bigy
+    assert(b.getAs[Long]("n_es") === 2L)  // rowes, roweies
+    assert(b.getAs[Long]("n_s") === 2L)   // rows, rowoes
+    // the fold the stemmer buys: rows and row conflate in doc b
+    assert(b.getAs[Long]("vocab_inflected") === 8L)
+    assert(b.getAs[Long]("vocab_stemmed") === 7L)
+    // map-only metrics: one aggregation exchange, nothing else
+    val plan = TextAnalysis.textStem(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 <= 2, plan)
+  }
+
+  test("rproj: the driver sign matrix equals the SQL md5 rule cell by cell") {
+    val scala = Similarity.rprojSigns(16, 64)
+    val sql = spark.sql(
+      """SELECT j, i,
+           CASE WHEN substring(md5(concat('rp-', j, '-', i)), 1, 1)
+             IN ('0','1','2','3','4','5','6','7') THEN 1L ELSE -1L END AS sg
+         FROM (SELECT explode(sequence(0, 15)) AS j)
+         CROSS JOIN (SELECT explode(sequence(0, 63)) AS i)""")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for (j <- 0 until 16; i <- 0 until 64)
+      assert(scala(j)(i) === sql((j, i)), s"sign mismatch at ($j,$i)")
+    // balance sanity: a degenerate all-+1 matrix would pass the
+    // cell-equality check but break the JL geometry
+    val plus = scala.flatten.count(_ == 1L)
+    assert(plus > 400 && plus < 624, s"+1 count $plus of 1024")
+  }
+
+  test("rproj: JL distortion at k=16 is bounded on the probe pairs") {
+    val rows = Similarity.embRproj(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length === 20)
+    val dist = rows.map(_.getAs[Double]("distortion"))
+    // k=16 JL: per-pair cosine error concentrates near 1/sqrt(k) = 0.25;
+    // the gate is the loose tail bound (a wrong sign matrix or a
+    // broken fixed-point quantization lands far outside it)
+    assert(dist.max < 0.75, s"max distortion ${dist.max}")
+    assert(dist.sum / dist.length < 0.3, s"mean distortion ${dist.sum / dist.length}")
+    // projected dots stayed exact integers (BIGINT column, not float)
+    assert(rows.head.schema("dot16").dataType.typeName === "long")
+  }
 }

@@ -864,7 +864,7 @@ class PlanSpec extends SparkSpec {
       "multimodal_bmp", "multimodal_png", "multimodal_tar",
       "multimodal_mp4", "multimodal_wav", "multimodal_audio_gate",
       "warc_parse", "warc_gzip", "warc_wet", "binary_codecs",
-      "multimodal_sniff", "dedup_phash")
+      "multimodal_sniff", "dedup_phash", "multimodal_exif")
     val missing = plans.collect {
       case (name, p) if mustFan(name) &&
         !p.contains("RoundRobinPartitioning") => name

@@ -160,4 +160,87 @@ class StatsSpec extends SparkSpec {
     assert(r1.getAs[Long]("weak_groups") === 2L)
     assert(r1.getAs[Long]("weak_rows") === 40L)
   }
+
+  test("mann-whitney: hand-planted ties pin the midrank algebra and z") {
+    // clicks {0,0,1}, purchases {1,2,2} -> bins (0:2/0) (1:1/1) (2:0/2)
+    // midrank2: 3, 7, 11; 2R1 = 2*3 + 7 = 13; 2U1 = 13 - 3*4 = 1
+    // (U1 = 0.5 checked directly: one tied (click 1, purchase 1) pair)
+    // ties3 = 3*(8-2) = 18; z = (0.5 - 4.5)/sqrt(0.75*(7 - 18/30))
+    val ev = (Seq(0.0, 0.0, 1.0).map(("click", _)) ++
+      Seq(1.0, 2.0, 2.0).map(("purchase", _)))
+      .toDF("event_type", "value")
+    val r = Stats.statsMannWhitneyOf(ev).collect().head
+    assert(r.getAs[Long]("n1") === 3L && r.getAs[Long]("n2") === 3L)
+    assert(r.getAs[Long]("r1_2") === 13L)
+    assert(r.getAs[Long]("u1_2") === 1L)
+    assert(r.getAs[Long]("ties3") === 18L)
+    assert(math.abs(r.getAs[Double]("z")
+      - (-4.0 / math.sqrt(0.75 * (7.0 - 0.6)))) < 1e-12)
+  }
+
+  test("mann-whitney: identical arms give U1 = n1*n2/2 and z = 0; " +
+    "degenerate one-bin corpus NULLs the z guard") {
+    val same = (Seq(1.0, 2.0).map(("click", _)) ++
+      Seq(1.0, 2.0).map(("purchase", _))).toDF("event_type", "value")
+    val r = Stats.statsMannWhitneyOf(same).collect().head
+    assert(r.getAs[Long]("u1_2") === 4L) // 2*U1 = n1*n2 = 4
+    assert(r.getAs[Double]("z") === 0.0)
+    // every observation in one bin -> tie-corrected variance is 0 ->
+    // the CASE guard must yield NULL, not a div-by-zero/NaN
+    val onebin = (Seq(5.0, 5.1).map(("click", _)) ++
+      Seq(5.2, 5.3).map(("purchase", _))).toDF("event_type", "value")
+    val r1 = Stats.statsMannWhitneyOf(onebin).collect().head
+    assert(r1.isNullAt(r1.fieldIndex("z")))
+  }
+
+  test("dp counts: the threshold table IS the discrete-Laplace CDF and " +
+    "the md5 draw reproduces its distribution") {
+    val th = Curation.dpLaplaceThresholds
+    assert(th.size === 41)
+    assert(th.last === (1L << 48)) // both tails clamped into the ends
+    assert(th === th.sorted && th.distinct.size === 41)
+    // P(0) mass from the table itself: alpha = e^-1 ->
+    // (1-alpha)/(1+alpha) = 0.46211715726...
+    val space = (1L << 48).toDouble
+    assert(math.abs((th(20) - th(19)) / space - 0.4621171572600097) < 1e-10)
+    // symmetry of the pmf around 0 (table-level, exact within 1 ulp of
+    // the floor rounding): P(k) == P(-k) for k = 1..19
+    (1 to 19).foreach { k =>
+      val pPos = th(20 + k) - th(20 + k - 1)
+      val pNeg = th(20 - k) - th(19 - k)
+      assert(math.abs(pPos - pNeg) <= 2L, s"pmf symmetry at k=$k")
+    }
+    // empirical draw through the SAME rule the query uses: 20k md5
+    // uniforms land P(noise=0) within 1% absolute of the closed form
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val draws = (0 until 20000).map { i =>
+      md.reset()
+      val h = md.digest(s"dp-key$i".getBytes("UTF-8"))
+      val u = h.take(6).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+      th.count(_ <= u) - 20
+    }
+    val p0 = draws.count(_ == 0).toDouble / draws.size
+    assert(math.abs(p0 - 0.4621) < 0.01, s"p0 = $p0")
+    assert(math.abs(draws.sum.toDouble / draws.size) < 0.05, "mean ~ 0")
+    assert(draws.forall(n => n >= -20 && n <= 20))
+  }
+
+  test("dp counts: noised release is exact-count + bounded noise, " +
+    "deterministic across runs") {
+    val r = Curation.privacyDpCounts(spark, sfDir).collect()
+      .map(x => x.getAs[String]("event_type") -> x).toMap
+    assert(r.nonEmpty)
+    r.values.foreach { row =>
+      val noise = row.getAs[Long]("noise")
+      assert(noise >= -20L && noise <= 20L)
+      assert(row.getAs[Long]("n_noised")
+        === row.getAs[Long]("n_true") + noise)
+    }
+    val again = Curation.privacyDpCounts(spark, sfDir).collect()
+      .map(x => x.getAs[String]("event_type") -> x.getAs[Long]("n_noised"))
+      .toMap
+    r.foreach { case (k, row) =>
+      assert(again(k) === row.getAs[Long]("n_noised"))
+    }
+  }
 }
