@@ -160,6 +160,70 @@ object Stats {
            END AS z""")
   }
 
+  /** Kruskal–Wallis H — the k-sample extension of [[statsMannWhitney]]
+    * (one-way ANOVA's nonparametric twin, for when the normality the F
+    * test assumes is exactly what heavy-tailed telemetry lacks): do
+    * the event types share a location? Same bounded-bin midrank
+    * machinery, pooled across ALL groups: doubled midranks stay
+    * integers, per-group doubled rank sums 2Rᵢ and their squares ride
+    * DECIMAL(38,0) ((2Rᵢ)² ≈ 4N⁴ needs the wide lane well before 100
+    * TB), and H = [12/(n(n+1))·Σ Rᵢ²/nᵢ − 3(n+1)] / (1 − Σ(t³−t)/(n³−n))
+    * comes out of fixed double trees whose Σ-over-groups is forced
+    * into deterministic order by the stats_anova running-window trick
+    * over the sorted bounded type domain. */
+  def statsKruskal(s: SparkSession, d: String): DataFrame =
+    statsKruskalOf(Tables.events(s, d))
+
+  private[graft] def statsKruskalOf(ev: DataFrame): DataFrame = {
+    val binned = ev
+      .filter(col("value").isNotNull && !isnan(col("value")))
+      .select(col("event_type"),
+        expr("CAST(floor(value) AS BIGINT)").as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("ng"))
+      // consumed twice (pooled totals + the midrank join): persist the
+      // bounded (type × bin) table so the scan+agg runs once
+      .persistTracked()
+    // pooled per-bin totals + doubled midranks over the bin domain
+    val pooled = binned.groupBy(col("bin")).agg(sum(col("ng")).as("t"))
+    val wBin = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mr = pooled
+      .withColumn("cum", sum(col("t")).over(wBin))
+      .withColumn("midrank2",
+        lit(2L) * (col("cum") - col("t")) + col("t") + lit(1L))
+    val perGroup = binned.join(mr.select(col("bin"), col("midrank2")), Seq("bin"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("ng")).as("n_i"),
+        sum(col("ng").cast("decimal(38,0)") * col("midrank2")).as("r2_i"))
+    val ties = mr.agg(
+      sum(col("t")).as("n"),
+      sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
+        .as("ties3"))
+    // Σ Rᵢ²/nᵢ with the float fold forced into sorted-type order
+    val wType = Window.orderBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perGroup.crossJoin(broadcast(ties))
+      .withColumn("term",
+        (col("r2_i").cast("double") / 2.0) * (col("r2_i").cast("double") / 2.0)
+          / col("n_i").cast("double"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("event_type"))))
+      .withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("sum_terms", sum(col("term")).over(wType))
+      .filter(col("rn") === col("k"))
+      .selectExpr("k", "n", "CAST(ties3 AS BIGINT) AS ties3",
+        """CASE WHEN n > 1
+             AND 1.0 - CAST(ties3 AS DOUBLE)
+               / (CAST(n AS DOUBLE) * n * n - n) > 0
+           THEN (12.0 / (CAST(n AS DOUBLE) * (n + 1)) * sum_terms
+               - 3.0 * (CAST(n AS DOUBLE) + 1))
+             / (1.0 - CAST(ties3 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * n * n - n))
+           END AS h""")
+  }
+
   /** Spearman rank correlation between per-supplier shipped quantity
     * and revenue. The supplier DIMENSION is SF-scaled (10k·SF — a
     * hundred million rows at 100 TB), so both rankings use
@@ -485,6 +549,7 @@ object Stats {
     "anomaly_mad"  -> anomalyMad _,
     "stats_ks"     -> statsKs _,
     "stats_mannwhitney" -> statsMannWhitney _,
+    "stats_kruskal" -> statsKruskal _,
     "stats_chi2"   -> statsChi2 _,
     "stats_ttest"  -> statsTtest _,
     "agg_spearman" -> aggSpearman _,
@@ -766,6 +831,58 @@ object Stats {
             ON b.user_id = r.user_id AND b.rn = r.rn + 1)
         SELECT event_id, user_id, cents, cusum, (cusum > 200000)::INT AS alarm
         FROM rec""",
+    // pooled midranks + per-group HUGEINT rank sums; the Σ-over-groups
+    // float fold rides the same sorted-type running window as
+    // stats_anova, so the double summation order is pinned
+    "stats_kruskal" ->
+      """WITH binned AS (
+          SELECT event_type, CAST(floor(value) AS BIGINT) AS bin,
+            CAST(count(*) AS BIGINT) AS ng
+          FROM events
+          WHERE value IS NOT NULL AND NOT isnan(value)
+          GROUP BY 1, 2),
+        pooled AS (
+          SELECT bin, CAST(sum(ng) AS BIGINT) AS t
+          FROM binned GROUP BY 1),
+        mr AS (
+          SELECT bin, t,
+            2 * (sum(t) OVER (ORDER BY bin) - t) + t + 1 AS midrank2
+          FROM pooled),
+        per_group AS (
+          SELECT event_type,
+            CAST(sum(ng) AS BIGINT) AS n_i,
+            sum(CAST(ng AS HUGEINT) * midrank2) AS r2_i
+          FROM binned JOIN mr USING (bin)
+          GROUP BY 1),
+        ties AS (
+          SELECT CAST(sum(t) AS BIGINT) AS n,
+            sum(CAST(t AS HUGEINT) * t * t - t) AS ties3
+          FROM pooled),
+        terms AS (
+          SELECT event_type, n_i,
+            (CAST(r2_i AS DOUBLE) / 2.0) * (CAST(r2_i AS DOUBLE) / 2.0)
+              / CAST(n_i AS DOUBLE) AS term
+          FROM per_group),
+        w AS (
+          SELECT
+            row_number() OVER (ORDER BY event_type) AS rn,
+            count(*) OVER wa AS k,
+            sum(term) OVER (ORDER BY event_type
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_terms
+          FROM terms
+          WINDOW wa AS (ORDER BY event_type
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        last_ AS (SELECT * FROM w WHERE rn = k)
+        SELECT k, n, CAST(ties3 AS BIGINT) AS ties3,
+          CASE WHEN n > 1
+            AND 1.0 - CAST(ties3 AS DOUBLE)
+              / (CAST(n AS DOUBLE) * n * n - n) > 0
+          THEN (12.0 / (CAST(n AS DOUBLE) * (n + 1)) * sum_terms
+              - 3.0 * (CAST(n AS DOUBLE) + 1))
+            / (1.0 - CAST(ties3 AS DOUBLE)
+                / (CAST(n AS DOUBLE) * n * n - n))
+          END AS h
+        FROM last_, ties""",
     // same binned midrank algebra: doubled midranks stay integers, the
     // big sums ride HUGEINT, one fixed double tree for z
     "stats_mannwhitney" ->

@@ -2031,6 +2031,24 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("exif strip: bit-identical restore, identity without EXIF, loud " +
+    "rejection on structure lies") {
+    Seq(4L, 7L).foreach { id =>
+      val orig = Multimodal.jpegBytes(id)
+      val stripped = Multimodal.stripExif(Multimodal.exifJpegBytes(id))
+      // the strongest corroboration planted data allows: splice then
+      // strip restores the codec output BIT FOR BIT
+      assert(java.util.Arrays.equals(stripped, orig), s"id $id restore")
+      // idempotent / identity on an EXIF-free image (APP0 etc. kept)
+      assert(java.util.Arrays.equals(Multimodal.stripExif(orig), orig))
+    }
+    // truncation mid-walk rejects (same require contract as the reader)
+    val tagged = Multimodal.exifJpegBytes(4L)
+    intercept[IllegalArgumentException] {
+      Multimodal.stripExif(java.util.Arrays.copyOfRange(tagged, 0, 30))
+    }
+  }
+
   test("s-stemmer: every rule and every guard branch pinned by hand") {
     import spark.implicits._
     import graft.analytics.TextAnalysis

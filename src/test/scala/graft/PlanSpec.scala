@@ -511,6 +511,22 @@ class PlanSpec extends SparkSpec {
     // bounded date domain, single-partition by design)
     "ts_backlog" -> 3,
     "win_ewma" -> 1, "stats_ks" -> 2,
+    // stats_mannwhitney: stats_ks's shape minus the totals crossJoin —
+    // ONE bin-domain agg exchange; the midrank window + final rollup
+    // ride the bounded bin table on a single partition
+    "stats_mannwhitney" -> 1,
+    // text_stem: two-countDistinct expand over (source, w, stem) —
+    // partial agg + the post-expand re-shuffle
+    "text_stem" -> 2,
+    // privacy_dp_counts: the one event_type count exchange; the noise
+    // draw is per-row literal-array arithmetic on 5 rows
+    "privacy_dp_counts" -> 1,
+    // stats_kruskal: the raw scan feeds ONE (type × bin) agg (cached);
+    // everything after — pooled bin totals, the midrank join, the
+    // per-group rollup — shuffles only the bounded bin/type domain
+    // (hundreds of rows at any SF); the static pre-AQE plan prints the
+    // cached agg subtree under both consumers
+    "stats_kruskal" -> 6,
     // agg_spearman (r8 distributed-rank rewrite): the supplier rollup
     // + a _pid window exchange per ranking branch + the rank rejoin on
     // l_suppkey; the static count is inflated by the persisted
@@ -805,12 +821,15 @@ class PlanSpec extends SparkSpec {
   private val globalWindowWhitelist: Set[String] = Set(
     // 9-digit Benford histogram / binned cents histograms — the
     // cumulative pass runs over distinct bins, never rows
-    "agg_benford", "agg_gini", "stats_ks",
+    // same binned-CDF bound: the midrank cumulative runs over distinct
+    // floor-dollar bins, never observations
+    "agg_benford", "agg_gini", "stats_ks", "stats_mannwhitney",
     // distinct-doc-length histogram (the scale-safe exact-quantile
     // pattern this query exists to demonstrate)
     "curriculum_buckets",
-    // bounded event-type domain (≤9 groups)
-    "stats_anova", "stats_levene",
+    // bounded event-type domain (≤9 groups); stats_kruskal's midrank
+    // window additionally rides the bounded BIN domain (stats_ks bound)
+    "stats_anova", "stats_levene", "stats_kruskal",
     // bounded source-table domain (≤8 sources)
     "mixture_temperature",
     // calendar-bucketed series: per-day / per-month / hourly rollups
@@ -864,7 +883,8 @@ class PlanSpec extends SparkSpec {
       "multimodal_bmp", "multimodal_png", "multimodal_tar",
       "multimodal_mp4", "multimodal_wav", "multimodal_audio_gate",
       "warc_parse", "warc_gzip", "warc_wet", "binary_codecs",
-      "multimodal_sniff", "dedup_phash", "multimodal_exif")
+      "multimodal_sniff", "dedup_phash", "multimodal_exif",
+      "multimodal_exif_strip")
     val missing = plans.collect {
       case (name, p) if mustFan(name) &&
         !p.contains("RoundRobinPartitioning") => name

@@ -193,6 +193,32 @@ class StatsSpec extends SparkSpec {
     assert(r1.isNullAt(r1.fieldIndex("z")))
   }
 
+  test("kruskal-wallis: singleton groups hit H = n-1; ties engage the " +
+    "correction exactly") {
+    // three singleton groups at distinct values: ranks 1,2,3 ->
+    // H = 12/12 * (1+4+9) - 12 = 2 = n-1 (no ties, correction = 1)
+    val distinct3 = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0))
+      .toDF("event_type", "value")
+    val r = Stats.statsKruskalOf(distinct3).collect().head
+    assert(r.getAs[Long]("k") === 3L && r.getAs[Long]("n") === 3L)
+    assert(r.getAs[Long]("ties3") === 0L)
+    assert(math.abs(r.getAs[Double]("h") - 2.0) < 1e-12)
+    // a = {1,1} tied, b = {2}: midranks {1.5, 1.5, 3} -> R_a = 3,
+    // R_b = 3; H_unc = (9/2 + 9) - 12 = 1.5; ties3 = 6 ->
+    // correction 1 - 6/24 = 0.75 -> H = 2
+    val tied = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0))
+      .toDF("event_type", "value")
+    val r1 = Stats.statsKruskalOf(tied).collect().head
+    assert(r1.getAs[Long]("ties3") === 6L)
+    assert(math.abs(r1.getAs[Double]("h") - 2.0) < 1e-12)
+    // all values in ONE bin: tie correction denominator hits 0 ->
+    // NULL guard, never NaN
+    val onebin = Seq(("a", 1.0), ("b", 1.2), ("c", 1.7))
+      .toDF("event_type", "value")
+    val r2 = Stats.statsKruskalOf(onebin).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("h")))
+  }
+
   test("dp counts: the threshold table IS the discrete-Laplace CDF and " +
     "the md5 draw reproduces its distribution") {
     val th = Curation.dpLaplaceThresholds
