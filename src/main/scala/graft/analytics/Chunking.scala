@@ -57,6 +57,67 @@ object Chunking {
         count(lit(1)).as("n_occ"))
       .filter(col("n_docs") > 1)
 
+  /** Content-defined chunking + chunk dedup — the CDC step (FastCDC /
+    * rsync lineage) that fixed-width chunking cannot replace: a ONE
+    * TOKEN insertion shifts every fixed 8-token window downstream
+    * (zero chunks survive), while content-defined boundaries move with
+    * the content, so all chunks after the edit are byte-identical and
+    * dedup still fires. Boundary rule: a token ends its chunk iff its
+    * md5's last hex nibble is '0' (expected chunk length 16 tokens) —
+    * a pure per-token predicate, so boundaries are shift-invariant by
+    * construction and the oracle replays the rule verbatim.
+    *
+    * Scale shape: boundary indices + per-chunk slicing are row-level
+    * expressions on the scan (the posexplode carries the token array
+    * only WITHIN the scan stage); the one exchange is the (source,
+    * md5) chunk-key rollup — chunk TEXT never shuffles, only 32-byte
+    * hashes (the Chunking-tier contract). Output per source: chunk
+    * counts, distinct keys, cross-document duplicated instances
+    * (boilerplate at CDC granularity) and the realized mean chunk
+    * length — the knob check for the 1/16 boundary rate. */
+  def dedupCdc(s: SparkSession, d: String): DataFrame =
+    dedupCdcOf(documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism))
+
+  private[graft] def dedupCdcOf(docs: DataFrame): DataFrame = {
+    val perKey = cdcChunks(docs).groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("n"), sum(col("ntoks")).as("tok"),
+        countDistinct(col("doc_id")).as("nd"))
+    perKey.groupBy(col("source"))
+      .agg(sum(col("n")).as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("tok")).as("n_tokens"),
+        sum(when(col("nd") > 1, col("n")).otherwise(0L)).as("n_crossdoc"))
+      .withColumn("crossdoc_ppm",
+        expr("(n_crossdoc * 1000000) div n_chunks"))
+      .withColumn("avg_chunk_toks_x100",
+        expr("(n_tokens * 100) div n_chunks"))
+  }
+
+  /** (doc_id, source, h = md5(chunk), ntoks) — one row per CDC chunk.
+    * Boundary ENDS list `ends` = boundary positions plus the tail;
+    * the k-th chunk spans (ends[k-1]+1 .. ends[k]) 0-based. Spelled
+    * with posexplode + row-level slices (NOT a struct-building lambda —
+    * lambda struct fields lose their aliases, the cellOf trap). */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), toks.as("tk"))
+      .withColumn("bnd", expr(
+        """filter(transform(tk, (t, i) ->
+             IF(substring(md5(t), 32, 1) = '0', i, -1)), x -> x >= 0)"""))
+      .withColumn("ends", expr(
+        """CASE WHEN size(bnd) > 0
+             AND element_at(bnd, -1) = size(tk) - 1 THEN bnd
+           ELSE concat(bnd, array(size(tk) - 1)) END"""))
+      .select(col("doc_id"), col("source"), col("tk"), col("ends"),
+        posexplode(col("ends")).as(Seq("k", "e")))
+      .withColumn("start0",
+        expr("IF(k = 0, 0, element_at(ends, k) + 1)"))
+      .select(col("doc_id"), col("source"),
+        expr("md5(array_join(slice(tk, start0 + 1, e - start0 + 1), ' '))")
+          .as("h"),
+        expr("CAST(e - start0 + 1 AS BIGINT)").as("ntoks"))
+
   /** Substring-level cross-document dedup — repeated ≥k-token spans at
     * ANY alignment (the Lee et al. 2022 "Deduplicating Training Data
     * Makes Language Models Better" shape, approximated with rolling
@@ -595,6 +656,7 @@ object Chunking {
     "span_corruption" -> ((s: SparkSession, d: String) => spanCorruption(s, d)),
     "text_chunk"    -> textChunk _,
     "dedup_chunks"  -> dedupChunks _,
+    "dedup_cdc"     -> dedupCdc _,
     "dedup_substring" -> dedupSubstring _,
     "dedup_spans"   -> dedupSpans _,
     "text_winnow"   -> textWinnow _,
@@ -608,6 +670,47 @@ object Chunking {
   )
 
   val oracle: Map[String, String] = Map(
+    // same boundary rule (md5 last nibble '0' ends a chunk); the oracle
+    // spells chunk membership as a running boundary count BEFORE each
+    // token (boundary token belongs to the chunk it ends), rebuilds the
+    // chunk text order-exactly, then runs the same two-level rollup
+    "dedup_cdc" ->
+      """WITH t AS (
+          SELECT doc_id, source, string_split(text, ' ') AS tk
+          FROM documents),
+        tok AS (
+          SELECT doc_id, source, i, tk[i] AS w
+          FROM t, unnest(generate_series(1, len(tk))) AS u(i)),
+        cid AS (
+          SELECT doc_id, source, i, w,
+            coalesce(sum(CASE WHEN substr(md5(w), 32, 1) = '0'
+                THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS c
+          FROM tok),
+        chunk AS (
+          SELECT doc_id, source, c,
+            md5(string_agg(w, ' ' ORDER BY i)) AS h,
+            CAST(count(*) AS BIGINT) AS ntoks
+          FROM cid GROUP BY 1, 2, 3),
+        perkey AS (
+          SELECT source, h,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(ntoks) AS BIGINT) AS tok,
+            count(DISTINCT doc_id) AS nd
+          FROM chunk GROUP BY 1, 2)
+        SELECT source,
+          CAST(sum(n) AS BIGINT) AS n_chunks,
+          CAST(count(*) AS BIGINT) AS n_distinct,
+          CAST(sum(tok) AS BIGINT) AS n_tokens,
+          CAST(sum(CASE WHEN nd > 1 THEN n ELSE 0 END) AS BIGINT)
+            AS n_crossdoc,
+          (CAST(sum(CASE WHEN nd > 1 THEN n ELSE 0 END) AS BIGINT)
+            * 1000000) // CAST(sum(n) AS BIGINT) AS crossdoc_ppm,
+          (CAST(sum(tok) AS BIGINT) * 100) // CAST(sum(n) AS BIGINT)
+            AS avg_chunk_toks_x100
+        FROM perkey GROUP BY source""",
     // identical periodic schedule: token i masked iff (i-1)%20 < 3,
     // span sentinel at each span start; both engines filter the ''
     // placeholders before joining on ' '

@@ -2031,6 +2031,39 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("cdc: a one-token insertion keeps every downstream chunk; fixed " +
+    "windows lose all") {
+    import spark.implicits._
+    // boundary tokens (md5 last nibble '0') in tok0..tok79: tok20,
+    // tok53, tok56, tok73 -> doc 1 cuts into 5 chunks; doc 2 = the
+    // same text with ONE non-boundary token prepended
+    val a = (0 until 80).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, a, "x"), (2L, "aaa " + a, "x"))
+      .toDF("doc_id", "text", "source")
+    val cdc = Chunking.cdcChunks(docs).collect()
+    val h1 = cdc.filter(_.getLong(0) == 1L).map(_.getAs[String]("h")).toSet
+    val h2 = cdc.filter(_.getLong(0) == 2L).map(_.getAs[String]("h")).toSet
+    assert(h1.size === 5 && h2.size === 5)
+    // the insertion is absorbed by the FIRST chunk; all four
+    // downstream chunks survive bit-identically
+    assert((h1 & h2).size === 4)
+    // the fixed-window counterfactual on the SAME plant: the 1-token
+    // shift kills every 8-token chunk
+    val fixed = Chunking.chunksOf(docs, 8, 8).collect()
+    val f1 = fixed.filter(_.getLong(0) == 1L)
+      .map(_.getAs[String]("chunk_hash")).toSet
+    val f2 = fixed.filter(_.getLong(0) == 2L)
+      .map(_.getAs[String]("chunk_hash")).toSet
+    assert((f1 & f2).isEmpty)
+    // rollup arithmetic on the same plant
+    val r = Chunking.dedupCdcOf(docs).collect().head
+    assert(r.getAs[Long]("n_chunks") === 10L)
+    assert(r.getAs[Long]("n_distinct") === 6L)
+    assert(r.getAs[Long]("n_crossdoc") === 8L)
+    assert(r.getAs[Long]("n_tokens") === 161L)
+    assert(r.getAs[Long]("avg_chunk_toks_x100") === 1610L)
+  }
+
   test("exif strip: bit-identical restore, identity without EXIF, loud " +
     "rejection on structure lies") {
     Seq(4L, 7L).foreach { id =>

@@ -527,6 +527,10 @@ class PlanSpec extends SparkSpec {
     // (hundreds of rows at any SF); the static pre-AQE plan prints the
     // cached agg subtree under both consumers
     "stats_kruskal" -> 6,
+    // dedup_cdc: (source, h) chunk-key agg (countDistinct plans the
+    // two-phase partial + final) + the source rollup — every exchange
+    // carries 32-byte hashes and counts, never chunk text
+    "dedup_cdc" -> 3,
     // agg_spearman (r8 distributed-rank rewrite): the supplier rollup
     // + a _pid window exchange per ranking branch + the rank rejoin on
     // l_suppkey; the static count is inflated by the persisted
