@@ -69,15 +69,20 @@ object Chunking {
     *
     * Scale shape: boundary indices + per-chunk slicing are row-level
     * expressions on the scan (the posexplode carries the token array
-    * only WITHIN the scan stage); the one exchange is the (source,
-    * md5) chunk-key rollup — chunk TEXT never shuffles, only 32-byte
-    * hashes (the Chunking-tier contract). Output per source: chunk
-    * counts, distinct keys, cross-document duplicated instances
-    * (boilerplate at CDC granularity) and the realized mean chunk
-    * length — the knob check for the 1/16 boundary rate. */
+    * only WITHIN the scan stage); after that only 32-byte md5 keys and
+    * counts cross the wire — 3 hash exchanges total (the two-phase
+    * countDistinct on (source, h) plus the source rollup; PlanSpec
+    * pins the budget). The round-robin fan-out DOES carry document
+    * rows, but only when the scan arrives narrower than the cluster
+    * (the shared fanWhenNarrow policy: one payload shuffle of a
+    * single-split corpus vs serializing the per-row work); a corpus
+    * already split wide takes zero payload exchanges. Output
+    * per source: chunk counts, distinct keys, cross-document
+    * duplicated instances (boilerplate at CDC granularity) and the
+    * realized mean chunk length — the knob check for the 1/16
+    * boundary rate. */
   def dedupCdc(s: SparkSession, d: String): DataFrame =
-    dedupCdcOf(documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism))
+    dedupCdcOf(Multimodal.fanWhenNarrow(s, documents(s, d)).toDF())
 
   private[graft] def dedupCdcOf(docs: DataFrame): DataFrame = {
     val perKey = cdcChunks(docs).groupBy(col("source"), col("h"))

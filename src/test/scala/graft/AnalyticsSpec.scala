@@ -2000,8 +2000,9 @@ class AnalyticsSpec extends SparkSpec {
         new java.io.ByteArrayInputStream(Multimodal.exifJpegBytes(id)))
       assert(w === img.getWidth && h === img.getHeight)
     }
-    // a lying EXIF (planted 1x1 against the real 48x64 pixels) parses
-    // fine but FAILS the corroboration — the gate the operator exists for
+    // a lying EXIF (planted 1x1 against the real 48x32 pixels of id 4)
+    // parses fine but FAILS the corroboration — the gate the operator
+    // exists for
     val lie = Multimodal.exifJpegBytes(4L, Some((1, 1)))
     val (_, _, _, _, lw, lh) = Multimodal.parseExif(lie)
     val limg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(lie))

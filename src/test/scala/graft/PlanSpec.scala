@@ -77,6 +77,9 @@ class PlanSpec extends SparkSpec {
       "text_pair_lift",
       // stats_runs: crossJoin(broadcast(1-row series median))
       "stats_runs",
+      // stats_kruskal: crossJoin(broadcast(1-row pooled n/ties scalars))
+      // over the bounded k-group table
+      "stats_kruskal",
       // dsir_select: crossJoin(broadcast(1-row corpus token totals))
       // inside the 256-row bucket-rate model table
       "dsir_select",
