@@ -1081,6 +1081,51 @@ object EventsPipeline {
         (col("next_p_tus") - col("tus")).as("gap_us"))
   }
 
+  /** Nearest as-of join (pandas merge_asof direction='nearest') — the
+    * third direction completing the trio: backward (`join_asof`),
+    * forward (`join_asof_fwd`), and now NEAREST — for each purchase,
+    * the same user's click closest in time on EITHER side. Both
+    * carries ride ONE user_id exchange: the ascending and descending
+    * windows share the partitioning, so the plan is one shuffle + two
+    * sorts (still no range nested loop, no per-row subquery). Tie at
+    * equal distance resolves to the BACKWARD match (the attribution
+    * convention: a click before the sale beats one after it) —
+    * engine-deterministic and documented, where pandas' own tie rule
+    * is an implementation detail. NULL sides fall back to the other
+    * direction; a user with no clicks keeps the purchase row with a
+    * NULL click (the join_asof_tol row-preservation discipline). */
+  def joinAsofNearest(s: SparkSession, d: String): DataFrame =
+    joinAsofNearestOf(events(s, d))
+
+  private[graft] def joinAsofNearestOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wB = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("is_p"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus").desc, col("is_p").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("tus", expr("ts_ns div 1000"))
+      .withColumn("is_p", (col("event_type") === "purchase").cast("int"))
+      .withColumn("c_id", when(col("event_type") === "click", col("event_id")))
+      .withColumn("c_tus", when(col("event_type") === "click", col("tus")))
+      .withColumn("b_id", last(col("c_id"), ignoreNulls = true).over(wB))
+      .withColumn("b_tus", last(col("c_tus"), ignoreNulls = true).over(wB))
+      .withColumn("f_id", last(col("c_id"), ignoreNulls = true).over(wF))
+      .withColumn("f_tus", last(col("c_tus"), ignoreNulls = true).over(wF))
+      .filter(col("event_type") === "purchase")
+      .selectExpr("event_id AS purchase_id", "user_id",
+        "tus - b_tus AS back_us", "f_tus - tus AS fwd_us",
+        """CASE WHEN b_id IS NOT NULL
+               AND (f_id IS NULL OR tus - b_tus <= f_tus - tus)
+             THEN b_id ELSE f_id END AS click_id""",
+        """CASE WHEN b_id IS NOT NULL
+               AND (f_id IS NULL OR tus - b_tus <= f_tus - tus)
+             THEN tus - b_tus ELSE f_tus - tus END AS dist_us""")
+  }
+
   /** The SAME attribution as-of join through the custom whole-operator
     * tier (plans.AsofJoin: logical node + strategy + single-pass
     * per-partition merge exec) instead of the union+window spelling —
@@ -1556,6 +1601,7 @@ object EventsPipeline {
     "join_asof"           -> joinAsof _,
     "join_asof_tol"       -> joinAsofTol _,
     "join_asof_fwd"       -> joinAsofFwd _,
+    "join_asof_nearest"   -> joinAsofNearest _,
     "events_markov"       -> eventsMarkov _,
     "events_pattern"      -> eventsPattern _,
     "join_asof_native"    -> joinAsofNative _,
@@ -2324,6 +2370,39 @@ object EventsPipeline {
             AS sum_id_good
         FROM events GROUP BY event_type""",
     "join_asof" -> asofOracle,
+    // both directional carries in one WINDOW clause pair, the same
+    // tie-to-backward CASE
+    "join_asof_nearest" ->
+      """WITH e AS (
+          SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tus,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+          FROM events WHERE event_type IN ('click', 'purchase')),
+        c AS (
+          SELECT *,
+            last_value(CASE WHEN event_type = 'click' THEN event_id END
+              IGNORE NULLS) OVER wb AS b_id,
+            last_value(CASE WHEN event_type = 'click' THEN tus END
+              IGNORE NULLS) OVER wb AS b_tus,
+            last_value(CASE WHEN event_type = 'click' THEN event_id END
+              IGNORE NULLS) OVER wf AS f_id,
+            last_value(CASE WHEN event_type = 'click' THEN tus END
+              IGNORE NULLS) OVER wf AS f_tus
+          FROM e
+          WINDOW
+            wb AS (PARTITION BY user_id ORDER BY tus, is_p, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            wf AS (PARTITION BY user_id
+              ORDER BY tus DESC, is_p DESC, event_id DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT event_id AS purchase_id, user_id,
+          tus - b_tus AS back_us, f_tus - tus AS fwd_us,
+          CASE WHEN b_id IS NOT NULL
+              AND (f_id IS NULL OR tus - b_tus <= f_tus - tus)
+            THEN b_id ELSE f_id END AS click_id,
+          CASE WHEN b_id IS NOT NULL
+              AND (f_id IS NULL OR tus - b_tus <= f_tus - tus)
+            THEN tus - b_tus ELSE f_tus - tus END AS dist_us
+        FROM c WHERE event_type = 'purchase'""",
     // the same carry-forward CTE with the 30-min tolerance predicate
     // applied after it; unmatched purchases keep a NULL-click row
     "join_asof_tol" ->

@@ -629,6 +629,58 @@ object Similarity {
         "abs(cos64 - cos16) AS distortion")
   }
 
+  /** Matryoshka prefix-dimension retrieval audit (Kusupati et al.
+    * 2022, "Matryoshka Representation Learning"): how much recall@10
+    * does truncating the embedding to its FIRST 16 dims cost vs the
+    * full 64? MRL-served indexes run exactly this cascade — coarse
+    * retrieval in the prefix dims, rerank in full — and this query
+    * measures the recall the prefix stage actually delivers on this
+    * corpus (the corpus embeddings are NOT MRL-trained, so this is
+    * the pessimistic floor: the audit one runs BEFORE trusting a
+    * prefix-dim index). Both rankings use cosine over the SAME
+    * fixed-point integer lane (floor(x·10⁶); dots exact in BIGINT,
+    * one double division for the cosine, vec_id tie-break), so DuckDB
+    * replays both orderings bit-for-bit. Exact-scan family: 30 probes
+    * × corpus, the sim_knn calibration contract — the production path
+    * at scale is the ANN family; this is its truncation-loss gauge. */
+  def embMatryoshka(s: SparkSession, d: String): DataFrame =
+    embMatryoshkaOf(embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism))
+
+  private[graft] def embMatryoshkaOf(emb: DataFrame): DataFrame = {
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val e = emb
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1e6).cast("long")).as("q"))
+      .withColumn("q16", slice(col("q"), 1, 16))
+      // self-dots once per VECTOR, not once per scored pair
+      .withColumn("n64", sqrt(idot(col("q"), col("q")).cast("double")))
+      .withColumn("n16", sqrt(idot(col("q16"), col("q16")).cast("double")))
+    val probes = e.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("qid"), col("q").as("pq"),
+        col("q16").as("pq16"), col("n64").as("pn64"), col("n16").as("pn16"))
+    val scored = e.join(broadcast(probes), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (idot(col("pq"), col("q")).cast("double")
+          / (col("pn64") * col("n64"))).as("cos64"),
+        (idot(col("pq16"), col("q16")).cast("double")
+          / (col("pn16") * col("n16"))).as("cos16"))
+      .persistTracked()
+    def top(c: Column) = {
+      val w = Window.partitionBy(col("qid")).orderBy(c.desc, col("nid"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10).select(col("qid"), col("nid"))
+    }
+    val t64 = top(col("cos64"))
+    val t16 = top(col("cos16")).withColumn("hit", lit(1L))
+    t64.join(t16, Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .withColumn("recall_pct", expr("n_overlap * 10"))
+  }
+
   /** Per-language class centroids: language-ID the documents, join to
     * their embeddings on id, and aggregate element-wise means. Floats
     * are fixed-point-scaled (floor(x·10⁶) — exact integers) before the
@@ -922,6 +974,7 @@ object Similarity {
     "sim_range" -> ((s: SparkSession, d: String) => simRange(s, d)),
     "emb_quantize" -> embQuantize _,
     "emb_rproj" -> embRproj _,
+    "emb_matryoshka" -> embMatryoshka _,
     "emb_pq" -> ((s: SparkSession, d: String) => embPq(s, d)),
     "emb_centroid" -> embCentroid _,
     "dedup_semantic" -> ((s: SparkSession, d: String) => dedupSemantic(s, d)),
@@ -1107,6 +1160,55 @@ object Similarity {
         $ivfTopCtes
         SELECT qid, nid, rn FROM ivf""",
     // the index audit: exact top-10 (the sim_knn spelling over the
+    // both rankings replayed over the same fixed-point integer lane:
+    // exact HUGEINT dots, one double division for the cosine, the
+    // vec_id tie-break — then the same top-10 overlap count
+    "emb_matryoshka" ->
+      """WITH e AS (
+          SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+          FROM embeddings),
+        e16 AS (SELECT vec_id, q, q[1:16] AS q16 FROM e),
+        p AS (
+          SELECT vec_id AS qid, q AS pq, q16 AS pq16
+          FROM e16 WHERE vec_id < 30),
+        scored AS (
+          SELECT p.qid, c.vec_id AS nid,
+            CAST((SELECT sum(CAST(pq[i] AS HUGEINT) * q[i])
+                FROM generate_series(1, 64) AS g(i)) AS DOUBLE)
+              / (sqrt(CAST((SELECT sum(CAST(pq[i] AS HUGEINT) * pq[i])
+                  FROM generate_series(1, 64) AS g(i)) AS DOUBLE))
+                * sqrt(CAST((SELECT sum(CAST(q[i] AS HUGEINT) * q[i])
+                  FROM generate_series(1, 64) AS g(i)) AS DOUBLE)))
+              AS cos64,
+            CAST((SELECT sum(CAST(pq16[i] AS HUGEINT) * q16[i])
+                FROM generate_series(1, 16) AS g(i)) AS DOUBLE)
+              / (sqrt(CAST((SELECT sum(CAST(pq16[i] AS HUGEINT) * pq16[i])
+                  FROM generate_series(1, 16) AS g(i)) AS DOUBLE))
+                * sqrt(CAST((SELECT sum(CAST(q16[i] AS HUGEINT) * q16[i])
+                  FROM generate_series(1, 16) AS g(i)) AS DOUBLE)))
+              AS cos16
+          FROM p JOIN e16 c ON c.vec_id <> p.qid),
+        t64 AS (
+          SELECT qid, nid FROM (
+            SELECT qid, nid,
+              row_number() OVER (PARTITION BY qid
+                ORDER BY cos64 DESC, nid) AS rn
+            FROM scored) WHERE rn <= 10),
+        t16 AS (
+          SELECT qid, nid FROM (
+            SELECT qid, nid,
+              row_number() OVER (PARTITION BY qid
+                ORDER BY cos16 DESC, nid) AS rn
+            FROM scored) WHERE rn <= 10)
+        SELECT t64.qid,
+          CAST(sum(CASE WHEN t16.nid IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overlap,
+          CAST(sum(CASE WHEN t16.nid IS NOT NULL THEN 1 ELSE 0 END) * 10
+            AS BIGINT) AS recall_pct
+        FROM t64 LEFT JOIN t16 USING (qid, nid)
+        GROUP BY t64.qid""",
     // signs re-derived per cell from the md5 rule (not pasted), dots
     // summed as per-index HUGEINT products (exact past 2^53), same
     // fixed double tree for the cosines

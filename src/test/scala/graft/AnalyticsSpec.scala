@@ -2032,6 +2032,31 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("matryoshka: front-loaded vectors score perfect prefix recall; " +
+    "the random driver corpus sits near the chance floor") {
+    import spark.implicits._
+    // synthetic MRL-shaped corpus: ALL information in the first 16
+    // dims, the tail quantizes to zero -> prefix ranking == full
+    // ranking -> recall@10 must be exactly 100 for every probe
+    val front = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(64) { j =>
+        if (j < 16) (((i * 7 + j * 13) % 19) - 9).toFloat / 10f
+        else 1e-9f
+      })
+    }.toDF("vec_id", "embedding")
+    val perfect = Similarity.embMatryoshkaOf(front).collect()
+    assert(perfect.length === 30)
+    assert(perfect.forall(_.getAs[Long]("n_overlap") == 10L),
+      perfect.map(_.getAs[Long]("n_overlap")).mkString(","))
+    // the driver corpus is NOT MRL-trained (uniform components): the
+    // same audit reports recall near the chance floor — the number
+    // that tells you a prefix-dim index would be unsafe here
+    val raw = Similarity.embMatryoshka(spark, "/root/testdata/sf0.01")
+      .collect().map(_.getAs[Long]("n_overlap"))
+    assert(raw.sum.toDouble / raw.length < 5.0,
+      s"mean overlap ${raw.sum.toDouble / raw.length}")
+  }
+
   test("cdc: a one-token insertion keeps every downstream chunk; fixed " +
     "windows lose all") {
     import spark.implicits._

@@ -85,4 +85,33 @@ class AsofJoinSpec extends SparkSpec {
     val row = asofNative(left, right).collect().head
     assert(row.getLong(3) === 101L, row)
   }
+
+  test("nearest: closer side wins, ties go backward, single-sided and " +
+    "clickless rows survive") {
+    import spark.implicits._
+    // user 1: clicks at 10us, 100us; purchases at 40 (back 30 < fwd 60),
+    //   95 (back 85 > fwd 5), 55 (back 45 == fwd 45 -> TIE -> backward)
+    // user 2: purchase only -> NULL click, row kept
+    // user 3: click ONLY AFTER the purchase -> forward fallback
+    def ns(us: Long) = us * 1000L
+    val ev = Seq(
+      (1L, 1L, "click", ns(10)), (2L, 1L, "click", ns(100)),
+      (3L, 1L, "purchase", ns(40)), (4L, 1L, "purchase", ns(95)),
+      (5L, 1L, "purchase", ns(55)),
+      (6L, 2L, "purchase", ns(50)),
+      (7L, 3L, "purchase", ns(50)), (8L, 3L, "click", ns(70)))
+      .toDF("event_id", "user_id", "event_type", "ts_ns")
+    val r = graft.analytics.EventsPipeline.joinAsofNearestOf(ev)
+      .collect().map(x => x.getAs[Long]("purchase_id") -> x).toMap
+    assert(r(3L).getAs[Long]("click_id") === 1L)  // back 30 beats fwd 60
+    assert(r(3L).getAs[Long]("dist_us") === 30L)
+    assert(r(4L).getAs[Long]("click_id") === 2L)  // fwd 5 beats back 85
+    assert(r(4L).getAs[Long]("dist_us") === 5L)
+    assert(r(5L).getAs[Long]("click_id") === 1L)  // tie -> BACKWARD
+    assert(r(5L).getAs[Long]("dist_us") === 45L)
+    assert(r(6L).isNullAt(r(6L).fieldIndex("click_id"))) // clickless kept
+    assert(r(7L).getAs[Long]("click_id") === 8L)  // forward-only fallback
+    assert(r(7L).getAs[Long]("dist_us") === 20L)
+    assert(r.size === 5)
+  }
 }

@@ -46,8 +46,10 @@ class PlanSpec extends SparkSpec {
     // dedup_embedding_recall: exact side = 30-probe broadcast NLJ over
     // the corpus scan (the sim_knn exact-scan contract; the LSH side
     // it audits is all equi-joins)
+    // emb_matryoshka: the same 30-probe broadcast exact-scan contract
+    // as sim_knn — it IS the truncation-loss gauge for that family
     Set("sim_knn", "sim_range", "knn_classify", "ann_recall",
-      "dedup_embedding_recall",
+      "dedup_embedding_recall", "emb_matryoshka",
       "join_cross", "text_tfidf", "text_bm25",
       "zorder_value", "sketch_cms", "mixture_weights", "sample_weighted",
       "expect_drift", "orders_rfm", "source_divergence", "agg_hll_union",
@@ -534,6 +536,14 @@ class PlanSpec extends SparkSpec {
     // two-phase partial + final) + the source rollup — every exchange
     // carries 32-byte hashes and counts, never chunk text
     "dedup_cdc" -> 3,
+    // join_asof_nearest: BOTH directional carries ride the ONE user_id
+    // exchange (two sorts, zero extra shuffles — the trio contract)
+    "join_asof_nearest" -> 1,
+    // emb_matryoshka: the scored table persists for the two top-10
+    // rankings (2 qid window exchanges; the static plan prints the
+    // cached scan under both) + the overlap join/agg — all post-scan
+    // data is 30-probe-bounded
+    "emb_matryoshka" -> 5,
     // agg_spearman (r8 distributed-rank rewrite): the supplier rollup
     // + a _pid window exchange per ranking branch + the rank rejoin on
     // l_suppkey; the static count is inflated by the persisted
