@@ -808,6 +808,10 @@ class PlanSpec extends SparkSpec {
     "sim_knn", "sim_range", "sim_ann_ivf", "sim_ann_lsh",
     "sim_ann_ivfpq", "knn_classify", "ann_negatives", "ann_recall",
     "contamination", "text_bm25",
+    // emb_matryoshka: the hinted side is the vec_id < 30 probe slice
+    // (the sim_knn 30-probe contract); the walker sees only the
+    // norm-carrying Project above the filter
+    "emb_matryoshka",
     // dedup_embedding_recall: the hinted side is the 30-row probe
     // sample (vec_id < EmbPlantBases over the planted corpus — a
     // union the shape walker cannot see through); exact side is
