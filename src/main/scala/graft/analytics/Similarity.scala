@@ -1159,7 +1159,6 @@ object Similarity {
       s"""$ivfCoarseCtes,
         $ivfTopCtes
         SELECT qid, nid, rn FROM ivf""",
-    // the index audit: exact top-10 (the sim_knn spelling over the
     // both rankings replayed over the same fixed-point integer lane:
     // exact HUGEINT dots, one double division for the cosine, the
     // vec_id tie-break — then the same top-10 overlap count
@@ -1264,6 +1263,7 @@ object Similarity {
         SELECT vid_a, vid_b, dot64, dot16, cos64, cos16,
           abs(cos64 - cos16) AS distortion
         FROM cs""",
+    // the index audit: exact top-10 (the sim_knn spelling over the
     // shared e/n) left-joined with the index's top-10, counted per
     // query in exact integers
     "ann_recall" ->

@@ -101,8 +101,11 @@ class AsofJoinSpec extends SparkSpec {
       (6L, 2L, "purchase", ns(50)),
       (7L, 3L, "purchase", ns(50)), (8L, 3L, "click", ns(70)))
       .toDF("event_id", "user_id", "event_type", "ts_ns")
-    val r = graft.analytics.EventsPipeline.joinAsofNearestOf(ev)
-      .collect().map(x => x.getAs[Long]("purchase_id") -> x).toMap
+    val rows = graft.analytics.EventsPipeline.joinAsofNearestOf(ev).collect()
+    // exactly one output row per purchase — assert BEFORE the toMap,
+    // which would silently dedup a fan-out regression
+    assert(rows.length === 5)
+    val r = rows.map(x => x.getAs[Long]("purchase_id") -> x).toMap
     assert(r(3L).getAs[Long]("click_id") === 1L)  // back 30 beats fwd 60
     assert(r(3L).getAs[Long]("dist_us") === 30L)
     assert(r(4L).getAs[Long]("click_id") === 2L)  // fwd 5 beats back 85
