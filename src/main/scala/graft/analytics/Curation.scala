@@ -280,6 +280,32 @@ object Curation {
         (col("n_true") + col("noise")).as("n_noised"))
   }
 
+  /** Differentially-private histogram over the (event_type × hour)
+    * domain — the release primitive [[privacyDpCounts]] generalizes
+    * to: disjoint bins mean PARALLEL composition, so every bin gets
+    * its own ε = 1 discrete-Laplace draw from the SAME
+    * [[dpLaplaceThresholds]] table and the whole histogram is still
+    * ε = 1 (each individual lands in exactly one bin; Δ = 1). Noised
+    * counts clamp at 0 — post-processing, free under DP — because a
+    * negative published bin is useless AND the clamp direction is
+    * engine-deterministic. Same replayable-md5-seed caveat as
+    * dp_counts (production swaps a CSPRNG; n_true emitted for the
+    * oracle pin only). One keyed count of the stream, then ~120 rows
+    * of table-lookup arithmetic. */
+  def privacyDpHistogram(s: SparkSession, d: String): DataFrame = {
+    val th = dpLaplaceThresholds.mkString("array(", "L, ", "L)")
+    events(s, d)
+      .groupBy(col("event_type"), hour(col("ts")).as("hh"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("u",
+        conv(substring(md5(concat(lit("dph-"), col("event_type"),
+          lit("-"), col("hh"))), 1, 12), 16, 10).cast("long"))
+      .withColumn("noise",
+        expr(s"size(filter($th, t -> t <= u)) - 20").cast("long"))
+      .select(col("event_type"), col("hh"), col("n_true"), col("noise"),
+        greatest(col("n_true") + col("noise"), lit(0L)).as("n_noised"))
+  }
+
   /** Class-balanced downsampling over the labeled embedding corpus —
     * the classifier-training prerequisite (a 10:1 label skew trains a
     * majority-class predictor): every label keeps exactly min-class
@@ -579,6 +605,7 @@ object Curation {
     "privacy_ldiversity" -> privacyLdiversity _,
     "privacy_tcloseness" -> privacyTcloseness _,
     "privacy_dp_counts" -> privacyDpCounts _,
+    "privacy_dp_histogram" -> privacyDpHistogram _,
     "dsir_select"        -> ((s: SparkSession, d: String) => dsirSelect(s, d)),
     "quality_classifier" -> qualityClassifier _,
     "quality_train"      -> qualityTrain _,
@@ -854,6 +881,34 @@ object Curation {
           CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
             AS weak_rows
         FROM groups GROUP BY 1""",
+    // parallel composition over the disjoint (type × hour) bins: the
+    // same threshold table per bin, zero-clamped post-processing
+    "privacy_dp_histogram" ->
+      """WITH c AS (
+          SELECT event_type, CAST(hour(ts) AS INT) AS hh,
+            CAST(count(*) AS BIGINT) AS n_true,
+            CAST(('0x' || substr(md5('dph-' || event_type || '-'
+              || hour(ts)), 1, 12)) AS BIGINT) AS u
+          FROM events GROUP BY 1, 2, hour(ts)),
+        n AS (
+          SELECT event_type, hh, n_true,
+            CAST(len(list_filter([424133, 1152913, 3133944, 8518944,
+              23156891, 62946957, 171107569, 465118597, 1264323431,
+              3436787409, 9342156763, 25394614967, 69029720408,
+              187642234609, 510064476589, 1386498998055, 3768895031591,
+              10244918877744, 27848576819410, 75700280316650,
+              205774696394005, 253626399891245, 271230057832911,
+              277706081679064, 280088477712600, 280964912234066,
+              281287334476046, 281405946990247, 281449582095688,
+              281465634553892, 281471539923246, 281473712387224,
+              281474511592058, 281474805603086, 281474913763698,
+              281474953553764, 281474968191711, 281474973576711,
+              281474975557742, 281474976286522, 281474976710656],
+              t -> t <= u)) - 20 AS BIGINT) AS noise
+          FROM c)
+        SELECT event_type, hh, n_true, noise,
+          greatest(n_true + noise, 0) AS n_noised
+        FROM n""",
     // same md5-derived 48-bit uniform and the SAME literal
     // discrete-Laplace threshold table (ε = 1) — the noise draw is
     // table lookup arithmetic on both engines

@@ -1028,7 +1028,73 @@ object TextAnalysis {
         sum(when(col("rule") === "s", 1L).otherwise(0L)).as("n_s"))
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010, "Automatic keyword
+    * extraction from individual documents"): candidate phrases are the
+    * maximal token runs BETWEEN stopwords, a word's score is
+    * degree/frequency over the phrase co-occurrence graph (deg(w) =
+    * Σ phrase-length over w's occurrences — words living in long
+    * phrases score high; freq alone rewards boilerplate), and a
+    * phrase scores the sum of its words. The corpus stop set is the
+    * board's shared {the, a, of}.
+    *
+    * Exactness: the degree/frequency RATIO is quantized per word as
+    * q_w = (deg·10⁶) div freq (truncating division — identical both
+    * engines), so phrase scores are exact BIGINT sums; identical
+    * phrase instances carry identical scores, so the per-phrase
+    * rollup recovers the instance score as total div n_occ exactly.
+    * Output: top-5 phrases per source by (score, phrase).
+    *
+    * Scale shape: phrase slicing is row-level expression work on the
+    * scan (the dedup_cdc ends-array spelling with stopword
+    * boundaries EXCLUDED from their phrases); the shuffles carry
+    * (source, word) and (source, phrase) keys — the sourceDivergence
+    * contract (token-sized keys, never documents). */
+  def textRake(s: SparkSession, d: String): DataFrame =
+    textRakeOf(documents(s, d))
+
+  private[graft] def textRakeOf(docs: DataFrame): DataFrame = {
+    val phrases = docs
+      .select(col("doc_id"), col("source"), toks.as("tk"))
+      .withColumn("sts", expr(
+        """filter(transform(tk, (t, i) ->
+             IF(t IN ('the', 'a', 'of'), i, -1)), x -> x >= 0)"""))
+      .select(col("doc_id"), col("source"), col("tk"), col("sts"),
+        posexplode(expr("sequence(0, size(sts))")).as(Seq("pos", "k")))
+      .withColumn("start0",
+        expr("IF(k = 0, 0, element_at(sts, k) + 1)"))
+      .withColumn("end0", expr(
+        "IF(k = size(sts), size(tk) - 1, element_at(sts, k + 1) - 1)"))
+      .filter(col("end0") >= col("start0"))
+      .select(col("doc_id"), col("source"), col("k"),
+        expr("array_join(slice(tk, start0 + 1, end0 - start0 + 1), ' ')")
+          .as("phrase"),
+        expr("CAST(end0 - start0 + 1 AS BIGINT)").as("plen"))
+      .persistTracked()
+    val words = phrases
+      .select(col("source"), col("doc_id"), col("k"), col("phrase"),
+        col("plen"), explode(split(col("phrase"), " ")).as("w"))
+    val scores = words.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("q_w", expr("(deg * 1000000) div freq"))
+      .select(col("source"), col("w"), col("q_w"))
+    val perPhrase = words
+      .join(scores, Seq("source", "w"))
+      .groupBy(col("source"), col("phrase"))
+      .agg(sum(col("q_w")).as("total"),
+        countDistinct(col("doc_id"), col("k")).as("n_occ"))
+      .withColumn("score", expr("total div n_occ"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("score").desc, col("phrase"))
+    perPhrase
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("source"), col("rn"), col("phrase"),
+        col("n_occ"), col("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rake"         -> textRake _,
     "text_stem"         -> textStem _,
     "text_heaps"        -> textHeaps _,
     "text_hapax"        -> textHapax _,
@@ -1092,6 +1158,54 @@ object TextAnalysis {
         FROM s"""
 
   val oracle: Map[String, String] = Map(
+    // same stopword-boundary phrase rebuild (running stop count BEFORE
+    // each token, stop rows dropped), the same (deg·10⁶) div freq word
+    // quantization and total // n_occ instance-score recovery
+    "text_rake" ->
+      """WITH t AS (
+          SELECT doc_id, source, string_split(text, ' ') AS tk
+          FROM documents),
+        tok AS (
+          SELECT doc_id, source, i, tk[i] AS w,
+            CASE WHEN tk[i] IN ('the', 'a', 'of') THEN 1 ELSE 0 END
+              AS is_stop
+          FROM t, unnest(generate_series(1, len(tk))) AS u(i)),
+        seg AS (
+          -- the running stop count must see ALL tokens (WHERE runs
+          -- before window functions): count first, then drop stops
+          SELECT doc_id, source, i, w, k FROM (
+            SELECT doc_id, source, i, w, is_stop,
+              coalesce(sum(is_stop) OVER (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k
+            FROM tok) WHERE is_stop = 0),
+        phr AS (
+          SELECT doc_id, source, k,
+            string_agg(w, ' ' ORDER BY i) AS phrase,
+            CAST(count(*) AS BIGINT) AS plen
+          FROM seg GROUP BY 1, 2, 3),
+        pw AS (
+          SELECT source, doc_id, k, phrase, plen,
+            unnest(string_split(phrase, ' ')) AS w
+          FROM phr),
+        sc AS (
+          SELECT source, w,
+            (CAST(sum(plen) AS BIGINT) * 1000000)
+              // CAST(count(*) AS BIGINT) AS q_w
+          FROM pw GROUP BY 1, 2),
+        pp AS (
+          SELECT pw.source, pw.phrase,
+            CAST(sum(q_w) AS BIGINT) AS total,
+            count(DISTINCT (pw.doc_id, pw.k)) AS n_occ
+          FROM pw JOIN sc ON sc.source = pw.source AND sc.w = pw.w
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT source, phrase, CAST(n_occ AS BIGINT) AS n_occ,
+            total // n_occ AS score,
+            row_number() OVER (PARTITION BY source
+              ORDER BY total // n_occ DESC, phrase) AS rn
+          FROM pp)
+        SELECT source, CAST(rn AS BIGINT) AS rn, phrase, n_occ, score
+        FROM ranked WHERE rn <= 5""",
     // same deterministic plant (1-based series → (i-1) % 8) and the
     // same three-rule CASE chain
     "text_stem" ->

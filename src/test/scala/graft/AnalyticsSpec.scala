@@ -2032,6 +2032,53 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("rake: degree/frequency scoring ranks the multi-word phrase over " +
+    "the boilerplate singleton — hand-computed") {
+    import spark.implicits._
+    import graft.analytics.TextAnalysis
+    // doc 1: phrases "deep learning" | "deep model" (split at of/the)
+    // doc 2: three singleton "deep" phrases (split at the)
+    // word stats over the source: deep freq 5 deg 7 -> q = 1.4e6;
+    // learning/model freq 1 deg 2 -> q = 2e6
+    // scores: "deep learning"/"deep model" = 3.4e6 > "deep" = 1.4e6
+    val docs = Seq(
+      (1L, "deep learning of the deep model", "x"),
+      (2L, "deep the deep the deep", "x"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.textRakeOf(docs).collect()
+      .map(x => x.getAs[Long]("rn") -> x).toMap
+    assert(r.size === 3)
+    assert(r(1L).getAs[String]("phrase") === "deep learning") // tie->asc
+    assert(r(1L).getAs[Long]("score") === 3400000L)
+    assert(r(2L).getAs[String]("phrase") === "deep model")
+    assert(r(2L).getAs[Long]("score") === 3400000L)
+    assert(r(3L).getAs[String]("phrase") === "deep")
+    assert(r(3L).getAs[Long]("score") === 1400000L)
+    assert(r(3L).getAs[Long]("n_occ") === 3L)
+  }
+
+  test("dp histogram: parallel composition preserves the per-type totals " +
+    "and the zero clamp holds") {
+    import graft.analytics.Curation
+    val hist = Curation.privacyDpHistogram(spark, sfDir).collect()
+    assert(hist.nonEmpty)
+    hist.foreach { r =>
+      val noise = r.getAs[Long]("noise")
+      assert(noise >= -20L && noise <= 20L)
+      assert(r.getAs[Long]("n_noised") >= 0L) // the clamp
+      assert(r.getAs[Long]("n_noised")
+        === math.max(r.getAs[Long]("n_true") + noise, 0L))
+    }
+    // disjoint bins partition the stream: per-type bin totals must
+    // equal privacy_dp_counts' true counts exactly
+    val byType = hist.groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.map(_.getAs[Long]("n_true")).sum).toMap
+    Curation.privacyDpCounts(spark, sfDir).collect().foreach { r =>
+      assert(byType(r.getAs[String]("event_type"))
+        === r.getAs[Long]("n_true"))
+    }
+  }
+
   test("matryoshka: front-loaded vectors score perfect prefix recall; " +
     "the random driver corpus sits near the chance floor") {
     import spark.implicits._

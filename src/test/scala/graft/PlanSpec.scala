@@ -539,6 +539,13 @@ class PlanSpec extends SparkSpec {
     // join_asof_nearest: BOTH directional carries ride the ONE user_id
     // exchange (two sorts, zero extra shuffles — the trio contract)
     "join_asof_nearest" -> 1,
+    // text_rake: (source, word) stats agg + the score join back onto
+    // the persisted phrase words + the (source, phrase) rollup + the
+    // per-source top-5 window — token/phrase keys only, never docs
+    "text_rake" -> 4,
+    // privacy_dp_histogram: ONE (type × hour) count exchange; the
+    // per-bin noise is literal-array arithmetic on ~120 rows
+    "privacy_dp_histogram" -> 1,
     // emb_matryoshka: the scored table persists for the two top-10
     // rankings (2 qid window exchanges; the static plan prints the
     // cached scan under both) + the overlap join/agg — all post-scan
