@@ -280,6 +280,19 @@ object Curation {
         (col("n_true") + col("noise")).as("n_noised"))
   }
 
+  /** The RELEASE VIEW of [[privacyDpCounts]] (r12 advice): what
+    * actually leaves the engine. `privacy_dp_counts` emits
+    * n_true/noise next to n_noised so the oracle can pin the draw —
+    * which also means that DataFrame provides zero privacy and must
+    * never be published. This view drops both: (event_type, n_noised)
+    * only, so the published schema CANNOT leak the true counts
+    * regardless of how the noise was seeded. (The md5-replayable seed
+    * caveat still applies to the demo draw itself — a production
+    * release swaps in a CSPRNG, which this projection is already
+    * shaped for.) */
+  def privacyDpRelease(s: SparkSession, d: String): DataFrame =
+    privacyDpCounts(s, d).select(col("event_type"), col("n_noised"))
+
   /** Differentially-private histogram over the (event_type × hour)
     * domain — the release primitive [[privacyDpCounts]] generalizes
     * to: disjoint bins mean PARALLEL composition, so every bin gets
@@ -605,6 +618,7 @@ object Curation {
     "privacy_ldiversity" -> privacyLdiversity _,
     "privacy_tcloseness" -> privacyTcloseness _,
     "privacy_dp_counts" -> privacyDpCounts _,
+    "privacy_dp_release" -> privacyDpRelease _,
     "privacy_dp_histogram" -> privacyDpHistogram _,
     "dsir_select"        -> ((s: SparkSession, d: String) => dsirSelect(s, d)),
     "quality_classifier" -> qualityClassifier _,
@@ -936,6 +950,28 @@ object Curation {
           FROM c)
         SELECT event_type, n_true, noise, n_true + noise AS n_noised
         FROM n""",
+    // the release projection: noised counts ONLY (no n_true/noise)
+    "privacy_dp_release" ->
+      """WITH c AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_true,
+            CAST(('0x' || substr(md5('dp-' || event_type), 1, 12))
+              AS BIGINT) AS u
+          FROM events GROUP BY 1)
+        SELECT event_type,
+          n_true + CAST(len(list_filter([424133, 1152913, 3133944,
+            8518944, 23156891, 62946957, 171107569, 465118597,
+            1264323431, 3436787409, 9342156763, 25394614967,
+            69029720408, 187642234609, 510064476589, 1386498998055,
+            3768895031591, 10244918877744, 27848576819410,
+            75700280316650, 205774696394005, 253626399891245,
+            271230057832911, 277706081679064, 280088477712600,
+            280964912234066, 281287334476046, 281405946990247,
+            281449582095688, 281465634553892, 281471539923246,
+            281473712387224, 281474511592058, 281474805603086,
+            281474913763698, 281474953553764, 281474968191711,
+            281474973576711, 281474975557742, 281474976286522,
+            281474976710656], t -> t <= u)) - 20 AS BIGINT) AS n_noised
+        FROM c""",
     "privacy_kanon" ->
       """WITH groups AS (
           SELECT event_type, hour(ts) AS hh,

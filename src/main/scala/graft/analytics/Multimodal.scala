@@ -930,8 +930,9 @@ object Multimodal {
 
   /** Minimal TIFF/EXIF reader: JPEG marker walk → the first APP1 whose
     * payload opens "Exif\0\0" → byte-order mark → magic-42 check →
-    * IFD0 tag walk (inline SHORTs left-justified, ASCII values via
-    * offset) → Exif-IFD hop for the pixel dimensions. Reads ONLY via
+    * IFD0 tag walk (inline SHORTs left-justified; ASCII values ≤ 4
+    * bytes inline in the value field per TIFF 6.0, longer ones via
+    * u32 offset) → Exif-IFD hop for the pixel dimensions. Reads ONLY via
     * explicit offset arithmetic (independent of the writer's
     * ByteBuffer); any structural lie — bad magic, unknown byte order,
     * an offset or segment running past the buffer — rejects loudly
@@ -977,6 +978,12 @@ object Multimodal {
       val end = off + cnt - 1 // NUL-terminated per TIFF type 2
       new String(tiff, off, math.max(0, end - off), "US-ASCII")
     }
+    // TIFF 6.0 §2: a value of ≤ 4 bytes is stored INLINE in the
+    // 4-byte value field itself; only larger values go through a u32
+    // offset (r12 advice: a spec-conformant short Make string would
+    // otherwise be misread by interpreting its bytes as an offset)
+    def asciiVal(cnt: Int, valueField: Int): String =
+      if (cnt <= 4) ascii(valueField, cnt) else ascii(u32(valueField), cnt)
     // one IFD walk → tag→(type, count, valueFieldOffset) map
     def ifdEntries(ifdOff: Int): Map[Int, (Int, Int, Int)] = {
       val n = u16(ifdOff)
@@ -988,9 +995,9 @@ object Multimodal {
     val ifd0 = ifdEntries(u32(4))
     val orient = ifd0.get(0x0112).map { case (_, _, v) => u16(v) }
       .getOrElse(0)
-    val make = ifd0.get(0x010f).map { case (_, cnt, v) => ascii(u32(v), cnt) }
+    val make = ifd0.get(0x010f).map { case (_, cnt, v) => asciiVal(cnt, v) }
       .getOrElse("")
-    val dt = ifd0.get(0x0132).map { case (_, cnt, v) => ascii(u32(v), cnt) }
+    val dt = ifd0.get(0x0132).map { case (_, cnt, v) => asciiVal(cnt, v) }
       .getOrElse("")
     val (w, h) = ifd0.get(0x8769).map { case (_, _, v) =>
       val sub = ifdEntries(u32(v))

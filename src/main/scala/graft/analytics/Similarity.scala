@@ -602,8 +602,12 @@ object Similarity {
     * k = 16. Map-only per row; the audit join touches 40 rows. */
   def embRproj(s: SparkSession, d: String): DataFrame = {
     val sgn = typedlit(rprojSigns(16, 64))
+    // only the probe pairs (a < 20, a+100) reach the audit join, so
+    // prune to exactly those ids BEFORE paying the 16×64 projection
+    // (r12 advice: vectors 20..99 were projected and discarded)
     val q = embeddings(s, d)
-      .filter(col("vec_id") < 120)
+      .filter(col("vec_id") < 20 ||
+        (col("vec_id") >= 100 && col("vec_id") < 120))
       .select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * 1e6).cast("long")).as("q"))
@@ -1216,7 +1220,8 @@ object Similarity {
           SELECT vec_id,
             list_transform(embedding,
               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
-          FROM embeddings WHERE vec_id < 120),
+          FROM embeddings
+          WHERE vec_id < 20 OR (vec_id >= 100 AND vec_id < 120)),
         sgn AS (
           SELECT j, i,
             CASE WHEN substr(md5('rp-' || j || '-' || i), 1, 1)

@@ -109,7 +109,13 @@ object Stats {
     * variance σ² = n1n2/12·((n+1) − Σ(t³−t)/(n(n−1))), NULL-guarded
     * for the degenerate all-one-bin corpus. NaN/NULL values are
     * excluded on both engines (the anomalyMad convention — floor(NaN)
-    * is engine-specific). */
+    * is engine-specific). EXACTNESS BOUND (r12 advice): the 100 TB
+    * claim covers the INTERNAL decimal lane and z; the EMITTED
+    * r1_2/u1_2/ties3 columns are BIGINT renderings for the
+    * cross-engine hash and overflow past N ≈ 2·10⁹ rows (where the
+    * two engines also diverge on the overflow itself: non-ANSI Spark
+    * wraps/NULLs the cast, DuckDB errors). A release at that scale
+    * would emit the DECIMAL(38,0) columns directly. */
   def statsMannWhitney(s: SparkSession, d: String): DataFrame =
     statsMannWhitneyOf(Tables.events(s, d))
 
