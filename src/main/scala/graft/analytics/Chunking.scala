@@ -334,14 +334,17 @@ object Chunking {
   // removed-index lists; document text never shuffles.
   // ---------------------------------------------------------------
 
-  private val ParaWidth = 10
-  private val BoilA = "subscribe to our newsletter today"
-  private val BoilB = "all rights reserved worldwide"
+  private[analytics] val ParaWidth = 10
+  private[analytics] val BoilA = "subscribe to our newsletter today"
+  private[analytics] val BoilB = "all rights reserved worldwide"
 
-  /** The synthesized paragraph array for one document. */
-  private def paraArray: Column = {
-    val id = col("doc_id")
-    val tk = toks
+  /** The synthesized paragraph array over an arbitrary text/key pair —
+    * the key column selects the boilerplate plants (doc_id on the
+    * board query; corpus_build keys on its content hash so duplicate
+    * documents synthesize identical paragraph arrays). */
+  private[analytics] def paraArrayOf(text: Column, key: Column): Column = {
+    val id = key
+    val tk = split(text, " ")
     val nP = floor((size(tk) + lit(ParaWidth - 1)) / lit(ParaWidth)).cast("int")
     val content = transform(sequence(lit(0), nP - 1), i =>
       array_join(slice(tk, i * ParaWidth + 1, lit(ParaWidth)), " "))
@@ -361,7 +364,8 @@ object Chunking {
     dedupParagraphsOf(documents(s, d))
 
   private[graft] def dedupParagraphsOf(docs: DataFrame): DataFrame = {
-    val pa = docs.select(col("doc_id"), paraArray.as("pa")).persistTracked()
+    val pa = docs.select(col("doc_id"),
+      paraArrayOf(col("text"), col("doc_id")).as("pa")).persistTracked()
     val ph = pa
       .select(col("doc_id"), posexplode(col("pa")).as(Seq("idx", "para")))
       .select(col("doc_id"), col("idx"), md5(col("para")).as("h"))
@@ -639,16 +643,22 @@ object Chunking {
   /** The paragraph synthesis + keep-first CTEs the dedup_paragraphs
     * oracle replays (the identical array slicing, ordering key, and
     * rewrite-by-kept-rows). */
-  private def paraSql: String =
+  /** The paragraph-synthesis + keep-first CTE chain over an arbitrary
+    * (doc_id, <textCol>) relation with a parameterized plant key —
+    * exposes pa/px/g; the board dedup_paragraphs oracle passes
+    * (documents, text, doc_id), corpus_build its repaired slice keyed
+    * on the content hash. */
+  private[analytics] def paraCtesFrom(rel: String, textCol: String,
+      keyExpr: String): String =
     s"""pa AS MATERIALIZED (
         SELECT doc_id,
-          CASE WHEN doc_id % 4 = 0 THEN ['$BoilA'] ELSE [] END
+          CASE WHEN ($keyExpr) % 4 = 0 THEN ['$BoilA'] ELSE [] END
           || list_transform(
-               generate_series(0, (len(string_split(text,' ')) + ${ParaWidth - 1}) // $ParaWidth - 1),
+               generate_series(0, (len(string_split($textCol,' ')) + ${ParaWidth - 1}) // $ParaWidth - 1),
                i -> array_to_string(
-                 string_split(text,' ')[i*$ParaWidth+1 : i*$ParaWidth+$ParaWidth], ' '))
-          || CASE WHEN doc_id % 6 = 0 THEN ['$BoilB'] ELSE [] END AS pa
-        FROM documents),
+                 string_split($textCol,' ')[i*$ParaWidth+1 : i*$ParaWidth+$ParaWidth], ' '))
+          || CASE WHEN ($keyExpr) % 6 = 0 THEN ['$BoilB'] ELSE [] END AS pa
+        FROM $rel),
       px AS MATERIALIZED (
         SELECT doc_id, CAST(u.i - 1 AS INT) AS idx, pa[u.i] AS para
         FROM pa, unnest(generate_series(1, len(pa))) AS u(i)),
@@ -656,6 +666,8 @@ object Chunking {
         SELECT md5(para) AS h, count(*) AS n_occ,
           min(doc_id * 1000 + idx) AS first_key
         FROM px GROUP BY 1)"""
+
+  private def paraSql: String = paraCtesFrom("documents", "text", "doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "span_corruption" -> ((s: SparkSession, d: String) => spanCorruption(s, d)),

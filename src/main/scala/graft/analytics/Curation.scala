@@ -532,7 +532,7 @@ object Curation {
   private val weightMemo =
     scala.collection.concurrent.TrieMap.empty[String, (Array[Long], Array[Long])]
 
-  private def trainQualityWeights(s: SparkSession, d: String): (Array[Long], Array[Long]) =
+  private[analytics] def trainQualityWeights(s: SparkSession, d: String): (Array[Long], Array[Long]) =
     weightMemo.getOrElseUpdate(d, trainQualityWeightsOf(documents(s, d)))
 
   /** Board query: the learned weight table — final weights and the
@@ -556,8 +556,11 @@ object Curation {
     * no explode, no join, no shuffle; the score never leaves the
     * scan), which is what makes classifier-gating 100 TB a map-only
     * pass after one training job. */
-  def qualityClassifier(s: SparkSession, d: String): DataFrame = {
-    val (_, wsum) = trainQualityWeights(s, d)
+  /** Score an arbitrary (doc_id, text) relation with trained
+    * averaged-perceptron vote weights — the reusable scan-side fold
+    * (see [[qualityClassifier]] for the contract; corpus_build gates
+    * its survivor slice through the same spelling). */
+  private[analytics] def classifierScored(docs: DataFrame, wsum: Array[Long]): DataFrame = {
     val warr = typedlit(wsum.toIndexedSeq)
     // margin = Σ_tokens w[bucket(t)]·q  +  w[32]·10  +  w[33]·ℓ, with
     // q = 1000 div n_tok the per-token tf quantum (the reason the
@@ -566,7 +569,7 @@ object Curation {
       lit(wsum(32) * 10L) +
         lit(wsum(33)) * least(size(toks).cast("long"), lit(50L)) * 20L,
       (acc, t) => acc + element_at(warr, (bucketOf(t) + 1).cast("int")) * col("q"))
-    documents(s, d)
+    docs
       .withColumn("n_tok", size(toks).cast("long"))
       .withColumn("q", expr("1000 div n_tok"))
       .select(col("doc_id"),
@@ -574,6 +577,9 @@ object Curation {
         margin.as("margin"),
         (margin > 0).cast("int").as("accept"))
   }
+
+  def qualityClassifier(s: SparkSession, d: String): DataFrame =
+    classifierScored(documents(s, d), trainQualityWeights(s, d)._2)
 
   /** Temperature-scaled source sampling weights (the T5/PaLM
     * multilingual mixing knob at α = 1/2): a source's sampling share is
@@ -632,7 +638,7 @@ object Curation {
     * integer sums the engine computes, so the learned weights
     * hash-match exactly. `wavg` exposes (bucket, w = final,
     * w_sum = Σ_r w_r, the averaged-perceptron vote). */
-  private def qualityTrainCtes: String = {
+  private[analytics] def qualityTrainCtes: String = {
     val rounds = (1 to QualityRounds).map { r =>
       s"""m$r AS MATERIALIZED (
           SELECT fx.doc_id, any_value(fx.y) AS y,
@@ -697,6 +703,66 @@ object Curation {
         FROM w1 $wavgJoin)"""
   }
 
+  /** The PII inject + detect + redact CTE pair (the SQL twin of
+    * [[piiScrubFull]]) over an arbitrary (doc_id, text) relation —
+    * exposes `scrub(doc_id, t, n_emails, n_phones, st)` where `st` is
+    * the scrubbed text. One spelling for the board pii_scrub entry and
+    * corpus_build's final redaction stage. */
+  private[analytics] def piiCtesFrom(rel: String): String =
+    raw"""inj AS (
+          SELECT doc_id,
+            text ||
+            CASE WHEN doc_id % 3 = 0
+              THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE '' END ||
+            CASE WHEN doc_id % 6 = 0
+              THEN ' or u' || CAST(doc_id AS VARCHAR) || 'b@alt.org'
+              ELSE '' END ||
+            CASE WHEN doc_id % 5 = 0
+              THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END AS t
+          FROM $rel),
+        scrub AS (
+          SELECT doc_id, t,
+            CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\.[a-z]+'))
+              AS BIGINT) AS n_emails,
+            CAST(len(regexp_extract_all(t, '555-[0-9]{4}'))
+              AS BIGINT) AS n_phones,
+            regexp_replace(regexp_replace(t,
+              '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+              '555-[0-9]{4}', '<PHONE>', 'g') AS st
+          FROM inj)"""
+
+  /** The averaged-perceptron SCORING chain over an arbitrary
+    * (doc_id, text) relation — expects `wavg` (the trained vote
+    * weights) in CTE scope; the board quality_classifier entry is
+    * classifierScoreSqlFrom("documents") and corpus_build feeds its
+    * repaired survivor slice through the same spelling. Emitted as a
+    * comma-led CTE continuation + final SELECT. */
+  private[analytics] def classifierScoreSqlFrom(rel: String): String =
+    s""",
+        tokb AS (
+          SELECT doc_id, 1000 // nt AS q,
+            ('0x' || substr(md5(tok), 1, 6))::BIGINT % 32 AS bucket
+          FROM (SELECT doc_id, len(string_split(text, ' ')) AS nt,
+                  unnest(string_split(text, ' ')) AS tok
+                FROM $rel)),
+        tm AS (
+          SELECT t.doc_id, sum(v.w_sum * t.q) AS m
+          FROM tokb t JOIN wavg v USING (bucket)
+          GROUP BY t.doc_id),
+        sc AS (
+          SELECT d.doc_id,
+            CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+            CAST((SELECT w_sum FROM wavg WHERE bucket = 32) * 10
+              + (SELECT w_sum FROM wavg WHERE bucket = 33)
+                * least(len(string_split(d.text, ' ')), 50) * 20
+              + coalesce(tm.m, 0) AS BIGINT) AS margin
+          FROM $rel d LEFT JOIN tm ON tm.doc_id = d.doc_id)
+        SELECT doc_id, n_tokens, margin,
+          CAST(margin > 0 AS INT) AS accept
+        FROM sc"""
+
   val oracle: Map[String, String] = Map(
     // ppm rates via HUGEINT multiply + // (== Spark DECIMAL(28,0) div);
     // sums over per-token small ints, projected as BIGINT
@@ -745,28 +811,8 @@ object Curation {
     // chain, then score every document with the averaged-perceptron
     // vote weights (bias = bucket 32) — all integer sums
     "quality_classifier" ->
-      s"""WITH $qualityTrainCtes,
-        tokb AS (
-          SELECT doc_id, 1000 // nt AS q,
-            ('0x' || substr(md5(tok), 1, 6))::BIGINT % 32 AS bucket
-          FROM (SELECT doc_id, len(string_split(text, ' ')) AS nt,
-                  unnest(string_split(text, ' ')) AS tok
-                FROM documents)),
-        tm AS (
-          SELECT t.doc_id, sum(v.w_sum * t.q) AS m
-          FROM tokb t JOIN wavg v USING (bucket)
-          GROUP BY t.doc_id),
-        sc AS (
-          SELECT d.doc_id,
-            CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
-            CAST((SELECT w_sum FROM wavg WHERE bucket = 32) * 10
-              + (SELECT w_sum FROM wavg WHERE bucket = 33)
-                * least(len(string_split(d.text, ' ')), 50) * 20
-              + coalesce(tm.m, 0) AS BIGINT) AS margin
-          FROM documents d LEFT JOIN tm ON tm.doc_id = d.doc_id)
-        SELECT doc_id, n_tokens, margin,
-          CAST(margin > 0 AS INT) AS accept
-        FROM sc""",
+      s"""WITH $qualityTrainCtes
+        ${classifierScoreSqlFrom("documents")}""",
     // the learned weight table itself: final + averaged-vote weights
     "quality_train" ->
       s"""WITH $qualityTrainCtes
@@ -856,28 +902,8 @@ object Curation {
     // same injection, RE2 spelling; DuckDB regexp_replace needs the 'g'
     // option to match Spark's replace-all default
     "pii_scrub" ->
-      raw"""WITH inj AS (
-          SELECT doc_id,
-            text ||
-            CASE WHEN doc_id % 3 = 0
-              THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
-              ELSE '' END ||
-            CASE WHEN doc_id % 6 = 0
-              THEN ' or u' || CAST(doc_id AS VARCHAR) || 'b@alt.org'
-              ELSE '' END ||
-            CASE WHEN doc_id % 5 = 0
-              THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-              ELSE '' END AS t
-          FROM documents),
-        scrub AS (
-          SELECT doc_id, t,
-            regexp_replace(regexp_replace(t,
-              '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
-              '555-[0-9]{4}', '<PHONE>', 'g') AS st
-          FROM inj)
-        SELECT doc_id,
-          CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS BIGINT) AS n_emails,
-          CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+      s"""WITH ${piiCtesFrom("documents")}
+        SELECT doc_id, n_emails, n_phones,
           md5(st) AS scrub_fp,
           CAST(len(st) AS BIGINT) AS scrub_len
         FROM scrub""",

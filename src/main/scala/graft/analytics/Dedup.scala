@@ -1185,14 +1185,21 @@ object Dedup {
     "graph_bfs"       -> graphBfs _,
   )
 
-  private[analytics] val shCte =
-    """WITH sh AS (
-        SELECT DISTINCT doc_id, shingle FROM (
+  /** The distinct 5-gram shingle SELECT over an arbitrary
+    * (doc_id, <textCol>) relation — one SQL spelling for every
+    * shingle-consuming oracle (shCte, corpus_build's dedup and
+    * contamination stages). */
+  private[analytics] def shingleSqlFrom(rel: String, textCol: String): String =
+    s"""SELECT DISTINCT doc_id, shingle FROM (
           SELECT doc_id, unnest(list_transform(
-            generate_series(1, len(string_split(text, ' ')) - 4),
-            i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS shingle
-          FROM documents
-          WHERE len(string_split(text, ' ')) >= 5))"""
+            generate_series(1, len(string_split($textCol, ' ')) - 4),
+            i -> array_to_string(string_split($textCol, ' ')[i:i+4], ' '))) AS shingle
+          FROM $rel
+          WHERE len(string_split($textCol, ' ')) >= 5)"""
+
+  private[analytics] val shCte =
+    s"""WITH sh AS (
+        ${shingleSqlFrom("documents", "text")})"""
 
   /** MinHash signature + band-bucket CTEs (shared by the pairs and
     * clusters oracles); expects the `sh` CTE in scope. */

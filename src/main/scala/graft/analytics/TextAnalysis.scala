@@ -361,12 +361,12 @@ object TextAnalysis {
     "n\u0303" -> "\u00f1",
     "c\u0327" -> "\u00e7")
 
-  private val Replacement = "\ufffd"
+  private[analytics] val Replacement = "\ufffd"
 
   /** Render a string as a DuckDB expression — ASCII runs as quoted
     * literals, everything else as chr(codepoint) — so the oracle SQL
     * stays 7-bit clean while spelling the IDENTICAL table. */
-  private def sqlStr(s: String): String = {
+  private[analytics] def sqlStr(s: String): String = {
     val parts = Seq.newBuilder[String]
     val run = new StringBuilder
     def flush(): Unit = if (run.nonEmpty) {
@@ -398,24 +398,51 @@ object TextAnalysis {
     * plants are the only non-ASCII content. */
   // the three decoration strings \u2014 ONE definition each, rendered into
   // the Spark plan as literals and into the oracle via sqlStr
-  private val DecNfd = " cafe\u0301 garc\u0327on"
-  private val DecNfc = " caf\u00e9"
-  private val DecMoji = " \u00c3\u00a9clair a\u0300 propos"
+  private[analytics] val DecNfd = " cafe\u0301 garc\u0327on"
+  private[analytics] val DecNfc = " caf\u00e9"
+  private[analytics] val DecMoji = " \u00c3\u00a9clair a\u0300 propos"
 
-  private def unicodeDecorated: Column = {
-    val id = col("doc_id")
-    concat(col("text"),
-      when(id % 3 === 0, lit(DecNfd))
-        .when(id % 3 === 1, lit(DecNfc))
+  /** The planted decoration over an arbitrary text/key pair \u2014 the key
+    * column selects the decoration classes. The board query keys on
+    * doc_id; corpus_build keys on a CONTENT hash so exact-duplicate
+    * documents decorate identically and the plants can never split a
+    * duplicate family (one definition, two keyings). */
+  private[analytics] def unicodeDecoratedOf(text: Column, key: Column): Column =
+    concat(text,
+      when(key % 3 === 0, lit(DecNfd))
+        .when(key % 3 === 1, lit(DecNfc))
         .otherwise(lit("")),
-      when(id % 5 === 0, lit(DecMoji))
+      when(key % 5 === 0, lit(DecMoji))
         .otherwise(lit("")),
-      when(id % 7 === 0,
+      when(key % 7 === 0,
         concat(lit(" "), element_at(
           typedlit(Seq(Replacement, Replacement * 2, Replacement * 3)),
-          (id % 3 + 1).cast("int"))))
+          (key % 3 + 1).cast("int"))))
         .otherwise(lit("")))
-  }
+
+  private def unicodeDecorated: Column =
+    unicodeDecoratedOf(col("text"), col("doc_id"))
+
+  /** DuckDB spelling of [[unicodeDecoratedOf]] \u2014 parameterized by the
+    * text/key SQL expressions (the board oracle passes text/doc_id,
+    * corpus_build its fixed-key pair). */
+  private[analytics] def unicodeDecSqlExpr(textExpr: String, keyExpr: String): String =
+    s"""$textExpr
+          || CASE WHEN ($keyExpr) % 3 = 0 THEN ${sqlStr(DecNfd)}
+                  WHEN ($keyExpr) % 3 = 1 THEN ${sqlStr(DecNfc)}
+                  ELSE '' END
+          || CASE WHEN ($keyExpr) % 5 = 0 THEN ${sqlStr(DecMoji)}
+                  ELSE '' END
+          || CASE WHEN ($keyExpr) % 7 = 0
+               THEN ' ' || repeat(chr(65533), CAST(1 + ($keyExpr) % 3 AS INT))
+               ELSE '' END"""
+
+  /** DuckDB spelling of [[unicodeFoldCol]] over an arbitrary inner
+    * expression (the shared fold table, chained replace()s). */
+  private[analytics] def unicodeFoldSqlExpr(inner: String): String =
+    UnicodeFolds.foldLeft(inner) { case (acc, (k, v)) =>
+      s"replace($acc, ${sqlStr(k)}, ${sqlStr(v)})"
+    }
 
   /** decorate → repair/fold → count → gate. n_fixed counts fold
     * substitutions (per-entry occurrence arithmetic on the pre-fix
@@ -1157,6 +1184,64 @@ object TextAnalysis {
                ELSE 'fr' END AS pred_lang
         FROM s"""
 
+
+  /** The full Gopher-metrics + gate oracle chain over an arbitrary
+    * (doc_id, text) relation — the board `quality_gopher` entry is
+    * gopherSqlFrom("documents"); corpus_build feeds it the repaired
+    * survivor slice (one SQL spelling, two call sites). */
+  private[analytics] def gopherSqlFrom(rel: String): String =
+    s"""WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM $rel),
+        ln AS MATERIALIZED (
+          SELECT doc_id,
+            CASE WHEN doc_id % 11 = 0 OR (doc_id + u.i) % 3 = 0
+              THEN '- ' ELSE '' END
+            || array_to_string(tk[u.i*10+1 : u.i*10+10], ' ')
+            || CASE WHEN doc_id % 17 = 0 OR (doc_id + u.i) % 5 = 0
+              THEN ' #####' ELSE '' END
+            || CASE WHEN doc_id % 13 = 0 OR (doc_id + u.i) % 4 = 0
+              THEN ' ...' ELSE '' END AS line
+          FROM t, unnest(generate_series(0, (len(tk) + 9) // 10 - 1)) AS u(i)),
+        w AS (
+          SELECT doc_id, unnest(string_split(line, ' ')) AS word FROM ln),
+        ws AS (
+          SELECT doc_id, count(*) AS n_words, sum(length(word)) AS sum_len,
+            max(CASE WHEN word = 'the' THEN 1 ELSE 0 END)
+            + max(CASE WHEN word = 'a' THEN 1 ELSE 0 END)
+            + max(CASE WHEN word = 'of' THEN 1 ELSE 0 END)
+            + max(CASE WHEN word = 'and' THEN 1 ELSE 0 END)
+            + max(CASE WHEN word = 'to' THEN 1 ELSE 0 END)
+            + max(CASE WHEN word = 'in' THEN 1 ELSE 0 END) AS n_stop
+          FROM w GROUP BY 1),
+        ls AS (
+          SELECT doc_id, count(*) AS n_lines,
+            sum(CASE WHEN line LIKE '- %' THEN 1 ELSE 0 END) AS n_bullet,
+            sum(CASE WHEN line LIKE '%...' THEN 1 ELSE 0 END) AS n_ell_line,
+            sum(length(line) - length(replace(line, '#', ''))) AS n_hash,
+            sum((length(line) - length(replace(line, '...', ''))) // 3) AS n_ell
+          FROM ln GROUP BY 1),
+        m AS (
+          SELECT ws.doc_id,
+            CAST(ls.n_lines AS BIGINT) AS n_lines,
+            CAST(ws.n_words AS BIGINT) AS n_words,
+            CAST(ws.sum_len * 100 // ws.n_words AS BIGINT) AS mean_word_len_x100,
+            CAST((ls.n_hash + ls.n_ell) * 1000 // ws.n_words AS BIGINT)
+              AS symbol_ratio_x1000,
+            CAST(ls.n_bullet * 1000 // ls.n_lines AS BIGINT) AS bullet_frac_x1000,
+            CAST(ls.n_ell_line * 1000 // ls.n_lines AS BIGINT)
+              AS ellipsis_frac_x1000,
+            CAST(ws.n_stop AS BIGINT) AS n_stop_distinct
+          FROM ws JOIN ls ON ls.doc_id = ws.doc_id)
+        SELECT doc_id, n_lines, n_words, n_stop_distinct,
+          mean_word_len_x100, symbol_ratio_x1000, bullet_frac_x1000,
+          ellipsis_frac_x1000,
+          CAST(mean_word_len_x100 BETWEEN 300 AND 1000
+            AND symbol_ratio_x1000 BETWEEN 0 AND 100
+            AND bullet_frac_x1000 BETWEEN 0 AND 900
+            AND ellipsis_frac_x1000 BETWEEN 0 AND 300
+            AND n_stop_distinct BETWEEN 2 AND 6 AS INT) AS gopher_keep
+        FROM m"""
+
   val oracle: Map[String, String] = Map(
     // same stopword-boundary phrase rebuild (running stop count BEFORE
     // each token, stop rows dropped), the same (deg·10⁶) div freq word
@@ -1676,76 +1761,15 @@ object TextAnalysis {
     // the identical line synthesis, integer-scaled metrics, and the
     // SAME thresholds the JSON suite declares (between is inclusive
     // on both ends, matching Expectations.between)
-    "quality_gopher" ->
-      """WITH t AS (
-          SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        ln AS MATERIALIZED (
-          SELECT doc_id,
-            CASE WHEN doc_id % 11 = 0 OR (doc_id + u.i) % 3 = 0
-              THEN '- ' ELSE '' END
-            || array_to_string(tk[u.i*10+1 : u.i*10+10], ' ')
-            || CASE WHEN doc_id % 17 = 0 OR (doc_id + u.i) % 5 = 0
-              THEN ' #####' ELSE '' END
-            || CASE WHEN doc_id % 13 = 0 OR (doc_id + u.i) % 4 = 0
-              THEN ' ...' ELSE '' END AS line
-          FROM t, unnest(generate_series(0, (len(tk) + 9) // 10 - 1)) AS u(i)),
-        w AS (
-          SELECT doc_id, unnest(string_split(line, ' ')) AS word FROM ln),
-        ws AS (
-          SELECT doc_id, count(*) AS n_words, sum(length(word)) AS sum_len,
-            max(CASE WHEN word = 'the' THEN 1 ELSE 0 END)
-            + max(CASE WHEN word = 'a' THEN 1 ELSE 0 END)
-            + max(CASE WHEN word = 'of' THEN 1 ELSE 0 END)
-            + max(CASE WHEN word = 'and' THEN 1 ELSE 0 END)
-            + max(CASE WHEN word = 'to' THEN 1 ELSE 0 END)
-            + max(CASE WHEN word = 'in' THEN 1 ELSE 0 END) AS n_stop
-          FROM w GROUP BY 1),
-        ls AS (
-          SELECT doc_id, count(*) AS n_lines,
-            sum(CASE WHEN line LIKE '- %' THEN 1 ELSE 0 END) AS n_bullet,
-            sum(CASE WHEN line LIKE '%...' THEN 1 ELSE 0 END) AS n_ell_line,
-            sum(length(line) - length(replace(line, '#', ''))) AS n_hash,
-            sum((length(line) - length(replace(line, '...', ''))) // 3) AS n_ell
-          FROM ln GROUP BY 1),
-        m AS (
-          SELECT ws.doc_id,
-            CAST(ls.n_lines AS BIGINT) AS n_lines,
-            CAST(ws.n_words AS BIGINT) AS n_words,
-            CAST(ws.sum_len * 100 // ws.n_words AS BIGINT) AS mean_word_len_x100,
-            CAST((ls.n_hash + ls.n_ell) * 1000 // ws.n_words AS BIGINT)
-              AS symbol_ratio_x1000,
-            CAST(ls.n_bullet * 1000 // ls.n_lines AS BIGINT) AS bullet_frac_x1000,
-            CAST(ls.n_ell_line * 1000 // ls.n_lines AS BIGINT)
-              AS ellipsis_frac_x1000,
-            CAST(ws.n_stop AS BIGINT) AS n_stop_distinct
-          FROM ws JOIN ls ON ls.doc_id = ws.doc_id)
-        SELECT doc_id, n_lines, n_words, n_stop_distinct,
-          mean_word_len_x100, symbol_ratio_x1000, bullet_frac_x1000,
-          ellipsis_frac_x1000,
-          CAST(mean_word_len_x100 BETWEEN 300 AND 1000
-            AND symbol_ratio_x1000 BETWEEN 0 AND 100
-            AND bullet_frac_x1000 BETWEEN 0 AND 900
-            AND ellipsis_frac_x1000 BETWEEN 0 AND 300
-            AND n_stop_distinct BETWEEN 2 AND 6 AS INT) AS gopher_keep
-        FROM m""",
+    "quality_gopher" -> gopherSqlFrom("documents"),
     // the IDENTICAL fold table (rendered 7-bit clean via chr()), the
     // same per-entry occurrence arithmetic, the same FFFD-rate gate;
     // sha256 pins the repaired text bit-exactly
     "text_unicode_fix" -> {
       val decSql =
-        s"""SELECT doc_id, text
-          || CASE WHEN doc_id % 3 = 0 THEN ${sqlStr(DecNfd)}
-                  WHEN doc_id % 3 = 1 THEN ${sqlStr(DecNfc)}
-                  ELSE '' END
-          || CASE WHEN doc_id % 5 = 0 THEN ${sqlStr(DecMoji)}
-                  ELSE '' END
-          || CASE WHEN doc_id % 7 = 0
-               THEN ' ' || repeat(chr(65533), CAST(1 + doc_id % 3 AS INT))
-               ELSE '' END AS s
+        s"""SELECT doc_id, ${unicodeDecSqlExpr("text", "doc_id")} AS s
         FROM documents"""
-      val fixedSql = UnicodeFolds.foldLeft("s") { case (acc, (k, v)) =>
-        s"replace($acc, ${sqlStr(k)}, ${sqlStr(v)})"
-      }
+      val fixedSql = unicodeFoldSqlExpr("s")
       val countsSql = UnicodeFolds.map { case (k, _) =>
         s"(length(s) - length(replace(s, ${sqlStr(k)}, ''))) // ${k.length}"
       }.mkString(" + ")
