@@ -27,6 +27,7 @@ object SparkEntry {
       analytics.Multimodal.queries ++
       analytics.StreamingQueries.queries ++
       analytics.Curation.queries ++
+      analytics.CorpusBuild.queries ++
       analytics.Chunking.queries ++
       analytics.Bpe.queries ++
       analytics.Stats.queries ++
@@ -45,6 +46,7 @@ object SparkEntry {
       analytics.Multimodal.oracle ++
       analytics.StreamingQueries.oracle ++
       analytics.Curation.oracle ++
+      analytics.CorpusBuild.oracle ++
       analytics.Chunking.oracle ++
       analytics.Bpe.oracle ++
       analytics.Stats.oracle ++

@@ -5,9 +5,14 @@ import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** End-to-end training-set selection — the query an LLM-data user
-  * actually runs over a crawled corpus, composed from this engine's
-  * own operator family (north-star EXT surface):
+/** Training-set selection and corpus-curation operators. NOTE
+  * (r13): `training_select` below is the r5-era FOUR-GATE selector,
+  * kept as the minimal composition demo; the full-stack composed
+  * pipeline — unicode repair, exact/near/paragraph dedup, Gopher,
+  * the trained classifier, eval decontamination, PII scrub, packing
+  * and mixture, with an exactly-reconciling drop ledger — is
+  * [[CorpusBuild]] (`corpus_build*`), which is what a production run
+  * executes. The four gates of training_select:
   *
   *   1. quality gate    — Gopher/C4-style heuristics (textQuality)
   *   2. language gate   — marker-token language ID == 'en' (langId)

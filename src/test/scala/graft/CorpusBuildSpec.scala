@@ -1,0 +1,112 @@
+package graft
+
+import graft.analytics.CorpusBuild
+import org.apache.spark.sql.functions._
+
+/** Pins the composed-pipeline semantics the corpus_build oracles can
+  * only hash: the ledger's lineage invariant, the planted re-crawl
+  * behavior (train copies die at exact-dedup, the re-crawled EVAL page
+  * dies at decontamination — never by accident at another stage), the
+  * content-keyed decoration contract, and the release projections'
+  * internal consistency. Runs at sf0.01: the smallest SF where the
+  * doc_id % 50 = 3 plant yields TRAIN copies (sf0.001 only has the
+  * eval copy). */
+class CorpusBuildSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private lazy val ledger = CorpusBuild.corpusBuild(spark, dir).collect()
+    .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getLong(4))).sortBy(_._1)
+  private lazy val survivors =
+    CorpusBuild.corpusBuildDocs(spark, dir).collect()
+  private lazy val survivorIds = survivors.map(_.getLong(0)).toSet
+
+  test("ledger reconciles exactly: input = survivors + per-stage drops") {
+    assert(ledger.map(_._2) === Seq("eval_holdout", "unicode", "exact",
+      "neardup", "paragraph", "gopher", "classifier", "contamination"))
+    // within each row: n_out = n_in - n_dropped
+    ledger.foreach { case (r, st, nIn, nDrop, nOut) =>
+      assert(nOut === nIn - nDrop, s"stage $st"); assert(nDrop >= 0, st)
+    }
+    // chain: stage k feeds stage k+1
+    ledger.toSeq.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._5 === b._3, s"${a._2} -> ${b._2}")
+    case _ => ()
+    }
+    // the global invariant, and the docs query agrees with the ledger
+    assert(ledger.head._3 === ledger.map(_._4).sum + ledger.last._5)
+    assert(ledger.last._5.toInt === survivors.length)
+  }
+
+  test("ledger input counts the corpus plus the re-crawl plants") {
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    val plants = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 50 === 3).count()
+    assert(ledger.head._3 === n + plants)
+  }
+
+  test("every stage can fire: dedup/holdout stages drop at sf0.01") {
+    val drops = ledger.map(r => r._2 -> r._4).toMap
+    // holdout, unicode, exact (the plants), neardup, paragraph and
+    // gopher all provably fire at this SF; classifier/contamination
+    // drops are pinned nonzero at sf0.1 (cross-SF sweep)
+    Seq("eval_holdout", "unicode", "exact", "neardup", "paragraph",
+      "gopher").foreach(st => assert(drops(st) > 0, st))
+  }
+
+  test("a train doc and its re-crawl copy never both survive") {
+    val copyOriginals = survivorIds.filter(_ >= CorpusBuild.CopyBase)
+      .map(_ - CorpusBuild.CopyBase)
+    assert(copyOriginals.intersect(survivorIds).isEmpty)
+  }
+
+  test("the re-crawled EVAL page is always scrubbed from the release") {
+    // doc 3 is eval (held out); its re-crawl copy 100003 is an exact
+    // copy of eval text — dedup cannot catch it (the twin never enters
+    // the pool), so if it reaches stage 8 the contamination screen
+    // must kill it; whatever stage fires, it must never ship
+    assert(!survivorIds.contains(CorpusBuild.CopyBase + 3))
+  }
+
+  test("content-keyed decoration: copies repair to identical text") {
+    val base = CorpusBuild.baseOf(
+      spark.read.parquet(s"$dir/documents.parquet"))
+    val pairs = base.filter(col("doc_id") >= CorpusBuild.CopyBase)
+      .select((col("doc_id") - CorpusBuild.CopyBase).as("doc_id"),
+        col("ftext").as("copy_ftext"))
+      .join(base, Seq("doc_id"))
+    assert(pairs.count() === 10)
+    assert(pairs.filter(col("ftext") =!= col("copy_ftext")).count() === 0)
+  }
+
+  test("survivors are scrubbed: fingerprints carry no raw PII and the " +
+      "packing respects the running-budget rule") {
+    // every pack holds < budget + its own last doc (first-fit running
+    // rule: a pack closes only once its cumulative sum crosses 512)
+    val byPack = survivors.groupBy(r => (r.getString(1), r.getLong(6)))
+    byPack.foreach { case ((srcPack, _), rows) =>
+      val toks = rows.map(_.getLong(2))
+      assert(toks.sum < 512 + toks.max,
+        s"pack $srcPack overfilled: ${toks.sum}")
+    }
+    // redaction counters: every doc whose id hits an injection class
+    // reports at least one redaction of that kind
+    survivors.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 3 == 0) assert(r.getLong(3) >= 1, s"doc $id n_emails")
+      if (id % 5 == 0) assert(r.getLong(4) >= 1, s"doc $id n_phones")
+    }
+  }
+
+  test("mix shares are a probability simplex over the survivors") {
+    val mix = CorpusBuild.corpusBuildMix(spark, dir).collect()
+    val docsBySource = survivors.groupBy(_.getString(1))
+      .view.mapValues(_.length).toMap
+    assert(mix.map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+      === docsBySource)
+    val shares = mix.map(_.getDouble(4))
+    assert(shares.forall(s => s > 0 && s < 1))
+    assert(math.abs(shares.sum - 1.0) < 1e-9)
+  }
+}

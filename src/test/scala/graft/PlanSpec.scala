@@ -94,7 +94,12 @@ class PlanSpec extends SparkSpec {
       // expect_suite_agg: the aggregate-tier gate stitches each
       // 1-row violation scalar onto the row-wise counts —
       // crossJoin(broadcast(1-row agg)) per aggregate expectation
-      "expect_suite_agg")
+      "expect_suite_agg",
+      // corpus_build: the 8-row ledger crossJoins PAIRS of 1-row
+      // count scalars over the checkpointed stage id-sets;
+      // corpus_build_mix: crossJoin(broadcast(1-row Σ√n/Σn scalars))
+      // over the bounded per-source table (mixture_temperature shape)
+      "corpus_build", "corpus_build_mix")
 
   private val streaming =
     Set("stream_hourly", "stream_session", "stream_session_multibatch",
@@ -117,6 +122,15 @@ class PlanSpec extends SparkSpec {
     // quality_classifier: scan-only codegen'd fold, zero exchanges
     "dedup_semantic" -> 2, "dedup_keep_best" -> 1,
     "dsir_select" -> 3, "quality_classifier" -> 0,
+    // corpus_build (r13): the ledger itself is 16 scalar counts over
+    // the checkpointed stage id-sets (zero hash exchanges — the stage
+    // work runs eagerly at build time, the dedup_clusters precedent);
+    // corpus_build_docs: survivor semi-join + the per-source packing
+    // window share one source exchange (+AQE may fuse the PII join);
+    // corpus_build_mix: survivor→source rollup + the bounded-source
+    // running-Σ√n window
+    "corpus_build" -> 0, "corpus_build_docs" -> 2,
+    "corpus_build_mix" -> 3,
     // expect_suite_agg: one groupBy(column) pass per uniqueness check
     // (2) + the countDistinct pass for the proportion check (1); the
     // row-wise tier and the scalar stitches are exchange-free
@@ -526,6 +540,9 @@ class PlanSpec extends SparkSpec {
     // privacy_dp_counts: the one event_type count exchange; the noise
     // draw is per-row literal-array arithmetic on 5 rows
     "privacy_dp_counts" -> 1,
+    // privacy_dp_release: the same single count exchange (the release
+    // projection over the dp_counts plan)
+    "privacy_dp_release" -> 1,
     // stats_kruskal: the raw scan feeds ONE (type × bin) agg (cached);
     // everything after — pooled bin totals, the midrank join, the
     // per-group rollup — shuffles only the bounded bin/type domain
@@ -859,7 +876,7 @@ class PlanSpec extends SparkSpec {
     // window additionally rides the bounded BIN domain (stats_ks bound)
     "stats_anova", "stats_levene", "stats_kruskal",
     // bounded source-table domain (≤8 sources)
-    "mixture_temperature",
+    "mixture_temperature", "corpus_build_mix",
     // calendar-bucketed series: per-day / per-month / hourly rollups
     // aggregated BEFORE the window — frame size is the time range
     "expect_volume", "ts_backlog", "ts_mom", "ts_seasonal",
