@@ -30,6 +30,7 @@ object SparkEntry {
       analytics.CorpusBuild.queries ++
       analytics.Chunking.queries ++
       analytics.Bpe.queries ++
+      analytics.Unigram.queries ++
       analytics.Stats.queries ++
       analytics.Geo.queries ++
       analytics.Web.queries ++
@@ -49,6 +50,7 @@ object SparkEntry {
       analytics.CorpusBuild.oracle ++
       analytics.Chunking.oracle ++
       analytics.Bpe.oracle ++
+      analytics.Unigram.oracle ++
       analytics.Stats.oracle ++
       analytics.Geo.oracle ++
       analytics.Web.oracle ++

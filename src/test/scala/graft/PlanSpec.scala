@@ -99,7 +99,11 @@ class PlanSpec extends SparkSpec {
       // count scalars over the checkpointed stage id-sets;
       // corpus_build_mix: crossJoin(broadcast(1-row Σ√n/Σn scalars))
       // over the bounded per-source table (mixture_temperature shape)
-      "corpus_build", "corpus_build_mix")
+      "corpus_build", "corpus_build_mix",
+      // bpe_unigram: crossJoin(broadcast(1-row total-usage scalar))
+      // over the bounded piece table; unigram_rounds: per-round
+      // crossJoins of PAIRS of 1-row aggregates (the ledger shape)
+      "bpe_unigram", "unigram_rounds")
 
   private val streaming =
     Set("stream_hourly", "stream_session", "stream_session_multibatch",
@@ -131,6 +135,13 @@ class PlanSpec extends SparkSpec {
     // running-Σ√n window
     "corpus_build" -> 0, "corpus_build_docs" -> 2,
     "corpus_build_mix" -> 3,
+    // bpe_unigram (r13): final-usage piece rollup (1) read by both the
+    // model and total branches + the alphabet distinct + model join on
+    // the bounded piece key — all vocab/model-sized, corpus-free (the
+    // corpus scan lives in the checkpointed training tables);
+    // unigram_rounds: per-round usage explode + distinct (piece
+    // domain) — bounded by model size
+    "bpe_unigram" -> 4, "unigram_rounds" -> 3,
     // expect_suite_agg: one groupBy(column) pass per uniqueness check
     // (2) + the countDistinct pass for the proportion check (1); the
     // row-wise tier and the scalar stitches are exchange-free
