@@ -707,12 +707,12 @@ object Dedup {
   // (7500× pruning), probe-set recall 56/60.
   // ---------------------------------------------------------------
 
-  private[analytics] val EmbPlants = 60
-  private[analytics] val EmbPlantBases = 30
-  private[analytics] val EmbPlantBase = 9000000L
-  private[analytics] val EmbPlantEps = 0.125
-  private[analytics] val EmbProdThreshold = 0.95
-  private[analytics] val EmbProdBands = 3
+  private[graft] val EmbPlants = 60
+  private[graft] val EmbPlantBases = 30
+  private[graft] val EmbPlantBase = 9000000L
+  private[graft] val EmbPlantEps = 0.125
+  private[graft] val EmbProdThreshold = 0.95
+  private[graft] val EmbProdBands = 3
 
   /** embeddings ∪ 60 planted near-dup variants, as the normalized
     * (vec_id, v, nrm) view. The plant is CONSTANT SIZE (like the BFS
@@ -768,7 +768,7 @@ object Dedup {
   /** The production pipeline over an ALREADY-persisted planted corpus
     * — seam shared with the recall gate so the corpus is cached
     * exactly once per query. */
-  private def dedupEmbeddingProdOf(e: DataFrame): DataFrame = {
+  private[analytics] def dedupEmbeddingProdOf(e: DataFrame): DataFrame = {
     val bandBits = Sizing.cosineBandBits(e.count())
     val cand = pairsFromBanded(
       bandedWith(e, corpusPlanes(e, bandBits, EmbProdBands),
@@ -1299,7 +1299,7 @@ object Dedup {
     * `n2` exposed for the recall gate's exact side). Interpolates the
     * SAME constants the Scala side uses, so retuning the plant or the
     * banding retunes both engines together. */
-  private val embProdPairsCte: String =
+  private[analytics] val embProdPairsCte: String =
     s"""e AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings),

@@ -962,7 +962,85 @@ object Similarity {
       .toDF("lambda1", "trace_g", "var_explained")
   }
 
+  // ---------------------------------------------------------------
+  // Semantic benchmark decontamination (r13) — the embedding-space
+  // screen n-gram `contamination` provably cannot run: a PARAPHRASED
+  // eval item shares no 5-gram with its training twin but sits at
+  // cosine ≈ 1 in embedding space (the planted spec constructs
+  // exactly that pair and shows the n-gram screen scoring 0 on it).
+  // Eval slice = vec_id < EvalVecMax of the planted corpus — the
+  // production eval-set shape: SMALL BY CONSTRUCTION (benchmarks are
+  // thousands of items, the corpus is billions), so the exact screen
+  // broadcasts the eval vectors and streams the corpus ONCE against
+  // them (the sim_knn bounded-query-set contract — linear in the
+  // corpus at any scale, zero corpus shuffles). The banded-LSH scale
+  // path (for eval sets too big to broadcast) reuses the production
+  // dedup_embedding banding; its achieved recall against the exact
+  // screen is MEASURED by contamination_semantic_recall, not assumed
+  // (the dedup_embedding_recall pattern).
+  // ---------------------------------------------------------------
+
+  private[graft] val EvalVecMax = 25L
+
+  /** Per-train-vector verdict over an arbitrary (vec_id, v, nrm)
+    * corpus: nearest eval item (cos desc, eval_id asc) and the ≥ τ
+    * contamination flag; only flagged rows are emitted (the drop
+    * list a decontamination pass consumes). */
+  private[graft] def contaminationSemanticOf(e: DataFrame,
+      evalMax: Long, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val eval = e.filter(col("vec_id") < evalMax)
+      .select(col("vec_id").as("eval_id"), col("v").as("ev"),
+        col("nrm").as("en"))
+    val scored = e.filter(col("vec_id") >= evalMax)
+      .crossJoin(broadcast(eval))
+      .withColumn("cos",
+        graft.functions.vec.dot(col("v"), col("ev")) / (col("nrm") * col("en")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("eval_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && col("cos") >= threshold)
+      .select(col("vec_id"), col("eval_id"), col("cos"))
+  }
+
+  /** Board query: the contaminated-training-vector list over the
+    * planted corpus (the 50 plants of eval bases are the leakage the
+    * screen exists for; the near-random natural corpus maxes out at
+    * cosine ≈ 0.65, far under the 0.95 gate). */
+  def contaminationSemantic(s: SparkSession, d: String): DataFrame =
+    contaminationSemanticOf(Dedup.plantedVectors(s, d).persistTracked(),
+      EvalVecMax, Dedup.EmbProdThreshold)
+
+  /** The scale path's measured recall: exact eval×train pairs ≥ τ
+    * (broadcast scan) vs the pairs the production LSH banding
+    * surfaces, as (n_exact, n_found, recall_ppm). */
+  def contaminationSemanticRecall(s: SparkSession, d: String): DataFrame = {
+    val e = Dedup.plantedVectors(s, d).persistTracked()
+    val eval = e.filter(col("vec_id") < EvalVecMax)
+      .select(col("vec_id").as("eval_id"), col("v").as("ev"),
+        col("nrm").as("en"))
+    val exact = e.filter(col("vec_id") >= EvalVecMax)
+      .crossJoin(broadcast(eval))
+      .withColumn("cos",
+        graft.functions.vec.dot(col("v"), col("ev")) / (col("nrm") * col("en")))
+      .filter(col("cos") >= Dedup.EmbProdThreshold)
+      .select(col("vec_id"), col("eval_id"))
+    // eval ids precede all train ids, so every banded pair spanning
+    // the split arrives as (vec_a = eval, vec_b = train)
+    val found = Dedup.dedupEmbeddingProdOf(e)
+      .filter(col("vec_a") < EvalVecMax && col("vec_b") >= EvalVecMax)
+      .select(col("vec_b").as("vec_id"), col("vec_a").as("eval_id"),
+        lit(1).as("hit"))
+    exact.join(found, Seq("vec_id", "eval_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_found"))
+      .select(col("n_exact"), col("n_found"),
+        expr("n_found * 1000000 div n_exact").as("recall_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "contamination_semantic" -> contaminationSemantic _,
+    "contamination_semantic_recall" -> contaminationSemanticRecall _,
     "emb_pca" -> embPca _,
     "emb_pca_scores" -> embPcaScores _,
     "emb_pca_var" -> embPcaVar _,
@@ -1089,6 +1167,45 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    // the same planted corpus (Dedup.embProdPairsCte's e/pv/corpus/n2
+    // chain — unused banding CTEs prune away), exact broadcast-shaped
+    // scan, argmax by (cos desc, eval_id), 0.95 gate
+    "contamination_semantic" ->
+      s"""WITH ${Dedup.embProdPairsCte},
+        ev AS (SELECT vec_id AS eval_id, v, nrm FROM n2
+               WHERE vec_id < $EvalVecMax),
+        tr AS (SELECT vec_id, v, nrm FROM n2 WHERE vec_id >= $EvalVecMax),
+        scored AS (
+          SELECT tr.vec_id, ev.eval_id,
+            list_dot_product(tr.v, ev.v) / (tr.nrm * ev.nrm) AS cos
+          FROM tr CROSS JOIN ev),
+        rk AS (
+          SELECT vec_id, eval_id, cos,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY cos DESC, eval_id) AS rn
+          FROM scored)
+        SELECT vec_id, eval_id, cos FROM rk
+        WHERE rn = 1 AND cos >= ${Dedup.EmbProdThreshold}""",
+    // exact spanning pair set vs the production banding's prod_pairs
+    "contamination_semantic_recall" ->
+      s"""WITH ${Dedup.embProdPairsCte},
+        ev AS (SELECT vec_id AS eval_id, v, nrm FROM n2
+               WHERE vec_id < $EvalVecMax),
+        tr AS (SELECT vec_id, v, nrm FROM n2 WHERE vec_id >= $EvalVecMax),
+        exact AS (
+          SELECT tr.vec_id, ev.eval_id
+          FROM tr CROSS JOIN ev
+          WHERE list_dot_product(tr.v, ev.v) / (tr.nrm * ev.nrm)
+            >= ${Dedup.EmbProdThreshold}),
+        found AS (
+          SELECT vec_b AS vec_id, vec_a AS eval_id, 1 AS hit
+          FROM prod_pairs
+          WHERE vec_a < $EvalVecMax AND vec_b >= $EvalVecMax)
+        SELECT count(*) AS n_exact,
+          CAST(sum(coalesce(f.hit, 0)) AS BIGINT) AS n_found,
+          CAST(sum(coalesce(f.hit, 0)) * 1000000 // count(*) AS BIGINT)
+            AS recall_ppm
+        FROM exact e LEFT JOIN found f USING (vec_id, eval_id)""",
     "emb_pca" ->
       s"""$pcaCtes
         SELECT CAST(i AS BIGINT) AS i, CAST(v AS BIGINT) AS pc1_mu

@@ -103,7 +103,12 @@ class PlanSpec extends SparkSpec {
       // bpe_unigram: crossJoin(broadcast(1-row total-usage scalar))
       // over the bounded piece table; unigram_rounds: per-round
       // crossJoins of PAIRS of 1-row aggregates (the ledger shape)
-      "bpe_unigram", "unigram_rounds")
+      "bpe_unigram", "unigram_rounds",
+      // contamination_semantic(_recall): the corpus streams ONCE
+      // against the broadcast bounded eval slice (vec_id < 25 of the
+      // planted corpus) — the sim_knn exact-scan contract; the recall
+      // query's LSH side is all equi-joins
+      "contamination_semantic", "contamination_semantic_recall")
 
   private val streaming =
     Set("stream_hourly", "stream_session", "stream_session_multibatch",
@@ -142,6 +147,10 @@ class PlanSpec extends SparkSpec {
     // unigram_rounds: per-round usage explode + distinct (piece
     // domain) — bounded by model size
     "bpe_unigram" -> 4, "unigram_rounds" -> 3,
+    // contamination_semantic: the per-train-vector argmax window keys
+    // on vec_id (1); the eval side is broadcast; _recall adds the LSH
+    // candidate distinct — all id/bucket-keyed, never vectors
+    "contamination_semantic" -> 1, "contamination_semantic_recall" -> 2,
     // expect_suite_agg: one groupBy(column) pass per uniqueness check
     // (2) + the countDistinct pass for the proportion check (1); the
     // row-wise tier and the scalar stitches are exchange-free
@@ -847,6 +856,10 @@ class PlanSpec extends SparkSpec {
     // (the sim_knn 30-probe contract); the walker sees only the
     // norm-carrying Project above the filter
     "emb_matryoshka",
+    // contamination_semantic(_recall): the hinted side is the
+    // vec_id < 25 eval slice of the planted corpus (a union the
+    // walker cannot see through) — benchmark-sized by construction
+    "contamination_semantic", "contamination_semantic_recall",
     // dedup_embedding_recall: the hinted side is the 30-row probe
     // sample (vec_id < EmbPlantBases over the planted corpus — a
     // union the shape walker cannot see through); exact side is
