@@ -31,6 +31,7 @@ object SparkEntry {
       analytics.Chunking.queries ++
       analytics.Bpe.queries ++
       analytics.Unigram.queries ++
+      analytics.License.queries ++
       analytics.Stats.queries ++
       analytics.Geo.queries ++
       analytics.Web.queries ++
@@ -51,6 +52,7 @@ object SparkEntry {
       analytics.Chunking.oracle ++
       analytics.Bpe.oracle ++
       analytics.Unigram.oracle ++
+      analytics.License.oracle ++
       analytics.Stats.oracle ++
       analytics.Geo.oracle ++
       analytics.Web.oracle ++

@@ -151,6 +151,9 @@ class PlanSpec extends SparkSpec {
     // on vec_id (1); the eval side is broadcast; _recall adds the LSH
     // candidate distinct — all id/bucket-keyed, never vectors
     "contamination_semantic" -> 1, "contamination_semantic_recall" -> 2,
+    // license_mix: the bounded (source × license) rollup + its
+    // within-source share window (text_license itself is scan-only)
+    "license_mix" -> 2,
     // expect_suite_agg: one groupBy(column) pass per uniqueness check
     // (2) + the countDistinct pass for the proportion check (1); the
     // row-wise tier and the scalar stitches are exchange-free
