@@ -1247,7 +1247,7 @@ object Dedup {
     * pooled comparison) the engine's decoded dHash must equal it
     * bit-for-bit. Corpus ids carry no flip; plants reuse base
     * patterns with the co-rotating flip tier. */
-  private def phashSql: String = {
+  private[analytics] def phashSql: String = {
     val highs = "('8','9','a','b','c','d','e','f')"
     val bitExprs = (0 until 64).map { b =>
       val (by, c) = (b / 8, b % 8)

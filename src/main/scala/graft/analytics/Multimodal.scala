@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.Tables._
+import graft.analytics.Caches.TrackedPersist
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1927,7 +1928,92 @@ object Multimodal {
       .toDF("asset_id", "media_type", "n_units", "ok")
   }
 
+  // ---------------------------------------------------------------
+  // Image–text alignment gate (r13) — the LAION/DataComp keep-drop
+  // filter shape: score every (image, caption) pair, keep pairs whose
+  // caption demonstrably describes the image, drop mismatches. The
+  // CLIP score becomes rule-derived arithmetic both engines can
+  // replay: the image signature is the 64-bit dHash of the GENUINELY
+  // DECODED phash-testbed BMP (Dedup.dedupPhash's pipeline — decode,
+  // 4×4 pooling, adjacent-column comparison), the caption arrives as
+  // a 64-dim float EMBEDDING whose sign bits encode what the labeler
+  // saw, and the alignment score is the bit agreement between the
+  // two (a cosine over ±1 vectors, affinely: cos = 2·agree/64 − 1).
+  // Pair classes by pair_id % 3 plant the three populations a real
+  // filter faces: faithful captions (agree 64), noisy-but-correct
+  // captions (4 flipped sign dims → 60), and mismatched captions
+  // (md5-independent signs → agree ≈ Binomial(64, ½)). The keep
+  // threshold 52 sits between them: P(random ≥ 52) ≈ 2.8·10⁻⁷, so
+  // mismatches cannot sneak through at any test SF while both
+  // aligned classes clear with margin. Cross-corroboration is the
+  // point (the dedup_phash discipline): the engine recovers the
+  // image bits THROUGH the real decoder while the oracle replays the
+  // synthesis arithmetic — a decoder bug breaks the hash match.
+  // Scale shape: decode is per-row work behind the full-width
+  // fan-out; the caption side is pure expression; ONE id-keyed join
+  // pairs them. Gating 100 TB of pairs is a map pass per side.
+  // ---------------------------------------------------------------
+
+  private[graft] val AlignThreshold = 52
+
+  /** The caption-embedding column for pair class `cls` over the
+    * (seed, flip_c, flip_r) synthesis params: sign(dim k) encodes the
+    * labeler's bit for dHash position k. */
+  private def captionEmb: org.apache.spark.sql.Column = {
+    def patBit(c: Int, by: Int): org.apache.spark.sql.Column =
+      conv(substring(md5(concat(col("seed").cast("string"),
+        lit(s":$c:$by"))), 1, 1), 16, 10).cast("int") >= 8
+    val cls = col("pair_id") % 3
+    val dims = (0 until 64).map { k =>
+      val c = k % 8; val by = k / 8
+      val imgBit = patBit(c, by) =!=
+        (col("flip_c") === c && col("flip_r") === by)
+      val capRnd = conv(substring(md5(concat(lit("cap:"),
+        col("pair_id").cast("string"), lit(s":$k"))), 1, 1), 16, 10)
+        .cast("int") >= 8
+      val bit = when(cls === 0, imgBit)
+        .when(cls === 1, imgBit =!= lit(k % 16 == 7))
+        .otherwise(capRnd)
+      (when(bit, 1.0).otherwise(-1.0) * lit(0.25 * (1 + k % 3)))
+        .cast("double")
+    }
+    array(dims: _*)
+  }
+
+  def multimodalAlign(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val corpus = Dedup.phashCorpus(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .persistTracked()
+    // image side: synthesize + REAL decode (never the pattern rule)
+    val fp = corpus
+      .as[(Long, Long, Long, Long, Long)]
+      .mapPartitions(_.map { case (id, seed, tex, fc, fr) =>
+        (id, phashOfBmp(phashBmpBytes(seed, tex, fc, fr)))
+      })
+      .toDF("pair_id", "phash")
+    // caption side: embedding vector → in-plan sign-bit extraction
+    val caps = corpus
+      .select(col("doc_id").as("pair_id"), col("seed"),
+        col("flip_c"), col("flip_r"))
+      .withColumn("cap_emb", captionEmb)
+      .withColumn("cap_bits", concat_ws("",
+        transform(col("cap_emb"),
+          x => when(x >= 0, "1").otherwise("0"))))
+      .select(col("pair_id"), col("cap_bits"))
+    val agree = aggregate(sequence(lit(1), lit(64)), lit(0L), (acc, k) =>
+      acc + when(col("phash").substr(k, lit(1)) ===
+        col("cap_bits").substr(k, lit(1)), 1L).otherwise(0L))
+    fp.join(caps, Seq("pair_id"))
+      .withColumn("n_agree", agree)
+      .select(col("pair_id"), (col("pair_id") % 3).as("align_class"),
+        col("n_agree"),
+        (col("n_agree") - AlignThreshold).as("margin"),
+        (col("n_agree") >= AlignThreshold).cast("int").as("keep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_align"    -> multimodalAlign _,
     "multimodal_sniff"    -> multimodalSniff _,
     "multimodal_stub"     -> multimodalStub _,
     "multimodal_features" -> featuresScalar _,
@@ -1951,7 +2037,57 @@ object Multimodal {
     """(strpos('0123456789abcdef', substr(sha, 2*i + 1, 1)) - 1) * 16
        + (strpos('0123456789abcdef', substr(sha, 2*i + 2, 1)) - 1)"""
 
+  /** multimodal_align oracle: the image bits replayed via the planted
+    * pattern arithmetic (Dedup.phashSql — the engine must recover the
+    * same bits through the real decode), the caption embedding built
+    * from the same labeler rule, signs extracted from the float dims,
+    * agreement summed per pair. */
+  private def alignSql: String = {
+    val highs = "('8','9','a','b','c','d','e','f')"
+    val dims = (0 until 64).map { k =>
+      val c = k % 8; val by = k / 8
+      val w = Seq("0.25", "0.5", "0.75")(k % 3)
+      val img =
+        s"""((CASE WHEN substr(md5(seed || ':$c:$by'), 1, 1) IN $highs
+            THEN 1 ELSE 0 END
+            + CASE WHEN flip_c = $c AND flip_r = $by THEN 1 ELSE 0 END) % 2 = 1)"""
+      val flip1 = if (k % 16 == 7) s"NOT $img" else img
+      val rnd =
+        s"""substr(md5('cap:' || doc_id || ':$k'), 1, 1) IN $highs"""
+      s"""CASE WHEN (CASE WHEN doc_id % 3 = 0 THEN $img
+          WHEN doc_id % 3 = 1 THEN $flip1
+          ELSE $rnd END)
+        THEN 1.0 ELSE -1.0 END * $w"""
+    }.mkString(",\n            ")
+    s"""WITH ${Dedup.phashSql},
+        caps AS MATERIALIZED (
+          SELECT doc_id AS pair_id,
+            [$dims] AS emb
+          FROM ids),
+        capbits AS (
+          SELECT pair_id,
+            array_to_string(list_transform(generate_series(1, 64),
+              k -> CASE WHEN emb[k] >= 0 THEN '1' ELSE '0' END), '')
+              AS cap_bits
+          FROM caps)
+        SELECT f.doc_id AS pair_id, f.doc_id % 3 AS align_class,
+          CAST(list_sum(list_transform(generate_series(1, 64),
+            k -> CASE WHEN substr(f.phash, CAST(k AS INT), 1)
+              = substr(cb.cap_bits, CAST(k AS INT), 1)
+              THEN 1 ELSE 0 END)) AS BIGINT) AS n_agree,
+          CAST(list_sum(list_transform(generate_series(1, 64),
+            k -> CASE WHEN substr(f.phash, CAST(k AS INT), 1)
+              = substr(cb.cap_bits, CAST(k AS INT), 1)
+              THEN 1 ELSE 0 END)) - $AlignThreshold AS BIGINT) AS margin,
+          CAST(list_sum(list_transform(generate_series(1, 64),
+            k -> CASE WHEN substr(f.phash, CAST(k AS INT), 1)
+              = substr(cb.cap_bits, CAST(k AS INT), 1)
+              THEN 1 ELSE 0 END)) >= $AlignThreshold AS INT) AS keep
+        FROM fp f JOIN capbits cb ON cb.pair_id = f.doc_id"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "multimodal_align" -> alignSql,
     // every EXIF field is a construction rule over doc_id, so the
     // oracle replays the PLANT arithmetically while the query only
     // reproduces it by correctly walking markers + both TIFF byte

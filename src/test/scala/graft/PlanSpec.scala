@@ -154,6 +154,9 @@ class PlanSpec extends SparkSpec {
     // license_mix: the bounded (source × license) rollup + its
     // within-source share window (text_license itself is scan-only)
     "license_mix" -> 2,
+    // multimodal_align: ONE id-keyed join pairing the decoded image
+    // fingerprints with the caption-bit side (both map passes)
+    "multimodal_align" -> 2,
     // expect_suite_agg: one groupBy(column) pass per uniqueness check
     // (2) + the countDistinct pass for the proportion check (1); the
     // row-wise tier and the scalar stitches are exchange-free
@@ -956,7 +959,7 @@ class PlanSpec extends SparkSpec {
       "multimodal_mp4", "multimodal_wav", "multimodal_audio_gate",
       "warc_parse", "warc_gzip", "warc_wet", "binary_codecs",
       "multimodal_sniff", "dedup_phash", "multimodal_exif",
-      "multimodal_exif_strip")
+      "multimodal_exif_strip", "multimodal_align")
     val missing = plans.collect {
       case (name, p) if mustFan(name) &&
         !p.contains("RoundRobinPartitioning") => name
