@@ -32,6 +32,7 @@ object SparkEntry {
       analytics.Bpe.queries ++
       analytics.Unigram.queries ++
       analytics.License.queries ++
+      analytics.TokenizerEval.queries ++
       analytics.Stats.queries ++
       analytics.Geo.queries ++
       analytics.Web.queries ++
@@ -53,6 +54,7 @@ object SparkEntry {
       analytics.Bpe.oracle ++
       analytics.Unigram.oracle ++
       analytics.License.oracle ++
+      analytics.TokenizerEval.oracle ++
       analytics.Stats.oracle ++
       analytics.Geo.oracle ++
       analytics.Web.oracle ++

@@ -94,7 +94,19 @@ object Bpe {
     * precedent) and because round r+1's plan would otherwise recompute
     * round r three times. The collected winner rows are tokenizer
     * metadata, not data. */
-  private def train(s: SparkSession, d: String): (Seq[DataFrame], Seq[(String, String)]) = {
+  private def train(s: SparkSession, d: String): (Seq[DataFrame], Seq[(String, String)]) =
+    trainMemo.getOrElseUpdate(d, trainOnce(s, d))
+
+  /** Training is deterministic per corpus and the per-round symbol
+    * tables are already localCheckpoint'd — so a session trains each
+    * corpus ONCE and the five consuming queries (merges/encode/
+    * segment/token_budget/tokenizer_fertility) share the result (the
+    * trainQualityWeights/Unigram memo precedent, r13; through r12
+    * every query re-ran the 5 merge rounds). */
+  private val trainMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[DataFrame], Seq[(String, String)])]
+
+  private def trainOnce(s: SparkSession, d: String): (Seq[DataFrame], Seq[(String, String)]) = {
     var toks = initToks(s, d).localCheckpoint(true)
     val tables = Seq.newBuilder[DataFrame]
     val pairs = Seq.newBuilder[(String, String)]
@@ -141,7 +153,7 @@ object Bpe {
     * occurrences joined with the trained per-word token counts. `key`
     * is doc_id for per-doc pricing, source for the budget rollup — one
     * spelling, not two drifting copies. */
-  private def pricedWords(s: SparkSession, d: String, key: String): DataFrame = {
+  private[analytics] def pricedWords(s: SparkSession, d: String, key: String): DataFrame = {
     val (tables, _) = train(s, d)
     val wtc = tables(rounds).groupBy(col("w")).agg(count(lit(1)).as("ntok"))
     documents(s, d)
@@ -266,12 +278,12 @@ object Bpe {
           WHERE mp.pos IS NULL) z)"""
   }
 
-  private def oracleTraining: String =
+  private[analytics] def oracleTraining: String =
     oracleBase + ",\n" + (1 to rounds).map(oracleRound).mkString(",\n")
 
   /** The pricing join's CTE pair (the SQL twin of `pricedWords`) —
     * appended after `oracleTraining`, parameterized by the rollup key. */
-  private def pricingCtes(key: String): String =
+  private[analytics] def pricingCtes(key: String): String =
     s""",
       wtc AS (SELECT w, count(*) AS ntok FROM t$rounds GROUP BY 1),
       dw AS (SELECT $key, w, count(*) AS c FROM (

@@ -238,7 +238,7 @@ object Unigram {
     * TEXTUALLY with no sharing, so a 12-deep DP whose every cell
     * references 4 predecessors would explode to a 4¹²-node expression
     * tree — materializing each step keeps b_{j−1} a stored column. */
-  private def dpCtes(prefix: String, rel: String, cm: String): String = {
+  private[analytics] def dpCtes(prefix: String, rel: String, cm: String): String = {
     def look(piece: String) = s"coalesce(m[$piece][1], $BigM)"
     val fwd = (1 to MaxW).map { j =>
       val cs = (1 to math.min(PieceMax, j)).map { l =>
@@ -294,7 +294,7 @@ object Unigram {
           UNION ALL
           SELECT piece, cnt FROM $cnts WHERE length(piece) >= 2 AND cnt >= 1)"""
 
-  private def trainSql: String = {
+  private[analytics] def trainSql: String = {
     val roundCtes = (1 to Rounds).map { r =>
       s"""${dpCtes(s"seg$r", "vocab", s"cm${r - 1}")},
         cnt$r AS MATERIALIZED (

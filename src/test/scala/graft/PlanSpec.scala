@@ -157,6 +157,10 @@ class PlanSpec extends SparkSpec {
     // multimodal_align: ONE id-keyed join pairing the decoded image
     // fingerprints with the caption-bit side (both map passes)
     "multimodal_align" -> 2,
+    // tokenizer_fertility: two corpus→(source, word) pricing aggs (one
+    // per tokenizer), their vocab-keyed price joins, and the bounded
+    // per-source rollups — words/ids on the wire, never text
+    "tokenizer_fertility" -> 5,
     // expect_suite_agg: one groupBy(column) pass per uniqueness check
     // (2) + the countDistinct pass for the proportion check (1); the
     // row-wise tier and the scalar stitches are exchange-free
