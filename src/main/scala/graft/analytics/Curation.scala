@@ -537,7 +537,7 @@ object Curation {
   private val weightMemo =
     scala.collection.concurrent.TrieMap.empty[String, (Array[Long], Array[Long])]
 
-  private[analytics] def trainQualityWeights(s: SparkSession, d: String): (Array[Long], Array[Long]) =
+  private[graft] def trainQualityWeights(s: SparkSession, d: String): (Array[Long], Array[Long]) =
     weightMemo.getOrElseUpdate(d, trainQualityWeightsOf(documents(s, d)))
 
   /** Board query: the learned weight table — final weights and the
@@ -565,7 +565,8 @@ object Curation {
     * averaged-perceptron vote weights — the reusable scan-side fold
     * (see [[qualityClassifier]] for the contract; corpus_build gates
     * its survivor slice through the same spelling). */
-  private[analytics] def classifierScored(docs: DataFrame, wsum: Array[Long]): DataFrame = {
+  private[graft] def classifierScored(docs: DataFrame, wsum: Array[Long],
+      carry: Seq[String] = Nil): DataFrame = {
     val warr = typedlit(wsum.toIndexedSeq)
     // margin = Σ_tokens w[bucket(t)]·q  +  w[32]·10  +  w[33]·ℓ, with
     // q = 1000 div n_tok the per-token tf quantum (the reason the
@@ -574,13 +575,17 @@ object Curation {
       lit(wsum(32) * 10L) +
         lit(wsum(33)) * least(size(toks).cast("long"), lit(50L)) * 20L,
       (acc, t) => acc + element_at(warr, (bucketOf(t) + 1).cast("int")) * col("q"))
+    // materialize the fold ONCE (r13): the aggregate HOF is
+    // interpreted, and projecting `margin` and `margin > 0` from the
+    // same expression evaluated the whole token fold twice per row
     docs
       .withColumn("n_tok", size(toks).cast("long"))
       .withColumn("q", expr("1000 div n_tok"))
-      .select(col("doc_id"),
+      .withColumn("_margin", margin)
+      .select(Seq(col("doc_id")) ++ carry.map(col) ++ Seq(
         col("n_tok").as("n_tokens"),
-        margin.as("margin"),
-        (margin > 0).cast("int").as("accept"))
+        col("_margin").as("margin"),
+        (col("_margin") > 0).cast("int").as("accept")): _*)
   }
 
   def qualityClassifier(s: SparkSession, d: String): DataFrame =

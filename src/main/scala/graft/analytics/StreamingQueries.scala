@@ -995,7 +995,45 @@ object StreamingQueries {
     runToMemory(s, agg, OutputMode.Append())
   }
 
+  /** Streaming quality gating (r13) — the batch gate stack scored on
+    * a REAL StreamingQuery: the ingest-time shape of corpus curation,
+    * where documents arrive as a stream and the cheap gates run
+    * scan-side before anything lands in the lake. Gopher metrics and
+    * the TRAINED classifier margin are both pure per-row expression
+    * stacks (the whole point of their batch spellings), so they ride
+    * the micro-batch scan unchanged — train offline once (the batch
+    * memo), score the stream forever. State is the bounded per-source
+    * aggregation (Complete mode; a production job adds an event-time
+    * window + watermark like stream_hourly). Oracle = the same gates
+    * + rollup in batch SQL, so the STREAMING EXECUTION PATH is what
+    * gets hash-checked. */
+  def streamQualityGate(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read
+      .option("pathGlobFilter", "documents.parquet").parquet(d).schema
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val (_, wsum) = Curation.trainQualityWeights(s, d)
+    // the PlanSpec fan-out rule in streaming form: the single-split
+    // file source would run the whole interpreted-HOF gate stack
+    // (md5 per token in the classifier fold) on ONE task — measured
+    // 28 s vs ~1 s at sf1
+    val fanned = src.select(col("doc_id"), col("source"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val scored = Curation.classifierScored(fanned, wsum,
+      carry = Seq("source", "text"))
+    val gated = TextAnalysis.qualityGopherOf(
+      scored, carry = Seq("source", "accept"))
+    runToMemory(s,
+      gated.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("gopher_keep")).cast("long").as("n_gopher"),
+        sum(col("accept")).cast("long").as("n_classifier"),
+        sum(col("gopher_keep") * col("accept")).cast("long").as("n_both")),
+      OutputMode.Complete())
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_quality_gate" -> streamQualityGate _,
     "stream_fp_dedup" -> streamFpDedup _,
     "stream_dsv2"    -> streamDsv2 _,
     "stream_stateful" -> streamStateful _,
@@ -1020,6 +1058,25 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the gates replayed in batch SQL: the full classifier training
+    // chain + scoring and the Gopher metric chain, rolled to source —
+    // a hash match pins the STREAMING execution path's results
+    "stream_quality_gate" -> {
+      val cls = Curation.classifierScoreSqlFrom("documents")
+        .trim.stripPrefix(",")
+      s"""WITH ${Curation.qualityTrainCtes},
+        cm AS MATERIALIZED (WITH $cls),
+        gm AS MATERIALIZED (${TextAnalysis.gopherSqlFrom("documents")})
+        SELECT d.source,
+          count(*) AS n_docs,
+          CAST(sum(gm.gopher_keep) AS BIGINT) AS n_gopher,
+          CAST(sum(cm.accept) AS BIGINT) AS n_classifier,
+          CAST(sum(gm.gopher_keep * cm.accept) AS BIGINT) AS n_both
+        FROM documents d
+        JOIN gm ON gm.doc_id = d.doc_id
+        JOIN cm ON cm.doc_id = d.doc_id
+        GROUP BY d.source"""
+    },
     // the same 16-bit simhash spelling as dedup_simhash, bucketed on
     // the synthetic 10-s/doc clock's hour windows; the sentinel row is
     // not in `documents`, and its window is withheld by the final

@@ -282,7 +282,8 @@ object TextAnalysis {
       |]}""".stripMargin
 
   /** The synthesized-line Gopher metrics, per document. */
-  private[graft] def gopherMetricsOf(docs: DataFrame): DataFrame = {
+  private[graft] def gopherMetricsOf(docs: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     val id = col("doc_id")
     val tk = toks
     val nL = floor((size(tk) + lit(9)) / lit(10)).cast("int")
@@ -292,22 +293,38 @@ object TextAnalysis {
         array_join(slice(tk, i * 10 + 1, lit(10)), " "),
         when(id % 17 === 0 || (id + i) % 5 === 0, lit(" #####")).otherwise(lit("")),
         when(id % 13 === 0 || (id + i) % 4 === 0, lit(" ...")).otherwise(lit(""))))
-    val words = flatten(transform(lines, l => split(l, " ")))
-    val joined = array_join(lines, "\n")
+    // MATERIALIZE the synthesized arrays once per row (r13): higher-
+    // order functions are interpreted (no whole-stage codegen), and
+    // referencing `lines` from every metric column re-evaluated the
+    // whole line synthesis ~12× per row — invisible under a pruned
+    // count() but 100× on a full evaluation (the streaming gate
+    // exposed it: 32 s vs 0.3 s at sf1). Staged projections survive
+    // because CollapseProject refuses to inline a non-cheap expression
+    // into multiple consumers.
+    val staged = docs
+      .withColumn("_lines", lines)
+      .withColumn("_words",
+        flatten(transform(col("_lines"), l => split(l, " "))))
+      .withColumn("_joined", array_join(col("_lines"), "\n"))
     val nStop = GopherStops
-      .map(w => when(array_contains(words, w), 1L).otherwise(0L))
+      .map(w => when(array_contains(col("_words"), w), 1L).otherwise(0L))
       .reduce(_ + _)
-    docs.select(id,
-      size(lines).cast("long").as("n_lines"),
-      size(words).cast("long").as("n_words"),
-      aggregate(words, lit(0L), (acc, w) => acc + length(w)).as("_sum_len"),
-      (length(joined) - length(regexp_replace(joined, "#", "")))
+    staged.select(Seq(id) ++ carry.map(col) ++ Seq(
+      size(col("_lines")).cast("long").as("n_lines"),
+      size(col("_words")).cast("long").as("n_words"),
+      aggregate(col("_words"), lit(0L), (acc, w) => acc + length(w))
+        .as("_sum_len"),
+      (length(col("_joined")) -
+        length(regexp_replace(col("_joined"), "#", "")))
         .cast("long").as("_n_hash"),
-      ((length(joined) - length(regexp_replace(joined, "\\.\\.\\.", ""))) / 3)
+      ((length(col("_joined")) -
+        length(regexp_replace(col("_joined"), "\\.\\.\\.", ""))) / 3)
         .cast("long").as("_n_ell"),
-      size(filter(lines, l => l.startsWith("- "))).cast("long").as("_n_bullet"),
-      size(filter(lines, l => l.endsWith("..."))).cast("long").as("_n_ell_line"),
-      nStop.as("n_stop_distinct"))
+      size(filter(col("_lines"), l => l.startsWith("- ")))
+        .cast("long").as("_n_bullet"),
+      size(filter(col("_lines"), l => l.endsWith("...")))
+        .cast("long").as("_n_ell_line"),
+      nStop.as("n_stop_distinct")): _*)
       .withColumn("mean_word_len_x100", expr("_sum_len * 100 div n_words"))
       .withColumn("symbol_ratio_x1000", expr("(_n_hash + _n_ell) * 1000 div n_words"))
       .withColumn("bullet_frac_x1000", expr("_n_bullet * 1000 div n_lines"))
@@ -320,10 +337,11 @@ object TextAnalysis {
   def qualityGopher(s: SparkSession, d: String): DataFrame =
     qualityGopherOf(documents(s, d))
 
-  private[graft] def qualityGopherOf(docs: DataFrame): DataFrame = {
+  private[graft] def qualityGopherOf(docs: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     val suite = graft.expect.SuiteLoader.fromJson(gopherSuiteJson)
     val violSum = suite.map(_.violation).reduce(_ + _)
-    gopherMetricsOf(docs)
+    gopherMetricsOf(docs, carry)
       .withColumn("gopher_keep", when(violSum === 0, 1).otherwise(0))
   }
 
