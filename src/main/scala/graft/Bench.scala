@@ -71,8 +71,14 @@ object Bench {
     // Record BOTH totals in BASELINE.md when a sweep uses this.
     val skip = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    // an explicit ONLY selection overrides the skip list (r13 advice:
+    // a stale SKIP in the environment must not silently empty a
+    // single-query profiling run)
     val qs0 = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) && !skip.contains(n) }
+      .filter { case (n, _) => only match {
+        case Some(sel) => sel.contains(n)
+        case None      => !skip.contains(n)
+      } }
 
     case class PassStats(times: Map[String, Double], steal: Double,
       cpuShare: Double, wall: Double)

@@ -95,16 +95,19 @@ object Bpe {
     * round r three times. The collected winner rows are tokenizer
     * metadata, not data. */
   private def train(s: SparkSession, d: String): (Seq[DataFrame], Seq[(String, String)]) =
-    trainMemo.getOrElseUpdate(d, trainOnce(s, d))
+    trainMemo.getOrElseUpdate((s, d), trainOnce(s, d))
 
   /** Training is deterministic per corpus and the per-round symbol
     * tables are already localCheckpoint'd — so a session trains each
     * corpus ONCE and the five consuming queries (merges/encode/
     * segment/token_budget/tokenizer_fertility) share the result (the
     * trainQualityWeights/Unigram memo precedent, r13; through r12
-    * every query re-ran the 5 merge rounds). */
+    * every query re-ran the 5 merge rounds). Keyed by the OWNING
+    * SparkSession (r13 advice): the checkpointed tables hold plans
+    * bound to the session that built them — a later session in the
+    * same JVM must retrain, not inherit dead frames. */
   private val trainMemo = scala.collection.concurrent.TrieMap
-    .empty[String, (Seq[DataFrame], Seq[(String, String)])]
+    .empty[(SparkSession, String), (Seq[DataFrame], Seq[(String, String)])]
 
   private def trainOnce(s: SparkSession, d: String): (Seq[DataFrame], Seq[(String, String)]) = {
     var toks = initToks(s, d).localCheckpoint(true)

@@ -125,16 +125,19 @@ object CorpusBuild {
     * executor work. The sets are id-only (bounded width), so the
     * checkpoint is the cheap side of that trade at any scale. */
   private[graft] def build(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) =
-    buildMemo.getOrElseUpdate(d, buildOnce(s, d))
+    buildMemo.getOrElseUpdate((s, d), buildOnce(s, d))
 
-  /** The pipeline materializes ONCE per corpus directory and the three
-    * report queries (ledger / released docs / mixture) read the same
-    * materialized stage sets — a user's workflow: one pipeline job,
-    * then cheap reporting (the trainQualityWeights memo precedent).
-    * The held state is the id-only checkpointed sets — bounded width,
-    * one long per surviving document. */
-  private val buildMemo =
-    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Seq[DataFrame])]
+  /** The pipeline materializes ONCE per (session, corpus directory) and
+    * the report queries (ledger / released docs / mixture / datasheet)
+    * read the same materialized stage sets — a user's workflow: one
+    * pipeline job, then cheap reporting (the trainQualityWeights memo
+    * precedent). The held state is the id-only checkpointed sets —
+    * bounded width, one long per surviving document. Keyed by the
+    * OWNING SparkSession too (r13 advice): checkpointed DataFrames are
+    * bound to the session that materialized them, so a later session
+    * in the same JVM must rebuild rather than receive dead plans. */
+  private val buildMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, Seq[DataFrame])]
 
   private def buildOnce(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     def sever(df: DataFrame): DataFrame = df.localCheckpoint(true)

@@ -44,12 +44,16 @@ object Unigram {
 
   private def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
 
-  /** (w, wcnt) vocabulary with corpus frequencies. */
+  /** (w, wcnt) vocabulary with corpus frequencies. No length cap here:
+    * [[trainModelOf]] ASSERTS the corpus fits the [[MaxW]] unroll
+    * (r13 advice) — every non-empty word enters the model or training
+    * fails loudly, so downstream pricing joins can never silently
+    * drop long words. */
   private def vocabOf(docs: DataFrame): DataFrame =
     docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")).between(1, MaxW))
+      .filter(length(col("w")) >= 1)
       .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
 
   /** Viterbi-segment every word of `vocab` under the bounded cost
@@ -105,16 +109,29 @@ object Unigram {
     costs: IndexedSeq[Map[String, Long]], chars: Set[String])
 
   /** Seed + EM rounds. Deterministic per corpus; memoized per
-    * directory (the trainQualityWeights precedent — one training job,
-    * then scan-speed application). */
+    * (session, directory) — the trainQualityWeights precedent (one
+    * training job, then scan-speed application), keyed by the OWNING
+    * SparkSession (r13 advice) because the checkpointed segmentation
+    * tables die with the session that materialized them. */
   private[graft] def trainModel(s: SparkSession, d: String): UniModel =
-    modelMemo.getOrElseUpdate(d, trainModelOf(vocabOf(documents(s, d))))
+    modelMemo.getOrElseUpdate((s, d), trainModelOf(vocabOf(documents(s, d))))
 
   private val modelMemo =
-    scala.collection.concurrent.TrieMap.empty[String, UniModel]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), UniModel]
 
   private[graft] def trainModelOf(vocab0: DataFrame): UniModel = {
     val vocab = vocab0.localCheckpoint(true)
+    // the MaxW unroll cap must never SILENTLY bite (r13 advice: a
+    // capped vocab joined into fertility denominators would understate
+    // uni_toks on long-word corpora while the hash match, which joins
+    // the same capped vocab on both engines, stays green) — so training
+    // refuses a corpus whose words exceed the DP depth instead of
+    // quietly dropping them. One vocab-sized agg on the checkpoint.
+    val maxLen = vocab.agg(max(length(col("w")))).head().getInt(0)
+    require(maxLen <= MaxW,
+      s"unigram training: corpus has a $maxLen-char word but the Viterbi " +
+        s"unroll is $MaxW-deep — raise MaxW (both engines) rather than " +
+        "silently excluding long words from the model and its consumers")
     // seed inventory: every substring occurrence of length 1..4,
     // weighted by word frequency; chars are the permanent fallback,
     // the top-SeedK multi-char pieces (count desc, piece asc) compete
@@ -308,7 +325,7 @@ object Unigram {
     s"""WITH vocab AS MATERIALIZED (
           SELECT w, CAST(count(*) AS BIGINT) AS wcnt FROM (
             SELECT unnest(string_split(text, ' ')) AS w FROM documents) z
-          WHERE length(w) BETWEEN 1 AND $MaxW GROUP BY 1),
+          WHERE length(w) >= 1 GROUP BY 1),
         seedp AS MATERIALIZED (
           SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece,
             CAST(sum(wcnt) AS BIGINT) AS cnt
