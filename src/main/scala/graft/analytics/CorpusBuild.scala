@@ -33,18 +33,35 @@ import org.apache.spark.sql.functions._
   *                        keep-first rule as a boilerplate-share gate)
   *   6. gopher          — the named Gopher rule bundle (Rae et al.
   *                        2021; quality_gopher's declarative suite)
-  *   7. classifier      — the TRAINED averaged-perceptron quality
+  *   7. license         — (r14) drop pages declaring a restrictive
+  *                        license — any [[License.rules]] match of
+  *                        rank ≥ [[License.RestrictiveRank]] (cc-by-nc,
+  *                        GPL, all-rights-reserved); markers are a
+  *                        VIRTUAL ck-keyed decoration of the raw page
+  *                        (see [[licDecor]]) so the calibrated
+  *                        unicode/gopher/classifier plant text is
+  *                        untouched and duplicate families always
+  *                        carry identical grants
+  *   8. classifier      — the TRAINED averaged-perceptron quality
   *                        model (quality_train/quality_classifier)
-  *   8. contamination   — drop documents sharing any 5-gram shingle
+  *   9. contamination   — drop documents sharing any 5-gram shingle
   *                        with the eval slice (the GPT-3 appendix-C
   *                        n-gram screen; `contamination`'s plan)
+  *  10. semantic        — (r14) drop documents whose EMBEDDING sits at
+  *                        cosine ≥ τ to any eval item — the paraphrase
+  *                        leak the n-gram screen provably misses
+  *                        (contamination_semantic's screen; doc and
+  *                        vector ids coincide by data-model contract,
+  *                        and [[vecsOf]] plants scaled eval-base
+  *                        vectors on a doc_id rotation so the stage
+  *                        provably fires)
   *
   * then the surviving corpus is PII-scrubbed (pii_scrub), priced, and
   * packed into fixed token budgets per source (pack_sequences), with
   * per-source temperature mixture shares (mixture_temperature) — the
-  * three declared queries:
+  * four declared queries:
   *
-  *   - `corpus_build`      — the 8-row ledger (stage, n_in, n_dropped,
+  *   - `corpus_build`      — the 10-row ledger (stage, n_in, n_dropped,
   *                           n_out); n_out(k) ≡ n_in(k+1) and
   *                           input = survivors + Σ drops BY
   *                           CONSTRUCTION, and the DuckDB oracle
@@ -54,6 +71,12 @@ import org.apache.spark.sql.functions._
   *                           pack assignment
   *   - `corpus_build_mix`  — the per-source mixture table over the
   *                           CLEANED corpus (α=1/2 temperature)
+  *   - `corpus_datasheet`  — (r14) the one-artifact release notes
+  *                           (Gebru et al. 2021, Datasheets for
+  *                           Datasets): per source, the mixture
+  *                           volumes and shares NEXT TO the license
+  *                           mix and the trained-classifier quality
+  *                           stats of what actually shipped
   *
   * Plants (the calibration content that makes every gate provably
   * fire, the url_canon/pii_scrub discipline): re-crawl duplicates
@@ -78,13 +101,25 @@ import org.apache.spark.sql.functions._
   */
 object CorpusBuild {
 
-  /** Documents below this id are the held-out eval slice. */
+  /** Documents below this id are the held-out eval slice. Embeddings
+    * share the id space (vec_id = doc_id — the data-model contract the
+    * semantic stage rides), so vec_id < EvalMax is the eval slice's
+    * vector view. */
   private[graft] val EvalMax = 25L
 
   /** Planted re-crawl copies re-enter under doc_id + CopyBase. */
   private[graft] val CopyBase = 100000L
 
   private val PackBudget = 512
+
+  /** Semantic-leak plant rotation: train docs with
+    * doc_id % SemPlantMod = SemPlantRes carry an embedding that is a
+    * per-coordinate scaled copy of eval item (doc_id % EvalMax) — the
+    * PARAPHRASED benchmark page (cos ≈ 0.994 to its eval twin, no
+    * shared 5-gram), constructed with dedup_embedding's binary-exact
+    * plant arithmetic so the oracle replays it bit-for-bit. */
+  private[graft] val SemPlantMod = 7L
+  private[graft] val SemPlantRes = 2L
 
   private def toksF = split(col("ftext"), " ")
 
@@ -94,6 +129,70 @@ object CorpusBuild {
     conv(substring(md5(text), 1, 6), 16, 10).cast("long")
 
   private val ckSql = "('0x' || substr(md5(text), 1, 6))::BIGINT"
+
+  /** License-marker plant, keyed on the CONTENT hash like every other
+    * corpus_build decoration (identical texts declare identical
+    * grants, so a license verdict can never split a duplicate family)
+    * and applied VIRTUALLY inside the gate predicate — the repaired
+    * training text `ftext` never carries the markers, so the
+    * unicode/gopher/classifier plant calibration is untouched. Traps
+    * mirror the board `text_license` plant: a bare-word decoy
+    * (ck % 13) that must match NO rule, and a dual-grant arm (ck % 19)
+    * whose permissive second grant must not mask a restrictive
+    * primary. */
+  private[graft] def licDecor(raw: Column, ck: Column): Column =
+    concat(raw,
+      when(ck % 17 === 1, lit(" released under the mit license")).otherwise(""),
+      when(ck % 17 === 2, lit(" licensed under creative commons attribution" +
+        " see https://creativecommons.org/licenses/by/4.0/")).otherwise(""),
+      when(ck % 17 === 3, lit(" this work is distributed under the" +
+        " gnu general public license")).otherwise(""),
+      when(ck % 17 === 4, lit(" all rights reserved unauthorized" +
+        " reproduction prohibited")).otherwise(""),
+      when(ck % 17 === 5, lit(" spdx-license-identifier: apache-2.0")).otherwise(""),
+      when(ck % 17 === 6, lit(" source https://creativecommons.org/licenses/by-nc/4.0/" +
+        " archive")).otherwise(""),
+      when(ck % 13 === 0, lit(" the word license appears here without" +
+        " any grant")).otherwise(""),
+      when(ck % 19 === 0, lit(" mirror copy also released under the" +
+        " mit license")).otherwise(""))
+
+  /** SQL twin of [[licDecor]] over columns `raw`/`ck`. */
+  private val licDecSql: String =
+    """raw
+      || CASE WHEN ck % 17 = 1 THEN ' released under the mit license' ELSE '' END
+      || CASE WHEN ck % 17 = 2 THEN ' licensed under creative commons attribution see https://creativecommons.org/licenses/by/4.0/' ELSE '' END
+      || CASE WHEN ck % 17 = 3 THEN ' this work is distributed under the gnu general public license' ELSE '' END
+      || CASE WHEN ck % 17 = 4 THEN ' all rights reserved unauthorized reproduction prohibited' ELSE '' END
+      || CASE WHEN ck % 17 = 5 THEN ' spdx-license-identifier: apache-2.0' ELSE '' END
+      || CASE WHEN ck % 17 = 6 THEN ' source https://creativecommons.org/licenses/by-nc/4.0/ archive' ELSE '' END
+      || CASE WHEN ck % 13 = 0 THEN ' the word license appears here without any grant' ELSE '' END
+      || CASE WHEN ck % 19 = 0 THEN ' mirror copy also released under the mit license' ELSE '' END"""
+
+  /** The corpus's embedding view with the semantic-leak plant applied:
+    * (vec_id, v, nrm), where planted train rows (see [[SemPlantMod]])
+    * carry eval base (vec_id % EvalMax) scaled per-coordinate by
+    * 1 + 0.125·s, s = (vec_id·31 + k·7) % 3 − 1 ∈ {−1,0,1} — the
+    * dedup_embedding plant shape: every factor ∈ {0.875, 1, 1.125} is
+    * binary-exact, one IEEE multiply per coordinate on both engines.
+    * The eval bases are a bounded broadcast; the plant is a map pass. */
+  private[graft] def vecsOf(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val bases = e.filter(col("vec_id") < EvalMax)
+      .select(col("vec_id").as("bid"), col("v").as("bv"))
+    val isPlant = col("vec_id") >= EvalMax && col("vec_id") % SemPlantMod === SemPlantRes
+    e.join(broadcast(bases),
+        when(isPlant, col("vec_id") % EvalMax).otherwise(lit(-1L)) === col("bid"),
+        "left")
+      .select(col("vec_id"),
+        when(col("bid").isNotNull,
+          transform(col("bv"), (x, k) =>
+            x * (lit(1.0) + lit(Dedup.EmbPlantEps) *
+              ((col("vec_id") * 31 + k * 7) % 3 - 1).cast("double"))))
+          .otherwise(col("v")).as("v"))
+      .withColumn("nrm", graft.functions.vec.l2norm(col("v")))
+  }
 
   /** The planted + decorated + repaired corpus:
     * (doc_id, source, lang, raw, ck, ftext). */
@@ -207,36 +306,67 @@ object CorpusBuild {
       .select(col("doc_id")))
     val s6 = base.join(ids6, Seq("doc_id"), "left_semi")
 
-    // 7. trained quality classifier (averaged-perceptron vote)
-    val (_, wsum) = Curation.trainQualityWeights(s, d)
-    val ids7 = sever(Curation.classifierScored(
-        s6.select(col("doc_id"), col("ftext").as("text")), wsum)
-      .filter(col("margin") > 0)
+    // 7. license gate — the markers decorate the RAW page virtually
+    // inside the predicate (ck-keyed: dup families match identically);
+    // any restrictive-rank rule match drops (≡ primary rank ≥ 3, the
+    // max-rank-primary identity). Scan-side contains/regex stack —
+    // a map pass at any scale.
+    val ids7 = sever(s6
+      .filter(!License.restrictiveCol(licDecor(col("raw"), col("ck"))))
       .select(col("doc_id")))
     val s7 = base.join(ids7, Seq("doc_id"), "left_semi")
 
-    // 8. eval decontamination: any shared 5-gram with the raw eval
+    // 8. trained quality classifier (averaged-perceptron vote)
+    val (_, wsum) = Curation.trainQualityWeights(s, d)
+    val ids8 = sever(Curation.classifierScored(
+        s7.select(col("doc_id"), col("ftext").as("text")), wsum)
+      .filter(col("margin") > 0)
+      .select(col("doc_id")))
+    val s8 = base.join(ids8, Seq("doc_id"), "left_semi")
+
+    // 9. eval decontamination: any shared 5-gram with the raw eval
     // slice drops (the eval side is small by construction → broadcast)
     val rawToks = split(col("raw"), " ")
     val evsh = base.filter(col("doc_id") < EvalMax)
       .filter(size(rawToks) >= 5)
       .select(explode(graft.functions.text.shingles(rawToks, 5)).as("shingle"))
       .distinct()
-    val sh7 = s7.filter(size(toksF) >= 5)
+    val sh8 = s8.filter(size(toksF) >= 5)
       .select(col("doc_id"),
         explode(graft.functions.text.shingles(toksF, 5)).as("shingle"))
       .distinct()
-    val contam = sh7.join(broadcast(evsh), Seq("shingle"), "left_semi")
+    val contam = sh8.join(broadcast(evsh), Seq("shingle"), "left_semi")
       .select(col("doc_id")).distinct()
-    val ids8 = sever(ids7.join(contam, Seq("doc_id"), "left_anti"))
+    val ids9 = sever(ids8.join(contam, Seq("doc_id"), "left_anti"))
 
-    (base, Seq(ids0, ids1, ids2, ids3, ids4, ids5, ids6, ids7, ids8))
+    // 10. semantic decontamination — the paraphrase leak: any survivor
+    // whose embedding sits at cos ≥ τ to an eval item drops
+    // (contamination_semantic's screen; eval side bounded → broadcast,
+    // survivor vectors stream once — zero corpus shuffles). Documents
+    // past the natural id range (re-crawl copies) carry no embedding
+    // row; they pass this screen un-scored, exactly like production
+    // docs whose embedding job hasn't covered them yet — embedding
+    // coverage is its own expectation, not this gate's job.
+    val vecs = vecsOf(s, d)
+    val evv = vecs.filter(col("vec_id") < EvalMax)
+      .select(col("vec_id").as("eval_id"), col("v").as("ev"), col("nrm").as("en"))
+    val trv = vecs.filter(col("vec_id") >= EvalMax)
+      .join(ids9.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val semDrop = trv.crossJoin(broadcast(evv))
+      .filter(graft.functions.vec.dot(col("v"), col("ev")) /
+        (col("nrm") * col("en")) >= Dedup.EmbProdThreshold)
+      .select(col("vec_id").as("doc_id")).distinct()
+    val ids10 = sever(ids9.join(semDrop, Seq("doc_id"), "left_anti"))
+
+    (base, Seq(ids0, ids1, ids2, ids3, ids4, ids5, ids6, ids7, ids8,
+      ids9, ids10))
   }
 
   private val StageNames = Seq("eval_holdout", "unicode", "exact",
-    "neardup", "paragraph", "gopher", "classifier", "contamination")
+    "neardup", "paragraph", "gopher", "license", "classifier",
+    "contamination", "semantic")
 
-  /** The drop ledger: 8 rows of (stage_rank, stage, n_in, n_dropped,
+  /** The drop ledger: 10 rows of (stage_rank, stage, n_in, n_dropped,
     * n_out). Reconciliation is structural — n_out(k) = n_in(k) −
     * n_dropped(k) and n_in(k+1) = n_out(k) because the stages consume
     * each other's id-sets; the oracle hash-pins every count. */
@@ -300,10 +430,68 @@ object CorpusBuild {
         (col("sq") / col("sq_tot")).as("temp_share"))
   }
 
+  /** The release datasheet (Gebru et al. 2021) — ONE per-source
+    * artifact a corpus release publishes: the mixture table (docs,
+    * scrubbed tokens, exact proportional ppm, α=1/2 temperature
+    * share), the license mix of what shipped (count of
+    * positively-licensed docs + the modal primary license — every
+    * restrictive grant was dropped at stage 7, so the survivors'
+    * licenses are permissive-or-unknown by construction), and the
+    * trained classifier's per-source quality stats (total and per-doc
+    * margin — every survivor's margin is > 0 by the stage-8 gate, so
+    * the integer ppm lanes never see a negative dividend). All exact
+    * lanes are DECIMAL(28,0)·10⁶ div (the token_budget overflow-free
+    * spelling); everything runs on the bounded source domain after
+    * one survivor-slice scan. */
+  def corpusDatasheet(s: SparkSession, d: String): DataFrame = {
+    val (base, ids) = build(s, d)
+    val surv = base.join(ids.last, Seq("doc_id"), "left_semi")
+    val priced = Curation.piiScrubFull(
+        surv.select(col("doc_id"), col("ftext").as("text")))
+      .select(col("doc_id"),
+        size(split(col("scrubbed"), " ")).cast("long").as("n_tokens"))
+    val lic = surv.select(col("doc_id"),
+      License.primaryCol(licDecor(col("raw"), col("ck"))).as("pl"))
+    val (_, wsum) = Curation.trainQualityWeights(s, d)
+    val marg = Curation.classifierScored(
+        surv.select(col("doc_id"), col("ftext").as("text")), wsum)
+      .select(col("doc_id"), col("margin"))
+    val per = surv.select(col("doc_id"), col("source"))
+      .join(priced, Seq("doc_id")).join(lic, Seq("doc_id"))
+      .join(marg, Seq("doc_id"))
+      .persistTracked()
+    val bySrc = per.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      sum(when(col("pl") =!= "unknown", 1L).otherwise(0L)).as("n_licensed"),
+      sum(col("margin")).as("sum_margin"))
+    val wTop = Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("pl"))
+    val top = per.groupBy(col("source"), col("pl"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(wTop)).filter(col("rk") === 1)
+      .select(col("source"), col("pl").as("top_license"))
+    val wRun = Window.orderBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sq = bySrc
+      .withColumn("sq", sqrt(col("n_tokens").cast("double")))
+      .withColumn("run", sum(col("sq")).over(wRun))
+    val tot = sq.agg(max(col("run")).as("sq_tot"),
+      sum(col("n_tokens")).as("tot_n"))
+    sq.join(top, Seq("source")).crossJoin(broadcast(tot))
+      .selectExpr("source", "n_docs", "n_tokens",
+        "CAST(n_tokens AS DECIMAL(28,0)) * 1000000 div tot_n AS prop_ppm",
+        "sq / sq_tot AS temp_share",
+        "n_licensed", "top_license", "sum_margin",
+        "CAST(sum_margin AS DECIMAL(28,0)) * 1000000 div n_docs AS margin_per_doc_ppm",
+        "CAST(n_tokens AS DECIMAL(28,0)) * 1000000 div n_docs AS tok_per_doc_ppm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_build"      -> corpusBuild _,
     "corpus_build_docs" -> corpusBuildDocs _,
-    "corpus_build_mix"  -> corpusBuildMix _)
+    "corpus_build_mix"  -> corpusBuildMix _,
+    "corpus_datasheet"  -> corpusDatasheet _)
 
   // ---------------------------------------------------------------
   // DuckDB oracle — the ENTIRE pipeline re-derived from scratch:
@@ -315,11 +503,11 @@ object CorpusBuild {
   // generator (one SQL spelling per operator across the board).
   // ---------------------------------------------------------------
 
-  /** CTE chain from the planted corpus through the eight stage sets
-    * (s1..s8), assuming `wavg` (classifier training) in scope. */
+  /** CTE chain from the planted corpus through the ten stage sets
+    * (s1..s10), assuming `wavg` (classifier training) in scope. */
   private def stageCtes: String = {
     val classifierSelect = Curation
-      .classifierScoreSqlFrom("(SELECT doc_id, ftext AS text FROM s6)")
+      .classifierScoreSqlFrom("(SELECT doc_id, ftext AS text FROM s7)")
       .trim.stripPrefix(",")
     s"""pdocs AS (
           SELECT doc_id, source, lang, text FROM documents
@@ -375,17 +563,49 @@ object CorpusBuild {
         s6 AS MATERIALIZED (
           SELECT s5.* FROM s5 JOIN gm USING (doc_id)
           WHERE gm.gopher_keep = 1),
-        cm AS MATERIALIZED (WITH $classifierSelect),
+        licd AS (SELECT doc_id, $licDecSql AS t FROM s6),
         s7 AS MATERIALIZED (
-          SELECT s6.* FROM s6 JOIN cm USING (doc_id) WHERE cm.margin > 0),
+          SELECT s6.* FROM s6 JOIN licd USING (doc_id)
+          WHERE NOT ${License.restrictiveSqlOn("licd.t")}),
+        cm AS MATERIALIZED (WITH $classifierSelect),
+        s8 AS MATERIALIZED (
+          SELECT s7.* FROM s7 JOIN cm USING (doc_id) WHERE cm.margin > 0),
         evsh AS MATERIALIZED (
           SELECT DISTINCT shingle FROM (${Dedup.shingleSqlFrom(
             s"(SELECT doc_id, raw FROM fixd WHERE doc_id < $EvalMax)", "raw")}) ev),
-        sh7 AS (${Dedup.shingleSqlFrom("s7", "ftext")}),
-        contam AS (SELECT DISTINCT doc_id FROM sh7 JOIN evsh USING (shingle)),
-        s8 AS MATERIALIZED (
-          SELECT * FROM s7
-          WHERE doc_id NOT IN (SELECT doc_id FROM contam))"""
+        sh8 AS (${Dedup.shingleSqlFrom("s8", "ftext")}),
+        contam AS (SELECT DISTINCT doc_id FROM sh8 JOIN evsh USING (shingle)),
+        s9 AS MATERIALIZED (
+          SELECT * FROM s8
+          WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        ev0 AS MATERIALIZED (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        semp AS (
+          SELECT e.vec_id,
+            list(b.v[g.k + 1]
+                * (1 + ${Dedup.EmbPlantEps} * ((e.vec_id * 31 + g.k * 7) % 3 - 1))
+              ORDER BY g.k) AS v
+          FROM ev0 e JOIN ev0 b ON b.vec_id = e.vec_id % $EvalMax
+          CROSS JOIN generate_series(0, 63) g(k)
+          WHERE e.vec_id >= $EvalMax AND e.vec_id % $SemPlantMod = $SemPlantRes
+          GROUP BY e.vec_id),
+        pvec AS (
+          SELECT vec_id, v FROM ev0
+          WHERE NOT (vec_id >= $EvalMax AND vec_id % $SemPlantMod = $SemPlantRes)
+          UNION ALL SELECT vec_id, v FROM semp),
+        nvec AS MATERIALIZED (
+          SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM pvec),
+        evv AS (SELECT vec_id, v, nrm FROM nvec WHERE vec_id < $EvalMax),
+        semdrop AS (
+          SELECT DISTINCT t.vec_id AS doc_id
+          FROM (SELECT * FROM nvec WHERE vec_id >= $EvalMax) t
+          CROSS JOIN evv
+          WHERE list_dot_product(t.v, evv.v) / (t.nrm * evv.nrm)
+            >= ${Dedup.EmbProdThreshold}),
+        s10 AS MATERIALIZED (
+          SELECT * FROM s9
+          WHERE doc_id NOT IN (SELECT doc_id FROM semdrop))"""
   }
 
   private def withChain: String =
@@ -395,12 +615,12 @@ object CorpusBuild {
     * queries' shared tail; exposes packed). */
   private def releaseCtes: String =
     s""",
-        ${Curation.piiCtesFrom("(SELECT doc_id, ftext AS text FROM s8)")},
+        ${Curation.piiCtesFrom("(SELECT doc_id, ftext AS text FROM s10)")},
         priced AS (
-          SELECT s8.doc_id, s8.source, scrub.n_emails, scrub.n_phones,
+          SELECT s10.doc_id, s10.source, scrub.n_emails, scrub.n_phones,
             md5(scrub.st) AS clean_fp,
             CAST(len(string_split(scrub.st, ' ')) AS BIGINT) AS n_tokens
-          FROM s8 JOIN scrub ON scrub.doc_id = s8.doc_id),
+          FROM s10 JOIN scrub ON scrub.doc_id = s10.doc_id),
         packed AS (
           SELECT doc_id, source, n_tokens, n_emails, n_phones, clean_fp,
             (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
@@ -427,10 +647,14 @@ object CorpusBuild {
             (SELECT count(*) FROM s4), (SELECT count(*) FROM s5)
           UNION ALL SELECT 6, 'gopher',
             (SELECT count(*) FROM s5), (SELECT count(*) FROM s6)
-          UNION ALL SELECT 7, 'classifier',
+          UNION ALL SELECT 7, 'license',
             (SELECT count(*) FROM s6), (SELECT count(*) FROM s7)
-          UNION ALL SELECT 8, 'contamination',
-            (SELECT count(*) FROM s7), (SELECT count(*) FROM s8)) u""",
+          UNION ALL SELECT 8, 'classifier',
+            (SELECT count(*) FROM s7), (SELECT count(*) FROM s8)
+          UNION ALL SELECT 9, 'contamination',
+            (SELECT count(*) FROM s8), (SELECT count(*) FROM s9)
+          UNION ALL SELECT 10, 'semantic',
+            (SELECT count(*) FROM s9), (SELECT count(*) FROM s10)) u""",
     "corpus_build_docs" ->
       s"""$withChain$releaseCtes
         SELECT doc_id, source, n_tokens, n_emails, n_phones, clean_fp,
@@ -453,5 +677,48 @@ object CorpusBuild {
           CAST((CAST(n_tokens AS HUGEINT) * 1000000) // tot_n AS BIGINT)
             AS prop_ppm,
           sq / sq_tot AS temp_share
-        FROM sq CROSS JOIN tot""")
+        FROM sq CROSS JOIN tot""",
+    // the release datasheet: survivor-slice license tags come from the
+    // SAME gate decoration (dsl), margins from the already-derived cm
+    // (s10 ⊆ s7, so every survivor has a scored row), tokens from the
+    // shared release tail (packed)
+    "corpus_datasheet" ->
+      s"""$withChain$releaseCtes,
+        dsl AS (
+          SELECT doc_id, ${License.primarySqlOn(s"($licDecSql)")} AS pl
+          FROM s10),
+        dper AS (
+          SELECT p.doc_id, p.source, p.n_tokens, d.pl, c.margin
+          FROM packed p JOIN dsl d USING (doc_id) JOIN cm c USING (doc_id)),
+        dsrc AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+            CAST(sum(CASE WHEN pl <> 'unknown' THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_licensed,
+            CAST(sum(margin) AS BIGINT) AS sum_margin
+          FROM dper GROUP BY source),
+        dtop AS (
+          SELECT source, pl AS top_license FROM (
+            SELECT source, pl,
+              row_number() OVER (PARTITION BY source
+                ORDER BY cnt DESC, pl) AS rk
+            FROM (SELECT source, pl, count(*) AS cnt
+                  FROM dper GROUP BY 1, 2) z) y
+          WHERE rk = 1),
+        dsq AS (
+          SELECT *, sqrt(CAST(n_tokens AS DOUBLE)) AS sq,
+            sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER (ORDER BY source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM dsrc),
+        dtot AS (SELECT max(run) AS sq_tot, sum(n_tokens) AS tot_n FROM dsq)
+        SELECT source, n_docs, n_tokens,
+          CAST((CAST(n_tokens AS HUGEINT) * 1000000) // tot_n AS BIGINT)
+            AS prop_ppm,
+          sq / sq_tot AS temp_share,
+          n_licensed, top_license, sum_margin,
+          CAST((CAST(sum_margin AS HUGEINT) * 1000000) // n_docs AS BIGINT)
+            AS margin_per_doc_ppm,
+          CAST((CAST(n_tokens AS HUGEINT) * 1000000) // n_docs AS BIGINT)
+            AS tok_per_doc_ppm
+        FROM dsq JOIN dtop USING (source) CROSS JOIN dtot""")
 }

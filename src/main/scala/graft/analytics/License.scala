@@ -114,9 +114,29 @@ object License {
         " mit license")).otherwise(""))
   }
 
-  private def matchCol(t: Column, r: Rule): Column =
+  private[graft] def matchCol(t: Column, r: Rule): Column =
     (r.phrases.map(p => t.contains(lit(p))) ++ r.urls.map(u => t.rlike(u)))
       .reduce(_ || _)
+
+  /** Licenses at or above this rank are too restrictive to ship in a
+    * training release ([[CorpusBuild]]'s gate: cc-by-nc, gpl, ARR). */
+  private[graft] val RestrictiveRank = 3
+
+  /** The rank-precedence primary-license CASE chain over an arbitrary
+    * text column — shared by the board tagger and the corpus_build
+    * datasheet. */
+  private[graft] def primaryCol(t: Column): Column =
+    rules.sortBy(r => (-r.rank, r.license)).foldRight(lit("unknown")) {
+      (r, els) => when(matchCol(t, r), lit(r.license)).otherwise(els)
+    }
+
+  /** True iff ANY restrictive rule matches — equivalent to
+    * "primary rank ≥ [[RestrictiveRank]]" because the primary is the
+    * max-rank match; the gate spelling avoids evaluating the full
+    * precedence chain. */
+  private[graft] def restrictiveCol(t: Column): Column =
+    rules.filter(_.rank >= RestrictiveRank)
+      .map(r => matchCol(t, r)).reduce(_ || _)
 
   /** Per-document tags: every matched license (name-sorted), the
     * rank-precedence primary, and the match count. */
@@ -169,10 +189,25 @@ object License {
       || CASE WHEN doc_id % 13 = 0 THEN ' the word license appears here without any grant' ELSE '' END
       || CASE WHEN doc_id % 17 = 0 THEN ' mirror copy also released under the mit license' ELSE '' END"""
 
-  private def matchSql(r: Rule): String =
-    (r.phrases.map(p => s"contains(t, '${p.replace("'", "''")}')") ++
-      r.urls.map(u => s"regexp_matches(t, '${u.replace("'", "''")}')"))
+  /** The SQL twin of [[matchCol]] over column expression `t`. */
+  private[analytics] def matchSqlOn(r: Rule, t: String): String =
+    (r.phrases.map(p => s"contains($t, '${p.replace("'", "''")}')") ++
+      r.urls.map(u => s"regexp_matches($t, '${u.replace("'", "''")}')"))
       .mkString("(", " OR ", ")")
+
+  private def matchSql(r: Rule): String = matchSqlOn(r, "t")
+
+  /** SQL twin of [[primaryCol]] over column expression `t`. */
+  private[analytics] def primarySqlOn(t: String): String = {
+    val arms = rules.sortBy(r => (-r.rank, r.license))
+      .map(r => s"WHEN ${matchSqlOn(r, t)} THEN '${r.license}'").mkString(" ")
+    s"CASE $arms ELSE 'unknown' END"
+  }
+
+  /** SQL twin of [[restrictiveCol]] over column expression `t`. */
+  private[analytics] def restrictiveSqlOn(t: String): String =
+    rules.filter(_.rank >= RestrictiveRank)
+      .map(r => matchSqlOn(r, t)).mkString("(", " OR ", ")")
 
   private def licenseCtes: String = {
     val byName = rules.sortBy(_.license)

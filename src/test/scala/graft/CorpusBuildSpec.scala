@@ -24,7 +24,8 @@ class CorpusBuildSpec extends SparkSpec {
 
   test("ledger reconciles exactly: input = survivors + per-stage drops") {
     assert(ledger.map(_._2) === Seq("eval_holdout", "unicode", "exact",
-      "neardup", "paragraph", "gopher", "classifier", "contamination"))
+      "neardup", "paragraph", "gopher", "license", "classifier",
+      "contamination", "semantic"))
     // within each row: n_out = n_in - n_dropped
     ledger.foreach { case (r, st, nIn, nDrop, nOut) =>
       assert(nOut === nIn - nDrop, s"stage $st"); assert(nDrop >= 0, st)
@@ -48,11 +49,63 @@ class CorpusBuildSpec extends SparkSpec {
 
   test("every stage can fire: dedup/holdout stages drop at sf0.01") {
     val drops = ledger.map(r => r._2 -> r._4).toMap
-    // holdout, unicode, exact (the plants), neardup, paragraph and
-    // gopher all provably fire at this SF; classifier/contamination
-    // drops are pinned nonzero at sf0.1 (cross-SF sweep)
+    // holdout, unicode, exact (the plants), neardup, paragraph,
+    // gopher, license and semantic all provably fire at this SF;
+    // classifier/contamination drops are pinned nonzero at sf0.1
+    // (cross-SF sweep)
     Seq("eval_holdout", "unicode", "exact", "neardup", "paragraph",
-      "gopher").foreach(st => assert(drops(st) > 0, st))
+      "gopher", "license", "semantic").foreach(
+      st => assert(drops(st) > 0, st))
+  }
+
+  test("no restrictive-licensed page ever ships") {
+    import graft.analytics.License
+    val base = CorpusBuild.baseOf(
+      spark.read.parquet(s"$dir/documents.parquet"))
+    val restrictive = base
+      .filter(License.restrictiveCol(
+        CorpusBuild.licDecor(col("raw"), col("ck"))))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(restrictive.nonEmpty) // the plant produces restrictive pages
+    assert(restrictive.intersect(survivorIds).isEmpty)
+  }
+
+  test("no surviving embedding sits above the semantic threshold") {
+    // recompute the screen over the SURVIVORS' vectors from scratch:
+    // every planted paraphrase of an eval item must be gone, and no
+    // natural survivor may sit at cos >= tau either
+    val vecs = CorpusBuild.vecsOf(spark, dir)
+    val evv = vecs.filter(col("vec_id") < CorpusBuild.EvalMax)
+      .select(col("v").as("ev"), col("nrm").as("en"))
+    val hot = vecs.filter(col("vec_id") >= CorpusBuild.EvalMax)
+      .filter(col("vec_id").isin(survivorIds.toSeq: _*))
+      .crossJoin(evv)
+      .filter(graft.functions.vec.dot(col("v"), col("ev")) /
+        (col("nrm") * col("en")) >= 0.95)
+    assert(hot.count() === 0)
+    // and the stage was load-bearing: some planted doc reached stage 10
+    val sem = ledger.find(_._2 == "semantic").get
+    assert(sem._4 > 0)
+  }
+
+  test("datasheet: one row per surviving source, license mix is " +
+      "permissive-or-unknown, quality margins positive") {
+    val ds = CorpusBuild.corpusDatasheet(spark, dir).collect()
+    val docsBySource = survivors.groupBy(_.getString(1))
+      .view.mapValues(_.length).toMap
+    assert(ds.map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+      === docsBySource)
+    // the license gate ran before release: no restrictive primary can
+    // appear as a source's modal license
+    val banned = Set("gpl-3.0", "cc-by-nc-4.0", "all-rights-reserved")
+    ds.foreach { r =>
+      assert(!banned.contains(r.getString(6)), r.getString(0))
+      assert(r.getLong(7) > 0, s"${r.getString(0)} sum_margin") // gate 8
+      assert(r.getLong(5) <= r.getLong(1))                      // n_licensed
+    }
+    // temperature shares are a simplex (same invariant as the mix)
+    val shares = ds.map(_.getDouble(4))
+    assert(math.abs(shares.sum - 1.0) < 1e-9)
   }
 
   test("a train doc and its re-crawl copy never both survive") {

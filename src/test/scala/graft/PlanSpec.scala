@@ -100,6 +100,9 @@ class PlanSpec extends SparkSpec {
       // corpus_build_mix: crossJoin(broadcast(1-row Σ√n/Σn scalars))
       // over the bounded per-source table (mixture_temperature shape)
       "corpus_build", "corpus_build_mix",
+      // corpus_datasheet: crossJoin(broadcast(1-row Σ√n/Σn scalars))
+      // over the bounded per-source table (the corpus_build_mix shape)
+      "corpus_datasheet",
       // bpe_unigram: crossJoin(broadcast(1-row total-usage scalar))
       // over the bounded piece table; unigram_rounds: per-round
       // crossJoins of PAIRS of 1-row aggregates (the ledger shape)
@@ -140,6 +143,12 @@ class PlanSpec extends SparkSpec {
     // running-Σ√n window
     "corpus_build" -> 0, "corpus_build_docs" -> 2,
     "corpus_build_mix" -> 3,
+    // corpus_datasheet (r14): the survivor slice joins its scrubbed
+    // token price, license tag and classifier margin on doc_id, then
+    // rolls to the bounded source domain (modal-license window + the
+    // running-Σ√n window ride the same source exchange); ids and
+    // bounded tags on the wire, text never shuffles
+    "corpus_datasheet" -> 4,
     // bpe_unigram (r13): final-usage piece rollup (1) read by both the
     // model and total branches + the alphabet distinct + model join on
     // the bounded piece key — all vocab/model-sized, corpus-free (the
@@ -910,7 +919,7 @@ class PlanSpec extends SparkSpec {
     // window additionally rides the bounded BIN domain (stats_ks bound)
     "stats_anova", "stats_levene", "stats_kruskal",
     // bounded source-table domain (≤8 sources)
-    "mixture_temperature", "corpus_build_mix",
+    "mixture_temperature", "corpus_build_mix", "corpus_datasheet",
     // calendar-bucketed series: per-day / per-month / hourly rollups
     // aggregated BEFORE the window — frame size is the time range
     "expect_volume", "ts_backlog", "ts_mom", "ts_seasonal",
