@@ -28,6 +28,7 @@ object SparkEntry {
       analytics.StreamingQueries.queries ++
       analytics.Curation.queries ++
       analytics.CorpusBuild.queries ++
+      analytics.IncrementalBuild.queries ++
       analytics.Chunking.queries ++
       analytics.Bpe.queries ++
       analytics.Unigram.queries ++
@@ -50,6 +51,7 @@ object SparkEntry {
       analytics.StreamingQueries.oracle ++
       analytics.Curation.oracle ++
       analytics.CorpusBuild.oracle ++
+      analytics.IncrementalBuild.oracle ++
       analytics.Chunking.oracle ++
       analytics.Bpe.oracle ++
       analytics.Unigram.oracle ++

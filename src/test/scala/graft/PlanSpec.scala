@@ -103,6 +103,10 @@ class PlanSpec extends SparkSpec {
       // corpus_datasheet: crossJoin(broadcast(1-row Σ√n/Σn scalars))
       // over the bounded per-source table (the corpus_build_mix shape)
       "corpus_datasheet",
+      // corpus_build_incremental / corpus_incr_equiv: the ledger/
+      // receipt shape — crossJoins of PAIRS of 1-row count scalars
+      // over the checkpointed stage id-sets (the corpus_build shape)
+      "corpus_build_incremental", "corpus_incr_equiv",
       // bpe_unigram: crossJoin(broadcast(1-row total-usage scalar))
       // over the bounded piece table; unigram_rounds: per-round
       // crossJoins of PAIRS of 1-row aggregates (the ledger shape)
