@@ -1032,8 +1032,79 @@ object StreamingQueries {
       OutputMode.Complete())
   }
 
+  /** The append-mode production shape of [[streamQualityGate]] (r14 —
+    * its own scaladoc named this upgrade): the gate stack rolled into
+    * EVENT-TIME hour windows under a 10-minute watermark, emitted
+    * exactly once when the watermark passes the window end, to an
+    * append-only sink. State is bounded by window retention (open
+    * windows within the watermark horizon), not by key cardinality —
+    * the reason Complete mode is a demo and this is the deployment.
+    *
+    * Event time is the stream_fp_dedup synthetic ingest clock (doc k
+    * arrives at (k+1)·10 s — the documents table carries no
+    * timestamp). The source is the corpus rewritten as 4
+    * TIME-ORDERED files streamed one per trigger, so windows close
+    * across REAL micro-batch boundaries: the watermark advances batch
+    * to batch, early windows flush while later batches are still
+    * arriving, and the closing no-data batch drains everything up to
+    * max(ts) − 10 min. Time-ordering the files is load-bearing — a
+    * random split would race rows against a watermark advanced by
+    * later-time rows in earlier batches and drop them as late (the
+    * file-source ordering is modification time, which the writer
+    * stamps explicitly).
+    *
+    * The oracle replays the gates + hour bucketing in batch SQL and
+    * applies the identical cutoff (window end ≤ final watermark), so
+    * both the STREAMING execution path and the append-mode emission
+    * set are hash-checked; the withheld trailing window is the part a
+    * Complete-mode oracle could never pin. */
+  def streamQualityWindowed(s: SparkSession, d: String): DataFrame = {
+    val docs = s.read
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .select(col("doc_id"), col("source"), col("text"))
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val nFiles = 4
+    val tmp = graft.Tables.tempOutDir("stream_qwin")
+    (0 until nFiles).foreach { i =>
+      docs.filter(col("doc_id") * nFiles >= lit(i.toLong * (maxId + 1)) &&
+          col("doc_id") * nFiles < lit((i + 1).toLong * (maxId + 1)))
+        .coalesce(1).write
+        .mode(if (i == 0) "overwrite" else "append").parquet(tmp)
+      // stamp arrival order explicitly: the file source replays files
+      // by (modTime, path), and sub-millisecond writes could tie.
+      // Freshly-written files carry a real clock time (≫ the synthetic
+      // epoch below); already-stamped files are left alone.
+      new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach { f =>
+          if (f.lastModified() > 1500000000000L)
+            f.setLastModified(1000000000000L + i * 60000L)
+        }
+    }
+    val src = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(tmp)
+    val (_, wsum) = Curation.trainQualityWeights(s, d)
+    val fanned = src.repartition(s.sparkContext.defaultParallelism)
+    val scored = Curation.classifierScored(fanned, wsum,
+      carry = Seq("source", "text"))
+    val gated = TextAnalysis.qualityGopherOf(
+      scored, carry = Seq("source", "accept"))
+    val windowed = gated
+      .withColumn("ts", timestamp_seconds((col("doc_id") + 1) * 10))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("gopher_keep")).cast("long").as("n_gopher"),
+        sum(col("accept")).cast("long").as("n_classifier"),
+        sum(col("gopher_keep") * col("accept")).cast("long").as("n_both"))
+      .select(unix_micros(col("window.start")).as("win_us"), col("source"),
+        col("n_docs"), col("n_gopher"), col("n_classifier"), col("n_both"))
+    runToMemory(s, windowed, OutputMode.Append())
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_quality_gate" -> streamQualityGate _,
+    "stream_quality_windowed" -> streamQualityWindowed _,
     "stream_fp_dedup" -> streamFpDedup _,
     "stream_dsv2"    -> streamDsv2 _,
     "stream_stateful" -> streamStateful _,
@@ -1076,6 +1147,34 @@ object StreamingQueries {
         JOIN gm ON gm.doc_id = d.doc_id
         JOIN cm ON cm.doc_id = d.doc_id
         GROUP BY d.source"""
+    },
+    // the same gates bucketed on the synthetic ingest clock's hour
+    // windows, with the append-mode cutoff applied in SQL: a window is
+    // in the result iff its END ≤ the final watermark (max event time
+    // − 10 min) — the trailing open window is withheld on both sides
+    "stream_quality_windowed" -> {
+      val cls = Curation.classifierScoreSqlFrom("documents")
+        .trim.stripPrefix(",")
+      s"""WITH ${Curation.qualityTrainCtes},
+        cm AS MATERIALIZED (WITH $cls),
+        gm AS MATERIALIZED (${TextAnalysis.gopherSqlFrom("documents")}),
+        wm AS (SELECT (max(doc_id) + 1) * 10000000 - 600000000 AS wm_us
+               FROM documents),
+        b AS (
+          SELECT CAST((((d.doc_id + 1) * 10) // 3600) * 3600000000 AS BIGINT)
+              AS win_us,
+            d.source, gm.gopher_keep, cm.accept
+          FROM documents d
+          JOIN gm ON gm.doc_id = d.doc_id
+          JOIN cm ON cm.doc_id = d.doc_id)
+        SELECT win_us, source,
+          count(*) AS n_docs,
+          CAST(sum(gopher_keep) AS BIGINT) AS n_gopher,
+          CAST(sum(accept) AS BIGINT) AS n_classifier,
+          CAST(sum(gopher_keep * accept) AS BIGINT) AS n_both
+        FROM b CROSS JOIN wm
+        WHERE win_us + 3600000000 <= wm.wm_us
+        GROUP BY win_us, source"""
     },
     // the same 16-bit simhash spelling as dedup_simhash, bucketed on
     // the synthetic 10-s/doc clock's hour windows; the sentinel row is

@@ -124,7 +124,8 @@ class PlanSpec extends SparkSpec {
       "stream_session_append", "stream_timers", "stream_mapstate",
       "stream_init_state", "stream_list_state", "stream_join_left",
       "stream_join_full", "stream_union", "stream_fp_dedup",
-      "stream_avro", "stream_observe", "stream_quality_gate")
+      "stream_avro", "stream_observe", "stream_quality_gate",
+      "stream_quality_windowed")
 
   /** Audited max Exchange-hashpartitioning count per query. */
   private val exchangeBudget: Map[String, Int] = Map(
