@@ -31,6 +31,7 @@ object SparkEntry {
       analytics.IncrementalBuild.queries ++
       analytics.Chunking.queries ++
       analytics.Bpe.queries ++
+      analytics.BpeBytes.queries ++
       analytics.Unigram.queries ++
       analytics.License.queries ++
       analytics.TokenizerEval.queries ++
@@ -54,6 +55,7 @@ object SparkEntry {
       analytics.IncrementalBuild.oracle ++
       analytics.Chunking.oracle ++
       analytics.Bpe.oracle ++
+      analytics.BpeBytes.oracle ++
       analytics.Unigram.oracle ++
       analytics.License.oracle ++
       analytics.TokenizerEval.oracle ++

@@ -56,7 +56,7 @@ object Bpe {
   /** Adjacent-pair frequency table for one round, weighted by word
     * frequency, with the round winner first (count desc, then
     * lexicographic — the deterministic tie-break). */
-  private def topPair(toks: DataFrame): DataFrame =
+  private[graft] def topPair(toks: DataFrame): DataFrame =
     toks.withColumn("nxt", lead(col("tok"), 1).over(byW))
       .filter(col("nxt").isNotNull)
       .groupBy(col("tok").as("a"), col("nxt").as("b"))
@@ -253,7 +253,7 @@ object Bpe {
         SELECT w, wcnt, pos, substr(w, CAST(pos + 1 AS INT), 1) AS tok FROM (
           SELECT w, wcnt, unnest(range(0, length(w))) AS pos FROM words) u)"""
 
-  private def oracleRound(r: Int): String = {
+  private[analytics] def oracleRound(r: Int): String = {
     val p = r - 1
     s"""p$r AS (SELECT tok AS a, nxt AS b, sum(wcnt) AS cnt FROM (
           SELECT wcnt, tok, lead(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt

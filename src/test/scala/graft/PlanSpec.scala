@@ -553,6 +553,12 @@ class PlanSpec extends SparkSpec {
     // bpe_segment: the one vocab-count exchange; segmentation itself
     // is chained codegen'd HOF folds — scan-side, join-free
     "bpe_segment" -> 1,
+    // bpe_bytes (r14): the bpe_merges shape over byte symbol tables —
+    // 5 one-row winner branches, each a vocab-sized lead-window (w) +
+    // pair agg; bpe_bytes_segment: the vocab agg read by the top-k
+    // and multi-byte branches + their dedup — the greedy fold itself
+    // is scan-side, join-free (the bpe_segment contract)
+    "bpe_bytes" -> 10, "bpe_bytes_segment" -> 3,
     // dataset_split: countDistinct expands to a two-level agg over
     // (split, lang)
     "dataset_split" -> 2,
