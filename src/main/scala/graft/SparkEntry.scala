@@ -29,6 +29,7 @@ object SparkEntry {
       analytics.Curation.queries ++
       analytics.CorpusBuild.queries ++
       analytics.IncrementalBuild.queries ++
+      analytics.MixtureOptimize.queries ++
       analytics.Chunking.queries ++
       analytics.Bpe.queries ++
       analytics.BpeBytes.queries ++
@@ -53,6 +54,7 @@ object SparkEntry {
       analytics.Curation.oracle ++
       analytics.CorpusBuild.oracle ++
       analytics.IncrementalBuild.oracle ++
+      analytics.MixtureOptimize.oracle ++
       analytics.Chunking.oracle ++
       analytics.Bpe.oracle ++
       analytics.BpeBytes.oracle ++

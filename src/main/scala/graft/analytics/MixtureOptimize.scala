@@ -1,0 +1,232 @@
+package graft.analytics
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Iterative mixture optimization (r14) — the constrained reweighting
+  * a release mix actually ships, next to the open-loop knobs the
+  * engine already owns (mixture_temperature's fixed α, token_budget's
+  * raw proportions). DoReMi (Xie et al. 2023) iterates domain weights
+  * against a per-domain signal under a reference distribution; the
+  * exact-integer lane here spells the constrained variant every
+  * public mix publishes (The Pile/Dolma-style rules): target weights
+  * PROPORTIONAL TO QUALITY-SURVIVING TOKEN MASS (the Gopher-gated
+  * token count — the engine's own per-source quality signal), subject
+  * to a per-source CAP so no single domain dominates, solved by the
+  * cap-cascade fixed point:
+  *
+  *   round k: re-apportion the uncapped mass among free sources in
+  *   proportion to their signal; any free source whose trial share
+  *   exceeds [[CapPpm]] joins the capped set (capping one source
+  *   raises everyone else's share — the cascade the iteration exists
+  *   for). A fixed point is reached when no trial share violates.
+  *
+  * [[Rounds]] = ⌊10⁶/CapPpm⌋ + 1 bounds the cascade depth at ANY
+  * corpus (each effective round caps ≥ 1 source and at most
+  * ⌊10⁶/Cap⌋ sources can ever be capped), so the unrolled chain is
+  * provably converged at the end — the receipt's final max_over_ppm
+  * is 0 by theorem, and the board row pins it in data.
+  *
+  * The final allocation is EXACT largest-remainder apportionment
+  * (Hamilton's method): free shares are truncating divisions, and the
+  * leftover dust ppm go to the largest remainders (ties by source) —
+  * Σ opt_ppm = 10⁶ exactly, integer end-to-end (no float division
+  * anywhere, the no-ln rule trivially satisfied).
+  *
+  * Declared queries (the unigram_rounds receipt pattern):
+  *   - `mixture_optimize`   — the final per-source allocation: signal
+  *                            mass, raw proportional ppm, optimized
+  *                            ppm, capped flag
+  *   - `mixture_opt_rounds` — the per-round receipt: capped-set size
+  *                            (monotone ↑), free mass, and the largest
+  *                            cap violation among free sources
+  *                            (reaches 0 and stays — convergence
+  *                            visible in data)
+  *
+  * Scale shape: ONE corpus scan builds the per-source gated token
+  * mass (the gopher gate is a scan-side fold); every round after that
+  * runs on the bounded source table (≤ tens of rows — the
+  * mixture_temperature domain), as 1-row scalar aggregates crossJoined
+  * back. Optimizing a 100 TB mix costs one aggregation pass. */
+object MixtureOptimize {
+
+  /** No source may exceed 11% of the optimized mix. */
+  private[graft] val CapPpm = 110000L
+
+  /** Worst-case cascade depth: at most ⌊10⁶/Cap⌋ sources can be
+    * capped, each effective round caps at least one. */
+  private[graft] val Rounds = (1000000L / CapPpm).toInt + 1
+
+  /** (source, b): per-source token mass surviving the Gopher gate —
+    * the quality-weighted signal the weights chase. */
+  private def qualityMass(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val keep = TextAnalysis.qualityGopherOf(
+        docs.select(col("doc_id"), col("text")))
+      .filter(col("gopher_keep") === 1).select(col("doc_id"))
+    docs.join(keep, Seq("doc_id"), "left_semi")
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("b"))
+  }
+
+  /** The unrolled cascade: per-round (state, trial) frames over the
+    * bounded source table. state = (source, b, capped); trial adds
+    * (m, free_b, v). Severed per round — the frames are rows-of-a-
+    * domain tiny, and severing keeps the receipt's per-round
+    * aggregates from re-compiling the whole accumulated chain (the
+    * corpus_build lesson). */
+  private def cascade(s: SparkSession, d: String): Seq[(DataFrame, DataFrame)] = {
+    var st = qualityMass(s, d).withColumn("capped", lit(false))
+      .localCheckpoint(true)
+    val out = Seq.newBuilder[(DataFrame, DataFrame)]
+    for (_ <- 1 to Rounds) {
+      val scal = st.agg(
+        sum(when(col("capped"), 0L).otherwise(col("b"))).as("free_b"),
+        sum(when(col("capped"), 1L).otherwise(0L)).as("nc"))
+      val trial = st.crossJoin(broadcast(scal))
+        .withColumn("m", lit(1000000L) - col("nc") * CapPpm)
+        .withColumn("v", when(col("capped"), lit(CapPpm))
+          .otherwise(expr("CAST(b AS DECIMAL(28,0)) * m div free_b")
+            .cast("long")))
+        .localCheckpoint(true)
+      st = trial
+        .select(col("source"), col("b"),
+          (col("capped") || col("v") > CapPpm).as("capped"))
+        .localCheckpoint(true)
+      out += ((st, trial))
+    }
+    out.result()
+  }
+
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(DataFrame, DataFrame)]]
+
+  private def rounds(s: SparkSession, d: String): Seq[(DataFrame, DataFrame)] =
+    memo.getOrElseUpdate((s, d), cascade(s, d))
+
+  /** The convergence receipt: one row per round. */
+  def mixtureOptRounds(s: SparkSession, d: String): DataFrame =
+    rounds(s, d).zipWithIndex.map { case ((_, trial), i) =>
+      trial.agg(
+        max(col("nc")).as("n_capped"),
+        max(col("m")).as("free_mass_ppm"),
+        coalesce(max(when(!col("capped") && col("v") > CapPpm,
+          col("v") - CapPpm)), lit(0L)).as("max_over_ppm"))
+        .select(lit(i + 1).as("round"), col("n_capped"),
+          col("free_mass_ppm"), col("max_over_ppm"))
+    }.reduce(_ unionByName _)
+
+  /** The shipped allocation: capped sources at [[CapPpm]], free
+    * sources by largest-remainder exact apportionment of the free
+    * mass — Σ opt_ppm = 10⁶ exactly. */
+  def mixtureOptimize(s: SparkSession, d: String): DataFrame = {
+    val st = rounds(s, d).last._1
+    val scal = st.agg(
+      sum(when(col("capped"), 0L).otherwise(col("b"))).as("free_b"),
+      sum(when(col("capped"), 1L).otherwise(0L)).as("nc"),
+      sum(col("b")).as("tot_b"))
+    val fv = st.crossJoin(broadcast(scal))
+      .withColumn("m", lit(1000000L) - col("nc") * CapPpm)
+      .withColumn("v", when(col("capped"), lit(CapPpm))
+        .otherwise(expr("CAST(b AS DECIMAL(28,0)) * m div free_b")
+          .cast("long")))
+      .withColumn("rem", when(col("capped"), lit(-1L))
+        .otherwise(expr(
+          // both products in the DECIMAL lane: v·free_b would overflow
+          // a BIGINT multiply at 100 TB token masses
+          "CAST(CAST(b AS DECIMAL(28,0)) * m - CAST(v AS DECIMAL(28,0)) * free_b AS BIGINT)")))
+    val dust = fv.agg((max(col("m")) -
+      sum(when(col("capped"), 0L).otherwise(col("v")))).as("dust"))
+    val wRem = Window.orderBy(col("rem").desc, col("source"))
+    fv.withColumn("rk", row_number().over(wRem))
+      .crossJoin(broadcast(dust))
+      .select(col("source"), col("b").as("b_tokens"),
+        expr("CAST(b AS DECIMAL(28,0)) * 1000000 div tot_b").cast("long")
+          .as("raw_ppm"),
+        (when(col("capped"), lit(CapPpm)).otherwise(col("v")) +
+          when(!col("capped") && col("rk") <= col("dust"), 1L)
+            .otherwise(0L)).as("opt_ppm"),
+        col("capped").cast("int").as("is_capped"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mixture_optimize"   -> mixtureOptimize _,
+    "mixture_opt_rounds" -> mixtureOptRounds _)
+
+  // ---------------------------------------------------------------
+  // DuckDB oracle: gopher gate + the FULL unrolled cascade + the
+  // largest-remainder apportionment re-derived from scratch — a hash
+  // match pins every round's capped set and the exact dust placement.
+  // ---------------------------------------------------------------
+
+  private def roundCtes: String =
+    (1 to Rounds).map { k =>
+      s"""a$k AS (
+          SELECT sum(CASE WHEN capped THEN 0 ELSE b END) AS free_b,
+            sum(CASE WHEN capped THEN 1 ELSE 0 END) AS nc
+          FROM s${k - 1}),
+        v$k AS MATERIALIZED (
+          SELECT s.source, s.b, s.capped, a.nc,
+            1000000 - a.nc * $CapPpm AS m, a.free_b,
+            CASE WHEN s.capped THEN $CapPpm
+              ELSE CAST((CAST(s.b AS HUGEINT) * (1000000 - a.nc * $CapPpm))
+                // a.free_b AS BIGINT) END AS v
+          FROM s${k - 1} s CROSS JOIN a$k a),
+        s$k AS MATERIALIZED (
+          SELECT source, b, capped OR v > $CapPpm AS capped FROM v$k)"""
+    }.mkString(",\n        ")
+
+  private def baseCtes: String =
+    s"""WITH gm AS MATERIALIZED (${TextAnalysis.gopherSqlFrom("documents")}),
+        mass AS (
+          SELECT d.source,
+            CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS b
+          FROM documents d
+          JOIN gm ON gm.doc_id = d.doc_id AND gm.gopher_keep = 1
+          GROUP BY 1),
+        s0 AS (SELECT source, b, FALSE AS capped FROM mass),
+        $roundCtes"""
+
+  val oracle: Map[String, String] = Map(
+    "mixture_opt_rounds" -> (baseCtes + "\n" +
+      (1 to Rounds).map { k =>
+        s"""SELECT $k AS round,
+          (SELECT CAST(nc AS BIGINT) FROM a$k) AS n_capped,
+          (SELECT CAST(1000000 - nc * $CapPpm AS BIGINT) FROM a$k)
+            AS free_mass_ppm,
+          (SELECT CAST(coalesce(max(CASE WHEN NOT capped AND v > $CapPpm
+              THEN v - $CapPpm END), 0) AS BIGINT) FROM v$k) AS max_over_ppm"""
+      }.mkString(" UNION ALL ")),
+    "mixture_optimize" -> (baseCtes + s""",
+      fa AS (
+        SELECT sum(CASE WHEN capped THEN 0 ELSE b END) AS free_b,
+          sum(CASE WHEN capped THEN 1 ELSE 0 END) AS nc,
+          sum(b) AS tot_b
+        FROM s$Rounds),
+      fv AS (
+        SELECT s.source, s.b, s.capped, a.free_b, a.tot_b,
+          1000000 - a.nc * $CapPpm AS m,
+          CASE WHEN s.capped THEN $CapPpm
+            ELSE CAST((CAST(s.b AS HUGEINT) * (1000000 - a.nc * $CapPpm))
+              // a.free_b AS BIGINT) END AS v
+        FROM s$Rounds s CROSS JOIN fa a),
+      fr AS (
+        SELECT *, CASE WHEN capped THEN -1
+            ELSE CAST(CAST(b AS HUGEINT) * m - CAST(v AS HUGEINT) * free_b
+              AS BIGINT) END AS rem,
+          row_number() OVER (ORDER BY (CASE WHEN capped THEN -1
+            ELSE CAST(CAST(b AS HUGEINT) * m - CAST(v AS HUGEINT) * free_b
+              AS BIGINT) END) DESC, source) AS rk
+        FROM fv),
+      du AS (
+        SELECT max(m) - sum(CASE WHEN capped THEN 0 ELSE v END) AS dust
+        FROM fr)
+      SELECT source, b AS b_tokens,
+        CAST((CAST(b AS HUGEINT) * 1000000) // tot_b AS BIGINT) AS raw_ppm,
+        CAST(v + CASE WHEN NOT capped AND rk <= du.dust THEN 1 ELSE 0 END
+          AS BIGINT) AS opt_ppm,
+        CAST(capped AS INT) AS is_capped
+      FROM fr CROSS JOIN du"""))
+}

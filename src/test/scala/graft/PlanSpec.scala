@@ -107,6 +107,11 @@ class PlanSpec extends SparkSpec {
       // receipt shape — crossJoins of PAIRS of 1-row count scalars
       // over the checkpointed stage id-sets (the corpus_build shape)
       "corpus_build_incremental", "corpus_incr_equiv",
+      // mixture_optimize / mixture_opt_rounds: crossJoin(broadcast(
+      // 1-row free-mass/dust scalars)) over the bounded source table
+      // (the mixture_temperature shape; rounds ride checkpointed
+      // domain-sized frames)
+      "mixture_optimize", "mixture_opt_rounds",
       // bpe_unigram: crossJoin(broadcast(1-row total-usage scalar))
       // over the bounded piece table; unigram_rounds: per-round
       // crossJoins of PAIRS of 1-row aggregates (the ledger shape)
@@ -929,8 +934,10 @@ class PlanSpec extends SparkSpec {
     // bounded event-type domain (≤9 groups); stats_kruskal's midrank
     // window additionally rides the bounded BIN domain (stats_ks bound)
     "stats_anova", "stats_levene", "stats_kruskal",
-    // bounded source-table domain (≤8 sources)
+    // bounded source-table domain (≤8 sources); mixture_optimize's
+    // largest-remainder rank window rides the same domain
     "mixture_temperature", "corpus_build_mix", "corpus_datasheet",
+    "mixture_optimize",
     // calendar-bucketed series: per-day / per-month / hourly rollups
     // aggregated BEFORE the window — frame size is the time range
     "expect_volume", "ts_backlog", "ts_mom", "ts_seasonal",
