@@ -229,10 +229,36 @@ object Bpe {
           .as("share_ppm"))
   }
 
+  /** Vocabulary-size planning curve (r14): corpus token count and
+    * chars-per-token compression after the first r merges, r = 0..5 —
+    * the diminishing-returns table a team reads to pick a vocab size
+    * (BPE's prefix property makes every vocab size a PREFIX of one
+    * training run: merge r's table IS the r-merge tokenizer, so the
+    * whole curve costs zero extra training). Each point is one
+    * wcnt-weighted count over that round's checkpointed symbol table
+    * (vocab-sized); delta_tokens is the marginal saving of merge r —
+    * monotone non-increasing marginal gains are the classic curve
+    * shape, visible in data. Exact ppm lanes throughout. */
+  def bpeVocabCurve(s: SparkSession, d: String): DataFrame = {
+    val (tables, _) = train(s, d)
+    val chars = tables(0).agg(sum(col("wcnt")).as("n0"))
+    (0 to rounds).map { r =>
+      tables(r).agg(sum(col("wcnt")).as("n_tokens"))
+        .crossJoin(broadcast(chars))
+        .select(lit(r).as("n_merges"), col("n_tokens"),
+          expr("CAST(CAST(n0 AS DECIMAL(28,0)) * 1000000 div n_tokens AS BIGINT)")
+            .as("char_per_tok_ppm"))
+    }.reduce(_ unionByName _)
+      .withColumn("delta_tokens",
+        coalesce(lag(col("n_tokens"), 1)
+          .over(Window.orderBy(col("n_merges"))) - col("n_tokens"), lit(0L)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_merges" -> (bpeMerges _),
     "bpe_encode" -> (bpeEncode _),
     "bpe_segment" -> (bpeSegment _),
+    "bpe_vocab_curve" -> (bpeVocabCurve _),
     "token_budget" -> (tokenBudget _))
 
   // ---------------------------------------------------------------
@@ -315,6 +341,19 @@ object Bpe {
       FROM top JOIN seg ON top.w = seg.w"""),
     // bpe_encode's pricing join rolled to source; share in the HUGEINT
     // lane (== Spark DECIMAL(38,0) div)
+    // one wcnt-weighted count per checkpointed round table; r = 0 is
+    // the char tokenizer, so its count doubles as the char total
+    "bpe_vocab_curve" -> (oracleTraining + s""",
+      cv AS (${(0 to rounds).map(r =>
+        s"SELECT $r AS n_merges, CAST(sum(wcnt) AS BIGINT) AS n_tokens FROM t$r")
+        .mkString(" UNION ALL ")}),
+      c0 AS (SELECT CAST(sum(wcnt) AS BIGINT) AS n0 FROM t0)
+      SELECT n_merges, n_tokens,
+        CAST((CAST(n0 AS HUGEINT) * 1000000) // n_tokens AS BIGINT)
+          AS char_per_tok_ppm,
+        CAST(coalesce(lag(n_tokens) OVER (ORDER BY n_merges) - n_tokens, 0)
+          AS BIGINT) AS delta_tokens
+      FROM cv CROSS JOIN c0"""),
     "token_budget" -> (oracleTraining + pricingCtes("source") + s""",
       per AS (
         SELECT source, sum(c * ntok) AS n_tok_bpe, sum(c) AS n_words

@@ -487,11 +487,40 @@ object CorpusBuild {
         "CAST(n_tokens AS DECIMAL(28,0)) * 1000000 div n_docs AS tok_per_doc_ppm")
   }
 
+  /** Release integrity manifest (r14) — the two-level content-address
+    * tree a reproducible corpus release ships: per (source, pack) the
+    * doc/token volumes and a PACK FINGERPRINT (md5 of the member
+    * documents' scrubbed-text fingerprints in doc_id order), plus ONE
+    * root row ('*', -1) whose fingerprint folds every pack fingerprint
+    * in (source, pack) order — verify the root to trust the release,
+    * verify one pack to locate a corruption, without re-hashing 100 TB
+    * of text (the fps were already computed by the release pass; the
+    * manifest is pack-table-sized). Both levels are order-pinned so
+    * the DuckDB oracle reproduces them byte-for-byte. */
+  def corpusManifest(s: SparkSession, d: String): DataFrame = {
+    val docs = corpusBuildDocs(s, d)
+    val packs = docs.groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        md5(concat_ws("", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("clean_fp")))),
+          x => x.getField("clean_fp")))).as("pack_fp"))
+    val root = packs
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        md5(concat_ws("", transform(
+          array_sort(collect_list(
+            struct(col("source"), col("pack_id"), col("pack_fp")))),
+          x => x.getField("pack_fp")))).as("pack_fp"))
+      .select(lit("*").as("source"), lit(-1L).as("pack_id"),
+        col("n_docs"), col("n_tokens"), col("pack_fp"))
+    packs.unionByName(root)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_build"      -> corpusBuild _,
     "corpus_build_docs" -> corpusBuildDocs _,
     "corpus_build_mix"  -> corpusBuildMix _,
-    "corpus_datasheet"  -> corpusDatasheet _)
+    "corpus_datasheet"  -> corpusDatasheet _,
+    "corpus_manifest"   -> corpusManifest _)
 
   // ---------------------------------------------------------------
   // DuckDB oracle — the ENTIRE pipeline re-derived from scratch:
@@ -720,5 +749,21 @@ object CorpusBuild {
             AS margin_per_doc_ppm,
           CAST((CAST(n_tokens AS HUGEINT) * 1000000) // n_docs AS BIGINT)
             AS tok_per_doc_ppm
-        FROM dsq JOIN dtop USING (source) CROSS JOIN dtot""")
+        FROM dsq JOIN dtop USING (source) CROSS JOIN dtot""",
+    // both manifest levels with the same pinned orderings
+    "corpus_manifest" ->
+      s"""$withChain$releaseCtes,
+        mpk AS (
+          SELECT source, pack_id, count(*) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+            md5(string_agg(clean_fp, '' ORDER BY doc_id)) AS pack_fp
+          FROM packed GROUP BY source, pack_id)
+        SELECT source, CAST(pack_id AS BIGINT) AS pack_id, n_docs,
+          n_tokens, pack_fp
+        FROM mpk
+        UNION ALL
+        SELECT '*', -1, CAST(sum(n_docs) AS BIGINT),
+          CAST(sum(n_tokens) AS BIGINT),
+          md5(string_agg(pack_fp, '' ORDER BY source, pack_id))
+        FROM mpk""")
 }

@@ -151,9 +151,74 @@ object MixtureOptimize {
         col("capped").cast("int").as("is_capped"))
   }
 
+  /** MATERIALIZE the optimized mixture (r14, the step after the
+    * optimizer: a mixture table is only useful if a sample can
+    * realize it): per-source deterministic Bernoulli downsampling
+    * with keep ratio f_s ∝ opt_ppm(s) / raw_mass(s), normalized so
+    * the most-boosted source keeps everything (pure downsampling — no
+    * document repeats; achieved token mass is then EXACTLY
+    * proportional to the optimized shares in expectation). The keep
+    * decision is the sample_weighted md5 lane (first 6 hex digits of
+    * md5(doc_id) under a 24-bit threshold) — deterministic per doc on
+    * both engines, so the achieved mixture is hash-pinned, not just
+    * statistically close. Thresholds are exact integers: with m the
+    * max-ratio source, thresh_s = (opt_s·b_m·2²⁴) div (b_s·opt_m) —
+    * all products in the DECIMAL/HUGEINT lane. m itself is selected
+    * by an integer quotient key ((opt·10¹²) div b, ties by source) so
+    * both engines pick the same normalizer.
+    *
+    * Output: per source, the threshold, kept doc/token volumes, and
+    * achieved-vs-target ppm side by side — the receipt a mix release
+    * publishes. Scale shape: one gated corpus scan (the cascade memo)
+    * + one md5-filtered scan; the threshold table is bounded and
+    * broadcast. */
+  def mixtureSample(s: SparkSession, d: String): DataFrame = {
+    val alloc = mixtureOptimize(s, d)
+      .select(col("source"), col("b_tokens"), col("opt_ppm"))
+      .withColumn("q", expr(
+        "CAST(CAST(opt_ppm AS DECIMAL(28,0)) * 1000000000000 div b_tokens AS BIGINT)"))
+    val m = alloc.orderBy(col("q").desc, col("source")).limit(1)
+      .select(col("opt_ppm").as("om"), col("b_tokens").as("bm"))
+    val withM = alloc.crossJoin(broadcast(m))
+      .withColumn("thresh", expr(
+        """CAST(least(CAST(opt_ppm AS DECIMAL(38,0)) * bm * 16777216
+             div (CAST(b_tokens AS DECIMAL(38,0)) * om),
+           CAST(16777216 AS DECIMAL(38,0))) AS BIGINT)"""))
+      .select(col("source"), col("b_tokens"), col("opt_ppm"), col("thresh"))
+    val docs = documents(s, d)
+    val keepIds = TextAnalysis.qualityGopherOf(
+        docs.select(col("doc_id"), col("text")))
+      .filter(col("gopher_keep") === 1).select(col("doc_id"))
+    val gated = docs.join(keepIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+    val kept = gated.join(broadcast(withM), Seq("source"))
+      // the max-ratio source keeps everything: its threshold saturates
+      // at 2^24 and the sentinel 'g' sorts above every hex digit (the
+      // sample_weighted keep_prob >= 1 spelling)
+      .withColumn("tstr", when(col("thresh") >= 16777216L, lit("g"))
+        .otherwise(format_string("%06x", col("thresh").cast("int"))))
+      .withColumn("keep",
+        (substring(md5(col("doc_id").cast("string")), 1, 6) <
+          col("tstr")).cast("int"))
+      .groupBy(col("source"))
+      .agg(max(col("thresh")).as("thresh"),
+        count(lit(1)).as("n_docs"),
+        sum(col("keep")).as("n_kept"),
+        sum(col("keep") * col("nt")).as("tok_kept"),
+        max(col("opt_ppm")).as("target_ppm"))
+    val tot = kept.agg(sum(col("tok_kept")).as("tot_kept"))
+    kept.crossJoin(broadcast(tot))
+      .select(col("source"), col("thresh"), col("n_docs"), col("n_kept"),
+        col("tok_kept"), col("target_ppm"),
+        expr("CAST(CAST(tok_kept AS DECIMAL(28,0)) * 1000000 div tot_kept AS BIGINT)")
+          .as("achieved_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mixture_optimize"   -> mixtureOptimize _,
-    "mixture_opt_rounds" -> mixtureOptRounds _)
+    "mixture_opt_rounds" -> mixtureOptRounds _,
+    "mixture_sample"     -> mixtureSample _)
 
   // ---------------------------------------------------------------
   // DuckDB oracle: gopher gate + the FULL unrolled cascade + the
@@ -199,7 +264,51 @@ object MixtureOptimize {
           (SELECT CAST(coalesce(max(CASE WHEN NOT capped AND v > $CapPpm
               THEN v - $CapPpm END), 0) AS BIGINT) FROM v$k) AS max_over_ppm"""
       }.mkString(" UNION ALL ")),
-    "mixture_optimize" -> (baseCtes + s""",
+    "mixture_optimize" -> (allocCtes + """
+      SELECT source, b_tokens, raw_ppm, opt_ppm, is_capped FROM fin"""),
+    // the sampling chain over the allocation: max-ratio normalizer by
+    // the same integer quotient key, exact 24-bit thresholds, and the
+    // md5 keep decision replayed per document
+    "mixture_sample" -> (allocCtes + s""",
+      aq AS (
+        SELECT source, b_tokens, opt_ppm,
+          CAST((CAST(opt_ppm AS HUGEINT) * 1000000000000) // b_tokens
+            AS BIGINT) AS q
+        FROM fin),
+      mx AS (SELECT opt_ppm AS om, b_tokens AS bm FROM aq
+             ORDER BY q DESC, source LIMIT 1),
+      th AS (
+        SELECT a.source, a.opt_ppm,
+          CAST(least((CAST(a.opt_ppm AS HUGEINT) * m.bm * 16777216)
+            // (CAST(a.b_tokens AS HUGEINT) * m.om), 16777216) AS BIGINT)
+            AS thresh
+        FROM aq a CROSS JOIN mx m),
+      gated AS (
+        SELECT d.doc_id, d.source,
+          CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nt
+        FROM documents d
+        JOIN gm ON gm.doc_id = d.doc_id AND gm.gopher_keep = 1),
+      kp AS (
+        SELECT g.source, t.thresh, t.opt_ppm, g.nt,
+          CASE WHEN t.thresh >= 16777216 THEN 1
+            WHEN substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 6)
+              < printf('%06x', t.thresh) THEN 1 ELSE 0 END AS keep
+        FROM gated g JOIN th t USING (source)),
+      ks AS (
+        SELECT source, max(thresh) AS thresh, count(*) AS n_docs,
+          CAST(sum(keep) AS BIGINT) AS n_kept,
+          CAST(sum(keep * nt) AS BIGINT) AS tok_kept,
+          max(opt_ppm) AS target_ppm
+        FROM kp GROUP BY source),
+      kt AS (SELECT sum(tok_kept) AS tot_kept FROM ks)
+      SELECT source, thresh, n_docs, n_kept, tok_kept, target_ppm,
+        CAST((CAST(tok_kept AS HUGEINT) * 1000000) // kt.tot_kept
+          AS BIGINT) AS achieved_ppm
+      FROM ks CROSS JOIN kt"""))
+
+  /** Shared final-allocation CTE chain ending in
+    * `fin(source, b_tokens, raw_ppm, opt_ppm, is_capped)`. */
+  private def allocCtes: String = baseCtes + s""",
       fa AS (
         SELECT sum(CASE WHEN capped THEN 0 ELSE b END) AS free_b,
           sum(CASE WHEN capped THEN 1 ELSE 0 END) AS nc,
@@ -222,11 +331,12 @@ object MixtureOptimize {
         FROM fv),
       du AS (
         SELECT max(m) - sum(CASE WHEN capped THEN 0 ELSE v END) AS dust
-        FROM fr)
-      SELECT source, b AS b_tokens,
-        CAST((CAST(b AS HUGEINT) * 1000000) // tot_b AS BIGINT) AS raw_ppm,
-        CAST(v + CASE WHEN NOT capped AND rk <= du.dust THEN 1 ELSE 0 END
-          AS BIGINT) AS opt_ppm,
-        CAST(capped AS INT) AS is_capped
-      FROM fr CROSS JOIN du"""))
+        FROM fr),
+      fin AS (
+        SELECT source, b AS b_tokens,
+          CAST((CAST(b AS HUGEINT) * 1000000) // tot_b AS BIGINT) AS raw_ppm,
+          CAST(v + CASE WHEN NOT capped AND rk <= du.dust THEN 1 ELSE 0 END
+            AS BIGINT) AS opt_ppm,
+          CAST(capped AS INT) AS is_capped
+        FROM fr CROSS JOIN du)"""
 }

@@ -91,6 +91,28 @@ class BpeSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a.nonEmpty && b.nonEmpty })
   }
 
+  test("vocab curve: tokens strictly shrink, compression strictly " +
+      "grows, and each delta is bounded by that round's merge count") {
+    val curve = Bpe.bpeVocabCurve(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(curve.map(_._1).toSeq === (0 to 5))
+    curve.toSeq.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(b._2 < a._2, s"round ${b._1} tokens did not shrink")
+        assert(b._3 > a._3, s"round ${b._1} compression did not grow")
+      case _ => ()
+    }
+    assert(curve.head._4 === 0L)
+    // a merge saves one token per APPLIED site; applied sites never
+    // exceed the winning pair count (overlaps only reduce them)
+    val merges = Bpe.bpeMerges(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getLong(3)).toMap
+    curve.tail.foreach { case (r, _, _, delta) =>
+      assert(delta > 0 && delta <= merges(r), s"round $r delta $delta")
+    }
+  }
+
   test("training degrades gracefully when the pair supply runs dry") {
     // all-single-symbol vocab: round 1 already finds no adjacent pair;
     // applyMerge on such a table is the identity

@@ -152,6 +152,30 @@ class CorpusBuildSpec extends SparkSpec {
     }
   }
 
+  test("manifest: pack rows partition the release, the root folds " +
+      "them, and any tamper is visible at both levels") {
+    val rows = CorpusBuild.corpusManifest(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val (root, packs) = rows.partition(_._1 == "*")
+    assert(root.length === 1 && root.head._2 === -1L)
+    assert(root.head._3 === packs.map(_._3).sum)
+    assert(root.head._4 === packs.map(_._4).sum)
+    assert(packs.map(_._3).sum.toInt === survivors.length)
+    // the root is exactly the ordered fold of the pack fingerprints
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val folded = md.digest(packs.sortBy(p => (p._1, p._2))
+      .map(_._5).mkString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(root.head._5 === folded)
+    // tamper detection: flipping one pack fingerprint changes the root
+    val tampered = packs.sortBy(p => (p._1, p._2)).map(_._5)
+      .updated(0, "0" * 32).mkString
+    val md2 = java.security.MessageDigest.getInstance("MD5")
+    assert(md2.digest(tampered.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString !== root.head._5)
+  }
+
   test("mix shares are a probability simplex over the survivors") {
     val mix = CorpusBuild.corpusBuildMix(spark, dir).collect()
     val docsBySource = survivors.groupBy(_.getString(1))

@@ -66,4 +66,29 @@ class MixtureOptimizeSpec extends SparkSpec {
     assert(alloc.map(a => a._1 -> a._4).toMap === expected)
     assert(alloc.filter(_._5 == 1).map(_._1).toSet === capped)
   }
+
+  test("mixture_sample realizes the allocation: max-ratio source keeps " +
+      "everything, capped sources are genuinely thinned, deterministic") {
+    val rows = MixtureOptimize.mixtureSample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // thresholds are 24-bit keep ratios; exactly the max-ratio
+    // source(s) saturate and keep every document
+    val sat = rows.filter(_._2 >= 16777216L)
+    assert(sat.nonEmpty)
+    sat.foreach(r => assert(r._4 === r._3, r._1))
+    // every capped source from the allocation was downsampled
+    val cappedSrcs = alloc.filter(_._5 == 1).map(_._1).toSet
+    rows.filter(r => cappedSrcs(r._1)).foreach { r =>
+      assert(r._2 < 16777216L, r._1)
+    }
+    assert(rows.exists(r => r._4 < r._3)) // sampling did real work
+    // the md5 keep rule is deterministic: a second run is identical
+    val again = MixtureOptimize.mixtureSample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4))).toSet
+    assert(again === rows.map(r => (r._1, r._4, r._5)).toSet)
+    // achieved shares form the ppm simplex (up to truncation dust)
+    val achieved = rows.map(_._7).sum
+    assert(achieved > 1000000L - rows.length && achieved <= 1000000L)
+  }
 }

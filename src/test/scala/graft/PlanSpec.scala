@@ -107,11 +107,14 @@ class PlanSpec extends SparkSpec {
       // receipt shape — crossJoins of PAIRS of 1-row count scalars
       // over the checkpointed stage id-sets (the corpus_build shape)
       "corpus_build_incremental", "corpus_incr_equiv",
-      // mixture_optimize / mixture_opt_rounds: crossJoin(broadcast(
-      // 1-row free-mass/dust scalars)) over the bounded source table
-      // (the mixture_temperature shape; rounds ride checkpointed
-      // domain-sized frames)
-      "mixture_optimize", "mixture_opt_rounds",
+      // mixture_optimize / mixture_opt_rounds / mixture_sample:
+      // crossJoin(broadcast(1-row free-mass/dust/normalizer scalars))
+      // over the bounded source table (the mixture_temperature shape;
+      // rounds ride checkpointed domain-sized frames)
+      "mixture_optimize", "mixture_opt_rounds", "mixture_sample",
+      // bpe_vocab_curve: crossJoins of PAIRS of 1-row token-count
+      // scalars over the checkpointed round tables (the ledger shape)
+      "bpe_vocab_curve",
       // bpe_unigram: crossJoin(broadcast(1-row total-usage scalar))
       // over the bounded piece table; unigram_rounds: per-round
       // crossJoins of PAIRS of 1-row aggregates (the ledger shape)
@@ -159,6 +162,14 @@ class PlanSpec extends SparkSpec {
     // running-Σ√n window ride the same source exchange); ids and
     // bounded tags on the wire, text never shuffles
     "corpus_datasheet" -> 4,
+    // corpus_manifest (r14): the (source, pack) rollup over the
+    // release tail + the root fold — fingerprints on the wire, one
+    // bounded-key exchange each
+    "corpus_manifest" -> 2,
+    // mixture_sample (r14): the gopher-gated doc scan joins the
+    // broadcast threshold table, then the bounded source rollup (+ the
+    // memoized cascade's domain frames)
+    "mixture_sample" -> 2,
     // bpe_unigram (r13): final-usage piece rollup (1) read by both the
     // model and total branches + the alphabet distinct + model join on
     // the bounded piece key — all vocab/model-sized, corpus-free (the
@@ -900,6 +911,10 @@ class PlanSpec extends SparkSpec {
     // union the shape walker cannot see through); exact side is
     // |probes|·N by the sampled-audit contract, same as ann_recall
     "dedup_embedding_recall",
+    // mixture_sample: the hinted threshold table is the bounded
+    // source-domain allocation (mixture_optimize's output — joins and
+    // windows over ≤ tens of rows the walker cannot see through)
+    "mixture_sample",
     // ---- top-k vocab marginals: built FROM the limit(topK) token
     // table (the walker sees only the post-join Project) — ≤ topK rows
     "text_pair_lift",
@@ -935,9 +950,11 @@ class PlanSpec extends SparkSpec {
     // window additionally rides the bounded BIN domain (stats_ks bound)
     "stats_anova", "stats_levene", "stats_kruskal",
     // bounded source-table domain (≤8 sources); mixture_optimize's
-    // largest-remainder rank window rides the same domain
+    // largest-remainder rank window rides the same domain (and
+    // mixture_sample composes it); bpe_vocab_curve's lag window rides
+    // the 6-row merge-round domain
     "mixture_temperature", "corpus_build_mix", "corpus_datasheet",
-    "mixture_optimize",
+    "mixture_optimize", "mixture_sample", "bpe_vocab_curve",
     // calendar-bucketed series: per-day / per-month / hourly rollups
     // aggregated BEFORE the window — frame size is the time range
     "expect_volume", "ts_backlog", "ts_mom", "ts_seasonal",
