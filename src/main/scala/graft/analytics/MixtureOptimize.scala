@@ -1,5 +1,6 @@
 package graft.analytics
 
+import graft.analytics.Caches.TrackedPersist
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -62,13 +63,24 @@ object MixtureOptimize {
   /** (source, b): per-source token mass surviving the Gopher gate —
     * the quality-weighted signal the weights chase. */
   private def qualityMass(s: SparkSession, d: String): DataFrame = {
+    // full-width fan-out before the interpreted gopher HOF stack: the
+    // documents parquet is a single split at test SF (the PlanSpec
+    // mustFan rule). The gate is spelled as AGGREGATION ARITHMETIC,
+    // not a row filter — Catalyst pushes deterministic filters THROUGH
+    // a repartition onto the single-split scan (measured: the whole
+    // gopher stack serialized on one task, 15 s at sf1), whereas the
+    // metric projection + partial agg stay above the exchange.
     val docs = documents(s, d)
-    val keep = TextAnalysis.qualityGopherOf(
-        docs.select(col("doc_id"), col("text")))
-      .filter(col("gopher_keep") === 1).select(col("doc_id"))
-    docs.join(keep, Seq("doc_id"), "left_semi")
+      .repartition(s.sparkContext.defaultParallelism)
+    TextAnalysis.qualityGopherOf(
+        docs.select(col("doc_id"), col("source"), col("text")),
+        carry = Seq("source", "text"))
       .groupBy(col("source"))
-      .agg(sum(size(split(col("text"), " ")).cast("long")).as("b"))
+      .agg(sum(when(col("gopher_keep") === 1,
+        size(split(col("text"), " ")).cast("long")).otherwise(0L)).as("b"))
+      // sources with zero surviving mass leave the mixture here, AFTER
+      // the rollup (same result as the filtered spelling, never pushed)
+      .filter(col("b") > 0)
   }
 
   /** The unrolled cascade: per-round (state, trial) frames over the
@@ -185,12 +197,18 @@ object MixtureOptimize {
              div (CAST(b_tokens AS DECIMAL(38,0)) * om),
            CAST(16777216 AS DECIMAL(38,0))) AS BIGINT)"""))
       .select(col("source"), col("b_tokens"), col("opt_ppm"), col("thresh"))
-    val docs = documents(s, d)
-    val keepIds = TextAnalysis.qualityGopherOf(
-        docs.select(col("doc_id"), col("text")))
-      .filter(col("gopher_keep") === 1).select(col("doc_id"))
-    val gated = docs.join(keepIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("source"),
+    // fanned single-scan gate (the qualityMass spelling): gopher
+    // verdict, source and token count in one pass. The gopher gate and
+    // the md5 keep decision are AGGREGATION ARITHMETIC, not row
+    // filters — a filter would be pushed through the repartition onto
+    // the single-split scan and serialize the HOF stack (see
+    // qualityMass); sources absent from the allocation drop at the
+    // bounded broadcast join instead
+    val gated = TextAnalysis.qualityGopherOf(
+        documents(s, d).repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("source"), col("text")),
+        carry = Seq("source", "text"))
+      .select(col("doc_id"), col("source"), col("gopher_keep"),
         size(split(col("text"), " ")).cast("long").as("nt"))
     val kept = gated.join(broadcast(withM), Seq("source"))
       // the max-ratio source keeps everything: its threshold saturates
@@ -198,15 +216,19 @@ object MixtureOptimize {
       // sample_weighted keep_prob >= 1 spelling)
       .withColumn("tstr", when(col("thresh") >= 16777216L, lit("g"))
         .otherwise(format_string("%06x", col("thresh").cast("int"))))
-      .withColumn("keep",
+      .withColumn("keep", col("gopher_keep") *
         (substring(md5(col("doc_id").cast("string")), 1, 6) <
           col("tstr")).cast("int"))
       .groupBy(col("source"))
       .agg(max(col("thresh")).as("thresh"),
-        count(lit(1)).as("n_docs"),
-        sum(col("keep")).as("n_kept"),
+        sum(col("gopher_keep")).cast("long").as("n_docs"),
+        sum(col("keep")).cast("long").as("n_kept"),
         sum(col("keep") * col("nt")).as("tok_kept"),
         max(col("opt_ppm")).as("target_ppm"))
+      // domain-sized, consumed by BOTH the totals branch and the final
+      // projection — without persisting, the whole gopher scan above
+      // runs twice (measured 12.8 -> 6.5 s at sf1)
+      .persistTracked()
     val tot = kept.agg(sum(col("tok_kept")).as("tot_kept"))
     kept.crossJoin(broadcast(tot))
       .select(col("source"), col("thresh"), col("n_docs"), col("n_kept"),
