@@ -515,12 +515,62 @@ object CorpusBuild {
     packs.unionByName(root)
   }
 
+  /** Curriculum schedule over the release (r14) — the data-ORDERING
+    * artifact next to the mixture (Bengio et al. 2009 curricula;
+    * quality-annealing schedules read the same ranking reversed): rank
+    * every training pack by its mean per-token MDL code length under
+    * the release's own word distribution, bits(w) = bitlen(T div c(w))
+    * — the [[Unigram]] cost rule at piece = word, so "difficulty" is
+    * literally the word-level LM surprisal surrogate in the exact
+    * integer lane (rare-word-dense packs rank hard). Output: one row
+    * per pack, rank 1 = easiest, with the exact mean-bits ppm the
+    * rank was derived from.
+    *
+    * Scale shape: one scrubbed-corpus scan builds (word, count), one
+    * more prices documents against the vocab-sized bits table, the
+    * rollup is pack-keyed; the schedule rank itself is corpus-sized/
+    * PackBudget, so it uses [[Ranking.globalRowNumber]] (per-partition
+    * local ranks + collected offsets — no single-partition window). */
+  def curriculumOrder(s: SparkSession, d: String): DataFrame = {
+    val (base, ids) = build(s, d)
+    val surv = base.join(ids.last, Seq("doc_id"), "left_semi")
+    val scrub = Curation.piiScrubFull(
+        surv.select(col("doc_id"), col("ftext").as("text")))
+      .select(col("doc_id"), col("scrubbed"))
+      .persistTracked()
+    val toks = scrub
+      .select(col("doc_id"), explode(split(col("scrubbed"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = freq.agg(sum(col("c")).as("t"))
+    val bits = freq.crossJoin(broadcast(tot))
+      .select(col("w"),
+        expr("CAST(length(bin(t div c)) AS BIGINT)").as("bits"))
+    val docBits = toks.join(bits, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bits")).as("sbits"), count(lit(1)).as("ntok"))
+    val perPack = corpusBuildDocs(s, d)
+      .select(col("doc_id"), col("source"), col("pack_id"))
+      .join(docBits, Seq("doc_id"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+        sum(col("sbits")).as("sum_bits"))
+      .withColumn("mean_bits_ppm",
+        expr("CAST(CAST(sum_bits AS DECIMAL(28,0)) * 1000000 div n_tokens AS BIGINT)"))
+    Ranking.globalRowNumber(perPack,
+        Seq(col("mean_bits_ppm").asc, col("source").asc, col("pack_id").asc),
+        "rank_pos")
+      .select(col("rank_pos"), col("source"), col("pack_id"), col("n_docs"),
+        col("n_tokens"), col("mean_bits_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_build"      -> corpusBuild _,
     "corpus_build_docs" -> corpusBuildDocs _,
     "corpus_build_mix"  -> corpusBuildMix _,
     "corpus_datasheet"  -> corpusDatasheet _,
-    "corpus_manifest"   -> corpusManifest _)
+    "corpus_manifest"   -> corpusManifest _,
+    "curriculum_order"  -> curriculumOrder _)
 
   // ---------------------------------------------------------------
   // DuckDB oracle — the ENTIRE pipeline re-derived from scratch:
@@ -750,6 +800,38 @@ object CorpusBuild {
           CAST((CAST(n_tokens AS HUGEINT) * 1000000) // n_docs AS BIGINT)
             AS tok_per_doc_ppm
         FROM dsq JOIN dtop USING (source) CROSS JOIN dtot""",
+    // the curriculum schedule: word-MDL bits over the scrubbed release
+    // corpus, pack rollup, global rank (row_number is the SQL twin of
+    // the engine's offset-composed globalRowNumber)
+    "curriculum_order" ->
+      s"""$withChain$releaseCtes,
+        ctok AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(st, ' ')) AS w FROM scrub) z
+          WHERE length(w) > 0),
+        cfreq AS (SELECT w, count(*) AS c FROM ctok GROUP BY 1),
+        ctot AS (SELECT sum(c) AS t FROM cfreq),
+        cbits AS (
+          SELECT w, CAST(length(bin(t // c)) AS BIGINT) AS bits
+          FROM cfreq CROSS JOIN ctot),
+        cdoc AS (
+          SELECT doc_id, CAST(sum(bits) AS BIGINT) AS sbits,
+            count(*) AS ntok
+          FROM ctok JOIN cbits USING (w) GROUP BY 1),
+        cpk AS (
+          SELECT p.source, p.pack_id, count(*) AS n_docs,
+            CAST(sum(c.ntok) AS BIGINT) AS n_tokens,
+            CAST(sum(c.sbits) AS BIGINT) AS sum_bits
+          FROM packed p JOIN cdoc c USING (doc_id) GROUP BY 1, 2),
+        cpm AS (
+          SELECT *, CAST((CAST(sum_bits AS HUGEINT) * 1000000) // n_tokens
+            AS BIGINT) AS mean_bits_ppm
+          FROM cpk)
+        SELECT row_number() OVER (ORDER BY mean_bits_ppm, source, pack_id)
+            AS rank_pos,
+          source, CAST(pack_id AS BIGINT) AS pack_id, n_docs, n_tokens,
+          mean_bits_ppm
+        FROM cpm""",
     // both manifest levels with the same pinned orderings
     "corpus_manifest" ->
       s"""$withChain$releaseCtes,

@@ -176,6 +176,21 @@ class CorpusBuildSpec extends SparkSpec {
       .map("%02x".format(_)).mkString !== root.head._5)
   }
 
+  test("curriculum: dense global ranks follow the difficulty order and " +
+      "cover exactly the release's packs") {
+    val cur = CorpusBuild.curriculumOrder(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(cur.map(_._1).toSeq === (1L to cur.length))
+    // rank order == (mean_bits, source, pack) order, no single-
+    // partition window involved (the globalRowNumber contract)
+    assert(cur.map(c => (c._6, c._2, c._3)).toSeq ===
+      cur.map(c => (c._6, c._2, c._3)).sortBy(identity).toSeq)
+    val packs = survivors.map(r => (r.getString(1), r.getLong(6))).toSet
+    assert(cur.map(c => (c._2, c._3)).toSet === packs)
+    assert(cur.map(_._4).sum.toInt === survivors.length)
+  }
+
   test("mix shares are a probability simplex over the survivors") {
     val mix = CorpusBuild.corpusBuildMix(spark, dir).collect()
     val docsBySource = survivors.groupBy(_.getString(1))

@@ -115,6 +115,9 @@ class PlanSpec extends SparkSpec {
       // bpe_vocab_curve: crossJoins of PAIRS of 1-row token-count
       // scalars over the checkpointed round tables (the ledger shape)
       "bpe_vocab_curve",
+      // curriculum_order: crossJoin(broadcast(1-row corpus-total
+      // scalar)) feeding the vocab-sized bits table
+      "curriculum_order",
       // bpe_unigram: crossJoin(broadcast(1-row total-usage scalar))
       // over the bounded piece table; unigram_rounds: per-round
       // crossJoins of PAIRS of 1-row aggregates (the ledger shape)
@@ -170,6 +173,12 @@ class PlanSpec extends SparkSpec {
     // broadcast threshold table, then the bounded source rollup (+ the
     // memoized cascade's domain frames)
     "mixture_sample" -> 2,
+    // curriculum_order (r14): the scrubbed-release word agg + the
+    // vocab-sized bits join + per-doc and per-pack rollups, PLUS the
+    // un-checkpointed corpusBuildDocs tail it re-derives (PII join +
+    // packing window) and globalRowNumber's local-rank machinery —
+    // words/ids on the wire, text never shuffles
+    "curriculum_order" -> 13,
     // bpe_unigram (r13): final-usage piece rollup (1) read by both the
     // model and total branches + the alphabet distinct + model join on
     // the bounded piece key — all vocab/model-sized, corpus-free (the
