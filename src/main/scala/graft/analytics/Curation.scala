@@ -130,17 +130,52 @@ object Curation {
     * cannot move a document across splits, which is what makes the
     * split reproducible AND leak-free under incremental ingest.
     * Output is the per-split audit: doc/token/language counts. */
-  def datasetSplit(s: SparkSession, d: String): DataFrame = {
+  /** The md5 split rule shared by dataset_split and split_leakage. */
+  private def splitCol: Column = {
     val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+    when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
+  }
+
+  def datasetSplit(s: SparkSession, d: String): DataFrame = {
     documents(s, d)
-      .withColumn("split",
-        when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test"))
+      .withColumn("split", splitCol)
       .groupBy(col("split"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(size(org.apache.spark.sql.functions.split(col("text"), " "))
           .cast("long")).as("n_tokens"),
         countDistinct(col("lang")).cast("int").as("n_langs"))
+  }
+
+  /** Split-leakage audit (r14) — the evaluation-integrity check every
+    * split ships with: no NEAR-DUPLICATE pair may straddle the
+    * train/val/test boundary, or the held-out score is partly
+    * memorization (the Lewis et al. 2021 test-set-overlap finding as
+    * an operator). Candidate pairs come from the production MinHash
+    * banding (dedup_minhash — the same pair set the dedup passes act
+    * on), each side tagged with the md5 split rule, rolled up per
+    * unordered split pair with an is_leak flag on the off-diagonal
+    * rows. A clean split shows zero off-diagonal mass; the md5 split
+    * is content-blind BY DESIGN, so the planted duplicate families
+    * make the leak rows provably nonzero here — exactly the failure
+    * the audit exists to surface (dedup-THEN-split, never the
+    * reverse). Scale shape: the pair table carries bare ids; the two
+    * split lookups are id joins (text never moves); the rollup domain
+    * is 3×3. */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val sp = documents(s, d).select(col("doc_id"), splitCol.as("sp"))
+      .persistTracked()
+    Dedup.dedupMinhash(s, d)
+      .join(sp.select(col("doc_id").as("doc_a"), col("sp").as("sa")),
+        Seq("doc_a"))
+      .join(sp.select(col("doc_id").as("doc_b"), col("sp").as("sb")),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("split_x"),
+        greatest(col("sa"), col("sb")).as("split_y"))
+      .groupBy(col("split_x"), col("split_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("split_x"), col("split_y"), col("n_pairs"),
+        (col("split_x") =!= col("split_y")).cast("int").as("is_leak"))
   }
 
   /** k-anonymity audit (k=5) over the event stream: how much of each
@@ -630,6 +665,7 @@ object Curation {
     "pii_scrub"       -> piiScrub _,
     "curation_report" -> curationReport _,
     "dataset_split"   -> datasetSplit _,
+    "split_leakage"   -> splitLeakage _,
     "privacy_kanon"   -> privacyKanon _,
     "privacy_ldiversity" -> privacyLdiversity _,
     "privacy_tcloseness" -> privacyTcloseness _,
@@ -1031,5 +1067,27 @@ object Curation {
           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
           CAST(count(DISTINCT lang) AS INT) AS n_langs
         FROM documents GROUP BY 1""",
+    // the production MinHash candidate pairs (dedup_minhash's exact
+    // CTE chain) x the same md5 split rule, rolled per unordered pair
+    "split_leakage" ->
+      s"""${Dedup.shCte}, ${Dedup.minhashCtes},
+        mp AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id),
+        spl AS (
+          SELECT doc_id,
+            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+              THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+              THEN 'val' ELSE 'test' END AS sp
+          FROM documents)
+        SELECT least(x.sp, y.sp) AS split_x, greatest(x.sp, y.sp) AS split_y,
+          count(*) AS n_pairs,
+          CAST(least(x.sp, y.sp) <> greatest(x.sp, y.sp) AS INT) AS is_leak
+        FROM mp JOIN spl x ON x.doc_id = mp.doc_a
+        JOIN spl y ON y.doc_id = mp.doc_b
+        GROUP BY 1, 2, 4""",
   )
 }

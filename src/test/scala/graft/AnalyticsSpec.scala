@@ -141,6 +141,37 @@ class AnalyticsSpec extends SparkSpec {
       s"missing ${(exactPairs -- cands).take(3)}")
   }
 
+  test("split_leakage: reconstructs the pair volume exactly and flags " +
+      "precisely the straddling near-dup pairs") {
+    val d = "/root/testdata/sf0.01"
+    val rows = graft.analytics.Curation.splitLeakage(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    // the rollup partitions the full candidate-pair set
+    assert(rows.map(_._3).sum === Dedup.dedupMinhash(spark, d).count())
+    // flags: off-diagonal iff is_leak, and the content-blind md5 split
+    // provably leaks on the planted duplicate families (the audit's
+    // reason to exist: dedup-THEN-split)
+    rows.foreach { case (x, y, _, leak) =>
+      assert((x != y) === (leak == 1), s"$x/$y")
+      assert(x <= y)
+    }
+    assert(rows.exists(_._4 == 1))
+    // independent recomputation of one leak cell from raw pieces
+    val split = (id: Long) => {
+      val h2 = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString
+      if (h2 < "cc") "train" else if (h2 < "e6") "val" else "test"
+    }
+    val expected = Dedup.dedupMinhash(spark, d).collect()
+      .map(r => {
+        val (a, b) = (split(r.getLong(0)), split(r.getLong(1)))
+        (Seq(a, b).min, Seq(a, b).max)
+      })
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap === expected)
+  }
+
   test("connected components collapse transitive chains and leave islands alone") {
     import spark.implicits._
     // chain 1-2-3 (1~2, 2~3 but never 1~3), clique 10-11-12, pair 20-21

@@ -262,6 +262,10 @@ class PlanSpec extends SparkSpec {
     "dedup_embedding_recall" -> 2,
     "csv_roundtrip" -> 1, "dedup_embedding" -> 1, "dedup_exact" -> 1,
     "dedup_minhash" -> 3, "dedup_ngram" -> 15, "dedup_simhash" -> 0,
+    // split_leakage (r14): dedup_minhash's pair budget + the split
+    // lookup joins on bare ids (text never moves) — the 3×3 rollup
+    // itself rides the pair exchange
+    "split_leakage" -> 4,
     "dedup_simhash64" -> 0, "dedup_simhash_pairs" -> 1, "expect_suite" -> 0,
     // expect_suite_json: the JSON-loaded twin of expect_suite — same
     // single-pass global agg, hashpartitioning-free plan
