@@ -59,7 +59,7 @@ import org.apache.spark.sql.functions._
   * then the surviving corpus is PII-scrubbed (pii_scrub), priced, and
   * packed into fixed token budgets per source (pack_sequences), with
   * per-source temperature mixture shares (mixture_temperature) — the
-  * four declared queries:
+  * declared queries:
   *
   *   - `corpus_build`      — the 10-row ledger (stage, n_in, n_dropped,
   *                           n_out); n_out(k) ≡ n_in(k+1) and
@@ -77,6 +77,10 @@ import org.apache.spark.sql.functions._
   *                           volumes and shares NEXT TO the license
   *                           mix and the trained-classifier quality
   *                           stats of what actually shipped
+  *   - `corpus_manifest`   — (r14) the two-level content-address
+  *                           integrity tree over the release
+  *   - `curriculum_order`  — (r14) the pack-level training schedule
+  *                           by word-MDL difficulty
   *
   * Plants (the calibration content that makes every gate provably
   * fire, the url_canon/pii_scrub discipline): re-crawl duplicates
@@ -85,19 +89,22 @@ import org.apache.spark.sql.functions._
   * decorations keyed on a CONTENT hash ([[contentKey]]) rather than
   * doc_id, so identical texts decorate identically and plants can
   * never split a duplicate family (a re-crawled EVAL page survives
-  * dedup — its twin is held out — and is caught by stage 8, exactly
+  * dedup — its twin is held out — and is caught by stage 9, exactly
   * the leak decontamination exists for).
   *
   * Scale shape (the reason each stage is spelled the way it is):
   * stages 1–2 are scan-side predicates; stage 3 shuffles a 32-byte
   * fingerprint + id; stage 4 is the banded MinHash candidate join
   * (ids only); stage 5 shuffles paragraph hashes + bounded index
-  * lists; stages 6–7 are scan-side folds (the classifier's 34 learned
-  * longs ride in as literals); stage 8 broadcast-joins the
-  * small-by-construction eval shingle set. Stage membership flows as
-  * ID-ONLY cached sets semi-joined back to the one cached repaired
-  * corpus — document text never shuffles in any stage, which is what
-  * makes the composed pipeline the same 100 TB contract as its parts.
+  * lists; stages 6–8 are scan-side predicate stacks / folds (the
+  * license rules compile to contains/regex, the classifier's 34
+  * learned longs ride in as literals); stage 9 broadcast-joins the
+  * small-by-construction eval shingle set; stage 10 broadcasts the
+  * bounded eval VECTORS and streams only the survivors' embeddings
+  * against them. Stage membership flows as ID-ONLY cached sets
+  * semi-joined back to the one cached repaired corpus — document text
+  * never shuffles in any stage, which is what makes the composed
+  * pipeline the same 100 TB contract as its parts.
   */
 object CorpusBuild {
 
