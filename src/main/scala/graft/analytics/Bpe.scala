@@ -106,8 +106,8 @@ object Bpe {
     * SparkSession (r13 advice): the checkpointed tables hold plans
     * bound to the session that built them — a later session in the
     * same JVM must retrain, not inherit dead frames. */
-  private val trainMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (Seq[DataFrame], Seq[(String, String)])]
+  private val trainMemo =
+    new Caches.SessionMemo[(Seq[DataFrame], Seq[(String, String)])]
 
   private def trainOnce(s: SparkSession, d: String): (Seq[DataFrame], Seq[(String, String)]) = {
     var toks = initToks(s, d).localCheckpoint(true)

@@ -85,8 +85,8 @@ object BpeBytes {
 
   /** One training job per (session, corpus) — the [[Bpe]] memo
     * contract, session-keyed for the same checkpoint-lifetime reason. */
-  private val trainMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (Seq[DataFrame], Seq[(String, String)])]
+  private val trainMemo =
+    new Caches.SessionMemo[(Seq[DataFrame], Seq[(String, String)])]
 
   private def trainOnce(s: SparkSession, d: String): (Seq[DataFrame], Seq[(String, String)]) = {
     var toks = initToks(s, d).localCheckpoint(true)

@@ -2,7 +2,8 @@ package graft.analytics
 
 import java.util.concurrent.ConcurrentLinkedQueue
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 /** Session-lifecycle accounting for query-builder caches (r8 judge
@@ -48,6 +49,42 @@ object Caches {
   /** Number of currently tracked (not yet released) frames — spec
     * hook for the bounded-accumulation contract. */
   def trackedCount: Int = live.size()
+
+  /** (SparkSession, corpus-dir)-keyed memo with SESSION-END EVICTION
+    * (r14 advice): the plain TrieMap spelling strongly retained every
+    * SparkSession ever used — plus its checkpointed DataFrame handles
+    * — for the JVM lifetime, so the multi-session-per-JVM scenario the
+    * session keying was added for (r13) accumulated dead entries and
+    * blocked session GC. Each session that inserts an entry registers
+    * ONE listener on its SparkContext; onApplicationEnd (the context
+    * stop `SparkSession.stop()` triggers — exactly when the session's
+    * checkpointed plans die) drops every entry owned by a session of
+    * that context. Entries are recomputed, never resurrected: a new
+    * session after a stop misses the map and rebuilds, which is the
+    * r13 contract. */
+  final class SessionMemo[V] {
+    private val map =
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), V]
+    private val hooked =
+      scala.collection.concurrent.TrieMap.empty[SparkSession, Boolean]
+
+    def getOrElseUpdate(key: (SparkSession, String), v: => V): V = {
+      val s = key._1
+      hooked.getOrElseUpdate(s, {
+        s.sparkContext.addSparkListener(new SparkListener {
+          override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
+            map.keysIterator.filter(_._1 eq s).foreach(map.remove)
+            hooked.remove(s)
+          }
+        })
+        true
+      })
+      map.getOrElseUpdate(key, v)
+    }
+
+    /** Spec hook: number of live entries. */
+    def size: Int = map.size
+  }
 
   implicit final class TrackedPersist[T](private val ds: Dataset[T])
       extends AnyVal {

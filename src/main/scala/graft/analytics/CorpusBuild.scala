@@ -242,8 +242,8 @@ object CorpusBuild {
     * OWNING SparkSession too (r13 advice): checkpointed DataFrames are
     * bound to the session that materialized them, so a later session
     * in the same JVM must rebuild rather than receive dead plans. */
-  private val buildMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, Seq[DataFrame])]
+  private val buildMemo =
+    new Caches.SessionMemo[(DataFrame, Seq[DataFrame])]
 
   private def buildOnce(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     def sever(df: DataFrame): DataFrame = df.localCheckpoint(true)

@@ -569,6 +569,11 @@ object Curation {
     * each corpus directory ONCE and the classifier reuses the result
     * (a user's workflow: one training job, then scan-speed gating;
     * without the memo a board run pays the 16 rounds twice). */
+  // Deliberately keyed by DIRECTORY ONLY — exempt from the
+  // (SparkSession, dir) session-key rule the DataFrame memos follow
+  // (r13 advice / Caches.SessionMemo): the held value is plain driver
+  // Array[Long]s, not session-bound checkpointed plans, so it stays
+  // valid (and cheap) across sessions in one JVM.
   private val weightMemo =
     scala.collection.concurrent.TrieMap.empty[String, (Array[Long], Array[Long])]
 

@@ -203,8 +203,7 @@ object IncrementalBuild {
     oldSets: Seq[DataFrame], deltaSets: Seq[DataFrame],
     scratchSets: Seq[DataFrame])
 
-  private val memo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), IncrState]
+  private val memo = new Caches.SessionMemo[IncrState]
 
   /** Three materialized runs per (session, corpus): the old snapshot's
     * batch stack (whose post-exact slice feeds the stores), the

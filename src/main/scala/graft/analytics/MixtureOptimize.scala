@@ -92,6 +92,19 @@ object MixtureOptimize {
   private def cascade(s: SparkSession, d: String): Seq[(DataFrame, DataFrame)] = {
     var st = qualityMass(s, d).withColumn("capped", lit(false))
       .localCheckpoint(true)
+    // Feasibility gate (r15 advice): with n massive sources, the cap
+    // constraint is satisfiable iff n·CapPpm ≥ 10⁶ — otherwise the
+    // cascade caps EVERY source and the "Σ opt_ppm = 10⁶" theorem
+    // silently fails (the shipped allocation would sum to n·CapPpm).
+    // Feasibility also implies the free set never empties at a fixed
+    // point: f free sources all violating would force
+    // 10⁶ − nc·Cap > f·Cap, i.e. n·Cap < 10⁶. The count is the
+    // bounded source domain — a driver-side scalar, not a corpus scan.
+    val nMass = st.count()
+    require(nMass * CapPpm >= 1000000L,
+      s"infeasible cap: $nMass sources x $CapPpm ppm < 1e6 - " +
+        "every source would be capped and the mix under-allocated; " +
+        "raise CapPpm or merge sources")
     val out = Seq.newBuilder[(DataFrame, DataFrame)]
     for (_ <- 1 to Rounds) {
       val scal = st.agg(
@@ -112,8 +125,7 @@ object MixtureOptimize {
     out.result()
   }
 
-  private val memo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Seq[(DataFrame, DataFrame)]]
+  private val memo = new Caches.SessionMemo[Seq[(DataFrame, DataFrame)]]
 
   private def rounds(s: SparkSession, d: String): Seq[(DataFrame, DataFrame)] =
     memo.getOrElseUpdate((s, d), cascade(s, d))

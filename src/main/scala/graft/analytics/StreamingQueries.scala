@@ -1076,8 +1076,20 @@ object StreamingQueries {
       // epoch below); already-stamped files are left alone.
       new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet"))
         .foreach { f =>
-          if (f.lastModified() > 1500000000000L)
-            f.setLastModified(1000000000000L + i * 60000L)
+          if (f.lastModified() > 1500000000000L) {
+            val want = 1000000000000L + i * 60000L
+            f.setLastModified(want)
+            // a silently rejected mtime pin (setLastModified returns
+            // false on filesystems that refuse updates) degrades file
+            // ordering to sub-second tie-break luck — later-time rows
+            // could race into earlier batches and be late-dropped.
+            // Re-stat and fail loudly (the sentinel-pinning rule above,
+            // r9/r15 advisors).
+            require(f.lastModified == want,
+              s"could not pin ${f.getName} to batch-$i mtime $want " +
+                s"(got ${f.lastModified}); the FileStreamSource " +
+                "time-ordering invariant would be tie-break luck")
+          }
         }
     }
     val src = s.readStream.schema(docs.schema)

@@ -30,9 +30,11 @@ import org.apache.spark.sql.functions._
   * backward reconstruction are chained codegen'd projections, no joins
   * — so segmenting 100 TB under the trained model is a pure map pass.
   * Per-round driver state is the piece-count table (≤ model size —
-  * bounded index metadata, the IVF-centroid precedent). Words longer
-  * than [[MaxW]] chars are excluded from training (SentencePiece
-  * likewise caps piece/sentence lengths; the corpus max is 10).
+  * bounded index metadata, the IVF-centroid precedent). Training
+  * REFUSES a corpus with words longer than [[MaxW]] chars (hard
+  * require, not silent exclusion — a capped vocab would understate
+  * fertility denominators while the hash match stays green; raise
+  * MaxW on both engines instead. The corpus max is 10).
   */
 object Unigram {
 
@@ -116,8 +118,7 @@ object Unigram {
   private[graft] def trainModel(s: SparkSession, d: String): UniModel =
     modelMemo.getOrElseUpdate((s, d), trainModelOf(vocabOf(documents(s, d))))
 
-  private val modelMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), UniModel]
+  private val modelMemo = new Caches.SessionMemo[UniModel]
 
   private[graft] def trainModelOf(vocab0: DataFrame): UniModel = {
     val vocab = vocab0.localCheckpoint(true)
@@ -127,7 +128,12 @@ object Unigram {
     // the same capped vocab on both engines, stays green) — so training
     // refuses a corpus whose words exceed the DP depth instead of
     // quietly dropping them. One vocab-sized agg on the checkpoint.
-    val maxLen = vocab.agg(max(length(col("w")))).head().getInt(0)
+    // nullable read: max() over an EMPTY vocabulary is NULL, and a
+    // bare getInt would throw an opaque NPE before the require speaks
+    val maxLen = Option(vocab.agg(max(length(col("w")))).head().get(0))
+      .fold(0)(_.asInstanceOf[Int])
+    require(maxLen > 0,
+      "unigram training: empty vocabulary - the corpus has no words")
     require(maxLen <= MaxW,
       s"unigram training: corpus has a $maxLen-char word but the Viterbi " +
         s"unroll is $MaxW-deep — raise MaxW (both engines) rather than " +
