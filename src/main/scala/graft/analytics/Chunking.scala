@@ -649,8 +649,8 @@ object Chunking {
     * (documents, text, doc_id), corpus_build its repaired slice keyed
     * on the content hash. */
   private[analytics] def paraCtesFrom(rel: String, textCol: String,
-      keyExpr: String): String =
-    s"""pa AS MATERIALIZED (
+      keyExpr: String, prefix: String = ""): String =
+    s"""${prefix}pa AS MATERIALIZED (
         SELECT doc_id,
           CASE WHEN ($keyExpr) % 4 = 0 THEN ['$BoilA'] ELSE [] END
           || list_transform(
@@ -659,13 +659,13 @@ object Chunking {
                  string_split($textCol,' ')[i*$ParaWidth+1 : i*$ParaWidth+$ParaWidth], ' '))
           || CASE WHEN ($keyExpr) % 6 = 0 THEN ['$BoilB'] ELSE [] END AS pa
         FROM $rel),
-      px AS MATERIALIZED (
-        SELECT doc_id, CAST(u.i - 1 AS INT) AS idx, pa[u.i] AS para
-        FROM pa, unnest(generate_series(1, len(pa))) AS u(i)),
-      g AS (
+      ${prefix}px AS MATERIALIZED (
+        SELECT doc_id, CAST(u.i - 1 AS INT) AS idx, ${prefix}pa.pa[u.i] AS para
+        FROM ${prefix}pa, unnest(generate_series(1, len(${prefix}pa.pa))) AS u(i)),
+      ${prefix}g AS (
         SELECT md5(para) AS h, count(*) AS n_occ,
           min(doc_id * 1000 + idx) AS first_key
-        FROM px GROUP BY 1)"""
+        FROM ${prefix}px GROUP BY 1)"""
 
   private def paraSql: String = paraCtesFrom("documents", "text", "doc_id")
 

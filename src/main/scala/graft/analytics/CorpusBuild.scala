@@ -135,7 +135,7 @@ object CorpusBuild {
   private def contentKey(text: Column): Column =
     conv(substring(md5(text), 1, 6), 16, 10).cast("long")
 
-  private val ckSql = "('0x' || substr(md5(text), 1, 6))::BIGINT"
+  private[analytics] val ckSql = "('0x' || substr(md5(text), 1, 6))::BIGINT"
 
   /** License-marker plant, keyed on the CONTENT hash like every other
     * corpus_build decoration (identical texts declare identical
@@ -165,7 +165,7 @@ object CorpusBuild {
         " mit license")).otherwise(""))
 
   /** SQL twin of [[licDecor]] over columns `raw`/`ck`. */
-  private val licDecSql: String =
+  private[analytics] val licDecSql: String =
     """raw
       || CASE WHEN ck % 17 = 1 THEN ' released under the mit license' ELSE '' END
       || CASE WHEN ck % 17 = 2 THEN ' licensed under creative commons attribution see https://creativecommons.org/licenses/by/4.0/' ELSE '' END
@@ -201,6 +201,30 @@ object CorpusBuild {
       .withColumn("nrm", graft.functions.vec.l2norm(col("v")))
   }
 
+  /** Content-keyed decoration + repair over an arbitrary planted
+    * (doc_id, source, lang, text) frame →
+    * (doc_id, source, lang, raw, ck, ftext). One definition shared by
+    * the v2 pipeline and [[IncrementalBuild]]'s snapshot-delta corpus,
+    * so both builds see byte-identical repaired text for the same
+    * planted page. */
+  private[analytics] def decorate(planted: DataFrame): DataFrame = {
+    val ck = contentKey(col("text"))
+    planted
+      .repartition(planted.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("text").as("raw"), ck.as("ck"),
+        TextAnalysis.unicodeFoldCol(
+          TextAnalysis.unicodeDecoratedOf(col("text"), ck)).as("ftext"))
+  }
+
+  /** The U+FFFD byte-damage keep predicate over `ftext` (stage 2) —
+    * shared with the incremental build's unicode stage. */
+  private[analytics] def unicodeKeepCol: Column = {
+    val nBad = length(col("ftext")) -
+      length(regexp_replace(col("ftext"), TextAnalysis.Replacement, ""))
+    nBad * 1000 <= length(col("ftext"))
+  }
+
   /** The planted + decorated + repaired corpus:
     * (doc_id, source, lang, raw, ck, ftext). */
   private[graft] def baseOf(docs: DataFrame): DataFrame = {
@@ -209,13 +233,7 @@ object CorpusBuild {
       docs.filter(col("doc_id") % 50 === 3)
         .select((col("doc_id") + CopyBase).as("doc_id"),
           col("source"), col("lang"), col("text")))
-    val ck = contentKey(col("text"))
-    planted
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col("doc_id"), col("source"), col("lang"),
-        col("text").as("raw"), ck.as("ck"),
-        TextAnalysis.unicodeFoldCol(
-          TextAnalysis.unicodeDecoratedOf(col("text"), ck)).as("ftext"))
+    decorate(planted)
   }
 
   /** One run of the pipeline: the cached base, the per-stage survivor
@@ -258,10 +276,8 @@ object CorpusBuild {
       .select(col("doc_id")))
 
     // 2. unicode damage gate — scan predicate on the repaired text
-    val nBad = length(col("ftext")) -
-      length(regexp_replace(col("ftext"), TextAnalysis.Replacement, ""))
     val ids2 = sever(base.join(ids1, Seq("doc_id"), "left_semi")
-      .filter(nBad * 1000 <= length(col("ftext")))
+      .filter(unicodeKeepCol)
       .select(col("doc_id")))
     val s2 = base.join(ids2, Seq("doc_id"), "left_semi")
 
@@ -664,7 +680,19 @@ object CorpusBuild {
         s9 AS MATERIALIZED (
           SELECT * FROM s8
           WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
-        ev0 AS MATERIALIZED (
+        $vecCtes,
+        s10 AS MATERIALIZED (
+          SELECT * FROM s9
+          WHERE doc_id NOT IN (SELECT doc_id FROM semdrop))"""
+  }
+
+  /** The planted-embedding CTE chain (the SQL twin of [[vecsOf]]) +
+    * the global semantic screen: ev0 → semp → pvec → nvec → evv →
+    * `semdrop(doc_id)`. Shared with [[IncrementalBuild]] — the screen
+    * is per-document (a doc is a semantic leak independently of any
+    * population), so one spelling serves every stack replay. */
+  private[analytics] def vecCtes: String =
+    s"""ev0 AS MATERIALIZED (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings),
         semp AS (
@@ -688,11 +716,7 @@ object CorpusBuild {
           FROM (SELECT * FROM nvec WHERE vec_id >= $EvalMax) t
           CROSS JOIN evv
           WHERE list_dot_product(t.v, evv.v) / (t.nrm * evv.nrm)
-            >= ${Dedup.EmbProdThreshold}),
-        s10 AS MATERIALIZED (
-          SELECT * FROM s9
-          WHERE doc_id NOT IN (SELECT doc_id FROM semdrop))"""
-  }
+            >= ${Dedup.EmbProdThreshold})"""
 
   private def withChain: String =
     s"WITH RECURSIVE ${Curation.qualityTrainCtes},\n        $stageCtes"

@@ -213,20 +213,25 @@ object Dedup {
   def dedupMinhash(s: SparkSession, d: String): DataFrame =
     minhashPairsOf(shingles(s, d))
 
-  private[graft] def minhashPairsOf(sh: DataFrame): DataFrame = {
+  /** The banded signature view (doc_id, band, bucket) — the LSH index
+    * rows a near-dup store persists. Band bucket = order-insensitive
+    * hash of the band's two sigs (least/greatest == the grouped
+    * min/max the oracle computes). Shared by the candidate-pair join
+    * below and IncrementalBuild's first-arrival band store. */
+  private[analytics] def minhashBandsOf(sh: DataFrame): DataFrame = {
     val sigs = minhashSigsOf(sh)
-    // band bucket = order-insensitive hash of its two sigs
-    // (least/greatest == the grouped min/max the oracle computes)
     val bucketExprs = (0 to 3).flatMap { b =>
       val (a, c) = (s"sig${2 * b}", s"sig${2 * b + 1}")
       Seq(s"$b", s"md5(concat(least($a, $c), '|', greatest($a, $c)))")
     }
+    sigs.selectExpr("doc_id",
+      s"stack(4, ${bucketExprs.mkString(", ")}) AS (band, bucket)")
+  }
+
+  private[graft] def minhashPairsOf(sh: DataFrame): DataFrame = {
     // signature table is tiny (4 rows per doc) but expensive to derive;
     // persist so the self-join doesn't recompute the whole minhash twice
-    val bands = sigs
-      .selectExpr("doc_id",
-        s"stack(4, ${bucketExprs.mkString(", ")}) AS (band, bucket)")
-      .persistTracked()
+    val bands = minhashBandsOf(sh).persistTracked()
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket")).filter(col("doc_a") < col("doc_b"))
@@ -1201,18 +1206,23 @@ object Dedup {
     s"""WITH sh AS (
         ${shingleSqlFrom("documents", "text")})"""
 
-  /** MinHash signature + band-bucket CTEs (shared by the pairs and
-    * clusters oracles); expects the `sh` CTE in scope. */
-  private[analytics] val minhashCtes =
-    """sigs AS (
+  /** MinHash signature + band-bucket CTEs over an arbitrary shingle
+    * relation, name-prefixed so several banding instances can coexist
+    * in one oracle (IncrementalBuild replays three). */
+  private[analytics] def minhashBandCtesFrom(prefix: String, shRel: String): String =
+    s"""${prefix}sigs AS (
           SELECT doc_id, s.i,
             min(md5(CAST(s.i AS VARCHAR) || '|' || shingle)) AS sig
-          FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) s
+          FROM $shRel CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) s
           GROUP BY doc_id, s.i),
-        bands AS (
+        ${prefix}bands AS (
           SELECT doc_id, CAST(i // 2 AS INT) AS band,
             md5(min(sig) || '|' || max(sig)) AS bucket
-          FROM sigs GROUP BY doc_id, i // 2)"""
+          FROM ${prefix}sigs GROUP BY doc_id, i // 2)"""
+
+  /** The unprefixed instance (shared by the pairs and clusters
+    * oracles); expects the `sh` CTE in scope. */
+  private[analytics] val minhashCtes = minhashBandCtesFrom("", "sh")
 
   /** DuckDB spelling of the 16-bit simhash (generated per bit). */
   private[analytics] val simhashSql: String = {

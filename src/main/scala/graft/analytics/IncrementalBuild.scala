@@ -1,83 +1,118 @@
 package graft.analytics
 
+import graft.analytics.Caches.TrackedPersist
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Incremental (snapshot-delta) corpus build — the production workflow
-  * [[CorpusBuild]] deliberately does not model: a new crawl batch
-  * arrives monthly, and at 100 TB you cannot re-gate the existing
-  * corpus — the batch must be gated ALONE against the existing
-  * corpus's persisted stage indexes (fingerprint set, shingle-owner
-  * store), appending survivors. The whole design hangs on one
-  * invariant, which this module both constructs and PROVES in data:
+/** Incremental (snapshot-delta) corpus build over the FULL
+  * [[CorpusBuild]] v2 stage set — the production workflow the v2
+  * pipeline does not model: a new crawl batch arrives monthly, and at
+  * 100 TB you cannot re-gate the existing corpus — the batch must be
+  * gated ALONE against the lake's persisted stage indexes, appending
+  * survivors. The whole design hangs on one invariant, which this
+  * module both constructs and PROVES in data:
   *
   *   incremental(old, delta)  ≡  from-scratch(old ∪ delta)
   *
   * on survivor ids. The invariant does not hold for arbitrary gate
-  * stacks — keep-BEST near-dup (corpus_build stage 4) lets a better
-  * late arrival displace a shipped document, and cluster bridges can
-  * merge old families — so the incremental stack is built exclusively
-  * from FIRST-ARRIVAL rules, where an already-shipped document can
-  * never be revoked (crawl ids increase monotonically, so "first" =
-  * min doc_id, the dedup_exact / text_novelty ownership rule):
+  * stacks, so every set-dependent stage here is the FIRST-ARRIVAL
+  * spelling of its v2 counterpart (crawl ids increase monotonically,
+  * so "first" = min doc_id and an already-shipped document can never
+  * be revoked):
   *
-  *   1. eval_holdout      — per-doc predicate (trivially incremental)
-  *   2. exact_vs_store    — drop a delta doc whose fingerprint is in
-  *                          the store; keep-first among the genuinely
-  *                          new fingerprints (dedup_incremental's
-  *                          anti-join shape; at scale the store is a
-  *                          16-byte-key index, never text, and the
-  *                          bloom prescreen of dedup_incremental_bloom
-  *                          applies verbatim)
-  *   3. novelty_vs_store  — text_novelty's first-arrival shingle
-  *                          ownership as a gate: a doc owning fewer
-  *                          than half its distinct 5-gram shingles is
-  *                          boilerplate/recombination and drops. Old
-  *                          docs always out-own the delta (smaller
-  *                          ids), so old verdicts are immutable —
-  *                          exactly why ownership composes
-  *                          incrementally.
-  *   4. gopher            — per-doc rule bundle (quality_gopher)
-  *   5. classifier        — the averaged-perceptron margin under the
-  *                          SNAPSHOT-PINNED model artifact: both
-  *                          directions score under the SAME trained
-  *                          weights, because retraining per delta
-  *                          would silently reshuffle old verdicts —
-  *                          the model is a versioned release input,
-  *                          not a per-batch byproduct
+  *   1. eval_holdout        — per-doc predicate (doc_id ≥ HoldMax)
+  *   2. unicode             — per-doc U+FFFD damage gate on the
+  *                            repaired text ([[CorpusBuild]] stage 2)
+  *   3. exact_vs_store      — v2's keep-min rule IS first-arrival: a
+  *                            delta doc drops iff its repaired-text
+  *                            fingerprint is in the lake's 16-byte fp
+  *                            index; keep-first among genuinely new
+  *                            fps (bloom-prescreenable at scale)
+  *   4. neardup_vs_store    — the POLICY DELTA from v2: keep-best
+  *                            cluster representatives let a better
+  *                            late arrival displace a shipped doc and
+  *                            cluster bridges merge old families, so
+  *                            no incremental spelling exists for them.
+  *                            The first-arrival rule shipped here is
+  *                            the production one: a doc drops iff ANY
+  *                            of its 4 MinHash band buckets is already
+  *                            occupied by a SMALLER id (old docs
+  *                            always out-rank the delta). The lake
+  *                            persists its (band, bucket) index —
+  *                            [[Dedup.minhashBandsOf]] rows, 32-byte
+  *                            keys, never text
+  *   5. paragraph_vs_store  — v2's boilerplate-share gate is ALREADY
+  *                            first-arrival at the paragraph level
+  *                            (an instance is "seen" iff a smaller
+  *                            (doc·1000+idx) key exists): the lake
+  *                            persists the paragraph-hash index, and
+  *                            a delta instance is removed iff its hash
+  *                            is in the store (old keys are always
+  *                            smaller) or a smaller delta key owns it;
+  *                            a doc with ≥ half removed drops
+  *   6. gopher              — per-doc rule bundle
+  *   7. license             — per-doc (the ck-keyed virtual grant
+  *                            decoration; dup families match
+  *                            identically)
+  *   8. classifier          — the SNAPSHOT-PINNED averaged-perceptron
+  *                            model: both directions score under the
+  *                            same trained weights (retraining per
+  *                            delta would silently reshuffle old
+  *                            verdicts — the model is a versioned
+  *                            release input)
+  *   9. contamination       — per-doc vs the PINNED eval 5-gram set
+  *  10. semantic            — per-doc vs the PINNED eval embeddings
+  *                            ([[CorpusBuild.vecsOf]]'s screen)
   *
-  * Plants (making both store gates provably fire): re-crawled old
-  * pages re-enter the delta under doc_id + [[CopyBase]] (caught by
-  * the fingerprint store), and self-concatenated "remix" pages under
-  * doc_id + [[RemixBase]] (new fingerprint, but nearly all shingles
-  * are old-owned — caught by the ownership gate and invisible to
-  * exact dedup, which is the reason the shingle store exists).
+  * Stages 1–2 and 6–10 are per-document predicates, so their old
+  * verdicts are trivially immutable; stages 3–5 depend only on
+  * SMALLER-id documents' immutable state (fingerprints, band buckets,
+  * paragraph keys), which is exactly the induction that makes the
+  * equivalence a theorem rather than a hope — and the receipt query
+  * pins it in data anyway, with the DuckDB oracle re-deriving BOTH
+  * directions from scratch.
+  *
+  * Plants (every store gate provably fires on the delta):
+  * re-crawled old pages re-enter under id + [[CopyBase]] (caught by
+  * the fp store), self-concatenated remixes under id + [[RemixBase]]
+  * (new fp, same shingle profile — caught by the band store),
+  * snippet pages of an old doc's first [[SnipTok]] tokens under
+  * id + [[FrankenBase]] (new fp, too few shared shingles for the band
+  * store — but every content paragraph is old-owned, caught by the
+  * paragraph store), and re-crawled EVAL pages under id +
+  * [[EvCopyBase]] (their twins were held out before any store was
+  * built, so they sail through dedup and die at contamination —
+  * exactly the leak decontamination exists for).
   *
   * Declared queries:
-  *   - `corpus_build_incremental` — the 5-row delta ledger (what the
-  *     monthly batch run reports): stage, n_in, n_dropped, n_out over
-  *     the DELTA ONLY
+  *   - `corpus_build_incremental` — the 10-row delta ledger (what the
+  *     monthly batch run reports)
   *   - `corpus_incr_equiv` — the equivalence receipt: old survivors,
-  *     appended delta survivors, the incremental union, the
-  *     from-scratch union — and both set differences, which the
-  *     oracle pins to ZERO by re-deriving both directions from
-  *     scratch in SQL
+  *     appended delta survivors, incremental union, from-scratch
+  *     union, and both set differences (oracle-pinned to ZERO)
+  *   - `corpus_diff` — the release-over-release delta report: per
+  *     source, docs unchanged / added, and every rejected delta doc
+  *     attributed to the stage that dropped it (the datasheet's delta
+  *     twin; old-release removals are structurally impossible under
+  *     first-arrival rules, so only inflow attribution appears)
   *
   * Scale shape: the delta batch never joins document text against the
-  * corpus — the fingerprint store is a hashed-key anti-join, the
-  * ownership store joins on shingle keys carrying (shingle, owner id)
-  * only, and gates 4–5 are scan-side folds. Re-gating cost is
-  * O(delta), not O(corpus): the invariant proven here is what makes
-  * that legal. Stage sets are id-only eager checkpoints (the
-  * corpus_build compile-severing rule); the three materialized runs
-  * (old / delta-incremental / union) memoize per (session, corpus).
+  * corpus — the fp store is a hashed-key anti-join, the band store
+  * joins 32-byte bucket keys, the paragraph store 32-byte hashes;
+  * gates 6–10 are scan-side folds against broadcast-bounded eval
+  * artifacts. Re-gating cost is O(delta), not O(corpus). The global
+  * semantic screen here scores all corpus vectors once because three
+  * stack replays share it; a production delta run would screen only
+  * delta survivors (the per-doc rule is population-independent either
+  * way). Stage sets are id-only eager checkpoints (the corpus_build
+  * compile-severing rule); the three materialized runs memoize per
+  * (session, corpus).
   */
 object IncrementalBuild {
 
-  /** Existing-corpus snapshot boundary (the dedup_incremental split):
-    * doc_id < SnapMax is the already-ingested lake, the rest is the
-    * arriving batch. */
+  /** Existing-corpus snapshot boundary: doc_id < SnapMax is the
+    * already-ingested lake, the rest is the arriving batch. */
   private[graft] val SnapMax = 400L
 
   /** Held-out eval slice bound (CorpusBuild.EvalMax). */
@@ -89,10 +124,25 @@ object IncrementalBuild {
   /** Remix plants (text = page ∥ page) enter under id + RemixBase. */
   private[graft] val RemixBase = 20000L
 
-  private def toks = split(col("text"), " ")
+  /** Snippet plants (first [[SnipTok]] tokens of an old page) enter
+    * under id + FrankenBase. */
+  private[graft] val FrankenBase = 30000L
 
-  /** The planted corpus: naturals + delta-side re-crawl copies
-    * (%37 = 5) and remix recombinations (%53 = 30) of old pages. */
+  /** Re-crawled EVAL pages enter the delta under id + EvCopyBase. */
+  private[graft] val EvCopyBase = 40000L
+
+  /** Snippet length: two full 10-token paragraphs — every content
+    * paragraph old-owned, but only ~16 of the source page's shingles
+    * shared, far too few to light a MinHash band. */
+  private[graft] val SnipTok = 20
+
+  private def toksF = split(col("ftext"), " ")
+  private def rawToks = split(col("raw"), " ")
+
+  /** The planted corpus (pre-decoration): naturals + the four
+    * delta-side plant arms. Decoration/repair is
+    * [[CorpusBuild.decorate]] — one definition, so both builds see
+    * byte-identical repaired text for the same page. */
   private[graft] def planted(docs: DataFrame): DataFrame = {
     val cols = Seq("doc_id", "source", "lang", "text").map(col)
     val old = col("doc_id") >= HoldMax && col("doc_id") < SnapMax
@@ -103,128 +153,201 @@ object IncrementalBuild {
       .unionByName(docs.filter(old && col("doc_id") % 53 === 30)
         .select((col("doc_id") + RemixBase).as("doc_id"), col("source"),
           col("lang"), concat(col("text"), lit(" "), col("text")).as("text")))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .unionByName(docs.filter(old && col("doc_id") % 41 === 7 &&
+          size(split(col("text"), " ")) >= SnipTok)
+        .select((col("doc_id") + FrankenBase).as("doc_id"), col("source"),
+          col("lang"),
+          array_join(slice(split(col("text"), " "), 1, SnipTok), " ").as("text")))
+      .unionByName(docs.filter(col("doc_id") < HoldMax && col("doc_id") % 2 === 1)
+        .select((col("doc_id") + EvCopyBase).as("doc_id"), col("source"),
+          col("lang"), col("text")))
   }
 
-  /** Distinct per-doc 5-gram shingles (the dedup shingle spelling). */
-  private def shinglesDistinct(docs: DataFrame): DataFrame =
-    docs.filter(size(toks) >= 5)
+  /** Distinct per-doc 5-gram shingles over the repaired text. */
+  private def shinglesF(docs: DataFrame): DataFrame =
+    docs.filter(size(toksF) >= 5)
       .select(col("doc_id"),
-        explode(graft.functions.text.shingles(toks, 5)).as("shingle"))
+        explode(graft.functions.text.shingles(toksF, 5)).as("shingle"))
       .distinct()
 
-  /** Ownership-gate stats: per doc, distinct shingles and how many it
-    * owns under the given (shingle → owner) table. */
-  private def ownStats(sh: DataFrame, owner: DataFrame): DataFrame =
-    sh.join(owner, Seq("shingle"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_sh"),
-        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_own"))
+  private def sever(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
-  /** Keep rule: shingle-free docs pass; otherwise own ≥ half. */
-  private def novKeep(pop: DataFrame, stat: DataFrame): DataFrame =
-    pop.select(col("doc_id")).join(stat, Seq("doc_id"), "left")
-      .filter(col("n_sh").isNull || col("n_own") * 2 >= col("n_sh"))
-      .select(col("doc_id"))
+  /** Per-doc screens shared by all three stack replays: the pinned
+    * classifier weights, the eval 5-gram set, and the global semantic
+    * screen's verdict set. */
+  private final case class Gates(wsum: Array[Long], evsh: DataFrame,
+    semDrop: DataFrame)
 
-  /** The FROM-SCRATCH first-arrival stack over an arbitrary planted
-    * slice: 6 id-sets (input, holdout, exact, novelty, gopher,
-    * classifier), each eagerly checkpointed. */
-  private def batchStack(pop: DataFrame, wsum: Array[Long]): Seq[DataFrame] = {
-    def sever(df: DataFrame) = df.localCheckpoint(true)
+  /** Stages 1–2 over a population slice: holdout + unicode. */
+  private def headIds(base: DataFrame, pop: DataFrame): Seq[DataFrame] = {
     val ids0 = sever(pop.select(col("doc_id")))
-    val h = pop.filter(col("doc_id") >= HoldMax)
-    val ids1 = sever(h.select(col("doc_id")))
-    val ids2 = sever(h.select(col("doc_id"), md5(col("text")).as("fp"))
-      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val ids1 = sever(pop.filter(col("doc_id") >= HoldMax)
       .select(col("doc_id")))
-    val s2 = pop.join(ids2, Seq("doc_id"), "left_semi")
-    val sh = shinglesDistinct(s2)
-    val owner = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("owner"))
-    val ids3 = sever(novKeep(s2, ownStats(sh, owner)))
-    val s3 = pop.join(ids3, Seq("doc_id"), "left_semi")
-    val ids4 = sever(TextAnalysis.qualityGopherOf(
-        s3.select(col("doc_id"), col("text")))
-      .filter(col("gopher_keep") === 1).select(col("doc_id")))
-    val s4 = pop.join(ids4, Seq("doc_id"), "left_semi")
-    val ids5 = sever(Curation.classifierScored(
-        s4.select(col("doc_id"), col("text")), wsum)
-      .filter(col("margin") > 0).select(col("doc_id")))
-    Seq(ids0, ids1, ids2, ids3, ids4, ids5)
+    val ids2 = sever(base.join(ids1, Seq("doc_id"), "left_semi")
+      .filter(CorpusBuild.unicodeKeepCol).select(col("doc_id")))
+    Seq(ids0, ids1, ids2)
   }
 
-  /** The INCREMENTAL delta path: gate the batch against the old run's
-    * persisted indexes only. `oldE` is the old corpus's post-exact
-    * survivor slice — the run that built the stores. */
-  private def deltaStack(base: DataFrame, oldE: DataFrame,
-      wsum: Array[Long]): Seq[DataFrame] = {
-    def sever(df: DataFrame) = df.localCheckpoint(true)
-    val dpop = base.filter(col("doc_id") >= SnapMax)
-    val ids0 = sever(dpop.select(col("doc_id")))
-    val dh = dpop.filter(col("doc_id") >= HoldMax)
-    val ids1 = sever(dh.select(col("doc_id")))
-    // the lake's fingerprint index: 16-byte keys, anti-joined (the
-    // dedup_incremental shape; bloom-prescreenable at scale)
-    val fpStore = oldE.select(md5(col("text")).as("fp")).distinct()
-    val ids2 = sever(dh.select(col("doc_id"), md5(col("text")).as("fp"))
+  /** The ≥-half-removed paragraph keep rule shared by both paths. */
+  private def paraKeepIds(pa: DataFrame, removed: DataFrame): DataFrame =
+    pa.select(col("doc_id"), size(col("pa")).cast("long").as("n_paras"))
+      .join(removed, Seq("doc_id"), "left")
+      .filter(coalesce(col("n_removed"), lit(0L)) * 2 < col("n_paras"))
+      .select(col("doc_id"))
+
+  /** Stages 6–10 (all per-document) over the post-paragraph set. */
+  private def tailIds(base: DataFrame, ids5: DataFrame, g: Gates): Seq[DataFrame] = {
+    def slice(ids: DataFrame) = base.join(ids, Seq("doc_id"), "left_semi")
+    val s5 = slice(ids5)
+    val ids6 = sever(TextAnalysis.qualityGopherOf(
+        s5.select(col("doc_id"), col("ftext").as("text")))
+      .filter(col("gopher_keep") === 1).select(col("doc_id")))
+    val s6 = slice(ids6)
+    val ids7 = sever(s6
+      .filter(!License.restrictiveCol(
+        CorpusBuild.licDecor(col("raw"), col("ck"))))
+      .select(col("doc_id")))
+    val s7 = slice(ids7)
+    val ids8 = sever(Curation.classifierScored(
+        s7.select(col("doc_id"), col("ftext").as("text")), g.wsum)
+      .filter(col("margin") > 0).select(col("doc_id")))
+    val s8 = slice(ids8)
+    val contam = shinglesF(s8)
+      .join(broadcast(g.evsh), Seq("shingle"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val ids9 = sever(ids8.join(contam, Seq("doc_id"), "left_anti"))
+    val ids10 = sever(ids9.join(g.semDrop, Seq("doc_id"), "left_anti"))
+    Seq(ids6, ids7, ids8, ids9, ids10)
+  }
+
+  /** The FROM-SCRATCH first-arrival stack over an arbitrary slice:
+    * 11 id-sets (input + one per stage), each eagerly checkpointed. */
+  private def batchStack(base: DataFrame, pop: DataFrame, g: Gates): Seq[DataFrame] = {
+    def slice(ids: DataFrame) = base.join(ids, Seq("doc_id"), "left_semi")
+    val head = headIds(base, pop)
+    val s2 = slice(head(2))
+    val ids3 = sever(s2.select(col("doc_id"), md5(col("ftext")).as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id")))
+    val s3 = slice(ids3)
+    // first-arrival neardup: drop iff any band bucket is occupied by
+    // a smaller id
+    val bands = Dedup.minhashBandsOf(shinglesF(s3)).persistTracked()
+    val bmin = bands.groupBy(col("band"), col("bucket"))
+      .agg(min(col("doc_id")).as("mn"))
+    val losers = bands.join(bmin, Seq("band", "bucket"))
+      .filter(col("mn") < col("doc_id")).select(col("doc_id")).distinct()
+    val ids4 = sever(ids3.join(losers, Seq("doc_id"), "left_anti"))
+    val s4 = slice(ids4)
+    // paragraph boilerplate-share (first-arrival at instance level)
+    val pa = s4.select(col("doc_id"),
+      Chunking.paraArrayOf(col("ftext"), col("ck")).as("pa")).persistTracked()
+    val ph = pa
+      .select(col("doc_id"), posexplode(col("pa")).as(Seq("idx", "para")))
+      .select(col("doc_id"), col("idx"), md5(col("para")).as("h"))
+    val pg = ph.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(col("doc_id") * 1000 + col("idx")).as("first_key"))
+    val removed = ph.join(pg, Seq("h"))
+      .filter(col("n_occ") > 1 &&
+        col("doc_id") * 1000 + col("idx") =!= col("first_key"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_removed"))
+    val ids5 = sever(paraKeepIds(pa, removed))
+    head ++ Seq(ids3, ids4, ids5) ++ tailIds(base, ids5, g)
+  }
+
+  /** The INCREMENTAL delta path: gate the batch against the lake's
+    * persisted indexes only. `oldSets` is the old run's stage sets —
+    * its post-unicode / post-exact / post-neardup slices feed the
+    * three stores. */
+  private def deltaStack(base: DataFrame, oldSets: Seq[DataFrame],
+      g: Gates): Seq[DataFrame] = {
+    def slice(ids: DataFrame) = base.join(ids, Seq("doc_id"), "left_semi")
+    // the lake's persisted stage indexes — hashed keys only, no text
+    val fpStore = slice(oldSets(2))
+      .select(md5(col("ftext")).as("fp")).distinct()
+    val bandStore = Dedup.minhashBandsOf(shinglesF(slice(oldSets(3))))
+      .select(col("band"), col("bucket")).distinct()
+    val paraStore = slice(oldSets(4))
+      .select(explode(Chunking.paraArrayOf(col("ftext"), col("ck"))).as("para"))
+      .select(md5(col("para")).as("h")).distinct()
+
+    val head = headIds(base, base.filter(col("doc_id") >= SnapMax))
+    val s2 = slice(head(2))
+    // exact vs store, then keep-first among genuinely new fps
+    val ids3 = sever(s2.select(col("doc_id"), md5(col("ftext")).as("fp"))
       .join(fpStore, Seq("fp"), "left_anti")
       .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id")))
-    val s2 = dpop.join(ids2, Seq("doc_id"), "left_semi")
-    // the lake's shingle-owner store; a delta shingle falls back to
-    // first-arrival WITHIN the batch when the lake has never seen it
-    val ownerStore = shinglesDistinct(oldE)
-      .groupBy(col("shingle")).agg(min(col("doc_id")).as("owner"))
-    val shD = shinglesDistinct(s2)
-    val dOwner = shD.groupBy(col("shingle")).agg(min(col("doc_id")).as("downer"))
-    val ownerFinal = shD
-      .join(ownerStore, Seq("shingle"), "left")
-      .join(dOwner, Seq("shingle"))
-      .select(col("doc_id"), col("shingle"),
-        coalesce(col("owner"), col("downer")).as("owner"))
-    val stat = ownerFinal.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_sh"),
-        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_own"))
-    val ids3 = sever(novKeep(s2, stat))
-    val s3 = dpop.join(ids3, Seq("doc_id"), "left_semi")
-    val ids4 = sever(TextAnalysis.qualityGopherOf(
-        s3.select(col("doc_id"), col("text")))
-      .filter(col("gopher_keep") === 1).select(col("doc_id")))
-    val s4 = dpop.join(ids4, Seq("doc_id"), "left_semi")
-    val ids5 = sever(Curation.classifierScored(
-        s4.select(col("doc_id"), col("text")), wsum)
-      .filter(col("margin") > 0).select(col("doc_id")))
-    Seq(ids0, ids1, ids2, ids3, ids4, ids5)
+    val s3 = slice(ids3)
+    // neardup vs the band store, then first-arrival within the batch
+    val dB = Dedup.minhashBandsOf(shinglesF(s3)).persistTracked()
+    val dMin = dB.groupBy(col("band"), col("bucket"))
+      .agg(min(col("doc_id")).as("mn"))
+    val storeHit = dB.join(bandStore, Seq("band", "bucket"), "left_semi")
+      .select(col("doc_id"))
+    val localHit = dB.join(dMin, Seq("band", "bucket"))
+      .filter(col("mn") < col("doc_id")).select(col("doc_id"))
+    val ids4 = sever(ids3.join(
+      storeHit.unionByName(localHit).distinct(), Seq("doc_id"), "left_anti"))
+    val s4 = slice(ids4)
+    // paragraph vs the hash store (old keys are always smaller), then
+    // first-arrival within the batch
+    val pa = s4.select(col("doc_id"),
+      Chunking.paraArrayOf(col("ftext"), col("ck")).as("pa")).persistTracked()
+    val ph = pa
+      .select(col("doc_id"), posexplode(col("pa")).as(Seq("idx", "para")))
+      .select(col("doc_id"), col("idx"), md5(col("para")).as("h"))
+    val dg = ph.groupBy(col("h"))
+      .agg(min(col("doc_id") * 1000 + col("idx")).as("dmin"))
+    val removed = ph.join(dg, Seq("h"))
+      .join(paraStore.select(col("h"), lit(1).as("in_store")), Seq("h"), "left")
+      .filter(col("in_store").isNotNull ||
+        col("doc_id") * 1000 + col("idx") > col("dmin"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_removed"))
+    val ids5 = sever(paraKeepIds(pa, removed))
+    head ++ Seq(ids3, ids4, ids5) ++ tailIds(base, ids5, g)
   }
 
-  private[graft] final case class IncrState(
+  private[graft] final case class IncrState(base: DataFrame,
     oldSets: Seq[DataFrame], deltaSets: Seq[DataFrame],
     scratchSets: Seq[DataFrame])
 
   private val memo = new Caches.SessionMemo[IncrState]
 
   /** Three materialized runs per (session, corpus): the old snapshot's
-    * batch stack (whose post-exact slice feeds the stores), the
-    * incremental delta gating, and the from-scratch union — the two
-    * sides of the invariant plus the artifact they share. */
+    * stack (whose post-unicode/exact/neardup slices feed the stores),
+    * the incremental delta gating, and the from-scratch union — the
+    * two sides of the invariant plus the artifact they share. */
   private[graft] def build(s: SparkSession, d: String): IncrState =
     memo.getOrElseUpdate((s, d), {
-      val base = planted(documents(s, d)).localCheckpoint(true)
+      val base = sever(CorpusBuild.decorate(planted(documents(s, d))))
       val wsum = Curation.trainQualityWeights(s, d)._2
-      val oldSets = batchStack(base.filter(col("doc_id") < SnapMax), wsum)
-      val oldE = base.join(oldSets(2), Seq("doc_id"), "left_semi")
-        .localCheckpoint(true)
-      val deltaSets = deltaStack(base, oldE, wsum)
-      val scratchSets = batchStack(base, wsum)
-      IncrState(oldSets, deltaSets, scratchSets)
+      val evsh = sever(base.filter(col("doc_id") < HoldMax)
+        .filter(size(rawToks) >= 5)
+        .select(explode(graft.functions.text.shingles(rawToks, 5)).as("shingle"))
+        .distinct())
+      val vecs = CorpusBuild.vecsOf(s, d)
+      val evv = vecs.filter(col("vec_id") < HoldMax)
+        .select(col("vec_id").as("eval_id"), col("v").as("ev"),
+          col("nrm").as("en"))
+      val semDrop = sever(vecs.filter(col("vec_id") >= HoldMax)
+        .crossJoin(broadcast(evv))
+        .filter(graft.functions.vec.dot(col("v"), col("ev")) /
+          (col("nrm") * col("en")) >= Dedup.EmbProdThreshold)
+        .select(col("vec_id").as("doc_id")).distinct())
+      val g = Gates(wsum, evsh, semDrop)
+      val oldSets = batchStack(base, base.filter(col("doc_id") < SnapMax), g)
+      val deltaSets = deltaStack(base, oldSets, g)
+      val scratchSets = batchStack(base, base, g)
+      IncrState(base, oldSets, deltaSets, scratchSets)
     })
 
-  private val StageNames = Seq("eval_holdout", "exact_vs_store",
-    "novelty_vs_store", "gopher", "classifier")
+  private[graft] val StageNames = Seq("eval_holdout", "unicode",
+    "exact_vs_store", "neardup_vs_store", "paragraph_vs_store",
+    "gopher", "license", "classifier", "contamination", "semantic")
 
-  /** The monthly batch report: the delta-only drop ledger. */
+  /** The monthly batch report: the delta-only 10-row drop ledger. */
   def corpusBuildIncremental(s: SparkSession, d: String): DataFrame = {
     val ids = build(s, d).deltaSets
     StageNames.zipWithIndex.map { case (name, i) =>
@@ -238,8 +361,7 @@ object IncrementalBuild {
 
   /** The equivalence receipt: incremental(old, delta) vs
     * from-scratch(old ∪ delta), with both set differences as data —
-    * the oracle re-derives BOTH directions and pins the differences
-    * to zero. */
+    * the oracle re-derives BOTH directions and pins them to zero. */
   def corpusIncrEquiv(s: SparkSession, d: String): DataFrame = {
     val st = build(s, d)
     val incr = st.oldSets.last.unionByName(st.deltaSets.last)
@@ -254,88 +376,154 @@ object IncrementalBuild {
         .agg(count(lit(1)).as("n_only_scratch")))
   }
 
+  /** Release-over-release diff: per source, the docs carried over
+    * unchanged, the delta docs added, and every rejected delta doc
+    * attributed to exactly one drop stage. Under first-arrival rules
+    * an old-release doc can never be removed (the immutability half
+    * of the invariant), so the report is complete with inflow rows
+    * only — the id-set anti-joins are the whole derivation. */
+  def corpusDiff(s: SparkSession, d: String): DataFrame = {
+    val st = build(s, d)
+    val tagged = (
+      Seq((st.oldSets.last, "unchanged"), (st.deltaSets.last, "added")) ++
+      StageNames.zipWithIndex.map { case (name, i) =>
+        (st.deltaSets(i).join(st.deltaSets(i + 1), Seq("doc_id"), "left_anti"),
+          s"removed@$name")
+      })
+      .map { case (ids, status) =>
+        ids.select(col("doc_id"), lit(status).as("status")) }
+      .reduce(_ unionByName _)
+    tagged.join(st.base.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_build_incremental" -> corpusBuildIncremental _,
-    "corpus_incr_equiv"        -> corpusIncrEquiv _)
+    "corpus_incr_equiv"        -> corpusIncrEquiv _,
+    "corpus_diff"              -> corpusDiff _)
 
   // ---------------------------------------------------------------
-  // DuckDB oracle: plants, the old batch stack, the union batch
-  // stack, and the incremental delta path ALL re-derived — so a hash
-  // match proves the two directions agree under an independent
-  // engine, not merely that Spark agrees with itself. Gopher and
-  // classifier reuse the owning operators' SQL generators (nested
-  // WITH per instance keeps their internal CTE names disjoint).
+  // DuckDB oracle: plants, the old stack, the union stack, and the
+  // incremental delta path ALL re-derived — a hash match proves the
+  // two directions agree under an independent engine, not merely that
+  // Spark agrees with itself. Every stage reuses the owning operator's
+  // SQL generator (decoration/fold, shingles, minhash bands,
+  // paragraph synthesis, gopher, license, classifier, the planted
+  // vectors) — one SQL spelling per operator across the board.
   // ---------------------------------------------------------------
 
-  /** One from-scratch stack instance over slice predicate `pred`,
-    * CTE-prefixed with `p`. Exposes ${p}h/${p}e/${p}nv/${p}g/${p}c. */
-  private def stackCtes(p: String, pred: String): String = {
+  /** Stages 6–10 for prefix `p` (shared by the two from-scratch stacks
+    * and the delta path — the per-document tail is identical). */
+  private def tailCtes(p: String): String = {
     val cls = Curation
-      .classifierScoreSqlFrom(s"(SELECT doc_id, text FROM ${p}g)")
+      .classifierScoreSqlFrom(s"(SELECT doc_id, ftext AS text FROM ${p}7)")
       .trim.stripPrefix(",")
-    s"""${p}h AS MATERIALIZED (
-          SELECT * FROM ipd WHERE ($pred) AND doc_id >= $HoldMax),
-        ${p}e AS MATERIALIZED (
-          SELECT ipd.* FROM ipd JOIN (
-            SELECT min(doc_id) AS doc_id FROM ${p}h GROUP BY md5(text)) z
-          USING (doc_id)),
-        ${p}sh AS MATERIALIZED (${Dedup.shingleSqlFrom(s"${p}e", "text")}),
-        ${p}ow AS (
-          SELECT shingle, min(doc_id) AS owner FROM ${p}sh GROUP BY 1),
-        ${p}st AS (
-          SELECT s.doc_id, count(*) AS n_sh,
-            sum(CASE WHEN o.owner = s.doc_id THEN 1 ELSE 0 END) AS n_own
-          FROM ${p}sh s JOIN ${p}ow o USING (shingle) GROUP BY 1),
-        ${p}nv AS MATERIALIZED (
-          SELECT ${p}e.* FROM ${p}e LEFT JOIN ${p}st USING (doc_id)
-          WHERE ${p}st.n_sh IS NULL OR 2 * ${p}st.n_own >= ${p}st.n_sh),
-        ${p}gm AS MATERIALIZED (
-          ${TextAnalysis.gopherSqlFrom(s"(SELECT doc_id, text FROM ${p}nv)")}),
-        ${p}g AS MATERIALIZED (
-          SELECT ${p}nv.* FROM ${p}nv JOIN ${p}gm USING (doc_id)
+    s"""${p}gm AS MATERIALIZED (
+          ${TextAnalysis.gopherSqlFrom(s"(SELECT doc_id, ftext AS text FROM ${p}5)")}),
+        ${p}6 AS MATERIALIZED (
+          SELECT ${p}5.* FROM ${p}5 JOIN ${p}gm USING (doc_id)
           WHERE ${p}gm.gopher_keep = 1),
+        ${p}lc AS (SELECT doc_id, ${CorpusBuild.licDecSql} AS t FROM ${p}6),
+        ${p}7 AS MATERIALIZED (
+          SELECT ${p}6.* FROM ${p}6 JOIN ${p}lc USING (doc_id)
+          WHERE NOT ${License.restrictiveSqlOn(s"${p}lc.t")}),
         ${p}cm AS MATERIALIZED (WITH $cls),
-        ${p}c AS MATERIALIZED (
-          SELECT ${p}g.* FROM ${p}g JOIN ${p}cm USING (doc_id)
-          WHERE ${p}cm.margin > 0)"""
+        ${p}8 AS MATERIALIZED (
+          SELECT ${p}7.* FROM ${p}7 JOIN ${p}cm USING (doc_id)
+          WHERE ${p}cm.margin > 0),
+        ${p}sh8 AS (${Dedup.shingleSqlFrom(s"${p}8", "ftext")}),
+        ${p}9 AS MATERIALIZED (
+          SELECT * FROM ${p}8 WHERE doc_id NOT IN (
+            SELECT DISTINCT doc_id FROM ${p}sh8 JOIN evsh USING (shingle))),
+        ${p}10 AS MATERIALIZED (
+          SELECT * FROM ${p}9
+          WHERE doc_id NOT IN (SELECT doc_id FROM semdrop))"""
   }
+
+  /** One from-scratch first-arrival stack over slice predicate `pred`,
+    * CTE-prefixed with `p`. Exposes ${p}1..${p}10 (+ ${p}bands,
+    * ${p}g for the delta path's stores). */
+  private def stackCtes(p: String, pred: String): String =
+    s"""${p}1 AS MATERIALIZED (
+          SELECT * FROM ifx WHERE ($pred) AND doc_id >= $HoldMax),
+        ${p}2 AS MATERIALIZED (
+          SELECT * FROM ${p}1
+          WHERE (length(ftext) - length(replace(ftext, chr(65533), '')))
+            * 1000 <= length(ftext)),
+        ${p}3 AS MATERIALIZED (
+          SELECT ${p}2.* FROM ${p}2 JOIN (
+            SELECT min(doc_id) AS doc_id FROM ${p}2 GROUP BY md5(ftext)) z
+          USING (doc_id)),
+        ${p}sh AS MATERIALIZED (${Dedup.shingleSqlFrom(s"${p}3", "ftext")}),
+        ${Dedup.minhashBandCtesFrom(p, s"${p}sh")},
+        ${p}bm AS (
+          SELECT band, bucket, min(doc_id) AS mn FROM ${p}bands
+          GROUP BY 1, 2),
+        ${p}4 AS MATERIALIZED (
+          SELECT * FROM ${p}3 WHERE doc_id NOT IN (
+            SELECT DISTINCT b.doc_id FROM ${p}bands b
+            JOIN ${p}bm m ON m.band = b.band AND m.bucket = b.bucket
+            WHERE m.mn < b.doc_id)),
+        ${Chunking.paraCtesFrom(s"${p}4", "ftext", "ck", p)},
+        ${p}rm AS (
+          SELECT px.doc_id, count(*) AS n_removed
+          FROM ${p}px px JOIN ${p}g g ON g.h = md5(px.para)
+          WHERE g.n_occ > 1 AND px.doc_id * 1000 + px.idx <> g.first_key
+          GROUP BY 1),
+        ${p}5 AS MATERIALIZED (
+          SELECT ${p}4.* FROM ${p}4
+          JOIN (SELECT pa.doc_id, len(pa.pa) AS n_paras,
+                  coalesce(rm.n_removed, 0) AS n_removed
+                FROM ${p}pa pa LEFT JOIN ${p}rm rm USING (doc_id)) t
+          USING (doc_id)
+          WHERE 2 * t.n_removed < t.n_paras),
+        ${tailCtes(p)}"""
 
   /** The incremental delta path against the `o`-stack's stores. */
-  private def deltaCtes: String = {
-    val cls = Curation
-      .classifierScoreSqlFrom("(SELECT doc_id, text FROM dg)")
-      .trim.stripPrefix(",")
-    s"""dpop AS (SELECT * FROM ipd WHERE doc_id >= $SnapMax),
-        dh AS MATERIALIZED (SELECT * FROM dpop WHERE doc_id >= $HoldMax),
-        fps AS (SELECT DISTINCT md5(text) AS fp FROM oe),
-        de AS MATERIALIZED (
-          SELECT ipd.* FROM ipd JOIN (
+  private def deltaCtes: String =
+    s"""fps AS (SELECT DISTINCT md5(ftext) AS fp FROM o2),
+        bst AS (SELECT DISTINCT band, bucket FROM obands),
+        pst AS (SELECT DISTINCT h FROM og),
+        xpop AS MATERIALIZED (SELECT * FROM ifx WHERE doc_id >= $SnapMax),
+        x1 AS MATERIALIZED (SELECT * FROM xpop WHERE doc_id >= $HoldMax),
+        x2 AS MATERIALIZED (
+          SELECT * FROM x1
+          WHERE (length(ftext) - length(replace(ftext, chr(65533), '')))
+            * 1000 <= length(ftext)),
+        x3 AS MATERIALIZED (
+          SELECT x2.* FROM x2 JOIN (
             SELECT min(doc_id) AS doc_id FROM (
-              SELECT doc_id, md5(text) AS fp FROM dh) w
+              SELECT doc_id, md5(ftext) AS fp FROM x2) w
             WHERE fp NOT IN (SELECT fp FROM fps) GROUP BY fp) z
           USING (doc_id)),
-        dsh AS MATERIALIZED (${Dedup.shingleSqlFrom("de", "text")}),
-        ddo AS (SELECT shingle, min(doc_id) AS downer FROM dsh GROUP BY 1),
-        dfn AS (
-          SELECT s.doc_id, coalesce(o.owner, d.downer) AS owner
-          FROM dsh s LEFT JOIN oow o USING (shingle) JOIN ddo d USING (shingle)),
-        dst AS (
-          SELECT doc_id, count(*) AS n_sh,
-            sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS n_own
-          FROM dfn GROUP BY 1),
-        dnv AS MATERIALIZED (
-          SELECT de.* FROM de LEFT JOIN dst USING (doc_id)
-          WHERE dst.n_sh IS NULL OR 2 * dst.n_own >= dst.n_sh),
-        dgm AS MATERIALIZED (
-          ${TextAnalysis.gopherSqlFrom("(SELECT doc_id, text FROM dnv)")}),
-        dg AS MATERIALIZED (
-          SELECT dnv.* FROM dnv JOIN dgm USING (doc_id)
-          WHERE dgm.gopher_keep = 1),
-        dcm AS MATERIALIZED (WITH $cls),
-        dc AS MATERIALIZED (
-          SELECT dg.* FROM dg JOIN dcm USING (doc_id)
-          WHERE dcm.margin > 0)"""
-  }
+        xsh AS MATERIALIZED (${Dedup.shingleSqlFrom("x3", "ftext")}),
+        ${Dedup.minhashBandCtesFrom("x", "xsh")},
+        xbm AS (
+          SELECT band, bucket, min(doc_id) AS mn FROM xbands GROUP BY 1, 2),
+        x4 AS MATERIALIZED (
+          SELECT * FROM x3 WHERE doc_id NOT IN (
+            SELECT DISTINCT b.doc_id FROM xbands b
+            JOIN xbm m ON m.band = b.band AND m.bucket = b.bucket
+            LEFT JOIN (SELECT band, bucket, 1 AS instore FROM bst) s
+              ON s.band = b.band AND s.bucket = b.bucket
+            WHERE s.instore IS NOT NULL OR m.mn < b.doc_id)),
+        ${Chunking.paraCtesFrom("x4", "ftext", "ck", "x")},
+        xrm AS (
+          SELECT px.doc_id, count(*) AS n_removed
+          FROM xpx px JOIN xg g ON g.h = md5(px.para)
+          LEFT JOIN (SELECT h, 1 AS instore FROM pst) s ON s.h = g.h
+          WHERE s.instore IS NOT NULL
+             OR (g.n_occ > 1 AND px.doc_id * 1000 + px.idx <> g.first_key)
+          GROUP BY 1),
+        x5 AS MATERIALIZED (
+          SELECT x4.* FROM x4
+          JOIN (SELECT pa.doc_id, len(pa.pa) AS n_paras,
+                  coalesce(rm.n_removed, 0) AS n_removed
+                FROM xpa pa LEFT JOIN xrm rm USING (doc_id)) t
+          USING (doc_id)
+          WHERE 2 * t.n_removed < t.n_paras),
+        ${tailCtes("x")}"""
 
   private def incrCtes: String =
     s"""WITH RECURSIVE ${Curation.qualityTrainCtes},
@@ -347,7 +535,28 @@ object IncrementalBuild {
           UNION ALL
           SELECT doc_id + $RemixBase, source, lang, text || ' ' || text
           FROM documents
-          WHERE doc_id >= $HoldMax AND doc_id < $SnapMax AND doc_id % 53 = 30),
+          WHERE doc_id >= $HoldMax AND doc_id < $SnapMax AND doc_id % 53 = 30
+          UNION ALL
+          SELECT doc_id + $FrankenBase, source, lang,
+            array_to_string(string_split(text, ' ')[1:$SnipTok], ' ')
+          FROM documents
+          WHERE doc_id >= $HoldMax AND doc_id < $SnapMax AND doc_id % 41 = 7
+            AND len(string_split(text, ' ')) >= $SnipTok
+          UNION ALL
+          SELECT doc_id + $EvCopyBase, source, lang, text FROM documents
+          WHERE doc_id < $HoldMax AND doc_id % 2 = 1),
+        keyed AS (
+          SELECT doc_id, source, lang, text, ${CorpusBuild.ckSql} AS ck
+          FROM ipd),
+        ifx AS MATERIALIZED (
+          SELECT doc_id, source, lang, text AS raw, ck,
+            ${TextAnalysis.unicodeFoldSqlExpr(
+              TextAnalysis.unicodeDecSqlExpr("text", "ck"))} AS ftext
+          FROM keyed),
+        evsh AS MATERIALIZED (
+          SELECT DISTINCT shingle FROM (${Dedup.shingleSqlFrom(
+            s"(SELECT doc_id, raw FROM ifx WHERE doc_id < $HoldMax)", "raw")}) ev),
+        ${CorpusBuild.vecCtes},
         ${stackCtes("o", s"doc_id < $SnapMax")},
         ${stackCtes("u", "TRUE")},
         $deltaCtes"""
@@ -359,28 +568,66 @@ object IncrementalBuild {
           n_in - n_out AS n_dropped, n_out
         FROM (
           SELECT 1 AS r, 'eval_holdout' AS stage,
-            (SELECT count(*) FROM dpop) AS n_in,
-            (SELECT count(*) FROM dh) AS n_out
-          UNION ALL SELECT 2, 'exact_vs_store',
-            (SELECT count(*) FROM dh), (SELECT count(*) FROM de)
-          UNION ALL SELECT 3, 'novelty_vs_store',
-            (SELECT count(*) FROM de), (SELECT count(*) FROM dnv)
-          UNION ALL SELECT 4, 'gopher',
-            (SELECT count(*) FROM dnv), (SELECT count(*) FROM dg)
-          UNION ALL SELECT 5, 'classifier',
-            (SELECT count(*) FROM dg), (SELECT count(*) FROM dc)) u""",
+            (SELECT count(*) FROM xpop) AS n_in,
+            (SELECT count(*) FROM x1) AS n_out
+          UNION ALL SELECT 2, 'unicode',
+            (SELECT count(*) FROM x1), (SELECT count(*) FROM x2)
+          UNION ALL SELECT 3, 'exact_vs_store',
+            (SELECT count(*) FROM x2), (SELECT count(*) FROM x3)
+          UNION ALL SELECT 4, 'neardup_vs_store',
+            (SELECT count(*) FROM x3), (SELECT count(*) FROM x4)
+          UNION ALL SELECT 5, 'paragraph_vs_store',
+            (SELECT count(*) FROM x4), (SELECT count(*) FROM x5)
+          UNION ALL SELECT 6, 'gopher',
+            (SELECT count(*) FROM x5), (SELECT count(*) FROM x6)
+          UNION ALL SELECT 7, 'license',
+            (SELECT count(*) FROM x6), (SELECT count(*) FROM x7)
+          UNION ALL SELECT 8, 'classifier',
+            (SELECT count(*) FROM x7), (SELECT count(*) FROM x8)
+          UNION ALL SELECT 9, 'contamination',
+            (SELECT count(*) FROM x8), (SELECT count(*) FROM x9)
+          UNION ALL SELECT 10, 'semantic',
+            (SELECT count(*) FROM x9), (SELECT count(*) FROM x10)) u""",
     "corpus_incr_equiv" ->
       s"""$incrCtes,
-        incr AS (SELECT doc_id FROM oc UNION ALL SELECT doc_id FROM dc)
+        incr AS (SELECT doc_id FROM o10 UNION ALL SELECT doc_id FROM x10)
         SELECT
-          (SELECT count(*) FROM oc) AS n_old_surv,
-          (SELECT count(*) FROM dc) AS n_appended,
+          (SELECT count(*) FROM o10) AS n_old_surv,
+          (SELECT count(*) FROM x10) AS n_appended,
           (SELECT count(*) FROM incr) AS n_incremental,
-          (SELECT count(*) FROM uc) AS n_scratch,
+          (SELECT count(*) FROM u10) AS n_scratch,
           (SELECT count(*) FROM
-            (SELECT doc_id FROM incr EXCEPT SELECT doc_id FROM uc) a)
+            (SELECT doc_id FROM incr EXCEPT SELECT doc_id FROM u10) a)
             AS n_only_incremental,
           (SELECT count(*) FROM
-            (SELECT doc_id FROM uc EXCEPT SELECT doc_id FROM incr) b)
-            AS n_only_scratch""")
+            (SELECT doc_id FROM u10 EXCEPT SELECT doc_id FROM incr) b)
+            AS n_only_scratch""",
+    "corpus_diff" ->
+      s"""$incrCtes,
+        tagged AS (
+          SELECT doc_id, 'unchanged' AS status FROM o10
+          UNION ALL SELECT doc_id, 'added' FROM x10
+          UNION ALL SELECT doc_id, 'removed@eval_holdout' FROM xpop
+            WHERE doc_id NOT IN (SELECT doc_id FROM x1)
+          UNION ALL SELECT doc_id, 'removed@unicode' FROM x1
+            WHERE doc_id NOT IN (SELECT doc_id FROM x2)
+          UNION ALL SELECT doc_id, 'removed@exact_vs_store' FROM x2
+            WHERE doc_id NOT IN (SELECT doc_id FROM x3)
+          UNION ALL SELECT doc_id, 'removed@neardup_vs_store' FROM x3
+            WHERE doc_id NOT IN (SELECT doc_id FROM x4)
+          UNION ALL SELECT doc_id, 'removed@paragraph_vs_store' FROM x4
+            WHERE doc_id NOT IN (SELECT doc_id FROM x5)
+          UNION ALL SELECT doc_id, 'removed@gopher' FROM x5
+            WHERE doc_id NOT IN (SELECT doc_id FROM x6)
+          UNION ALL SELECT doc_id, 'removed@license' FROM x6
+            WHERE doc_id NOT IN (SELECT doc_id FROM x7)
+          UNION ALL SELECT doc_id, 'removed@classifier' FROM x7
+            WHERE doc_id NOT IN (SELECT doc_id FROM x8)
+          UNION ALL SELECT doc_id, 'removed@contamination' FROM x8
+            WHERE doc_id NOT IN (SELECT doc_id FROM x9)
+          UNION ALL SELECT doc_id, 'removed@semantic' FROM x9
+            WHERE doc_id NOT IN (SELECT doc_id FROM x10))
+        SELECT f.source, t.status, count(*) AS n_docs
+        FROM tagged t JOIN ifx f USING (doc_id)
+        GROUP BY 1, 2""")
 }

@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Pins the snapshot-delta invariant the corpus_incr_equiv oracle can
   * only hash: EXACT set equality of incremental(old, delta) and
-  * from-scratch(old ∪ delta) survivor ids, immutability of the old
-  * snapshot's verdicts, and that both store gates (fingerprint,
-  * shingle ownership) are load-bearing at this SF. */
+  * from-scratch(old ∪ delta) survivor ids over the FULL v2 stage set,
+  * immutability of the old snapshot's verdicts, and that all three
+  * store gates (fingerprint, LSH band, paragraph hash) plus the
+  * carried per-doc gates are load-bearing at this SF. */
 class IncrementalBuildSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.01"
@@ -15,6 +16,9 @@ class IncrementalBuildSpec extends SparkSpec {
   private lazy val st = IncrementalBuild.build(spark, dir)
   private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
     df.collect().map(_.getLong(0)).toSet
+  private lazy val ledger = IncrementalBuild
+    .corpusBuildIncremental(spark, dir)
+    .collect().map(r => r.getString(1) -> r.getLong(3)).toMap
 
   test("incremental(old, delta) == from-scratch(old ∪ delta), exactly") {
     val incr = ids(st.oldSets.last) ++ ids(st.deltaSets.last)
@@ -33,28 +37,39 @@ class IncrementalBuildSpec extends SparkSpec {
     assert(oldFinal === scratchOld)
   }
 
-  test("both store gates fire: re-crawls die at the fingerprint store, " +
-      "remixes at the ownership store") {
-    val ledger = IncrementalBuild.corpusBuildIncremental(spark, dir)
-      .collect().map(r => r.getString(1) -> r.getLong(3)).toMap
+  test("all three store gates fire and no plant ever ships") {
     assert(ledger("exact_vs_store") > 0)
-    assert(ledger("novelty_vs_store") > 0)
-    // every planted re-crawl copy is gone before the novelty stage
-    val postExact = ids(st.deltaSets(2))
+    assert(ledger("neardup_vs_store") > 0)
+    assert(ledger("paragraph_vs_store") > 0)
+    // every plant class entered the batch
+    val inflow = ids(st.deltaSets(0))
+    for (b <- Seq(IncrementalBuild.CopyBase, IncrementalBuild.RemixBase,
+        IncrementalBuild.FrankenBase, IncrementalBuild.EvCopyBase))
+      assert(inflow.exists(id => id >= b && id < b + 10000L), s"base $b")
+    // a re-crawl copy shares its source page's ck, so it either dies
+    // at unicode WITH the source or reaches the fp store and dies
+    // there — structurally none may pass the exact stage
+    val postExact = ids(st.deltaSets(3))
     assert(postExact.forall(id =>
       id < IncrementalBuild.CopyBase || id >= IncrementalBuild.RemixBase))
-    // every remix plant is gone after the ownership gate (its shingles
-    // are old-owned except the seam): none may ever ship
-    val shipped = ids(st.deltaSets.last)
-    assert(shipped.forall(_ < IncrementalBuild.RemixBase))
-    // and at least one remix plant existed to be dropped
-    assert(ids(st.deltaSets(0)).exists(_ >= IncrementalBuild.RemixBase))
+    // and no plant of any class ships
+    assert(ids(st.deltaSets.last).forall(_ < IncrementalBuild.CopyBase))
+  }
+
+  test("the carried per-doc gates fire on the delta at this SF") {
+    assert(ledger("eval_holdout") === 0L) // structural: delta ids >= SnapMax
+    assert(ledger("unicode") > 0)
+    assert(ledger("gopher") > 0)
+    assert(ledger("license") > 0)
+    assert(ledger("contamination") > 0) // the re-crawled-eval-page leak
+    assert(ledger("semantic") > 0)      // the paraphrase-embedding leak
   }
 
   test("the delta ledger reconciles and covers exactly the batch") {
     val rows = IncrementalBuild.corpusBuildIncremental(spark, dir)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(rows.length === 10)
     rows.foreach { case (_, stg, nIn, nDrop, nOut) =>
       assert(nOut === nIn - nDrop, stg); assert(nDrop >= 0, stg)
     }
@@ -64,5 +79,20 @@ class IncrementalBuildSpec extends SparkSpec {
     }
     assert(rows.head._3 === ids(st.deltaSets(0)).size)
     assert(rows.last._5 === ids(st.deltaSets.last).size)
+  }
+
+  test("corpus_diff reconciles: unchanged + added + every rejection") {
+    val diff = IncrementalBuild.corpusDiff(spark, dir)
+      .groupBy(col("status")).agg(sum(col("n_docs")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(diff("unchanged") === ids(st.oldSets.last).size.toLong)
+    assert(diff("added") === ids(st.deltaSets.last).size.toLong)
+    val removed = diff.collect { case (k, v) if k.startsWith("removed@") => v }.sum
+    assert(removed + diff("added") === ids(st.deltaSets(0)).size.toLong)
+    // the attribution plants: re-crawls at the fp store, remixes at
+    // the band store, snippet pages at the paragraph store
+    assert(diff.keySet.contains("removed@exact_vs_store"))
+    assert(diff.keySet.contains("removed@neardup_vs_store"))
+    assert(diff.keySet.contains("removed@paragraph_vs_store"))
   }
 }
