@@ -30,6 +30,7 @@ object SparkEntry {
       analytics.CorpusBuild.queries ++
       analytics.IncrementalBuild.queries ++
       analytics.MixtureOptimize.queries ++
+      analytics.DocEmbed.queries ++
       analytics.Chunking.queries ++
       analytics.Bpe.queries ++
       analytics.BpeBytes.queries ++
@@ -55,6 +56,7 @@ object SparkEntry {
       analytics.CorpusBuild.oracle ++
       analytics.IncrementalBuild.oracle ++
       analytics.MixtureOptimize.oracle ++
+      analytics.DocEmbed.oracle ++
       analytics.Chunking.oracle ++
       analytics.Bpe.oracle ++
       analytics.BpeBytes.oracle ++

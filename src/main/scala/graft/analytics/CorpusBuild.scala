@@ -225,6 +225,23 @@ object CorpusBuild {
     nBad * 1000 <= length(col("ftext"))
   }
 
+  /** The supplied-vector semantic screen's GLOBAL verdict set (the
+    * [[vecsOf]] plant rotation vs the broadcast eval slice) — the
+    * per-doc rule is population-independent, so one spelling serves
+    * stage 10's anti-join, IncrementalBuild's three stack replays and
+    * DocEmbed's recall receipt. */
+  private[analytics] def semDropOf(s: SparkSession, d: String): DataFrame = {
+    val vecs = vecsOf(s, d)
+    val evv = vecs.filter(col("vec_id") < EvalMax)
+      .select(col("vec_id").as("eval_id"), col("v").as("ev"),
+        col("nrm").as("en"))
+    vecs.filter(col("vec_id") >= EvalMax)
+      .crossJoin(broadcast(evv))
+      .filter(graft.functions.vec.dot(col("v"), col("ev")) /
+        (col("nrm") * col("en")) >= Dedup.EmbProdThreshold)
+      .select(col("vec_id").as("doc_id")).distinct()
+  }
+
   /** The planted + decorated + repaired corpus:
     * (doc_id, source, lang, raw, ck, ftext). */
   private[graft] def baseOf(docs: DataFrame): DataFrame = {

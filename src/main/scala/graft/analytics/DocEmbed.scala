@@ -1,0 +1,347 @@
+package graft.analytics
+
+import graft.analytics.Caches.TrackedPersist
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document embeddings COMPUTED FROM TEXT (r15) — until now every
+  * semantic stage (corpus_build stage 10, contamination_semantic,
+  * SemDeDup, the ANN family) consumed the driver-supplied `embeddings`
+  * table via the vec_id = doc_id contract; the corpus → embedding edge
+  * of the release pipeline was an assumption. This module computes the
+  * edge in the engine's exact-integer idiom:
+  *
+  *   tokens → md5 feature buckets (the text_feature_hash rule at
+  *   k = [[Buckets]]) → per-bucket document frequency → integer IDF
+  *   weights w_b = bitlen(N div df_b) (the [[Unigram]]/curriculum MDL
+  *   cost rule — stopword-heavy buckets collapse to weight 1, which is
+  *   what keeps same-distribution documents from all pointing at the
+  *   corpus mean) → signed ±1 random projection to [[Dims]] dims
+  *   ([[Similarity.rprojSigns]]'s md5 cell rule at (k = dim,
+  *   i = bucket) — ONE sign-matrix definition across the engine).
+  *
+  * Every lane is exact: counts, IDF bits and projections are BIGINT
+  * arithmetic (|e_k| ≤ Σ cnt·w ≪ 2⁵³, so even the cosine's double
+  * conversion is lossless), and `doc_embed` pins all 64 dims of every
+  * document through one md5 fingerprint per row.
+  *
+  * Declared queries:
+  *   - `doc_embed` — the embedding table: (doc_id, n_toks, norm2,
+  *     emb_fp) with norm2 and the fp exact across engines
+  *   - `contamination_semantic_computed` — the semantic decon screen
+  *     re-run END-TO-END on computed embeddings: planted paraphrases
+  *     of eval pages (every 7th token deleted — the token stream
+  *     shifts, so most 5-gram windows break and the n-gram screen
+  *     family underperforms on them) are flagged at cos ≥
+  *     [[TauComputed]] against the computed eval vectors; measured
+  *     separation at all three local SFs: paraphrase twins ≥ 0.938,
+  *     natural p99.9 ≤ 0.912 (the few natural pairs above τ are
+  *     genuine near-dups of eval pages — exactly what the screen
+  *     exists to catch)
+  *   - `doc_embed_recall` — the receipt against the driver-supplied
+  *     table: the supplied-vector screen's flags (the
+  *     contamination_semantic plant rotation) vs the computed-text
+  *     screen's flags, with recall_ppm — the two pipelines mark the
+  *     SAME planted class (doc_id % 7 = 2) from independent evidence
+  *     (vectors vs raw text)
+  *   - `doc_embed_coverage` — the embedding-coverage expectation that
+  *     closes IncrementalBuild's "docs without an embedding row pass
+  *     un-scored" caveat: per source, supplied-table coverage vs
+  *     computed coverage (total by construction — the embedding job
+  *     IS a corpus scan now)
+  *
+  * Scale shape: one corpus scan builds (doc, bucket, cnt) with
+  * map-side combine; the IDF table ([[Buckets]] rows) and the sign
+  * table ([[Buckets]] × [[Dims]] exploded rows) are bounded
+  * broadcasts; the projection fan-out is nnz × 64 narrow rows,
+  * partial-aggregated on (doc, k) before the one doc-keyed shuffle.
+  * Embedding 100 TB is a map pass over tokens — no corpus self-join
+  * anywhere. The screen then broadcasts the bounded eval slice
+  * (the contamination_semantic contract). */
+object DocEmbed {
+
+  /** Feature-hash width. 32 (the classifier width) is far too coarse
+    * for similarity — every long document's bucket-count vector
+    * converges to the corpus distribution. 1024 buckets + IDF keeps
+    * natural pairs at cos ≈ 0.5–0.85 while true paraphrases stay
+    * above 0.93 (measured, see scaladoc). */
+  private[graft] val Buckets = 1024
+
+  /** Output dimensionality (the engine's embedding-table width). */
+  private[graft] val Dims = 64
+
+  /** Computed-screen flag threshold — between the measured
+    * paraphrase-twin floor (≥ 0.938 at sf0.001/0.01/0.1) and the
+    * natural p99.9 (≤ 0.912); the handful of natural pairs above τ
+    * are genuine near-duplicates of eval pages, which is precisely
+    * what the screen exists to flag. */
+  private[graft] val TauComputed = 0.93
+
+  /** Paraphrase-plant rotation — THE SAME class the supplied-vector
+    * plant marks ([[CorpusBuild.SemPlantMod]]/Res), so the recall
+    * receipt compares two independent detectors of one leak set. */
+  private[graft] val PlantMod = CorpusBuild.SemPlantMod
+  private[graft] val PlantRes = CorpusBuild.SemPlantRes
+
+  /** Eval slice bound (the contamination_semantic boundary). */
+  private[graft] val EvalMax = 25L
+
+  /** The ±1 sign table as a bounded broadcast frame (b, sgns[Dims]) —
+    * [[Similarity.rprojSigns]] transposed to per-bucket rows. Driver
+    * metadata (64 Ki longs), the centroidsLit discipline; the oracle
+    * re-derives every cell from the md5 rule. */
+  private def signFrame(s: SparkSession): DataFrame = {
+    val sg = Similarity.rprojSigns(Dims, Buckets) // (dim)(bucket)
+    val perB = (0 until Buckets).map(b =>
+      (b.toLong, (0 until Dims).map(k => sg(k)(b))))
+    s.createDataFrame(perB).toDF("b", "sgns")
+  }
+
+  /** Embed an arbitrary (doc_id, text) frame →
+    * (doc_id, n_toks, v: array<long>). The IDF weights are trained on
+    * the frame itself (one aggregation pass — the quality_train
+    * one-job-then-scan workflow; a production run persists `w` as a
+    * versioned artifact next to the classifier weights). */
+  private[graft] def embedOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val bc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), TextAnalysis.featureBucketK(col("t"), Buckets).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+      .persistTracked() // feeds df stats, token totals AND the projection
+    val dfb = bc.groupBy(col("b")).agg(count(lit(1)).as("df"))
+    val nd = bc.agg(countDistinct(col("doc_id")).as("nd"))
+    val w = dfb.crossJoin(broadcast(nd))
+      .select(col("b"), expr("CAST(length(bin(nd div df)) AS BIGINT)").as("w"))
+    val ed = bc
+      .join(broadcast(w), Seq("b"))
+      .join(broadcast(signFrame(s)), Seq("b"))
+      .select(col("doc_id"), (col("cnt") * col("w")).as("x"),
+        posexplode(col("sgns")).as(Seq("k", "sg")))
+      .groupBy(col("doc_id"), col("k"))
+      .agg(sum(col("x") * col("sg")).as("e"))
+    val nt = bc.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("long").as("n_toks"))
+    ed.groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("k"), col("e")))),
+        p => p.getField("e")).as("v"))
+      .join(nt, Seq("doc_id"))
+  }
+
+  /** The embedding table over the natural corpus, dimension-pinned by
+    * one md5 fingerprint per row (BIGINT rendering is identical on
+    * both engines, so the fp moves iff any of the 64 dims moves). */
+  def docEmbed(s: SparkSession, d: String): DataFrame =
+    embedOf(documents(s, d).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("n_toks"),
+        aggregate(col("v"), lit(0L), (acc, x) => acc + x * x).as("norm2"),
+        md5(array_join(transform(col("v"), _.cast("string")), ",")).as("emb_fp"))
+
+  /** Paraphrase rewrite: DELETE every 1-based token position ≡ 3
+    * (mod 7) — the "cropped re-post" leak shape. Deletion (rather
+    * than substitution by a NOVEL token) is deliberate: a novel token
+    * appears in ~3 plant copies only, so IDF hands it near-maximal
+    * weight and the plant's embedding mass is dominated by exactly
+    * the tokens the eval twin lacks (measured: substitution twins
+    * crater to cos ≈ 0.40 while deletion twins hold ≥ 0.938). The
+    * shifted stream still breaks most 5-gram windows, which is why
+    * the n-gram screen family underperforms on this shape. */
+  private def paraphrase(text: Column): Column =
+    array_join(filter(split(text, " "),
+      (t, k) => (k + 1) % 7 =!= 3), " ")
+
+  /** The planted corpus for the computed screen: train docs on the
+    * [[PlantMod]] rotation carry a PARAPHRASE of their eval twin
+    * (doc_id % EvalMax) instead of their own text — the same leak
+    * class the supplied-vector plant marks, constructed in the raw
+    * text lane instead. */
+  private[graft] def plantedDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val ev = docs.filter(col("doc_id") < EvalMax)
+      .select(col("doc_id").as("eid"), col("text").as("etext"))
+    val isPlant = col("doc_id") >= EvalMax && col("doc_id") % PlantMod === PlantRes
+    docs.join(broadcast(ev),
+        when(isPlant, col("doc_id") % EvalMax).otherwise(lit(-1L)) === col("eid"),
+        "left")
+      .select(col("doc_id"),
+        when(col("eid").isNotNull, paraphrase(col("etext")))
+          .otherwise(col("text")).as("text"))
+  }
+
+  private def dotL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** The flagged-doc list of the computed screen (nearest eval item
+    * by cos desc / eval_id asc, emitted iff cos ≥ τ) — the
+    * contaminationSemanticOf shape over BIGINT vectors (products stay
+    * ≪ 2⁵³, so the double conversion is lossless on both engines). */
+  private[graft] def computedFlags(s: SparkSession, d: String): DataFrame = {
+    val emb = embedOf(plantedDocs(s, d))
+      .select(col("doc_id"), col("v"),
+        sqrt(aggregate(col("v"), lit(0L), (acc, x) => acc + x * x)
+          .cast("double")).as("nrm"))
+      .persistTracked()
+    val eval = emb.filter(col("doc_id") < EvalMax)
+      .select(col("doc_id").as("eval_id"), col("v").as("ev"), col("nrm").as("en"))
+    val scored = emb.filter(col("doc_id") >= EvalMax)
+      .crossJoin(broadcast(eval))
+      .withColumn("cos",
+        dotL(col("v"), col("ev")).cast("double") / (col("nrm") * col("en")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cos").desc, col("eval_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && col("cos") >= TauComputed)
+      .select(col("doc_id"), col("eval_id"), col("cos"))
+  }
+
+  def contaminationSemanticComputed(s: SparkSession, d: String): DataFrame =
+    computedFlags(s, d)
+
+  /** Recall receipt: the supplied-vector screen's flag set (the
+    * [[CorpusBuild.vecsOf]] plant rotation — the SAME doc_id % 7 = 2
+    * class this module plants in the raw-text lane) vs the
+    * computed-text screen's — two independent detectors of one leak
+    * set, vectors vs text. */
+  def docEmbedRecall(s: SparkSession, d: String): DataFrame = {
+    val supplied = CorpusBuild.semDropOf(s, d)
+    val computed = computedFlags(s, d).select(col("doc_id"), lit(1).as("hit"))
+    supplied.join(computed, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_supplied"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_both"))
+      .crossJoin(computed.agg(count(lit(1)).as("n_computed")))
+      .select(col("n_supplied"), col("n_computed"), col("n_both"),
+        expr("n_both * 1000000 div n_supplied").as("recall_ppm"))
+  }
+
+  /** The embedding-coverage expectation: per source, how many docs the
+    * driver-supplied table covers vs the computed path (total by
+    * construction). Closes the incremental build's "docs without an
+    * embedding row pass the semantic gate un-scored" caveat: with the
+    * computed edge in place, coverage is an invariant, not a hope. */
+  def docEmbedCoverage(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("source"))
+    val sup = embeddings(s, d).select(col("vec_id").as("doc_id"), lit(1).as("has"))
+    docs.join(sup, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("has"), lit(0))).cast("long").as("n_supplied"))
+      .select(col("source"), col("n_docs"), col("n_supplied"),
+        expr("n_supplied * 1000000 div n_docs").as("supplied_ppm"),
+        col("n_docs").as("n_computed"),
+        lit(1000000L).as("computed_ppm"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_embed"                       -> docEmbed _,
+    "contamination_semantic_computed" -> contaminationSemanticComputed _,
+    "doc_embed_recall"                -> docEmbedRecall _,
+    "doc_embed_coverage"              -> docEmbedCoverage _)
+
+  // ---------------------------------------------------------------
+  // DuckDB oracle — buckets, IDF bits, every sign cell and the
+  // projection re-derived from the md5 rules; the screen replays the
+  // paraphrase plant and the nearest-eval ranking.
+  // ---------------------------------------------------------------
+
+  /** The embedding CTE chain over relation `rel(doc_id, text)` —
+    * exposes ${p}emb(doc_id, v) and ${p}nt(doc_id, n_toks). */
+  private def embedCtes(p: String, rel: String): String =
+    s"""${p}bc AS MATERIALIZED (
+          SELECT doc_id, ('0x' || substr(md5(t), 1, 6))::BIGINT % $Buckets AS b,
+            count(*) AS cnt
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM $rel)
+          GROUP BY 1, 2),
+        ${p}df AS (SELECT b, count(*) AS df FROM ${p}bc GROUP BY 1),
+        ${p}nd AS (SELECT count(DISTINCT doc_id) AS nd FROM ${p}bc),
+        ${p}w AS (
+          SELECT b, CAST(length(bin(nd // df)) AS BIGINT) AS w
+          FROM ${p}df CROSS JOIN ${p}nd),
+        ${p}ed AS MATERIALIZED (
+          SELECT doc_id, sgn.k, CAST(sum(x.cnt * x.w * sgn.s) AS BIGINT) AS e
+          FROM (SELECT doc_id, ${p}bc.b, cnt, w
+                FROM ${p}bc JOIN ${p}w USING (b)) x
+          JOIN sgn ON sgn.b = x.b
+          GROUP BY 1, 2),
+        ${p}emb AS MATERIALIZED (
+          SELECT doc_id, list(e ORDER BY k) AS v FROM ${p}ed GROUP BY 1),
+        ${p}nt AS (
+          SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_toks
+          FROM ${p}bc GROUP BY 1)"""
+
+  /** The shared sign-matrix CTE (every cell from the md5 rule). */
+  private val sgnCte: String =
+    s"""sgn AS MATERIALIZED (
+          SELECT j.k AS k, i.b AS b,
+            CASE WHEN substr(md5('rp-' || j.k || '-' || i.b), 1, 1)
+              IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END AS s
+          FROM generate_series(0, ${Dims - 1}) j(k)
+          CROSS JOIN generate_series(0, ${Buckets - 1}) i(b))"""
+
+  /** Paraphrase-planted corpus CTE: `pdoc(doc_id, text)`. */
+  private val plantCte: String =
+    s"""pdoc AS (
+          SELECT d.doc_id,
+            CASE WHEN d.doc_id >= $EvalMax AND d.doc_id % $PlantMod = $PlantRes
+              THEN (SELECT array_to_string(list_filter(
+                      string_split(e.text, ' '), (t, i) -> i % 7 <> 3), ' ')
+                    FROM documents e WHERE e.doc_id = d.doc_id % $EvalMax)
+              ELSE d.text END AS text
+          FROM documents d)"""
+
+  /** The computed screen's flag CTEs over the planted corpus —
+    * exposes flags(doc_id, eval_id, cos). */
+  private val screenCtes: String =
+    s"""$plantCte,
+        ${embedCtes("p", "pdoc")},
+        pnrm AS (
+          SELECT doc_id, v,
+            sqrt(CAST(list_sum(list_transform(v, z -> z * z)) AS DOUBLE)) AS nrm
+          FROM pemb),
+        pcos AS (
+          SELECT t.doc_id, e.doc_id AS eval_id,
+            CAST(list_dot_product(t.v, e.v) AS DOUBLE) / (t.nrm * e.nrm) AS cos
+          FROM (SELECT * FROM pnrm WHERE doc_id >= $EvalMax) t
+          CROSS JOIN (SELECT * FROM pnrm WHERE doc_id < $EvalMax) e),
+        flags AS (
+          SELECT doc_id, eval_id, cos FROM (
+            SELECT doc_id, eval_id, cos,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY cos DESC, eval_id) AS rk
+            FROM pcos) z
+          WHERE rk = 1 AND cos >= $TauComputed)"""
+
+  val oracle: Map[String, String] = Map(
+    "doc_embed" ->
+      s"""WITH $sgnCte,
+        ${embedCtes("n", "documents")}
+        SELECT doc_id, n_toks,
+          CAST(list_sum(list_transform(v, z -> z * z)) AS BIGINT) AS norm2,
+          md5(array_to_string(v, ',')) AS emb_fp
+        FROM nemb JOIN nnt USING (doc_id)""",
+    "contamination_semantic_computed" ->
+      s"""WITH $sgnCte,
+        $screenCtes
+        SELECT doc_id, eval_id, cos FROM flags""",
+    "doc_embed_recall" ->
+      s"""WITH $sgnCte,
+        $screenCtes,
+        ${CorpusBuild.vecCtes}
+        SELECT
+          (SELECT count(*) FROM semdrop) AS n_supplied,
+          (SELECT count(*) FROM flags) AS n_computed,
+          (SELECT count(*) FROM semdrop JOIN flags USING (doc_id)) AS n_both,
+          (SELECT count(*) FROM semdrop JOIN flags USING (doc_id)) * 1000000
+            // (SELECT count(*) FROM semdrop) AS recall_ppm""",
+    "doc_embed_coverage" ->
+      s"""SELECT d.source, count(*) AS n_docs,
+          CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_supplied,
+          CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            * 1000000 // count(*) AS supplied_ppm,
+          count(*) AS n_computed,
+          CAST(1000000 AS BIGINT) AS computed_ppm
+        FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+        GROUP BY 1""")
+}

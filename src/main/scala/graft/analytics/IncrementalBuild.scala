@@ -327,15 +327,7 @@ object IncrementalBuild {
         .filter(size(rawToks) >= 5)
         .select(explode(graft.functions.text.shingles(rawToks, 5)).as("shingle"))
         .distinct())
-      val vecs = CorpusBuild.vecsOf(s, d)
-      val evv = vecs.filter(col("vec_id") < HoldMax)
-        .select(col("vec_id").as("eval_id"), col("v").as("ev"),
-          col("nrm").as("en"))
-      val semDrop = sever(vecs.filter(col("vec_id") >= HoldMax)
-        .crossJoin(broadcast(evv))
-        .filter(graft.functions.vec.dot(col("v"), col("ev")) /
-          (col("nrm") * col("en")) >= Dedup.EmbProdThreshold)
-        .select(col("vec_id").as("doc_id")).distinct())
+      val semDrop = sever(CorpusBuild.semDropOf(s, d))
       val g = Gates(wsum, evsh, semDrop)
       val oldSets = batchStack(base, base.filter(col("doc_id") < SnapMax), g)
       val deltaSets = deltaStack(base, oldSets, g)

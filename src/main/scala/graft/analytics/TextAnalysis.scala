@@ -956,12 +956,15 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
-  /** THE feature-hash bucket rule (md5-hex prefix mod 32) — one
-    * definition shared by text_feature_hash and quality_train's
-    * features (whose contract is "the text_feature_hash buckets");
-    * a width change here retunes both together. */
+  /** THE feature-hash bucket rule (md5-hex prefix mod k) — one
+    * definition shared by text_feature_hash / quality_train (k = 32)
+    * and DocEmbed's wider vectorizer (k = 1024); a rule change here
+    * retunes all of them together. */
+  private[analytics] def featureBucketK(t: Column, k: Int): Column =
+    conv(substring(md5(t), 1, 6), 16, 10).cast("long") % k
+
   private[analytics] def featureBucket(t: Column): Column =
-    conv(substring(md5(t), 1, 6), 16, 10).cast("long") % 32
+    featureBucketK(t, 32)
 
   /** Token-pair association (log-free PMI — the lift form): for the
     * top-50 vocabulary, how often do two tokens share a document vs
