@@ -604,13 +604,68 @@ object CorpusBuild {
         col("n_tokens"), col("mean_bits_ppm"))
   }
 
+  /** Training-shard count for [[shardExport]]. */
+  private[graft] val NumShards = 16L
+
+  /** The trainer-facing export (r15): a deterministic hash-based
+    * GLOBAL PSEUDO-SHUFFLE of the release's training packs into
+    * [[NumShards]] numbered shards — the "global shuffle at 100 TB
+    * without a global sort" spelling. shard = md5(source|pack) mod N
+    * and the within-shard order is the same hash key (ties by
+    * (source, pack)), so the full training order is reconstructible
+    * from keys alone: a trainer's resume cursor is (shard_id, hk) and
+    * re-exporting after an append rewrites ONLY the shards whose
+    * pack set changed (spec-pinned). Each shard row carries the pack
+    * fold of [[corpusManifest]]'s pack fingerprints in cursor order,
+    * and one root row (-1) folds the shard fps — the manifest's
+    * integrity tree extended one level to the shard artifact.
+    *
+    * Scale shape: the rollup is pack-table-sized (corpus / PackBudget
+    * rows); no sort or window ever sees corpus-sized data, and the
+    * fold inside each shard aggregates a bounded (1/N) slice. */
+  def shardExport(s: SparkSession, d: String): DataFrame =
+    shardExportOf(corpusBuildDocs(s, d))
+
+  /** The export over an arbitrary packed-docs frame (doc_id, source,
+    * n_tokens, clean_fp, pack_id) — the seam the resume spec uses to
+    * prove append-locality. */
+  private[graft] def shardExportOf(docs: DataFrame): DataFrame = {
+    val packs = docs.groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        md5(concat_ws("", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("clean_fp")))),
+          x => x.getField("clean_fp")))).as("pack_fp"))
+      .withColumn("hk",
+        md5(concat(col("source"), lit("|"), col("pack_id").cast("string"))))
+    val shards = packs
+      .withColumn("shard_id",
+        conv(substring(col("hk"), 1, 6), 16, 10).cast("long") % NumShards)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_packs"), sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        md5(concat_ws("", transform(
+          array_sort(collect_list(
+            struct(col("hk"), col("source"), col("pack_id"), col("pack_fp")))),
+          x => x.getField("pack_fp")))).as("shard_fp"))
+    val root = shards
+      .agg(sum(col("n_packs")).as("n_packs"), sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        md5(concat_ws("", transform(
+          array_sort(collect_list(struct(col("shard_id"), col("shard_fp")))),
+          x => x.getField("shard_fp")))).as("shard_fp"))
+      .select(lit(-1L).as("shard_id"), col("n_packs"), col("n_docs"),
+        col("n_tokens"), col("shard_fp"))
+    shards.unionByName(root)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_build"      -> corpusBuild _,
     "corpus_build_docs" -> corpusBuildDocs _,
     "corpus_build_mix"  -> corpusBuildMix _,
     "corpus_datasheet"  -> corpusDatasheet _,
     "corpus_manifest"   -> corpusManifest _,
-    "curriculum_order"  -> curriculumOrder _)
+    "curriculum_order"  -> curriculumOrder _,
+    "shard_export"      -> shardExport _)
 
   // ---------------------------------------------------------------
   // DuckDB oracle — the ENTIRE pipeline re-derived from scratch:
@@ -880,6 +935,29 @@ object CorpusBuild {
           source, CAST(pack_id AS BIGINT) AS pack_id, n_docs, n_tokens,
           mean_bits_ppm
         FROM cpm""",
+    // the shard pseudo-shuffle: hash key, shard assignment, cursor-
+    // order fold and the root fold all re-derived
+    "shard_export" ->
+      s"""$withChain$releaseCtes,
+        spk AS (
+          SELECT source, pack_id, count(*) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+            md5(string_agg(clean_fp, '' ORDER BY doc_id)) AS pack_fp,
+            md5(source || '|' || CAST(pack_id AS BIGINT)) AS hk
+          FROM packed GROUP BY source, pack_id),
+        shd AS (
+          SELECT ('0x' || substr(hk, 1, 6))::BIGINT % $NumShards AS shard_id,
+            count(*) AS n_packs, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+            md5(string_agg(pack_fp, '' ORDER BY hk, source, pack_id))
+              AS shard_fp
+          FROM spk GROUP BY 1)
+        SELECT shard_id, n_packs, n_docs, n_tokens, shard_fp FROM shd
+        UNION ALL
+        SELECT -1, CAST(sum(n_packs) AS BIGINT), CAST(sum(n_docs) AS BIGINT),
+          CAST(sum(n_tokens) AS BIGINT),
+          md5(string_agg(shard_fp, '' ORDER BY shard_id))
+        FROM shd""",
     // both manifest levels with the same pinned orderings
     "corpus_manifest" ->
       s"""$withChain$releaseCtes,
