@@ -1980,7 +1980,10 @@ object Multimodal {
     array(dims: _*)
   }
 
-  def multimodalAlign(s: SparkSession, d: String): DataFrame = {
+  /** The scored pair table behind the align gate — REAL decode on the
+    * image side, in-plan sign extraction on the caption side. Shared
+    * by the pair-level gate and the interleaved-document composition. */
+  private def alignScored(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val corpus = Dedup.phashCorpus(s, d)
       .repartition(s.sparkContext.defaultParallelism)
@@ -2012,8 +2015,51 @@ object Multimodal {
         (col("n_agree") >= AlignThreshold).cast("int").as("keep"))
   }
 
+  def multimodalAlign(s: SparkSession, d: String): DataFrame =
+    alignScored(s, d)
+
+  /** Interleaved multimodal documents (r15) — the MMC4/OBELICS
+    * production shape the pair gate alone does not model: a web
+    * document carries SEVERAL image slots, each slot gets the
+    * alignment verdict, and the per-document decision is
+    * keep-and-STRIP (drop misaligned images, keep the document while
+    * at least one aligned image remains) rather than keep/drop the
+    * pair. Document i carries 1 + (i mod 4) slots; slot s references
+    * pool pair (i·53 + s·17) mod N — a deterministic id-keyed
+    * mapping, so the composition is one join against the scored pair
+    * table (which itself rides the REAL BMP decode). `kept_fp`
+    * order-pins exactly which slots survived the strip, so the hash
+    * match proves the per-slot verdicts AND their composition.
+    *
+    * Scale shape: slots explode bounded (≤ 4 per doc), the pool join
+    * is id-keyed, the rollup doc-keyed — the whole composition adds
+    * one narrow shuffle on top of the decode pass. */
+  def multimodalInterleaved(s: SparkSession, d: String): DataFrame = {
+    val scored = alignScored(s, d)
+    // natural pool width = the documents row count (a 1-row driver
+    // scalar, the maxId-collect class)
+    val n = graft.Tables.documents(s, d).count()
+    val slots = graft.Tables.documents(s, d).select(col("doc_id").as("i"))
+      .withColumn("s", explode(sequence(lit(0), (col("i") % 4).cast("int"))))
+      .withColumn("pair_id", (col("i") * 53 + col("s") * 17) % n)
+    slots.join(scored, Seq("pair_id"))
+      .groupBy(col("i"))
+      .agg(count(lit(1)).as("n_slots"),
+        sum(col("keep")).cast("long").as("n_kept"),
+        (count(lit(1)) - sum(col("keep"))).cast("long").as("n_stripped"),
+        (sum(col("keep")) > 0).cast("int").as("doc_keep"),
+        md5(concat_ws(",", transform(
+          array_sort(collect_list(when(col("keep") === 1,
+            struct(col("s"), col("pair_id"))))),
+          x => concat(x.getField("s").cast("string"), lit(":"),
+            x.getField("pair_id").cast("string"))))).as("kept_fp"))
+      .select(col("i").as("doc_id"), col("n_slots"), col("n_kept"),
+        col("n_stripped"), col("doc_keep"), col("kept_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_align"    -> multimodalAlign _,
+    "multimodal_interleaved" -> multimodalInterleaved _,
     "multimodal_sniff"    -> multimodalSniff _,
     "multimodal_stub"     -> multimodalStub _,
     "multimodal_features" -> featuresScalar _,
@@ -2042,7 +2088,10 @@ object Multimodal {
     * same bits through the real decode), the caption embedding built
     * from the same labeler rule, signs extracted from the float dims,
     * agreement summed per pair. */
-  private def alignSql: String = {
+  /** The align CTE chain ending in
+    * `scored(pair_id, align_class, n_agree, margin, keep)` — shared
+    * by the pair gate and the interleaved-document oracle. */
+  private def alignCtes: String = {
     val highs = "('8','9','a','b','c','d','e','f')"
     val dims = (0 until 64).map { k =>
       val c = k % 8; val by = k / 8
@@ -2059,7 +2108,7 @@ object Multimodal {
           ELSE $rnd END)
         THEN 1.0 ELSE -1.0 END * $w"""
     }.mkString(",\n            ")
-    s"""WITH ${Dedup.phashSql},
+    s"""${Dedup.phashSql},
         caps AS MATERIALIZED (
           SELECT doc_id AS pair_id,
             [$dims] AS emb
@@ -2069,25 +2118,50 @@ object Multimodal {
             array_to_string(list_transform(generate_series(1, 64),
               k -> CASE WHEN emb[k] >= 0 THEN '1' ELSE '0' END), '')
               AS cap_bits
-          FROM caps)
-        SELECT f.doc_id AS pair_id, f.doc_id % 3 AS align_class,
-          CAST(list_sum(list_transform(generate_series(1, 64),
-            k -> CASE WHEN substr(f.phash, CAST(k AS INT), 1)
-              = substr(cb.cap_bits, CAST(k AS INT), 1)
-              THEN 1 ELSE 0 END)) AS BIGINT) AS n_agree,
-          CAST(list_sum(list_transform(generate_series(1, 64),
-            k -> CASE WHEN substr(f.phash, CAST(k AS INT), 1)
-              = substr(cb.cap_bits, CAST(k AS INT), 1)
-              THEN 1 ELSE 0 END)) - $AlignThreshold AS BIGINT) AS margin,
-          CAST(list_sum(list_transform(generate_series(1, 64),
-            k -> CASE WHEN substr(f.phash, CAST(k AS INT), 1)
-              = substr(cb.cap_bits, CAST(k AS INT), 1)
-              THEN 1 ELSE 0 END)) >= $AlignThreshold AS INT) AS keep
-        FROM fp f JOIN capbits cb ON cb.pair_id = f.doc_id"""
+          FROM caps),
+        scored AS MATERIALIZED (
+          SELECT pair_id, pair_id % 3 AS align_class, n_agree,
+            n_agree - $AlignThreshold AS margin,
+            CAST(n_agree >= $AlignThreshold AS INT) AS keep
+          FROM (
+            SELECT f.doc_id AS pair_id,
+              CAST(list_sum(list_transform(generate_series(1, 64),
+                k -> CASE WHEN substr(f.phash, CAST(k AS INT), 1)
+                  = substr(cb.cap_bits, CAST(k AS INT), 1)
+                  THEN 1 ELSE 0 END)) AS BIGINT) AS n_agree
+            FROM fp f JOIN capbits cb ON cb.pair_id = f.doc_id) z)"""
   }
+
+  private def alignSql: String =
+    s"""WITH $alignCtes
+        SELECT pair_id, align_class, n_agree, margin, keep FROM scored"""
+
+  /** multimodal_interleaved oracle: the same scored pair table, the
+    * deterministic slot mapping, and the keep-and-strip rollup with
+    * the order-pinned kept-slot fold. */
+  private def interleavedSql: String =
+    s"""WITH $alignCtes,
+        nd AS (SELECT count(*) AS n FROM documents),
+        slots AS (
+          SELECT d.doc_id AS i, u.s AS s,
+            (d.doc_id * 53 + u.s * 17) % (SELECT n FROM nd) AS pair_id
+          FROM documents d,
+            unnest(generate_series(0, CAST(d.doc_id % 4 AS INT))) u(s)),
+        ss AS (
+          SELECT sl.i, sl.s, sl.pair_id, sc.keep
+          FROM slots sl JOIN scored sc USING (pair_id))
+        SELECT i AS doc_id, count(*) AS n_slots,
+          CAST(sum(keep) AS BIGINT) AS n_kept,
+          CAST(count(*) - sum(keep) AS BIGINT) AS n_stripped,
+          CAST(sum(keep) > 0 AS INT) AS doc_keep,
+          md5(coalesce(string_agg(
+            CASE WHEN keep = 1 THEN s || ':' || pair_id END, ','
+            ORDER BY s), '')) AS kept_fp
+        FROM ss GROUP BY 1"""
 
   val oracle: Map[String, String] = Map(
     "multimodal_align" -> alignSql,
+    "multimodal_interleaved" -> interleavedSql,
     // every EXIF field is a construction rule over doc_id, so the
     // oracle replays the PLANT arithmetically while the query only
     // reproduces it by correctly walking markers + both TIFF byte
