@@ -126,7 +126,15 @@ class PlanSpec extends SparkSpec {
       // against the broadcast bounded eval slice (vec_id < 25 of the
       // planted corpus) — the sim_knn exact-scan contract; the recall
       // query's LSH side is all equi-joins
-      "contamination_semantic", "contamination_semantic_recall")
+      "contamination_semantic", "contamination_semantic_recall",
+      // DocEmbed family (r15): the computed screen streams the corpus
+      // ONCE against the broadcast bounded eval slice (doc_id < 25 of
+      // the computed embeddings — the contamination_semantic exact-
+      // scan contract), and embedOf crossJoins two 1-row scalars
+      // (doc count for IDF, the recall counts); the recall receipt
+      // composes the computed screen with the supplied vecsOf screen
+      // (the same broadcast-eval shape)
+      "doc_embed", "contamination_semantic_computed", "doc_embed_recall")
 
   private val streaming =
     Set("stream_hourly", "stream_session", "stream_session_multibatch",
@@ -190,6 +198,35 @@ class PlanSpec extends SparkSpec {
     // on vec_id (1); the eval side is broadcast; _recall adds the LSH
     // candidate distinct — all id/bucket-keyed, never vectors
     "contamination_semantic" -> 1, "contamination_semantic_recall" -> 2,
+    // r15 wave —
+    // doc_embed: token→bucket agg, bucket-df agg, 1-row doc count,
+    // the (doc,k) projection agg, the doc-keyed assembly and the
+    // n_toks rollup + their joins — all id/bucket-keyed, text never
+    // shuffles past the first aggregation
+    "doc_embed" -> 9,
+    // contamination_semantic_computed: the embed chain appears TWICE
+    // in the audited plan string (the persisted embedding frame is
+    // referenced by both the eval and train branches, and
+    // InMemoryRelation repeats its child plan) + the per-doc argmax
+    // window; every exchange is id/bucket-keyed
+    "contamination_semantic_computed" -> 19,
+    // doc_embed_recall: composes the computed screen (19, with the
+    // same cached-chain double-count) with the supplied vecsOf screen
+    // and the 1-row receipt scalars — all bounded or id-keyed
+    "doc_embed_recall" -> 39,
+    // doc_embed_coverage: ONE source rollup after the id-keyed
+    // embeddings lookup
+    "doc_embed_coverage" -> 1,
+    // corpus_diff: the tagged union joins the checkpointed stage
+    // id-sets to base on bare ids and rolls up (source, status)
+    "corpus_diff" -> 1,
+    // multimodal_interleaved: the bounded slot explode joins the
+    // scored pair table on pair_id and rolls up per doc — rides the
+    // align decode pass, one narrow shuffle on top
+    "multimodal_interleaved" -> 1,
+    // shard_export: pack rollup, shard rollup and the root fold over
+    // the pack-table-sized frame (corpus/512 rows)
+    "shard_export" -> 4,
     // license_mix: the bounded (source × license) rollup + its
     // within-source share window (text_license itself is scan-only)
     "license_mix" -> 2,
@@ -933,7 +970,15 @@ class PlanSpec extends SparkSpec {
     "text_pair_lift",
     // ---- fixed-cardinality dimensions: TPC-H nation (25) / region
     // (5); geo_join's 4-row literal depot table × 81 literal offsets
-    "join_broadcast", "geo_join")
+    "join_broadcast", "geo_join",
+    // ---- DocEmbed family (r15): every hinted frame is bounded by
+    // construction — the IDF weight table (grouped on the fixed
+    // 1024-bucket domain), the eval text/embedding slices
+    // (doc_id/vec_id < 25 before the hint), and vecsOf's eval base
+    // table (vec_id < 25); the recall receipt composes two such
+    // screens, so the walker sees each bounded projection several
+    // times
+    "doc_embed", "contamination_semantic_computed", "doc_embed_recall")
 
   test("no query force-broadcasts a corpus-sized table") {
     val offenders = built.collect {
