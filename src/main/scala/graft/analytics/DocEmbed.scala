@@ -106,7 +106,12 @@ object DocEmbed {
     * versioned artifact next to the classifier weights). */
   private[graft] def embedOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
+    // full-width fan-out before the token explode: the documents
+    // parquet is a single split at test SF, and without this the
+    // whole bucket aggregation's partial pass serializes on one task
+    // (the PlanSpec mustFan rule / r14 scan-cost class)
     val bc = docs
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .select(col("doc_id"), TextAnalysis.featureBucketK(col("t"), Buckets).as("b"))
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
@@ -176,8 +181,17 @@ object DocEmbed {
   /** The flagged-doc list of the computed screen (nearest eval item
     * by cos desc / eval_id asc, emitted iff cos ≥ τ) — the
     * contaminationSemanticOf shape over BIGINT vectors (products stay
-    * ≪ 2⁵³, so the double conversion is lossless on both engines). */
-  private[graft] def computedFlags(s: SparkSession, d: String): DataFrame = {
+    * ≪ 2⁵³, so the double conversion is lossless on both engines).
+    * Memoized per (session, corpus): the screen and the recall
+    * receipt share one embedding pass (the flag set is bounded —
+    * plant-class-sized — so the checkpoint is cheap). */
+  private[graft] def computedFlags(s: SparkSession, d: String): DataFrame =
+    flagsMemo.getOrElseUpdate((s, d),
+      computedFlagsOnce(s, d).localCheckpoint(true))
+
+  private val flagsMemo = new Caches.SessionMemo[DataFrame]
+
+  private def computedFlagsOnce(s: SparkSession, d: String): DataFrame = {
     val emb = embedOf(plantedDocs(s, d))
       .select(col("doc_id"), col("v"),
         sqrt(aggregate(col("v"), lit(0L), (acc, x) => acc + x * x)
