@@ -120,19 +120,22 @@ object DocEmbed {
     val nd = bc.agg(countDistinct(col("doc_id")).as("nd"))
     val w = dfb.crossJoin(broadcast(nd))
       .select(col("b"), expr("CAST(length(bin(nd div df)) AS BIGINT)").as("w"))
-    val ed = bc
-      .join(broadcast(w), Seq("b"))
+    // the projection as 64 SUM COLUMNS over the nnz rows — not a
+    // (doc, k) row explosion: the naive posexplode spelling shuffles
+    // nnz × 64 rows (1.9 G at sf3) where this shuffles nnz-grouped
+    // rows with 64 accumulators (same multiply count, 64× fewer rows;
+    // measured 80 s → ~8 s cold at sf3 on the bench heap)
+    val sums = (0 until Dims).map(k =>
+      sum(element_at(col("sgns"), k + 1) * col("x")).as(s"e$k"))
+    bc.join(broadcast(w), Seq("b"))
       .join(broadcast(signFrame(s)), Seq("b"))
-      .select(col("doc_id"), (col("cnt") * col("w")).as("x"),
-        posexplode(col("sgns")).as(Seq("k", "sg")))
-      .groupBy(col("doc_id"), col("k"))
-      .agg(sum(col("x") * col("sg")).as("e"))
-    val nt = bc.groupBy(col("doc_id"))
-      .agg(sum(col("cnt")).cast("long").as("n_toks"))
-    ed.groupBy(col("doc_id"))
-      .agg(transform(array_sort(collect_list(struct(col("k"), col("e")))),
-        p => p.getField("e")).as("v"))
-      .join(nt, Seq("doc_id"))
+      .select(col("doc_id"), (col("cnt") * col("w")).as("x"), col("sgns"),
+        col("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("long").as("n_toks"), sums: _*)
+      .select(col("doc_id"),
+        array((0 until Dims).map(k => col(s"e$k")): _*).as("v"),
+        col("n_toks"))
   }
 
   /** The embedding table over the natural corpus, dimension-pinned by
@@ -167,7 +170,12 @@ object DocEmbed {
     val ev = docs.filter(col("doc_id") < EvalMax)
       .select(col("doc_id").as("eid"), col("text").as("etext"))
     val isPlant = col("doc_id") >= EvalMax && col("doc_id") % PlantMod === PlantRes
-    docs.join(broadcast(ev),
+    // fan out BEFORE the paraphrase projection: joins and projections
+    // stay above the exchange, so without this the interpreted
+    // filter/array_join HOF runs on the single parquet-split task
+    // (measured 144 s cold at sf3 vs ~5 s fanned)
+    docs.repartition(s.sparkContext.defaultParallelism)
+      .join(broadcast(ev),
         when(isPlant, col("doc_id") % EvalMax).otherwise(lit(-1L)) === col("eid"),
         "left")
       .select(col("doc_id"),

@@ -199,21 +199,21 @@ class PlanSpec extends SparkSpec {
     // candidate distinct — all id/bucket-keyed, never vectors
     "contamination_semantic" -> 1, "contamination_semantic_recall" -> 2,
     // r15 wave —
-    // doc_embed: token→bucket agg, bucket-df agg, 1-row doc count,
-    // the (doc,k) projection agg, the doc-keyed assembly and the
-    // n_toks rollup + their joins — all id/bucket-keyed, text never
-    // shuffles past the first aggregation
-    "doc_embed" -> 9,
-    // contamination_semantic_computed: the embed chain appears TWICE
-    // in the audited plan string (the persisted embedding frame is
-    // referenced by both the eval and train branches, and
-    // InMemoryRelation repeats its child plan) + the per-doc argmax
-    // window; every exchange is id/bucket-keyed
+    // doc_embed: token→bucket agg, bucket-df agg, 1-row doc count and
+    // the doc-keyed 64-sum projection rollup + their joins — all
+    // id/bucket-keyed, text never shuffles past the first aggregation
+    // (the projection is 64 SUM columns, not a (doc,k) row explosion)
+    "doc_embed" -> 6,
+    // contamination_semantic_computed: audited COLD (first of its
+    // family in the sorted sweep) — the embed chain appears twice in
+    // the plan string (the persisted embedding frame is referenced by
+    // the eval and train branches, and InMemoryRelation repeats its
+    // child) + the per-doc argmax window; all id/bucket-keyed
     "contamination_semantic_computed" -> 19,
-    // doc_embed_recall: composes the computed screen (19, with the
-    // same cached-chain double-count) with the supplied vecsOf screen
-    // and the 1-row receipt scalars — all bounded or id-keyed
-    "doc_embed_recall" -> 39,
+    // doc_embed_recall: audited memo-WARM (the screen built the flag
+    // checkpoint earlier in the sorted sweep) — the supplied vecsOf
+    // screen's distinct + the per-doc argmax window
+    "doc_embed_recall" -> 2,
     // doc_embed_coverage: ONE source rollup after the id-keyed
     // embeddings lookup
     "doc_embed_coverage" -> 1,
