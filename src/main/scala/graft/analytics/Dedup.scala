@@ -1309,6 +1309,47 @@ object Dedup {
     * `n2` exposed for the recall gate's exact side). Interpolates the
     * SAME constants the Scala side uses, so retuning the plant or the
     * banding retunes both engines together. */
+  /** The derived-width banding + rerank chain over an ARBITRARY
+    * corpus relation (vec_id, v: DOUBLE list), planes read from
+    * `planesRel`'s contiguous vec_id 100..100+bands·bits — exposes
+    * nn/bits/pl/sigb/bk/cand/n2/`prod_pairs(vec_a, vec_b, cos)`.
+    * Parameterized (r15) so DocEmbed's computed-embedding SemDeDup
+    * replays the SAME production spelling over text-derived vectors. */
+  private[analytics] def embProdChainFrom(corpusRel: String,
+      planesRel: String): String =
+    s"""nn AS (SELECT count(*) AS n FROM $corpusRel),
+        bits AS (SELECT GREATEST(16,
+            length(format('{:b}', GREATEST(1, n - 1)))) AS b FROM nn),
+        pl AS (
+          SELECT e.vec_id - 100 AS j, e.v AS pv FROM $planesRel e, bits
+          WHERE e.vec_id >= 100
+            AND e.vec_id < 100 + $EmbProdBands * bits.b),
+        sigb AS (
+          SELECT c.vec_id, CAST(p.j // b.b AS INT) AS band,
+            p.j % b.b AS pos,
+            CASE WHEN list_dot_product(c.v, p.pv) >= 0
+              THEN '1' ELSE '0' END AS bit
+          FROM $corpusRel c CROSS JOIN pl p CROSS JOIN bits b),
+        bk AS (
+          SELECT vec_id, band, string_agg(bit, '' ORDER BY pos) AS bucket
+          FROM sigb GROUP BY vec_id, band),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+          FROM bk a JOIN bk b2
+            ON a.band = b2.band AND a.bucket = b2.bucket
+              AND a.vec_id < b2.vec_id),
+        n2 AS (
+          SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+          FROM $corpusRel),
+        prod_pairs AS (
+          SELECT c.vec_a, c.vec_b,
+            list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS cos
+          FROM cand c
+          JOIN n2 na ON na.vec_id = c.vec_a
+          JOIN n2 nb ON nb.vec_id = c.vec_b
+          WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm)
+            >= $EmbProdThreshold)"""
+
   private[analytics] val embProdPairsCte: String =
     s"""e AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1324,38 +1365,7 @@ object Dedup {
           GROUP BY p.i),
         corpus AS (
           SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM pv),
-        nn AS (SELECT count(*) AS n FROM corpus),
-        bits AS (SELECT GREATEST(16,
-            length(format('{:b}', GREATEST(1, n - 1)))) AS b FROM nn),
-        pl AS (
-          SELECT e.vec_id - 100 AS j, e.v AS pv FROM e, bits
-          WHERE e.vec_id >= 100
-            AND e.vec_id < 100 + $EmbProdBands * bits.b),
-        sigb AS (
-          SELECT c.vec_id, CAST(p.j // b.b AS INT) AS band,
-            p.j % b.b AS pos,
-            CASE WHEN list_dot_product(c.v, p.pv) >= 0
-              THEN '1' ELSE '0' END AS bit
-          FROM corpus c CROSS JOIN pl p CROSS JOIN bits b),
-        bk AS (
-          SELECT vec_id, band, string_agg(bit, '' ORDER BY pos) AS bucket
-          FROM sigb GROUP BY vec_id, band),
-        cand AS (
-          SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
-          FROM bk a JOIN bk b2
-            ON a.band = b2.band AND a.bucket = b2.bucket
-              AND a.vec_id < b2.vec_id),
-        n2 AS (
-          SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
-          FROM corpus),
-        prod_pairs AS (
-          SELECT c.vec_a, c.vec_b,
-            list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS cos
-          FROM cand c
-          JOIN n2 na ON na.vec_id = c.vec_a
-          JOIN n2 nb ON nb.vec_id = c.vec_b
-          WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm)
-            >= $EmbProdThreshold)"""
+        ${embProdChainFrom("corpus", "e")}"""
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->

@@ -156,9 +156,9 @@ object DocEmbed {
     * crater to cos ≈ 0.40 while deletion twins hold ≥ 0.938). The
     * shifted stream still breaks most 5-gram windows, which is why
     * the n-gram screen family underperforms on this shape. */
-  private def paraphrase(text: Column): Column =
+  private def paraphrase(text: Column, mod: Int = 7, res: Int = 3): Column =
     array_join(filter(split(text, " "),
-      (t, k) => (k + 1) % 7 =!= 3), " ")
+      (t, k) => (k + 1) % mod =!= res), " ")
 
   /** The planted corpus for the computed screen: train docs on the
     * [[PlantMod]] rotation carry a PARAPHRASE of their eval twin
@@ -255,11 +255,104 @@ object DocEmbed {
         lit(1000000L).as("computed_ppm"))
   }
 
+  // ---------------------------------------------------------------
+  // SemDeDup from RAW TEXT (r15 bonus): the production near-dup path
+  // text -> computed embedding -> the ENGINE'S production cosine-LSH
+  // (Dedup.dedupEmbeddingProdOf: corpus-derived band WIDTH -- 16 bits
+  // at test SF, growing with log2 N so buckets stay selective at any
+  // corpus -- corpus-derived hyperplanes, exact rerank at 0.95) ->
+  // first-arrival keep. One production spelling, two vector sources:
+  // the driver-supplied table (dedup_embedding) and now raw text.
+  // Approximate by construction (banding can miss pairs); the recall
+  // query MEASURES what the banding surfaces against an exact probe
+  // audit, the dedup_embedding_recall contract.
+  // ---------------------------------------------------------------
+
+  /** Copy plants re-enter under id + CopyBase (the re-crawl), crop
+    * plants under id + CropBase (every 12th token deleted from pages
+    * of >= 40 tokens -- measured twin floor >= 0.966 at all three
+    * local SFs, safely above the production 0.95 rerank gate; short
+    * pages are excluded because deleting one high-IDF token from a
+    * 10-token page moves the whole vector). Bases sit far above any
+    * corpus id range -- at the 30x scaled corpus doc ids reach 150k,
+    * which COLLIDED with the original 100k base (caught by the slope
+    * audit: duplicate ids + a ballooned probe set). */
+  private[graft] val DupCopyBase = 10000000L
+  private[graft] val DupCropBase = 20000000L
+
+  /** The planted dedup corpus: naturals + re-crawl copies (%31 = 4)
+    * + cropped re-posts (%29 = 3, length-guarded). */
+  private[graft] def dupPlanted(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    docs
+      .unionByName(docs.filter(col("doc_id") % 31 === 4)
+        .select((col("doc_id") + DupCopyBase).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 29 === 3 &&
+          size(split(col("text"), " ")) >= 40)
+        .select((col("doc_id") + DupCropBase).as("doc_id"),
+          paraphrase(col("text"), 12, 5).as("text")))
+  }
+
+  /** Embedded corpus in the production dedup shape (vec_id, v DOUBLE,
+    * nrm) -- BIGINT dims cast losslessly; memoized so the verdict and
+    * the recall audit share one embed pass. */
+  private[graft] def dupCoded(s: SparkSession, d: String): DataFrame =
+    dupMemo.getOrElseUpdate((s, d), {
+      embedOf(dupPlanted(s, d))
+        .select(col("doc_id").as("vec_id"),
+          transform(col("v"), _.cast("double")).as("v"))
+        .withColumn("nrm", graft.functions.vec.l2norm(col("v")))
+        .localCheckpoint(true)
+    })
+
+  private val dupMemo = new Caches.SessionMemo[DataFrame]
+
+  /** The SemDeDup verdict over the planted corpus: per doc, the
+    * smallest near-duplicate predecessor the production banding
+    * surfaces (first-arrival -- the IncrementalBuild rule, so the
+    * verdict composes incrementally) and the keep flag. */
+  def dedupSemanticComputed(s: SparkSession, d: String): DataFrame = {
+    val coded = dupCoded(s, d)
+    val wit = Dedup.dedupEmbeddingProdOf(coded)
+      .groupBy(col("vec_b").as("doc_id")).agg(min(col("vec_a")).as("dup_of"))
+    coded.select(col("vec_id").as("doc_id"))
+      .join(wit, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        col("dup_of").isNull.cast("int").as("kept"))
+  }
+
+  /** Measured recall of the production banding against the exact
+    * screen over a FIXED probe set (naturals 0-49 and their plant
+    * twins -- the dedup_embedding_recall sampled-audit contract):
+    * exact pairs = probe x corpus cosine >= 0.95 by broadcast scan;
+    * found = the banded pipeline's pairs touching a probe. */
+  def dedupSemanticComputedRecall(s: SparkSession, d: String): DataFrame = {
+    val coded = dupCoded(s, d)
+    val probes = coded.filter(col("vec_id") % DupCopyBase < 50)
+      .select(col("vec_id").as("pa"), col("v").as("pv"), col("nrm").as("pn"))
+    val exact = coded.crossJoin(broadcast(probes))
+      .filter(col("pa") < col("vec_id"))
+      .withColumn("cos",
+        graft.functions.vec.dot(col("pv"), col("v")) / (col("pn") * col("nrm")))
+      .filter(col("cos") >= Dedup.EmbProdThreshold)
+      .select(col("pa").as("vec_a"), col("vec_id").as("vec_b"))
+    val found = Dedup.dedupEmbeddingProdOf(coded)
+      .filter(col("vec_a") % DupCopyBase < 50)
+      .select(col("vec_a"), col("vec_b"), lit(1).as("hit"))
+    exact.join(found, Seq("vec_a", "vec_b"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_found"))
+      .select(col("n_exact"), col("n_found"),
+        expr("n_found * 1000000 div n_exact").as("recall_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_embed"                       -> docEmbed _,
     "contamination_semantic_computed" -> contaminationSemanticComputed _,
     "doc_embed_recall"                -> docEmbedRecall _,
-    "doc_embed_coverage"              -> docEmbedCoverage _)
+    "doc_embed_coverage"              -> docEmbedCoverage _,
+    "dedup_semantic_computed"         -> dedupSemanticComputed _,
+    "dedup_semantic_computed_recall"  -> dedupSemanticComputedRecall _)
 
   // ---------------------------------------------------------------
   // DuckDB oracle — buckets, IDF bits, every sign cell and the
@@ -334,7 +427,58 @@ object DocEmbed {
             FROM pcos) z
           WHERE rk = 1 AND cos >= $TauComputed)"""
 
+  /** SemDeDup CTE chain: planted corpus -> embeddings ("q" prefix) ->
+    * the production derived-width banding chain
+    * ([[Dedup.embProdChainFrom]] -- planes are the corpus's own rows
+    * 100..100+bands*bits, naturals by construction since plant ids
+    * sit at 10M+) ending in `prod_pairs(vec_a, vec_b, cos)`. */
+  private def dupCtes: String =
+    s"""ddoc AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + $DupCopyBase, text FROM documents
+          WHERE doc_id % 31 = 4
+          UNION ALL
+          SELECT doc_id + $DupCropBase,
+            array_to_string(list_filter(
+              string_split(text, ' '), (t, i) -> i % 12 <> 5), ' ')
+          FROM documents
+          WHERE doc_id % 29 = 3 AND len(string_split(text, ' ')) >= 40),
+        ${embedCtes("q", "ddoc")},
+        qcd AS MATERIALIZED (
+          SELECT doc_id AS vec_id,
+            list_transform(v, z -> CAST(z AS DOUBLE)) AS v
+          FROM qemb),
+        ${Dedup.embProdChainFrom("qcd", "qcd")}"""
+
   val oracle: Map[String, String] = Map(
+    "dedup_semantic_computed" ->
+      s"""WITH $sgnCte,
+        $dupCtes,
+        wit AS (SELECT vec_b AS doc_id, min(vec_a) AS dup_of
+                FROM prod_pairs GROUP BY 1)
+        SELECT c.vec_id AS doc_id, coalesce(w.dup_of, -1) AS dup_of,
+          CAST(w.dup_of IS NULL AS INT) AS kept
+        FROM qcd c LEFT JOIN wit w ON w.doc_id = c.vec_id""",
+    "dedup_semantic_computed_recall" ->
+      s"""WITH $sgnCte,
+        $dupCtes,
+        qprobe AS (SELECT vec_id AS pa, v AS pv, nrm AS pn FROM n2
+                   WHERE vec_id % $DupCopyBase < 50),
+        qexact AS (
+          SELECT p.pa AS vec_a, c.vec_id AS vec_b
+          FROM n2 c CROSS JOIN qprobe p
+          WHERE p.pa < c.vec_id
+            AND list_dot_product(p.pv, c.v) / (p.pn * c.nrm)
+              >= ${Dedup.EmbProdThreshold}),
+        qfound AS (
+          SELECT vec_a, vec_b, 1 AS hit FROM prod_pairs
+          WHERE vec_a % $DupCopyBase < 50)
+        SELECT count(*) AS n_exact,
+          CAST(sum(coalesce(f.hit, 0)) AS BIGINT) AS n_found,
+          CAST(sum(coalesce(f.hit, 0)) * 1000000 // count(*) AS BIGINT)
+            AS recall_ppm
+        FROM qexact e LEFT JOIN qfound f USING (vec_a, vec_b)""",
     "doc_embed" ->
       s"""WITH $sgnCte,
         ${embedCtes("n", "documents")}

@@ -49,6 +49,35 @@ class DocEmbedSpec extends SparkSpec {
     }
   }
 
+  test("semdedup-from-text catches every planted copy and crop") {
+    val verdicts = DocEmbed.dedupSemanticComputed(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val copies = verdicts.keys.filter(id =>
+      id >= DocEmbed.DupCopyBase && id < DocEmbed.DupCropBase)
+    val crops = verdicts.keys.filter(_ >= DocEmbed.DupCropBase)
+    assert(copies.nonEmpty && crops.nonEmpty)
+    // every plant is dropped, attributed to a smaller (first-arrival)
+    // predecessor — for copies that predecessor is at most the source
+    copies.foreach { id =>
+      val (dupOf, kept) = verdicts(id)
+      assert(kept === 0 && dupOf >= 0 && dupOf <= id - DocEmbed.DupCopyBase, s"$id")
+    }
+    crops.foreach { id =>
+      val (dupOf, kept) = verdicts(id)
+      assert(kept === 0 && dupOf >= 0, s"$id")
+    }
+    // and the natural corpus is NOT wiped out (the threshold margin)
+    val naturals = verdicts.filter(_._1 < DocEmbed.DupCopyBase)
+    assert(naturals.count(_._2._2 == 1) > naturals.size / 2)
+  }
+
+  test("the production banding loses nothing on the probe audit here") {
+    val r = DocEmbed.dedupSemanticComputedRecall(spark, dir).collect().head
+    assert(r.getAs[Long]("n_exact") > 0)
+    assert(r.getAs[Long]("n_found") === r.getAs[Long]("n_exact"))
+    assert(r.getAs[Long]("recall_ppm") === 1000000L)
+  }
+
   test("coverage receipt: the computed edge is total per source") {
     val cov = DocEmbed.docEmbedCoverage(spark, dir).collect()
     assert(cov.nonEmpty)

@@ -134,7 +134,13 @@ class PlanSpec extends SparkSpec {
       // (doc count for IDF, the recall counts); the recall receipt
       // composes the computed screen with the supplied vecsOf screen
       // (the same broadcast-eval shape)
-      "doc_embed", "contamination_semantic_computed", "doc_embed_recall")
+      "doc_embed", "contamination_semantic_computed", "doc_embed_recall",
+      // dedup_semantic_computed(+_recall): the cold-audited embed
+      // chain crossJoins the 1-row doc-count scalar; the recall audit
+      // broadcasts the FIXED probe set (ids mod 100000 < 50 — the
+      // dedup_embedding_recall sampled-audit contract) against one
+      // corpus scan
+      "dedup_semantic_computed", "dedup_semantic_computed_recall")
 
   private val streaming =
     Set("stream_hourly", "stream_session", "stream_session_multibatch",
@@ -227,6 +233,13 @@ class PlanSpec extends SparkSpec {
     // shard_export: pack rollup, shard rollup and the root fold over
     // the pack-table-sized frame (corpus/512 rows)
     "shard_export" -> 4,
+    // dedup_semantic_computed: audited COLD (first of the pair in the
+    // sorted sweep) — the embed chain + sign-band self-join + rerank
+    // id-joins + the first-arrival witness agg, all id/bucket-keyed
+    "dedup_semantic_computed" -> 15,
+    // dedup_semantic_computed_recall: audited memo-WARM — the banded
+    // pipeline over the checkpointed coded frame + the probe audit
+    "dedup_semantic_computed_recall" -> 9,
     // license_mix: the bounded (source × license) rollup + its
     // within-source share window (text_license itself is scan-only)
     "license_mix" -> 2,
@@ -978,7 +991,11 @@ class PlanSpec extends SparkSpec {
     // table (vec_id < 25); the recall receipt composes two such
     // screens, so the walker sees each bounded projection several
     // times
-    "doc_embed", "contamination_semantic_computed", "doc_embed_recall")
+    "doc_embed", "contamination_semantic_computed", "doc_embed_recall",
+    // dedup_semantic_computed(+_recall): same bounded frames (IDF
+    // table on the 1024-bucket domain, 1-row scalars) + the fixed
+    // ≤150-row probe set
+    "dedup_semantic_computed", "dedup_semantic_computed_recall")
 
   test("no query force-broadcasts a corpus-sized table") {
     val offenders = built.collect {
