@@ -421,13 +421,12 @@ object CorpusBuild {
     }.reduce(_ unionByName _)
   }
 
-  /** The released corpus: survivors PII-scrubbed (redaction counts +
-    * scrubbed-text fingerprint — the text that actually ships), priced
-    * in scrubbed tokens, and packed into [[PackBudget]]-token training
-    * packs per source (pack_sequences' per-shard running window). */
-  def corpusBuildDocs(s: SparkSession, d: String): DataFrame = {
-    val (base, ids) = build(s, d)
-    val surv = base.join(ids.last, Seq("doc_id"), "left_semi")
+  /** The release tail over an arbitrary survivor slice
+    * (doc_id, source, …, ftext): PII scrub, token pricing, and the
+    * per-source [[PackBudget]]-token pack window. ONE definition
+    * shared by the v2 release and [[IncrementalBuild]]'s monthly
+    * re-ship receipt. */
+  private[analytics] def releaseDocsOf(surv: DataFrame): DataFrame = {
     val scrubbed = Curation.piiScrubFull(
         surv.select(col("doc_id"), col("ftext").as("text")))
       .select(col("doc_id"), col("n_emails"), col("n_phones"),
@@ -440,6 +439,15 @@ object CorpusBuild {
       .withColumn("cum", sum(col("n_tokens")).over(wPack))
       .selectExpr("doc_id", "source", "n_tokens", "n_emails", "n_phones",
         "clean_fp", s"(cum - n_tokens) div $PackBudget AS pack_id")
+  }
+
+  /** The released corpus: survivors PII-scrubbed (redaction counts +
+    * scrubbed-text fingerprint — the text that actually ships), priced
+    * in scrubbed tokens, and packed into [[PackBudget]]-token training
+    * packs per source (pack_sequences' per-shard running window). */
+  def corpusBuildDocs(s: SparkSession, d: String): DataFrame = {
+    val (base, ids) = build(s, d)
+    releaseDocsOf(base.join(ids.last, Seq("doc_id"), "left_semi"))
   }
 
   /** The per-source mixture table over the CLEANED corpus: document
@@ -793,22 +801,47 @@ object CorpusBuild {
   private def withChain: String =
     s"WITH RECURSIVE ${Curation.qualityTrainCtes},\n        $stageCtes"
 
-  /** PII + pricing + packing over the survivor set (the docs/mix
-    * queries' shared tail; exposes packed). */
-  private def releaseCtes: String =
-    s""",
-        ${Curation.piiCtesFrom("(SELECT doc_id, ftext AS text FROM s10)")},
-        priced AS (
-          SELECT s10.doc_id, s10.source, scrub.n_emails, scrub.n_phones,
-            md5(scrub.st) AS clean_fp,
-            CAST(len(string_split(scrub.st, ' ')) AS BIGINT) AS n_tokens
-          FROM s10 JOIN scrub ON scrub.doc_id = s10.doc_id),
-        packed AS (
+  /** PII + pricing + packing over an arbitrary survivor relation
+    * (doc_id, source, ftext), CTE-prefixed — exposes ${p}packed.
+    * The SQL twin of [[releaseDocsOf]], shared with the incremental
+    * re-ship oracle. */
+  private[analytics] def releaseCtesFrom(rel: String, p: String): String =
+    s"""${Curation.piiCtesFrom(s"(SELECT doc_id, ftext AS text FROM $rel)", p)},
+        ${p}priced AS (
+          SELECT $rel.doc_id, $rel.source, ${p}scrub.n_emails,
+            ${p}scrub.n_phones,
+            md5(${p}scrub.st) AS clean_fp,
+            CAST(len(string_split(${p}scrub.st, ' ')) AS BIGINT) AS n_tokens
+          FROM $rel JOIN ${p}scrub ON ${p}scrub.doc_id = $rel.doc_id),
+        ${p}packed AS (
           SELECT doc_id, source, n_tokens, n_emails, n_phones, clean_fp,
             (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              - n_tokens) // $PackBudget AS pack_id
-          FROM priced)"""
+          FROM ${p}priced)"""
+
+  /** The docs/mix queries' shared tail (exposes scrub/packed). */
+  private def releaseCtes: String =
+    s""",
+        ${releaseCtesFrom("s10", "")}"""
+
+  /** The shard rollup over an arbitrary packed relation — exposes
+    * ${p}shd(shard_id, n_packs, n_docs, n_tokens, shard_fp); data
+    * shards only (callers add the root fold where they ship one). */
+  private[analytics] def shardCtesFrom(packedRel: String, p: String): String =
+    s"""${p}spk AS (
+          SELECT source, pack_id, count(*) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+            md5(string_agg(clean_fp, '' ORDER BY doc_id)) AS pack_fp,
+            md5(source || '|' || CAST(pack_id AS BIGINT)) AS hk
+          FROM $packedRel GROUP BY source, pack_id),
+        ${p}shd AS (
+          SELECT ('0x' || substr(hk, 1, 6))::BIGINT % $NumShards AS shard_id,
+            count(*) AS n_packs, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+            md5(string_agg(pack_fp, '' ORDER BY hk, source, pack_id))
+              AS shard_fp
+          FROM ${p}spk GROUP BY 1)"""
 
   val oracle: Map[String, String] = Map(
     "corpus_build" ->
@@ -939,19 +972,7 @@ object CorpusBuild {
     // order fold and the root fold all re-derived
     "shard_export" ->
       s"""$withChain$releaseCtes,
-        spk AS (
-          SELECT source, pack_id, count(*) AS n_docs,
-            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-            md5(string_agg(clean_fp, '' ORDER BY doc_id)) AS pack_fp,
-            md5(source || '|' || CAST(pack_id AS BIGINT)) AS hk
-          FROM packed GROUP BY source, pack_id),
-        shd AS (
-          SELECT ('0x' || substr(hk, 1, 6))::BIGINT % $NumShards AS shard_id,
-            count(*) AS n_packs, CAST(sum(n_docs) AS BIGINT) AS n_docs,
-            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-            md5(string_agg(pack_fp, '' ORDER BY hk, source, pack_id))
-              AS shard_fp
-          FROM spk GROUP BY 1)
+        ${shardCtesFrom("packed", "")}
         SELECT shard_id, n_packs, n_docs, n_tokens, shard_fp FROM shd
         UNION ALL
         SELECT -1, CAST(sum(n_packs) AS BIGINT), CAST(sum(n_docs) AS BIGINT),

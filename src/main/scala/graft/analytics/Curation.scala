@@ -759,8 +759,8 @@ object Curation {
     * exposes `scrub(doc_id, t, n_emails, n_phones, st)` where `st` is
     * the scrubbed text. One spelling for the board pii_scrub entry and
     * corpus_build's final redaction stage. */
-  private[analytics] def piiCtesFrom(rel: String): String =
-    raw"""inj AS (
+  private[analytics] def piiCtesFrom(rel: String, prefix: String = ""): String =
+    raw"""${prefix}inj AS (
           SELECT doc_id,
             text ||
             CASE WHEN doc_id % 3 = 0
@@ -773,7 +773,7 @@ object Curation {
               THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
               ELSE '' END AS t
           FROM $rel),
-        scrub AS (
+        ${prefix}scrub AS (
           SELECT doc_id, t,
             CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\.[a-z]+'))
               AS BIGINT) AS n_emails,
@@ -782,7 +782,7 @@ object Curation {
             regexp_replace(regexp_replace(t,
               '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
               '555-[0-9]{4}', '<PHONE>', 'g') AS st
-          FROM inj)"""
+          FROM ${prefix}inj)"""
 
   /** The averaged-perceptron SCORING chain over an arbitrary
     * (doc_id, text) relation — expects `wavg` (the trained vote

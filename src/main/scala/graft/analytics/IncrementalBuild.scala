@@ -390,10 +390,40 @@ object IncrementalBuild {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** The monthly RE-SHIP receipt (r15 bonus): export the trainer
+    * shards of the OLD release and the INCREMENTAL release through
+    * the one release tail + shard pseudo-shuffle
+    * ([[CorpusBuild.releaseDocsOf]]/[[CorpusBuild.shardExportOf]])
+    * and diff them per shard. Under first-arrival rules the delta
+    * only APPENDS per-source pack streams (delta ids exceed all old
+    * ids), so the only fingerprints that may move are shards holding
+    * a source's TAIL pack (it can gain members) or a brand-new pack —
+    * the append-locality contract a trainer's resume cursor relies
+    * on, here measured on the real monthly workflow rather than a
+    * synthetic append. */
+  def shardExportIncremental(s: SparkSession, d: String): DataFrame = {
+    val st = build(s, d)
+    def export(ids: DataFrame) = CorpusBuild.shardExportOf(
+      CorpusBuild.releaseDocsOf(
+        st.base.join(ids, Seq("doc_id"), "left_semi")))
+      .filter(col("shard_id") >= 0)
+    val o = export(st.oldSets.last)
+    val n = export(st.oldSets.last.unionByName(st.deltaSets.last))
+    o.select(col("shard_id"), col("n_packs").as("n_packs_old"),
+        col("shard_fp").as("fp_old"))
+      .join(n.select(col("shard_id"), col("n_packs").as("n_packs_new"),
+        col("shard_fp").as("fp_new")), Seq("shard_id"), "full")
+      .select(col("shard_id"),
+        coalesce(col("n_packs_old"), lit(0L)).as("n_packs_old"),
+        coalesce(col("n_packs_new"), lit(0L)).as("n_packs_new"),
+        (!(col("fp_old") <=> col("fp_new"))).cast("int").as("changed"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_build_incremental" -> corpusBuildIncremental _,
     "corpus_incr_equiv"        -> corpusIncrEquiv _,
-    "corpus_diff"              -> corpusDiff _)
+    "corpus_diff"              -> corpusDiff _,
+    "shard_export_incremental" -> shardExportIncremental _)
 
   // ---------------------------------------------------------------
   // DuckDB oracle: plants, the old stack, the union stack, and the
@@ -621,5 +651,20 @@ object IncrementalBuild {
             WHERE doc_id NOT IN (SELECT doc_id FROM x10))
         SELECT f.source, t.status, count(*) AS n_docs
         FROM tagged t JOIN ifx f USING (doc_id)
-        GROUP BY 1, 2""")
+        GROUP BY 1, 2""",
+    "shard_export_incremental" ->
+      s"""$incrCtes,
+        orel AS (SELECT doc_id, source, ftext FROM o10),
+        nrel AS (SELECT doc_id, source, ftext FROM o10
+                 UNION ALL SELECT doc_id, source, ftext FROM x10),
+        ${CorpusBuild.releaseCtesFrom("orel", "ro")},
+        ${CorpusBuild.releaseCtesFrom("nrel", "rn")},
+        ${CorpusBuild.shardCtesFrom("ropacked", "ro")},
+        ${CorpusBuild.shardCtesFrom("rnpacked", "rn")}
+        SELECT coalesce(a.shard_id, b.shard_id) AS shard_id,
+          coalesce(a.n_packs, 0) AS n_packs_old,
+          coalesce(b.n_packs, 0) AS n_packs_new,
+          CAST(NOT (a.shard_fp IS NOT DISTINCT FROM b.shard_fp) AS INT)
+            AS changed
+        FROM roshd a FULL JOIN rnshd b ON a.shard_id = b.shard_id""")
 }

@@ -81,6 +81,24 @@ class IncrementalBuildSpec extends SparkSpec {
     assert(rows.last._5 === ids(st.deltaSets.last).size)
   }
 
+  test("the monthly re-ship is append-local at the shard level") {
+    val rows = IncrementalBuild.shardExportIncremental(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (sid, old, nw, changed) =>
+      // first-arrival append: a shard can only GAIN packs
+      assert(nw >= old, s"shard $sid")
+      // an unchanged fingerprint implies an unchanged pack count
+      if (changed == 0) assert(nw === old, s"shard $sid")
+    }
+    // the delta actually shipped something AND locality holds: some
+    // shard fingerprints moved, some survived untouched (the trainer
+    // resume-cursor contract on the real monthly workflow)
+    assert(rows.exists(_._4 == 1))
+    assert(rows.exists(_._4 == 0))
+  }
+
   test("corpus_diff reconciles: unchanged + added + every rejection") {
     val diff = IncrementalBuild.corpusDiff(spark, dir)
       .groupBy(col("status")).agg(sum(col("n_docs")).as("n"))

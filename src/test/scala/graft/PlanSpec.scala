@@ -226,6 +226,10 @@ class PlanSpec extends SparkSpec {
     // corpus_diff: the tagged union joins the checkpointed stage
     // id-sets to base on bare ids and rolls up (source, status)
     "corpus_diff" -> 1,
+    // shard_export_incremental: TWO release tails (scrub join + the
+    // per-source pack window each) + two pack/shard rollups + the
+    // 16-row shard diff join — all id/source/shard-keyed
+    "shard_export_incremental" -> 12,
     // multimodal_interleaved: the bounded slot explode joins the
     // scored pair table on pair_id and rolls up per doc — rides the
     // align decode pass, one narrow shuffle on top
