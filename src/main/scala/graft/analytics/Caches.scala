@@ -69,6 +69,16 @@ object Caches {
       scala.collection.concurrent.TrieMap.empty[SparkSession, Boolean]
 
     def getOrElseUpdate(key: (SparkSession, String), v: => V): V = {
+      // purge entries owned by already-stopped contexts on every access
+      // (r15 advice): listener delivery races context teardown, and a
+      // `newSession()` sibling sharing one context gets its entries
+      // dropped here even if the listener its inserter registered never
+      // fired for it. Weak keys are NOT an option — the memoized values
+      // (DataFrames) strongly reference their owning session, so a
+      // WeakHashMap entry could never be collected anyway; eager purge
+      // on access is the honest bound.
+      map.keysIterator.filter(_._1.sparkContext.isStopped)
+        .foreach { k => map.remove(k); hooked.remove(k._1) }
       val s = key._1
       hooked.getOrElseUpdate(s, {
         s.sparkContext.addSparkListener(new SparkListener {

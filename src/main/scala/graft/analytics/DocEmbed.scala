@@ -234,7 +234,10 @@ object DocEmbed {
         sum(coalesce(col("hit"), lit(0))).cast("long").as("n_both"))
       .crossJoin(computed.agg(count(lit(1)).as("n_computed")))
       .select(col("n_supplied"), col("n_computed"), col("n_both"),
-        expr("n_both * 1000000 div n_supplied").as("recall_ppm"))
+        // n_supplied = 0 (a corpus without the plant rotation) reports
+        // zero recall instead of dividing by zero (r15 advice)
+        expr("CASE WHEN n_supplied = 0 THEN 0" +
+          " ELSE n_both * 1000000 div n_supplied END").as("recall_ppm"))
   }
 
   /** The embedding-coverage expectation: per source, how many docs the
@@ -281,9 +284,18 @@ object DocEmbed {
   private[graft] val DupCropBase = 20000000L
 
   /** The planted dedup corpus: naturals + re-crawl copies (%31 = 4)
-    * + cropped re-posts (%29 = 3, length-guarded). */
+    * + cropped re-posts (%29 = 3, length-guarded). The plant id space
+    * REQUIRES max natural id < [[DupCopyBase]] — the r15 slope audit
+    * caught the 100k base colliding at the 30x corpus only by its
+    * symptom (duplicate ids + a ballooned probe set), so the invariant
+    * is now a loud 1-row check instead of a comment (r15 advice). */
   private[graft] def dupPlanted(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+    require(mx < DupCopyBase,
+      s"corpus max doc_id $mx reaches the plant base $DupCopyBase — " +
+        "plant ids would collide with naturals and the % probe rule " +
+        "would misclassify; raise DupCopyBase/DupCropBase")
     docs
       .unionByName(docs.filter(col("doc_id") % 31 === 4)
         .select((col("doc_id") + DupCopyBase).as("doc_id"), col("text")))
@@ -498,8 +510,9 @@ object DocEmbed {
           (SELECT count(*) FROM semdrop) AS n_supplied,
           (SELECT count(*) FROM flags) AS n_computed,
           (SELECT count(*) FROM semdrop JOIN flags USING (doc_id)) AS n_both,
-          (SELECT count(*) FROM semdrop JOIN flags USING (doc_id)) * 1000000
-            // (SELECT count(*) FROM semdrop) AS recall_ppm""",
+          CASE WHEN (SELECT count(*) FROM semdrop) = 0 THEN 0
+            ELSE (SELECT count(*) FROM semdrop JOIN flags USING (doc_id))
+              * 1000000 // (SELECT count(*) FROM semdrop) END AS recall_ppm""",
     "doc_embed_coverage" ->
       s"""SELECT d.source, count(*) AS n_docs,
           CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)

@@ -2042,12 +2042,19 @@ object Multimodal {
     val slots = graft.Tables.documents(s, d).select(col("doc_id").as("i"))
       .withColumn("s", explode(sequence(lit(0), (col("i") % 4).cast("int"))))
       .withColumn("pair_id", (col("i") * 53 + col("s") * 17) % n)
-    slots.join(scored, Seq("pair_id"))
+    // left join + in-plan guard (r15 advice): a pool pair_id absent
+    // from the scored table must surface as an ERROR, not silently
+    // shrink n_slots below 1+(i mod 4) on both engines
+    val keepChecked = coalesce(col("keep"),
+      raise_error(concat(lit("multimodal_interleaved: pool pair "),
+        col("pair_id").cast("string"),
+        lit(" missing from the scored pair table"))).cast("int"))
+    slots.join(scored, Seq("pair_id"), "left")
       .groupBy(col("i"))
       .agg(count(lit(1)).as("n_slots"),
-        sum(col("keep")).cast("long").as("n_kept"),
-        (count(lit(1)) - sum(col("keep"))).cast("long").as("n_stripped"),
-        (sum(col("keep")) > 0).cast("int").as("doc_keep"),
+        sum(keepChecked).cast("long").as("n_kept"),
+        (count(lit(1)) - sum(keepChecked)).cast("long").as("n_stripped"),
+        (sum(keepChecked) > 0).cast("int").as("doc_keep"),
         md5(concat_ws(",", transform(
           array_sort(collect_list(when(col("keep") === 1,
             struct(col("s"), col("pair_id"))))),

@@ -137,7 +137,7 @@ class PlanSpec extends SparkSpec {
       "doc_embed", "contamination_semantic_computed", "doc_embed_recall",
       // dedup_semantic_computed(+_recall): the cold-audited embed
       // chain crossJoins the 1-row doc-count scalar; the recall audit
-      // broadcasts the FIXED probe set (ids mod 100000 < 50 — the
+      // broadcasts the FIXED probe set (ids mod 10000000 < 50 — the
       // dedup_embedding_recall sampled-audit contract) against one
       // corpus scan
       "dedup_semantic_computed", "dedup_semantic_computed_recall")
