@@ -31,6 +31,7 @@ object SparkEntry {
       analytics.IncrementalBuild.queries ++
       analytics.MixtureOptimize.queries ++
       analytics.DocEmbed.queries ++
+      analytics.ReleaseComputed.queries ++
       analytics.Chunking.queries ++
       analytics.Bpe.queries ++
       analytics.BpeBytes.queries ++
@@ -57,6 +58,7 @@ object SparkEntry {
       analytics.IncrementalBuild.oracle ++
       analytics.MixtureOptimize.oracle ++
       analytics.DocEmbed.oracle ++
+      analytics.ReleaseComputed.oracle ++
       analytics.Chunking.oracle ++
       analytics.Bpe.oracle ++
       analytics.BpeBytes.oracle ++

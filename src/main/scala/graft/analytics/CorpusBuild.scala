@@ -242,16 +242,21 @@ object CorpusBuild {
       .select(col("vec_id").as("doc_id")).distinct()
   }
 
-  /** The planted + decorated + repaired corpus:
-    * (doc_id, source, lang, raw, ck, ftext). */
-  private[graft] def baseOf(docs: DataFrame): DataFrame = {
+  /** The v2 plant set (pre-decoration): naturals + the re-crawl arm.
+    * Exposed so the computed-gate variant ([[ReleaseComputed]]) plants
+    * ON TOP of the same corpus instead of forking it. */
+  private[analytics] def v2Planted(docs: DataFrame): DataFrame = {
     val cols = Seq("doc_id", "source", "lang", "text").map(col)
-    val planted = docs.select(cols: _*).unionByName(
+    docs.select(cols: _*).unionByName(
       docs.filter(col("doc_id") % 50 === 3)
         .select((col("doc_id") + CopyBase).as("doc_id"),
           col("source"), col("lang"), col("text")))
-    decorate(planted)
   }
+
+  /** The planted + decorated + repaired corpus:
+    * (doc_id, source, lang, raw, ck, ftext). */
+  private[graft] def baseOf(docs: DataFrame): DataFrame =
+    decorate(v2Planted(docs))
 
   /** One run of the pipeline: the cached base, the per-stage survivor
     * id-sets (index 0 = all input ids), and the stage names.
@@ -280,12 +285,38 @@ object CorpusBuild {
   private val buildMemo =
     new Caches.SessionMemo[(DataFrame, Seq[DataFrame])]
 
-  private def buildOnce(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+  /** The v2 stage-10 screen (supplied vectors): survivors' planted
+    * embeddings stream once against the broadcast eval slice. */
+  private def v2SemOf(s: SparkSession, d: String)(
+      base: DataFrame, ids9: DataFrame): DataFrame = {
+    val vecs = vecsOf(s, d)
+    val evv = vecs.filter(col("vec_id") < EvalMax)
+      .select(col("vec_id").as("eval_id"), col("v").as("ev"), col("nrm").as("en"))
+    val trv = vecs.filter(col("vec_id") >= EvalMax)
+      .join(ids9.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    trv.crossJoin(broadcast(evv))
+      .filter(graft.functions.vec.dot(col("v"), col("ev")) /
+        (col("nrm") * col("en")) >= Dedup.EmbProdThreshold)
+      .select(col("vec_id").as("doc_id")).distinct()
+  }
+
+  private def buildOnce(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) =
+    stagedBuild(s, d, baseOf(documents(s, d)), v2SemOf(s, d))
+
+  /** The ten-stage stack over an arbitrary planted+decorated corpus,
+    * parameterized by the stage-10 screen `semOf(base, ids9) → drop
+    * ids` — ONE spelling shared by the v2 pipeline (supplied-vector
+    * screen) and [[ReleaseComputed]] (computed embeddings under the
+    * pinned IDF artifact). Stages 1–9 are byte-identical between the
+    * two. */
+  private[analytics] def stagedBuild(s: SparkSession, d: String,
+      base0: DataFrame,
+      semOf: (DataFrame, DataFrame) => DataFrame): (DataFrame, Seq[DataFrame]) = {
     def sever(df: DataFrame): DataFrame = df.localCheckpoint(true)
     // the repaired corpus is checkpointed too — it is what a real
     // pipeline writes back to storage after the repair pass, and every
     // stage (and the release projections) reads it
-    val base = sever(baseOf(documents(s, d)))
+    val base = sever(base0)
     val ids0 = sever(base.select(col("doc_id")))
 
     // 1. eval holdout — scan predicate
@@ -380,46 +411,42 @@ object CorpusBuild {
     val ids9 = sever(ids8.join(contam, Seq("doc_id"), "left_anti"))
 
     // 10. semantic decontamination — the paraphrase leak: any survivor
-    // whose embedding sits at cos ≥ τ to an eval item drops
-    // (contamination_semantic's screen; eval side bounded → broadcast,
-    // survivor vectors stream once — zero corpus shuffles). Documents
-    // past the natural id range (re-crawl copies) carry no embedding
-    // row; they pass this screen un-scored, exactly like production
-    // docs whose embedding job hasn't covered them yet — embedding
-    // coverage is its own expectation, not this gate's job.
-    val vecs = vecsOf(s, d)
-    val evv = vecs.filter(col("vec_id") < EvalMax)
-      .select(col("vec_id").as("eval_id"), col("v").as("ev"), col("nrm").as("en"))
-    val trv = vecs.filter(col("vec_id") >= EvalMax)
-      .join(ids9.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-    val semDrop = trv.crossJoin(broadcast(evv))
-      .filter(graft.functions.vec.dot(col("v"), col("ev")) /
-        (col("nrm") * col("en")) >= Dedup.EmbProdThreshold)
-      .select(col("vec_id").as("doc_id")).distinct()
-    val ids10 = sever(ids9.join(semDrop, Seq("doc_id"), "left_anti"))
+    // whose embedding sits at cos ≥ τ to an eval item drops. The
+    // screen itself is the injected `semOf`: the v2 instance streams
+    // survivors' SUPPLIED vectors against the broadcast eval slice
+    // (docs past the natural id range carry no embedding row and pass
+    // un-scored — embedding coverage is its own expectation); the
+    // computed instance embeds the repaired text under the pinned IDF
+    // artifact and screens that.
+    val ids10 = sever(ids9.join(semOf(base, ids9), Seq("doc_id"), "left_anti"))
 
     (base, Seq(ids0, ids1, ids2, ids3, ids4, ids5, ids6, ids7, ids8,
       ids9, ids10))
   }
 
-  private val StageNames = Seq("eval_holdout", "unicode", "exact",
+  private[analytics] val StageNames = Seq("eval_holdout", "unicode", "exact",
     "neardup", "paragraph", "gopher", "license", "classifier",
     "contamination", "semantic")
 
-  /** The drop ledger: 10 rows of (stage_rank, stage, n_in, n_dropped,
-    * n_out). Reconciliation is structural — n_out(k) = n_in(k) −
-    * n_dropped(k) and n_in(k+1) = n_out(k) because the stages consume
-    * each other's id-sets; the oracle hash-pins every count. */
-  def corpusBuild(s: SparkSession, d: String): DataFrame = {
-    val (_, ids) = build(s, d)
-    StageNames.zipWithIndex.map { case (name, i) =>
+  /** The (stage_rank, stage, n_in, n_dropped, n_out) ledger over a
+    * stage-set sequence — shared by the v2 and computed-gate
+    * pipelines. */
+  private[analytics] def ledgerOf(ids: Seq[DataFrame],
+      names: Seq[String]): DataFrame =
+    names.zipWithIndex.map { case (name, i) =>
       ids(i).agg(count(lit(1)).as("n_in"))
         .crossJoin(ids(i + 1).agg(count(lit(1)).as("n_out")))
         .select(lit(i + 1).as("stage_rank"), lit(name).as("stage"),
           col("n_in"), (col("n_in") - col("n_out")).as("n_dropped"),
           col("n_out"))
     }.reduce(_ unionByName _)
-  }
+
+  /** The drop ledger: 10 rows of (stage_rank, stage, n_in, n_dropped,
+    * n_out). Reconciliation is structural — n_out(k) = n_in(k) −
+    * n_dropped(k) and n_in(k+1) = n_out(k) because the stages consume
+    * each other's id-sets; the oracle hash-pins every count. */
+  def corpusBuild(s: SparkSession, d: String): DataFrame =
+    ledgerOf(build(s, d)._2, StageNames)
 
   /** The release tail over an arbitrary survivor slice
     * (doc_id, source, …, ftext): PII scrub, token pricing, and the
@@ -685,17 +712,23 @@ object CorpusBuild {
   // generator (one SQL spelling per operator across the board).
   // ---------------------------------------------------------------
 
-  /** CTE chain from the planted corpus through the ten stage sets
-    * (s1..s10), assuming `wavg` (classifier training) in scope. */
-  private def stageCtes: String = {
+  /** The v2 plant SQL (the body of `pdocs`) — shared with the
+    * computed-gate variant, which UNIONs its paraphrase arm on top. */
+  private[analytics] val v2PdocsSql: String =
+    s"""SELECT doc_id, source, lang, text FROM documents
+          UNION ALL
+          SELECT doc_id + $CopyBase, source, lang, text FROM documents
+          WHERE doc_id % 50 = 3"""
+
+  /** CTE chain from the planted corpus through stage sets s1..s9,
+    * assuming `wavg` (classifier training) in scope — stage 10 is the
+    * variant-specific screen the two callers append. */
+  private[analytics] def stageCtesTo9(pdocsBody: String): String = {
     val classifierSelect = Curation
       .classifierScoreSqlFrom("(SELECT doc_id, ftext AS text FROM s7)")
       .trim.stripPrefix(",")
     s"""pdocs AS (
-          SELECT doc_id, source, lang, text FROM documents
-          UNION ALL
-          SELECT doc_id + $CopyBase, source, lang, text FROM documents
-          WHERE doc_id % 50 = 3),
+          $pdocsBody),
         keyed AS (
           SELECT doc_id, source, lang, text, $ckSql AS ck FROM pdocs),
         fixd AS MATERIALIZED (
@@ -759,12 +792,17 @@ object CorpusBuild {
         contam AS (SELECT DISTINCT doc_id FROM sh8 JOIN evsh USING (shingle)),
         s9 AS MATERIALIZED (
           SELECT * FROM s8
-          WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+          WHERE doc_id NOT IN (SELECT doc_id FROM contam))"""
+  }
+
+  /** The full v2 chain: stages 1–9 over the v2 plants + the supplied-
+    * vector stage 10. */
+  private def stageCtes: String =
+    s"""${stageCtesTo9(v2PdocsSql)},
         $vecCtes,
         s10 AS MATERIALIZED (
           SELECT * FROM s9
           WHERE doc_id NOT IN (SELECT doc_id FROM semdrop))"""
-  }
 
   /** The planted-embedding CTE chain (the SQL twin of [[vecsOf]]) +
     * the global semantic screen: ev0 → semp → pvec → nvec → evv →

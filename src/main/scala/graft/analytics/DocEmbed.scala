@@ -138,6 +138,94 @@ object DocEmbed {
         col("n_toks"))
   }
 
+  // ---------------------------------------------------------------
+  // PINNED ARTIFACT lane (r16 — the r15 verdict's top item): the
+  // release pipeline's semantic gates must embed under a SNAPSHOT-
+  // PINNED IDF weight table + sign matrix, never under their own
+  // frame's statistics — frame-trained IDF breaks the incremental
+  // equivalence theorem (a delta arrival changes df, which silently
+  // moves OLD documents' vectors). The sign matrix is already a fixed
+  // md5 rule (population-independent by construction); this lane pins
+  // the weight table the same way the classifier weights are pinned
+  // (IncrementalBuild stage-8 precedent: one versioned artifact, both
+  // build directions score under it).
+  // ---------------------------------------------------------------
+
+  /** One IDF training pass over (doc_id, text) → the bounded weight
+    * table (b, w): per-bucket df, then w = bitlen(N div df) — the
+    * [[embedOf]] rule factored out so the ARTIFACT trainer and the
+    * frame-trained path share one spelling. */
+  private def trainIdf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val bc = docs
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), TextAnalysis.featureBucketK(col("t"), Buckets).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+      .persistTracked()
+    val dfb = bc.groupBy(col("b")).agg(count(lit(1)).as("df"))
+    val nd = bc.agg(countDistinct(col("doc_id")).as("nd"))
+    dfb.crossJoin(broadcast(nd))
+      .select(col("b"), expr("CAST(length(bin(nd div df)) AS BIGINT)").as("w"))
+  }
+
+  /** The versioned IDF artifact: trained ONCE on the natural documents
+    * table's raw text, eagerly checkpointed (≤ [[Buckets]] rows — the
+    * checkpoint IS the release input a production run ships next to
+    * the classifier weights). Memoized per (session, corpus). */
+  private[analytics] def pinnedIdf(s: SparkSession, d: String): DataFrame =
+    idfMemo.getOrElseUpdate((s, d),
+      trainIdf(documents(s, d).select(col("doc_id"), col("text")))
+        .localCheckpoint(true))
+
+  private val idfMemo = new Caches.SessionMemo[DataFrame]
+
+  /** Embed (doc_id, text) under a GIVEN pinned weight table — the
+    * release-tier spelling: one token scan, two bounded broadcasts
+    * (weights + signs), the 64-sum-column projection. Buckets outside
+    * the artifact's support carry zero weight (the OOV rule — an
+    * inner join, mirrored in SQL), so a delta batch can never move an
+    * old document's vector. */
+  private[graft] def embedWith(docs: DataFrame, w: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val bc = docs
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), TextAnalysis.featureBucketK(col("t"), Buckets).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+    val sums = (0 until Dims).map(k =>
+      sum(element_at(col("sgns"), k + 1) * col("x")).as(s"e$k"))
+    bc.join(broadcast(w), Seq("b"))
+      .join(broadcast(signFrame(s)), Seq("b"))
+      .select(col("doc_id"), (col("cnt") * col("w")).as("x"), col("sgns"))
+      .groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        array((0 until Dims).map(k => col(s"e$k")): _*).as("v"))
+  }
+
+  /** The computed-embedding semantic DROP SET over a repaired corpus
+    * slice (doc_id, text): embed under the pinned artifact, flag every
+    * train doc (doc_id ≥ evalMax) at cos ≥ τ to any eval doc. Per-doc
+    * and population-independent by construction (pinned weights, fixed
+    * signs, bounded broadcast eval side) — the property that lets the
+    * release gates run it incrementally. */
+  private[analytics] def semDropComputedOf(docs: DataFrame, w: DataFrame,
+      evalMax: Long, tau: Double): DataFrame = {
+    val emb = embedWith(docs, w)
+      .select(col("doc_id"), col("v"),
+        sqrt(aggregate(col("v"), lit(0L), (acc, x) => acc + x * x)
+          .cast("double")).as("nrm"))
+      .persistTracked()
+    val ev = emb.filter(col("doc_id") < evalMax)
+      .select(col("v").as("ev"), col("nrm").as("en"))
+    emb.filter(col("doc_id") >= evalMax)
+      .crossJoin(broadcast(ev))
+      .filter(dotL(col("v"), col("ev")).cast("double") /
+        (col("nrm") * col("en")) >= tau)
+      .select(col("doc_id")).distinct()
+  }
+
   /** The embedding table over the natural corpus, dimension-pinned by
     * one md5 fingerprint per row (BIGINT rendering is identical on
     * both engines, so the fp moves iff any of the 64 dims moves). */
@@ -156,7 +244,7 @@ object DocEmbed {
     * crater to cos ≈ 0.40 while deletion twins hold ≥ 0.938). The
     * shifted stream still breaks most 5-gram windows, which is why
     * the n-gram screen family underperforms on this shape. */
-  private def paraphrase(text: Column, mod: Int = 7, res: Int = 3): Column =
+  private[analytics] def paraphrase(text: Column, mod: Int = 7, res: Int = 3): Column =
     array_join(filter(split(text, " "),
       (t, k) => (k + 1) % mod =!= res), " ")
 
@@ -398,13 +486,64 @@ object DocEmbed {
           FROM ${p}bc GROUP BY 1)"""
 
   /** The shared sign-matrix CTE (every cell from the md5 rule). */
-  private val sgnCte: String =
+  private[analytics] val sgnCte: String =
     s"""sgn AS MATERIALIZED (
           SELECT j.k AS k, i.b AS b,
             CASE WHEN substr(md5('rp-' || j.k || '-' || i.b), 1, 1)
               IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END AS s
           FROM generate_series(0, ${Dims - 1}) j(k)
           CROSS JOIN generate_series(0, ${Buckets - 1}) i(b))"""
+
+  /** Pinned-IDF artifact CTEs (the SQL twin of [[pinnedIdf]]): the
+    * weight table `pinw(b, w)` trained on the natural documents
+    * table's raw text. */
+  private[analytics] val pinnedIdfCtes: String =
+    s"""pwbc AS MATERIALIZED (
+          SELECT doc_id, ('0x' || substr(md5(t), 1, 6))::BIGINT % $Buckets AS b,
+            count(*) AS cnt
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents)
+          GROUP BY 1, 2),
+        pinw AS MATERIALIZED (
+          SELECT b, CAST(length(bin(nd // df)) AS BIGINT) AS w
+          FROM (SELECT b, count(*) AS df FROM pwbc GROUP BY 1)
+          CROSS JOIN (SELECT count(DISTINCT doc_id) AS nd FROM pwbc))"""
+
+  /** Embedding chain UNDER THE PINNED ARTIFACT over rel(doc_id, text)
+    * (the SQL twin of [[embedWith]] — inner join on pinw is the OOV
+    * zero-weight rule): exposes ${p}emb(doc_id, v). Requires `sgn` +
+    * `pinw` in scope. */
+  private[analytics] def embedPinnedCtes(p: String, rel: String): String =
+    s"""${p}bc AS MATERIALIZED (
+          SELECT doc_id, ('0x' || substr(md5(t), 1, 6))::BIGINT % $Buckets AS b,
+            count(*) AS cnt
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM $rel)
+          GROUP BY 1, 2),
+        ${p}ed AS MATERIALIZED (
+          SELECT doc_id, sgn.k, CAST(sum(x.cnt * x.w * sgn.s) AS BIGINT) AS e
+          FROM (SELECT doc_id, b, cnt, w FROM ${p}bc JOIN pinw USING (b)) x
+          JOIN sgn ON sgn.b = x.b
+          GROUP BY 1, 2),
+        ${p}emb AS MATERIALIZED (
+          SELECT doc_id, list(e ORDER BY k) AS v FROM ${p}ed GROUP BY 1)"""
+
+  /** The computed semantic drop set over rel(doc_id, text) — the SQL
+    * twin of [[semDropComputedOf]]: exposes `csemdrop(doc_id)`.
+    * Requires sgn + pinw. */
+  private[analytics] def semDropComputedCtes(rel: String, evalMax: Long,
+      tau: Double): String =
+    s"""${embedPinnedCtes("cs", rel)},
+        csn AS MATERIALIZED (
+          SELECT doc_id, v,
+            sqrt(CAST(list_sum(list_transform(v, z -> z * z)) AS DOUBLE)) AS nrm
+          FROM csemb),
+        csev AS (SELECT v, nrm FROM csn WHERE doc_id < $evalMax),
+        csemdrop AS MATERIALIZED (
+          SELECT DISTINCT t.doc_id
+          FROM (SELECT * FROM csn WHERE doc_id >= $evalMax) t
+          CROSS JOIN csev e
+          WHERE CAST(list_dot_product(t.v, e.v) AS DOUBLE) / (t.nrm * e.nrm)
+            >= $tau)"""
 
   /** Paraphrase-planted corpus CTE: `pdoc(doc_id, text)`. */
   private val plantCte: String =

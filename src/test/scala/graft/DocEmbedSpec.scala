@@ -78,6 +78,27 @@ class DocEmbedSpec extends SparkSpec {
     assert(r.getAs[Long]("recall_ppm") === 1000000L)
   }
 
+  test("pinned-artifact embeddings are population-independent") {
+    // the r16 theorem's core: under the PINNED weight table, a doc's
+    // vector cannot move when other docs arrive — exactly the property
+    // frame-trained IDF lacks (df shifts with every delta batch), and
+    // the reason the incremental release may gate on the computed edge
+    val w = spark.range(0, 1024).selectExpr("id AS b", "1 + id % 7 AS w")
+      .localCheckpoint(true)
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val delta = docs.filter(col("doc_id") % 3 === 1)
+      .select((col("doc_id") + 7000000L).as("doc_id"),
+        reverse(col("text")).as("text"))
+    def fps(d: org.apache.spark.sql.DataFrame) =
+      graft.analytics.DocEmbed.embedWith(d, w)
+        .filter(col("doc_id") < 7000000L)
+        .select(col("doc_id"),
+          md5(concat_ws(",", col("v"))).as("fp"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(docs) === fps(docs.unionByName(delta)))
+  }
+
   test("coverage receipt: the computed edge is total per source") {
     val cov = DocEmbed.docEmbedCoverage(spark, dir).collect()
     assert(cov.nonEmpty)

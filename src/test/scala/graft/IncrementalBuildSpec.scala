@@ -46,14 +46,35 @@ class IncrementalBuildSpec extends SparkSpec {
     for (b <- Seq(IncrementalBuild.CopyBase, IncrementalBuild.RemixBase,
         IncrementalBuild.FrankenBase, IncrementalBuild.EvCopyBase))
       assert(inflow.exists(id => id >= b && id < b + 10000L), s"base $b")
+    assert(inflow.exists(_ >= IncrementalBuild.ParaBase), "para arm")
     // a re-crawl copy shares its source page's ck, so it either dies
     // at unicode WITH the source or reaches the fp store and dies
     // there — structurally none may pass the exact stage
     val postExact = ids(st.deltaSets(3))
     assert(postExact.forall(id =>
       id < IncrementalBuild.CopyBase || id >= IncrementalBuild.RemixBase))
-    // and no plant of any class ships
-    assert(ids(st.deltaSets.last).forall(_ < IncrementalBuild.CopyBase))
+    // and no STORE-GATED plant class ever ships; the ParaBase
+    // paraphrase arm is DESIGNED to ship here (no embedding row for
+    // its ids, zero shared 5-grams — the leak the supplied-vector
+    // stage cannot see), and the computed-edge test below stops it
+    assert(ids(st.deltaSets.last).forall(id =>
+      id < IncrementalBuild.CopyBase || id >= IncrementalBuild.ParaBase))
+    assert(ids(st.deltaSets.last).exists(_ >= IncrementalBuild.ParaBase),
+      "the paraphrase leak must ship under the supplied-vector stage")
+  }
+
+  test("computed stage 10 under pinned weights: equivalence holds and the leak dies") {
+    val r = IncrementalBuild.corpusIncrEquivComputed(spark, dir)
+      .collect().head
+    val Seq(nOld, nApp, nIncr, nScr, onlyI, onlyS, nSem) =
+      (0 until 7).map(r.getLong)
+    assert(onlyI === 0L && onlyS === 0L) // incremental == from-scratch
+    assert(nOld + nApp === nIncr)
+    assert(nIncr === nScr)
+    assert(nSem >= 1L, "the computed screen must stop a stage-9 survivor")
+    // the computed stage partitions the stage-9 survivors exactly:
+    // shipped + semantically dropped = the contamination output
+    assert(nScr + nSem === ids(st.scratchSets(9)).size.toLong)
   }
 
   test("the carried per-doc gates fire on the delta at this SF") {
@@ -97,6 +118,25 @@ class IncrementalBuildSpec extends SparkSpec {
     // resume-cursor contract on the real monthly workflow)
     assert(rows.exists(_._4 == 1))
     assert(rows.exists(_._4 == 0))
+  }
+
+  test("streamed ingest == one-shot batch, and the replay appends nothing") {
+    val rows = IncrementalBuild.streamIncrementalIngest(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(rows.keySet === Set(-1L, 0L, 1L, 2L, 3L))
+    // the replay batch (a full re-delivery of batch 0) is entirely
+    // suppressed by the fp store — at-least-once in, exactly-once out
+    assert(rows(3L)._1 === rows(0L)._1)
+    assert(rows(3L)._2 === 0L)
+    // the final streamed survivor set IS the one-shot batch result,
+    // id for id (two-level fold equality)
+    val batchFold = IncrementalBuild.idFoldDf(st.deltaSets.last)
+      .head.getString(0)
+    assert(rows(-1L)._3 === batchFold)
+    assert(rows(-1L)._2 === ids(st.deltaSets.last).size.toLong)
+    // and the ledger reconciles: per-batch appends sum to the total
+    assert(Seq(0L, 1L, 2L, 3L).map(rows(_)._2).sum === rows(-1L)._2)
   }
 
   test("corpus_diff reconciles: unchanged + added + every rejection") {

@@ -107,6 +107,12 @@ class PlanSpec extends SparkSpec {
       // receipt shape — crossJoins of PAIRS of 1-row count scalars
       // over the checkpointed stage id-sets (the corpus_build shape)
       "corpus_build_incremental", "corpus_incr_equiv",
+      // corpus_build_computed / corpus_incr_equiv_computed (r16): the
+      // same ledger/receipt shape — crossJoins of PAIRS of 1-row count
+      // scalars over checkpointed stage id-sets; the computed screen's
+      // embed pass and its eval broadcast run eagerly at build/
+      // checkpoint time
+      "corpus_build_computed", "corpus_incr_equiv_computed",
       // mixture_optimize / mixture_opt_rounds / mixture_sample:
       // crossJoin(broadcast(1-row free-mass/dust/normalizer scalars))
       // over the bounded source table (the mixture_temperature shape;
@@ -150,7 +156,7 @@ class PlanSpec extends SparkSpec {
       "stream_init_state", "stream_list_state", "stream_join_left",
       "stream_join_full", "stream_union", "stream_fp_dedup",
       "stream_avro", "stream_observe", "stream_quality_gate",
-      "stream_quality_windowed")
+      "stream_quality_windowed", "stream_incremental_ingest")
 
   /** Audited max Exchange-hashpartitioning count per query. */
   private val exchangeBudget: Map[String, Int] = Map(
