@@ -639,12 +639,12 @@ object CorpusBuild {
         col("n_tokens"), col("mean_bits_ppm"))
   }
 
-  /** Training-shard count for [[shardExport]]. */
-  private[graft] val NumShards = 16L
+  /** Difficulty-bucket count for the curriculum-aware shard cursor. */
+  private[graft] val DifficultyBuckets = 4L
 
   /** The trainer-facing export (r15): a deterministic hash-based
     * GLOBAL PSEUDO-SHUFFLE of the release's training packs into
-    * [[NumShards]] numbered shards — the "global shuffle at 100 TB
+    * [[Sizing.numShards]]-many numbered shards — the "global shuffle at 100 TB
     * without a global sort" spelling. shard = md5(source|pack) mod N
     * and the within-shard order is the same hash key (ties by
     * (source, pack)), so the full training order is reconstructible
@@ -664,17 +664,28 @@ object CorpusBuild {
   /** The export over an arbitrary packed-docs frame (doc_id, source,
     * n_tokens, clean_fp, pack_id) — the seam the resume spec uses to
     * prove append-locality. */
-  private[graft] def shardExportOf(docs: DataFrame): DataFrame = {
-    val packs = docs.groupBy(col("source"), col("pack_id"))
+  /** Per-pack rollup with fingerprint + hash key — shared by the shard
+    * export and the curriculum-aware cursor. */
+  private[analytics] def packFpsOf(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         md5(concat_ws("", transform(
           array_sort(collect_list(struct(col("doc_id"), col("clean_fp")))),
           x => x.getField("clean_fp")))).as("pack_fp"))
       .withColumn("hk",
         md5(concat(col("source"), lit("|"), col("pack_id").cast("string"))))
+
+  private[graft] def shardExportOf(docs: DataFrame): DataFrame = {
+    val packs = packFpsOf(docs).persistTracked()
+    // DERIVED shard count (r16, Sizing.numShards — the df-cap/band-
+    // width precedent): 16 on every driver corpus (committed hashes
+    // unchanged), growing with the pack table so the per-shard fp fold
+    // below never holds more than a bounded slice. The count runs on
+    // the cached pack table.
+    val ns = Sizing.numShards(packs.count()).toLong
     val shards = packs
       .withColumn("shard_id",
-        conv(substring(col("hk"), 1, 6), 16, 10).cast("long") % NumShards)
+        conv(substring(col("hk"), 1, 6), 16, 10).cast("long") % ns)
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_packs"), sum(col("n_docs")).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
@@ -693,6 +704,45 @@ object CorpusBuild {
     shards.unionByName(root)
   }
 
+  /** Curriculum-aware shard cursor (r16 — r15 verdict item 3):
+    * [[curriculumOrder]] schedules packs by difficulty and
+    * [[shardExport]] orders by hash key, but nothing reconciled them —
+    * a trainer consuming shards in cursor order got a RANDOM
+    * curriculum. Here each pack's curriculum rank maps to a difficulty
+    * bucket (rank-quantile over [[DifficultyBuckets]]; easiest quarter
+    * = bucket 0) and the within-shard cursor becomes (bucket, hk):
+    * reading any shard in cursor order sees difficulty non-decreasing
+    * BY CONSTRUCTION, and hash-order within a bucket keeps the
+    * append-locality / resume-cursor contract segment-wise. The
+    * receipt is one row per (shard, bucket) segment: volumes + the
+    * segment fold of pack fps in cursor order (the shard fp of
+    * [[shardExport]] becomes the ordered fold of its segments).
+    *
+    * Scale shape: one bounded-key rollup on top of the curriculum and
+    * pack tables; the global rank is [[Ranking.globalRowNumber]] (no
+    * single-partition window), bucket and the derived shard count are
+    * rank arithmetic against one broadcast 1-row pack count. */
+  def shardExportCurriculum(s: SparkSession, d: String): DataFrame = {
+    val cur = curriculumOrder(s, d)
+      .select(col("source"), col("pack_id"), col("rank_pos"))
+    val packs = packFpsOf(corpusBuildDocs(s, d))
+    val np = cur.agg(count(lit(1)).as("np"))
+    packs.join(cur, Seq("source", "pack_id"))
+      .crossJoin(broadcast(np))
+      .withColumn("bucket",
+        expr(s"(rank_pos - 1) * $DifficultyBuckets div np"))
+      .withColumn("shard_id", expr(
+        "CAST(conv(substring(hk, 1, 6), 16, 10) AS BIGINT)" +
+          " % greatest(CAST(16 AS BIGINT)," +
+          " least(CAST(1048576 AS BIGINT), np div 4096))"))
+      .groupBy(col("shard_id"), col("bucket"))
+      .agg(count(lit(1)).as("n_packs"), sum(col("n_tokens")).as("n_tokens"),
+        md5(concat_ws("", transform(
+          array_sort(collect_list(
+            struct(col("hk"), col("source"), col("pack_id"), col("pack_fp")))),
+          x => x.getField("pack_fp")))).as("seg_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_build"      -> corpusBuild _,
     "corpus_build_docs" -> corpusBuildDocs _,
@@ -700,7 +750,8 @@ object CorpusBuild {
     "corpus_datasheet"  -> corpusDatasheet _,
     "corpus_manifest"   -> corpusManifest _,
     "curriculum_order"  -> curriculumOrder _,
-    "shard_export"      -> shardExport _)
+    "shard_export"      -> shardExport _,
+    "shard_export_curriculum" -> shardExportCurriculum _)
 
   // ---------------------------------------------------------------
   // DuckDB oracle — the ENTIRE pipeline re-derived from scratch:
@@ -873,13 +924,43 @@ object CorpusBuild {
             md5(string_agg(clean_fp, '' ORDER BY doc_id)) AS pack_fp,
             md5(source || '|' || CAST(pack_id AS BIGINT)) AS hk
           FROM $packedRel GROUP BY source, pack_id),
+        ${p}ns AS (
+          SELECT greatest(16, least(1048576, count(*) // 4096)) AS ns
+          FROM ${p}spk),
         ${p}shd AS (
-          SELECT ('0x' || substr(hk, 1, 6))::BIGINT % $NumShards AS shard_id,
+          SELECT ('0x' || substr(hk, 1, 6))::BIGINT % (SELECT ns FROM ${p}ns)
+            AS shard_id,
             count(*) AS n_packs, CAST(sum(n_docs) AS BIGINT) AS n_docs,
             CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
             md5(string_agg(pack_fp, '' ORDER BY hk, source, pack_id))
               AS shard_fp
           FROM ${p}spk GROUP BY 1)"""
+
+  /** Word-MDL curriculum CTEs over the release (`ctok`..`cpm`) —
+    * shared by curriculum_order and the curriculum-aware cursor. */
+  private def curriculumCtes: String =
+    s"""ctok AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(st, ' ')) AS w FROM scrub) z
+          WHERE length(w) > 0),
+        cfreq AS (SELECT w, count(*) AS c FROM ctok GROUP BY 1),
+        ctot AS (SELECT sum(c) AS t FROM cfreq),
+        cbits AS (
+          SELECT w, CAST(length(bin(t // c)) AS BIGINT) AS bits
+          FROM cfreq CROSS JOIN ctot),
+        cdoc AS (
+          SELECT doc_id, CAST(sum(bits) AS BIGINT) AS sbits,
+            count(*) AS ntok
+          FROM ctok JOIN cbits USING (w) GROUP BY 1),
+        cpk AS (
+          SELECT p.source, p.pack_id, count(*) AS n_docs,
+            CAST(sum(c.ntok) AS BIGINT) AS n_tokens,
+            CAST(sum(c.sbits) AS BIGINT) AS sum_bits
+          FROM packed p JOIN cdoc c USING (doc_id) GROUP BY 1, 2),
+        cpm AS (
+          SELECT *, CAST((CAST(sum_bits AS HUGEINT) * 1000000) // n_tokens
+            AS BIGINT) AS mean_bits_ppm
+          FROM cpk)"""
 
   val oracle: Map[String, String] = Map(
     "corpus_build" ->
@@ -979,33 +1060,35 @@ object CorpusBuild {
     // the engine's offset-composed globalRowNumber)
     "curriculum_order" ->
       s"""$withChain$releaseCtes,
-        ctok AS (
-          SELECT doc_id, w FROM (
-            SELECT doc_id, unnest(string_split(st, ' ')) AS w FROM scrub) z
-          WHERE length(w) > 0),
-        cfreq AS (SELECT w, count(*) AS c FROM ctok GROUP BY 1),
-        ctot AS (SELECT sum(c) AS t FROM cfreq),
-        cbits AS (
-          SELECT w, CAST(length(bin(t // c)) AS BIGINT) AS bits
-          FROM cfreq CROSS JOIN ctot),
-        cdoc AS (
-          SELECT doc_id, CAST(sum(bits) AS BIGINT) AS sbits,
-            count(*) AS ntok
-          FROM ctok JOIN cbits USING (w) GROUP BY 1),
-        cpk AS (
-          SELECT p.source, p.pack_id, count(*) AS n_docs,
-            CAST(sum(c.ntok) AS BIGINT) AS n_tokens,
-            CAST(sum(c.sbits) AS BIGINT) AS sum_bits
-          FROM packed p JOIN cdoc c USING (doc_id) GROUP BY 1, 2),
-        cpm AS (
-          SELECT *, CAST((CAST(sum_bits AS HUGEINT) * 1000000) // n_tokens
-            AS BIGINT) AS mean_bits_ppm
-          FROM cpk)
+        $curriculumCtes
         SELECT row_number() OVER (ORDER BY mean_bits_ppm, source, pack_id)
             AS rank_pos,
           source, CAST(pack_id AS BIGINT) AS pack_id, n_docs, n_tokens,
           mean_bits_ppm
         FROM cpm""",
+    // the curriculum-aware cursor: rank → quantile bucket, hash order
+    // within the bucket, segment folds in cursor order; the shard
+    // count is the SAME Sizing derivation as shard_export
+    "shard_export_curriculum" ->
+      s"""$withChain$releaseCtes,
+        $curriculumCtes,
+        ${shardCtesFrom("packed", "")},
+        cnp AS (SELECT count(*) AS np FROM cpm),
+        crk AS (
+          SELECT source, pack_id,
+            row_number() OVER (ORDER BY mean_bits_ppm, source, pack_id)
+              AS rk
+          FROM cpm)
+        SELECT
+          ('0x' || substr(k.hk, 1, 6))::BIGINT
+            % greatest(16, least(1048576, (SELECT np FROM cnp) // 4096))
+            AS shard_id,
+          (r.rk - 1) * $DifficultyBuckets // (SELECT np FROM cnp) AS bucket,
+          count(*) AS n_packs, CAST(sum(k.n_tokens) AS BIGINT) AS n_tokens,
+          md5(string_agg(k.pack_fp, '' ORDER BY k.hk, k.source, k.pack_id))
+            AS seg_fp
+        FROM spk k JOIN crk r USING (source, pack_id)
+        GROUP BY 1, 2""",
     // the shard pseudo-shuffle: hash key, shard assignment, cursor-
     // order fold and the root fold all re-derived
     "shard_export" ->

@@ -83,6 +83,17 @@ object Sizing {
   def cosineBandBits(nVecs: Long): Int =
     math.max(16, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nVecs - 1)))
 
+  /** Training-shard count for the shard export (r16 — the r15 verdict's
+    * hygiene finding): each shard's fingerprint fold aggregates its
+    * packs' 32-byte fps in one buffer, so the pack-per-shard slice must
+    * stay bounded. shards ≈ nPacks/4096 keeps every fold ≤ 4096 × 32 B
+    * ≈ 128 KB; floor 16 (the driver-corpus value — pack tables below
+    * 65536 packs derive EXACTLY the historic constant, so every
+    * committed shard hash is unchanged), ceiling 2²⁰ (a trainer wants
+    * at most ~a million shard files; at the ceiling a 100 TB corpus's
+    * per-shard fold is a few MB — still one bounded buffer). */
+  def numShards(nPacks: Long): Int = clamp(16L, 1048576L, nPacks / 4096L)
+
   /** LSH band sizing for a MinHash signature of `numHashes` hashes and
     * a Jaccard threshold `t`: choose the band count b (rows r =
     * numHashes/b) minimizing |t − (1/b)^(1/r)| — the S-curve midpoint

@@ -122,8 +122,10 @@ class PlanSpec extends SparkSpec {
       // scalars over the checkpointed round tables (the ledger shape)
       "bpe_vocab_curve",
       // curriculum_order: crossJoin(broadcast(1-row corpus-total
-      // scalar)) feeding the vocab-sized bits table
-      "curriculum_order",
+      // scalar)) feeding the vocab-sized bits table;
+      // shard_export_curriculum composes it with the pack-count scalar
+      // (bucket arithmetic + the Sizing shard derivation)
+      "curriculum_order", "shard_export_curriculum",
       // bpe_unigram: crossJoin(broadcast(1-row total-usage scalar))
       // over the bounded piece table; unigram_rounds: per-round
       // crossJoins of PAIRS of 1-row aggregates (the ledger shape)
@@ -243,6 +245,10 @@ class PlanSpec extends SparkSpec {
     // shard_export: pack rollup, shard rollup and the root fold over
     // the pack-table-sized frame (corpus/512 rows)
     "shard_export" -> 4,
+    // shard_export_curriculum: the full curriculum_order chain (13) +
+    // the pack-fp rollup + the (source, pack) reconcile join + the
+    // (shard, bucket) segment rollup — all pack-table-keyed
+    "shard_export_curriculum" -> 18,
     // dedup_semantic_computed: audited COLD (first of the pair in the
     // sorted sweep) — the embed chain + sign-band self-join + rerank
     // id-joins + the first-arrival witness agg, all id/bucket-keyed

@@ -29,7 +29,38 @@ class ShardExportSpec extends SparkSpec {
     // the root row aggregates every data shard
     assert(out(-1L)._1 === nPacks)
     assert(out.filterKeys(_ >= 0).values.map(_._1).sum === nPacks)
-    assert(out.keySet.filter(_ >= 0).forall(s => s < CorpusBuild.NumShards))
+    // the DERIVED shard count (Sizing.numShards) equals the historic
+    // constant on driver-corpus pack tables — committed hashes frozen
+    assert(graft.analytics.Sizing.numShards(nPacks) === 16)
+    assert(out.keySet.filter(_ >= 0).forall(s => s < 16L))
+  }
+
+  test("numShards derivation: floor at driver scale, bounded folds at any") {
+    import graft.analytics.Sizing
+    assert(Sizing.numShards(1L) === 16)
+    assert(Sizing.numShards(65536L) === 16)
+    // above the floor the per-shard pack slice stays ~4096
+    assert(Sizing.numShards(1 << 20) === (1 << 20) / 4096)
+    // monotone, and capped at 2^20 shard files
+    assert(Sizing.numShards(Long.MaxValue / 2) === 1048576)
+  }
+
+  test("curriculum cursor: segments partition shards, buckets realize rank quartiles") {
+    val seg = CorpusBuild.shardExportCurriculum(spark, dir)
+      .collect().map(r => (r.getAs[Long]("shard_id"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("n_packs"))).toSeq
+    val shards = fps(CorpusBuild.shardExportOf(docs)).filterKeys(_ >= 0)
+    // every bucket value is a valid quantile id
+    assert(seg.forall(s => s._2 >= 0 && s._2 < CorpusBuild.DifficultyBuckets))
+    // segments partition each shard's pack set exactly (the shard fp
+    // becomes the ordered fold of its segment folds)
+    val bySh = seg.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySh === shards.view.mapValues(_._1).toMap)
+    // the rank quantiles are populated end to end: easiest and hardest
+    // buckets both occur, so cursor order genuinely schedules
+    val buckets = seg.map(_._2).toSet
+    assert(buckets.contains(0L) &&
+      buckets.contains(CorpusBuild.DifficultyBuckets - 1))
   }
 
   test("append is shard-local: only the receiving shard's fp moves") {
