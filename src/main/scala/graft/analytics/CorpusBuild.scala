@@ -606,7 +606,15 @@ object CorpusBuild {
     * rollup is pack-keyed; the schedule rank itself is corpus-sized/
     * PackBudget, so it uses [[Ranking.globalRowNumber]] (per-partition
     * local ranks + collected offsets — no single-partition window). */
-  def curriculumOrder(s: SparkSession, d: String): DataFrame = {
+  def curriculumOrder(s: SparkSession, d: String): DataFrame =
+    curriculumOrderOf(s, d, corpusBuildDocs(s, d))
+
+  /** The schedule over an arbitrary packed-docs frame — the seam
+    * [[shardExportCurriculum]] uses to SHARE one release tail between
+    * the schedule and the pack fingerprints (each corpusBuildDocs
+    * re-derivation is a full PII-scrub + packing-window pass). */
+  private def curriculumOrderOf(s: SparkSession, d: String,
+      packedDocs: DataFrame): DataFrame = {
     val (base, ids) = build(s, d)
     val surv = base.join(ids.last, Seq("doc_id"), "left_semi")
     val scrub = Curation.piiScrubFull(
@@ -624,7 +632,7 @@ object CorpusBuild {
     val docBits = toks.join(bits, Seq("w"))
       .groupBy(col("doc_id"))
       .agg(sum(col("bits")).as("sbits"), count(lit(1)).as("ntok"))
-    val perPack = corpusBuildDocs(s, d)
+    val perPack = packedDocs
       .select(col("doc_id"), col("source"), col("pack_id"))
       .join(docBits, Seq("doc_id"))
       .groupBy(col("source"), col("pack_id"))
@@ -676,12 +684,17 @@ object CorpusBuild {
         md5(concat(col("source"), lit("|"), col("pack_id").cast("string"))))
 
   private[graft] def shardExportOf(docs: DataFrame): DataFrame = {
-    val packs = packFpsOf(docs).persistTracked()
+    // The pack rollup feeds the shard rollup AND the root fold, and
+    // Sizing needs its count: materialize it once (localCheckpoint —
+    // pack-table-sized, corpus/PackBudget rows; a persist() here made
+    // the two union branches re-print the whole release tail in the
+    // audited plan and re-run it on eviction).
+    val packs = packFpsOf(docs).localCheckpoint(true)
     // DERIVED shard count (r16, Sizing.numShards — the df-cap/band-
     // width precedent): 16 on every driver corpus (committed hashes
     // unchanged), growing with the pack table so the per-shard fp fold
     // below never holds more than a bounded slice. The count runs on
-    // the cached pack table.
+    // the checkpointed pack table.
     val ns = Sizing.numShards(packs.count()).toLong
     val shards = packs
       .withColumn("shard_id",
@@ -723,9 +736,22 @@ object CorpusBuild {
     * single-partition window), bucket and the derived shard count are
     * rank arithmetic against one broadcast 1-row pack count. */
   def shardExportCurriculum(s: SparkSession, d: String): DataFrame = {
-    val cur = curriculumOrder(s, d)
+    // ONE release tail for both consumers (r16): the schedule and the
+    // pack fingerprints each read the packed-docs frame, and an
+    // un-shared spelling re-derived the whole PII-scrub + packing
+    // window once per consumer. localCheckpoint rather than persist:
+    // same single materialization, but the downstream plan reads a
+    // checkpoint scan instead of an InMemoryRelation that re-prints
+    // (and on cache eviction would re-run) the whole release tail per
+    // reference.
+    val docs = corpusBuildDocs(s, d).localCheckpoint(true)
+    // the schedule is pack-table-sized and read only by the reconcile
+    // join — checkpoint it too, so the receipt plan joins two bounded
+    // materialized tables instead of replaying the schedule chain
+    val cur = curriculumOrderOf(s, d, docs)
       .select(col("source"), col("pack_id"), col("rank_pos"))
-    val packs = packFpsOf(corpusBuildDocs(s, d))
+      .localCheckpoint(true)
+    val packs = packFpsOf(docs)
     val np = cur.agg(count(lit(1)).as("np"))
     packs.join(cur, Seq("source", "pack_id"))
       .crossJoin(broadcast(np))

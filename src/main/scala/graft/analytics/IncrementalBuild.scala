@@ -211,22 +211,38 @@ object IncrementalBuild {
       .filter(coalesce(col("n_removed"), lit(0L)) * 2 < col("n_paras"))
       .select(col("doc_id"))
 
-  /** Stages 6–10 (all per-document) over the post-paragraph set. */
+  /** Stages 6–10 (all per-document) over the post-paragraph set.
+    *
+    * r16 fusion: gopher, license and the pinned-weight classifier are
+    * all PER-DOCUMENT predicates, so their flag values do not depend
+    * on which stage slice they are computed over — scoring all three
+    * in ONE text pass over s5 yields stage sets identical to the
+    * three-sliced spelling (oracle re-verified) while replacing three
+    * full text scans + two slice semi-joins with one scan over an
+    * id+flags frame. On the streamed ingest path this runs once per
+    * MICRO-BATCH, where the per-stage job overhead dominated. */
   private def tailIds(base: DataFrame, ids5: DataFrame, g: Gates): Seq[DataFrame] = {
     def slice(ids: DataFrame) = base.join(ids, Seq("doc_id"), "left_semi")
     val s5 = slice(ids5)
-    val ids6 = sever(TextAnalysis.qualityGopherOf(
-        s5.select(col("doc_id"), col("ftext").as("text")))
-      .filter(col("gopher_keep") === 1).select(col("doc_id")))
-    val s6 = slice(ids6)
-    val ids7 = sever(s6
-      .filter(!License.restrictiveCol(
-        CorpusBuild.licDecor(col("raw"), col("ck"))))
+    val flags = sever(Curation.classifierScored(
+        TextAnalysis.qualityGopherOf(
+          s5.select(col("doc_id"), col("ftext").as("text"),
+            (!License.restrictiveCol(
+              CorpusBuild.licDecor(col("raw"), col("ck"))))
+              .cast("int").as("lic_ok")),
+          carry = Seq("lic_ok", "text")),
+        g.wsum, carry = Seq("gopher_keep", "lic_ok"))
+      .select(col("doc_id"), col("gopher_keep"), col("lic_ok"),
+        col("accept")))
+    val ids6 = sever(flags.filter(col("gopher_keep") === 1)
       .select(col("doc_id")))
-    val s7 = slice(ids7)
-    val ids8 = sever(Curation.classifierScored(
-        s7.select(col("doc_id"), col("ftext").as("text")), g.wsum)
-      .filter(col("margin") > 0).select(col("doc_id")))
+    val ids7 = sever(flags
+      .filter(col("gopher_keep") === 1 && col("lic_ok") === 1)
+      .select(col("doc_id")))
+    val ids8 = sever(flags
+      .filter(col("gopher_keep") === 1 && col("lic_ok") === 1 &&
+        col("accept") === 1)
+      .select(col("doc_id")))
     val s8 = slice(ids8)
     val contam = shinglesF(s8)
       .join(broadcast(g.evsh), Seq("shingle"), "left_semi")
@@ -293,13 +309,28 @@ object IncrementalBuild {
         .select(md5(col("para")).as("h")).distinct())
   }
 
+  /** The old snapshot's three store indexes, SEVERED and memoized per
+    * (session, corpus) — the lake's persisted artifact. Before r16 the
+    * streamed ingest re-derived them (a full shingle/minhash +
+    * paragraph pass over the old slices) on EVERY invocation on top of
+    * the derivation the delta path already ran; they are id/hash-only
+    * bounded-width frames, exactly what the memo discipline holds. */
+  private def oldStores(s: SparkSession, d: String, base: DataFrame,
+      oldSets: Seq[DataFrame]): Stores =
+    storesMemo.getOrElseUpdate((s, d), {
+      val raw = storesFrom(base, oldSets)
+      Stores(sever(raw.fp), sever(raw.band), sever(raw.para))
+    })
+
+  private val storesMemo = new Caches.SessionMemo[Stores]
+
   /** The INCREMENTAL delta path: gate the batch against the lake's
     * persisted indexes only. `oldSets` is the old run's stage sets —
     * its post-unicode / post-exact / post-neardup slices feed the
     * three stores. */
-  private def deltaStack(base: DataFrame, oldSets: Seq[DataFrame],
-      g: Gates): Seq[DataFrame] =
-    deltaStackAgainst(base, storesFrom(base, oldSets),
+  private def deltaStack(s: SparkSession, d: String, base: DataFrame,
+      oldSets: Seq[DataFrame], g: Gates): Seq[DataFrame] =
+    deltaStackAgainst(base, oldStores(s, d, base, oldSets),
       base.filter(col("doc_id") >= SnapMax), g)
 
   /** The delta gating against an ARBITRARY store state — the seam the
@@ -343,10 +374,20 @@ object IncrementalBuild {
       .select(col("doc_id"), col("idx"), md5(col("para")).as("h"))
     val dg = ph.groupBy(col("h"))
       .agg(min(col("doc_id") * 1000 + col("idx")).as("dmin"))
-    val removed = ph.join(dg, Seq("h"))
-      .join(paraStore.select(col("h"), lit(1).as("in_store")), Seq("h"), "left")
-      .filter(col("in_store").isNotNull ||
-        col("doc_id") * 1000 + col("idx") > col("dmin"))
+    // an instance is removed iff its hash is in the store OR a smaller
+    // key in THIS batch owns it. Spelled as a semi-join union rather
+    // than a left join + null test (r16): the semi-join is DUP-SAFE in
+    // the store side, which lets the streamed ingest accumulate its
+    // store as a plain union of per-batch increments instead of
+    // re-distinct-ing (one full store shuffle) every micro-batch.
+    // (doc_id, idx) is unique in ph, so the distinct union of the two
+    // condition sets counts exactly the rows the left-join counted.
+    val inStore = ph.join(paraStore, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("idx"))
+    val lateLocal = ph.join(dg, Seq("h"))
+      .filter(col("doc_id") * 1000 + col("idx") > col("dmin"))
+      .select(col("doc_id"), col("idx"))
+    val removed = inStore.unionByName(lateLocal).distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_removed"))
     val ids5 = sever(paraKeepIds(pa, removed))
     head ++ Seq(ids3, ids4, ids5) ++ tailIds(base, ids5, g)
@@ -358,7 +399,8 @@ object IncrementalBuild {
 
   private val memo = new Caches.SessionMemo[IncrState]
 
-  private val cdropMemo = new Caches.SessionMemo[DataFrame]
+  private val m10Memo =
+    new Caches.SessionMemo[(DataFrame, DataFrame, DataFrame)]
 
   /** Three materialized runs per (session, corpus): the old snapshot's
     * stack (whose post-unicode/exact/neardup slices feed the stores),
@@ -375,7 +417,7 @@ object IncrementalBuild {
       val semDrop = sever(CorpusBuild.semDropOf(s, d))
       val g = Gates(wsum, evsh, semDrop)
       val oldSets = batchStack(base, base.filter(col("doc_id") < SnapMax), g)
-      val deltaSets = deltaStack(base, oldSets, g)
+      val deltaSets = deltaStack(s, d, base, oldSets, g)
       val scratchSets = batchStack(base, base, g)
       IncrState(base, oldSets, deltaSets, scratchSets, g)
     })
@@ -450,28 +492,39 @@ object IncrementalBuild {
     * the whole point of computing the edge. */
   def corpusIncrEquivComputed(s: SparkSession, d: String): DataFrame = {
     val st = build(s, d)
-    // the computed verdict set is itself a once-per-corpus artifact
-    // (one embed map pass under the pinned weights), memoized like the
-    // stage stacks it gates
-    val cDrop = cdropMemo.getOrElseUpdate((s, d),
-      sever(DocEmbed.semDropComputedOf(
+    // the computed verdict set AND the three stage-10 sets it gates
+    // are once-per-corpus artifacts (one embed map pass under the
+    // pinned weights + three id-set anti-joins), materialized in the
+    // memo like the stage stacks themselves. Severing the m10 sets —
+    // not just cDrop — matters twice at the receipt plan: (a) each
+    // receipt branch re-executed its m10 anti-join per REFERENCE
+    // (old10 alone is read by four branches), and (b) a localCheckpoint
+    // carries its ORIGIN plan's estimated stats, and cDrop's embed
+    // chain estimates ~22 GiB for a tiny id set, so every m10 spelled
+    // in-plan planned as a SortMergeJoin (2 corpus-keyed exchanges
+    // each) instead of the broadcast anti-join the data warrants.
+    val (old10, delta10, scratch10) = m10Memo.getOrElseUpdate((s, d), {
+      val cDrop = sever(DocEmbed.semDropComputedOf(
         st.base.select(col("doc_id"), col("ftext").as("text")),
-        DocEmbed.pinnedIdf(s, d), HoldMax, ReleaseComputed.TauRelease)))
-    def m10(ids: DataFrame) = ids.join(cDrop, Seq("doc_id"), "left_anti")
-    val old10 = m10(st.oldSets(9))
-    val delta10 = m10(st.deltaSets(9))
+        DocEmbed.pinnedIdf(s, d), HoldMax, ReleaseComputed.TauRelease))
+      def m10(ids: DataFrame) = sever(ids.join(cDrop, Seq("doc_id"), "left_anti"))
+      (m10(st.oldSets(9)), m10(st.deltaSets(9)), m10(st.scratchSets(9)))
+    })
     val incr = old10.unionByName(delta10)
-    val scratch = m10(st.scratchSets(9))
     old10.agg(count(lit(1)).as("n_old_surv"))
       .crossJoin(delta10.agg(count(lit(1)).as("n_appended")))
       .crossJoin(incr.agg(count(lit(1)).as("n_incremental")))
-      .crossJoin(scratch.agg(count(lit(1)).as("n_scratch")))
-      .crossJoin(incr.join(scratch, Seq("doc_id"), "left_anti")
+      .crossJoin(scratch10.agg(count(lit(1)).as("n_scratch")))
+      .crossJoin(incr.join(scratch10, Seq("doc_id"), "left_anti")
         .agg(count(lit(1)).as("n_only_incremental")))
-      .crossJoin(scratch.join(incr, Seq("doc_id"), "left_anti")
+      .crossJoin(scratch10.join(incr, Seq("doc_id"), "left_anti")
         .agg(count(lit(1)).as("n_only_scratch")))
-      .crossJoin(st.scratchSets(9).join(cDrop, Seq("doc_id"), "left_semi")
-        .agg(count(lit(1)).as("n_sem_dropped")))
+      // |scratch9 ∩ cDrop| = |scratch9| − |scratch9 ∖ cDrop|: ids are
+      // unique per stack, so the semi-join count is plain count
+      // arithmetic over two already-severed sets — no join at all
+      .crossJoin(st.scratchSets(9).agg(count(lit(1)).as("n9"))
+        .crossJoin(scratch10.agg(count(lit(1)).as("n10")))
+        .select((col("n9") - col("n10")).as("n_sem_dropped")))
   }
 
   /** The monthly RE-SHIP receipt (r15 bonus): export the trainer
@@ -546,55 +599,104 @@ object IncrementalBuild {
     // stream_quality_windowed mtime-pin discipline: FileStreamSource
     // orders by (modTime, path) and a failed pin degrades ordering to
     // tie-break luck — re-stat and fail loudly)
+    // materialize the delta once: the four batch writes below are
+    // filters of this frame, and an un-persisted spelling re-derived
+    // the plant union + decoration per write job
+    // land all four monthly files in ONE write job (r16): the old
+    // spelling ran four sequential coalesce(1) write jobs, each
+    // re-deriving the plant union. Here the delta is written once,
+    // partitioned by batch number (the replay batch is a unioned
+    // duplicate of batch 0), and the per-batch files are MOVED into
+    // the source directory with explicitly pinned mtimes — the move
+    // keeps the one-file-per-batch / time-ordered contract the
+    // FileStreamSource relies on.
     val raw = planted(documents(s, d)).filter(col("doc_id") >= SnapMax)
+    val batchCol = when(col("doc_id") < CopyBase, 0)
+      .when(col("doc_id") < FrankenBase, 1).otherwise(2)
+    val staged = raw.withColumn("b", batchCol).unionByName(
+      raw.filter(col("doc_id") < CopyBase).withColumn("b", lit(3)))
+    val parts = graft.Tables.tempOutDir("stream_incr_parts")
+    // coalesce(1): one task writes exactly one file per partition
+    // value (a few thousand rows — the same single-task write the old
+    // per-batch coalesce(1) jobs did, minus three of the jobs)
+    staged.coalesce(1).write.partitionBy("b").parquet(parts)
     val tmp = graft.Tables.tempOutDir("stream_incr_src")
-    val batchPreds = Seq(
-      col("doc_id") < CopyBase,
-      col("doc_id") >= CopyBase && col("doc_id") < FrankenBase,
-      col("doc_id") >= FrankenBase,
-      col("doc_id") < CopyBase) // the replay
-    batchPreds.zipWithIndex.foreach { case (pred, i) =>
-      raw.filter(pred).coalesce(1).write
-        .mode(if (i == 0) "overwrite" else "append").parquet(tmp)
-      new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet"))
-        .foreach { f =>
-          if (f.lastModified() > 1500000000000L) {
-            val want = 1000000000000L + i * 60000L
-            f.setLastModified(want)
-            require(f.lastModified == want,
-              s"could not pin ${f.getName} to batch-$i mtime $want " +
-                s"(got ${f.lastModified}); the FileStreamSource " +
-                "time-ordering invariant would be tie-break luck")
-          }
-        }
+    val tmpDir = new java.io.File(tmp)
+    require(tmpDir.mkdirs() || tmpDir.isDirectory, s"cannot create $tmp")
+    (0 until 4).foreach { i =>
+      val fs = new java.io.File(s"$parts/b=$i")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      require(fs.length == 1,
+        s"expected exactly one parquet file for batch $i, got ${fs.length}")
+      val dst = new java.io.File(tmpDir, s"batch-$i.parquet")
+      java.nio.file.Files.move(fs(0).toPath, dst.toPath)
+      val want = 1000000000000L + i * 60000L
+      dst.setLastModified(want)
+      // a silently rejected mtime pin would degrade FileStreamSource
+      // ordering to tie-break luck — re-stat and fail loudly
+      require(dst.lastModified == want,
+        s"could not pin ${dst.getName} to batch-$i mtime $want " +
+          s"(got ${dst.lastModified}); the FileStreamSource " +
+          "time-ordering invariant would be tie-break luck")
     }
     val schema = s.read.parquet(tmp).schema
     val src = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(tmp)
 
     // the lake's mutable state: the three stores + the appended id
-    // set, re-severed per batch
-    val st0 = storesFrom(st.base, st.oldSets)
-    var fpS = sever(st0.fp)
-    var bandS = sever(st0.band)
-    var paraS = sever(st0.para)
+    // set, re-severed per batch. The INITIAL stores are the memoized
+    // severed artifact (r16) — re-deriving them here cost a full
+    // shingle/minhash + paragraph pass over the old snapshot per
+    // invocation.
+    val st0 = oldStores(s, d, st.base, st.oldSets)
+    var fpS = st0.fp
+    var bandS = st0.band
+    var paraS = st0.para
     var appended = sever(s.range(0).select(col("id").as("doc_id")))
     val ledger = scala.collection.mutable.ListBuffer[(Long, Long, Long, String)]()
 
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val b = sever(CorpusBuild.decorate(batch))
+          // fan the micro-batch to full width before decorating: a
+          // one-file trigger arrives as a SINGLE partition, and
+          // severing it as-is would run every downstream text stage
+          // (shingles, paragraphs, gopher, classifier) on one task
+          // (the r14 single-split serialization class)
+          val b = sever(CorpusBuild.decorate(
+            batch.repartition(s.sparkContext.defaultParallelism)))
           val sets = deltaStackAgainst(b, Stores(fpS, bandS, paraS), b,
             st.gates)
           val appendedB = sets.last
+          // store accumulation (r16): sever the batch-sized INCREMENTS
+          // and accumulate by plain union of the severed leaves — the
+          // old spelling re-distinct-ed and re-checkpointed the whole
+          // accumulated store every micro-batch (O(store) per batch).
+          // All three gates are dup-safe by construction (fp: anti-
+          // join; band: semi-join; paragraph: the semi-join-union
+          // spelling above), so cross-batch duplicate keys are
+          // harmless, and a 4-level union of checkpointed leaves stays
+          // a flat plan.
           val upd = storesFrom(b, sets)
-          fpS = sever(fpS.unionByName(upd.fp).distinct())
-          bandS = sever(bandS.unionByName(upd.band).distinct())
-          paraS = sever(paraS.unionByName(upd.para).distinct())
-          appended = sever(appended.unionByName(appendedB))
-          ledger += ((batchId, b.count(), appendedB.count(),
-            idFoldDf(appendedB).head.getString(0)))
+          // the three increment materializations are independent —
+          // sever them concurrently so the batch's tail fills the
+          // cores one job's stragglers leave idle (guide §2.6)
+          val Seq(fpU, bandU, paraU) = Seq(upd.fp, upd.band, upd.para)
+            .map(df => scala.concurrent.Future(sever(df))(
+              scala.concurrent.ExecutionContext.global))
+            .map(f => scala.concurrent.Await.result(f,
+              scala.concurrent.duration.Duration.Inf))
+          fpS = fpS.unionByName(fpU)
+          bandS = bandS.unionByName(bandU)
+          paraS = paraS.unionByName(paraU)
+          appended = appended.unionByName(appendedB)
+          // ONE ledger job: batch count, appended count and the id
+          // fold crossJoined (three driver actions fused)
+          val row = b.agg(count(lit(1)).as("na"))
+            .crossJoin(appendedB.agg(count(lit(1)).as("nb")))
+            .crossJoin(idFoldDf(appendedB)).head
+          ledger += ((batchId, row.getLong(0), row.getLong(1),
+            row.getString(2)))
         }
         ()
       }

@@ -2042,25 +2042,34 @@ object Multimodal {
     val slots = graft.Tables.documents(s, d).select(col("doc_id").as("i"))
       .withColumn("s", explode(sequence(lit(0), (col("i") % 4).cast("int"))))
       .withColumn("pair_id", (col("i") * 53 + col("s") * 17) % n)
-    // left join + in-plan guard (r15 advice): a pool pair_id absent
-    // from the scored table must surface as an ERROR, not silently
-    // shrink n_slots below 1+(i mod 4) on both engines
-    val keepChecked = coalesce(col("keep"),
-      raise_error(concat(lit("multimodal_interleaved: pool pair "),
-        col("pair_id").cast("string"),
-        lit(" missing from the scored pair table"))).cast("int"))
-    slots.join(scored, Seq("pair_id"), "left")
+    // inner join + slot-count reconciliation (the r15 advice's "assert
+    // slot counts" alternative): doc i must emit exactly 1 + (i mod 4)
+    // slots, so a pool pair missing from the scored table (or a
+    // duplicated pair inflating the join) surfaces as an ERROR, never
+    // a silently smaller/larger document. The left-outer respelling of
+    // this guard forced a SortMergeJoin (LeftOuter can only broadcast
+    // the right side, and the scored frame's derived-size estimate is
+    // above the threshold) — two extra corpus-keyed exchanges; the
+    // inner join keeps the r15 broadcast plan and the count equality
+    // check is strictly stronger per surviving doc.
+    val slotGuard = when(col("n_slots") === lit(1L) + col("i") % 4,
+      col("n_slots")).otherwise(raise_error(concat(
+        lit("multimodal_interleaved: doc "), col("i").cast("string"),
+        lit(" joined "), col("n_slots").cast("string"),
+        lit(" scored slots, expected 1 + (doc_id % 4) — a pool pair is "),
+        lit("missing from (or duplicated in) the scored pair table"))))
+    slots.join(scored, Seq("pair_id"))
       .groupBy(col("i"))
       .agg(count(lit(1)).as("n_slots"),
-        sum(keepChecked).cast("long").as("n_kept"),
-        (count(lit(1)) - sum(keepChecked)).cast("long").as("n_stripped"),
-        (sum(keepChecked) > 0).cast("int").as("doc_keep"),
+        sum(col("keep")).cast("long").as("n_kept"),
+        (count(lit(1)) - sum(col("keep"))).cast("long").as("n_stripped"),
+        (sum(col("keep")) > 0).cast("int").as("doc_keep"),
         md5(concat_ws(",", transform(
           array_sort(collect_list(when(col("keep") === 1,
             struct(col("s"), col("pair_id"))))),
           x => concat(x.getField("s").cast("string"), lit(":"),
             x.getField("pair_id").cast("string"))))).as("kept_fp"))
-      .select(col("i").as("doc_id"), col("n_slots"), col("n_kept"),
+      .select(col("i").as("doc_id"), slotGuard.as("n_slots"), col("n_kept"),
         col("n_stripped"), col("doc_keep"), col("kept_fp"))
   }
 
