@@ -453,9 +453,14 @@ object CorpusBuild {
     * per-source [[PackBudget]]-token pack window. ONE definition
     * shared by the v2 release and [[IncrementalBuild]]'s monthly
     * re-ship receipt. */
-  private[analytics] def releaseDocsOf(surv: DataFrame): DataFrame = {
-    val scrubbed = Curation.piiScrubFull(
-        surv.select(col("doc_id"), col("ftext").as("text")))
+  private[analytics] def releaseDocsOf(surv: DataFrame): DataFrame =
+    releaseDocsFromScrub(surv, scrubOf(surv))
+
+  /** The release tail over a PRE-SCRUBBED slice — the seam that lets
+    * the curriculum queries run one scrub pass for both consumers. */
+  private def releaseDocsFromScrub(surv: DataFrame,
+      scrub: DataFrame): DataFrame = {
+    val scrubbed = scrub
       .select(col("doc_id"), col("n_emails"), col("n_phones"),
         md5(col("scrubbed")).as("clean_fp"),
         size(split(col("scrubbed"), " ")).cast("long").as("n_tokens"))
@@ -606,21 +611,28 @@ object CorpusBuild {
     * rollup is pack-keyed; the schedule rank itself is corpus-sized/
     * PackBudget, so it uses [[Ranking.globalRowNumber]] (per-partition
     * local ranks + collected offsets — no single-partition window). */
-  def curriculumOrder(s: SparkSession, d: String): DataFrame =
-    curriculumOrderOf(s, d, corpusBuildDocs(s, d))
-
-  /** The schedule over an arbitrary packed-docs frame — the seam
-    * [[shardExportCurriculum]] uses to SHARE one release tail between
-    * the schedule and the pack fingerprints (each corpusBuildDocs
-    * re-derivation is a full PII-scrub + packing-window pass). */
-  private def curriculumOrderOf(s: SparkSession, d: String,
-      packedDocs: DataFrame): DataFrame = {
+  def curriculumOrder(s: SparkSession, d: String): DataFrame = {
     val (base, ids) = build(s, d)
     val surv = base.join(ids.last, Seq("doc_id"), "left_semi")
-    val scrub = Curation.piiScrubFull(
-        surv.select(col("doc_id"), col("ftext").as("text")))
-      .select(col("doc_id"), col("scrubbed"))
-      .persistTracked()
+    // ONE scrub pass (r16): the schedule prices the scrubbed text AND
+    // the pack table fingerprints it — computing releaseDocsOf
+    // separately re-ran the 4-regex PII scrub over the whole release
+    val scrub = scrubOf(surv).persistTracked()
+    curriculumOrderOf(releaseDocsFromScrub(surv, scrub), scrub)
+  }
+
+  /** One PII-scrub pass over a survivor slice — the shared input of
+    * [[releaseDocsFromScrub]] and the curriculum pricer. */
+  private def scrubOf(surv: DataFrame): DataFrame =
+    Curation.piiScrubFull(
+      surv.select(col("doc_id"), col("ftext").as("text")))
+
+  /** The schedule over an arbitrary packed-docs frame + its scrubbed
+    * text — the seam [[shardExportCurriculum]] and [[curriculumOrder]]
+    * use to SHARE one release tail and ONE scrub pass between the
+    * schedule and the pack fingerprints. */
+  private def curriculumOrderOf(packedDocs: DataFrame,
+      scrub: DataFrame): DataFrame = {
     val toks = scrub
       .select(col("doc_id"), explode(split(col("scrubbed"), " ")).as("w"))
       .filter(length(col("w")) > 0)
@@ -684,21 +696,24 @@ object CorpusBuild {
         md5(concat(col("source"), lit("|"), col("pack_id").cast("string"))))
 
   private[graft] def shardExportOf(docs: DataFrame): DataFrame = {
-    // The pack rollup feeds the shard rollup AND the root fold, and
-    // Sizing needs its count: materialize it once (localCheckpoint —
-    // pack-table-sized, corpus/PackBudget rows; a persist() here made
-    // the two union branches re-print the whole release tail in the
-    // audited plan and re-run it on eviction).
-    val packs = packFpsOf(docs).localCheckpoint(true)
-    // DERIVED shard count (r16, Sizing.numShards — the df-cap/band-
-    // width precedent): 16 on every driver corpus (committed hashes
-    // unchanged), growing with the pack table so the per-shard fp fold
-    // below never holds more than a bounded slice. The count runs on
-    // the checkpointed pack table.
-    val ns = Sizing.numShards(packs.count()).toLong
-    val shards = packs
+    val packs = packFpsOf(docs)
+    // DERIVED shard count (r16, the [[Sizing.numShards]] rule — the
+    // df-cap/band-width precedent): 16 on every driver corpus
+    // (committed hashes unchanged), growing with the pack table so the
+    // per-shard fp fold below never holds more than a bounded slice.
+    // Spelled IN-PLAN as a 1-row scalar broadcast (the oracle's scalar
+    // subquery, exactly Sizing.numShards in SQL arithmetic): an eager
+    // driver-side count() forced a checkpoint of the pack rollup and
+    // split the export into extra jobs, where the lazy spelling lets
+    // ReusedExchange share ONE pack rollup between the shard and root
+    // branches (shard_export_incremental runs this twice per query —
+    // measured 1.07 s vs 0.46 s with the eager spelling).
+    val ns = packs.agg(count(lit(1)).as("np"))
+      .select(expr("greatest(CAST(16 AS BIGINT), " +
+        "least(CAST(1048576 AS BIGINT), np div 4096))").as("ns"))
+    val shards = packs.crossJoin(broadcast(ns))
       .withColumn("shard_id",
-        conv(substring(col("hk"), 1, 6), 16, 10).cast("long") % ns)
+        conv(substring(col("hk"), 1, 6), 16, 10).cast("long") % col("ns"))
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_packs"), sum(col("n_docs")).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
@@ -736,19 +751,23 @@ object CorpusBuild {
     * single-partition window), bucket and the derived shard count are
     * rank arithmetic against one broadcast 1-row pack count. */
   def shardExportCurriculum(s: SparkSession, d: String): DataFrame = {
-    // ONE release tail for both consumers (r16): the schedule and the
-    // pack fingerprints each read the packed-docs frame, and an
-    // un-shared spelling re-derived the whole PII-scrub + packing
-    // window once per consumer. localCheckpoint rather than persist:
-    // same single materialization, but the downstream plan reads a
+    // ONE release tail and ONE scrub pass for all consumers (r16): the
+    // schedule, the packed-docs frame and the pack fingerprints share
+    // the scrub + packing window — the un-shared spelling re-derived
+    // the whole PII-scrub + packing window once per consumer.
+    // localCheckpoint on the packed docs rather than persist: same
+    // single materialization, but the downstream plan reads a
     // checkpoint scan instead of an InMemoryRelation that re-prints
     // (and on cache eviction would re-run) the whole release tail per
     // reference.
-    val docs = corpusBuildDocs(s, d).localCheckpoint(true)
+    val (base, ids) = build(s, d)
+    val surv = base.join(ids.last, Seq("doc_id"), "left_semi")
+    val scrub = scrubOf(surv).persistTracked()
+    val docs = releaseDocsFromScrub(surv, scrub).localCheckpoint(true)
     // the schedule is pack-table-sized and read only by the reconcile
     // join — checkpoint it too, so the receipt plan joins two bounded
     // materialized tables instead of replaying the schedule chain
-    val cur = curriculumOrderOf(s, d, docs)
+    val cur = curriculumOrderOf(docs, scrub)
       .select(col("source"), col("pack_id"), col("rank_pos"))
       .localCheckpoint(true)
     val packs = packFpsOf(docs)

@@ -599,9 +599,6 @@ object IncrementalBuild {
     // stream_quality_windowed mtime-pin discipline: FileStreamSource
     // orders by (modTime, path) and a failed pin degrades ordering to
     // tie-break luck — re-stat and fail loudly)
-    // materialize the delta once: the four batch writes below are
-    // filters of this frame, and an un-persisted spelling re-derived
-    // the plant union + decoration per write job
     // land all four monthly files in ONE write job (r16): the old
     // spelling ran four sequential coalesce(1) write jobs, each
     // re-deriving the plant union. Here the delta is written once,

@@ -94,6 +94,16 @@ object Sizing {
     * per-shard fold is a few MB — still one bounded buffer). */
   def numShards(nPacks: Long): Int = clamp(16L, 1048576L, nPacks / 4096L)
 
+  /** State-store parallelism for a streaming query (r16): one state
+    * partition per ~8k keyed-state entries, floored at 8 (the
+    * bounded-key aggregations, where per-batch task overhead dominates)
+    * and capped at the machine's parallelism (state commits are I/O
+    * per partition — more partitions than cores just queue). At the
+    * replay-dedup query's 100k event keys this derives the full core
+    * count; at a per-source rollup's dozens of keys it stays 8. */
+  def statePartitions(stateKeys: Long, maxPar: Int): Int =
+    clamp(8L, maxPar.toLong, stateKeys / 8192L)
+
   /** LSH band sizing for a MinHash signature of `numHashes` hashes and
     * a Jaccard threshold `t`: choose the band count b (rows r =
     * numHashes/b) minimizing |t − (1/b)^(1/r)| — the S-curve midpoint

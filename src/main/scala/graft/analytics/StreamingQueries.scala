@@ -249,15 +249,22 @@ object StreamingQueries {
     * driver memory for the session lifetime (Bench runs each streaming
     * query twice per pass). */
   private def runToMemory(s: SparkSession, df: DataFrame,
-      mode: OutputMode): DataFrame = {
+      mode: OutputMode, stateKeys: Long = 0L): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
     // state-store parallelism is pinned per-checkpoint at query start:
     // at test SF, 32 shuffle partitions mean 32 state-store tasks per
     // stateful operator PER MICRO-BATCH (task overhead dominates the
-    // multi-batch queries). 8 is right-sized here; a production job
-    // sizes this to state volume, not to the batch engine's default.
+    // multi-batch queries). 8 is right-sized for the bounded-key
+    // aggregations; queries whose keyed state is INPUT-sized (replay
+    // dedup holds one key per event) pass their key estimate and get
+    // Sizing-derived parallelism — at 100k keys the 8-partition state
+    // commit was the measured batch bottleneck (0.45 s of a 0.7 s
+    // batch), exactly the "size to state volume" rule this comment
+    // always promised.
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions",
+      Sizing.statePartitions(stateKeys,
+        s.sparkContext.defaultParallelism).toString)
     val q =
       try df.writeStream
         .format("memory")
@@ -274,6 +281,18 @@ object StreamingQueries {
       // fails loudly instead of hanging the whole bench/test harness
       require(q.awaitTermination(StreamTimeoutMs),
         s"streaming query $name still running after ${StreamTimeoutMs} ms")
+      if (sys.env.contains("SPARK_GRAFT_STREAM_PROF"))
+        q.recentProgress.foreach { pr =>
+          System.err.println(s"[stream-prof] batch=${pr.batchId} " +
+            s"rows=${pr.numInputRows} total=${pr.batchDuration}ms " +
+            s"addBatch=${pr.durationMs.get("addBatch")} " +
+            s"getBatch=${pr.durationMs.get("getBatch")} " +
+            s"latestOffset=${pr.durationMs.get("latestOffset")} " +
+            s"queryPlanning=${pr.durationMs.get("queryPlanning")} " +
+            s"commitOffsets=${pr.durationMs.get("commitOffsets")} " +
+            s"walCommit=${pr.durationMs.get("walCommit")} " +
+            s"stateCommit=${Option(pr.stateOperators).map(_.map(o => o.commitTimeMs).sum)}")
+        }
       val sink = s.table(name)
       s.createDataFrame(sink.collectAsList(), sink.schema)
     } finally {
@@ -552,10 +571,31 @@ object StreamingQueries {
     * dropDuplicates whose state only grows. */
   def streamDedup(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tmp = graft.Tables.tempOutDir("stream_dup_src")
     val ev = s.read.parquet(s"$d/events.parquet")
-    ev.coalesce(1).write.mode("overwrite").parquet(tmp)
-    ev.coalesce(1).write.mode("append").parquet(tmp)
+    // ONE write job for both copies (r16): the replay copy is a
+    // unioned duplicate written under a partition column, and the two
+    // files are MOVED into the source dir with explicitly pinned
+    // mtimes — strictly stronger than the old two-sequential-jobs
+    // spelling, which relied on job-commit order for file ordering
+    val parts = graft.Tables.tempOutDir("stream_dup_parts")
+    ev.withColumn("c", lit(0)).unionByName(ev.withColumn("c", lit(1)))
+      .coalesce(1).write.partitionBy("c").parquet(parts)
+    val tmp = graft.Tables.tempOutDir("stream_dup_src")
+    val tmpDir = new java.io.File(tmp)
+    require(tmpDir.mkdirs() || tmpDir.isDirectory, s"cannot create $tmp")
+    (0 until 2).foreach { i =>
+      val fs = new java.io.File(s"$parts/c=$i")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      require(fs.length == 1,
+        s"expected one parquet file for copy $i, got ${fs.length}")
+      val dst = new java.io.File(tmpDir, s"copy-$i.parquet")
+      java.nio.file.Files.move(fs(0).toPath, dst.toPath)
+      val want = 1000000000000L + i * 60000L
+      dst.setLastModified(want)
+      require(dst.lastModified == want,
+        s"could not pin ${dst.getName} to mtime $want; the " +
+          "FileStreamSource ordering invariant would be tie-break luck")
+    }
     val schema = s.read.parquet(tmp).schema
     val src = graft.Tables.withEventTime(
       s.readStream.schema(schema)
@@ -565,7 +605,10 @@ object StreamingQueries {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("event_type"), col("value"))
-    runToMemory(s, deduped, OutputMode.Append())
+    // dedup state holds one key per event — input-sized, so state
+    // parallelism derives from the event count (a parquet metadata
+    // count), not the bounded-key default
+    runToMemory(s, deduped, OutputMode.Append(), stateKeys = ev.count())
   }
 
   /** ARBITRARY custom state (flatMapGroupsWithState) through a real
@@ -808,7 +851,10 @@ object StreamingQueries {
               p_ts > c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"""))
       .select(col("click_id"), col("purchase_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
-    runToMemory(s, joined, OutputMode.Append())
+    // dual-side join state is input-sized (every in-horizon row of
+    // both sides) — derive state parallelism from the event count
+    runToMemory(s, joined, OutputMode.Append(),
+      stateKeys = s.read.parquet(s"$d/events.parquet").count())
   }
 
   /** LEFT-OUTER stream-stream join — the append-mode semantics the
@@ -839,7 +885,9 @@ object StreamingQueries {
       "left_outer")
       .select(col("click_id"), col("purchase_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
-    runToMemory(s, joined, OutputMode.Append())
+    // dual-side join state is input-sized — see streamStreamJoin
+    runToMemory(s, joined, OutputMode.Append(),
+      stateKeys = s.read.parquet(s"$d/events.parquet").count())
   }
 
   /** FULL-OUTER stream-stream join — the asymmetric-expiry case: the
@@ -868,7 +916,9 @@ object StreamingQueries {
       "full_outer")
       .select(col("click_id"), col("purchase_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
-    runToMemory(s, joined, OutputMode.Append())
+    // dual-side join state is input-sized — see streamStreamJoin
+    runToMemory(s, joined, OutputMode.Append(),
+      stateKeys = s.read.parquet(s"$d/events.parquet").count())
   }
 
   /** The custom DSv2 connector's STREAMING face (graft.sources
@@ -943,31 +993,48 @@ object StreamingQueries {
     val sentinel = s.sql(
       s"""SELECT CAST(-1 AS BIGINT) AS doc_id, 'zz' AS text,
            timestamp_seconds(CAST($sentinelSec AS BIGINT)) AS ts""")
-    stamped.repartition(filesPerBatch).write.mode("overwrite").parquet(tmp)
-    stamped.repartition(filesPerBatch).write.mode("append").parquet(tmp)
-    val dataFiles = new java.io.File(tmp).listFiles().toSeq
-    sentinel.coalesce(1).write.mode("append").parquet(tmp)
-    // sentinel-LAST is load-bearing (a not-yet-seen row behind the
-    // sentinel's watermark would be late-dropped and undercounted),
-    // and FileStreamSource orders by mtime with path tie-break — on a
-    // coarse-mtime (1 s) filesystem all three write jobs can land in
-    // one timestamp and the tie-break could order the sentinel FIRST.
-    // Pin the invariant: stamp the sentinel's files strictly after
-    // every data file instead of trusting job-commit granularity.
-    val maxDataMtime = dataFiles.map(_.lastModified).max
-    val dataNames = dataFiles.map(_.getName).toSet
-    new java.io.File(tmp).listFiles()
-      .filterNot(f => dataNames(f.getName))
-      .foreach { f =>
-        f.setLastModified(math.max(f.lastModified, maxDataMtime + 2000L))
-        // a silently failed pin (setLastModified returns false on
-        // filesystems that reject mtime updates) would degrade the
-        // ordering invariant back to path tie-break luck — re-stat and
-        // fail loudly instead of undercounting (r9 advisor)
-        require(f.lastModified > maxDataMtime,
-          s"could not pin sentinel file ${f.getName} strictly after the " +
-            s"data files (mtime ${f.lastModified} <= $maxDataMtime); the " +
+    // ONE write job for both data copies (r16): the replay copy is a
+    // unioned duplicate under a partition column; repartition(8) on
+    // the union makes each task write one file per copy, so each copy
+    // dir holds exactly filesPerBatch files (the same K-way fan-out
+    // the two sequential jobs produced). Files are MOVED into the
+    // source dir with explicitly pinned mtimes: copy A strictly before
+    // copy B strictly before the sentinel — stronger than the old
+    // job-commit-order + sentinel-only pin (sentinel-LAST is
+    // load-bearing: a not-yet-seen row behind the sentinel's watermark
+    // would be late-dropped and undercounted; a silently failed pin
+    // degrades ordering to path tie-break luck — re-stat, fail loudly).
+    val parts = graft.Tables.tempOutDir("stream_fp_parts")
+    stamped.withColumn("c", lit(0))
+      .unionByName(stamped.withColumn("c", lit(1)))
+      .repartition(filesPerBatch).write.partitionBy("c").parquet(parts)
+    val tmpDir = new java.io.File(tmp)
+    require(tmpDir.mkdirs() || tmpDir.isDirectory, s"cannot create $tmp")
+    (0 until 2).foreach { c =>
+      val fs = new java.io.File(s"$parts/c=$c")
+        .listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      require(fs.length == filesPerBatch,
+        s"expected $filesPerBatch parquet files for copy $c, got ${fs.length}")
+      fs.zipWithIndex.foreach { case (f, k) =>
+        val dst = new java.io.File(tmpDir, f"copy-$c-part-$k%03d.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        val want = 1000000000000L + c * 60000L
+        dst.setLastModified(want)
+        require(dst.lastModified == want,
+          s"could not pin ${dst.getName} to mtime $want; the " +
             "FileStreamSource ordering invariant would be tie-break luck")
+      }
+    }
+    sentinel.coalesce(1).write.mode("append").parquet(tmp)
+    val sentinelWant = 1000000000000L + 2 * 60000L
+    new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("copy-"))
+      .foreach { f =>
+        f.setLastModified(sentinelWant)
+        require(f.lastModified == sentinelWant,
+          s"could not pin sentinel file ${f.getName} to $sentinelWant; " +
+            "the FileStreamSource ordering invariant would be tie-break luck")
       }
     val schema = s.read.parquet(tmp).schema
     val src = s.readStream.schema(schema)
@@ -992,7 +1059,8 @@ object StreamingQueries {
         count(lit(1)).as("n_members"))
       .select(unix_micros(col("window.start")).as("win_us"),
         col("fp"), col("canon"), col("latest"), col("n_members"))
-    runToMemory(s, agg, OutputMode.Append())
+    // chained dedup state holds one key per document — input-sized
+    runToMemory(s, agg, OutputMode.Append(), stateKeys = maxId + 2)
   }
 
   /** Streaming quality gating (r13) — the batch gate stack scored on
@@ -1064,33 +1132,37 @@ object StreamingQueries {
       .select(col("doc_id"), col("source"), col("text"))
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
     val nFiles = 4
+    // ONE write job for the four time-ordered files (r16): the old
+    // spelling ran four sequential filtered coalesce(1) writes, each
+    // scanning the documents table. The range predicate becomes a
+    // partition column (b = doc_id·4 div (maxId+1) — identical row
+    // assignment), one single-task job writes one file per range, and
+    // the files are MOVED into the source dir with pinned mtimes.
+    // Arrival order stays explicit: the file source replays files by
+    // (modTime, path), and a silently rejected mtime pin would degrade
+    // ordering to sub-second tie-break luck — later-time rows could
+    // race into earlier batches and be late-dropped. Re-stat and fail
+    // loudly (the sentinel-pinning rule, r9/r15 advisors).
+    val parts = graft.Tables.tempOutDir("stream_qwin_parts")
+    docs.withColumn("b",
+        expr(s"CAST((doc_id * $nFiles) div ${maxId + 1} AS INT)"))
+      .coalesce(1).write.partitionBy("b").parquet(parts)
     val tmp = graft.Tables.tempOutDir("stream_qwin")
+    val tmpDir = new java.io.File(tmp)
+    require(tmpDir.mkdirs() || tmpDir.isDirectory, s"cannot create $tmp")
     (0 until nFiles).foreach { i =>
-      docs.filter(col("doc_id") * nFiles >= lit(i.toLong * (maxId + 1)) &&
-          col("doc_id") * nFiles < lit((i + 1).toLong * (maxId + 1)))
-        .coalesce(1).write
-        .mode(if (i == 0) "overwrite" else "append").parquet(tmp)
-      // stamp arrival order explicitly: the file source replays files
-      // by (modTime, path), and sub-millisecond writes could tie.
-      // Freshly-written files carry a real clock time (≫ the synthetic
-      // epoch below); already-stamped files are left alone.
-      new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet"))
-        .foreach { f =>
-          if (f.lastModified() > 1500000000000L) {
-            val want = 1000000000000L + i * 60000L
-            f.setLastModified(want)
-            // a silently rejected mtime pin (setLastModified returns
-            // false on filesystems that refuse updates) degrades file
-            // ordering to sub-second tie-break luck — later-time rows
-            // could race into earlier batches and be late-dropped.
-            // Re-stat and fail loudly (the sentinel-pinning rule above,
-            // r9/r15 advisors).
-            require(f.lastModified == want,
-              s"could not pin ${f.getName} to batch-$i mtime $want " +
-                s"(got ${f.lastModified}); the FileStreamSource " +
-                "time-ordering invariant would be tie-break luck")
-          }
-        }
+      val fs = new java.io.File(s"$parts/b=$i")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      require(fs.length == 1,
+        s"expected one parquet file for batch $i, got ${fs.length}")
+      val dst = new java.io.File(tmpDir, s"batch-$i.parquet")
+      java.nio.file.Files.move(fs(0).toPath, dst.toPath)
+      val want = 1000000000000L + i * 60000L
+      dst.setLastModified(want)
+      require(dst.lastModified == want,
+        s"could not pin ${dst.getName} to batch-$i mtime $want " +
+          s"(got ${dst.lastModified}); the FileStreamSource " +
+          "time-ordering invariant would be tie-break luck")
     }
     val src = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(tmp)

@@ -126,6 +126,11 @@ class PlanSpec extends SparkSpec {
       // shard_export_curriculum composes it with the pack-count scalar
       // (bucket arithmetic + the Sizing shard derivation)
       "curriculum_order", "shard_export_curriculum",
+      // shard_export / shard_export_incremental: crossJoin(broadcast(
+      // 1-row derived shard count)) — the Sizing.numShards scalar
+      // spelled in-plan so the pack rollup stays lazily shared
+      // (ReusedExchange) between the shard and root branches
+      "shard_export", "shard_export_incremental",
       // bpe_unigram: crossJoin(broadcast(1-row total-usage scalar))
       // over the bounded piece table; unigram_rounds: per-round
       // crossJoins of PAIRS of 1-row aggregates (the ledger shape)
@@ -243,8 +248,12 @@ class PlanSpec extends SparkSpec {
     // align decode pass, one narrow shuffle on top
     "multimodal_interleaved" -> 1,
     // shard_export: pack rollup, shard rollup and the root fold over
-    // the pack-table-sized frame (corpus/512 rows)
-    "shard_export" -> 4,
+    // the pack-table-sized frame (corpus/512 rows); the pack-rollup
+    // chain prints THREE times (shard branch, root branch, and the
+    // 1-row derived-shard-count scalar, r16) but materializes once —
+    // identical shuffle subtrees share one stage under AQE exchange
+    // reuse
+    "shard_export" -> 6,
     // shard_export_curriculum: the full curriculum_order chain (13) +
     // the pack-fp rollup + the (source, pack) reconcile join + the
     // (shard, bucket) segment rollup — all pack-table-keyed
