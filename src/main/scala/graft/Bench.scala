@@ -99,8 +99,16 @@ object Bench {
         val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         // queries persist() intermediates for their own multi-consumer
         // plans; drop them so caches don't accumulate across the run
-        // (release() also drains the tracked-frame registry)
+        // (release() also drains the tracked-frame registry). r17
+        // measurement-honesty fix (r16 verdict item 2): ALSO purge the
+        // SessionMemos, which survive release() and let one timed
+        // query inherit a shared artifact (the corpus-stack memo, the
+        // old-snapshot stores) a previous timed query derived — the
+        // per-query numbers are now standalone costs. Old numbers for
+        // the incremental family were warm-memo and are NOT comparable;
+        // see BASELINE.md.
         graft.analytics.Caches.release()
+        graft.analytics.Caches.releaseMemos()
         spark.catalog.clearCache()
         System.err.println(f"[bench:$tag] $name%-26s $dt%8.2f s")
         name -> dt
@@ -203,6 +211,7 @@ object Bench {
             } catch { case _: Throwable => None }
           } else None
           graft.analytics.Caches.release()
+          graft.analytics.Caches.releaseMemos()
           spark.catalog.clearCache()
           w.println()
           w.println(s"## $name — ${sec(t)} s")

@@ -50,6 +50,23 @@ object Caches {
     * hook for the bounded-accumulation contract. */
   def trackedCount: Int = live.size()
 
+  private val memos = new ConcurrentLinkedQueue[SessionMemo[_]]()
+
+  /** Drop every [[SessionMemo]] entry across all memo instances (r17,
+    * the r16 verdict's bench-honesty item): Bench calls this at the
+    * per-query boundary so a timed query cannot ride a shared artifact
+    * (the corpus-stack memo, the pinned-IDF frame, the old-snapshot
+    * stores) that an EARLIER timed query derived — per-query times are
+    * standalone costs. Entries are recomputed on next access, exactly
+    * like a fresh session; registered session listeners stay in place
+    * (re-clearing an empty map is a no-op). Verify does NOT call this:
+    * the oracle dump is not timed per query, and there the memos play
+    * their documented "lake's persisted artifact" role. */
+  def releaseMemos(): Unit = {
+    val it = memos.iterator()
+    while (it.hasNext) it.next().clearEntries()
+  }
+
   /** (SparkSession, corpus-dir)-keyed memo with SESSION-END EVICTION
     * (r14 advice): the plain TrieMap spelling strongly retained every
     * SparkSession ever used — plus its checkpointed DataFrame handles
@@ -63,10 +80,16 @@ object Caches {
     * session after a stop misses the map and rebuilds, which is the
     * r13 contract. */
   final class SessionMemo[V] {
+    Caches.memos.add(this)
     private val map =
       scala.collection.concurrent.TrieMap.empty[(SparkSession, String), V]
     private val hooked =
       scala.collection.concurrent.TrieMap.empty[SparkSession, Boolean]
+
+    /** Drop all entries (the [[Caches.releaseMemos]] per-query bench
+      * boundary). `hooked` is kept — the registered listeners clear an
+      * empty map harmlessly and re-registering would leak listeners. */
+    private[Caches] def clearEntries(): Unit = map.clear()
 
     def getOrElseUpdate(key: (SparkSession, String), v: => V): V = {
       // purge entries owned by already-stopped contexts on every access

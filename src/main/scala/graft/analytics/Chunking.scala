@@ -472,8 +472,14 @@ object Chunking {
     * exists to detect. */
   def dedupProfile(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
+    // materialize the pair generator ONCE before mirroring (r17, the
+    // clustersLoop p0 precedent): the union below reads `pairs` twice
+    // and each branch re-ran the whole span-fingerprint candidate
+    // pipeline — id+long rows only, exactly what a checkpoint holds
     val pairs = dedupSpansOf(docs, k = 8,
       dfCap = Sizing.spanDfCap(docs.count()), minSpan = 16)
+      .select(col("doc_a"), col("doc_b"), col("longest_span"))
+      .localCheckpoint(true)
     val perDoc = pairs
       .select(col("doc_a").as("doc_id"), col("longest_span"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"), col("longest_span")))

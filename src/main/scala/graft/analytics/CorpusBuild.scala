@@ -207,10 +207,18 @@ object CorpusBuild {
     * the v2 pipeline and [[IncrementalBuild]]'s snapshot-delta corpus,
     * so both builds see byte-identical repaired text for the same
     * planted page. */
-  private[analytics] def decorate(planted: DataFrame): DataFrame = {
+  private[analytics] def decorate(planted: DataFrame): DataFrame =
+    decorateAt(planted,
+      planted.sparkSession.sparkContext.defaultParallelism)
+
+  /** [[decorate]] with an explicit fan-out — the streamed ingest sizes
+    * its micro-batch repartition to the batch row count (r17,
+    * [[Sizing.batchDocPartitions]]); the corpus-wide paths keep the
+    * defaultParallelism spelling. */
+  private[analytics] def decorateAt(planted: DataFrame, parts: Int): DataFrame = {
     val ck = contentKey(col("text"))
     planted
-      .repartition(planted.sparkSession.sparkContext.defaultParallelism)
+      .repartition(parts)
       .select(col("doc_id"), col("source"), col("lang"),
         col("text").as("raw"), ck.as("ck"),
         TextAnalysis.unicodeFoldCol(

@@ -1035,9 +1035,13 @@ object Dedup {
     val p0 = simhash64PairsOf(bfsTestbedDocs(s, d))
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
+    // NOT checkpointed (r17): edges is two cheap projections over p0's
+    // checkpoint — re-running them per hop costs a narrow id-only scan,
+    // where the old per-loop eager checkpoint was a full extra job
+    // (guide §2.6: the hop loop is serial driver-bound structure, every
+    // removed action is wall-clock)
     val edges = p0.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p0.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
     // source = max degree, ties → smallest id (the doc whose duplicate
     // neighborhood matters most); one tiny agg over id-only edges
     val src = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -1051,7 +1055,12 @@ object Dedup {
           col("doc_id") === col("seen"), "left_anti")
         .select(col("doc_id"), lit(hop).as("dist"))
         .localCheckpoint(true)
-      visited = visited.unionByName(next).localCheckpoint(true)
+      // visited stays a FLAT UNION of the 1-row seed + per-hop
+      // checkpoints (r17): re-checkpointing the union each hop copied
+      // every prior hop's rows through one more eager job — 3 jobs of
+      // pure copy for a 3-hop loop. The union of ≤ 4 checkpoint scans
+      // is as shallow a plan as the copy was.
+      visited = visited.unionByName(next)
       frontier = next.select(col("doc_id"))
     }
     visited

@@ -194,10 +194,24 @@ object IncrementalBuild {
   private[graft] final case class Gates(wsum: Array[Long], evsh: DataFrame,
     semDrop: DataFrame)
 
-  /** Stages 1–2 over a population slice: holdout + unicode. */
-  private def headIds(base: DataFrame, pop: DataFrame): Seq[DataFrame] = {
-    val ids0 = sever(pop.select(col("doc_id")))
-    val ids1 = sever(pop.filter(col("doc_id") >= HoldMax)
+  /** Stages 1–2 over a population slice: holdout + unicode.
+    *
+    * `lean` (r17): the streamed ingest's PER-MICRO-BATCH replay does
+    * not return these sets to any consumer — ids0/ids1 are pure
+    * filters of the already-checkpointed batch that NOTHING downstream
+    * evaluates (only sets 2–4 feed the store slices and sets.last the
+    * ledger), so severing them spent an eager job per stage per batch
+    * materializing frames no one reads. ids2 stays severed in both
+    * modes: it is re-read as a semi-join slice key by the exact gate
+    * AND the fp store update, and a checkpointed id set broadcasts
+    * where the unsevered self-join of the batch would shuffle. The
+    * memoized one-shot paths keep full severs: their sets ARE the
+    * shared artifact many queries re-read. */
+  private def headIds(base: DataFrame, pop: DataFrame,
+      lean: Boolean = false): Seq[DataFrame] = {
+    def sv(df: DataFrame) = if (lean) df else sever(df)
+    val ids0 = sv(pop.select(col("doc_id")))
+    val ids1 = sv(pop.filter(col("doc_id") >= HoldMax)
       .select(col("doc_id")))
     val ids2 = sever(base.join(ids1, Seq("doc_id"), "left_semi")
       .filter(CorpusBuild.unicodeKeepCol).select(col("doc_id")))
@@ -221,8 +235,16 @@ object IncrementalBuild {
     * full text scans + two slice semi-joins with one scan over an
     * id+flags frame. On the streamed ingest path this runs once per
     * MICRO-BATCH, where the per-stage job overhead dominated. */
-  private def tailIds(base: DataFrame, ids5: DataFrame, g: Gates): Seq[DataFrame] = {
+  private def tailIds(base: DataFrame, ids5: DataFrame, g: Gates,
+      lean: Boolean = false): Seq[DataFrame] = {
     def slice(ids: DataFrame) = base.join(ids, Seq("doc_id"), "left_semi")
+    // lean (r17): ids6–ids9 are filters/anti-joins hanging off the
+    // severed flags frame — per-micro-batch they are read at most once
+    // more (by the next stage's plan), so their eager checkpoints were
+    // four pure-overhead jobs per batch. flags (the one heavy text
+    // pass) and ids10 (the set the stream accumulates and folds) stay
+    // severed in both modes.
+    def sv(df: DataFrame) = if (lean) df else sever(df)
     val s5 = slice(ids5)
     val flags = sever(Curation.classifierScored(
         TextAnalysis.qualityGopherOf(
@@ -234,12 +256,12 @@ object IncrementalBuild {
         g.wsum, carry = Seq("gopher_keep", "lic_ok"))
       .select(col("doc_id"), col("gopher_keep"), col("lic_ok"),
         col("accept")))
-    val ids6 = sever(flags.filter(col("gopher_keep") === 1)
+    val ids6 = sv(flags.filter(col("gopher_keep") === 1)
       .select(col("doc_id")))
-    val ids7 = sever(flags
+    val ids7 = sv(flags
       .filter(col("gopher_keep") === 1 && col("lic_ok") === 1)
       .select(col("doc_id")))
-    val ids8 = sever(flags
+    val ids8 = sv(flags
       .filter(col("gopher_keep") === 1 && col("lic_ok") === 1 &&
         col("accept") === 1)
       .select(col("doc_id")))
@@ -247,7 +269,7 @@ object IncrementalBuild {
     val contam = shinglesF(s8)
       .join(broadcast(g.evsh), Seq("shingle"), "left_semi")
       .select(col("doc_id")).distinct()
-    val ids9 = sever(ids8.join(contam, Seq("doc_id"), "left_anti"))
+    val ids9 = sv(ids8.join(contam, Seq("doc_id"), "left_anti"))
     val ids10 = sever(ids9.join(g.semDrop, Seq("doc_id"), "left_anti"))
     Seq(ids6, ids7, ids8, ids9, ids10)
   }
@@ -340,13 +362,13 @@ object IncrementalBuild {
     * because crawl ids increase monotonically across batches (see
     * [[streamIncrementalIngest]]'s induction note). */
   private def deltaStackAgainst(base: DataFrame, stores: Stores,
-      pop: DataFrame, g: Gates): Seq[DataFrame] = {
+      pop: DataFrame, g: Gates, lean: Boolean = false): Seq[DataFrame] = {
     def slice(ids: DataFrame) = base.join(ids, Seq("doc_id"), "left_semi")
     val fpStore = stores.fp
     val bandStore = stores.band
     val paraStore = stores.para
 
-    val head = headIds(base, pop)
+    val head = headIds(base, pop, lean)
     val s2 = slice(head(2))
     // exact vs store, then keep-first among genuinely new fps
     val ids3 = sever(s2.select(col("doc_id"), md5(col("ftext")).as("fp"))
@@ -390,24 +412,32 @@ object IncrementalBuild {
     val removed = inStore.unionByName(lateLocal).distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_removed"))
     val ids5 = sever(paraKeepIds(pa, removed))
-    head ++ Seq(ids3, ids4, ids5) ++ tailIds(base, ids5, g)
+    head ++ Seq(ids3, ids4, ids5) ++ tailIds(base, ids5, g, lean)
   }
 
   private[graft] final case class IncrState(base: DataFrame,
     oldSets: Seq[DataFrame], deltaSets: Seq[DataFrame],
     scratchSets: Seq[DataFrame], gates: Gates)
 
-  private val memo = new Caches.SessionMemo[IncrState]
+  private val baseMemo = new Caches.SessionMemo[(DataFrame, Gates)]
+  private val oldMemo = new Caches.SessionMemo[Seq[DataFrame]]
+  private val deltaMemo = new Caches.SessionMemo[Seq[DataFrame]]
+  private val scratchMemo = new Caches.SessionMemo[Seq[DataFrame]]
 
   private val m10Memo =
     new Caches.SessionMemo[(DataFrame, DataFrame, DataFrame)]
 
-  /** Three materialized runs per (session, corpus): the old snapshot's
-    * stack (whose post-unicode/exact/neardup slices feed the stores),
-    * the incremental delta gating, and the from-scratch union — the
-    * two sides of the invariant plus the artifact they share. */
-  private[graft] def build(s: SparkSession, d: String): IncrState =
-    memo.getOrElseUpdate((s, d), {
+  /** Decorated base + the pinned per-doc gates — the artifact every
+    * family member starts from. Memoized SEPARATELY from the three
+    * stacks (r17, the memo-purged-bench consequence of the r16
+    * verdict's item 2): with Bench re-deriving memos per timed query,
+    * a monolithic build() charged every query the cost of ALL THREE
+    * stack replays; split memos let each query derive only the stacks
+    * it actually reads (the streamed ingest needs base + gates +
+    * oldSets only — the delta and scratch replays are other queries'
+    * artifacts). */
+  private[graft] def baseGates(s: SparkSession, d: String): (DataFrame, Gates) =
+    baseMemo.getOrElseUpdate((s, d), {
       val base = sever(CorpusBuild.decorate(planted(documents(s, d))))
       val wsum = Curation.trainQualityWeights(s, d)._2
       val evsh = sever(base.filter(col("doc_id") < HoldMax)
@@ -415,12 +445,41 @@ object IncrementalBuild {
         .select(explode(graft.functions.text.shingles(rawToks, 5)).as("shingle"))
         .distinct())
       val semDrop = sever(CorpusBuild.semDropOf(s, d))
-      val g = Gates(wsum, evsh, semDrop)
-      val oldSets = batchStack(base, base.filter(col("doc_id") < SnapMax), g)
-      val deltaSets = deltaStack(s, d, base, oldSets, g)
-      val scratchSets = batchStack(base, base, g)
-      IncrState(base, oldSets, deltaSets, scratchSets, g)
+      (base, Gates(wsum, evsh, semDrop))
     })
+
+  /** The old snapshot's from-scratch stack (its post-unicode / exact /
+    * neardup slices feed the three stores). */
+  private[graft] def oldSetsOf(s: SparkSession, d: String): Seq[DataFrame] =
+    oldMemo.getOrElseUpdate((s, d), {
+      val (base, g) = baseGates(s, d)
+      batchStack(base, base.filter(col("doc_id") < SnapMax), g)
+    })
+
+  /** The incremental delta gating against the lake's stores. */
+  private[graft] def deltaSetsOf(s: SparkSession, d: String): Seq[DataFrame] =
+    deltaMemo.getOrElseUpdate((s, d), {
+      val (base, g) = baseGates(s, d)
+      deltaStack(s, d, base, oldSetsOf(s, d), g)
+    })
+
+  /** The from-scratch union stack — the equivalence receipts' other
+    * side. */
+  private[graft] def scratchSetsOf(s: SparkSession, d: String): Seq[DataFrame] =
+    scratchMemo.getOrElseUpdate((s, d), {
+      val (base, g) = baseGates(s, d)
+      batchStack(base, base, g)
+    })
+
+  /** Three materialized runs per (session, corpus): the old snapshot's
+    * stack, the incremental delta gating, and the from-scratch union —
+    * the two sides of the invariant plus the artifact they share. Only
+    * the receipts that read all three (corpus_incr_equiv{,_computed})
+    * should call this; everything else uses the finer accessors. */
+  private[graft] def build(s: SparkSession, d: String): IncrState = {
+    val (base, g) = baseGates(s, d)
+    IncrState(base, oldSetsOf(s, d), deltaSetsOf(s, d), scratchSetsOf(s, d), g)
+  }
 
   private[graft] val StageNames = Seq("eval_holdout", "unicode",
     "exact_vs_store", "neardup_vs_store", "paragraph_vs_store",
@@ -428,7 +487,7 @@ object IncrementalBuild {
 
   /** The monthly batch report: the delta-only 10-row drop ledger. */
   def corpusBuildIncremental(s: SparkSession, d: String): DataFrame = {
-    val ids = build(s, d).deltaSets
+    val ids = deltaSetsOf(s, d)
     StageNames.zipWithIndex.map { case (name, i) =>
       ids(i).agg(count(lit(1)).as("n_in"))
         .crossJoin(ids(i + 1).agg(count(lit(1)).as("n_out")))
@@ -462,17 +521,21 @@ object IncrementalBuild {
     * of the invariant), so the report is complete with inflow rows
     * only — the id-set anti-joins are the whole derivation. */
   def corpusDiff(s: SparkSession, d: String): DataFrame = {
-    val st = build(s, d)
+    // needs base + the old/delta stacks only — not the from-scratch
+    // replay (r17 split-memo point)
+    val (base, _) = baseGates(s, d)
+    val oldSets = oldSetsOf(s, d)
+    val deltaSets = deltaSetsOf(s, d)
     val tagged = (
-      Seq((st.oldSets.last, "unchanged"), (st.deltaSets.last, "added")) ++
+      Seq((oldSets.last, "unchanged"), (deltaSets.last, "added")) ++
       StageNames.zipWithIndex.map { case (name, i) =>
-        (st.deltaSets(i).join(st.deltaSets(i + 1), Seq("doc_id"), "left_anti"),
+        (deltaSets(i).join(deltaSets(i + 1), Seq("doc_id"), "left_anti"),
           s"removed@$name")
       })
       .map { case (ids, status) =>
         ids.select(col("doc_id"), lit(status).as("status")) }
       .reduce(_ unionByName _)
-    tagged.join(st.base.select(col("doc_id"), col("source")), Seq("doc_id"))
+    tagged.join(base.select(col("doc_id"), col("source")), Seq("doc_id"))
       .groupBy(col("source"), col("status"))
       .agg(count(lit(1)).as("n_docs"))
   }
@@ -539,13 +602,16 @@ object IncrementalBuild {
     * on, here measured on the real monthly workflow rather than a
     * synthetic append. */
   def shardExportIncremental(s: SparkSession, d: String): DataFrame = {
-    val st = build(s, d)
+    // needs base + the old/delta survivor sets only (r17 split-memo)
+    val (base, _) = baseGates(s, d)
+    val oldLast = oldSetsOf(s, d).last
+    val deltaLast = deltaSetsOf(s, d).last
     def export(ids: DataFrame) = CorpusBuild.shardExportOf(
       CorpusBuild.releaseDocsOf(
-        st.base.join(ids, Seq("doc_id"), "left_semi")))
+        base.join(ids, Seq("doc_id"), "left_semi")))
       .filter(col("shard_id") >= 0)
-    val o = export(st.oldSets.last)
-    val n = export(st.oldSets.last.unionByName(st.deltaSets.last))
+    val o = export(oldLast)
+    val n = export(oldLast.unionByName(deltaLast))
     o.select(col("shard_id"), col("n_packs").as("n_packs_old"),
         col("shard_fp").as("fp_old"))
       .join(n.select(col("shard_id"), col("n_packs").as("n_packs_new"),
@@ -594,7 +660,12 @@ object IncrementalBuild {
     * fold the oracle re-derives from the BATCH path (x10) — the
     * streamed and batch spellings must agree id-for-id. */
   def streamIncrementalIngest(s: SparkSession, d: String): DataFrame = {
-    val st = build(s, d)
+    // the streamed ingest reads base + gates + the OLD stack's stores
+    // only — under the memo-purged bench the old monolithic build()
+    // charged it two stack replays (delta, scratch) it never read
+    // (r17 split-memo point)
+    val (stBase, stGates) = baseGates(s, d)
+    val stOldSets = oldSetsOf(s, d)
     // land the monthly batches as TIME-ORDERED files (the
     // stream_quality_windowed mtime-pin discipline: FileStreamSource
     // orders by (modTime, path) and a failed pin degrades ordering to
@@ -621,8 +692,8 @@ object IncrementalBuild {
     val tmpDir = new java.io.File(tmp)
     require(tmpDir.mkdirs() || tmpDir.isDirectory, s"cannot create $tmp")
     (0 until 4).foreach { i =>
-      val fs = new java.io.File(s"$parts/b=$i")
-        .listFiles().filter(_.getName.endsWith(".parquet"))
+      val fs = Option(new java.io.File(s"$parts/b=$i").listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
       require(fs.length == 1,
         s"expected exactly one parquet file for batch $i, got ${fs.length}")
       val dst = new java.io.File(tmpDir, s"batch-$i.parquet")
@@ -645,7 +716,7 @@ object IncrementalBuild {
     // severed artifact (r16) — re-deriving them here cost a full
     // shingle/minhash + paragraph pass over the old snapshot per
     // invocation.
-    val st0 = oldStores(s, d, st.base, st.oldSets)
+    val st0 = oldStores(s, d, stBase, stOldSets)
     var fpS = st0.fp
     var bandS = st0.band
     var paraS = st0.para
@@ -654,16 +725,35 @@ object IncrementalBuild {
 
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          // fan the micro-batch to full width before decorating: a
-          // one-file trigger arrives as a SINGLE partition, and
-          // severing it as-is would run every downstream text stage
-          // (shingles, paragraphs, gopher, classifier) on one task
-          // (the r14 single-split serialization class)
-          val b = sever(CorpusBuild.decorate(
-            batch.repartition(s.sparkContext.defaultParallelism)))
+        // ONE action answers both "is it empty" and "how many rows"
+        // (the fan-out input) — isEmpty was its own job
+        val nArrived = batch.count()
+        if (nArrived > 0) {
+          // batch-sized shuffle parallelism for the gate chain's many
+          // small joins/rollups (r17, the withLoopShufflePartitions
+          // precedent): the session's full-corpus setting ran every
+          // per-batch shuffle as 32 near-empty tasks; restored in the
+          // finally below, so only this batch's jobs are affected. At
+          // a production batch size the same rule derives full
+          // parallelism.
+          val bp = Sizing.batchDocPartitions(nArrived,
+            s.sparkContext.defaultParallelism)
+          val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+          s.conf.set("spark.sql.shuffle.partitions", bp.toString)
+          try {
+          // fan the micro-batch out before decorating: a one-file
+          // trigger arrives as a SINGLE partition, and severing it
+          // as-is would run every downstream text stage (shingles,
+          // paragraphs, gopher, classifier) on one task (the r14
+          // single-split serialization class). Fan-out is SIZED TO THE
+          // BATCH (r17, Sizing.batchDocPartitions — the one-partition
+          // count is a single-split scan, ~free): the r16
+          // defaultParallelism pin made every per-batch job 32
+          // near-empty tasks at test SF, the dominant share of the
+          // ~20-short-jobs-per-batch chain the r16 verdict flagged
+          val b = sever(CorpusBuild.decorateAt(batch, bp))
           val sets = deltaStackAgainst(b, Stores(fpS, bandS, paraS), b,
-            st.gates)
+            stGates, lean = true)
           val appendedB = sets.last
           // store accumulation (r16): sever the batch-sized INCREMENTS
           // and accumulate by plain union of the severed leaves — the
@@ -687,13 +777,16 @@ object IncrementalBuild {
           bandS = bandS.unionByName(bandU)
           paraS = paraS.unionByName(paraU)
           appended = appended.unionByName(appendedB)
-          // ONE ledger job: batch count, appended count and the id
-          // fold crossJoined (three driver actions fused)
-          val row = b.agg(count(lit(1)).as("na"))
-            .crossJoin(appendedB.agg(count(lit(1)).as("nb")))
+          // ONE ledger job: appended count + the id fold crossJoined.
+          // n_arrived is the count already taken for the fan-out
+          // (decorate is a pure projection — row-preserving), so the
+          // r16 b.agg leg re-scanned the batch for a number the driver
+          // already held
+          val row = appendedB.agg(count(lit(1)).as("nb"))
             .crossJoin(idFoldDf(appendedB)).head
-          ledger += ((batchId, row.getLong(0), row.getLong(1),
-            row.getString(2)))
+          ledger += ((batchId, nArrived, row.getLong(0),
+            row.getString(1)))
+          } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
         }
         ()
       }

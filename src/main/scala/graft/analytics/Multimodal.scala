@@ -2058,7 +2058,7 @@ object Multimodal {
         lit(" joined "), col("n_slots").cast("string"),
         lit(" scored slots, expected 1 + (doc_id % 4) — a pool pair is "),
         lit("missing from (or duplicated in) the scored pair table"))))
-    slots.join(scored, Seq("pair_id"))
+    val grouped = slots.join(scored, Seq("pair_id"))
       .groupBy(col("i"))
       .agg(count(lit(1)).as("n_slots"),
         sum(col("keep")).cast("long").as("n_kept"),
@@ -2069,6 +2069,20 @@ object Multimodal {
             struct(col("s"), col("pair_id"))))),
           x => concat(x.getField("s").cast("string"), lit(":"),
             x.getField("pair_id").cast("string"))))).as("kept_fp"))
+      // doc-count reconciliation (r17, r16 advice): the per-group
+      // slot-count guard below cannot see a doc whose EVERY slot pair
+      // vanished from the scored table — it would join zero rows, emit
+      // no group, and silently disappear. Checkpoint the rollup (one
+      // materialization; the decode pass runs exactly once either way)
+      // and compare the emitted doc count against the pool width n
+      // driver-side — total coverage, no extra exchange, and no
+      // re-execution of the heavy scored chain.
+      .localCheckpoint(true)
+    val emitted = grouped.count()
+    require(emitted == n,
+      s"multimodal_interleaved: $emitted docs emitted, expected $n — " +
+        "some doc's every slot pair is missing from the scored pair table")
+    grouped
       .select(col("i").as("doc_id"), slotGuard.as("n_slots"), col("n_kept"),
         col("n_stripped"), col("doc_keep"), col("kept_fp"))
   }

@@ -1686,6 +1686,28 @@ object Relational {
     * plain declarative DuckDB oracle (min qualifying power of two). */
   def sqlScript(s: SparkSession, d: String): DataFrame = {
     events(s, d).createOrReplaceTempView("events")
+    // ONE events scan precomputes every rung's count (r17, guide §2.4
+    // "don't re-scan what one pass can answer"): the loop below probes
+    // kept(thr) for thr = 2,4,…,2⁴⁰ and the old spelling ran a FULL
+    // events scan per iteration (up to 40 scans). kept(thr) =
+    // count(cents ≥ thr) is 40 conditional counts in one aggregation,
+    // collected as one 41-long row (bounded index metadata, the
+    // maxId-collect class) and re-exposed as a 40-row LOCAL view the
+    // script's loop reads — the script text, its variables and its
+    // termination rule are UNCHANGED; each iteration now costs a
+    // 40-row local scan. The oracle still re-derives the loop from the
+    // raw table, so the hash match proves the rung equivalence.
+    val aggs = (1 to 40)
+      .map(k => s"count_if(c >= ${1L << k}) AS k$k").mkString(", ")
+    val row = s.sql(
+      s"""SELECT count(*) AS n, $aggs
+          FROM (SELECT CAST(floor(value * 100) AS BIGINT) AS c
+                FROM events)""").collect()(0)
+    val rungs = (1 to 40).map(k => (1L << k, row.getLong(k)))
+    s.createDataFrame(rungs).toDF("rung", "kept_ge")
+      .createOrReplaceTempView("graft_rungs")
+    s.createDataFrame(Seq(Tuple1(row.getLong(0)))).toDF("n")
+      .createOrReplaceTempView("graft_rung_total")
     val prev = s.conf.getOption("spark.sql.scripting.enabled")
     s.conf.set("spark.sql.scripting.enabled", "true")
     // rungs tested: 2, 4, …, 2⁴⁰ (first rung probed before the loop;
@@ -1696,13 +1718,11 @@ object Relational {
         DECLARE n BIGINT DEFAULT 0;
         DECLARE thr BIGINT DEFAULT 2;
         DECLARE kept BIGINT DEFAULT 0;
-        SET n = (SELECT count(*) FROM events);
-        SET kept = (SELECT count(*) FROM events
-                    WHERE CAST(floor(value * 100) AS BIGINT) >= 2);
+        SET n = (SELECT n FROM graft_rung_total);
+        SET kept = (SELECT kept_ge FROM graft_rungs WHERE rung = 2);
         WHILE kept * 2 > n AND thr < 1099511627776 DO
           SET thr = thr * 2;
-          SET kept = (SELECT count(*) FROM events
-                      WHERE CAST(floor(value * 100) AS BIGINT) >= thr);
+          SET kept = (SELECT kept_ge FROM graft_rungs WHERE rung = thr);
         END WHILE;
         SELECT thr AS threshold_cents, kept AS n_kept, n AS n_total;
       END""")

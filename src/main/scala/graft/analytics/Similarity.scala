@@ -27,7 +27,12 @@ object Similarity {
     * groups, which would otherwise serialize the whole O(N·Q) scan into
     * one or two tasks. */
   private def corpus(s: SparkSession, d: String): DataFrame = {
-    val parts = s.sparkContext.defaultParallelism
+    // Sizing-derived fan-out (r17), not defaultParallelism: the
+    // embeddings metadata count is free, and 32 tasks per tiny job was
+    // the measured anti-scaling cost of this family (c8 beat c32)
+    val parts = Sizing.vecPartitions(
+      s.read.parquet(s"$d/embeddings.parquet").count(),
+      s.sparkContext.defaultParallelism)
     embeddings(s, d).repartition(parts)
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))

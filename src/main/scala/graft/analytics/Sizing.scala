@@ -94,15 +94,57 @@ object Sizing {
     * per-shard fold is a few MB — still one bounded buffer). */
   def numShards(nPacks: Long): Int = clamp(16L, 1048576L, nPacks / 4096L)
 
-  /** State-store parallelism for a streaming query (r16): one state
-    * partition per ~8k keyed-state entries, floored at 8 (the
-    * bounded-key aggregations, where per-batch task overhead dominates)
-    * and capped at the machine's parallelism (state commits are I/O
-    * per partition — more partitions than cores just queue). At the
-    * replay-dedup query's 100k event keys this derives the full core
-    * count; at a per-source rollup's dozens of keys it stays 8. */
+  /** State-store parallelism for a streaming query. One state
+    * partition per ~1M keyed-state entries (tens of MB of state — the
+    * volume at which a partition's snapshot/commit cost is real work
+    * rather than fixed overhead), floored at min(8, maxPar) (the
+    * bounded-key aggregations, where per-batch task overhead dominates;
+    * the min keeps the documented "never above the machine's
+    * parallelism" contract on small machines) and capped at the
+    * machine's parallelism (state commits are I/O per partition — more
+    * partitions than cores just queue).
+    *
+    * MEASURED CAUTION (r17, reverting the r16 divisor of 8192): every
+    * state partition pays a per-micro-batch commit (and, for a
+    * stream-stream join, FOUR state stores' commits), so partitions
+    * must be sized to state VOLUME, not key count alone. The 8192-key
+    * rule derived 12 partitions for the 100k-event test corpus and the
+    * driver's own 32-core run regressed all three stream-stream joins
+    * ~1.5-2.0x vs the pinned 8 (r16 verdict: 2.11/2.26/2.18 s ->
+    * 4.13/3.93/3.30 s) while its 8-core run — where the cap forces 8 —
+    * stayed flat. At production state volumes (1e9+ keys) this rule
+    * still derives full parallelism. */
   def statePartitions(stateKeys: Long, maxPar: Int): Int =
-    clamp(8L, maxPar.toLong, stateKeys / 8192L)
+    clamp(math.min(8L, maxPar.toLong), maxPar.toLong, stateKeys / (1L << 20))
+
+  /** Scan fan-out for the similarity family's vector corpus (r17 —
+    * the r16 verdict's anti-scaling item: `sim_ann_ivf` ran 2× SLOWER
+    * at 32 cores than at 8 because every one of its ~6 small jobs
+    * (repartition, persist fill, quantizer init, two Lloyd rounds, the
+    * probe scan) launched defaultParallelism tasks over a few thousand
+    * vectors — task scheduling exceeded compute). One partition per
+    * ~8k vectors: a 64-dim assignment against a 16-cell quantizer is
+    * ~1k flops/vector, so 8k vectors ≈ 8M flops ≈ a task worth
+    * scheduling; floor 2 (spread the O(N·Q) exact scans off a single
+    * task even on tiny corpora), cap at the machine's parallelism. At
+    * the test corpora this derives 2; at 10⁶ vectors ~122 tasks; at
+    * 10⁹ it saturates the cluster. Partition count never affects
+    * results here: the family's aggregations are fixed-point /
+    * rank-deterministic by construction. */
+  def vecPartitions(nVecs: Long, maxPar: Int): Int =
+    clamp(math.min(2L, maxPar.toLong), maxPar.toLong, nVecs / 8192L)
+
+  /** Fan-out for a heavy per-document text pass over a micro-batch
+    * (r17): ~256 documents per task keeps each task at tens of ms of
+    * decorate/shingle/classifier work (per-doc cost is hundreds of µs)
+    * — enough to amortize scheduling; floor 2 (never the r14
+    * single-split serialization), cap at the machine's parallelism.
+    * The r16 streamed-ingest loop pinned defaultParallelism here,
+    * which at the test SF ran every one of its ~10 per-batch jobs as
+    * 32 near-empty tasks; a production monthly batch (1e8 docs)
+    * still derives full parallelism. */
+  def batchDocPartitions(nDocs: Long, maxPar: Int): Int =
+    clamp(math.min(2L, maxPar.toLong), maxPar.toLong, nDocs / 256L)
 
   /** LSH band sizing for a MinHash signature of `numHashes` hashes and
     * a Jaccard threshold `t`: choose the band count b (rows r =

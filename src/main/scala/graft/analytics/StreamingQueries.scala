@@ -584,8 +584,8 @@ object StreamingQueries {
     val tmpDir = new java.io.File(tmp)
     require(tmpDir.mkdirs() || tmpDir.isDirectory, s"cannot create $tmp")
     (0 until 2).foreach { i =>
-      val fs = new java.io.File(s"$parts/c=$i")
-        .listFiles().filter(_.getName.endsWith(".parquet"))
+      val fs = Option(new java.io.File(s"$parts/c=$i").listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
       require(fs.length == 1,
         s"expected one parquet file for copy $i, got ${fs.length}")
       val dst = new java.io.File(tmpDir, s"copy-$i.parquet")
@@ -1005,14 +1005,22 @@ object StreamingQueries {
     // would be late-dropped and undercounted; a silently failed pin
     // degrades ordering to path tie-break luck — re-stat, fail loudly).
     val parts = graft.Tables.tempOutDir("stream_fp_parts")
+    // hash-partition on doc_id, not round-robin (r17, r16 advice):
+    // both copies of a doc land in the SAME task, so every task holds
+    // rows of both copies and each copy dir gets exactly filesPerBatch
+    // files — round-robin only guaranteed that when every task drew
+    // rows of both copies by luck, and it pays a local sort
+    // (sortBeforeRepartition) this spelling skips
     stamped.withColumn("c", lit(0))
       .unionByName(stamped.withColumn("c", lit(1)))
-      .repartition(filesPerBatch).write.partitionBy("c").parquet(parts)
+      .repartition(filesPerBatch, col("doc_id"))
+      .write.partitionBy("c").parquet(parts)
     val tmpDir = new java.io.File(tmp)
     require(tmpDir.mkdirs() || tmpDir.isDirectory, s"cannot create $tmp")
     (0 until 2).foreach { c =>
-      val fs = new java.io.File(s"$parts/c=$c")
-        .listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val fs = Option(new java.io.File(s"$parts/c=$c").listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       require(fs.length == filesPerBatch,
         s"expected $filesPerBatch parquet files for copy $c, got ${fs.length}")
       fs.zipWithIndex.foreach { case (f, k) =>
@@ -1027,7 +1035,7 @@ object StreamingQueries {
     }
     sentinel.coalesce(1).write.mode("append").parquet(tmp)
     val sentinelWant = 1000000000000L + 2 * 60000L
-    new java.io.File(tmp).listFiles()
+    Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.endsWith(".parquet") &&
         !f.getName.startsWith("copy-"))
       .foreach { f =>
@@ -1151,8 +1159,8 @@ object StreamingQueries {
     val tmpDir = new java.io.File(tmp)
     require(tmpDir.mkdirs() || tmpDir.isDirectory, s"cannot create $tmp")
     (0 until nFiles).foreach { i =>
-      val fs = new java.io.File(s"$parts/b=$i")
-        .listFiles().filter(_.getName.endsWith(".parquet"))
+      val fs = Option(new java.io.File(s"$parts/b=$i").listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
       require(fs.length == 1,
         s"expected one parquet file for batch $i, got ${fs.length}")
       val dst = new java.io.File(tmpDir, s"batch-$i.parquet")
